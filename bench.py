@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collected) so the number covers scan +
+shuffle + aggregation, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql2pg_spark.session import get_spark  # noqa: E402
+from mysql2pg_spark.plans import QUERIES  # noqa: E402
+
+# Headline set: one per operator family (kept in sync as families land).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_region_revenue",
+    "q03_left_join_counts",
+    "q05_case_when",
+    "q07_window_topn",
+    "q09_semi_anti",
+    "q11_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="mysql2pg_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM + parquet footer cache so the first timed query isn't
+    # charged session-startup cost.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # extend with any registered headline-tagged queries not listed yet
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    for name in names:
+        t = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        # force full materialization of all columns, not just count
+        df.collect()
+        timings[name] = round(time.perf_counter() - t, 3)
+        _ = n
+    total = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Registration decorator shared by all plan modules.
+
+A query is a callable ``(spark, sf_dir) -> DataFrame``; its oracle is the
+equivalent ANSI SQL that DuckDB runs over the same parquet tables.  Column
+names are part of the contract: the driver sorts columns by name and
+hash-compares values, so every computed column is aliased identically on
+both sides.
+
+Determinism rules used throughout the plan modules:
+
+- Double aggregation is never hashed raw: inputs are cast to
+  ``DECIMAL(38,4)`` *before* SUM so the result is exact and independent of
+  partitioning/accumulation order (double addition is not associative; a
+  32-thread Spark sum and a DuckDB sum would differ in final ulps). Scale 4
+  keeps the unscaled sum below 2^53 so the final decimal→double cast is
+  bit-identical across engines.
+- Averages are ``CAST(exact_decimal_sum AS DOUBLE) / COUNT`` — a single
+  IEEE division of identical operands is deterministic across engines.
+- Every ORDER BY used for LIMIT/window ranking carries a unique tiebreaker
+  key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``, optionally with a DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco

@@ -1,0 +1,55 @@
+"""Test-corpus table loader.
+
+The driver provides a TPC-H-ish star schema plus ``events`` (stream-shaped),
+``documents`` and ``embeddings`` (training-data-pipeline shaped) as parquet
+under ``/root/testdata/sf*/``.  At 100 TB these would be partitioned parquet/
+iceberg tables; the loader is the single place that knows physical layout, so
+swapping in a real lakehouse means changing only this module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+# (region/nation are fixed-size; supplier/part/customer grow with SF but
+# remain << fact tables — Catalyst's size-based broadcast threshold handles
+# those; region/nation we hint explicitly.)
+SMALL_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for ``spark.sql`` use."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
