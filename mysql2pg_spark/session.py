@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The events fixture stores TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as long and convert in tables.load_table (micros
+        # truncation — matching what DuckDB/pandas do implicitly).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

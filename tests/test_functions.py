@@ -1,0 +1,58 @@
+"""Function batteries vs DuckDB oracle + unit tests for the format-token
+converter and MySQL-specific semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql2pg_spark.functions.datetime_fmt import mysql_format_to_spark
+from mysql2pg_spark.plans import ORACLES, QUERIES
+from tests.compare import compare_spark_duckdb
+from tests.conftest import SF_CORRECT
+
+BATTERIES = [n for n in QUERIES if n.startswith("f")]
+
+
+@pytest.mark.parametrize("name", BATTERIES)
+def test_battery_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_CORRECT)
+    if name in ORACLES:
+        compare_spark_duckdb(df, duck, ORACLES[name])
+    else:
+        assert df.count() >= 0
+
+
+@pytest.mark.parametrize(
+    "mysql,spark_fmt",
+    [
+        ("%Y-%m-%d", "yyyy-MM-dd"),
+        ("%Y-%m-%d %H:%i:%s", "yyyy-MM-dd HH:mm:ss"),
+        ("%d/%m/%y", "dd/MM/yy"),
+        ("%H:%i", "HH:mm"),
+        ("%Y year", "yyyy' year'"),
+        ("%%Y", "%'Y'"),
+    ],
+)
+def test_format_tokens(mysql, spark_fmt):
+    assert mysql_format_to_spark(mysql) == spark_fmt
+
+
+def test_mysql_greatest_null_semantics(spark):
+    """MySQL GREATEST returns NULL when any arg is NULL (C38)."""
+    from mysql2pg_spark.functions import mysql_compat as M
+
+    df = spark.createDataFrame([(1, None), (2, 5)], "a int, b int")
+    rows = df.select(M.greatest("a", "b").alias("g")).collect()
+    assert rows[0]["g"] is None
+    assert rows[1]["g"] == 5
+
+
+def test_mysql_length_is_bytes(spark):
+    from mysql2pg_spark.functions import mysql_compat as M
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("héllo",)], "s string")
+    r = df.select(
+        M.length("s").alias("b"), M.char_length("s").alias("c")
+    ).collect()[0]
+    assert r["b"] == 6 and r["c"] == 5
