@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact: one shuffle on the 16-byte fingerprint; map-side combine.
+- MinHash: shingle explode is map-local; the ONLY shuffle is the
+  groupBy(doc_id) for signatures (k mins combine map-side), then the LSH
+  band self-join shuffles on the band key — candidates only, never all
+  pairs. Band-key hot spots (a shingle shared by millions of docs) are
+  handled by AQE skew-join splitting (on in session.py).
+- Jaccard verify runs only on LSH candidates.
+- SimHash: explode + 32 conditional sums → one shuffle.
+- embedding near-dup is blocked (label/bucket) so the pair join is
+  band-local, not cartesian.
+
+Hash functions are md5-derived so results are engine-independent and
+deterministic (no seed state) — the property that makes every operator
+here oracle-checkable in an external SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql2pg_spark.operators.textops import fingerprint, word_ngrams
+
+DEFAULT_NUM_HASHES = 8
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via fingerprint groups: every row keeps its canonical
+    (minimum) id; `is_duplicate` marks rows that would be dropped.
+    One shuffle on the fingerprint."""
+    fp = fingerprint(text_col).alias("fp")
+    w = Window.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", (F.col(id_col) != F.col("canonical_id")))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: mh_i = min over shingles of
+    md5('<i>|' || shingle). Shingle explode → single groupBy(doc)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, ngram)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """LSH with one band per hash (r=1): docs sharing ANY minhash value
+    become a candidate pair. Equi-join on (band, key) — never all-pairs."""
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"mh{i}").alias("key")
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.key") == F.col(f"b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact n-gram Jaccard ≥
+    threshold. Verification joins shingle sets only for candidates."""
+    shingle_sets = df.select(
+        F.col(id_col), word_ngrams(text_col, ngram).alias("shingles")
+    )
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, num_hashes, ngram), id_col, num_hashes
+    )
+    sa = shingle_sets.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingle_sets.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (inter.cast("double") / union.cast("double")).alias("jaccard")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens: token → 32-bit int from the
+    first 8 hex chars of md5; each bit votes ±1; simhash bit j = majority.
+
+    One explode + one groupBy with 32 conditional sums (all map-side
+    combinable)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    )
+    tok_int = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    toks = toks.withColumn("ti", tok_int)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("ti"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    sums = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Dot product as a LEFT FOLD of double products. Both Spark's
+    ``aggregate`` and DuckDB's ``list_reduce`` fold sequentially
+    left-to-right, so the result is bit-identical across engines despite
+    double addition being non-associative. (Decimal-cast accumulation was
+    rejected: double→decimal midpoint rounding is HALF_UP in Spark but
+    HALF_EVEN in DuckDB — a real observed divergence.)"""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine similarity (see dot_fold)."""
+    dot = dot_fold(a, b)
+    na = F.sqrt(dot_fold(a, a))
+    nb = F.sqrt(dot_fold(b, b))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Cosine near-duplicate pairs, blocked: pairs are only formed inside
+    a block (label / LSH bucket / shard key), so the join is band-local.
+    At 100 TB the block key IS the scale lever — swap `label` for an LSH
+    bucket (similarity.hyperplane_bucket) without touching this code."""
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "blk",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 9).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

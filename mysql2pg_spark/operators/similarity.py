@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns.
+
+- ``knn_bruteforce``: exact top-k cosine — the correctness baseline.
+  The query set is broadcast (it is small by construction); the corpus
+  is scanned once, no shuffle until the per-query top-k (AQE-coalesced).
+- ``hyperplane_bucket`` + ``knn_lsh``: the scale path. Random-hyperplane
+  LSH with hyperplanes derived *deterministically* from md5 digits (no
+  RNG state → reproducible anywhere, incl. an external SQL oracle).
+  Corpus is bucketed once (map-only), queries probe their bucket —
+  turning 100 TB × q into bucket-local joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql2pg_spark.operators.dedup import cosine
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors per query (cosine), deterministic tie-break
+    on neighbor id. Queries are broadcast; corpus never shuffles until
+    the top-k window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def _digit_weight(plane: int, dim_col: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-7.5, 7.5]:
+    first hex digit of md5('<plane>:<dim>') minus 7.5. Stateless →
+    identical in any engine that has md5."""
+    h = F.md5(F.concat(F.lit(f"{plane}:"), dim_col.cast("string")))
+    digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    return digit.cast("double") - 7.5
+
+
+def hyperplane_bucket(vec: Column, num_planes: int, dims: int) -> Column:
+    """LSH bucket id: bit p = sign(dot(vec, w_p)) with md5-derived
+    hyperplane weights. Pure column expression (no UDF, no RNG)."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        prods = F.transform(
+            F.sequence(F.lit(1), F.lit(dims)),
+            lambda i: F.element_at(vec, i).cast("double") * _digit_weight(p, i),
+        )
+        # Left fold of doubles — bit-identical to DuckDB list_reduce (see
+        # dedup.dot_fold).
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank *within* the query's LSH
+    bucket. Recall is tunable via num_planes (fewer planes → bigger
+    buckets → higher recall, more compute)."""
+    bucket = lambda df, idn, vn: df.select(
+        F.col(id_col).alias(idn),
+        F.col(vec_col).alias(vn),
+        hyperplane_bucket(F.col(vec_col), num_planes, dims).alias("bucket"),
+    )
+    q = bucket(queries, "query_id", "qvec")
+    c = bucket(corpus, "neighbor_id", "nvec")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

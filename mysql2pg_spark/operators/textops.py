@@ -1,0 +1,115 @@
+"""Text-analysis operators for the documents table.
+
+All pure Column expressions (JVM-side, whole-stage codegen): tokenize,
+n-gram shingles, token stats, language-ID heuristic, quality score,
+fingerprint. No UDFs anywhere — at 100 TB these run at scan speed with
+zero Python serialization.
+
+The language-ID heuristic is a deterministic marker-word occurrence
+count (the classic n-gram/stopword approach compressed to something an
+external SQL oracle can replicate bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c) -> Column:
+    """Lowercase + trim — the canonical form used by every operator."""
+    return F.trim(F.lower(_c(c)))
+
+
+def tokens(c) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(c), r"\s+")
+
+
+def token_count(c) -> Column:
+    return F.size(tokens(c)).cast("bigint")
+
+
+def word_ngrams(c, n: int) -> Column:
+    """Word n-gram shingles (distinct), the MinHash/Jaccard unit.
+
+    Empty result (not a 1-element junk gram) when the doc has < n tokens.
+    """
+    t = tokens(c)
+    count = F.size(t) - n + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# Marker-word sets per language. Occurrence counting (not word-boundary
+# matching) so the arithmetic is replicable in any SQL engine:
+# occurrences(s, m) = (len(s) - len(replace(s, m, ''))) / len(m).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "ein"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "que", "los"),
+}
+
+
+def _occurrences(s: Column, marker: str) -> Column:
+    return (F.length(s) - F.length(F.replace(s, F.lit(marker), F.lit("")))) / len(
+        marker
+    )
+
+
+def lang_score(c, lang: str) -> Column:
+    s = normalize_text(c)
+    score = F.lit(0.0)
+    for m in LANG_MARKERS[lang]:
+        score = score + _occurrences(s, m)
+    return score.cast("bigint")
+
+
+def lang_id(c) -> Column:
+    """Argmax of marker scores with deterministic tie-break (language
+    order as listed); 'und' (undetermined) when all scores are 0."""
+    scores = {lang: lang_score(c, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # Build reversed WHEN chain so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def quality_score(c) -> Column:
+    """Deterministic 0-1 quality heuristic: token-count band + mean token
+    length band + alpha ratio. Mirrors the shape of published LLM-corpus
+    quality filters (length/punctuation/stopword gates) with exactly
+    reproducible arithmetic."""
+    s = normalize_text(c)
+    n_tok = F.size(tokens(c))
+    mean_tok_len = F.length(F.regexp_replace(s, r"\s+", "")) / n_tok
+    alpha_ratio = (
+        F.length(F.regexp_replace(s, r"[^a-z]", "")) / F.greatest(F.length(s), F.lit(1))
+    )
+    len_component = F.when((n_tok >= 20) & (n_tok <= 80), 0.4).otherwise(
+        F.when((n_tok >= 5) & (n_tok < 20), 0.2).otherwise(0.0)
+    )
+    tokl_component = F.when((mean_tok_len >= 3) & (mean_tok_len <= 8), 0.3).otherwise(
+        0.1
+    )
+    return F.round(len_component + tokl_component + alpha_ratio * 0.3, 4)
+
+
+def fingerprint(c) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed normalized text —
+    the exact-dedup key."""
+    return F.md5(F.regexp_replace(normalize_text(c), r"\s+", " "))

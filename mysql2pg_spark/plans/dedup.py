@@ -1,0 +1,211 @@
+"""Deduplication queries over documents/embeddings (net-new operator
+family: exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine).
+
+Every oracle reconstructs the SAME md5-derived hash pipeline in DuckDB
+SQL, so even the LSH candidate sets match exactly — the operators were
+designed hash-deterministic precisely to be externally checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2pg_spark.operators import dedup as D
+from mysql2pg_spark.plans.registry import query
+from mysql2pg_spark.tables import load_table
+
+NGRAM = 3
+NUM_HASHES = 8
+JACCARD_T = 0.3
+COS_T = 0.18
+
+_NORM = "trim(lower(text))"
+_TOKENS = f"string_split_regex({_NORM}, '\\s+')"
+# Distinct word n-grams; empty list when the doc has < n tokens.
+_SHINGLES = (
+    f"CASE WHEN len({_TOKENS}) >= {NGRAM} THEN "
+    f"list_distinct(list_transform(range(1, len({_TOKENS}) - {NGRAM} + 2), "
+    f"i -> array_to_string(({_TOKENS})[i:i+{NGRAM}-1], ' '))) "
+    f"ELSE [] END"
+)
+
+_MH_AGGS = ", ".join(
+    f"min(md5('{i}|' || s)) AS mh{i}" for i in range(NUM_HASHES)
+)
+_MINHASH_CTE = f"""
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+mh AS (SELECT doc_id, {_MH_AGGS} FROM ex GROUP BY doc_id)
+"""
+
+_BANDS_CTE = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, mh{i} AS key FROM mh"
+        for i in range(NUM_HASHES)
+    )
+    + ")"
+)
+
+_CAND_CTE = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# d01 — exact dedup: fingerprint groups with canonical id.
+# --------------------------------------------------------------------------
+@query(
+    "d01_exact_dedup",
+    oracle=f"""
+SELECT
+  doc_id,
+  md5(regexp_replace({_NORM}, '\\s+', ' ', 'g'))                       AS fp,
+  min(doc_id) OVER (PARTITION BY md5(regexp_replace({_NORM}, '\\s+', ' ', 'g')))
+                                                                       AS canonical_id,
+  doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace({_NORM}, '\\s+', ' ', 'g')))
+                                                                       AS is_duplicate,
+  CAST(count(*) OVER (PARTITION BY md5(regexp_replace({_NORM}, '\\s+', ' ', 'g'))) AS BIGINT)
+                                                                       AS group_size
+FROM documents
+ORDER BY doc_id
+""",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "doc_id", "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# d02 — MinHash signatures (k=8, word 3-grams).
+# --------------------------------------------------------------------------
+@query(
+    "d02_minhash_signatures",
+    oracle=f"""
+WITH {_MINHASH_CTE}
+SELECT * FROM mh ORDER BY doc_id
+""",
+)
+def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, "doc_id", "text", NUM_HASHES, NGRAM).orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# d03 — LSH candidate pairs (band join, r=1 × 8 bands).
+# --------------------------------------------------------------------------
+@query(
+    "d03_lsh_candidates",
+    oracle=f"""
+WITH {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE}
+SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+""",
+)
+def d03_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, "doc_id", "text", NUM_HASHES, NGRAM)
+    return D.lsh_candidate_pairs(sigs, "doc_id", NUM_HASHES).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# d04 — near-duplicate pairs: LSH candidates verified by exact n-gram
+# Jaccard ≥ threshold.
+# --------------------------------------------------------------------------
+@query(
+    "d04_neardup_pairs",
+    oracle=f"""
+WITH {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE}
+SELECT
+  id_a, id_b,
+  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.id_a
+JOIN sh sb ON sb.doc_id = cand.id_b
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6) >= {JACCARD_T}
+ORDER BY id_a, id_b
+""",
+)
+def d04_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_verified_pairs(
+        d, "doc_id", "text", JACCARD_T, NGRAM, NUM_HASHES
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# d05 — 32-bit SimHash per document.
+# --------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    tok_int = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (8 - p)}"
+        for p in range(1, 9)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (ti >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok FROM documents
+), ti AS (
+  SELECT doc_id, {tok_int} AS ti FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM ti GROUP BY doc_id
+)
+SELECT doc_id, {sim} AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+@query("d05_simhash", oracle=_simhash_oracle())
+def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash32(d, "doc_id", "text").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# d06 — embedding-cosine near-dup pairs, blocked by label.
+# --------------------------------------------------------------------------
+_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 9)"
+
+
+@query(
+    "d06_embedding_neardup",
+    oracle=f"""
+SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COS_T}
+ORDER BY id_a, id_b
+""",
+)
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(e, "vec_id", "embedding", "label", COS_T).orderBy(
+        "id_a", "id_b"
+    )

@@ -1,0 +1,102 @@
+"""Similarity-search queries over the embeddings table: exact brute-force
+top-k (baseline) and hyperplane-LSH bucketed ANN (scale path). Both have
+full DuckDB oracles thanks to md5-derived deterministic hyperplanes and
+left-fold double dot products (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2pg_spark.operators import similarity as S
+from mysql2pg_spark.plans.dedup import _cos_sql
+from mysql2pg_spark.plans.registry import query
+from mysql2pg_spark.tables import load_table
+
+K = 5
+QUERY_MOD = 50  # vec_id % 50 == 0 → the deterministic query subset
+NUM_PLANES = 4
+DIMS = 64
+
+
+# --------------------------------------------------------------------------
+# s01 — exact brute-force cosine top-k.
+# --------------------------------------------------------------------------
+@query(
+    "s01_knn_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'c.embedding')} AS cos_sim
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+)
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_bruteforce(e, q, "vec_id", "embedding", K).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# s02 — LSH-bucketed ANN (md5-hyperplane signs, exact re-rank in bucket).
+# --------------------------------------------------------------------------
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p in range(NUM_PLANES):
+        prods = (
+            f"list_transform(range(1, {DIMS} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * "
+            f"(CAST(instr('0123456789abcdef', substr(md5('{p}:' || CAST(i AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5))"
+        )
+        dot = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}), (x, y) -> x + y)"
+        )
+        terms.append(
+            f"CASE WHEN {dot} > 0 THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "s02_knn_lsh",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b
+      WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'c.embedding')} AS cos_sim
+  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+)
+def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_lsh(e, q, "vec_id", "embedding", K, NUM_PLANES, DIMS).orderBy(
+        "query_id", "rank"
+    )
