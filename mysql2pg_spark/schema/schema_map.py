@@ -1,0 +1,202 @@
+"""MySQL type-string → (Spark DataType, PostgreSQL DDL type) mapping.
+
+Implements the full SURVEY.md §1.3 matrix (reference: the MySQL→PG map
+in sync_tableddl.go:113-167 with priority ordering :78-97 and
+precision-preserving patterns :100-110), extended with the Spark column
+type the engine carries internally.
+
+Differences from the reference, on purpose:
+- decimal precision is clamped to Spark's 38-digit cap (the reference
+  passes decimal(65,30) through; we clamp and record the clamp in the
+  mapping notes — SURVEY §7.4 risk 2);
+- composite handling is data-driven: the input is the catalog's type
+  string (`information_schema.columns.column_type`), never CREATE TABLE
+  text.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    TimestampType,
+)
+
+SPARK_DECIMAL_MAX = 38
+
+_RE_TINYINT1 = re.compile(r"^tinyint\(1\)", re.I)
+_RE_DECIMAL = re.compile(r"^(?:decimal|numeric)\s*\((\d+)\s*,\s*(\d+)\)", re.I)
+_RE_DECIMAL_P = re.compile(r"^(?:decimal|numeric)\s*\((\d+)\)", re.I)
+_RE_CHAR = re.compile(r"^char\s*\((\d+)\)", re.I)
+_RE_VARCHAR = re.compile(r"^varchar\s*\((\d+)\)", re.I)
+_RE_DATETIME_P = re.compile(r"^(?:datetime|timestamp)\s*\((\d+)\)", re.I)
+_RE_TIME_P = re.compile(r"^time\s*\((\d+)\)", re.I)
+# Display width (int(11)) and float/double precision ((10,2)) suffixes —
+# both discarded by the reference (:41-43, :605-609).
+_RE_DISPLAY_WIDTH = re.compile(r"\(\s*\d+(\s*,\s*\d+)?\s*\)")
+
+
+@dataclass
+class TypeMapping:
+    mysql_type: str            # original catalog string, e.g. "int(11) unsigned"
+    spark_type: DataType       # engine-internal column type
+    pg_type: str               # sink DDL type, e.g. "INTEGER"
+    notes: str = ""            # lossy/clamped conversions documented here
+    is_auto_increment: bool = False
+
+
+def _strip_attrs(t: str) -> tuple[str, bool]:
+    """Remove unsigned/zerofill/charset/collation attributes (reference
+    strips these at :366, :524-525); returns (base, was_unsigned)."""
+    low = t.strip().lower()
+    unsigned = " unsigned" in f" {low}" or low.endswith("unsigned")
+    for attr in ("unsigned", "zerofill"):
+        low = re.sub(rf"\b{attr}\b", "", low)
+    low = re.sub(r"character set \S+", "", low)
+    low = re.sub(r"collate \S+", "", low)
+    return low.strip(), unsigned
+
+
+def map_mysql_type(mysql_type: str, auto_increment: bool = False) -> TypeMapping:
+    """Map one MySQL column type string (priority order mirrors the
+    reference's convertDataType, sync_tableddl.go:78-97)."""
+    t, unsigned = _strip_attrs(mysql_type)
+    notes = ""
+
+    def m(spark: DataType, pg: str) -> TypeMapping:
+        if auto_increment:
+            # SERIAL family at the sink (C89); engine carries plain ints —
+            # Spark never generates identity values (SURVEY §7.4 risk 6).
+            pg_serial = {"SMALLINT": "SMALLSERIAL", "INTEGER": "SERIAL",
+                         "BIGINT": "BIGSERIAL"}.get(pg, pg)
+            return TypeMapping(mysql_type, spark, pg_serial, notes, True)
+        return TypeMapping(mysql_type, spark, pg, notes)
+
+    # ---- exact-width specials first ------------------------------------
+    if _RE_TINYINT1.match(t):
+        return m(BooleanType(), "BOOLEAN")
+    if mo := _RE_DECIMAL.match(t):
+        p, s = int(mo.group(1)), int(mo.group(2))
+        cp, cs = p, s
+        if p > SPARK_DECIMAL_MAX:
+            overflow = p - SPARK_DECIMAL_MAX
+            cp = SPARK_DECIMAL_MAX
+            cs = max(s - overflow, 0)
+            notes = f"decimal({p},{s}) clamped to Spark cap ({cp},{cs})"
+        return m(DecimalType(cp, cs), f"DECIMAL({p},{s})")
+    if mo := _RE_DECIMAL_P.match(t):
+        p = min(int(mo.group(1)), SPARK_DECIMAL_MAX)
+        return m(DecimalType(p, 0), f"DECIMAL({mo.group(1)},0)")
+    if mo := _RE_CHAR.match(t):
+        n = int(mo.group(1))
+        # reference patches char(0)→char(10) (postgres/connection.go:84)
+        pg_n = 10 if n == 0 else n
+        if n == 0:
+            notes = "char(0) widened to char(10)"
+        return m(StringType(), f"CHAR({pg_n})")
+    if mo := _RE_VARCHAR.match(t):
+        n = int(mo.group(1))
+        pg_n = 1 if n == 0 else n  # varchar(0)→VARCHAR(1) (:604)
+        if n == 0:
+            notes = "varchar(0) widened to varchar(1)"
+        return m(StringType(), f"VARCHAR({pg_n})")
+    if mo := _RE_DATETIME_P.match(t):
+        return m(TimestampType(), f"TIMESTAMP({mo.group(1)})")
+    if mo := _RE_TIME_P.match(t):
+        notes = "no Spark TimeType; carried as HH:MM:SS[.ffffff] string"
+        return m(StringType(), f"TIME({mo.group(1)})")
+
+    # ---- family matches (display widths like int(11) discarded, :43) ---
+    base = _RE_DISPLAY_WIDTH.sub("", t).split()[0] if t else ""
+    if base == "tinyint":
+        return m(ShortType(), "SMALLINT")
+    if base == "smallint":
+        return m(IntegerType(), "INTEGER") if unsigned else m(ShortType(), "SMALLINT")
+    if base in ("mediumint", "int", "integer", "year"):
+        return m(LongType(), "BIGINT") if unsigned else m(IntegerType(), "INTEGER")
+    if base == "bigint":
+        if unsigned:
+            notes = "bigint unsigned may overflow signed 64-bit"
+        return m(LongType(), "BIGINT")
+    if base == "float":
+        return m(FloatType(), "REAL")
+    if base in ("double", "real") or t.startswith("double precision"):
+        return m(DoubleType(), "DOUBLE PRECISION")
+    if base in ("decimal", "numeric"):
+        return m(DecimalType(10, 0), "DECIMAL(10,0)")
+    if base in ("char", "varchar"):
+        return m(StringType(), "TEXT")
+    if base in ("text", "tinytext", "mediumtext", "longtext"):
+        return m(StringType(), "TEXT")
+    if base in ("blob", "tinyblob", "mediumblob", "longblob", "binary", "varbinary"):
+        return m(BinaryType(), "BYTEA")
+    if base in ("datetime", "timestamp"):
+        return m(TimestampType(), "TIMESTAMP")
+    if base == "date":
+        return m(DateType(), "DATE")
+    if base == "time":
+        notes = "no Spark TimeType; carried as HH:MM:SS string"
+        return m(StringType(), "TIME")
+    if base == "json" or t.startswith("json("):
+        # json(n) length suffix dropped (reJsonLength, sync_tableddl.go:30-31)
+        return m(StringType(), "JSON")
+    if base == "jsonb":
+        return m(StringType(), "JSONB")
+    if base in ("enum", "set") or t.startswith(("enum(", "set(")):
+        notes = "value list discarded (reference :601-603)"
+        return m(StringType(), "VARCHAR(255)")
+    if base == "point":
+        notes = 'WKB-decoded to "(x,y)" text at extract (SURVEY B8)'
+        return m(StringType(), "POINT")
+    if base in (
+        "geometry",
+        "linestring",
+        "polygon",
+        "multipoint",
+        "multilinestring",
+        "multipolygon",
+        "geometrycollection",
+    ):
+        return m(BinaryType(), "BYTEA")
+    if base == "bit":
+        return m(BinaryType(), "BIT VARYING")
+    if base == "bool" or base == "boolean":
+        return m(BooleanType(), "BOOLEAN")
+
+    notes = f"unknown MySQL type '{mysql_type}' defaulted to TEXT"
+    return m(StringType(), "TEXT")
+
+
+def struct_field_for(
+    name: str,
+    mysql_type: str,
+    nullable: bool = True,
+    default: str | None = None,
+    comment: str | None = None,
+    auto_increment: bool = False,
+) -> StructField:
+    """Build the engine-side StructField carrying sink metadata (the Spark
+    analog of ColumnInfo, metadata.go:21-27)."""
+    mapping = map_mysql_type(mysql_type, auto_increment)
+    metadata: dict = {"mysql_type": mysql_type, "pg_type": mapping.pg_type}
+    if default is not None:
+        metadata["default"] = default
+    if comment:
+        metadata["comment"] = comment
+    if mapping.notes:
+        metadata["notes"] = mapping.notes
+    return StructField(name, mapping.spark_type, nullable, metadata)

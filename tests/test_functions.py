@@ -6,21 +6,6 @@ from __future__ import annotations
 import pytest
 
 from mysql2pg_spark.functions.datetime_fmt import mysql_format_to_spark
-from mysql2pg_spark.plans import ORACLES, QUERIES
-from tests.compare import compare_spark_duckdb
-from tests.conftest import SF_CORRECT
-
-BATTERIES = [n for n in QUERIES if n.startswith("f")]
-
-
-@pytest.mark.parametrize("name", BATTERIES)
-def test_battery_matches_oracle(spark, duck, name):
-    df = QUERIES[name](spark, SF_CORRECT)
-    if name in ORACLES:
-        compare_spark_duckdb(df, duck, ORACLES[name])
-    else:
-        assert df.count() >= 0
-
 
 @pytest.mark.parametrize(
     "mysql,spark_fmt",

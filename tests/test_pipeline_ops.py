@@ -5,25 +5,8 @@ from __future__ import annotations
 
 import pytest
 
-from mysql2pg_spark.plans import ORACLES, QUERIES
-from tests.compare import compare_spark_duckdb
+from mysql2pg_spark.plans import QUERIES
 from tests.conftest import SF_CORRECT
-
-PIPELINE = [
-    n
-    for n in QUERIES
-    if n.startswith(("t0", "d0", "s0"))
-]
-
-
-@pytest.mark.parametrize("name", PIPELINE)
-def test_pipeline_matches_oracle(spark, duck, name):
-    df = QUERIES[name](spark, SF_CORRECT)
-    if name in ORACLES:
-        compare_spark_duckdb(df, duck, ORACLES[name])
-    else:
-        assert df.count() >= 0
-
 
 def test_neardup_pairs_nonempty(spark):
     """The corpus contains near-duplicates; the LSH+Jaccard pipeline must

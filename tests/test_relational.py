@@ -1,25 +1,24 @@
-"""Every registered query with an oracle must match DuckDB at sf0.01 —
-the same check the driver's t2 gate runs."""
+"""Relational-core structural checks (oracle comparison for all queries
+lives in test_correctness.py)."""
 
 from __future__ import annotations
 
-import pytest
-
-from mysql2pg_spark.plans import ORACLES, QUERIES
-from tests.compare import compare_spark_duckdb
+from mysql2pg_spark.plans import QUERIES
 from tests.conftest import SF_CORRECT
 
-RELATIONAL = [n for n in QUERIES if n.startswith("q0") or n.startswith("q1")]
+
+def test_limit_offset_window(spark):
+    """MySQL LIMIT 10,20 semantics: rows 11-30 of the price-ordered list."""
+    df = QUERIES["q04_limit_offset"](spark, SF_CORRECT)
+    rows = df.collect()
+    assert len(rows) == 20
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
 
 
-@pytest.mark.parametrize("name", RELATIONAL)
-def test_query_matches_oracle(spark, duck, name):
-    df = QUERIES[name](spark, SF_CORRECT)
-    if name in ORACLES:
-        compare_spark_duckdb(df, duck, ORACLES[name])
-    else:
-        assert df.count() >= 0
+def test_left_join_keeps_unmatched(spark):
+    import pyspark.sql.functions as F
 
-
-def test_all_oracle_keys_have_queries():
-    assert set(ORACLES) <= set(QUERIES)
+    df = QUERIES["q03_left_join_counts"](spark, SF_CORRECT)
+    total = df.agg(F.sum("n_pairs")).collect()[0][0]
+    assert total > 0
