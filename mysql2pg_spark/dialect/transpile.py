@@ -1,0 +1,290 @@
+"""MySQL SQL text → Spark SQL text.
+
+The reference translates MySQL view definitions to PostgreSQL with ~70
+ordered regex passes (ConvertViewDDL, sync_viewddl.go:141-920). The
+Spark story is much shorter because Spark SQL natively accepts most of
+the MySQL surface — backtick quoting, IF(), IFNULL(), SUBSTRING_INDEX,
+LOCATE, INSTR, CONV, HEX, REGEXP/RLIKE, INTERVAL literals, TIMESTAMPDIFF,
+DATE_ADD, GREATEST…, so the transpiler only rewrites the constructs whose
+syntax or semantics genuinely differ:
+
+  * ``LIMIT a, b``            → ``LIMIT b OFFSET a``              (C5)
+  * ``ISNULL(x)``             → ``(x IS NULL)``                   (C31)
+  * ``GROUP_CONCAT(…)``       → ``array_join(collect_*)``          (C7)
+  * ``DATE_FORMAT/STR_TO_DATE/FROM_UNIXTIME`` %-token formats     (C45/C46)
+  * ``CAST(x AS SIGNED|UNSIGNED)`` / ``CONVERT(x, T)``            (C39/C40)
+  * ``JSON_EXTRACT/JSON_UNQUOTE/JSON_VALUE``→ ``get_json_object`` (C62-64)
+  * ``STRCMP``                → CASE chain                         (C24)
+  * ``TO_DAYS``               → datediff anchor formula            (C56)
+  * ``INET_ATON/INET_NTOA``   → octet arithmetic                   (C79)
+  * ``SYSDATE/CURDATE/CURTIME``→ current_* forms                   (C41/42)
+  * ``DATABASE()``            → ``current_database()``             (C80)
+
+Mechanics: string literals are masked first (the reference does the same
+— maskStringLiterals :1087-1127) so every later pass is free to match
+parens/commas structurally; function rewrites use real paren matching,
+not regex, so nested calls work.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from mysql2pg_spark.functions.datetime_fmt import mysql_format_to_spark
+
+_LIT_TOKEN = "\x00L{}\x00"
+
+
+def mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace '…' literals (with '' escapes) by placeholders."""
+    out: list[str] = []
+    lits: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            lits.append(sql[i : j + 1])
+            out.append(_LIT_TOKEN.format(len(lits) - 1))
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def unmask_literals(sql: str, lits: list[str]) -> str:
+    for idx, lit in enumerate(lits):
+        sql = sql.replace(_LIT_TOKEN.format(idx), lit)
+    return sql
+
+
+def split_top_level(args: str) -> list[str]:
+    """Split on commas at paren depth 0 (literals already masked)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in args:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def rewrite_call(
+    sql: str, func: str, builder: Callable[[list[str]], str]
+) -> str:
+    """Replace every FUNC(args…) with builder(top-level-args), innermost
+    nesting handled by repeated scanning."""
+    pat = re.compile(rf"\b{func}\s*\(", re.I)
+    while True:
+        mo = pat.search(sql)
+        if not mo:
+            return sql
+        start = mo.start()
+        depth = 1
+        i = mo.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[mo.end() : i - 1]
+        replacement = builder(split_top_level(inner))
+        sql = sql[:start] + replacement + sql[i:]
+
+
+def _group_concat(args_src: str, lits: list[str]) -> str:
+    """GROUP_CONCAT([DISTINCT] expr [ORDER BY o [DESC]] [SEPARATOR 's']).
+
+    → array_join(sort-aware collect, sep). ORDER BY an arbitrary key is
+    supported via struct-sort + transform (works because array_sort on
+    structs compares fields in order)."""
+    src = args_src.strip()
+    sep = "','"
+    mo = re.search(r"\bSEPARATOR\s+(\S+)\s*$", src, re.I)
+    if mo:
+        sep = mo.group(1)
+        src = src[: mo.start()].strip()
+    order_expr = None
+    desc = False
+    mo = re.search(r"\bORDER\s+BY\s+(.+?)(\s+(ASC|DESC))?\s*$", src, re.I)
+    if mo:
+        order_expr = mo.group(1).strip()
+        desc = (mo.group(3) or "").upper() == "DESC"
+        src = src[: mo.start()].strip()
+    distinct = False
+    if re.match(r"^DISTINCT\b", src, re.I):
+        distinct = True
+        src = src[8:].strip()
+    val = f"CAST({src} AS STRING)"
+    collect = "collect_set" if distinct else "collect_list"
+    if order_expr is None:
+        return f"array_join({collect}({val}), {sep})"
+    if order_expr == src or (distinct and order_expr):
+        # MySQL requires ORDER BY == expr when DISTINCT — plain sort_array.
+        arr = f"sort_array({collect}({val}), {str(not desc).lower()})"
+        return f"array_join({arr}, {sep})"
+    sorted_structs = (
+        f"array_sort({collect}(struct({order_expr} AS o, {val} AS v))"
+        + (", (l, r) -> CASE WHEN l.o < r.o THEN 1 WHEN l.o > r.o THEN -1 ELSE 0 END" if desc else "")
+        + ")"
+    )
+    return f"array_join(transform({sorted_structs}, s -> s.v), {sep})"
+
+
+def _convert_fmt(fmt_token: str, lits: list[str]) -> str:
+    """Convert a masked %-format literal to a Spark pattern literal."""
+    mo = re.fullmatch("\x00L(\\d+)\x00", fmt_token.strip())
+    if not mo:
+        return fmt_token  # dynamic format — pass through untouched
+    idx = int(mo.group(1))
+    raw = lits[idx][1:-1]
+    lits[idx] = "'" + mysql_format_to_spark(raw) + "'"
+    return fmt_token
+
+
+def transpile_mysql(sql: str) -> str:
+    """Translate one MySQL SELECT/view body into Spark SQL."""
+    s, lits = mask_literals(sql)
+
+    # C5: LIMIT a, b → LIMIT b OFFSET a
+    s = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", s, flags=re.I
+    )
+    # C39: CAST(x AS SIGNED/UNSIGNED) — MySQL ROUNDS fractional input where
+    # Spark's cast truncates, so wrap in round(). The sentinel prevents the
+    # rewriter from re-matching its own CAST output.
+    def _cast(a: list[str]) -> str:
+        arg = a[0] if len(a) == 1 else ", ".join(a)
+        mo = re.match(
+            r"(?s)^(.*?)\s+AS\s+(SIGNED|UNSIGNED)(\s+INTEGER)?\s*$", arg, re.I
+        )
+        if mo:
+            return f"CA\x02ST(round({mo.group(1)}, 0) AS BIGINT)"
+        return f"CA\x02ST({arg})"
+
+    s = rewrite_call(s, "CAST", _cast)
+    # C41/42/80: zero-arg system functions
+    s = re.sub(r"\bSYSDATE\s*\(\s*\)", "current_timestamp()", s, flags=re.I)
+    s = re.sub(r"\bCURDATE\s*\(\s*\)", "current_date()", s, flags=re.I)
+    s = re.sub(
+        r"\bCURTIME\s*\(\s*\)",
+        "date_format(current_timestamp(), 'HH:mm:ss')",
+        s,
+        flags=re.I,
+    )
+    s = re.sub(r"\bDATABASE\s*\(\s*\)", "current_database()", s, flags=re.I)
+
+    # C31: ISNULL(x) → (x IS NULL)
+    s = rewrite_call(s, "ISNULL", lambda a: f"({a[0]} IS NULL)")
+    # C24: STRCMP
+    s = rewrite_call(
+        s,
+        "STRCMP",
+        lambda a: (
+            f"(CASE WHEN {a[0]} = {a[1]} THEN 0 "
+            f"WHEN {a[0]} < {a[1]} THEN -1 ELSE 1 END)"
+        ),
+    )
+    # C7: GROUP_CONCAT — needs raw arg text (ORDER BY/SEPARATOR syntax)
+    s = rewrite_call(s, "GROUP_CONCAT", lambda a: _group_concat(", ".join(a), lits))
+    # C45/C46/C44: %-token formats inside literals. Outputs carry a \x02
+    # sentinel so the case-insensitive rewriter can't re-match its own
+    # output (date_format ← DATE_FORMAT would loop forever).
+    s = rewrite_call(
+        s,
+        "DATE_FORMAT",
+        lambda a: f"date_for\x02mat({a[0]}, {_convert_fmt(a[1], lits)})",
+    )
+    s = rewrite_call(
+        s,
+        "STR_TO_DATE",
+        lambda a: f"to_timestamp({a[0]}, {_convert_fmt(a[1], lits)})",
+    )
+    s = rewrite_call(
+        s,
+        "FROM_UNIXTIME",
+        lambda a: (
+            f"from_unix\x02time({a[0]})"
+            if len(a) == 1
+            else f"from_unix\x02time({a[0]}, {_convert_fmt(a[1], lits)})"
+        ),
+    )
+    # C40: CONVERT(x, T) / CONVERT(x USING cs)
+    def _convert(a: list[str]) -> str:
+        if len(a) == 1 and re.search(r"\bUSING\b", a[0], re.I):
+            expr = re.split(r"\bUSING\b", a[0], flags=re.I)[0].strip()
+            return f"CAST({expr} AS STRING)"
+        t = a[1].strip().upper()
+        if t in ("SIGNED", "UNSIGNED"):
+            return f"CAST(round({a[0]}, 0) AS BIGINT)"
+        t = {"CHAR": "STRING"}.get(t, t)
+        return f"CAST({a[0]} AS {t})"
+
+    s = rewrite_call(s, "CONVERT", _convert)
+    # C62-64: JSON accessors
+    s = rewrite_call(
+        s, "JSON_UNQUOTE", lambda a: a[0]
+    )  # get_json_object output is already unquoted
+    s = rewrite_call(
+        s, "JSON_EXTRACT", lambda a: f"get_json_object({a[0]}, {a[1]})"
+    )
+    s = rewrite_call(
+        s, "JSON_VALUE", lambda a: f"get_json_object({a[0]}, {a[1]})"
+    )
+    # C56: TO_DAYS (day 1 = 0000-01-01; Spark anchors at 0001-01-01 = 366)
+    s = rewrite_call(
+        s, "TO_DAYS", lambda a: f"(datediff({a[0]}, DATE'0001-01-01') + 366)"
+    )
+    # C79: INET_ATON / INET_NTOA
+    s = rewrite_call(
+        s,
+        "INET_ATON",
+        lambda a: (
+            f"(CAST(split({a[0]}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+            f"CAST(split({a[0]}, '\\\\.')[1] AS BIGINT) * 65536 + "
+            f"CAST(split({a[0]}, '\\\\.')[2] AS BIGINT) * 256 + "
+            f"CAST(split({a[0]}, '\\\\.')[3] AS BIGINT))"
+        ),
+    )
+    s = rewrite_call(
+        s,
+        "INET_NTOA",
+        lambda a: (
+            f"concat_ws('.', CAST(CAST({a[0]} AS BIGINT) div 16777216 % 256 AS STRING), "
+            f"CAST(CAST({a[0]} AS BIGINT) div 65536 % 256 AS STRING), "
+            f"CAST(CAST({a[0]} AS BIGINT) div 256 % 256 AS STRING), "
+            f"CAST(CAST({a[0]} AS BIGINT) % 256 AS STRING))"
+        ),
+    )
+
+    s = s.replace("\x02", "")  # drop loop-guard sentinels
+    return unmask_literals(s, lits).strip()
+
+
+def create_view(spark, name: str, mysql_sql: str, replace: bool = True):
+    """C94: view DDL — translate the MySQL body and register as a Spark
+    temp view; returns the transpiled text for inspection/sink DDL."""
+    body = transpile_mysql(mysql_sql)
+    clause = "CREATE OR REPLACE TEMP VIEW" if replace else "CREATE TEMP VIEW"
+    spark.sql(f"{clause} {name} AS {body}")
+    return body

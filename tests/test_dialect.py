@@ -1,0 +1,65 @@
+"""Unit tests for the MySQL → Spark SQL transpiler."""
+
+from __future__ import annotations
+
+from mysql2pg_spark.dialect.transpile import (
+    mask_literals,
+    split_top_level,
+    transpile_mysql,
+)
+
+
+def test_mask_literals_with_escapes():
+    masked, lits = mask_literals("SELECT 'it''s (a, b)' AS x, 'y'")
+    assert "(" not in masked.replace("SELECT", "")
+    assert lits == ["'it''s (a, b)'", "'y'"]
+
+
+def test_split_top_level():
+    assert split_top_level("a, f(b, c), d") == ["a", "f(b, c)", "d"]
+
+
+def test_limit_comma():
+    assert transpile_mysql("SELECT 1 FROM t LIMIT 5, 10").endswith(
+        "LIMIT 10 OFFSET 5"
+    )
+
+
+def test_isnull_and_strcmp():
+    out = transpile_mysql("SELECT ISNULL(a), STRCMP(a, b) FROM t")
+    assert "(a IS NULL)" in out
+    assert "CASE WHEN a = b THEN 0" in out
+
+
+def test_cast_signed_rounds():
+    out = transpile_mysql("SELECT CAST(x AS SIGNED) FROM t")
+    assert out == "SELECT CAST(round(x, 0) AS BIGINT) FROM t"
+    # nested casts terminate and only rewrite the SIGNED one
+    out2 = transpile_mysql("SELECT CAST(CAST(x AS CHAR) AS UNSIGNED) FROM t")
+    assert "round(CAST(x AS CHAR), 0)" in out2
+
+
+def test_group_concat_variants():
+    out = transpile_mysql("SELECT GROUP_CONCAT(x SEPARATOR '-') FROM t")
+    assert "array_join(collect_list(CAST(x AS STRING)), '-')" in out
+    out = transpile_mysql("SELECT GROUP_CONCAT(DISTINCT x ORDER BY x) FROM t")
+    assert "sort_array(collect_set(CAST(x AS STRING)), true)" in out
+    out = transpile_mysql("SELECT GROUP_CONCAT(x ORDER BY y DESC SEPARATOR ',') FROM t")
+    assert "array_sort(collect_list(struct(y AS o, CAST(x AS STRING) AS v))" in out
+
+
+def test_date_format_tokens_converted():
+    out = transpile_mysql("SELECT DATE_FORMAT(d, '%Y-%m-%d %H:%i:%s') FROM t")
+    assert "date_format(d, 'yyyy-MM-dd HH:mm:ss')" in out
+
+
+def test_json_chain():
+    out = transpile_mysql(
+        "SELECT JSON_UNQUOTE(JSON_EXTRACT(j, '$.k')) FROM t"
+    )
+    assert out == "SELECT get_json_object(j, '$.k') FROM t"
+
+
+def test_literals_untouched():
+    sql = "SELECT 'LIMIT 1, 2 ISNULL(x)' AS s FROM t"
+    assert transpile_mysql(sql) == sql
