@@ -18,6 +18,7 @@ for _mod in (
     "similarity",
     "textops",
     "timeseries",
+    "multimodal",
     "validation",
     "schema_demo",
     "dialect_demo",

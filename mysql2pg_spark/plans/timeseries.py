@@ -1,0 +1,157 @@
+"""Time-series / streaming queries over events: tumbling windows (batch
++ REAL Structured Streaming backfill), session windows, and the as-of
+join. The streaming query executes readStream → watermark → window agg →
+memory sink and returns the drained sink — same oracle as batch (Kappa
+property).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2pg_spark.operators.asof import asof_join
+from mysql2pg_spark.plans.registry import query
+from mysql2pg_spark.plans.relational import DEC
+from mysql2pg_spark.streaming.ingest import run_streaming_backfill, windowed_value_agg
+from mysql2pg_spark.tables import load_table
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*)                                             AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)    AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# w01 — tumbling windows, batch path.
+# --------------------------------------------------------------------------
+@query("w01_tumbling_agg", oracle=_TUMBLING_ORACLE)
+def w01_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return windowed_value_agg(e, "1 hour").orderBy("window_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# w02 — streaming backfill: the SAME aggregation through an actual
+# Structured Streaming query (readStream → watermark → memory sink,
+# availableNow). Same oracle as w01.
+# --------------------------------------------------------------------------
+_sink_counter = itertools.count()
+
+
+@query("w02_streaming_windowed", oracle=_TUMBLING_ORACLE)
+def w02_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = f"stream_windowed_events_{next(_sink_counter)}"
+    out = run_streaming_backfill(spark, sf_dir, "1 hour", "10 minutes", sink)
+    return out.orderBy("window_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# w03 — session windows (10-minute inactivity gap) per user.
+# Oracle: classic gaps-and-islands reconstruction.
+# --------------------------------------------------------------------------
+@query(
+    "w03_session_windows",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+), g AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(ts)                                           AS session_start,
+       max(ts) + INTERVAL 10 MINUTE                      AS session_end,
+       COUNT(*)                                          AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM g
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def w03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# a01 — as-of join: each purchase gets the latest prior-or-equal click of
+# the same user. Oracle: DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+@query(
+    "a01_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts       AS asof_ts,
+       c.event_id AS asof_event_id,
+       c.value    AS asof_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+)
+def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        "asof_event_id",
+        "asof_value",
+    ).orderBy("event_id")
