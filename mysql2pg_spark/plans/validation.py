@@ -1,0 +1,72 @@
+"""Validation queries (SURVEY D3/A12): distributed row counts and
+order-insensitive content checksums, oracle-checked.
+
+The checksum query fingerprints integer/string columns — identical text
+rendering across engines. Cross-engine float canonicalization (Spark
+renders 1e-4 as '1.0E-4', DuckDB as '0.0001') is the caller's job via
+explicit format strings; keys and flags are what migration validation
+actually compares (the reference compares COUNT(*) only — D3; this is
+strictly stronger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2pg_spark.operators.validate import table_checksum
+from mysql2pg_spark.plans.registry import query
+from mysql2pg_spark.tables import TABLE_NAMES, load_table
+
+_CHECK_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+@query(
+    "val01_table_checksum",
+    oracle=f"""
+WITH h AS (
+  SELECT md5(concat_ws(chr(1),
+    {", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL')" for c in _CHECK_COLS)}
+  )) AS h
+  FROM lineitem
+)
+SELECT COUNT(*)          AS n_rows,
+       COUNT(DISTINCT h) AS n_distinct,
+       min(h)            AS min_digest,
+       max(h)            AS max_digest
+FROM h
+""",
+)
+def val01_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_checksum(li, _CHECK_COLS)
+
+
+@query(
+    "val02_row_counts",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
+        for t in TABLE_NAMES
+    )
+    + " ORDER BY table_name",
+)
+def val02_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/D3: one count per table, assembled lazily (no driver loop over
+    collect — each count is a map-side-combined aggregate)."""
+    parts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in TABLE_NAMES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("table_name")

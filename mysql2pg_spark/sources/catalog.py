@@ -1,0 +1,129 @@
+"""MySQL catalog readers (SURVEY A1-A11) as information_schema queries.
+
+The reference issues SHOW statements per table with goroutine fan-out
+(metadata.go:133-235); here each catalog plane is ONE set-based
+information_schema query pushed through spark.read.jdbc — the driver
+never loops over tables. Each builder returns (subquery_sql, parser) so
+the fetch is testable without a live server.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from mysql2pg_spark.sinks.ddl import IndexSpec
+
+
+def tables_query(
+    database: str,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> str:
+    """A1-A3: base tables with include/exclude lists pushed into the scan
+    (the reference filters client-side, metadata.go:89-122)."""
+    preds = [
+        f"table_schema = '{database}'",
+        "table_type = 'BASE TABLE'",
+    ]
+    if include:
+        quoted = ", ".join(f"'{t}'" for t in include)
+        preds.append(f"table_name IN ({quoted})")
+    if exclude:
+        quoted = ", ".join(f"'{t}'" for t in exclude)
+        preds.append(f"table_name NOT IN ({quoted})")
+    where = " AND ".join(preds)
+    return (
+        "(SELECT table_name, table_comment FROM information_schema.tables "
+        f"WHERE {where}) t"
+    )
+
+
+def columns_query(database: str) -> str:
+    """A5: all columns of all tables in one scan (SHOW FULL COLUMNS
+    equivalent, metadata.go:259-292)."""
+    return (
+        "(SELECT table_name, column_name, column_type, is_nullable, "
+        "column_default, column_comment, extra, ordinal_position "
+        "FROM information_schema.columns "
+        f"WHERE table_schema = '{database}' ORDER BY table_name, "
+        "ordinal_position) c"
+    )
+
+
+def indexes_query(database: str) -> str:
+    """A6: index columns ordered by seq_in_index (metadata.go:295-344)."""
+    return (
+        "(SELECT table_name, index_name, column_name, seq_in_index, "
+        "non_unique FROM information_schema.statistics "
+        f"WHERE table_schema = '{database}' "
+        "ORDER BY table_name, index_name, seq_in_index) i"
+    )
+
+
+def primary_keys_query(database: str) -> str:
+    """A7: ordered PK columns (SHOW KEYS WHERE Key_name='PRIMARY')."""
+    return (
+        "(SELECT table_name, column_name, ordinal_position "
+        "FROM information_schema.key_column_usage "
+        f"WHERE table_schema = '{database}' AND constraint_name = 'PRIMARY' "
+        "ORDER BY table_name, ordinal_position) k"
+    )
+
+
+def views_query(database: str) -> str:
+    """A8: view name + definition (metadata.go:347-374)."""
+    return (
+        "(SELECT table_name AS view_name, view_definition "
+        "FROM information_schema.views "
+        f"WHERE table_schema = '{database}') v"
+    )
+
+
+def routines_query(database: str) -> str:
+    """A9: stored functions (information_schema.routines replaces the
+    SHOW CREATE FUNCTION + paren-matching parser, metadata.go:377-531)."""
+    return (
+        "(SELECT routine_name, routine_definition, data_type AS return_type "
+        "FROM information_schema.routines "
+        f"WHERE routine_schema = '{database}' AND routine_type = 'FUNCTION') r"
+    )
+
+
+def table_privileges_query(database: str) -> str:
+    """A11: per-table grants (mysql.tables_priv, metadata.go:601-625)."""
+    return (
+        "(SELECT grantee, table_name, privilege_type "
+        "FROM information_schema.table_privileges "
+        f"WHERE table_schema = '{database}') p"
+    )
+
+
+# ---- row-group parsers (pure; tested without a server) -------------------
+
+
+def group_indexes(rows: list[dict]) -> dict[str, list[IndexSpec]]:
+    """(table, index, column, seq, non_unique) rows → per-table IndexSpec
+    list with columns in seq order; PRIMARY skipped (emitted as PK DDL)."""
+    out: dict[str, list[IndexSpec]] = {}
+    current: dict[tuple[str, str], IndexSpec] = {}
+    for r in sorted(
+        rows, key=lambda r: (r["table_name"], r["index_name"], r["seq_in_index"])
+    ):
+        if r["index_name"] == "PRIMARY":
+            continue
+        key = (r["table_name"], r["index_name"])
+        if key not in current:
+            spec = IndexSpec(r["index_name"], [], not r["non_unique"])
+            current[key] = spec
+            out.setdefault(r["table_name"], []).append(spec)
+        current[key].columns.append(r["column_name"])
+    return out
+
+
+def group_primary_keys(rows: list[dict]) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for r in sorted(
+        rows, key=lambda r: (r["table_name"], r["ordinal_position"])
+    ):
+        out.setdefault(r["table_name"], []).append(r["column_name"])
+    return out

@@ -1,0 +1,119 @@
+"""JDBC planning, catalog parsing, value fixes, validation operators."""
+
+from __future__ import annotations
+
+import struct
+
+from mysql2pg_spark.operators.validate import checksum_validation, count_validation
+from mysql2pg_spark.sinks.jdbc_sink import (
+    JdbcSinkConfig,
+    decode_mysql_point,
+    effective_batchsize,
+    normalize_zero_dates,
+    plan_write,
+)
+from mysql2pg_spark.sources.catalog import (
+    group_indexes,
+    group_primary_keys,
+    tables_query,
+)
+from mysql2pg_spark.sources.jdbc import (
+    plan_partitioned_read,
+    plan_predicate_read,
+)
+
+
+def test_partitioned_read_planning():
+    p = plan_partitioned_read("lineitem", "l_orderkey", 1, 6_000_000,
+                              row_count=24_000_000)
+    assert p["numPartitions"] == 24
+    assert p["column"] == "l_orderkey"
+    # no PK → single partition
+    assert plan_partitioned_read("t", None) == {"table": "t"}
+    # partition cap respected
+    p2 = plan_partitioned_read("t", "id", 0, 10**9, row_count=10**9,
+                               max_partitions=64)
+    assert p2["numPartitions"] == 64
+
+
+def test_predicate_read_covers_domain():
+    p = plan_predicate_read("t", "name", ["f", "m"])
+    assert p["predicates"] == [
+        "name < 'f' OR name IS NULL",
+        "name >= 'f' AND name < 'm'",
+        "name >= 'm'",
+    ]
+
+
+def test_batchsize_param_cap():
+    # 65535 params / 20 cols = 3276 rows per statement max
+    assert effective_batchsize(10_000, 20) == 3276
+    assert effective_batchsize(100, 20) == 100
+
+
+def test_tables_query_pushdown():
+    q = tables_query("db1", include=["a", "b"], exclude=["c"])
+    assert "table_name IN ('a', 'b')" in q
+    assert "table_name NOT IN ('c')" in q
+
+
+def test_group_indexes_and_pks():
+    rows = [
+        {"table_name": "t", "index_name": "PRIMARY", "column_name": "id",
+         "seq_in_index": 1, "non_unique": 0},
+        {"table_name": "t", "index_name": "i2", "column_name": "b",
+         "seq_in_index": 2, "non_unique": 1},
+        {"table_name": "t", "index_name": "i2", "column_name": "a",
+         "seq_in_index": 1, "non_unique": 1},
+    ]
+    grouped = group_indexes(rows)
+    assert list(grouped) == ["t"]
+    assert grouped["t"][0].columns == ["a", "b"]  # seq order
+    assert not grouped["t"][0].unique
+    pks = group_primary_keys(
+        [
+            {"table_name": "t", "column_name": "b", "ordinal_position": 2},
+            {"table_name": "t", "column_name": "a", "ordinal_position": 1},
+        ]
+    )
+    assert pks["t"] == ["a", "b"]
+
+
+def test_zero_date_normalization(spark):
+    df = spark.createDataFrame(
+        [("0000-00-00",), ("0000-00-00 00:00:00",), ("2024-01-01",)],
+        "d string",
+    )
+    vals = [r["v"] for r in df.select(normalize_zero_dates("d").alias("v")).collect()]
+    assert vals == [None, None, "2024-01-01"]
+
+
+def test_wkb_point_decode(spark):
+    # MySQL internal format: 4-byte SRID + WKB (1 endian, 4 type, 2 doubles)
+    le = struct.pack("<I", 0) + struct.pack("<B", 1) + struct.pack("<I", 1) + struct.pack("<dd", 1.5, -2.25)
+    be = struct.pack("<I", 0) + struct.pack(">B", 0) + struct.pack(">I", 1) + struct.pack(">dd", 3.0, 4.0)
+    bad = b"\x00" * 10
+    df = spark.createDataFrame([(le,), (be,), (bad,), (None,)], "p binary")
+    vals = [r["v"] for r in df.select(decode_mysql_point("p").alias("v")).collect()]
+    assert vals == ["(1.5,-2.25)", "(3,4)", None, None]
+
+
+def test_plan_write_modes(spark):
+    df = spark.range(3).selectExpr(*[f"id AS c{i}" for i in range(10)])
+    cfg = JdbcSinkConfig(url="jdbc:postgresql://x/db", user="u",
+                         truncate_before_sync=True, batchsize=100_000)
+    plan = plan_write(df, cfg, "t")
+    assert plan["mode"] == "overwrite"
+    assert plan["properties"]["truncate"] == "true"
+    assert plan["properties"]["batchsize"] == str(65535 // 10)
+    assert plan["properties"]["reWriteBatchedInserts"] == "true"
+
+
+def test_checksum_validation_detects_mismatch(spark):
+    a = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS s")
+    b = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS s")
+    c = a.filter("id <> 50")
+    assert checksum_validation(a, b)["consistent"]
+    assert not checksum_validation(a, c)["consistent"]
+    v = count_validation(a, c)
+    assert v == {"src_rows": 100, "dst_rows": 99, "consistent": False}
