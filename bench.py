@@ -29,6 +29,20 @@ HEADLINE = [
     "q07_window_topn",
     "q09_semi_anti",
     "q11_rollup",
+    "f01_string_basics",
+    "f05_date",
+    "f07_json",
+    "v01_view_basics",
+    "t01_text_stats",
+    "d02_minhash_signatures",
+    "d04_neardup_pairs",
+    "d06_embedding_neardup",
+    "s01_knn_bruteforce",
+    "w01_tumbling_agg",
+    "w03_session_windows",
+    "a01_asof_join",
+    "mm01_binary_decode",
+    "val01_table_checksum",
 ]
 
 

@@ -16,7 +16,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mysql2pg_spark.operators.dedup import cosine
+from mysql2pg_spark.operators.dedup import dot_fold, with_norm
+
+
+def _pair_cos() -> F.Column:
+    return dot_fold(F.col("qvec"), F.col("nvec")) / (
+        F.col("qnorm") * F.col("nnorm")
+    )
 
 
 def knn_bruteforce(
@@ -28,19 +34,20 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per query (cosine), deterministic tie-break
     on neighbor id. Queries are broadcast; corpus never shuffles until
-    the top-k window."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    the top-k window; norms are precomputed per vector (one fold per
+    pair, not three)."""
+    q = with_norm(queries, vec_col, "qnorm").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "qnorm"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    c = with_norm(corpus, vec_col, "nnorm").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "nnorm"
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cos_sim"),
+            F.round(_pair_cos(), 9).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -92,20 +99,23 @@ def knn_lsh(
     """Approximate top-k: exact cosine re-rank *within* the query's LSH
     bucket. Recall is tunable via num_planes (fewer planes → bigger
     buckets → higher recall, more compute)."""
-    bucket = lambda df, idn, vn: df.select(
-        F.col(id_col).alias(idn),
-        F.col(vec_col).alias(vn),
-        hyperplane_bucket(F.col(vec_col), num_planes, dims).alias("bucket"),
-    )
-    q = bucket(queries, "query_id", "qvec")
-    c = bucket(corpus, "neighbor_id", "nvec")
+    def bucket(df: DataFrame, idn: str, vn: str, norm: str) -> DataFrame:
+        return with_norm(df, vec_col, norm).select(
+            F.col(id_col).alias(idn),
+            F.col(vec_col).alias(vn),
+            norm,
+            hyperplane_bucket(F.col(vec_col), num_planes, dims).alias("bucket"),
+        )
+
+    q = bucket(queries, "query_id", "qvec", "qnorm")
+    c = bucket(corpus, "neighbor_id", "nvec", "nnorm")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 9).alias("cos_sim"),
+            F.round(_pair_cos(), 9).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

