@@ -19,6 +19,7 @@ for _mod in (
     "textops",
     "timeseries",
     "multimodal",
+    "stored_demo",
     "validation",
     "schema_demo",
     "dialect_demo",

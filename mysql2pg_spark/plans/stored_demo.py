@@ -1,0 +1,207 @@
+"""Stored-function + generated-column queries (C95/C90) and extended
+analytics (pivot, lag/lead window family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql2pg_spark.functions.stored import CUSTOMER_LABEL, CUSTOMER_LEVEL
+from mysql2pg_spark.operators.generated import apply_generated_columns
+from mysql2pg_spark.plans.registry import query
+from mysql2pg_spark.plans.relational import DEC, _dsum, dsum
+from mysql2pg_spark.tables import load_table
+
+_LEVEL_CASE = """
+CASE WHEN total IS NULL OR total = 0 THEN 'none'
+     WHEN total >= 1000000.0 THEN 'gold'
+     WHEN total >= 200000.0 THEN 'silver'
+     ELSE 'bronze' END
+"""
+
+
+# --------------------------------------------------------------------------
+# sf01 — the three fixture stored functions, inlined set-based (C95 scale
+# path): per-order totals → per-customer spend → level CASE → label concat.
+# --------------------------------------------------------------------------
+@query(
+    "sf01_stored_functions",
+    oracle=f"""
+WITH order_tot AS (
+  SELECT o.o_custkey,
+         {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS t
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+), cust AS (
+  SELECT c.c_custkey, c.c_name, coalesce(ot.t, 0.0) AS total
+  FROM customer c LEFT JOIN order_tot ot ON ot.o_custkey = c.c_custkey
+)
+SELECT c_custkey,
+       total,
+       {_LEVEL_CASE} AS level,
+       c_name || ' [' || ({_LEVEL_CASE}) || ']' AS label
+FROM cust
+ORDER BY c_custkey
+""",
+)
+def sf01_stored_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_cust = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("t")
+        )
+    )
+    base = (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("t", F.lit(0.0)).alias("total"),
+        )
+    )
+    level = CUSTOMER_LEVEL.inline(F.col("total"))
+    return base.select(
+        "c_custkey",
+        "total",
+        level.alias("level"),
+        CUSTOMER_LABEL.inline(F.col("c_name"), level).alias("label"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# sf02 — the SAME function through the registered-UDF compatibility path
+# (spark.sql callers): proves C95's dual evaluation contract.
+# --------------------------------------------------------------------------
+@query(
+    "sf02_stored_function_udf",
+    oracle=f"""
+WITH order_tot AS (
+  SELECT o.o_custkey, {_dsum('o.o_totalprice')} AS total
+  FROM orders o GROUP BY o.o_custkey
+)
+SELECT o_custkey, {_LEVEL_CASE} AS level, COUNT(*) AS n
+FROM order_tot
+GROUP BY o_custkey, {_LEVEL_CASE}
+ORDER BY o_custkey
+""",
+)
+def sf02_stored_function_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    CUSTOMER_LEVEL.register_udf(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        WITH order_tot AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, customer_level(total) AS level, COUNT(*) AS n
+        FROM order_tot
+        GROUP BY o_custkey, customer_level(total)
+        ORDER BY o_custkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# gen01 — chained generated columns (C90): total references subtotal,
+# mirroring the reference's generated-column inlining.
+# --------------------------------------------------------------------------
+@query(
+    "gen01_generated_columns",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * l_quantity, 2) AS subtotal,
+       round(round(l_extendedprice * l_quantity, 2) * (1 - l_discount), 4) AS total
+FROM lineitem
+WHERE l_orderkey <= 2000
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def gen01_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    out = apply_generated_columns(
+        li,
+        [
+            # rounding scales are chosen so the true value is exactly on
+            # the rounding grid (2dp*int -> 2dp; 2dp*2dp -> 4dp): rounding
+            # is then an identity on every engine. Rounding AT a midpoint
+            # scale (e.g. 2dp of a 3dp-exact product) diverges across
+            # engines (Spark exact-decimal HALF_UP vs DuckDB float shift).
+            ("subtotal", "round(l_extendedprice * l_quantity, 2)"),
+            ("total", "round(subtotal * (1 - l_discount), 4)"),
+        ],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "subtotal", "total"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# q12 — pivot (conditional-aggregation form in the oracle).
+# --------------------------------------------------------------------------
+@query(
+    "q12_pivot",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+)
+def q12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — navigation window family: lag/lead/first/last/ntile/cume_dist.
+# --------------------------------------------------------------------------
+@query(
+    "q13_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_price,
+       ntile(4)    OVER w AS quartile,
+       cume_dist() OVER w AS cd
+FROM orders
+WHERE o_custkey <= 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q13_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    ).orderBy("o_custkey", "o_orderkey")

@@ -1,0 +1,124 @@
+"""Config loading + migration-plan assembly (SURVEY §2.D, offline)."""
+
+from __future__ import annotations
+
+from mysql2pg_spark.config import load_config
+from mysql2pg_spark.orchestrator import (
+    Action,
+    CatalogSnapshot,
+    ColumnMeta,
+    MigrationPipeline,
+    STAGE_ORDER,
+    TableMeta,
+)
+from mysql2pg_spark.sinks.ddl import IndexSpec
+
+
+def _cfg(tmp_path, **extra_options):
+    import yaml
+
+    p = tmp_path / "config.yml"
+    data = {
+        "mysql": {"host": "mh", "database": "db1"},
+        "postgresql": {"host": "ph", "database": "db2"},
+        "conversion": {
+            "options": {"lowercase_columns": True, **extra_options},
+            "limits": {"concurrency": 4, "max_rows_per_batch": 1000},
+        },
+    }
+    p.write_text(yaml.safe_dump(data))
+    return load_config(str(p))
+
+
+def _snapshot() -> CatalogSnapshot:
+    return CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="Orders",
+                columns=[
+                    ColumnMeta("ID", "bigint", False, auto_increment=True),
+                    ColumnMeta("Amount", "decimal(10,2)"),
+                    ColumnMeta("Note", "varchar(50)", comment="free text"),
+                ],
+                primary_key=["ID"],
+                indexes=[IndexSpec("idx_amount", ["Amount"])],
+                row_count=5_000_000,
+                pk_bounds=(1, 5_000_000),
+            ),
+            TableMeta(name="Skipme", columns=[ColumnMeta("a", "int")]),
+        ],
+        views={"V1": "SELECT ID, IFNULL(Note, 'x') AS n FROM Orders LIMIT 5, 10"},
+        table_privileges=[("bob", "Orders", "Select,Insert")],
+    )
+
+
+def test_config_defaults_and_urls(tmp_path):
+    cfg = _cfg(tmp_path)
+    assert cfg.mysql.jdbc_url == "jdbc:mysql://mh:3306/db1"
+    assert cfg.postgresql.jdbc_url == "jdbc:postgresql://ph:5432/db2"
+    assert cfg.limits.concurrency == 4
+    assert cfg.limits.bandwidth_mbps == 100  # declared-only parity
+    assert cfg.options.validate_data is True
+
+
+def test_plan_stage_order_and_content(tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        view=True,
+        exclude_use_table_list=True,
+        exclude_table_list=["Skipme"],
+    )
+    plan = MigrationPipeline(cfg, _snapshot()).plan()
+    stages = [a.stage for a in plan]
+    order = {s: i for i, s in enumerate(STAGE_ORDER)}
+    assert stages == sorted(stages, key=lambda s: order[s])
+
+    ddl = next(a for a in plan if a.stage == "tableddl" and a.kind == "ddl")
+    assert ddl.target == "orders"                       # lowercased
+    assert "id BIGSERIAL NOT NULL" in ddl.payload       # auto-inc + NOT NULL
+    assert "PRIMARY KEY (id)" in ddl.payload
+
+    comments = [a for a in plan if "COMMENT ON COLUMN" in str(a.payload)]
+    assert comments and "free text" in comments[0].payload
+
+    view = next(a for a in plan if a.stage == "view")
+    assert "LIMIT 10 OFFSET 5" in view.payload          # transpiled
+    assert "coalesce" in view.payload.lower() or "IFNULL" in view.payload
+
+    read = next(a for a in plan if a.kind == "read_plan")
+    assert read.payload["column"] == "ID"               # keyset partitioning
+    assert read.payload["numPartitions"] == 50          # 5M rows / 100k
+
+    idx = next(a for a in plan if a.stage == "indexes")
+    assert idx.payload == (
+        "CREATE INDEX IF NOT EXISTS orders_idx_amount ON orders (\"Amount\")"
+    )
+
+    grant = next(a for a in plan if a.stage == "table_privileges")
+    assert grant.payload == "GRANT SELECT, INSERT ON orders TO bob"
+
+    checks = [a for a in plan if a.stage == "validate"]
+    assert len(checks) == 1 and checks[0].target == "orders"
+
+    # exclusion applied everywhere
+    assert all("skipme" not in str(a.target).lower() for a in plan)
+
+
+def test_plan_skip_existing_and_truncate(tmp_path):
+    cfg = _cfg(tmp_path, truncate_before_sync=True)
+    pipe = MigrationPipeline(cfg, _snapshot(), existing_pg_tables={"orders"})
+    plan = pipe.plan()
+    # skip-existing: no CREATE TABLE for orders
+    assert not any(
+        a.stage == "tableddl" and a.target == "orders" for a in plan
+    )
+    # truncate action precedes the read plan in the data stage
+    data = [a for a in plan if a.stage == "data" and a.target == "orders"]
+    assert data[0].kind == "ddl" and "TRUNCATE" in data[0].payload
+    assert data[1].kind == "read_plan"
+
+
+def test_include_list(tmp_path):
+    cfg = _cfg(tmp_path, use_table_list=True, table_list=["Skipme"])
+    plan = MigrationPipeline(cfg, _snapshot()).plan()
+    assert all(a.target != "orders" for a in plan if a.stage == "tableddl")
