@@ -20,6 +20,7 @@ for _mod in (
     "timeseries",
     "multimodal",
     "stored_demo",
+    "scale_demo",
     "validation",
     "schema_demo",
     "dialect_demo",

@@ -1,0 +1,104 @@
+"""Scale-technique queries: salted aggregation (bit-identical to the
+plain plan), sketch-based approximate distinct (rows-only check — the
+sketch has no external oracle), and quarantine routing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2pg_spark.operators.quality import json_validity_flag, quarantine_split
+from mysql2pg_spark.operators.skew import salted_sum
+from mysql2pg_spark.plans.registry import query
+from mysql2pg_spark.plans.relational import _dsum
+from mysql2pg_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# sk01 — salted two-phase SUM over a 6-value key (the skew shape).
+# Oracle: PLAIN group-by — salting must be invisible in results.
+# --------------------------------------------------------------------------
+@query(
+    "sk01_salted_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_extendedprice')} AS revenue,
+       COUNT(*) AS revenue_n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def sk01_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", "revenue"
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# --------------------------------------------------------------------------
+# sk02 — HLL approximate distinct (no SQL oracle: sketch estimates are
+# engine-specific; accuracy is asserted in tests against the exact count).
+# --------------------------------------------------------------------------
+@query("sk02_approx_distinct")  # rows-only check by design
+def sk02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# qa01 — quarantine routing: classify every event once; corrupted JSON
+# (synthesized deterministically) and out-of-range values are flagged
+# with the FIRST failing rule.
+# --------------------------------------------------------------------------
+@query(
+    "qa01_quarantine",
+    oracle="""
+WITH classified AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 4) ELSE props END AS props2,
+         value,
+         CASE
+           WHEN NOT json_valid(CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 4) ELSE props END)
+             THEN 'bad_json'
+           WHEN value < 0 OR value > 400 THEN 'value_range'
+           ELSE NULL
+         END AS quarantine_reason
+  FROM events
+)
+SELECT coalesce(quarantine_reason, 'clean') AS route, COUNT(*) AS n
+FROM classified
+GROUP BY 1
+ORDER BY route
+""",
+)
+def qa01_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # deterministic corruption: every 13th event's JSON is truncated
+    corrupted = e.withColumn(
+        "props2",
+        F.when(
+            F.col("event_id") % 13 == 0, F.substring("props", 1, 4)
+        ).otherwise(F.col("props")),
+    )
+    routed = quarantine_split(
+        corrupted,
+        [
+            ("bad_json", json_validity_flag("props2")),
+            ("value_range", (F.col("value") >= 0) & (F.col("value") <= 400)),
+        ],
+    )
+    return (
+        routed.groupBy(
+            F.coalesce("quarantine_reason", F.lit("clean")).alias("route")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("route")
+    )
