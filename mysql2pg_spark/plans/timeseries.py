@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql2pg_spark.operators.asof import asof_join
+from mysql2pg_spark.operators.grouped import sessionize_events
 from mysql2pg_spark.plans.registry import query
 from mysql2pg_spark.plans.relational import DEC
 from mysql2pg_spark.streaming.ingest import run_streaming_backfill, windowed_value_agg
@@ -155,3 +156,26 @@ def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_event_id",
         "asof_value",
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# p01 — grouped-map via applyInPandas (per-user sessionization): the
+# pandas body sees each user's full ordered history (SNIPPETS.md pattern).
+# Integer outputs keep the Arrow path exactly oracle-checkable.
+# --------------------------------------------------------------------------
+@query(
+    "p01_grouped_map_sessionize",
+    oracle="""
+SELECT user_id, event_id, ts,
+       CAST(row_number() OVER w AS INTEGER) AS seq,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us,
+       (lag(ts) OVER w IS NULL
+        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000) AS is_session_start
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, seq
+""",
+)
+def p01_grouped_map_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return sessionize_events(e, gap_minutes=10).orderBy("user_id", "seq")
