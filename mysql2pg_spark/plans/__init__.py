@@ -21,6 +21,7 @@ for _mod in (
     "multimodal",
     "stored_demo",
     "scale_demo",
+    "merge_demo",
     "validation",
     "schema_demo",
     "dialect_demo",

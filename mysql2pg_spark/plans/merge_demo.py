@@ -1,0 +1,97 @@
+"""Incremental-sync + clustering queries: latest-wins upsert and
+connected-components dedup clusters (iterative, with a recursive-CTE
+oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql2pg_spark.operators.components import connected_components
+from mysql2pg_spark.operators.upsert import upsert_latest
+from mysql2pg_spark.plans.dedup import (
+    JACCARD_T,
+    _BANDS_CTE,
+    _CAND_CTE,
+    _MINHASH_CTE,
+)
+from mysql2pg_spark.plans.registry import query
+from mysql2pg_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# u01 — latest-wins upsert: a deterministic update stream (every 10th
+# order gets a price bump at version 2) merged over the base table.
+# --------------------------------------------------------------------------
+@query(
+    "u01_upsert_latest",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+  FROM orders
+), updates AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, 2 AS version
+  FROM orders WHERE o_orderkey % 10 = 0
+), merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM updates
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+FROM merged
+QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+ORDER BY o_orderkey
+""",
+)
+def u01_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn("version", F.lit(1))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("version", F.lit(2))
+    )
+    return upsert_latest(base, updates, ["o_orderkey"], "version").orderBy(
+        "o_orderkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# cc01 — dedup clusters: connected components over the verified near-dup
+# pairs. Spark side is the iterative label-propagation operator; the
+# oracle reconstructs components with a recursive CTE (min reachable id).
+# --------------------------------------------------------------------------
+@query(
+    "cc01_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_CTE.strip().rstrip()}, {_BANDS_CTE}, {_CAND_CTE},
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.id_a
+  JOIN sh sb ON sb.doc_id = cand.id_b
+  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6) >= {JACCARD_T}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS node, min(m) AS component
+FROM reach GROUP BY n ORDER BY node
+""",
+)
+def cc01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.dedup import jaccard_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verified_pairs(d, "doc_id", "text", JACCARD_T)
+    return connected_components(pairs).orderBy("node")
