@@ -64,6 +64,16 @@ def shingle_sets(
     )
 
 
+def minhash_slice(i: int, shingle: Column) -> Column:
+    """Hash function i = the (i%4)-th 32-bit hex slice of
+    md5('<i//4>|' || shingle): one digest yields FOUR independent
+    minhashes (4× fewer md5 calls than hash-per-function), and
+    fixed-length lowercase hex keeps min() on strings ≡ min() on values.
+    Deterministic + engine-independent like everything in this module."""
+    digest = F.md5(F.concat(F.lit(f"{i // 4}|"), shingle))
+    return F.substring(digest, 8 * (i % 4) + 1, 8)
+
+
 def _signatures_from_shingles(
     sh_sets: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
@@ -71,7 +81,7 @@ def _signatures_from_shingles(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(minhash_slice(i, F.col("shingle"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -30,8 +30,11 @@ _SHINGLES = (
     f"ELSE [] END"
 )
 
+# Hash i = 32-bit hex slice (i%4) of md5('<i//4>|' || shingle) — matches
+# operators/dedup.minhash_slice (one digest = four hash functions).
 _MH_AGGS = ", ".join(
-    f"min(md5('{i}|' || s)) AS mh{i}" for i in range(NUM_HASHES)
+    f"min(substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8)) AS mh{i}"
+    for i in range(NUM_HASHES)
 )
 _MINHASH_CTE = f"""
 sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
