@@ -22,6 +22,7 @@ for _mod in (
     "stored_demo",
     "scale_demo",
     "merge_demo",
+    "valuefix_demo",
     "validation",
     "schema_demo",
     "dialect_demo",
