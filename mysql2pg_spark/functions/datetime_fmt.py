@@ -59,7 +59,9 @@ def mysql_format_to_spark(fmt: str) -> str:
         if any(ch in _ALPHA for ch in run):
             out.append("'" + run.replace("'", "''") + "'")
         else:
-            out.append(run)
+            # non-alpha runs pass through, but a bare quote still needs
+            # the Spark-pattern '' escape (found by hypothesis: fmt="'")
+            out.append(run.replace("'", "''"))
         literal.clear()
 
     i = 0

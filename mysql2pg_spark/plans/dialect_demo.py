@@ -117,3 +117,66 @@ ORDER BY event_id
 def v03_view_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     return spark.sql(transpile_mysql(V03_MYSQL))
+
+
+# The kitchen-sink view: ~25 rewrites in one text, modeled on the
+# reference's dense fixture views (create_view.sql — each view stacks
+# dozens of function calls over joins with reserved-word aliases).
+V04_MYSQL = """
+SELECT c.c_custkey AS id,
+       UPPER(CONCAT(LEFT(c.c_name, 8), '...', RIGHT(c.c_name, 3))) AS `groups`,
+       LPAD(CONV(c.c_custkey, 10, 16), 6, '0') AS hex_id,
+       SUBSTRING_INDEX(c.c_name, '#', 1) AS name_prefix,
+       LOCATE('0', c.c_name) AS first_zero,
+       REPLACE(LOWER(c.c_mktsegment), 'a', '@') AS seg_munged,
+       IF(ISNULL(NULLIF(c.c_mktsegment, 'MACHINERY')), 'machine', 'other') AS seg_class,
+       CAST(c.c_acctbal AS SIGNED) AS bal_int,
+       GREATEST(ABS(c.c_acctbal), 1000.0) AS bal_floor,
+       ROUND(SQRT(POWER(c.c_nationkey + 1, 2)), 4) AS nk_ident,
+       DATE_FORMAT(o.o_orderdate, '%Y/%m/%d') AS od,
+       YEAR(o.o_orderdate) + MONTH(o.o_orderdate) AS ym_sum,
+       DATEDIFF(o.o_orderdate, '1995-01-01') AS days_since,
+       CONCAT_WS(':', c.c_mktsegment, o.o_orderstatus, o.o_orderpriority) AS triple,
+       MD5(CONCAT(c.c_name, o.o_orderstatus)) AS row_hash,
+       STRCMP(o.o_orderstatus, 'O') AS st_cmp,
+       REPEAT(SUBSTRING(o.o_orderpriority, 1, 1), 3) AS prio_rep
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey <= 200 AND o.o_orderkey % 3 = 0
+ORDER BY id, o.o_orderkey
+LIMIT 0, 500
+"""
+
+
+@query(
+    "v04_kitchen_sink",
+    oracle="""
+SELECT c.c_custkey AS id,
+       upper(left(c.c_name, 8) || '...' || right(c.c_name, 3)) AS groups,
+       lpad(upper(to_hex(c.c_custkey)), 6, '0') AS hex_id,
+       array_to_string((string_split(c.c_name, '#'))[1:1], '#') AS name_prefix,
+       CAST(strpos(c.c_name, '0') AS INTEGER) AS first_zero,
+       replace(lower(c.c_mktsegment), 'a', '@') AS seg_munged,
+       CASE WHEN nullif(c.c_mktsegment, 'MACHINERY') IS NULL
+            THEN 'machine' ELSE 'other' END AS seg_class,
+       CAST(round(c.c_acctbal, 0) AS BIGINT) AS bal_int,
+       greatest(abs(c.c_acctbal), 1000.0) AS bal_floor,
+       round(sqrt(pow(c.c_nationkey + 1, 2)), 4) AS nk_ident,
+       strftime(o.o_orderdate, '%Y/%m/%d') AS od,
+       year(o.o_orderdate) + month(o.o_orderdate) AS ym_sum,
+       date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS days_since,
+       concat_ws(':', c.c_mktsegment, o.o_orderstatus, o.o_orderpriority) AS triple,
+       md5(c.c_name || o.o_orderstatus) AS row_hash,
+       CASE WHEN o.o_orderstatus = 'O' THEN 0
+            WHEN o.o_orderstatus < 'O' THEN -1 ELSE 1 END AS st_cmp,
+       repeat(substring(o.o_orderpriority, 1, 1), 3) AS prio_rep
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey <= 200 AND o.o_orderkey % 3 = 0
+ORDER BY id, o.o_orderkey
+LIMIT 500 OFFSET 0
+""",
+)
+def v04_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(transpile_mysql(V04_MYSQL))

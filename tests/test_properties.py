@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the pure text-processing layers:
+the transpiler's masking must be a lossless inverse, structural splitting
+must preserve content, and the format converter must never crash and must
+always produce balanced quoting."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql2pg_spark.dialect.transpile import (
+    mask_literals,
+    split_top_level,
+    transpile_mysql,
+    unmask_literals,
+)
+from mysql2pg_spark.functions.datetime_fmt import mysql_format_to_spark
+
+sql_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00\x01\x02"
+    ),
+    max_size=200,
+)
+
+
+@given(sql_text)
+@settings(max_examples=300, deadline=None)
+def test_mask_unmask_is_identity(s):
+    masked, lits = mask_literals(s)
+    assert unmask_literals(masked, lits) == s
+
+
+@given(sql_text)
+@settings(max_examples=300, deadline=None)
+def test_masked_text_has_no_quotes_outside_terminal(s):
+    masked, lits = mask_literals(s)
+    # only an unterminated trailing literal may remain quoted
+    assert masked.count("'") == 0 or (lits and not lits[-1].endswith("'")) or (
+        lits and len(lits[-1]) == 1
+    )
+
+
+@given(st.lists(st.text(alphabet="ab(),", max_size=10), max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_split_preserves_content_for_balanced_args(parts):
+    # build balanced arguments (wrap each part's parens away)
+    clean = [p.replace("(", "").replace(")", "").replace(",", "") or "x" for p in parts]
+    joined = ", ".join(clean)
+    assert split_top_level(joined) == (clean if clean else [])
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_format_converter_total_and_balanced(fmt):
+    out = mysql_format_to_spark(fmt)
+    assert isinstance(out, str)
+    # single quotes always balanced (escaped '' counts as two)
+    assert out.count("'") % 2 == 0
+
+
+@given(sql_text)
+@settings(max_examples=200, deadline=None)
+def test_transpiler_never_crashes_or_leaks_sentinels(s):
+    out = transpile_mysql(s)
+    assert "\x00" not in out
+    assert "\x02" not in out
