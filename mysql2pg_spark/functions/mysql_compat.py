@@ -638,6 +638,88 @@ def json_remove(doc, path) -> Column:
     return _pandas_json_mutate("remove")(_c(doc), _lit(path), F.lit(None))
 
 
+def json_merge_patch(doc, patch) -> Column:
+    """C75 JSON_MERGE_PATCH → jsonb_merge_patch (RFC 7396: null values in
+    the patch delete keys; objects merge recursively)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def merge(d: pd.Series, p: pd.Series) -> pd.Series:
+        def patch_one(base, delta):
+            if not isinstance(delta, dict):
+                return delta
+            if not isinstance(base, dict):
+                base = {}
+            out = dict(base)
+            for k, v in delta.items():
+                if v is None:
+                    out.pop(k, None)
+                else:
+                    out[k] = patch_one(out.get(k), v)
+            return out
+
+        def one(dv, pv):
+            if dv is None or pv is None:
+                return None
+            try:
+                merged = patch_one(_json.loads(dv), _json.loads(pv))
+            except (ValueError, TypeError):
+                return None
+            return _json.dumps(merged, separators=(",", ":"))
+
+        return pd.Series([one(a, b) for a, b in zip(d, p)], dtype="object")
+
+    return merge(_c(doc), _lit(patch))
+
+
+def json_pretty(c) -> Column:
+    """C70 JSON_PRETTY → jsonb_pretty (UDF over json.dumps, per the
+    SURVEY mapping)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def pretty(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return _json.dumps(_json.loads(v), indent=2)
+            except (ValueError, TypeError):
+                return None
+
+        return s.map(one)
+
+    return pretty(_c(c).cast("string"))
+
+
+def json_depth(c) -> Column:
+    """C72 JSON_DEPTH — the reference declares it unsupported and emits
+    NULL::integer (sync_viewddl.go:432-437); we implement it properly
+    (scalar=1, empty array/object=1, nesting adds 1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(IntegerType())
+    def depth(s: pd.Series) -> pd.Series:
+        def d(v):
+            if isinstance(v, dict):
+                return 1 + (max((d(x) for x in v.values()), default=0))
+            if isinstance(v, list):
+                return 1 + (max((d(x) for x in v), default=0))
+            return 1
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return d(_json.loads(v))
+            except (ValueError, TypeError):
+                return None
+
+        return s.map(one).astype("Int32")
+
+    return depth(_c(c).cast("string"))
+
+
 # ===========================================================================
 # C.7 — system / crypto / network
 # ===========================================================================

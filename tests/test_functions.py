@@ -41,3 +41,23 @@ def test_mysql_length_is_bytes(spark):
         M.length("s").alias("b"), M.char_length("s").alias("c")
     ).collect()[0]
     assert r["b"] == 6 and r["c"] == 5
+
+
+def test_json_extended_family(spark):
+    """C70/C72/C75: pretty, depth, merge_patch (reference declares depth
+    unsupported; we implement it)."""
+    from mysql2pg_spark.functions import mysql_compat as M
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"a":1,"b":{"c":[1,2]}}',), (None,)], "j string"
+    )
+    r = df.select(
+        M.json_depth("j").alias("d"),
+        M.json_merge_patch("j", '{"a":null,"x":5}').alias("m"),
+        M.json_pretty("j").alias("p"),
+    ).collect()
+    assert r[0]["d"] == 4  # obj > obj > array > scalar
+    assert r[0]["m"] == '{"b":{"c":[1,2]},"x":5}'
+    assert r[0]["p"].startswith('{\n  "a": 1')
+    assert r[1]["d"] is None and r[1]["m"] is None and r[1]["p"] is None
