@@ -179,3 +179,24 @@ ORDER BY user_id, seq
 def p01_grouped_map_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return sessionize_events(e, gap_minutes=10).orderBy("user_id", "seq")
+
+
+# --------------------------------------------------------------------------
+# w04 — custom STATEFUL streaming operator (applyInPandasWithState):
+# per-user running counters carried in GroupState across micro-batches;
+# final state must equal the batch GROUP BY.
+# --------------------------------------------------------------------------
+@query(
+    "w04_stateful_stream_counts",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def w04_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.streaming.ingest import run_stateful_user_counts
+
+    sink = f"stream_user_counts_{next(_sink_counter)}"
+    return run_stateful_user_counts(spark, sf_dir, sink).orderBy("user_id")

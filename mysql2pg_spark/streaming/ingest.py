@@ -72,3 +72,62 @@ def run_streaming_backfill(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_stateful_user_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_user_counts",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event counter kept in GroupState across
+    micro-batches (update output mode). The counter is monotone, so the
+    per-user MAX over everything the sink received equals the final
+    count — which must equal the batch GROUP BY (the oracle).
+
+    At scale this is the shape of any custom streaming accumulator
+    (per-entity counters, sessionizers, dedup caches): state lives in
+    the state store, partitioned by key, checkpointed per batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        # several micro-batches so state genuinely carries across batches
+        .option("maxBytesPerTrigger", 512 * 1024)
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
+
+    counted = events.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink_table)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

@@ -46,3 +46,67 @@ def test_multimodal_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_stateful_counts_across_real_microbatches(spark, tmp_path):
+    """Split events into several files + maxFilesPerTrigger=1 → the
+    availableNow run processes MULTIPLE micro-batches, so GroupState
+    genuinely carries counts across batches; final state must equal the
+    batch GROUP BY."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import functions as SF
+    from mysql2pg_spark.tables import load_table
+
+    src = str(tmp_path / "events_split")
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    # re-write WITHOUT the micros conversion (the stream expects raw
+    # nanos longs, as in the source fixture)
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.repartition(4).write.mode("overwrite").parquet(src)
+
+    batch_schema = raw.schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    events = stream.withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
+
+    counted = events.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("t_state_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("t_state_multi")
+    n_users = e.select("user_id").distinct().count()
+    # multiple micro-batches → more update emissions than users
+    assert sink.count() > n_users
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in sink.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == batch
