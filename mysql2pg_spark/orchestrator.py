@@ -227,14 +227,76 @@ class MigrationPipeline:
         actions.sort(key=lambda a: order[a.stage])
         return actions
 
-    # ---- execution (requires live servers + JDBC jars) -------------------
+    # ---- execution -------------------------------------------------------
 
     def execute(self, spark, pg_conn=None) -> dict:
-        """Run the plan: DDL via pg_conn (DB-API), data via Spark JDBC with
-        a ThreadPoolExecutor of limits.concurrency. Not runnable in this
-        container (no servers); the planning layer above carries all the
-        logic and is fully tested."""
+        """Run the plan against live MySQL/PostgreSQL: DDL via pg_conn
+        (DB-API), data via Spark JDBC with a ThreadPoolExecutor of
+        limits.concurrency. Not runnable in this container (no servers,
+        no driver jars); use execute_local for the same control flow over
+        file sources/sinks."""
         raise NotImplementedError(
             "execution requires live MySQL/PostgreSQL + JDBC driver jars; "
-            "run plan() for the dry-run action list"
+            "use plan() for the dry-run action list or execute_local() "
+            "for a file-backed run"
         )
+
+    def execute_local(self, spark, source_loader, sink_dir: str) -> dict:
+        """Container-runnable execution of the SAME plan control flow with
+        file-backed endpoints (the integration-test analog of the
+        reference harness's full-run case):
+
+        - ddl actions are collected (emitted SQL, no PG to execute on);
+        - data read_plans load via ``source_loader(table_name)`` and write
+          parquet under ``sink_dir`` — table fan-out on a thread pool of
+          ``limits.concurrency`` exactly like the JDBC path would
+          (overlapping per-table latencies; Spark schedules within-table
+          parallelism);
+        - validate actions re-read the sink and compare count + checksum
+          against the source.
+
+        Returns {"ddl": [...], "synced": {table: rows}, "validation":
+        {table: {...}}}.
+        """
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mysql2pg_spark.operators.validate import checksum_validation
+
+        actions = self.plan()
+        ddl = [a.payload for a in actions if a.kind == "ddl"]
+        reads = [a for a in actions if a.kind == "read_plan"]
+        checks = [a for a in actions if a.kind == "check"]
+
+        synced: dict[str, int] = {}
+
+        def sync_one(action: Action) -> tuple[str, int]:
+            src_table = action.payload["table"]
+            df = source_loader(src_table)
+            dest = os.path.join(sink_dir, action.target)
+            df.write.mode("overwrite").parquet(dest)
+            return action.target, spark.read.parquet(dest).count()
+
+        with ThreadPoolExecutor(self.cfg.limits.concurrency) as pool:
+            for name, n in pool.map(sync_one, reads):
+                synced[name] = n
+
+        validation: dict[str, dict] = {}
+        by_target = {a.payload["table"]: a.target for a in reads}
+        for chk in checks:
+            src_name = next(
+                (s for s, t in by_target.items() if t == chk.target), None
+            )
+            if src_name is None:
+                continue
+            src = source_loader(src_name)
+            dst = spark.read.parquet(os.path.join(sink_dir, chk.target))
+            # checksum string/int columns only (cross-source float text
+            # rendering is the caller's concern; see operators/validate)
+            cols = [
+                f.name
+                for f in src.schema.fields
+                if f.dataType.simpleString() in ("bigint", "int", "string")
+            ]
+            validation[chk.target] = checksum_validation(src, dst, cols)
+        return {"ddl": ddl, "synced": synced, "validation": validation}

@@ -122,3 +122,40 @@ def test_include_list(tmp_path):
     cfg = _cfg(tmp_path, use_table_list=True, table_list=["Skipme"])
     plan = MigrationPipeline(cfg, _snapshot()).plan()
     assert all(a.target != "orders" for a in plan if a.stage == "tableddl")
+
+
+def test_execute_local_full_pipeline(tmp_path, spark):
+    """Integration run (harness full-run analog): plan → threaded data
+    sync (parquet→parquet) → count+checksum validation, end-to-end."""
+    from mysql2pg_spark.orchestrator import CatalogSnapshot, ColumnMeta, TableMeta
+    from mysql2pg_spark.tables import load_table
+
+    cfg = _cfg(tmp_path)
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="orders",
+                columns=[ColumnMeta("o_orderkey", "bigint", False)],
+                primary_key=["o_orderkey"],
+                row_count=1500,
+                pk_bounds=(1, 1500),
+            ),
+            TableMeta(
+                name="nation",
+                columns=[ColumnMeta("n_nationkey", "int", False)],
+                primary_key=["n_nationkey"],
+                row_count=25,
+                pk_bounds=(0, 24),
+            ),
+        ]
+    )
+    pipe = MigrationPipeline(cfg, snap)
+    result = pipe.execute_local(
+        spark,
+        source_loader=lambda t: load_table(spark, "/root/testdata/sf0.001", t),
+        sink_dir=str(tmp_path / "sink"),
+    )
+    assert result["synced"] == {"orders": 1500, "nation": 25}
+    assert all(v["consistent"] for v in result["validation"].values())
+    assert len(result["validation"]) == 2
+    assert any("CREATE TABLE" in d for d in result["ddl"])
