@@ -126,3 +126,81 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+    id_out: str = "vid",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its n_probe nearest
+    centroids by cosine (deterministic tie-break on centroid id).
+    Centroids are broadcast — assignment is a map-side scan of the
+    corpus, the property that makes IVF the 100 TB path (the corpus is
+    read once, bucketed by centroid; queries probe a handful of lists).
+    """
+    v = with_norm(vectors, vec_col, "vnorm").select(
+        F.col(id_col).alias(id_out), F.col(vec_col).alias("v"), "vnorm"
+    )
+    c = with_norm(centroids, vec_col, "cnorm").select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c"), "cnorm"
+    )
+    scored = v.join(F.broadcast(c)).select(
+        id_out,
+        "v",
+        "centroid_id",
+        (dot_fold(F.col("v"), F.col("c")) / (F.col("vnorm") * F.col("cnorm"))).alias(
+            "c_sim"
+        ),
+    )
+    w = Window.partitionBy(id_out).orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_probe)
+        .select(id_out, "v", "centroid_id", "c_rank")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in ONE inverted list each (their
+    nearest centroid); each query probes its n_probe nearest lists and
+    exact-re-ranks within them. Recall/latency tunes via n_probe."""
+    lists = ivf_assignments(corpus, centroids, id_col, vec_col, 1, "neighbor_id")
+    probes = ivf_assignments(queries, centroids, id_col, vec_col, n_probe, "query_id")
+    cand = probes.select("query_id", F.col("v").alias("qv"), "centroid_id").join(
+        lists.select("neighbor_id", F.col("v").alias("nv"), "centroid_id"),
+        "centroid_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_fold(F.col("qv"), F.col("nv"))
+            / (
+                F.sqrt(dot_fold(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot_fold(F.col("nv"), F.col("nv")))
+            ),
+            9,
+        ).alias("cos_sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

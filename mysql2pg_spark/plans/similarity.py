@@ -100,3 +100,70 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(e, q, "vec_id", "embedding", K, NUM_PLANES, DIMS).orderBy(
         "query_id", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# s03 — IVF ANN: deterministic coarse quantizer (sampled centroids),
+# single-list corpus assignment, nprobe=3 query probing, exact re-rank.
+# --------------------------------------------------------------------------
+CENTROID_MOD = 50  # vec_id % 50 == 1 → 10 deterministic centroids
+N_PROBE = 3
+
+from mysql2pg_spark.plans.dedup import _DOT  # raw left-fold dot fragment
+
+
+def _raw_cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "s03_knn_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 1
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_raw_cos('v.embedding', 'c.c')} DESC, c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_raw_cos('v.embedding', 'c.c')} DESC, c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN cent c
+    WHERE v.vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         round({_raw_cos('p.qv', 'a.nv')}, 9) AS cos_sim
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+)
+def s03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % CENTROID_MOD == 1)
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_ivf(e, q, centroids, "vec_id", "embedding", K, N_PROBE).orderBy(
+        "query_id", "rank"
+    )
