@@ -105,3 +105,123 @@ def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.lang_score("text", "es").alias("s_es"),
         T.lang_id("text").alias("lang_pred"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t03 — deterministic train/val/test split: md5-hash bucketing (stable
+# across engines, runs, and cluster sizes — the property RAND() splits
+# lack). 80/10/10 by hash bucket.
+# --------------------------------------------------------------------------
+@query(
+    "t03_train_test_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+         + CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+""",
+)
+def t03_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
+    bucket = (digit(1).cast("bigint") * 16 + digit(2).cast("bigint"))
+    split = (
+        F.when(bucket < 204, "train")   # 204/256 ≈ 80%
+        .when(bucket < 230, "val")      # 26/256 ≈ 10%
+        .otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t04 — vocabulary extraction: corpus-wide token frequencies, top-100
+# with deterministic tie-break. One explode + one shuffle (map-side
+# combined counts) — the canonical 100 TB vocabulary job.
+# --------------------------------------------------------------------------
+@query(
+    "t04_vocabulary",
+    oracle=f"""
+SELECT token, n, rank FROM (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+  FROM (
+    SELECT t AS token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKENS}) AS t FROM documents)
+    GROUP BY t
+  )
+)
+WHERE rank <= 100
+ORDER BY rank
+""",
+)
+def t04_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# t05 — PII-style redaction: deterministic synthetic identifiers injected
+# then scrubbed by regex (the shape of corpus-cleaning passes); regexes
+# restricted to the Java∩RE2-compatible subset.
+# --------------------------------------------------------------------------
+@query(
+    "t05_redaction",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         'user' || CAST(doc_id AS VARCHAR) || '@mail.example ' ||
+         'id=' || CAST(doc_id * 7919 AS VARCHAR) || ' ' || substr(text, 1, 40) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(raw, '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g'),
+         'id=[0-9]+', 'id=<NUM>', 'g')                         AS redacted,
+       CAST(length(raw) - length(regexp_replace(raw, '[0-9]', '', 'g')) AS BIGINT)
+                                                                AS n_digits_before
+FROM synth
+ORDER BY doc_id
+""",
+)
+def t05_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@mail.example "),
+        F.lit("id="), (F.col("doc_id") * 7919).cast("string"), F.lit(" "),
+        F.substring("text", 1, 40),
+    )
+    synth = d.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"[a-z0-9]+@[a-z.]+", "<EMAIL>"),
+        r"id=[0-9]+",
+        "id=<NUM>",
+    )
+    n_digits = (
+        F.length("raw") - F.length(F.regexp_replace(F.col("raw"), r"[0-9]", ""))
+    ).cast("bigint")
+    return synth.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_digits.alias("n_digits_before"),
+    ).orderBy("doc_id")
