@@ -57,8 +57,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM + parquet footer cache so the first timed query isn't
-    # charged session-startup cost.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # charged session-startup cost: exercise codegen'd aggregation, the
+    # shuffle machinery, and the Arrow/Python-worker path once each.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    region.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    spark.range(1000).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     names = [n for n in HEADLINE if n in QUERIES]
     # extend with any registered headline-tagged queries not listed yet

@@ -36,13 +36,17 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .cache()
     )
+    # Convergence check: labels only ever decrease (min-propagation), so
+    # the label sum strictly decreases on any change — comparing sums
+    # costs one shuffle-free aggregate per round instead of a self-join.
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.a == labels.node)
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
@@ -52,13 +56,8 @@ def connected_components(
             )
             .localCheckpoint()  # cut lineage so plans stay bounded
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("comp").alias("component"))

@@ -114,7 +114,7 @@ ORDER BY doc_id
 )
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(d, "doc_id", "text").orderBy("doc_id")
+    return D.exact_dedup(d, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------
@@ -128,7 +128,7 @@ SELECT * FROM mh ORDER BY doc_id
 """,
 )
 def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cached_signatures(spark, sf_dir).orderBy("doc_id")
+    return cached_signatures(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -143,7 +143,7 @@ SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
 )
 def d03_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = cached_signatures(spark, sf_dir)
-    return D.lsh_candidate_pairs(sigs, "doc_id", NUM_HASHES).orderBy("id_a", "id_b")
+    return D.lsh_candidate_pairs(sigs, "doc_id", NUM_HASHES)
 
 
 # --------------------------------------------------------------------------
@@ -167,7 +167,7 @@ ORDER BY id_a, id_b
 """,
 )
 def d04_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return neardup_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+    return neardup_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -202,7 +202,7 @@ SELECT doc_id, {sim} AS simhash FROM votes ORDER BY doc_id
 @query("d05_simhash", oracle=_simhash_oracle())
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash32(d, "doc_id", "text").orderBy("doc_id")
+    return D.simhash32(d, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------
@@ -235,6 +235,4 @@ ORDER BY id_a, id_b
 )
 def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(e, "vec_id", "embedding", "label", COS_T).orderBy(
-        "id_a", "id_b"
-    )
+    return D.embedding_neardup_pairs(e, "vec_id", "embedding", "label", COS_T)

@@ -62,7 +62,7 @@ def f01_string_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.upper("c_name").alias("up"),
         M.lower("c_name").alias("lo"),
         M.reverse("c_mktsegment").alias("rev"),
-    ).orderBy("c_custkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -108,7 +108,7 @@ def f02_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.conv("c_custkey", 10, 2).alias("cv2"),
         M.insert("c_name", 2, 3, "XYZ").alias("ovl"),
         M.regexp("c_name", "#0*1").alias("rx"),
-    ).orderBy("c_custkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -149,7 +149,7 @@ def f03_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         M.greatest(nv, F.col("user_id") % 7).alias("grt"),
         M.least(nv, F.col("user_id") % 7).alias("lst"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -192,7 +192,7 @@ def f04_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.round(M.exp("l_discount"), 6).alias("ex"),
         M.round(M.ln(F.col("l_quantity") + 1), 6).alias("lg"),
         M.cast_signed("l_extendedprice").alias("cast_signed"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -240,7 +240,7 @@ def f05_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.date_sub("o_orderdate", 2, "MONTH").alias("d_sub"),
         M.to_days("o_orderdate").alias("todays"),
         M.date("o_orderdate").alias("dpart"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -285,7 +285,7 @@ def f06_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         M.time("ts").alias("tpart"),
         M.time_to_sec(M.time("ts")).alias("t2s"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -322,7 +322,7 @@ def f07_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.json_keys("props").alias("jkeys"),
         M.json_object("id", "event_id", "type", "event_type").alias("jobj"),
         M.json_array(F.col("event_id"), F.col("user_id")).alias("jarr"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -350,7 +350,7 @@ def f08_json_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.json_set("props", "$.tag", '"x"').alias("jset"),
         M.json_insert("props", "$.k", "0").alias("jins"),
         M.json_remove("props", "$.k").alias("jrem"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -389,4 +389,4 @@ def f09_crypto_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.sha2("c_name", 256).alias("h_sha256"),
         M.inet_aton(ip_str).alias("ip_num"),
         M.inet_ntoa(M.inet_aton(ip_str)).alias("ip_str"),
-    ).orderBy("c_custkey")
+    )

@@ -53,9 +53,7 @@ def u01_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
         .withColumn("version", F.lit(2))
     )
-    return upsert_latest(base, updates, ["o_orderkey"], "version").orderBy(
-        "o_orderkey"
-    )
+    return upsert_latest(base, updates, ["o_orderkey"], "version")
 
 
 # --------------------------------------------------------------------------
@@ -92,4 +90,4 @@ FROM reach GROUP BY n ORDER BY node
 def cc01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.plans.dedup import neardup_pairs
 
-    return connected_components(neardup_pairs(spark, sf_dir)).orderBy("node")
+    return connected_components(neardup_pairs(spark, sf_dir))

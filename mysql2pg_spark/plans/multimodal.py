@@ -28,4 +28,4 @@ ORDER BY doc_id
 def mm01_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, "text")
-    return decode_payload_stats(with_payload, "doc_id").orderBy("doc_id")
+    return decode_payload_stats(with_payload, "doc_id")

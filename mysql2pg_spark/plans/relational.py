@@ -98,7 +98,6 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_quantity").alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -144,7 +143,6 @@ def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("region_name", "nation_name")
     )
 
 
@@ -178,7 +176,6 @@ def q03_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_unmatched"
             ),
         )
-        .orderBy("segment")
     )
 
 
@@ -242,7 +239,6 @@ def q05_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("big_total"),
         )
-        .orderBy("priority")
     )
 
 
@@ -276,7 +272,6 @@ def q06_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "segments"
             ),
         )
-        .orderBy("nation_name")
     )
 
 
@@ -324,7 +319,6 @@ def q07_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("running_total"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -367,7 +361,6 @@ def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged_count(big.subtract(urgent), "except")
         .union(tagged_count(big.intersect(urgent), "intersect"))
         .union(tagged_count(big.union(urgent).distinct(), "union"))
-        .orderBy("op")
     )
 
 
@@ -410,7 +403,6 @@ def q09_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
             F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
         )
-        .orderBy("segment")
     )
 
 
@@ -454,7 +446,6 @@ def q10_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             dsum("o_totalprice").alias("total"),
         )
-        .orderBy("status")
     )
 
 
@@ -479,9 +470,5 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
         )
     )

@@ -33,7 +33,7 @@ def sk01_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return salted_sum(
         li, ["l_returnflag", "l_linestatus"], "l_extendedprice", "revenue"
-    ).orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -49,7 +49,6 @@ def sk02_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -100,5 +99,4 @@ def qa01_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("quarantine_reason", F.lit("clean")).alias("route")
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("route")
     )

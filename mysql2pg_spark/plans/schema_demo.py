@@ -105,4 +105,4 @@ def m01_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         _rows(),
         "mysql_type string, spark_type string, pg_type string, is_auto_increment boolean",
-    ).orderBy("mysql_type")
+    )

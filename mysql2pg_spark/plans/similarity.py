@@ -46,9 +46,7 @@ ORDER BY query_id, rank
 def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return S.knn_bruteforce(e, q, "vec_id", "embedding", K).orderBy(
-        "query_id", "rank"
-    )
+    return S.knn_bruteforce(e, q, "vec_id", "embedding", K)
 
 
 # --------------------------------------------------------------------------
@@ -97,9 +95,7 @@ ORDER BY query_id, rank
 def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return S.knn_lsh(e, q, "vec_id", "embedding", K, NUM_PLANES, DIMS).orderBy(
-        "query_id", "rank"
-    )
+    return S.knn_lsh(e, q, "vec_id", "embedding", K, NUM_PLANES, DIMS)
 
 
 # --------------------------------------------------------------------------
@@ -164,6 +160,4 @@ def s03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % CENTROID_MOD == 1)
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return S.knn_ivf(e, q, centroids, "vec_id", "embedding", K, N_PROBE).orderBy(
-        "query_id", "rank"
-    )
+    return S.knn_ivf(e, q, centroids, "vec_id", "embedding", K, N_PROBE)

@@ -70,7 +70,7 @@ def sf01_stored_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         level.alias("level"),
         CUSTOMER_LABEL.inline(F.col("c_name"), level).alias("label"),
-    ).orderBy("c_custkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -139,7 +139,7 @@ def gen01_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_orderkey", "l_linenumber", "subtotal", "total"
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -164,7 +164,6 @@ def q12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
-        .orderBy("priority")
     )
 
 
@@ -204,4 +203,4 @@ def q13_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.ntile(4).over(w).alias("quartile"),
         F.cume_dist().over(w).alias("cd"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )

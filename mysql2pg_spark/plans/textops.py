@@ -75,7 +75,7 @@ def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count("text").alias("n_tokens"),
         T.fingerprint("text").alias("fp"),
         T.quality_score("text").alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -104,7 +104,7 @@ def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.lang_score("text", "fr").alias("s_fr"),
         T.lang_score("text", "es").alias("s_es"),
         T.lang_id("text").alias("lang_pred"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -139,7 +139,7 @@ def t03_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 230, "val")      # 26/256 ≈ 10%
         .otherwise("test")
     )
-    return d.select("doc_id", split.alias("split")).orderBy("doc_id")
+    return d.select("doc_id", split.alias("split"))
 
 
 # --------------------------------------------------------------------------
@@ -176,7 +176,6 @@ def t04_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 100)
-        .orderBy("rank")
     )
 
 
@@ -224,4 +223,4 @@ def t05_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         redacted.alias("redacted"),
         n_digits.alias("n_digits_before"),
-    ).orderBy("doc_id")
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql2pg_spark.operators.asof import asof_join
-from mysql2pg_spark.operators.grouped import sessionize_events
+from mysql2pg_spark.operators.grouped import sessionize_events_fast
 from mysql2pg_spark.plans.registry import query
 from mysql2pg_spark.plans.relational import DEC
 from mysql2pg_spark.streaming.ingest import run_streaming_backfill, windowed_value_agg
@@ -37,7 +37,7 @@ ORDER BY window_start, event_type
 @query("w01_tumbling_agg", oracle=_TUMBLING_ORACLE)
 def w01_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return windowed_value_agg(e, "1 hour").orderBy("window_start", "event_type")
+    return windowed_value_agg(e, "1 hour")
 
 
 # --------------------------------------------------------------------------
@@ -52,7 +52,7 @@ _sink_counter = itertools.count()
 def w02_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_windowed_events_{next(_sink_counter)}"
     out = run_streaming_backfill(spark, sf_dir, "1 hour", "10 minutes", sink)
-    return out.orderBy("window_start", "event_type")
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -104,7 +104,6 @@ def w03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -155,13 +154,15 @@ def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_ts",
         "asof_event_id",
         "asof_value",
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
-# p01 — grouped-map via applyInPandas (per-user sessionization): the
-# pandas body sees each user's full ordered history (SNIPPETS.md pattern).
-# Integer outputs keep the Arrow path exactly oracle-checkable.
+# p01 — pandas grouped-map (per-user sessionization). Runs the
+# partition-aware mapInPandas formulation (per-batch plumbing) rather
+# than naive applyInPandas (per-group plumbing, ~18× slower with many
+# small groups); operators/grouped.py documents the trade and a test
+# pins both implementations to identical output.
 # --------------------------------------------------------------------------
 @query(
     "p01_grouped_map_sessionize",
@@ -178,7 +179,7 @@ ORDER BY user_id, seq
 )
 def p01_grouped_map_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return sessionize_events(e, gap_minutes=10).orderBy("user_id", "seq")
+    return sessionize_events_fast(e, gap_minutes=10)
 
 
 # --------------------------------------------------------------------------
@@ -199,4 +200,4 @@ def w04_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.streaming.ingest import run_stateful_user_counts
 
     sink = f"stream_user_counts_{next(_sink_counter)}"
-    return run_stateful_user_counts(spark, sf_dir, sink).orderBy("user_id")
+    return run_stateful_user_counts(spark, sf_dir, sink)

@@ -69,4 +69,4 @@ def val02_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    return out.orderBy("table_name")
+    return out

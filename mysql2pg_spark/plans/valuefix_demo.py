@@ -60,7 +60,7 @@ def b01_zero_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         fixed.alias("dt_fixed"),
         fixed.isNull().alias("was_zero"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -80,4 +80,4 @@ def b02_wkb_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id",
         decode_mysql_point(F.unhex("wkb_hex")).alias("pt"),
-    ).orderBy("id")
+    )
