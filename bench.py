@@ -41,6 +41,8 @@ HEADLINE = [
     "w01_tumbling_agg",
     "w03_session_windows",
     "a01_asof_join",
+    "r01_range_join",
+    "w05_sliding_windows",
     "p01_grouped_map_sessionize",
     "mm01_binary_decode",
     "sk01_salted_agg",

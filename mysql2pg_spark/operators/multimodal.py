@@ -75,3 +75,78 @@ def decode_payload_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_md5 string, frame_len int"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling plumbing (the video path's shape): slice each
+    binary payload into fixed-size frames and keep every `stride`-th one
+    — a 1→N mapInPandas (one output row per sampled frame). With a real
+    codec the md5 stand-in becomes decode + feature-extract; the batch
+    shape, fan-out, and schema contract are what this exercises. No
+    shuffle: fan-out happens inside the scan partition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in it:
+            ids, idxs, md5s, lens = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = math.ceil(len(payload) / frame_bytes)
+                for i in range(0, n_frames, stride):
+                    frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(frame).hexdigest())
+                    lens.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, thumb array<int>, scale_num int"
+
+
+def resize_nearest(
+    df: DataFrame, id_col: str = "doc_id", out_px: int = 8
+) -> DataFrame:
+    """Nearest-neighbor resize plumbing (the image path's shape):
+    downsample each payload to `out_px` sample points — byte value at
+    position min(i·ceil(n/out_px), n-1) — returning a fixed-width
+    array<int> "thumbnail". Stand-in for PIL resize (codec-free), with
+    the array-typed UDF output contract real and oracle-checked."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in it:
+            thumbs, scales = [], []
+            for payload in pdf["payload"]:
+                n = len(payload)
+                w = math.ceil(n / out_px)
+                thumbs.append([payload[min(i * w, n - 1)] for i in range(out_px)])
+                scales.append(w)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "thumb": pd.Series(thumbs, dtype="object"),
+                    "scale_num": pd.Series(scales, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, RESIZE_SCHEMA)

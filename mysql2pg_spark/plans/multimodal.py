@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from mysql2pg_spark.operators.multimodal import (
     attach_binary_payload,
     decode_payload_stats,
+    resize_nearest,
+    sample_frames,
 )
 from mysql2pg_spark.plans.registry import query
 from mysql2pg_spark.tables import load_table
@@ -29,3 +31,49 @@ def mm01_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, "text")
     return decode_payload_stats(with_payload, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# mm02 — frame sampling (the video path's 1→N shape): 64-byte frames,
+# every 4th kept. Oracle reconstructs the sampled slices with a lateral
+# unnest over the per-document frame-index range.
+# --------------------------------------------------------------------------
+@query(
+    "mm02_frame_sample",
+    oracle="""
+SELECT d.doc_id,
+       u.i                                                       AS frame_idx,
+       md5(substr(d.text, CAST(u.i * 64 + 1 AS INT), 64))        AS frame_md5,
+       CAST(strlen(substr(d.text, CAST(u.i * 64 + 1 AS INT), 64)) AS INT)
+                                                                 AS frame_len
+FROM documents d,
+     unnest(range(0, CAST(ceil(strlen(d.text) / 64.0) AS BIGINT), 4)) AS u(i)
+""",
+)
+def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(d, "text")
+    return sample_frames(with_payload, "doc_id", frame_bytes=64, stride=4)
+
+
+# --------------------------------------------------------------------------
+# mm03 — nearest-neighbor "resize" to an 8-point thumbnail (the image
+# path's fixed-width-array output contract). Oracle builds the same
+# samples with a list comprehension over byte positions.
+# --------------------------------------------------------------------------
+@query(
+    "mm03_resize_thumbnail",
+    oracle="""
+SELECT doc_id,
+       [CAST(ascii(substr(text,
+              CAST(least(i * CAST(ceil(strlen(text) / 8.0) AS BIGINT),
+                         strlen(text) - 1) + 1 AS INT), 1)) AS INT)
+        for i in range(0, 8)]                               AS thumb,
+       CAST(ceil(strlen(text) / 8.0) AS INT)                AS scale_num
+FROM documents
+""",
+)
+def mm03_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(d, "text")
+    return resize_nearest(with_payload, "doc_id", out_px=8)

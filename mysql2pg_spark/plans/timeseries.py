@@ -14,8 +14,9 @@ from pyspark.sql import functions as F
 
 from mysql2pg_spark.operators.asof import asof_join
 from mysql2pg_spark.operators.grouped import sessionize_events_fast
+from mysql2pg_spark.operators.rangejoin import range_lookback_join
 from mysql2pg_spark.plans.registry import query
-from mysql2pg_spark.plans.relational import DEC
+from mysql2pg_spark.plans.relational import DEC, dsum
 from mysql2pg_spark.streaming.ingest import run_streaming_backfill, windowed_value_agg
 from mysql2pg_spark.tables import load_table
 
@@ -180,6 +181,92 @@ ORDER BY user_id, seq
 def p01_grouped_map_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return sessionize_events_fast(e, gap_minutes=10)
+
+
+# --------------------------------------------------------------------------
+# r01 — range (interval) join, banded: for every purchase, the count and
+# value of the same user's clicks in the hour before it. The operator
+# turns the range condition into an equi-join on (key, time band) — see
+# operators/rangejoin.py for the 100 TB argument.
+# --------------------------------------------------------------------------
+@query(
+    "r01_range_join",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(COUNT(c.ts) AS BIGINT)                        AS n_clicks,
+       CAST(SUM(CAST(c.value AS DECIMAL(38,4))) AS DOUBLE) AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY 1, 2, 3
+""",
+)
+def r01_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    matches = range_lookback_join(
+        purchases, clicks, "user_id", "ts", "ts", 3600, ["value"]
+    )
+    agg = matches.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dsum("r_value").alias("click_value"),
+    )
+    return purchases.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("n_clicks", F.lit(0)).cast("bigint").alias("n_clicks"),
+        F.col("click_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# w05 — sliding windows (1 hour wide, 30 minute slide): every event lands
+# in exactly width/slide = 2 windows. Spark emits them natively from
+# F.window; the oracle reconstructs them as two shifted 30-minute
+# bucketings (start = bucket30(ts) - k·30min for k in {0,1}).
+# --------------------------------------------------------------------------
+@query(
+    "w05_sliding_windows",
+    oracle="""
+WITH x AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)                      AS ws, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS ws, event_type, value FROM events
+)
+SELECT ws                                                AS window_start,
+       ws + INTERVAL 60 MINUTE                           AS window_end,
+       event_type,
+       COUNT(*)                                          AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM x
+GROUP BY 1, 2, 3
+""",
+)
+def w05_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
 
 
 # --------------------------------------------------------------------------
