@@ -224,3 +224,32 @@ def t05_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         n_digits.alias("n_digits_before"),
     )
+
+
+# --------------------------------------------------------------------------
+# t06 — deterministic stratified sampling (corpus rebalancing): keep 25%
+# of the dominant language, 75% of the others, selected by the same
+# md5-hash bucket as t03 — reproducible across engines/runs/cluster
+# sizes where sampleBy's seeded RNG is not. Pure filter: no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "t06_stratified_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+         + CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source
+FROM b
+WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 192 END
+""",
+)
+def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
+    bucket = digit(1).cast("bigint") * 16 + digit(2).cast("bigint")
+    rate_bucket = F.when(F.col("lang") == "en", 64).otherwise(192)
+    return d.filter(bucket < rate_bucket).select("doc_id", "lang", "source")

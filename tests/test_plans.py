@@ -75,3 +75,29 @@ def test_vectorized_scan_and_jvm_expressions(spark):
 def test_aqe_enabled_everywhere(spark, name):
     plan = plan_of(spark, name)
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_range_join_is_banded_hash_join(spark):
+    """The range join must plan as an equi-join on (key, band) — never a
+    nested-loop over the raw range predicate."""
+    plan = plan_of(spark, "r01_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frame_sample_no_shuffle(spark):
+    """mm02's 1→N fan-out happens inside the scan partition — the plan
+    must contain no Exchange at all."""
+    plan = plan_of(spark, "mm02_frame_sample")
+    assert "Exchange" not in plan
+
+
+def test_sessionize_fast_single_exchange(spark):
+    """p01: one hash repartition on user_id, in-partition sort, one
+    Arrow pass — exactly one Exchange, no per-group FlatMapGroups."""
+    import re
+
+    plan = plan_of(spark, "p01_grouped_map_sessionize")
+    # formatted explain lists each node twice (tree + details)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "FlatMapGroupsInPandas" not in plan
