@@ -130,3 +130,58 @@ def sessionize_events_fast(
         .sortWithinPartitions("user_id", "ts", "event_id")
         .mapInPandas(per_partition, SESSIONIZE_SCHEMA)
     )
+
+
+PACK_SCHEMA = (
+    "source string, doc_id bigint, n_chars bigint, "
+    "bin_id bigint, seq_offset bigint"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 1024,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Sequential first-fit sequence packing (training-batch assembly):
+    within each group, walk documents in order and append to the current
+    bin until the next one would exceed `capacity`, then open a new bin.
+    Emits (bin_id, seq_offset) per document.
+
+    This is a genuinely stateful per-group scan — each decision depends
+    on the running fill — i.e. exactly the shape SQL window functions
+    can NOT express (the oracle needs a recursive CTE) and the honest
+    use case for groupBy().applyInPandas. Groups are corpus shards
+    (source), so group count is moderate and per-group plumbing cost
+    irrelevant; rows within a group stream through one pandas frame."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        bin_ids, offsets = [], []
+        bin_id, fill = 0, 0
+        for i, n in enumerate(pdf[len_col]):
+            if i == 0:
+                bin_id, off, fill = 0, 0, int(n)
+            elif fill + n > capacity:
+                bin_id, off, fill = bin_id + 1, 0, int(n)
+            else:
+                off, fill = fill, fill + int(n)
+            bin_ids.append(bin_id)
+            offsets.append(off)
+        return pd.DataFrame(
+            {
+                "source": pdf[group_col],
+                "doc_id": pdf[order_col],
+                "n_chars": pdf[len_col].astype("int64"),
+                "bin_id": pd.Series(bin_ids, dtype="int64"),
+                "seq_offset": pd.Series(offsets, dtype="int64"),
+            }
+        )
+
+    return (
+        docs.select(group_col, order_col, len_col)
+        .groupBy(group_col)
+        .applyInPandas(pack, PACK_SCHEMA)
+    )

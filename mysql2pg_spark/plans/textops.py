@@ -253,3 +253,41 @@ def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = digit(1).cast("bigint") * 16 + digit(2).cast("bigint")
     rate_bucket = F.when(F.col("lang") == "en", 64).otherwise(192)
     return d.filter(bucket < rate_bucket).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# p02 — sequence packing (training-batch assembly): sequential first-fit
+# into 1024-char bins per source shard. A stateful per-group scan that
+# window functions cannot express — the oracle needs a recursive CTE,
+# and the Spark side is the honest applyInPandas use case.
+# --------------------------------------------------------------------------
+@query(
+    "p02_sequence_packing",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_chars, rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         CAST(0 AS BIGINT) AS seq_offset,
+         n_chars AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n_chars, d.rn,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN d.n_chars ELSE p.fill + d.n_chars END
+  FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       bin_id, seq_offset
+FROM packed
+""",
+)
+def p02_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.grouped import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, capacity=1024)

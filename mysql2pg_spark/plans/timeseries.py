@@ -288,3 +288,22 @@ def w04_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"stream_user_counts_{next(_sink_counter)}"
     return run_stateful_user_counts(spark, sf_dir, sink)
+
+
+# --------------------------------------------------------------------------
+# w06 — streaming exact dedup: dropDuplicates state across micro-batches;
+# the surviving fingerprint SET equals batch DISTINCT (arrival order
+# only decides which row carried it, which we don't emit).
+# --------------------------------------------------------------------------
+@query(
+    "w06_streaming_dedup",
+    oracle="""
+SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+)
+def w06_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.streaming.ingest import run_streaming_dedup
+
+    sink = f"stream_dedup_{next(_sink_counter)}"
+    return run_streaming_dedup(spark, sf_dir, sink)

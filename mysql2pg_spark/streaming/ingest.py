@@ -131,3 +131,39 @@ def run_stateful_user_counts(
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_dedup_fps",
+) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicates over the document
+    fingerprint with state carried across micro-batches — first arrival
+    of each fingerprint is emitted, later ones are suppressed by the
+    state store. Emitting only the fingerprint keeps the result
+    deterministic (which physical row survives is arrival-order
+    dependent; the fingerprint set is not), so the batch DISTINCT is an
+    exact oracle. At scale: state is hash-partitioned by fingerprint;
+    add a watermark to bound it when the stream is unbounded."""
+    from mysql2pg_spark.operators.textops import fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        # several micro-batches so dedup state genuinely carries across
+        .option("maxBytesPerTrigger", 256 * 1024)
+        .parquet(sf_dir)
+    )
+    deduped = raw.select(fingerprint("text").alias("fp")).dropDuplicates(["fp"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
