@@ -23,37 +23,38 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(id_a, id_b) undirected pairs → (node, component) with component =
-    min node id in the connected component."""
+    min node id in the connected component.
+
+    Self-loops are folded into the edge set so every round is exactly ONE
+    join + ONE aggregate: comp'(b) = min over a ∈ N(b) ∪ {b} of comp(a).
+    That both initializes labels for free (round 1 degenerates to
+    min(a) GROUP BY b — no separate distinct-nodes pass) and removes the
+    per-round left-join/least repair step a loop without self-loops needs.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(e.select("a", "a"))
+        .union(e.select(F.col("b").alias("a"), F.col("b").alias("b")))
         .distinct()
         .cache()
     )
+    # Round 1: comp = node, so the neighborhood min is just min(a).
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .cache()
+        edges.groupBy(F.col("b").alias("node"))
+        .agg(F.min("a").alias("comp"))
+        .localCheckpoint()
     )
-    # Convergence check: labels only ever decrease (min-propagation), so
-    # the label sum strictly decreases on any change — comparing sums
-    # costs one shuffle-free aggregate per round instead of a self-join.
-    prev_sum = None
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
+    # Convergence check: labels only ever decrease (min-propagation, the
+    # self-loop keeps each node's own label in the min), so the label sum
+    # strictly decreases on any change — comparing sums costs one cheap
+    # aggregate over checkpointed data instead of a self-join.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter - 1):
         labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
-                ).alias("comp"),
-            )
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint()  # cut lineage so plans stay bounded
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
