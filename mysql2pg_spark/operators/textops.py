@@ -124,3 +124,84 @@ def fingerprint(c) -> Column:
     """Document fingerprint: md5 of whitespace-collapsed normalized text —
     the exact-dedup key."""
     return F.md5(F.regexp_replace(normalize_text(c), r"\s+", " "))
+
+
+# Winnowing (rolling-hash) fingerprint parameters. BASE/MOD chosen so the
+# polynomial hash arithmetic stays exactly within int64 in every engine:
+# code <= 122, BASE^j mod MOD < 2^31 → each term < 2^38, 8-term sum < 2^41.
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (hashes per window)
+WINNOW_BASE = 131
+WINNOW_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def winnow_fingerprints(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): polynomial rolling hash over char k-grams of the
+    normalized text, then the minimum hash of each w-window of
+    consecutive positions; the distinct window-minima are the document's
+    fingerprint set. Returns (id_col, fp bigint) rows.
+
+    Entirely JVM-side higher-order functions — O(n·k) per doc, no UDF,
+    scan-speed at 100 TB. Each stage is its own projection so the arrays
+    stay materialized attributes (see ngrams_from_tokens warning).
+
+    PLAN TRAP: the final explode MUST be explode_outer + IS NOT NULL, not
+    plain explode. For non-outer Generate, InferFiltersFromGenerate
+    synthesizes `size(<generator input>) > 0` and pushes it below every
+    projection — fully inlining the codes→hashes→minima expression chain
+    into one per-row filter, which turns an O(n·k) operator into an
+    effectively O(n^3) one (observed: 500 docs went from 4 s to >240 s).
+    """
+    # k-gram hash h_i = sum_j code_{i+j} * BASE^(k-1-j) mod MOD, with the
+    # powers precomputed driver-side so the lambda is a flat 8-term sum.
+    powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+    s = F.regexp_replace(
+        F.regexp_replace(normalize_text(text_col), r"\s+", " "), r"[^a-z0-9 ]", ""
+    )
+    # split('(?!^)') cuts between chars but keeps a trailing "" (Java
+    # split limit -1); slice to length(s) drops it.
+    chars = F.slice(F.split(F.col("s"), r"(?!^)"), 1, F.length("s"))
+    p2 = docs.select(F.col(id_col), s.alias("s")).select(
+        id_col,
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")).alias("codes"),
+    )
+    codes = F.col("codes")
+    m = F.size(codes) - k + 1
+    hashes = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: sum(
+                (
+                    F.element_at(codes, i + F.lit(j)) * F.lit(powers[j])
+                    for j in range(1, k)
+                ),
+                F.element_at(codes, i) * F.lit(powers[0]),
+            )
+            % F.lit(WINNOW_MOD),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    p3 = p2.select(id_col, hashes.alias("hs"))
+    hs = F.col("hs")
+    wins = F.size(hs) - w + 1
+    fps = F.when(
+        wins >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(wins, F.lit(1))),
+                lambda p: F.array_min(F.slice(hs, p, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        p3.select(id_col, fps.alias("fps"))
+        .select(id_col, F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )

@@ -291,3 +291,50 @@ def p02_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, capacity=1024)
+
+
+# --------------------------------------------------------------------------
+# t07 — winnowing fingerprints (rolling hash): the MOSS document-
+# fingerprinting algorithm, pure JVM higher-order functions on the Spark
+# side; the oracle replays the identical integer arithmetic with DuckDB
+# list lambdas (BASE/MOD sized so both engines stay exactly in int64).
+# --------------------------------------------------------------------------
+_WIN_TERMS = " + ".join(
+    f"codes[i+{j}]*{pow(T.WINNOW_BASE, T.WINNOW_K - 1 - j, T.WINNOW_MOD)}"
+    for j in range(T.WINNOW_K)
+)
+
+
+@query(
+    "t07_winnowing_fingerprints",
+    oracle=f"""
+WITH c1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                        '[^a-z0-9 ]', '', 'g') AS s
+  FROM documents
+), c2 AS (
+  SELECT doc_id,
+         list_transform(range(1, length(s)+1),
+                        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+  FROM c1
+), c3 AS (
+  SELECT doc_id, CASE WHEN len(codes) >= {T.WINNOW_K} THEN
+      list_transform(range(1, len(codes)-{T.WINNOW_K}+2),
+                     i -> ({_WIN_TERMS}) % {T.WINNOW_MOD})
+      ELSE [] END AS hs
+  FROM c2
+), c4 AS (
+  SELECT doc_id, CASE WHEN len(hs) >= {T.WINNOW_W} THEN
+      list_distinct(list_transform(
+          range(1, len(hs)-{T.WINNOW_W}+2),
+          p -> list_aggregate(list_slice(hs, p, p+{T.WINNOW_W}-1), 'min')))
+      ELSE [] END AS fps
+  FROM c3
+)
+SELECT doc_id, unnest(fps) AS fp FROM c4
+""",
+)
+def t07_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(d)
