@@ -183,12 +183,15 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One explode + one groupBy with 32 conditional sums (all map-side
     combinable)."""
+    # explode_outer (not explode): InferFiltersFromGenerate would inline
+    # the tokenization into a pushed-down size() filter and tokenize each
+    # row twice — see textops.winnow_fingerprints docstring.
     toks = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         ).alias("tok"),
-    )
+    ).filter(F.col("tok").isNotNull())
     tok_int = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
     toks = toks.withColumn("ti", tok_int)
     votes = [

@@ -167,8 +167,11 @@ def t04_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # explode_outer: avoids InferFiltersFromGenerate tokenizing twice
+    # (see textops.winnow_fingerprints docstring).
     counts = (
-        d.select(F.explode(T.tokens("text")).alias("token"))
+        d.select(F.explode_outer(T.tokens("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
