@@ -34,6 +34,7 @@ HEADLINE = [
     "f07_json",
     "v01_view_basics",
     "t01_text_stats",
+    "t07_winnowing_fingerprints",
     "d02_minhash_signatures",
     "d04_neardup_pairs",
     "d06_embedding_neardup",
