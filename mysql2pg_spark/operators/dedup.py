@@ -277,3 +277,37 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing at
+    least one word n-gram (default 8 — the common LLM-pipeline setting)
+    with any evaluation document. Returns one row per contaminated
+    training doc: (id_col, n_eval_matches, n_shared_grams).
+
+    Shape at scale: both sides shingle map-locally (same O(tokens) pass
+    as MinHash), then a single equi-join on the gram. The eval side is
+    orders smaller than the corpus, so its exploded grams are broadcast —
+    the 100 TB train side never shuffles. Distinct (train, eval) pairs
+    are counted exactly, not approximated.
+    """
+    t_grams = shingle_sets(train, id_col, text_col, ngram).select(
+        F.col(id_col).alias("train_id"), F.explode_outer("shingles").alias("g")
+    ).filter(F.col("g").isNotNull())
+    e_grams = shingle_sets(evalset, id_col, text_col, ngram).select(
+        F.col(id_col).alias("eval_id"), F.explode_outer("shingles").alias("g")
+    ).filter(F.col("g").isNotNull())
+    hits = t_grams.join(F.broadcast(e_grams), "g")
+    return (
+        hits.groupBy(F.col("train_id").alias("doc_id"))
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_matches"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )

@@ -55,13 +55,19 @@ COS_T = 0.18
 
 _NORM = "trim(lower(text))"
 _TOKENS = f"string_split_regex({_NORM}, '\\s+')"
-# Distinct word n-grams; empty list when the doc has < n tokens.
-_SHINGLES = (
-    f"CASE WHEN len({_TOKENS}) >= {NGRAM} THEN "
-    f"list_distinct(list_transform(range(1, len({_TOKENS}) - {NGRAM} + 2), "
-    f"i -> array_to_string(({_TOKENS})[i:i+{NGRAM}-1], ' '))) "
-    f"ELSE [] END"
-)
+
+
+def _shingles_sql(n: int) -> str:
+    """Distinct word n-grams; empty list when the doc has < n tokens."""
+    return (
+        f"CASE WHEN len({_TOKENS}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({_TOKENS}) - {n} + 2), "
+        f"i -> array_to_string(({_TOKENS})[i:i+{n}-1], ' '))) "
+        f"ELSE [] END"
+    )
+
+
+_SHINGLES = _shingles_sql(NGRAM)
 
 # Hash i = 32-bit hex slice (i%4) of md5('<i//4>|' || shingle) — matches
 # operators/dedup.minhash_slice (one digest = four hash functions).
@@ -236,3 +242,39 @@ ORDER BY id_a, id_b
 def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs(e, "vec_id", "embedding", "label", COS_T)
+
+
+# --------------------------------------------------------------------------
+# d07 — train/eval decontamination: training docs sharing any word 8-gram
+# with the held-out eval slice (doc_id % 89 == 0). The eval side is tiny
+# → its exploded grams broadcast; the train side never shuffles before
+# the final per-doc aggregate.
+# --------------------------------------------------------------------------
+DECON_NGRAM = 8
+# 89 chosen so the eval slice intersects real near-dup clusters at the
+# sf0.01 gate scale (3 contaminated docs) — a 0-row pass proves nothing.
+DECON_MOD = 89
+
+
+@query(
+    "d07_decontamination",
+    oracle=f"""
+WITH tg AS (
+  SELECT doc_id AS train_id, unnest({_shingles_sql(DECON_NGRAM)}) AS g
+  FROM documents WHERE doc_id % {DECON_MOD} <> 0
+), eg AS (
+  SELECT doc_id AS eval_id, unnest({_shingles_sql(DECON_NGRAM)}) AS g
+  FROM documents WHERE doc_id % {DECON_MOD} = 0
+)
+SELECT tg.train_id AS doc_id,
+       CAST(COUNT(DISTINCT eg.eval_id) AS BIGINT) AS n_eval_matches,
+       CAST(COUNT(DISTINCT tg.g) AS BIGINT) AS n_shared_grams
+FROM tg JOIN eg USING (g)
+GROUP BY tg.train_id
+""",
+)
+def d07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    evalset = d.filter(F.col("doc_id") % DECON_MOD == 0)
+    train = d.filter(F.col("doc_id") % DECON_MOD != 0)
+    return D.contamination_report(train, evalset, ngram=DECON_NGRAM)
