@@ -341,3 +341,47 @@ SELECT doc_id, unnest(fps) AS fp FROM c4
 def t07_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.winnow_fingerprints(d)
+
+
+# --------------------------------------------------------------------------
+# t08 — repetition detection (Gopher-style quality signal): per-doc
+# duplicate-sentence ratio. Sentences = '. '-splits of normalized text;
+# ratio = (n - n_distinct) / n. Pure HOFs, one projection per stage.
+# --------------------------------------------------------------------------
+@query(
+    "t08_repetition",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), '. '),
+                     x -> length(x) > 0) AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT)                 AS n_sentences,
+       CAST(len(list_distinct(sents)) AS BIGINT)  AS n_distinct,
+       round(CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+             / CAST(len(sents) AS DOUBLE), 6)     AS dup_ratio
+FROM s
+WHERE len(sents) > 0
+""",
+)
+def t08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(T.normalize_text("text"), r"\. "), lambda x: F.length(x) > 0
+    )
+    p1 = d.select("doc_id", sents.alias("sents"))
+    n = F.size("sents")
+    nd = F.size(F.array_distinct("sents"))
+    return (
+        p1.filter(n > 0)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_sentences"),
+            nd.cast("bigint").alias("n_distinct"),
+            F.round(
+                (n - nd).cast("double") / n.cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+    )
