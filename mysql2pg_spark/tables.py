@@ -37,6 +37,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
+    # unless this (runtime-settable) conf is on.  The builder in session.py
+    # sets it too, but load_table must not assume it built the session —
+    # an externally constructed SparkSession (e.g. the correctness driver's)
+    # would otherwise crash with PARQUET_TYPE_ILLEGAL before reading a row.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong (session.py)
