@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mysql2pg_spark.plans import ORACLES, QUERIES
+from mysql2pg_spark.plans import DRIVER_ORACLES, DRIVER_QUERIES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,10 +22,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator family from SURVEY.md §2.
+
+    This is the consolidated driver-facing view (≤50 entries so the
+    driver's bounded check covers every family); the full registry —
+    including the per-feature demos folded into merged entries here —
+    remains in ``mysql2pg_spark.plans.QUERIES`` and stays pytest- and
+    bench-covered.
+    """
+    return dict(DRIVER_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle for each (SQL-expressible) query."""
-    return dict(ORACLES)
+    return dict(DRIVER_ORACLES)

@@ -5,7 +5,13 @@ registered query; ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin
 re-exports of this registry.
 """
 
-from mysql2pg_spark.plans.registry import ORACLES, QUERIES, query
+from mysql2pg_spark.plans.registry import (
+    DRIVER_ORACLES,
+    DRIVER_QUERIES,
+    ORACLES,
+    QUERIES,
+    query,
+)
 
 # Import for registration side effects — each module registers its queries.
 from mysql2pg_spark.plans import relational  # noqa: E402,F401
@@ -26,6 +32,7 @@ for _mod in (
     "validation",
     "schema_demo",
     "dialect_demo",
+    "merged",  # must import last: composes the other modules' registrations
 ):
     try:
         __import__(f"mysql2pg_spark.plans.{_mod}")
@@ -33,4 +40,4 @@ for _mod in (
     except ImportError:
         pass  # module not built yet (incremental rounds)
 
-__all__ = ["QUERIES", "ORACLES", "query"]
+__all__ = ["QUERIES", "ORACLES", "DRIVER_QUERIES", "DRIVER_ORACLES", "query"]
