@@ -138,6 +138,25 @@ PACK_SCHEMA = (
 )
 
 
+def _pack_arrays(ns, start_bin: int, start_fill: int, capacity: int):
+    """First-fit scan over one group's lengths, starting from carried
+    state; returns (bin_ids, offsets, end_bin, end_fill). start_fill < 0
+    marks a fresh group (first doc always opens bin 0 at offset 0)."""
+    bin_ids, offsets = [], []
+    bin_id, fill = start_bin, start_fill
+    for n in ns:
+        n = int(n)
+        if fill < 0:
+            bin_id, off, fill = 0, 0, n
+        elif fill + n > capacity:
+            bin_id, off, fill = bin_id + 1, 0, n
+        else:
+            off, fill = fill, fill + n
+        bin_ids.append(bin_id)
+        offsets.append(off)
+    return bin_ids, offsets, bin_id, fill
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 1024,
@@ -150,38 +169,132 @@ def pack_sequences(
     bin until the next one would exceed `capacity`, then open a new bin.
     Emits (bin_id, seq_offset) per document.
 
-    This is a genuinely stateful per-group scan — each decision depends
-    on the running fill — i.e. exactly the shape SQL window functions
-    can NOT express (the oracle needs a recursive CTE) and the honest
-    use case for groupBy().applyInPandas. Groups are corpus shards
-    (source), so group count is moderate and per-group plumbing cost
-    irrelevant; rows within a group stream through one pandas frame."""
+    A genuinely stateful per-group scan — each decision depends on the
+    running fill — i.e. exactly the shape SQL window functions can NOT
+    express (the oracle needs a recursive CTE). Built like
+    ``sessionize_events_fast``: hash-repartition on the group key, sort
+    within partitions so groups arrive contiguous and ordered, then ONE
+    mapInPandas pass. Unlike sessionize, the cross-batch carry is just
+    three scalars (current key, open bin, fill) — no rows are buffered,
+    so peak memory is one Arrow batch regardless of group size. A group
+    is processed by a single task (first-fit with cross-shard bins is
+    inherently sequential); parallelism comes from the number of groups.
+    When within-group parallelism is required at the 100 TB posture, use
+    :func:`pack_sequences_sharded`, which bounds bins to sub-shards and
+    packs them all concurrently."""
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        bin_id, fill = 0, -1  # fill < 0 → no open group
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[group_col].to_numpy()
+            ns = pdf[len_col].to_numpy()
+            bin_ids = [0] * len(pdf)
+            offsets = [0] * len(pdf)
+            start = 0
+            while start < len(pdf):
+                end = start
+                while end < len(ns) and keys[end] == keys[start]:
+                    end += 1
+                if keys[start] != cur_key:
+                    cur_key, bin_id, fill = keys[start], 0, -1
+                b, o, bin_id, fill = _pack_arrays(
+                    ns[start:end], bin_id, fill, capacity
+                )
+                bin_ids[start:end] = b
+                offsets[start:end] = o
+                start = end
+            yield pd.DataFrame(
+                {
+                    "source": pdf[group_col],
+                    "doc_id": pdf[order_col],
+                    "n_chars": pdf[len_col].astype("int64"),
+                    "bin_id": pd.Series(bin_ids, dtype="int64"),
+                    "seq_offset": pd.Series(offsets, dtype="int64"),
+                }
+            )
+
+    return (
+        docs.select(group_col, order_col, len_col)
+        .repartition(group_col)
+        .sortWithinPartitions(group_col, order_col)
+        .mapInPandas(per_partition, PACK_SCHEMA)
+    )
+
+
+def pack_sequences_sharded(
+    docs: DataFrame,
+    capacity: int = 1024,
+    shard_size: int = 1000,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Embarrassingly-parallel packing for the 100 TB posture: bins are
+    bounded to (group, order DIV shard_size) sub-shards, every sub-shard
+    packs concurrently with first-fit, and shard-local bin ids are
+    stitched into group-global ones by offsetting with a window cumsum
+    of the per-shard bin counts (1 row per shard — broadcast-joined).
+
+    The semantic trade vs :func:`pack_sequences`: a bin never spans a
+    shard boundary, so the last bin of each shard may be under-filled
+    (bounded waste: ≤ 1 bin per shard_size docs) — in exchange no task
+    ever sees more than shard_size rows and a single giant group no
+    longer serializes onto one task."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    shard = F.expr(f"{order_col} DIV {shard_size}").alias("__shard")
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        bin_ids, offsets = [], []
-        bin_id, fill = 0, 0
-        for i, n in enumerate(pdf[len_col]):
-            if i == 0:
-                bin_id, off, fill = 0, 0, int(n)
-            elif fill + n > capacity:
-                bin_id, off, fill = bin_id + 1, 0, int(n)
-            else:
-                off, fill = fill, fill + int(n)
-            bin_ids.append(bin_id)
-            offsets.append(off)
+        bin_ids, offsets, _, _ = _pack_arrays(
+            pdf[len_col].to_numpy(), 0, -1, capacity
+        )
         return pd.DataFrame(
             {
                 "source": pdf[group_col],
+                "__shard": pdf["__shard"],
                 "doc_id": pdf[order_col],
                 "n_chars": pdf[len_col].astype("int64"),
-                "bin_id": pd.Series(bin_ids, dtype="int64"),
+                "local_bin": pd.Series(bin_ids, dtype="int64"),
                 "seq_offset": pd.Series(offsets, dtype="int64"),
             }
         )
 
+    local = (
+        docs.select(group_col, order_col, len_col, shard)
+        .groupBy(group_col, "__shard")
+        .applyInPandas(
+            pack_shard,
+            "source string, __shard bigint, doc_id bigint, n_chars bigint,"
+            " local_bin bigint, seq_offset bigint",
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_offsets = (
+        local.groupBy(group_col, "__shard")
+        .agg((F.max("local_bin") + 1).alias("n_bins"))
+        .withColumn(
+            "bin_offset", F.coalesce(F.sum("n_bins").over(w), F.lit(0))
+        )
+        .select(group_col, "__shard", "bin_offset")
+    )
     return (
-        docs.select(group_col, order_col, len_col)
-        .groupBy(group_col)
-        .applyInPandas(pack, PACK_SCHEMA)
+        local.join(F.broadcast(shard_offsets), [group_col, "__shard"])
+        .select(
+            group_col,
+            "doc_id",
+            "n_chars",
+            (F.col("local_bin") + F.col("bin_offset")).alias("bin_id"),
+            "seq_offset",
+        )
     )

@@ -24,6 +24,65 @@ def test_knn_returns_k_per_query(spark):
     assert all(r["count"] == 5 for r in per_q)
 
 
+def test_pack_sequences_streaming_carry(spark, duck):
+    """pack_sequences streams groups through mapInPandas with a scalar
+    carry; forcing tiny Arrow batches makes every group straddle batch
+    boundaries — the result must still match the recursive-CTE oracle."""
+    from mysql2pg_spark.plans import ORACLES, QUERIES
+    from tests.compare import compare_spark_duckdb
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = QUERIES["p02_sequence_packing"](spark, SF_CORRECT)
+        compare_spark_duckdb(df, duck, ORACLES["p02_sequence_packing"])
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_pack_sequences_sharded(spark, duck):
+    """Shard-bounded packing must equal per-(source, shard) first-fit
+    with cumulative bin-id stitching (independent DuckDB reconstruction)."""
+    from mysql2pg_spark.operators.grouped import pack_sequences_sharded
+    from mysql2pg_spark.tables import load_table
+    from tests.compare import compare_spark_duckdb
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    df = pack_sequences_sharded(d, capacity=1024, shard_size=100)
+    oracle = """
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, n_chars, doc_id // 100 AS shard,
+         row_number() OVER (PARTITION BY source, doc_id // 100
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT source, shard, doc_id, n_chars, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS seq_offset,
+         n_chars AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.shard, d.doc_id, d.n_chars, d.rn,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN d.n_chars ELSE p.fill + d.n_chars END
+  FROM packed p
+  JOIN d ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
+), nb AS (
+  SELECT source, shard, max(bin_id) + 1 AS n_bins FROM packed GROUP BY 1, 2
+), o AS (
+  SELECT source, shard,
+         coalesce(sum(n_bins) OVER (PARTITION BY source ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bin_offset
+  FROM nb
+)
+SELECT p.source, p.doc_id, CAST(p.n_chars AS BIGINT) AS n_chars,
+       p.bin_id + o.bin_offset AS bin_id, p.seq_offset
+FROM packed p JOIN o ON o.source = p.source AND o.shard = p.shard
+"""
+    compare_spark_duckdb(df, duck, oracle)
+
+
 def test_grouped_map_fast_matches_applyinpandas(spark):
     """sessionize_events (canonical applyInPandas, one Python call per
     group) and sessionize_events_fast (partition-aware mapInPandas with
