@@ -60,23 +60,39 @@ def knn_bruteforce(
     )
 
 
-def _digit_weight(plane: int, dim_col: Column) -> Column:
+def _plane_seed(table: int, plane: int) -> str:
+    """Seed prefix for one hyperplane. Table 0 keeps the historical
+    '<plane>:' form so existing oracles/buckets are unchanged; extra
+    hash tables get an independent plane family via a 't<table>:'
+    prefix."""
+    return f"{plane}:" if table == 0 else f"t{table}:{plane}:"
+
+
+def _digit_weight(plane: int, dim_col: Column, table: int = 0) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-7.5, 7.5]:
-    first hex digit of md5('<plane>:<dim>') minus 7.5. Stateless →
+    first hex digit of md5('<seed><dim>') minus 7.5. Stateless →
     identical in any engine that has md5."""
-    h = F.md5(F.concat(F.lit(f"{plane}:"), dim_col.cast("string")))
+    h = F.md5(F.concat(F.lit(_plane_seed(table, plane)), dim_col.cast("string")))
     digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
     return digit.cast("double") - 7.5
 
 
-def hyperplane_bucket(vec: Column, num_planes: int, dims: int) -> Column:
+def hyperplane_bucket(
+    vec: Column, num_planes: int, dims: int, table: int = 0
+) -> Column:
     """LSH bucket id: bit p = sign(dot(vec, w_p)) with md5-derived
     hyperplane weights. Pure column expression (no UDF, no RNG)."""
     bucket = F.lit(0).cast("bigint")
     for p in range(num_planes):
+        # NOTE: the lambda MUST stay single-parameter. F.transform counts
+        # lambda params — a second one becomes the array-index Column, so
+        # a defensive `p=p` default would silently rebind p to that Column
+        # (and stringify its repr into the md5 seed). Capturing p from the
+        # loop is safe: F.transform builds the expression eagerly here.
         prods = F.transform(
             F.sequence(F.lit(1), F.lit(dims)),
-            lambda i: F.element_at(vec, i).cast("double") * _digit_weight(p, i),
+            lambda i: F.element_at(vec, i).cast("double")
+            * _digit_weight(p, i, table),
         )
         # Left fold of doubles — bit-identical to DuckDB list_reduce (see
         # dedup.dot_fold).
@@ -87,6 +103,26 @@ def hyperplane_bucket(vec: Column, num_planes: int, dims: int) -> Column:
     return bucket
 
 
+def probe_buckets(bucket: Column, num_planes: int, radius: int) -> Column:
+    """Multi-probe LSH: the query's own bucket plus every bucket within
+    Hamming distance ``radius`` of it (bit flips of the sign signature).
+    A near neighbor that landed on the wrong side of one (or two)
+    hyperplanes is still found — the standard multi-probe trade: probing
+    1+C(P,1)[+C(P,2)] buckets out of 2^P buys recall without re-hashing
+    or enlarging buckets. Returns an array column (distinct buckets), to
+    be exploded on the (small, broadcast) query side only."""
+    probes = [bucket]
+    if radius >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
+    if radius >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((1 << p) | (1 << r)))
+            for p in range(num_planes)
+            for r in range(p + 1, num_planes)
+        ]
+    return F.array(*probes)
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,23 +131,57 @@ def knn_lsh(
     k: int,
     num_planes: int = 4,
     dims: int = 64,
+    probe_radius: int = 1,
+    num_tables: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank *within* the query's LSH
-    bucket. Recall is tunable via num_planes (fewer planes → bigger
-    buckets → higher recall, more compute)."""
-    def bucket(df: DataFrame, idn: str, vn: str, norm: str) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank over the candidate set
+    drawn from ``num_tables`` independent LSH tables, each probed
+    multi-probe style (the query's bucket + Hamming-``probe_radius``
+    neighbors). Recall ≈ 1 - (1 - r_table)^L — tables stack
+    multiplicatively, the standard LSH recall knob, while each table's
+    candidate list stays bucket-local (no all-pairs join at any scale).
+    Tables overlap, so candidate (query, neighbor) pairs are distinct-ed
+    (id pairs only — one narrow shuffle) before the exact re-rank."""
+    def bucket(df: DataFrame, idn: str, vn: str, norm: str, t: int) -> DataFrame:
         return with_norm(df, vec_col, norm).select(
             F.col(id_col).alias(idn),
             F.col(vec_col).alias(vn),
             norm,
-            hyperplane_bucket(F.col(vec_col), num_planes, dims).alias("bucket"),
+            hyperplane_bucket(F.col(vec_col), num_planes, dims, t).alias(
+                "bucket"
+            ),
         )
 
-    q = bucket(queries, "query_id", "qvec", "qnorm")
-    c = bucket(corpus, "neighbor_id", "nvec", "nnorm")
+    pair_sets = []
+    for t in range(num_tables):
+        q_t = bucket(queries, "query_id", "qvec", "qnorm", t).select(
+            "query_id",
+            F.explode(
+                probe_buckets(F.col("bucket"), num_planes, probe_radius)
+            ).alias("bucket"),
+        )
+        c_t = bucket(corpus, "neighbor_id", "nvec", "nnorm", t).select(
+            "neighbor_id", "bucket"
+        )
+        pair_sets.append(
+            c_t.join(F.broadcast(q_t), "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+    cand = pair_sets[0]
+    for p in pair_sets[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.distinct()
+
+    q = with_norm(queries, vec_col, "qnorm").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "qnorm"
+    )
+    c = with_norm(corpus, vec_col, "nnorm").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "nnorm"
+    )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -174,11 +244,16 @@ def knn_ivf(
     vec_col: str,
     k: int,
     n_probe: int = 3,
+    corpus_assign: int = 1,
 ) -> DataFrame:
-    """IVF ANN: corpus vectors live in ONE inverted list each (their
-    nearest centroid); each query probes its n_probe nearest lists and
-    exact-re-ranks within them. Recall/latency tunes via n_probe."""
-    lists = ivf_assignments(corpus, centroids, id_col, vec_col, 1, "neighbor_id")
+    """IVF ANN: each corpus vector lives in its ``corpus_assign`` nearest
+    inverted lists (1 = classic IVF; 2 = soft assignment, doubling index
+    size to catch boundary vectors); each query probes its n_probe
+    nearest lists and exact-re-ranks within them. Recall/latency tunes
+    via n_probe × corpus_assign."""
+    lists = ivf_assignments(
+        corpus, centroids, id_col, vec_col, corpus_assign, "neighbor_id"
+    )
     probes = ivf_assignments(queries, centroids, id_col, vec_col, n_probe, "query_id")
     cand = probes.select("query_id", F.col("v").alias("qv"), "centroid_id").join(
         lists.select("neighbor_id", F.col("v").alias("nv"), "centroid_id"),

@@ -228,20 +228,9 @@ def _cos_sql(a: str, b: str) -> str:
     return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 9)"
 
 
-@query(
-    "d06_embedding_neardup",
-    oracle=f"""
-SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
-       {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COS_T}
-ORDER BY id_a, id_b
-""",
-)
-def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(e, "vec_id", "embedding", "label", COS_T)
+# d06_embedding_neardup lives in plans/similarity.py: its block key is
+# the hyperplane LSH bucket defined there (a semantic label is a skew
+# magnet — one hot label would make the within-block join quadratic).
 
 
 # --------------------------------------------------------------------------
