@@ -215,11 +215,20 @@ def transpile_mysql(sql: str) -> str:
         "DATE_FORMAT",
         lambda a: f"date_for\x02mat({a[0]}, {_convert_fmt(a[1], lits)})",
     )
-    s = rewrite_call(
-        s,
-        "STR_TO_DATE",
-        lambda a: f"to_timestamp({a[0]}, {_convert_fmt(a[1], lits)})",
-    )
+    # C46: STR_TO_DATE — MySQL returns DATE for date-only formats, so
+    # mirror functions/mysql_compat.str_to_date: to_date unless the raw
+    # %-format carries a time token (%H/%i/%s/%T/%k).
+    def _str_to_date(a: list[str]) -> str:
+        fn = "to_timestamp"
+        mo = re.fullmatch("\x00L(\\d+)\x00", a[1].strip())
+        if mo and not any(
+            tok in lits[int(mo.group(1))]
+            for tok in ("%H", "%i", "%s", "%T", "%k")
+        ):
+            fn = "to_date"
+        return f"{fn}({a[0]}, {_convert_fmt(a[1], lits)})"
+
+    s = rewrite_call(s, "STR_TO_DATE", _str_to_date)
     s = rewrite_call(
         s,
         "FROM_UNIXTIME",

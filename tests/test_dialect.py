@@ -63,3 +63,15 @@ def test_json_chain():
 def test_literals_untouched():
     sql = "SELECT 'LIMIT 1, 2 ISNULL(x)' AS s FROM t"
     assert transpile_mysql(sql) == sql
+
+
+def test_str_to_date_returns_date_for_date_only_formats():
+    # MySQL STR_TO_DATE yields DATE when the format has no time tokens —
+    # the transpiler must mirror mysql_compat.str_to_date's heuristic.
+    out = transpile_mysql("SELECT STR_TO_DATE(s, '%Y-%m-%d') FROM t")
+    assert "to_date(s, 'yyyy-MM-dd')" in out
+    out = transpile_mysql("SELECT STR_TO_DATE(s, '%d/%m/%Y %H:%i:%s') FROM t")
+    assert "to_timestamp(s, 'dd/MM/yyyy HH:mm:ss')" in out
+    # dynamic (non-literal) format: can't inspect → keep timestamp
+    out = transpile_mysql("SELECT STR_TO_DATE(s, fmt_col) FROM t")
+    assert "to_timestamp(s, fmt_col)" in out
