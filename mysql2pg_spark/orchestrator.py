@@ -64,6 +64,7 @@ class CatalogSnapshot:
 
     tables: list[TableMeta] = field(default_factory=list)
     views: dict[str, str] = field(default_factory=dict)       # name → MySQL SQL
+    functions: list = field(default_factory=list)  # PlpgsqlFunctionSpec (C95)
     users: dict[str, list[str]] = field(default_factory=dict)  # user → grants
     table_privileges: list[tuple[str, str, str]] = field(default_factory=list)
     # (user, table, "Select,Insert")
@@ -205,6 +206,19 @@ class MigrationPipeline:
                         )
                     )
 
+        if o.functions:
+            from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+
+            for spec in self.snapshot.functions:
+                actions.append(
+                    Action(
+                        "functions",
+                        "ddl",
+                        spec.name.lower(),
+                        emit_plpgsql(spec),
+                    )
+                )
+
         if o.users:
             for user, grants in self.snapshot.users.items():
                 for g in grants:
@@ -229,17 +243,183 @@ class MigrationPipeline:
 
     # ---- execution -------------------------------------------------------
 
-    def execute(self, spark, pg_conn=None) -> dict:
-        """Run the plan against live MySQL/PostgreSQL: DDL via pg_conn
-        (DB-API), data via Spark JDBC with a ThreadPoolExecutor of
-        limits.concurrency. Not runnable in this container (no servers,
-        no driver jars); use execute_local for the same control flow over
-        file sources/sinks."""
-        raise NotImplementedError(
-            "execution requires live MySQL/PostgreSQL + JDBC driver jars; "
-            "use plan() for the dry-run action list or execute_local() "
-            "for a file-backed run"
+    # Value-fix column-type triggers (B7/B8). MySQL column_type strings.
+    _ZERO_DATE_TYPES = ("date", "datetime", "timestamp")
+    _POINT_TYPES = ("point", "geometry")
+
+    def _value_fix_transform(self, t: TableMeta):
+        """Default per-table transform: B7 zero-date → NULL on temporal
+        columns, B8 POINT decode on geometry columns, then C90 generated
+        columns (ordered specs may chain). Returns df → df."""
+        from mysql2pg_spark.operators.generated import apply_generated_columns
+        from mysql2pg_spark.sinks.jdbc_sink import (
+            decode_mysql_point,
+            normalize_zero_dates,
         )
+
+        def transform(df):
+            for c in t.columns:
+                name = self._norm(c.name)
+                if name not in df.columns:
+                    continue
+                base = c.column_type.split("(")[0].lower()
+                if base in self._ZERO_DATE_TYPES:
+                    df = df.withColumn(name, normalize_zero_dates(name))
+                elif base in self._POINT_TYPES:
+                    df = df.withColumn(name, decode_mysql_point(df[name]))
+            gen = [
+                (self._norm(c.name), c.default[len("GENERATED:"):])
+                for c in t.columns
+                if c.default and c.default.startswith("GENERATED:")
+            ]
+            return apply_generated_columns(df, gen)
+
+        return transform
+
+    def execute(
+        self,
+        spark,
+        pg_conn,
+        source_reader=None,
+        sink_writer=None,
+        dest_reader=None,
+        logger=None,
+    ) -> dict:
+        """Run the plan against live endpoints, stage order and
+        keep-going error semantics per the reference's manager
+        (manager.go:88-268: a failed table is recorded and the run
+        continues; stages execute strictly in STAGE_ORDER).
+
+        Every server touchpoint is an injectable seam, so the full
+        control flow unit-tests with fakes and runs live with the JDBC
+        defaults:
+
+        - ``pg_conn``: DB-API connection — DDL, grants, view/index/
+          function statements execute through a cursor, committed per
+          stage.
+        - ``source_reader(spark, read_plan) -> DataFrame``: defaults to
+          ``sources.jdbc.read_jdbc`` with the MySQL config.
+        - ``sink_writer(df, table) -> None``: defaults to
+          ``sinks.jdbc_sink.write_jdbc`` with the PG config.
+        - ``dest_reader(spark, table) -> DataFrame``: PG-side read-back
+          for D3 validation; defaults to ``spark.read.jdbc``.
+        - ``logger``: a ``runlog.RunLogger`` (D4/D5); defaults to one
+          writing under ``./logs``.
+
+        Data reads fan out on a thread pool of ``limits.concurrency`` —
+        per-table JDBC latency overlap; within-table parallelism is the
+        partitioned read plan's job. Between read and write each table
+        passes through the B7/B8/C90 value-fix transform.
+
+        Returns {"ddl": n_executed, "synced": {table: rows},
+        "validation": {table: verdict}, "log": logger.summary()}.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mysql2pg_spark.operators.validate import checksum_validation
+        from mysql2pg_spark.runlog import RunLogger
+
+        if logger is None:
+            logger = RunLogger("logs", echo=False)
+        if source_reader is None:
+            from mysql2pg_spark.sources.jdbc import JdbcSourceConfig, read_jdbc
+
+            src_cfg = JdbcSourceConfig(
+                url=self.cfg.mysql.jdbc_url,
+                user=self.cfg.mysql.username,
+                password=self.cfg.mysql.password,
+                fetchsize=self.cfg.limits.max_rows_per_batch,
+            )
+            source_reader = lambda sp, plan: read_jdbc(sp, src_cfg, plan)  # noqa: E731
+        if sink_writer is None:
+            from mysql2pg_spark.sinks.jdbc_sink import JdbcSinkConfig, write_jdbc
+
+            sink_cfg = JdbcSinkConfig(
+                url=self.cfg.postgres.jdbc_url,
+                user=self.cfg.postgres.username,
+                password=self.cfg.postgres.password,
+                truncate_before_sync=self.cfg.options.truncate_before_sync,
+            )
+            sink_writer = lambda df, table: write_jdbc(df, sink_cfg, table)  # noqa: E731
+        if dest_reader is None:
+            dest_reader = lambda sp, table: sp.read.jdbc(  # noqa: E731
+                self.cfg.postgres.jdbc_url,
+                table,
+                properties={
+                    "user": self.cfg.postgres.username,
+                    "password": self.cfg.postgres.password,
+                },
+            )
+
+        actions = self.plan()
+        by_stage: dict[str, list[Action]] = {}
+        for a in actions:
+            by_stage.setdefault(a.stage, []).append(a)
+        meta_by_name = {self._norm(t.name): t for t in self._selected_tables()}
+
+        ddl_done = 0
+        synced: dict[str, int] = {}
+        validation: dict[str, dict] = {}
+        read_targets: dict[str, str] = {}  # normalized target → source table
+
+        for stage in STAGE_ORDER:
+            stage_actions = by_stage.get(stage, [])
+            if not stage_actions:
+                continue
+            logger.stage_start(stage)
+
+            ddls = [a for a in stage_actions if a.kind == "ddl"]
+            for a in ddls:
+                try:
+                    cur = pg_conn.cursor()
+                    cur.execute(a.payload)
+                    ddl_done += 1
+                except Exception as e:  # keep going, record (manager.go)
+                    logger.table_error(stage, a.target, e)
+            if ddls:
+                pg_conn.commit()
+
+            reads = [a for a in stage_actions if a.kind == "read_plan"]
+            if reads:
+
+                def sync_one(a: Action) -> tuple[str, int]:
+                    df = source_reader(spark, a.payload)
+                    meta = meta_by_name.get(a.target)
+                    if meta is not None:
+                        df = self._value_fix_transform(meta)(df)
+                    sink_writer(df, a.target)
+                    return a.target, df.count()
+
+                with ThreadPoolExecutor(self.cfg.limits.concurrency) as pool:
+                    futures = {
+                        pool.submit(sync_one, a): a for a in reads
+                    }
+                    for fut, a in futures.items():
+                        read_targets[a.target] = a.payload["table"]
+                        try:
+                            name, n = fut.result()
+                            synced[name] = n
+                            logger.info(f"synced {name}: {n} rows")
+                        except Exception as e:
+                            logger.table_error(stage, a.target, e)
+
+            for a in (x for x in stage_actions if x.kind == "check"):
+                try:
+                    src_table = read_targets.get(a.target, a.target)
+                    src = source_reader(spark, {"table": src_table})
+                    dst = dest_reader(spark, a.target)
+                    validation[a.target] = checksum_validation(src, dst)
+                except Exception as e:
+                    logger.table_error(stage, a.target, e)
+
+            logger.stage_end(stage, f"{len(stage_actions)} actions")
+
+        return {
+            "ddl": ddl_done,
+            "synced": synced,
+            "validation": validation,
+            "log": logger.summary(),
+        }
 
     def execute_local(self, spark, source_loader, sink_dir: str) -> dict:
         """Container-runnable execution of the SAME plan control flow with

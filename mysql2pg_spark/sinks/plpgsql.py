@@ -1,0 +1,128 @@
+"""PG-side stored-function DDL emission (SURVEY C95, sink half).
+
+The reference converts MySQL function DDL to plpgsql with a 10-step
+regex pipeline plus per-function hardcoded patches
+(internal/converter/postgres/sync_functions.go:173-213, 430-465) — the
+patches are the tell that text surgery doesn't generalize. Here the
+plpgsql is *generated from a declarative spec* — the same spec idea that
+drives the engine-side evaluation in ``functions/stored.py`` — so every
+emitted function is syntactically valid by construction:
+
+- parameters and locals carry PG types directly (the MySQL→PG type
+  mapping is schema_map's job, done once at spec build time);
+- the body is ONE set-based ``SELECT … INTO`` in PG dialect plus a
+  ``RETURN``; MySQL-only spellings are re-expressed semantically, not
+  regexed (e.g. ``COALESCE(int_col, 'N/A')`` is well-typed in MySQL but
+  a type error in PG → the spec writes ``int_col::text``; MySQL renders
+  tinyint(1) as 1/0 where PG boolean prints true/false → ``::int``);
+- ``READS SQL DATA`` maps to PG ``STABLE`` (reference
+  parseCharacteristics :339-408 does the same mapping).
+
+The three fixture functions model scripts/mysql/create_function.sql.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PlpgsqlFunctionSpec:
+    name: str
+    params: list[tuple[str, str]]            # (name, pg_type)
+    returns: str
+    body_select: str                         # SELECT in PG dialect
+    into_var: str = "result"
+    declares: list[tuple[str, str]] = field(default_factory=list)
+    volatility: str = "STABLE"               # READS SQL DATA analog
+    comment: str | None = None
+
+
+def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
+    """One CREATE OR REPLACE FUNCTION statement (name lowered, like the
+    reference's generateDDL :1286-1320)."""
+    params = ", ".join(f"{n} {t}" for n, t in spec.params)
+    declares = list(spec.declares)
+    if spec.into_var and spec.into_var not in {n for n, _ in declares}:
+        declares.insert(0, (spec.into_var, spec.returns))
+    declare_block = "".join(f"    {n} {t};\n" for n, t in declares)
+    body = spec.body_select.strip().rstrip(";")
+    lines = (
+        f"CREATE OR REPLACE FUNCTION {spec.name.lower()}({params})\n"
+        f"RETURNS {spec.returns}\n"
+        f"{spec.volatility} AS $$\n"
+        f"DECLARE\n{declare_block}"
+        f"BEGIN\n"
+        f"    {body}\n"
+        f"    INTO {spec.into_var};\n"
+        f"    RETURN {spec.into_var};\n"
+        f"END;\n"
+        f"$$ LANGUAGE plpgsql;"
+    )
+    if spec.comment:
+        lines += (
+            f"\nCOMMENT ON FUNCTION {spec.name.lower()} IS '{spec.comment}';"
+        )
+    return lines
+
+
+# ---- fixture functions (scripts/mysql/create_function.sql) ----------------
+# Semantic notes vs the MySQL originals:
+#   * is_active tinyint(1) prints 1/0 in MySQL → ::int keeps the text;
+#   * COALESCE(num, 'N/A') needs ::text in PG (MySQL coerces silently);
+#   * the original INNER JOINs repeat `ON i.col_int = b.status` for every
+#     table (a fixture quirk) — preserved faithfully.
+
+GET_JOINED_DATA = PlpgsqlFunctionSpec(
+    name="get_joined_data",
+    params=[("p_id", "INTEGER")],
+    returns="VARCHAR(255)",
+    body_select="""SELECT concat('Int: ', i.col_int,
+                  ', Bool: ', b.is_active::int,
+                  ', Float: ', f.col_float,
+                  ', Char: ', c.col_var_mb3,
+                  ', Charset: ', cs.c1)
+    FROM case_01_integers i
+    JOIN case_02_boolean b ON i.col_int = b.status
+    JOIN case_03_floats f ON i.col_int = b.status
+    JOIN case_04_mb3_suffix c ON i.col_int = b.status
+    JOIN case_05_charsets cs ON i.col_int = b.status
+    WHERE i.col_int = p_id""",
+)
+
+GET_COMBINED_DATA = PlpgsqlFunctionSpec(
+    name="get_combined_data",
+    params=[("p_status", "INTEGER")],
+    returns="VARCHAR(255)",
+    body_select="""SELECT concat('Status: ', p_status,
+                  ', Integer Data: ', COALESCE(i.col_int::text, 'N/A'),
+                  ', Boolean Data: ', COALESCE(b.is_active::int::text, 'N/A'),
+                  ', Float Data: ', COALESCE(f.col_float::text, 'N/A'))
+    FROM case_01_integers i
+    LEFT JOIN case_02_boolean b ON i.col_int = b.status
+    RIGHT JOIN case_03_floats f ON b.status = f.col_float
+    WHERE b.status = p_status
+    ORDER BY i.col_int ASC
+    LIMIT 1""",
+)
+
+GET_DETAILED_DATA = PlpgsqlFunctionSpec(
+    name="get_detailed_data",
+    params=[("p_id", "INTEGER")],
+    returns="VARCHAR(255)",
+    body_select="""SELECT concat('ID: ', p_id,
+                  ', Integer Value: ', i.col_int,
+                  ', Boolean Status: ', b.is_active::int,
+                  ', Float Value: ', f.col_float,
+                  ', String Value: ', c.col_var_mb3,
+                  ', Charset Value: ', cs.c1)
+    FROM case_01_integers i
+    JOIN case_02_boolean b ON i.col_int = b.status AND b.is_active = true
+    JOIN case_03_floats f ON b.status = p_id AND f.col_float > 0
+    JOIN case_04_mb3_suffix c ON b.status = p_id
+    JOIN case_05_charsets cs ON b.status = p_id
+    WHERE i.col_int = p_id
+    LIMIT 1""",
+)
+
+FIXTURE_FUNCTIONS = (GET_JOINED_DATA, GET_COMBINED_DATA, GET_DETAILED_DATA)

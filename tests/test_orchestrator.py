@@ -159,3 +159,149 @@ def test_execute_local_full_pipeline(tmp_path, spark):
     assert all(v["consistent"] for v in result["validation"].values())
     assert len(result["validation"]) == 2
     assert any("CREATE TABLE" in d for d in result["ddl"])
+
+
+class _FakeConn:
+    """DB-API seam: records SQL; optionally fails on matching statements."""
+
+    def __init__(self, fail_if=None):
+        self.executed = []
+        self.commits = 0
+        self.fail_if = fail_if
+
+    def cursor(self):
+        return self
+
+    def execute(self, sql):
+        if self.fail_if and self.fail_if in sql:
+            raise RuntimeError(f"boom: {self.fail_if}")
+        self.executed.append(sql)
+
+    def commit(self):
+        self.commits += 1
+
+
+def test_execute_live_path_with_fakes(tmp_path, spark):
+    """The live execute() control flow end-to-end on injected seams:
+    DDL through the DB-API fake, threaded data sync through reader/writer
+    fakes, PG read-back validation, stage-timed run log."""
+    import os
+
+    from mysql2pg_spark.runlog import RunLogger
+    from mysql2pg_spark.tables import load_table
+
+    cfg = _cfg(tmp_path)
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="orders",
+                columns=[ColumnMeta("o_orderkey", "bigint", False)],
+                primary_key=["o_orderkey"],
+                row_count=1500,
+                pk_bounds=(1, 1500),
+            ),
+            TableMeta(
+                name="nation",
+                columns=[ColumnMeta("n_nationkey", "int", False)],
+                primary_key=["n_nationkey"],
+                row_count=25,
+                pk_bounds=(0, 24),
+            ),
+        ]
+    )
+    conn = _FakeConn()
+    sink = tmp_path / "pg"
+
+    def source_reader(sp, plan):
+        return load_table(sp, "/root/testdata/sf0.001", plan["table"])
+
+    def sink_writer(df, table):
+        df.write.mode("overwrite").parquet(str(sink / table))
+
+    def dest_reader(sp, table):
+        return sp.read.parquet(str(sink / table))
+
+    logger = RunLogger(str(tmp_path / "logs"))
+    result = MigrationPipeline(cfg, snap).execute(
+        spark,
+        conn,
+        source_reader=source_reader,
+        sink_writer=sink_writer,
+        dest_reader=dest_reader,
+        logger=logger,
+    )
+    assert result["synced"] == {"orders": 1500, "nation": 25}
+    assert len(result["validation"]) == 2
+    assert all(v["consistent"] for v in result["validation"].values())
+    assert result["ddl"] == len(conn.executed) and result["ddl"] > 0
+    assert conn.commits >= 1  # one commit per stage that ran DDL
+    # D4/D5: stage timings recorded, conversion.log written, no errors
+    assert set(result["log"]["stages"]) >= {"tableddl", "data", "validate"}
+    assert result["log"]["n_errors"] == 0
+    log_text = (tmp_path / "logs" / "conversion.log").read_text()
+    assert "stage data: done" in log_text
+    assert "synced orders: 1500 rows" in log_text
+    assert not os.path.exists(tmp_path / "logs" / "errors.log")
+
+
+def test_execute_value_fixes_and_keep_going(tmp_path, spark):
+    """B7 zero-date → NULL and C90 generated columns apply between read
+    and write; a failing DDL is recorded in errors.log and the run
+    continues (reference keep-going semantics, manager.go:1716-1737)."""
+    cfg = _cfg(tmp_path)
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="t1",
+                columns=[
+                    ColumnMeta("id", "bigint", False),
+                    ColumnMeta("d", "datetime"),
+                    ColumnMeta("twice", "bigint", default="GENERATED:id * 2"),
+                ],
+                primary_key=["id"],
+                row_count=2,
+                pk_bounds=(1, 2),
+            )
+        ]
+    )
+    src = spark.createDataFrame(
+        [(1, "0000-00-00 00:00:00"), (2, "2024-05-01 10:00:00")], "id long, d string"
+    )
+    written = {}
+    conn = _FakeConn(fail_if="CREATE TABLE")
+
+    result = MigrationPipeline(cfg, snap).execute(
+        spark,
+        conn,
+        source_reader=lambda sp, plan: src,
+        sink_writer=lambda df, table: written.setdefault(table, df.collect()),
+        dest_reader=lambda sp, table: sp.createDataFrame(
+            written[table], "id long, d string, twice long"
+        ),
+        logger=__import__(
+            "mysql2pg_spark.runlog", fromlist=["RunLogger"]
+        ).RunLogger(str(tmp_path / "logs")),
+    )
+    rows = {r.id: r for r in written["t1"]}
+    assert rows[1].d is None                      # B7 zero date nulled
+    assert rows[2].d == "2024-05-01 10:00:00"     # real value untouched
+    assert rows[1].twice == 2 and rows[2].twice == 4  # C90 generated
+    # the CREATE TABLE failure was recorded, later stages still ran
+    assert result["log"]["n_errors"] == 1
+    assert result["log"]["errors"][0]["stage"] == "tableddl"
+    assert result["synced"] == {"t1": 2}
+    assert (tmp_path / "logs" / "errors.log").read_text().count("boom") == 1
+
+
+def test_runlogger_timings_and_echo(tmp_path, capsys):
+    """RunLogger: injectable clock gives exact stage durations; echo
+    mirrors the reference's config-gated stdout copy."""
+    from mysql2pg_spark.runlog import RunLogger
+
+    ticks = iter([10.0, 12.5])
+    log = RunLogger(str(tmp_path), echo=True, clock=lambda: next(ticks))
+    log.stage_start("data")
+    log.stage_end("data", "3 actions")
+    assert log.stage_seconds == {"data": 2.5}
+    out = capsys.readouterr().out
+    assert "stage data: start" in out and "done in 2.500s (3 actions)" in out
