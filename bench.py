@@ -72,6 +72,13 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # One full throwaway headline query: the synthetic warmups above miss
+    # the decimal-agg codegen and big-table parquet footer reads, which
+    # otherwise land on the first timed query's number.
+    if names:
+        QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
     # extend with any registered headline-tagged queries not listed yet
     timings: dict[str, float] = {}
     t0 = time.perf_counter()

@@ -68,31 +68,34 @@ def _plane_seed(table: int, plane: int) -> str:
     return f"{plane}:" if table == 0 else f"t{table}:{plane}:"
 
 
-def _digit_weight(plane: int, dim_col: Column, table: int = 0) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-7.5, 7.5]:
-    first hex digit of md5('<seed><dim>') minus 7.5. Stateless →
-    identical in any engine that has md5."""
-    h = F.md5(F.concat(F.lit(_plane_seed(table, plane)), dim_col.cast("string")))
-    digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
-    return digit.cast("double") - 7.5
+def _plane_weights(table: int, plane: int, dims: int) -> list[float]:
+    """The md5-derived weight vector, computed ONCE driver-side. The
+    runtime expression embeds these as literals: the weights are
+    row-invariant, and Catalyst does not constant-fold md5-over-sequence
+    — evaluating them per row costs num_planes×dims md5 calls per vector
+    (a measured 2× on the near-dup bench). Values are identical to the
+    SQL-side formula the oracles use."""
+    import hashlib
+
+    out = []
+    for i in range(1, dims + 1):
+        h = hashlib.md5(f"{_plane_seed(table, plane)}{i}".encode()).hexdigest()
+        out.append(float("0123456789abcdef".index(h[0])) - 7.5)
+    return out
 
 
 def hyperplane_bucket(
     vec: Column, num_planes: int, dims: int, table: int = 0
 ) -> Column:
     """LSH bucket id: bit p = sign(dot(vec, w_p)) with md5-derived
-    hyperplane weights. Pure column expression (no UDF, no RNG)."""
+    hyperplane weights (precomputed as literals — see _plane_weights).
+    Pure column expression (no UDF, no RNG); the left fold over doubles
+    is bit-identical to the DuckDB oracle's list_reduce."""
     bucket = F.lit(0).cast("bigint")
     for p in range(num_planes):
-        # NOTE: the lambda MUST stay single-parameter. F.transform counts
-        # lambda params — a second one becomes the array-index Column, so
-        # a defensive `p=p` default would silently rebind p to that Column
-        # (and stringify its repr into the md5 seed). Capturing p from the
-        # loop is safe: F.transform builds the expression eagerly here.
-        prods = F.transform(
-            F.sequence(F.lit(1), F.lit(dims)),
-            lambda i: F.element_at(vec, i).cast("double")
-            * _digit_weight(p, i, table),
+        w = F.array(*[F.lit(x) for x in _plane_weights(table, p, dims)])
+        prods = F.zip_with(
+            vec, w, lambda x, y: x.cast("double") * y
         )
         # Left fold of doubles — bit-identical to DuckDB list_reduce (see
         # dedup.dot_fold).
