@@ -389,11 +389,11 @@ def b01_value_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "val01_validation",
     oracle=f"""
 SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
-       CAST(NULL AS BIGINT) AS n_distinct,
+       CAST(NULL AS VARCHAR) AS hash_sum,
        CAST(NULL AS VARCHAR) AS min_digest, CAST(NULL AS VARCHAR) AS max_digest
 FROM {_sub("val02_row_counts")}
 UNION ALL
-SELECT 'lineitem#checksum', CAST(n_rows AS BIGINT), CAST(n_distinct AS BIGINT),
+SELECT 'lineitem#checksum', CAST(n_rows AS BIGINT), hash_sum,
        min_digest, max_digest
 FROM {_sub("val01_table_checksum")}
 """,
@@ -403,7 +403,7 @@ def val01_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum = QUERIES["val01_table_checksum"](spark, sf_dir).select(
         F.lit("lineitem#checksum").alias("table_name"),
         "n_rows",
-        "n_distinct",
+        "hash_sum",
         "min_digest",
         "max_digest",
     )
