@@ -62,3 +62,84 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("a", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u itself) to
+    min(Γ⁻(u) ∪ {u})."""
+    e = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = e.groupBy("a").agg(F.min("b").alias("m"))
+    nbrs = e.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+    selfs = mins.select("a", F.col("m").alias("b"))
+    return nbrs.union(selfs).filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    in O(log² n) rounds REGARDLESS of graph diameter, where min-label
+    propagation needs O(diameter) rounds — a chain of length 10^6 takes
+    ~40 star rounds vs 10^6 propagation rounds. Same output contract as
+    ``connected_components``: (node, component=min id in component).
+
+    Per round: two groupBy-join pairs (still one shuffle key each). Use
+    this over label propagation when cluster diameter is unbounded
+    (linkage chains, social graphs); near-dup clusters are shallow, so
+    cc01 keeps propagation — this is the 100 TB fallback.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    # Every input node, for singleton/self-pair handling at the end.
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .cache()
+    )
+    cur = edges
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    # Fixed point: every edge is (node, root). Roots and isolated nodes
+    # map to themselves.
+    labeled = cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    rest = nodes.join(labeled, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labeled.union(rest)

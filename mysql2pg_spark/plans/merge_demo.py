@@ -15,7 +15,7 @@ from mysql2pg_spark.plans.dedup import (
     _CAND_CTE,
     _MINHASH_CTE,
 )
-from mysql2pg_spark.plans.registry import query
+from mysql2pg_spark.plans.registry import ORACLES, query
 from mysql2pg_spark.tables import load_table
 
 
@@ -91,3 +91,18 @@ def cc01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.plans.dedup import neardup_pairs
 
     return connected_components(neardup_pairs(spark, sf_dir))
+
+
+# cc02 — the same clusters via large-star/small-star contraction
+# (O(log^2 n) rounds at any diameter; the unbounded-diameter scale path).
+# Same recursive-CTE oracle; not in the driver window (cc01 covers the
+# family there), pytest-oracle-checked.
+_CC_ORACLE = ORACLES["cc01_dedup_clusters"]
+
+
+@query("cc02_star_clusters", oracle=_CC_ORACLE, driver=False)
+def cc02_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.components import connected_components_star
+    from mysql2pg_spark.plans.dedup import neardup_pairs
+
+    return connected_components_star(neardup_pairs(spark, sf_dir))
