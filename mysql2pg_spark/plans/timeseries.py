@@ -307,3 +307,34 @@ def w06_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"stream_dedup_{next(_sink_counter)}"
     return run_streaming_dedup(spark, sf_dir, sink)
+
+
+# --------------------------------------------------------------------------
+# w07 — stream-stream interval join (attribution shape): view → same-user
+# purchase within 10 minutes, both sides watermarked readStreams. The
+# wide watermark makes the inner join exactly equal the batch interval
+# self-join (see run_stream_stream_join). Not in the driver window
+# (w01-w06 cover the streaming family there); pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "w07_stream_stream_join",
+    oracle="""
+SELECT v.user_id AS v_user,
+       v.event_id AS v_event_id,
+       p.event_id AS p_event_id,
+       v.ts AS v_ts,
+       p.ts AS p_ts
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+ORDER BY v_event_id, p_event_id
+""",
+    driver=False,
+)
+def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.streaming.ingest import run_stream_stream_join
+
+    sink = f"stream_joined_events_{next(_sink_counter)}"
+    return run_stream_stream_join(spark, sf_dir, sink)

@@ -167,3 +167,64 @@ def run_streaming_dedup(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_joined_events",
+    horizon: str = "INTERVAL 10 MINUTES",
+) -> DataFrame:
+    """Stream-stream interval join: each 'view' event joins the same
+    user's 'purchase' events that happen within ``horizon`` after it —
+    the attribution-join shape. Both sides are REAL readStream sources
+    with event-time watermarks; the join condition bounds event time on
+    both sides, which is what lets Spark evict matched state instead of
+    buffering either stream forever (the property that makes this run on
+    an unbounded 100 TB/day feed).
+
+    Determinism contract: the watermark here is far wider than the file
+    backlog's disorder, so no late row is ever dropped and the inner-join
+    output equals the batch interval self-join EXACTLY — the same
+    Kappa-equivalence the windowed/stateful demos use. On a live feed the
+    watermark is the completeness/latency dial and would be minutes.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            # several micro-batches so join state genuinely buffers
+            .option("maxBytesPerTrigger", 512 * 1024)
+            .parquet(sf_dir)
+        )
+        e = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "365 days")
+        )
+
+    views = side("view", "v")
+    buys = side("purchase", "p")
+    joined = views.join(
+        buys,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + {horizon}"
+        ),
+    ).select("v_user", "v_event_id", "p_event_id", "v_ts", "p_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
