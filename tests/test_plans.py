@@ -101,3 +101,39 @@ def test_sessionize_fast_single_exchange(spark):
     # formatted explain lists each node twice (tree + details)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_multitable_lsh_no_cartesian_and_broadcast_probes(spark):
+    """s02: every per-table candidate join is bucket-equi (hash), probe
+    sides broadcast, and the re-rank joins stay hash joins."""
+    plan = plan_of(spark, "s02_knn_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # one per hash table min
+
+
+def test_neardup_bucket_blocking_is_equi_join(spark):
+    """d06 blocks on the LSH bucket: the pair join must be a hash join
+    on the bucket key, never a cross product."""
+    plan = plan_of(spark, "d06_embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_components_rounds_are_hash_joins(spark):
+    """cc02: each star round is groupBy + equi-join — no nested-loop
+    fallbacks anywhere in the converged plan."""
+    plan = plan_of(spark, "cc02_star_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_checksum_single_aggregate_no_expand(spark):
+    """val01 after the hash-sum redesign: ONE partial+final aggregate
+    pair, no count-distinct Expand node, no join."""
+    plan = plan_of(spark, "val01_table_checksum")
+    assert "Expand" not in plan          # distinct-agg artifact
+    assert "Join" not in plan
+    # exactly one exchange in the tree: the 1-row partial→final agg
+    # ("Exchange (n)" is the tree form; "(n) Exchange" is the detail)
+    assert plan.count("Exchange (") == 1
