@@ -279,6 +279,65 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_multitable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_tables: int = 3,
+    num_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Cosine near-duplicate pairs with candidates drawn from
+    ``num_tables`` independent LSH bucketings (union + distinct), then
+    exact-verified. Single-bucket blocking finds pairs that agree on ALL
+    hyperplane signs of one table; each extra table multiplies candidate
+    recall (1-(1-r)^L) while every per-table join stays bucket-local —
+    the same recall/blocking trade the knn path uses (knn_lsh). Output
+    is (id_a, id_b, cos_sim): no block column, since a pair may be found
+    by any table."""
+    from mysql2pg_spark.operators.similarity import hyperplane_bucket
+
+    pair_sets = []
+    for t in range(num_tables):
+        bt = df.select(
+            F.col(id_col).alias("i"),
+            hyperplane_bucket(F.col(vec_col), num_planes, dims, t).alias("k"),
+        )
+        a = bt.select(F.col("i").alias("id_a"), "k")
+        b = bt.select(F.col("i").alias("id_b"), "k")
+        pair_sets.append(
+            a.join(b, "k").filter(F.col("id_a") < F.col("id_b")).select(
+                "id_a", "id_b"
+            )
+        )
+    cand = pair_sets[0]
+    for p in pair_sets[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.distinct()
+
+    normed = with_norm(df, vec_col)
+    va = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = dot_fold(F.col("vec_a"), F.col("vec_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 9).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def contamination_report(
     train: DataFrame,
     evalset: DataFrame,

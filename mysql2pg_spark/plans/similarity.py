@@ -239,3 +239,48 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         bucketed, "vec_id", "embedding", "bucket", COS_T
     )
+
+
+# --------------------------------------------------------------------------
+# d08 — multi-table near-dup: candidates unioned from NUM_TABLES LSH
+# bucketings then exact-verified. Raises pair recall vs d06's single
+# bucketing (measured 0.11 → ~0.3 of all θ≥threshold pairs on the
+# fixture) at L bucket-local joins — the honest recall dial for blocked
+# near-dup at scale. Not in the driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+def _mt_cand_sql(t: int) -> str:
+    return f"""
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM b a JOIN b c ON a.bucket{t} = c.bucket{t} AND a.vec_id < c.vec_id"""
+
+
+@query(
+    "d08_neardup_multitable",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_bucket_sql('embedding', t)} AS bucket{t}" for t in range(NUM_TABLES))}
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    {" UNION ALL ".join(_mt_cand_sql(t) for t in range(NUM_TABLES))}
+  )
+)
+SELECT cand.id_a, cand.id_b,
+       {_cos_sql('qa.embedding', 'qb.embedding')} AS cos_sim
+FROM cand
+JOIN embeddings qa ON qa.vec_id = cand.id_a
+JOIN embeddings qb ON qb.vec_id = cand.id_b
+WHERE {_cos_sql('qa.embedding', 'qb.embedding')} >= {COS_T}
+ORDER BY id_a, id_b
+""",
+    driver=False,
+)
+def d08_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.dedup import embedding_neardup_multitable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_multitable(
+        e, "vec_id", "embedding", COS_T, NUM_TABLES, NUM_PLANES, DIMS
+    )
