@@ -305,3 +305,29 @@ def test_runlogger_timings_and_echo(tmp_path, capsys):
     assert log.stage_seconds == {"data": 2.5}
     out = capsys.readouterr().out
     assert "stage data: start" in out and "done in 2.500s (3 actions)" in out
+
+
+def test_example_config_round_trips():
+    """config.example.yml parses through load_config with every key
+    consumed by the dataclasses (no silent typos in the shipped file)."""
+    import yaml
+
+    from mysql2pg_spark.config import (
+        ConversionOptions,
+        Limits,
+        MySQLConfig,
+        PostgresConfig,
+        load_config,
+    )
+
+    cfg = load_config("config.example.yml")
+    assert cfg.mysql.jdbc_url == "jdbc:mysql://localhost:3306/source_db"
+    assert cfg.postgresql.jdbc_url == "jdbc:postgresql://localhost:5432/target_db"
+    assert cfg.limits.concurrency == 10
+    assert cfg.options.validate_data is True
+    raw = yaml.safe_load(open("config.example.yml"))
+    assert set(raw["mysql"]) <= set(MySQLConfig.__dataclass_fields__)
+    assert set(raw["postgresql"]) <= set(PostgresConfig.__dataclass_fields__)
+    conv = raw["conversion"]
+    assert set(conv["options"]) <= set(ConversionOptions.__dataclass_fields__)
+    assert set(conv["limits"]) <= set(Limits.__dataclass_fields__)
