@@ -1,0 +1,156 @@
+"""CLI entry point — the `mysql2pg -c config.yml` analog (SURVEY §3.1,
+cmd/mysql2pg/main.go behavior: load config → assemble catalog → run the
+staged pipeline).
+
+Three modes, least- to most-connected:
+
+  plan       print the ordered action list (DDL text + read plans) as
+             JSON lines — the dry run; needs only a snapshot.
+  local      execute the same plan control flow over file endpoints
+             (parquet source dir → parquet sink dir + validation) —
+             the container/CI mode, no servers.
+  live       execute against MySQL/PostgreSQL via JDBC + a DB-API
+             connection (requires driver jars and a psycopg-style
+             module; everything is injected through execute()'s seams).
+
+The catalog snapshot comes from a YAML file (``--snapshot``): offline
+parity with what sources/catalog.py reads from information_schema, so
+planning is fully testable without a MySQL. In live mode the snapshot
+would be assembled from the catalog queries instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import yaml
+
+from mysql2pg_spark.config import load_config
+from mysql2pg_spark.orchestrator import (
+    CatalogSnapshot,
+    ColumnMeta,
+    MigrationPipeline,
+    TableMeta,
+)
+from mysql2pg_spark.sinks.ddl import IndexSpec
+
+
+def load_snapshot(path: str) -> CatalogSnapshot:
+    """YAML → CatalogSnapshot (the offline stand-in for the A1-A11
+    information_schema scans)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    tables = []
+    for t in raw.get("tables", []):
+        tables.append(
+            TableMeta(
+                name=t["name"],
+                columns=[
+                    ColumnMeta(
+                        name=c["name"],
+                        column_type=c["type"],
+                        nullable=c.get("nullable", True),
+                        default=c.get("default"),
+                        comment=c.get("comment"),
+                        auto_increment=c.get("auto_increment", False),
+                    )
+                    for c in t.get("columns", [])
+                ],
+                comment=t.get("comment"),
+                primary_key=t.get("primary_key", []),
+                indexes=[
+                    IndexSpec(i["name"], i["columns"], i.get("unique", False))
+                    for i in t.get("indexes", [])
+                ],
+                row_count=t.get("row_count", 0),
+                pk_bounds=tuple(t["pk_bounds"]) if t.get("pk_bounds") else None,
+            )
+        )
+    return CatalogSnapshot(
+        tables=tables,
+        views=raw.get("views", {}),
+        users=raw.get("users", {}),
+        table_privileges=[
+            tuple(p) for p in raw.get("table_privileges", [])
+        ],
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="mysql2pg_spark")
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument(
+        "--mode", choices=("plan", "local", "live"), default="plan"
+    )
+    ap.add_argument("--snapshot", help="catalog snapshot YAML (plan/local)")
+    ap.add_argument("--source-dir", help="parquet source dir (local mode)")
+    ap.add_argument("--sink-dir", help="parquet sink dir (local mode)")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if not args.snapshot:
+        print("--snapshot is required (live catalog scan needs a server)",
+              file=sys.stderr)
+        return 2
+    pipe = MigrationPipeline(cfg, load_snapshot(args.snapshot))
+
+    if args.mode == "plan":
+        for a in pipe.plan():
+            print(
+                json.dumps(
+                    {
+                        "stage": a.stage,
+                        "kind": a.kind,
+                        "target": a.target,
+                        "payload": a.payload
+                        if isinstance(a.payload, (str, dict))
+                        else str(a.payload),
+                    }
+                )
+            )
+        return 0
+
+    from mysql2pg_spark.session import get_spark
+    from mysql2pg_spark.tables import load_table
+
+    spark = get_spark(app_name="mysql2pg_spark-cli")
+    if args.mode == "local":
+        if not (args.source_dir and args.sink_dir):
+            print("local mode needs --source-dir and --sink-dir",
+                  file=sys.stderr)
+            return 2
+        result = pipe.execute_local(
+            spark,
+            source_loader=lambda t: load_table(spark, args.source_dir, t),
+            sink_dir=args.sink_dir,
+        )
+        print(json.dumps({
+            "synced": result["synced"],
+            "validation": {
+                k: v.get("consistent") for k, v in result["validation"].items()
+            },
+            "n_ddl": len(result["ddl"]),
+        }))
+        return 0
+
+    # live: DB-API connection for the PG side; import lazily so the
+    # container (which has no driver) never pays for it.
+    import importlib
+
+    psycopg = importlib.import_module("psycopg2")  # or psycopg
+    conn = psycopg.connect(
+        host=cfg.postgresql.host,
+        port=cfg.postgresql.port,
+        user=cfg.postgresql.username,
+        password=cfg.postgresql.password,
+        dbname=cfg.postgresql.database,
+    )
+    result = pipe.execute(spark, conn)
+    print(json.dumps({"synced": result["synced"], "log": result["log"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -331,3 +331,61 @@ def test_example_config_round_trips():
     conv = raw["conversion"]
     assert set(conv["options"]) <= set(ConversionOptions.__dataclass_fields__)
     assert set(conv["limits"]) <= set(Limits.__dataclass_fields__)
+
+
+def _write_snapshot(tmp_path):
+    import yaml
+
+    snap = {
+        "tables": [
+            {
+                "name": "Orders",
+                "columns": [
+                    {"name": "ID", "type": "bigint", "nullable": False,
+                     "auto_increment": True},
+                    {"name": "Amount", "type": "decimal(10,2)"},
+                ],
+                "primary_key": ["ID"],
+                "indexes": [{"name": "idx_amount", "columns": ["Amount"]}],
+                "row_count": 1000,
+                "pk_bounds": [1, 1000],
+            }
+        ],
+        "views": {"v_top": "SELECT ID FROM Orders LIMIT 5, 10"},
+        "table_privileges": [["bob", "Orders", "Select"]],
+    }
+    p = tmp_path / "snapshot.yml"
+    p.write_text(yaml.safe_dump(snap))
+    return str(p)
+
+
+def test_cli_plan_mode(tmp_path, capsys):
+    """`python -m mysql2pg_spark -c cfg --mode plan --snapshot snap`
+    prints the ordered action list as JSON lines."""
+    import json
+
+    from mysql2pg_spark.__main__ import main
+
+    _cfg(tmp_path, view=True)  # writes tmp_path/config.yml
+    rc = main([
+        "-c", str(tmp_path / "config.yml"),
+        "--mode", "plan",
+        "--snapshot", _write_snapshot(tmp_path),
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    stages = [l["stage"] for l in lines]
+    assert stages.index("tableddl") < stages.index("view") < stages.index("data")
+    ddl = next(l for l in lines if l["stage"] == "tableddl")
+    assert "CREATE TABLE" in ddl["payload"]
+    view = next(l for l in lines if l["stage"] == "view")
+    assert "LIMIT 10 OFFSET 5" in view["payload"]
+    read = next(l for l in lines if l["kind"] == "read_plan")
+    assert read["payload"]["column"] == "ID"
+
+
+def test_cli_requires_snapshot(tmp_path):
+    from mysql2pg_spark.__main__ import main
+
+    _cfg(tmp_path)
+    assert main(["-c", str(tmp_path / "config.yml")]) == 2
