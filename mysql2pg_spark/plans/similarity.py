@@ -284,3 +284,87 @@ def d08_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_multitable(
         e, "vec_id", "embedding", COS_T, NUM_TABLES, NUM_PLANES, DIMS
     )
+
+
+# --------------------------------------------------------------------------
+# s04 — IVF with one Lloyd round: sampled-point centroids are a weak
+# quantizer; refine them once as per-cluster means (integer-quantized for
+# cross-engine exactness — see similarity.refine_centroids) and run the
+# same probe/re-rank pipeline. Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+QUANT = "1000000.0"
+
+
+def _mean_sql() -> str:
+    return (
+        f"CAST(SUM(CAST(round(CAST(a.embedding[p.pos] AS DOUBLE) * {QUANT}, 0)"
+        f" AS HUGEINT)) AS DOUBLE) / ({QUANT} * CAST(COUNT(*) AS DOUBLE))"
+    )
+
+
+@query(
+    "s04_knn_ivf_refined",
+    oracle=f"""
+WITH cent0 AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 1
+),
+assign0 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_raw_cos('v.embedding', 'c.c')} DESC, c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN cent0 c
+  ) WHERE rn = 1
+),
+refined AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS c FROM (
+    SELECT a.centroid_id, p.pos, {_mean_sql()} AS m
+    FROM assign0 a, UNNEST(range(1, {DIMS} + 1)) AS p(pos)
+    GROUP BY a.centroid_id, p.pos
+  ) GROUP BY centroid_id
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_raw_cos('v.embedding', 'c.c')} DESC, c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN refined c
+  ) WHERE rn <= {CORPUS_ASSIGN}
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_raw_cos('v.embedding', 'c.c')} DESC, c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN refined c
+    WHERE v.vec_id % {QUERY_MOD} = 0
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id,
+         round({_raw_cos('p.qv', 'a.nv')}, 9) AS cos_sim
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+    driver=False,
+)
+def s04_knn_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cent0 = e.filter(F.col("vec_id") % CENTROID_MOD == 1)
+    refined = S.refine_centroids(e, cent0, "vec_id", "embedding", iters=1)
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_ivf(
+        e, q, refined, "vec_id", "embedding", K, N_PROBE, CORPUS_ASSIGN
+    )
