@@ -34,6 +34,28 @@ def token_count(c) -> Column:
     return F.size(tokens(c)).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer classes: contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# residual whitespace. Kept to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB) so the count is oracle-checkable.
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(c) -> Column:
+    """BPE-ish pre-tokenization (the merge step of real BPE operates
+    within these pieces, so their count upper-bounds and tracks the true
+    token count far better than whitespace words do — code/punctuation
+    split out, contractions split off)."""
+    return F.regexp_extract_all(_c(c), F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(c) -> Column:
+    """Piece count excluding pure-whitespace pieces."""
+    return F.size(
+        F.filter(bpe_tokens(c), lambda t: ~t.rlike(r"^\s+$"))
+    ).cast("bigint")
+
+
 def ngrams_from_tokens(t: Column, n: int) -> Column:
     """N-gram shingles from an ALREADY-MATERIALIZED token array column.
 

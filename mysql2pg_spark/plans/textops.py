@@ -385,3 +385,40 @@ def t08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t09 — BPE-ish token counting next to whitespace counting: GPT-2-style
+# pre-tokenizer pieces (contractions / letter runs / digit runs /
+# punctuation runs), whitespace pieces excluded. The piece count tracks
+# real tokenizer counts far better than whitespace words on code/punct
+# text. Not in the driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+from mysql2pg_spark.operators.textops import BPE_SPLIT_RE  # noqa: E402
+
+_BPE_SQL_PAT = BPE_SPLIT_RE.replace("'", "''")
+
+
+@query(
+    "t09_bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}'),
+                            x -> NOT regexp_matches(x, '^\\s+$'))) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    driver=False,
+)
+def t09_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators import textops as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
