@@ -3,11 +3,14 @@
 - ``knn_bruteforce``: exact top-k cosine — the correctness baseline.
   The query set is broadcast (it is small by construction); the corpus
   is scanned once, no shuffle until the per-query top-k (AQE-coalesced).
-- ``hyperplane_bucket`` + ``knn_lsh``: the scale path. Random-hyperplane
-  LSH with hyperplanes derived *deterministically* from md5 digits (no
-  RNG state → reproducible anywhere, incl. an external SQL oracle).
-  Corpus is bucketed once (map-only), queries probe their bucket —
-  turning 100 TB × q into bucket-local joins.
+- ``hyperplane_bucket`` + ``probe_buckets`` + ``knn_lsh``: the LSH scale
+  path. Random-hyperplane buckets with weights derived deterministically
+  from md5 digits (no RNG state → reproducible anywhere, incl. an
+  external SQL oracle), L independent tables, multi-probe querying.
+  Corpus is bucketed map-only; candidates stay bucket-local at any size.
+- ``ivf_assignments`` + ``refine_centroids`` + ``knn_ivf``: the IVF
+  scale path. Broadcast centroids, soft corpus assignment, n_probe
+  query probing, optional deterministic Lloyd refinement rounds.
 """
 
 from __future__ import annotations

@@ -335,21 +335,44 @@ class MigrationPipeline:
             from mysql2pg_spark.sinks.jdbc_sink import JdbcSinkConfig, write_jdbc
 
             sink_cfg = JdbcSinkConfig(
-                url=self.cfg.postgres.jdbc_url,
-                user=self.cfg.postgres.username,
-                password=self.cfg.postgres.password,
+                url=self.cfg.postgresql.jdbc_url,
+                user=self.cfg.postgresql.username,
+                password=self.cfg.postgresql.password,
                 truncate_before_sync=self.cfg.options.truncate_before_sync,
             )
             sink_writer = lambda df, table: write_jdbc(df, sink_cfg, table)  # noqa: E731
         if dest_reader is None:
             dest_reader = lambda sp, table: sp.read.jdbc(  # noqa: E731
-                self.cfg.postgres.jdbc_url,
+                self.cfg.postgresql.jdbc_url,
                 table,
                 properties={
-                    "user": self.cfg.postgres.username,
-                    "password": self.cfg.postgres.password,
+                    "user": self.cfg.postgresql.username,
+                    "password": self.cfg.postgresql.password,
                 },
             )
+
+        # D6 test_only: probe both endpoints, run nothing (config.go —
+        # the reference validates connections and exits).
+        if self.cfg.mysql.test_only or self.cfg.postgresql.test_only:
+            probe: dict[str, bool] = {}
+            try:
+                pg_conn.cursor().execute("SELECT 1")
+                probe["postgresql"] = True
+            except Exception as e:
+                probe["postgresql"] = False
+                logger.table_error("test_only", "postgresql", e)
+            try:
+                first = self._selected_tables()
+                if first:
+                    source_reader(
+                        spark, {"table": first[0].name}
+                    ).limit(1).count()
+                probe["mysql"] = True
+            except Exception as e:
+                probe["mysql"] = False
+                logger.table_error("test_only", "mysql", e)
+            logger.info(f"test_only probe: {probe}")
+            return {"test_only": probe, "log": logger.summary()}
 
         actions = self.plan()
         by_stage: dict[str, list[Action]] = {}

@@ -389,3 +389,33 @@ def test_cli_requires_snapshot(tmp_path):
 
     _cfg(tmp_path)
     assert main(["-c", str(tmp_path / "config.yml")]) == 2
+
+
+def test_execute_test_only_probes_and_runs_nothing(tmp_path, spark):
+    """D6: test_only probes both endpoints through the seams and returns
+    without planning or executing any stage (reference: validate
+    connections, then exit)."""
+    from mysql2pg_spark.runlog import RunLogger
+
+    cfg = _cfg(tmp_path)
+    cfg.mysql.test_only = True
+    conn = _FakeConn()
+    probed = []
+
+    result = MigrationPipeline(cfg, _snapshot()).execute(
+        spark,
+        conn,
+        source_reader=lambda sp, plan: (
+            probed.append(plan["table"]),
+            sp.range(1),
+        )[1],
+        sink_writer=lambda df, table: (_ for _ in ()).throw(
+            AssertionError("must not write in test_only")
+        ),
+        dest_reader=lambda sp, table: sp.range(1),
+        logger=RunLogger(str(tmp_path / "logs")),
+    )
+    assert result["test_only"] == {"mysql": True, "postgresql": True}
+    assert "synced" not in result
+    assert conn.executed == ["SELECT 1"]  # probe only, no DDL
+    assert probed == ["Orders"]           # first selected table, limit 1
