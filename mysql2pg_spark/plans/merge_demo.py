@@ -106,3 +106,42 @@ def cc02_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.plans.dedup import neardup_pairs
 
     return connected_components_star(neardup_pairs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# d09 — dedup APPLIED: the end of the near-dup pipeline. Every document
+# survives unless it sits in a near-dup cluster and is not the cluster's
+# canonical (minimum-id) member — the corpus a training run would
+# actually consume. Shape at scale: the cluster map is tiny relative to
+# the corpus (only docs with a near-dup), so the anti-join broadcasts.
+# --------------------------------------------------------------------------
+_CC_BODY = _CC_ORACLE[_CC_ORACLE.index("WITH RECURSIVE") + len("WITH RECURSIVE"):
+                      _CC_ORACLE.index("SELECT n AS node")]
+
+
+@query(
+    "d09_dedup_apply",
+    oracle=f"""
+WITH RECURSIVE {_CC_BODY.strip()},
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+LEFT JOIN comp ON comp.node = d.doc_id
+WHERE comp.node IS NULL OR comp.component = d.doc_id
+ORDER BY d.doc_id
+""",
+    driver=False,
+)
+def d09_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.plans.dedup import neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(neardup_pairs(spark, sf_dir))
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )

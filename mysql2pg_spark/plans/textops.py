@@ -422,3 +422,62 @@ def t09_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count("text").alias("n_ws_tokens"),
         T.bpe_token_count("text").alias("n_bpe_tokens"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t10 — token-window chunking: split each document into fixed-size token
+# windows with overlap (stride < size), the standard pre-training /
+# embedding chunker. Pure HOFs over a materialized token array (one
+# sequence → slice per window start), exploded to one row per chunk.
+# Window starts at 0, stride CHUNK_STRIDE; short tails kept (a doc
+# shorter than the window yields exactly one chunk).
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "t10_chunking",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - {CHUNK_SIZE}, 0) + 1, {CHUNK_STRIDE}))
+           AS start
+  FROM toks
+)
+SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(t, start + 1, start + {CHUNK_SIZE})) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(t, start + 1, start + {CHUNK_SIZE}), ' ')
+         AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_start
+""",
+    driver=False,
+)
+def t10_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("t"))
+    # window starts: 0, stride, 2*stride, … ≤ max(len-size, 0)
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("t") - CHUNK_SIZE, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("chunk_start") + 1, CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_start").cast("bigint"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_start")
