@@ -260,6 +260,52 @@ def transpile_mysql(sql: str) -> str:
     s = rewrite_call(
         s, "JSON_VALUE", lambda a: f"get_json_object({a[0]}, {a[1]})"
     )
+    # C66-C69: the wider JSON battery the fixture views use
+    # (create_view.sql) — same semantics as functions/mysql_compat's
+    # column implementations, emitted as Spark SQL text.
+    def _jlen(a: list[str]) -> str:
+        src = (
+            f"get_json_object(CAST({a[0]} AS STRING), {a[1]})"
+            if len(a) > 1
+            else f"CAST({a[0]} AS STRING)"
+        )
+        return (
+            f"CAST(CASE WHEN ({src}) IS NULL THEN NULL"
+            f" WHEN json_array_length({src}) IS NOT NULL"
+            f" THEN json_array_length({src})"
+            f" WHEN trim({src}) LIKE '{{%' THEN size(json_object_keys({src}))"
+            f" ELSE 1 END AS BIGINT)"
+        )
+
+    s = rewrite_call(s, "JSON_LENGTH", _jlen)
+    s = rewrite_call(
+        s, "JSON_KEYS", lambda a: f"json_object_keys(CAST({a[0]} AS STRING))"
+    )
+    s = rewrite_call(
+        s,
+        "JSON_VALID",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE try_parse_json(CAST({a[0]} AS STRING)) IS NOT NULL END)"
+        ),
+    )
+
+    def _jtype(a: list[str]) -> str:
+        t = f"trim(CAST({a[0]} AS STRING))"
+        return (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS STRING)"
+            f" WHEN {t} LIKE '{{%' THEN 'OBJECT'"
+            f" WHEN {t} LIKE '[%' THEN 'ARRAY'"
+            f" WHEN {t} LIKE '\"%' THEN 'STRING'"
+            f" WHEN {t} IN ('true', 'false') THEN 'BOOLEAN'"
+            f" WHEN {t} = 'null' THEN 'NULL'"
+            f" WHEN {t} RLIKE '^-?[0-9]+$' THEN 'INTEGER'"
+            f" WHEN {t} RLIKE '^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$'"
+            f" THEN 'DOUBLE'"
+            f" ELSE 'UNKNOWN' END)"
+        )
+
+    s = rewrite_call(s, "JSON_TYPE", _jtype)
     # C56: TO_DAYS (day 1 = 0000-01-01; Spark anchors at 0001-01-01 = 366)
     s = rewrite_call(
         s, "TO_DAYS", lambda a: f"(datediff({a[0]}, DATE'0001-01-01') + 366)"

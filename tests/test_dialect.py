@@ -75,3 +75,37 @@ def test_str_to_date_returns_date_for_date_only_formats():
     # dynamic (non-literal) format: can't inspect → keep timestamp
     out = transpile_mysql("SELECT STR_TO_DATE(s, fmt_col) FROM t")
     assert "to_timestamp(s, fmt_col)" in out
+
+
+def test_json_battery_rewrites_execute(spark):
+    """The fixture views' wider JSON surface (create_view.sql uses
+    JSON_LENGTH/KEYS/TYPE/VALID) transpiles to executable Spark SQL with
+    MySQL semantics."""
+    out = transpile_mysql(
+        "SELECT JSON_LENGTH(j), JSON_TYPE(j), JSON_VALID(j), "
+        "JSON_LENGTH(j, '$.a'), JSON_KEYS(j) FROM t"
+    )
+    assert "JSON_LENGTH" not in out.upper().replace("JSON_ARRAY_LENGTH", "")
+    row = spark.sql(
+        out.replace(
+            "FROM t",
+            "FROM VALUES ('{\"a\": [1, 2, 3], \"b\": 1}') AS t(j)",
+        )
+    ).collect()[0]
+    assert row[0] == 2           # object with 2 keys
+    assert row[1] == "OBJECT"
+    assert row[2] is True
+    assert row[3] == 3           # $.a is a 3-element array
+    assert list(row[4]) == ["a", "b"]
+
+    row2 = spark.sql(
+        transpile_mysql("SELECT JSON_TYPE(j), JSON_LENGTH(j), JSON_VALID(j) FROM t")
+        .replace("FROM t", "FROM VALUES ('12.5') AS t(j)")
+    ).collect()[0]
+    assert row2[0] == "DOUBLE" and row2[1] == 1 and row2[2] is True
+
+    row3 = spark.sql(
+        transpile_mysql("SELECT JSON_VALID(j) FROM t")
+        .replace("FROM t", "FROM VALUES ('{broken') AS t(j)")
+    ).collect()[0]
+    assert row3[0] is False
