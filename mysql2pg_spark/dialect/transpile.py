@@ -306,6 +306,36 @@ def transpile_mysql(sql: str) -> str:
         )
 
     s = rewrite_call(s, "JSON_TYPE", _jtype)
+    # C70-C72: UDF-backed names (register via mysql_compat.
+    # register_compat_udfs — create_view does this automatically).
+    # (j, 'one'|'all', path...) — 'all' chains with AND, 'one' with OR.
+    # The mode arrives as a masked literal token; resolve it via lits.
+    def _jcontains_path(a: list[str]) -> str:
+        mode = a[1]
+        mo = re.fullmatch("\x00L(\\d+)\x00", a[1].strip())
+        if mo:
+            mode = lits[int(mo.group(1))]
+        joiner = " AND " if "all" in mode.lower() else " OR "
+        return "(" + joiner.join(
+            f"get_json_object(CAST({a[0]} AS STRING), {p}) IS NOT NULL"
+            for p in a[2:]
+        ) + ")"
+
+    s = rewrite_call(s, "JSON_CONTAINS_PATH", _jcontains_path)
+    s = rewrite_call(
+        s, "JSON_PRETTY", lambda a: f"mysql_json_pretty(CAST({a[0]} AS STRING))"
+    )
+    s = rewrite_call(
+        s, "JSON_DEPTH", lambda a: f"mysql_json_depth(CAST({a[0]} AS STRING))"
+    )
+    s = rewrite_call(
+        s,
+        "JSON_OVERLAPS",
+        lambda a: (
+            f"mysql_json_overlaps(CAST({a[0]} AS STRING), "
+            f"CAST({a[1]} AS STRING))"
+        ),
+    )
     # C56: TO_DAYS (day 1 = 0000-01-01; Spark anchors at 0001-01-01 = 366)
     s = rewrite_call(
         s, "TO_DAYS", lambda a: f"(datediff({a[0]}, DATE'0001-01-01') + 366)"
@@ -339,6 +369,9 @@ def transpile_mysql(sql: str) -> str:
 def create_view(spark, name: str, mysql_sql: str, replace: bool = True):
     """C94: view DDL — translate the MySQL body and register as a Spark
     temp view; returns the transpiled text for inspection/sink DDL."""
+    from mysql2pg_spark.functions.mysql_compat import register_compat_udfs
+
+    register_compat_udfs(spark)  # JSON_PRETTY/DEPTH/OVERLAPS call sites
     body = transpile_mysql(mysql_sql)
     clause = "CREATE OR REPLACE TEMP VIEW" if replace else "CREATE TEMP VIEW"
     spark.sql(f"{clause} {name} AS {body}")

@@ -720,6 +720,88 @@ def json_depth(c) -> Column:
     return depth(_c(c).cast("string"))
 
 
+def _overlap_py(a, b):
+    """MySQL JSON_OVERLAPS comparison over parsed values: arrays share an
+    element; objects share a key/value pair; scalar vs array = membership;
+    scalar vs scalar = equality."""
+    a_arr, b_arr = isinstance(a, list), isinstance(b, list)
+    if a_arr and b_arr:
+        return any(x in b for x in a)
+    if isinstance(a, dict) and isinstance(b, dict):
+        return any(k in b and b[k] == v for k, v in a.items())
+    if a_arr != b_arr:
+        scalar, arr = (b, a) if a_arr else (a, b)
+        return not isinstance(scalar, (dict, list)) and scalar in arr
+    return not isinstance(a, (dict, list)) and a == b
+
+
+def json_overlaps(a, b) -> Column:
+    """C71 JSON_OVERLAPS(a, b) — any shared element / key-value pair /
+    equal scalar (the reference passes it through; PG 16 has
+    jsonb_path-based equivalents)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BooleanType())
+    def overlaps(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        def one(va, vb):
+            if va is None or vb is None:
+                return None
+            try:
+                return _overlap_py(_json.loads(va), _json.loads(vb))
+            except (ValueError, TypeError):
+                return None
+
+        return pd.Series(
+            [one(x, y) for x, y in zip(sa, sb)], dtype="object"
+        )
+
+    return overlaps(_c(a).cast("string"), _c(b).cast("string"))
+
+
+def register_compat_udfs(spark) -> None:
+    """Register the non-builtin-expressible JSON functions under
+    ``mysql_*`` names so TRANSPILED view text can call them from Spark
+    SQL (the engine-side Column API uses the functions above directly).
+    Idempotent; row-at-a-time cost is confined to the view-compat path.
+    """
+    import json as js
+
+    def _pretty(v):
+        if v is None:
+            return None
+        try:
+            return js.dumps(js.loads(v), indent=2)
+        except (ValueError, TypeError):
+            return None
+
+    def _depth_of(v):
+        if isinstance(v, dict):
+            return 1 + max((_depth_of(x) for x in v.values()), default=0)
+        if isinstance(v, list):
+            return 1 + max((_depth_of(x) for x in v), default=0)
+        return 1
+
+    def _depth(v):
+        if v is None:
+            return None
+        try:
+            return _depth_of(js.loads(v))
+        except (ValueError, TypeError):
+            return None
+
+    def _overlaps(a, b):
+        if a is None or b is None:
+            return None
+        try:
+            return _overlap_py(js.loads(a), js.loads(b))
+        except (ValueError, TypeError):
+            return None
+
+    spark.udf.register("mysql_json_pretty", _pretty, "string")
+    spark.udf.register("mysql_json_depth", _depth, "int")
+    spark.udf.register("mysql_json_overlaps", _overlaps, "boolean")
+
+
 # ===========================================================================
 # C.7 — system / crypto / network
 # ===========================================================================

@@ -109,3 +109,28 @@ def test_json_battery_rewrites_execute(spark):
         .replace("FROM t", "FROM VALUES ('{broken') AS t(j)")
     ).collect()[0]
     assert row3[0] is False
+
+
+def test_json_udf_backed_rewrites_execute(spark):
+    """JSON_PRETTY/DEPTH/OVERLAPS/CONTAINS_PATH — the UDF-backed tail of
+    the fixture views' JSON surface — execute after create_view's
+    compat-UDF registration."""
+    from mysql2pg_spark.functions.mysql_compat import register_compat_udfs
+
+    register_compat_udfs(spark)
+    out = transpile_mysql(
+        "SELECT JSON_DEPTH(j), JSON_OVERLAPS(j, k), "
+        "JSON_CONTAINS_PATH(j, 'one', '$.a', '$.zz'), "
+        "JSON_CONTAINS_PATH(j, 'all', '$.a', '$.zz'), JSON_PRETTY(j) FROM t"
+    )
+    row = spark.sql(
+        out.replace(
+            "FROM t",
+            'FROM VALUES (\'{"a": {"b": 1}}\', \'{"a": {"b": 1}, "c": 2}\')'
+            " AS t(j, k)",
+        )
+    ).collect()[0]
+    assert row[0] == 3                      # depth: obj > obj > scalar
+    assert row[1] is True                   # shared ("a", {"b": 1}) pair
+    assert row[2] is True and row[3] is False  # one vs all
+    assert '"a"' in row[4] and "\n" in row[4]  # pretty-printed
