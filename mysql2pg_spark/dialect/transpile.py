@@ -92,8 +92,10 @@ def rewrite_call(
     sql: str, func: str, builder: Callable[[list[str]], str]
 ) -> str:
     """Replace every FUNC(args…) with builder(top-level-args), innermost
-    nesting handled by repeated scanning."""
-    pat = re.compile(rf"\b{func}\s*\(", re.I)
+    nesting handled by repeated scanning. The \x02 lookbehind keeps a
+    rewriter from matching inside another rewriter's sentinel output
+    (e.g. TIME( inside from_unix\x02time()."""
+    pat = re.compile(rf"(?<!\x02)\b{func}\s*\(", re.I)
     while True:
         mo = pat.search(sql)
         if not mo:
@@ -194,8 +196,25 @@ def transpile_mysql(sql: str) -> str:
     )
     s = re.sub(r"\bDATABASE\s*\(\s*\)", "current_database()", s, flags=re.I)
 
+    # MySQL collation names → Spark collation identifiers (Spark 4 has
+    # real collation support; the names differ): *_bin stays binary,
+    # any *_ci becomes case-insensitive Unicode, anything else Unicode.
+    def _collation(mo: re.Match) -> str:
+        name = mo.group(1).lower()
+        if name.endswith("_bin"):
+            return "COLLATE UTF8_BINARY"
+        if name.endswith("_ci"):
+            return "COLLATE UNICODE_CI"
+        return "COLLATE UNICODE"
+
+    s = re.sub(r"\bCOLLATE\s+(\w+)", _collation, s, flags=re.I)
+
     # C31: ISNULL(x) → (x IS NULL)
     s = rewrite_call(s, "ISNULL", lambda a: f"({a[0]} IS NULL)")
+    # C12-C28: classic MySQL aliases Spark lacks
+    s = rewrite_call(s, "MID", lambda a: f"substring({', '.join(a)})")
+    s = rewrite_call(s, "LCASE", lambda a: f"lower({a[0]})")
+    s = rewrite_call(s, "UCASE", lambda a: f"upper({a[0]})")
     # C24: STRCMP
     s = rewrite_call(
         s,
@@ -336,6 +355,63 @@ def transpile_mysql(sql: str) -> str:
             f"CAST({a[1]} AS STRING))"
         ),
     )
+    # C57: TIME literals/columns travel as strings (no Spark TimeType)
+    def _time_to_sec(a: list[str]) -> str:
+        p = f"split(CAST({a[0]} AS STRING), ':')"
+        return (
+            f"(CAST({p}[0] AS BIGINT) * 3600 + CAST({p}[1] AS BIGINT) * 60"
+            f" + CAST(CAST({p}[2] AS DOUBLE) AS BIGINT))"
+        )
+
+    s = rewrite_call(s, "TIME_TO_SEC", _time_to_sec)
+
+    def _sec_to_time(a: list[str]) -> str:
+        n = f"CAST({a[0]} AS BIGINT)"
+        return (
+            f"concat_ws(':', lpad(CAST({n} div 3600 AS STRING), 2, '0'),"
+            f" lpad(CAST(({n} % 3600) div 60 AS STRING), 2, '0'),"
+            f" lpad(CAST({n} % 60 AS STRING), 2, '0'))"
+        )
+
+    s = rewrite_call(s, "SEC_TO_TIME", _sec_to_time)
+
+    # C58: TIMEDIFF over timestamps → signed 'HH:MM:SS' (can exceed 24h)
+    def _timediff(a: list[str]) -> str:
+        sec = f"(unix_timestamp({a[0]}) - unix_timestamp({a[1]}))"
+        ab = f"abs({sec})"
+        return (
+            f"concat(CASE WHEN {sec} < 0 THEN '-' ELSE '' END,"
+            f" lpad(CAST({ab} div 3600 AS STRING), 2, '0'), ':',"
+            f" lpad(CAST(({ab} % 3600) div 60 AS STRING), 2, '0'), ':',"
+            f" lpad(CAST({ab} % 60 AS STRING), 2, '0'))"
+        )
+
+    s = rewrite_call(s, "TIMEDIFF", _timediff)
+    # C59: TIME(x) — time-part extraction as the engine's TIME carrier
+    # (HH:mm:ss string; Spark's TIME type is unsupported in views)
+    s = rewrite_call(
+        s, "TIME", lambda a: f"date_format({a[0]}, 'HH:mm:ss')"
+    )
+    # C55: WEEK(d[, mode]) → weekofyear (ISO weeks = MySQL mode 3; the
+    # default-mode year-boundary difference is accepted and documented)
+    s = rewrite_call(s, "WEEK", lambda a: f"weekofyear({a[0]})")
+
+    # C48: DATE_ADD/DATE_SUB with INTERVAL units → arithmetic (Spark's
+    # date_add only takes day counts; +/- INTERVAL covers every unit)
+    def _date_arith(sign: str):
+        def build(a: list[str]) -> str:
+            if len(a) > 1 and re.match(r"^\s*INTERVAL\b", a[1], re.I):
+                return f"({a[0]} {sign} {a[1]})"
+            fn = "date_add" if sign == "+" else "date_sub"
+            return f"date_\x02{fn[5:]}({', '.join(a)})"
+
+        return build
+
+    s = rewrite_call(s, "DATE_ADD", _date_arith("+"))
+    s = rewrite_call(s, "DATE_SUB", _date_arith("-"))
+    s = rewrite_call(s, "ADDDATE", _date_arith("+"))
+    s = rewrite_call(s, "SUBDATE", _date_arith("-"))
+
     # C56: TO_DAYS (day 1 = 0000-01-01; Spark anchors at 0001-01-01 = 366)
     s = rewrite_call(
         s, "TO_DAYS", lambda a: f"(datediff({a[0]}, DATE'0001-01-01') + 366)"

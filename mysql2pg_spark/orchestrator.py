@@ -262,11 +262,16 @@ class MigrationPipeline:
                 name = self._norm(c.name)
                 if name not in df.columns:
                     continue
-                base = c.column_type.split("(")[0].lower()
+                ct = c.column_type.lower()
+                base = ct.split("(")[0]
                 if base in self._ZERO_DATE_TYPES:
                     df = df.withColumn(name, normalize_zero_dates(name))
                 elif base in self._POINT_TYPES:
                     df = df.withColumn(name, decode_mysql_point(df[name]))
+                elif ct.startswith("tinyint(1)"):
+                    # engine carries smallint (MySQL-numeric semantics);
+                    # the PG sink column is BOOLEAN
+                    df = df.withColumn(name, df[name].cast("boolean"))
             gen = [
                 (self._norm(c.name), c.default[len("GENERATED:"):])
                 for c in t.columns

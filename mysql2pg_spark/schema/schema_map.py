@@ -88,7 +88,15 @@ def map_mysql_type(mysql_type: str, auto_increment: bool = False) -> TypeMapping
 
     # ---- exact-width specials first ------------------------------------
     if _RE_TINYINT1.match(t):
-        return m(BooleanType(), "BOOLEAN")
+        # MySQL tinyint(1) IS numeric — views compare and do arithmetic
+        # on it (the reference's own fixture does: is_active = 1,
+        # ROUND(is_active, 2)). Carry SMALLINT engine-side so those
+        # expressions type-check exactly as in MySQL; the sink column is
+        # BOOLEAN (reference parity, sync_tableddl.go:121) with the 0/1
+        # → false/true cast applied at the write boundary
+        # (orchestrator._value_fix_transform).
+        notes = "tinyint(1): smallint engine-side, boolean at the sink"
+        return m(ShortType(), "BOOLEAN")
     if mo := _RE_DECIMAL.match(t):
         p, s = int(mo.group(1)), int(mo.group(2))
         cp, cs = p, s
