@@ -182,6 +182,16 @@ def transpile_mysql(sql: str) -> str:
         )
         if mo:
             return f"CA\x02ST(round({mo.group(1)}, 0) AS BIGINT)"
+        # MySQL-only target types Spark's CAST doesn't know
+        mo = re.match(r"(?s)^(.*?)\s+AS\s+(\w+)(\([^)]*\))?\s*$", arg, re.I)
+        if mo:
+            expr, ty = mo.group(1), mo.group(2).upper()
+            if ty == "DATETIME":
+                return f"CA\x02ST({expr} AS TIMESTAMP)"
+            if ty == "TIME":
+                return f"date_for\x02mat({expr}, 'HH:mm:ss')"
+            if ty == "CHAR" and not mo.group(3):
+                return f"CA\x02ST({expr} AS STRING)"
         return f"CA\x02ST({arg})"
 
     s = rewrite_call(s, "CAST", _cast)

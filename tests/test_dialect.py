@@ -36,7 +36,7 @@ def test_cast_signed_rounds():
     assert out == "SELECT CAST(round(x, 0) AS BIGINT) FROM t"
     # nested casts terminate and only rewrite the SIGNED one
     out2 = transpile_mysql("SELECT CAST(CAST(x AS CHAR) AS UNSIGNED) FROM t")
-    assert "round(CAST(x AS CHAR), 0)" in out2
+    assert "round(CAST(x AS STRING), 0)" in out2  # CHAR → STRING
 
 
 def test_group_concat_variants():
@@ -225,3 +225,23 @@ def test_fixture_views_execute_on_schema_mapped_tables(spark):
         create_view(spark, vname, body)
         rows = spark.table(vname).collect()  # executes the full view
         assert rows is not None, vname
+
+
+def test_cast_mysql_target_types(spark):
+    """CAST to MySQL-only target types: DATETIME → TIMESTAMP, TIME →
+    HH:mm:ss string, bare CHAR → STRING."""
+    out = transpile_mysql(
+        "SELECT CAST(s AS DATETIME), CAST(ts AS TIME), CAST(n AS CHAR) FROM t"
+    )
+    assert "CAST(s AS TIMESTAMP)" in out
+    assert "date_format(ts, 'HH:mm:ss')" in out
+    assert "CAST(n AS STRING)" in out
+    row = spark.sql(
+        out.replace(
+            "FROM t",
+            "FROM VALUES ('2024-05-01 10:30:00', timestamp'2024-05-01 10:30:00', 7) AS t(s, ts, n)",
+        )
+    ).collect()[0]
+    assert str(row[0]) == "2024-05-01 10:30:00"
+    assert row[1] == "10:30:00"
+    assert row[2] == "7"
