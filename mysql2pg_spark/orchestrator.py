@@ -411,6 +411,13 @@ class MigrationPipeline:
             if reads:
 
                 def sync_one(a: Action) -> tuple[str, int]:
+                    # D4 progress surface (sync_data.go:279-310): one
+                    # line per table at start; Spark UI carries the
+                    # within-table partition progress.
+                    logger.info(
+                        f"sync {a.target}: start "
+                        f"({a.payload.get('numPartitions', 1)} partitions)"
+                    )
                     df = source_reader(spark, a.payload)
                     meta = meta_by_name.get(a.target)
                     if meta is not None:

@@ -240,6 +240,7 @@ def test_execute_live_path_with_fakes(tmp_path, spark):
     assert result["log"]["n_errors"] == 0
     log_text = (tmp_path / "logs" / "conversion.log").read_text()
     assert "stage data: done" in log_text
+    assert "sync orders: start" in log_text       # D4 per-table progress
     assert "synced orders: 1500 rows" in log_text
     assert not os.path.exists(tmp_path / "logs" / "errors.log")
 
