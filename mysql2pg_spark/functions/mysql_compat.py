@@ -672,6 +672,40 @@ def json_merge_patch(doc, patch) -> Column:
     return merge(_c(doc), _lit(patch))
 
 
+def _merge_preserve_py(a, b):
+    """MySQL JSON_MERGE_PRESERVE: arrays concatenate, objects merge with
+    same-key values themselves merge-preserved, scalars wrap to arrays."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _merge_preserve_py(out[k], v) if k in out else v
+        return out
+    la = a if isinstance(a, list) else [a]
+    lb = b if isinstance(b, list) else [b]
+    return la + lb
+
+
+def json_merge_preserve(doc, other) -> Column:
+    """C75 JSON_MERGE[_PRESERVE] → jsonb_concat analog (the reference
+    maps both spellings to one behavior, sync_viewddl.go:469-474)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def merge(d: pd.Series, o: pd.Series) -> pd.Series:
+        def one(dv, ov):
+            if dv is None or ov is None:
+                return None
+            try:
+                merged = _merge_preserve_py(_json.loads(dv), _json.loads(ov))
+            except (ValueError, TypeError):
+                return None
+            return _json.dumps(merged, separators=(",", ":"))
+
+        return pd.Series([one(a, b) for a, b in zip(d, o)], dtype="object")
+
+    return merge(_c(doc), _lit(other))
+
+
 def json_pretty(c) -> Column:
     """C70 JSON_PRETTY → jsonb_pretty (UDF over json.dumps, per the
     SURVEY mapping)."""

@@ -61,3 +61,20 @@ def test_json_extended_family(spark):
     assert r[0]["m"] == '{"b":{"c":[1,2]},"x":5}'
     assert r[0]["p"].startswith('{\n  "a": 1')
     assert r[1]["d"] is None and r[1]["m"] is None and r[1]["p"] is None
+
+
+def test_json_merge_preserve(spark):
+    """C75 JSON_MERGE_PRESERVE: arrays concat, same-key object values
+    merge-preserve recursively, scalars wrap to arrays."""
+    from mysql2pg_spark.functions import mysql_compat as M
+
+    df = spark.createDataFrame(
+        [('{"a":1,"b":[1],"c":{"x":1}}',), (None,)], "j string"
+    )
+    r = df.select(
+        M.json_merge_preserve("j", '{"a":2,"b":[2],"c":{"x":9,"y":0}}').alias("m"),
+        M.json_merge_preserve("j", "[7]").alias("arr"),
+    ).collect()
+    assert r[0]["m"] == '{"a":[1,2],"b":[1,2],"c":{"x":[1,9],"y":0}}'
+    assert r[0]["arr"] == '[{"a":1,"b":[1],"c":{"x":1}},7]'
+    assert r[1]["m"] is None and r[1]["arr"] is None
