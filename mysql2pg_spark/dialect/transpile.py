@@ -205,6 +205,8 @@ def transpile_mysql(sql: str) -> str:
         flags=re.I,
     )
     s = re.sub(r"\bDATABASE\s*\(\s*\)", "current_database()", s, flags=re.I)
+    s = re.sub(r"\bSCHEMA\s*\(\s*\)", "current_database()", s, flags=re.I)
+    s = re.sub(r"\bUSER\s*\(\s*\)", "current_user()", s, flags=re.I)
 
     # MySQL collation names → Spark collation identifiers (Spark 4 has
     # real collation support; the names differ): *_bin stays binary,
@@ -397,6 +399,29 @@ def transpile_mysql(sql: str) -> str:
         )
 
     s = rewrite_call(s, "TIMEDIFF", _timediff)
+
+    # C58: ADDTIME/SUBTIME — shift by a 'HH:MM:SS' duration
+    def _time_shift(sign: str):
+        def build(a: list[str]) -> str:
+            p = f"split(CAST({a[1]} AS STRING), ':')"
+            secs = (
+                f"(CAST({p}[0] AS BIGINT) * 3600 + CAST({p}[1] AS BIGINT) * 60"
+                f" + CAST(CAST({p}[2] AS DOUBLE) AS BIGINT))"
+            )
+            return f"({a[0]} {sign} make_dt_interval(0, 0, 0, {secs}))"
+
+        return build
+
+    s = rewrite_call(s, "ADDTIME", _time_shift("+"))
+    s = rewrite_call(s, "SUBTIME", _time_shift("-"))
+    # C21: INSERT(str, pos, len, newstr) — string splice → overlay
+    s = rewrite_call(
+        s,
+        "INSERT",
+        lambda a: f"overlay({a[0]}, {a[3]}, {a[1]}, {a[2]})"
+        if len(a) == 4
+        else f"INSE\x02RT({', '.join(a)})",
+    )
     # C59: TIME(x) — time-part extraction as the engine's TIME carrier
     # (HH:mm:ss string; Spark's TIME type is unsupported in views)
     s = rewrite_call(

@@ -245,3 +245,24 @@ def test_cast_mysql_target_types(spark):
     assert str(row[0]) == "2024-05-01 10:30:00"
     assert row[1] == "10:30:00"
     assert row[2] == "7"
+
+
+def test_time_shift_insert_and_session_functions(spark):
+    """ADDTIME/SUBTIME durations, INSERT string splice, SCHEMA()/USER()
+    — the remaining spellings the reference's view converter handles."""
+    out = transpile_mysql(
+        "SELECT ADDTIME(ts, '01:30:00'), SUBTIME(ts, '00:00:30'), "
+        "INSERT(s, 3, 2, 'XY'), SCHEMA(), USER() FROM t"
+    )
+    assert "make_dt_interval" in out
+    assert "overlay(s, 'XY', 3, 2)" in out
+    assert "current_database()" in out and "current_user()" in out
+    row = spark.sql(
+        out.replace(
+            "FROM t",
+            "FROM VALUES (timestamp'2024-05-01 10:00:00', 'abcdef') AS t(ts, s)",
+        )
+    ).collect()[0]
+    assert str(row[0]) == "2024-05-01 11:30:00"
+    assert str(row[1]) == "2024-05-01 09:59:30"
+    assert row[2] == "abXYef"
