@@ -353,6 +353,44 @@ def transpile_mysql(sql: str) -> str:
         ) + ")"
 
     s = rewrite_call(s, "JSON_CONTAINS_PATH", _jcontains_path)
+    # C73-C75: the mutation family (registered scalar UDFs; values travel
+    # as strings — the UDF re-parses JSON-shaped values, MySQL-style)
+    for _fn, _udf in (
+        ("JSON_SET", "mysql_json_set"),
+        ("JSON_INSERT", "mysql_json_insert"),
+        ("JSON_REPLACE", "mysql_json_replace"),
+        ("JSON_ARRAY_APPEND", "mysql_json_array_append"),
+        ("JSON_ARRAY_INSERT", "mysql_json_array_insert"),
+    ):
+        s = rewrite_call(
+            s,
+            _fn,
+            lambda a, u=_udf: (
+                f"{u}(CAST({a[0]} AS STRING), {a[1]}, CAST({a[2]} AS STRING))"
+            ),
+        )
+    s = rewrite_call(
+        s,
+        "JSON_REMOVE",
+        lambda a: f"mysql_json_remove(CAST({a[0]} AS STRING), {a[1]})",
+    )
+    s = rewrite_call(
+        s,
+        "JSON_MERGE_PATCH",
+        lambda a: (
+            f"mysql_json_merge_patch(CAST({a[0]} AS STRING), "
+            f"CAST({a[1]} AS STRING))"
+        ),
+    )
+    for _fn in ("JSON_MERGE_PRESERVE", "JSON_MERGE"):
+        s = rewrite_call(
+            s,
+            _fn,
+            lambda a: (
+                f"mysql_json_merge_preserve(CAST({a[0]} AS STRING), "
+                f"CAST({a[1]} AS STRING))"
+            ),
+        )
     s = rewrite_call(
         s, "JSON_PRETTY", lambda a: f"mysql_json_pretty(CAST({a[0]} AS STRING))"
     )

@@ -13,6 +13,7 @@ difference is noted (e.g. GREATEST null-propagation, LENGTH = bytes).
 from __future__ import annotations
 
 import json as _json
+import re as _re
 
 import pandas as pd
 from pyspark.sql import Column
@@ -575,44 +576,67 @@ def json_contains_path(c, path: str) -> Column:
 # (the reference maps these to jsonb_insert/jsonb_set/… :39-45,452-474).
 
 
+def _json_mutate_one(op: str, d, p, v):
+    """One JSON mutation in MySQL semantics (shared by the Arrow-batched
+    column path and the SQL-registered view-compat UDFs). Paths cover the
+    family's documented scope: '$', '$.key', and for the C74 array ops
+    also '$[i]' / '$.key[i]'."""
+    if d is None or p is None:
+        return None
+    try:
+        obj = _json.loads(d)
+    except (ValueError, TypeError):
+        return None
+    try:
+        vv = _json.loads(v) if v is not None else None
+    except (ValueError, TypeError):
+        vv = v
+
+    if op in ("array_append", "array_insert"):
+        mo = _re.fullmatch(r"\$(?:\.(\w+))?(?:\[(\d+)\])?", p.strip())
+        if not mo:
+            return d
+        key, idx = mo.group(1), mo.group(2)
+        target = obj.get(key) if key is not None and isinstance(obj, dict) else obj
+        if op == "array_append":
+            if not isinstance(target, list):
+                return d
+            target.append(vv)
+        else:
+            if not isinstance(target, list) or idx is None:
+                return d
+            target.insert(int(idx), vv)
+        return _json.dumps(obj, separators=(",", ":"))
+
+    if not p.startswith("$.") or not isinstance(obj, dict):
+        return d
+    key = p[2:]
+    changed = False
+    if op == "set":
+        obj[key] = vv
+        changed = True
+    elif op == "insert" and key not in obj:
+        obj[key] = vv
+        changed = True
+    elif op == "replace" and key in obj:
+        obj[key] = vv
+        changed = True
+    elif op == "remove" and key in obj:
+        obj.pop(key)
+        changed = True
+    # MySQL returns the document unchanged (original text) when the
+    # operation is a no-op; only re-serialize on mutation.
+    return _json.dumps(obj, separators=(",", ":")) if changed else d
+
+
 def _pandas_json_mutate(op: str):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(StringType())
     def mutate(doc: pd.Series, path: pd.Series, val: pd.Series) -> pd.Series:
-        def one(d, p, v):
-            if d is None or p is None:
-                return None
-            try:
-                obj = _json.loads(d)
-            except (ValueError, TypeError):
-                return None
-            if not p.startswith("$.") or not isinstance(obj, dict):
-                return d
-            key = p[2:]
-            try:
-                vv = _json.loads(v) if v is not None else None
-            except (ValueError, TypeError):
-                vv = v
-            changed = False
-            if op == "set":
-                obj[key] = vv
-                changed = True
-            elif op == "insert" and key not in obj:
-                obj[key] = vv
-                changed = True
-            elif op == "replace" and key in obj:
-                obj[key] = vv
-                changed = True
-            elif op == "remove" and key in obj:
-                obj.pop(key)
-                changed = True
-            # MySQL returns the document unchanged (original text) when the
-            # operation is a no-op; only re-serialize on mutation.
-            return _json.dumps(obj, separators=(",", ":")) if changed else d
-
         return pd.Series(
-            [one(d, p, v) for d, p, v in zip(doc, path, val)], dtype="object"
+            [_json_mutate_one(op, d, p, v) for d, p, v in zip(doc, path, val)],
+            dtype="object",
         )
 
     return mutate
@@ -636,6 +660,16 @@ def json_replace(doc, path, value) -> Column:
 def json_remove(doc, path) -> Column:
     """C73 JSON_REMOVE → jsonb_delete."""
     return _pandas_json_mutate("remove")(_c(doc), _lit(path), F.lit(None))
+
+
+def json_array_append(doc, path, value) -> Column:
+    """C74 JSON_ARRAY_APPEND → arr || json_build_array(v)."""
+    return _pandas_json_mutate("array_append")(_c(doc), _lit(path), _lit(value))
+
+
+def json_array_insert(doc, path, value) -> Column:
+    """C74 JSON_ARRAY_INSERT('$.k[i]') → jsonb_insert at position."""
+    return _pandas_json_mutate("array_insert")(_c(doc), _lit(path), _lit(value))
 
 
 def json_merge_patch(doc, patch) -> Column:
@@ -834,6 +868,50 @@ def register_compat_udfs(spark) -> None:
     spark.udf.register("mysql_json_pretty", _pretty, "string")
     spark.udf.register("mysql_json_depth", _depth, "int")
     spark.udf.register("mysql_json_overlaps", _overlaps, "boolean")
+
+    for op in ("set", "insert", "replace", "array_append", "array_insert"):
+        spark.udf.register(
+            f"mysql_json_{op}",
+            (lambda o: lambda d, p, v: _json_mutate_one(o, d, p, v))(op),
+            "string",
+        )
+    spark.udf.register(
+        "mysql_json_remove",
+        lambda d, p: _json_mutate_one("remove", d, p, None),
+        "string",
+    )
+
+    def _merge_scalar(merger):
+        def f(a, b):
+            if a is None or b is None:
+                return None
+            try:
+                out = merger(_json.loads(a), _json.loads(b))
+            except (ValueError, TypeError):
+                return None
+            return _json.dumps(out, separators=(",", ":"))
+
+        return f
+
+    def _patch_py(base, delta):
+        if not isinstance(delta, dict):
+            return delta
+        if not isinstance(base, dict):
+            base = {}
+        out = dict(base)
+        for k, v in delta.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = _patch_py(out.get(k), v)
+        return out
+
+    spark.udf.register(
+        "mysql_json_merge_patch", _merge_scalar(_patch_py), "string"
+    )
+    spark.udf.register(
+        "mysql_json_merge_preserve", _merge_scalar(_merge_preserve_py), "string"
+    )
 
 
 # ===========================================================================

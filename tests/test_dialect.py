@@ -266,3 +266,31 @@ def test_time_shift_insert_and_session_functions(spark):
     assert str(row[0]) == "2024-05-01 11:30:00"
     assert str(row[1]) == "2024-05-01 09:59:30"
     assert row[2] == "abXYef"
+
+
+def test_json_mutation_family_in_views(spark):
+    """C73-C75 in transpiled view text: set/insert/replace/remove, array
+    append/insert, merge patch/preserve — all through the registered
+    mysql_* UDFs with MySQL semantics."""
+    from mysql2pg_spark.functions.mysql_compat import register_compat_udfs
+
+    register_compat_udfs(spark)
+    out = transpile_mysql(
+        "SELECT JSON_SET(j, '$.a', 9), JSON_INSERT(j, '$.a', 9), "
+        "JSON_REPLACE(j, '$.zz', 9), JSON_REMOVE(j, '$.a'), "
+        "JSON_ARRAY_APPEND(j, '$.arr', 4), JSON_ARRAY_INSERT(j, '$.arr[0]', 0), "
+        "JSON_MERGE_PATCH(j, '{\"a\":null}'), JSON_MERGE(j, '{\"b\":2}') FROM t"
+    )
+    row = spark.sql(
+        out.replace(
+            "FROM t", "FROM VALUES ('{\"a\":1,\"arr\":[1,2]}') AS t(j)"
+        )
+    ).collect()[0]
+    assert row[0] == '{"a":9,"arr":[1,2]}'          # set overwrites
+    assert row[1] == '{"a":1,"arr":[1,2]}'          # insert no-op (exists)
+    assert row[2] == '{"a":1,"arr":[1,2]}'          # replace no-op (absent)
+    assert row[3] == '{"arr":[1,2]}'                # remove
+    assert row[4] == '{"a":1,"arr":[1,2,4]}'        # array append
+    assert row[5] == '{"a":1,"arr":[0,1,2]}'        # array insert at 0
+    assert row[6] == '{"arr":[1,2]}'                # patch null deletes
+    assert row[7] == '{"a":1,"arr":[1,2],"b":2}'    # merge preserve
