@@ -281,6 +281,20 @@ def transpile_mysql(sql: str) -> str:
         return f"CAST({a[0]} AS {t})"
 
     s = rewrite_call(s, "CONVERT", _convert)
+    # C60/C61: constructors — to_json over a struct/array. JSON_ARRAY
+    # needs same-typed elements in Spark (MySQL's mixed-type arrays are
+    # outside what a typed engine can express without stringifying).
+    def _json_object(a: list[str]) -> str:
+        pairs = ", ".join(
+            f"{a[i]}, {a[i + 1]}" for i in range(0, len(a) - 1, 2)
+        )
+        return f"to_json(named_struct({pairs}))"
+
+    s = rewrite_call(s, "JSON_OBJECT", _json_object)
+    s = rewrite_call(
+        s, "JSON_ARRAY", lambda a: f"to_json(array({', '.join(a)}))"
+    )
+
     # C62-64: JSON accessors
     s = rewrite_call(
         s, "JSON_UNQUOTE", lambda a: a[0]

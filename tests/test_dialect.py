@@ -294,3 +294,15 @@ def test_json_mutation_family_in_views(spark):
     assert row[5] == '{"a":1,"arr":[0,1,2]}'        # array insert at 0
     assert row[6] == '{"arr":[1,2]}'                # patch null deletes
     assert row[7] == '{"a":1,"arr":[1,2],"b":2}'    # merge preserve
+
+
+def test_json_constructors(spark):
+    """C60/C61: JSON_OBJECT/JSON_ARRAY construct document text."""
+    out = transpile_mysql(
+        "SELECT JSON_OBJECT('a', 1, 'b', s), JSON_ARRAY(1, 2, 3) FROM t"
+    )
+    row = spark.sql(
+        out.replace("FROM t", "FROM VALUES ('x') AS t(s)")
+    ).collect()[0]
+    assert row[0] == '{"a":1,"b":"x"}'
+    assert row[1] == "[1,2,3]"
