@@ -137,3 +137,11 @@ def test_checksum_single_aggregate_no_expand(spark):
     # exactly one exchange in the tree: the 1-row partial→final agg
     # ("Exchange (n)" is the tree form; "(n) Exchange" is the detail)
     assert plan.count("Exchange (") == 1
+
+
+def test_multitable_neardup_no_cartesian(spark):
+    """d08: every per-table self-join is bucket-equi; the verify joins
+    stay hash joins."""
+    plan = plan_of(spark, "d08_neardup_multitable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

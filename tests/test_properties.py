@@ -65,3 +65,25 @@ def test_transpiler_never_crashes_or_leaks_sentinels(s):
     out = transpile_mysql(s)
     assert "\x00" not in out
     assert "\x02" not in out
+
+
+@given(
+    st.text(max_size=60),
+    st.sampled_from(["$", "$.k", "$.arr[0]", "$.missing", "bad", "$[1]"]),
+    st.one_of(st.none(), st.text(max_size=20)),
+    st.sampled_from(
+        ["set", "insert", "replace", "remove", "array_append", "array_insert"]
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_json_mutate_total_and_wellformed(doc, path, val, op):
+    """_json_mutate_one never raises on arbitrary input, and whatever it
+    returns is either None, the original text (no-op), or valid JSON."""
+    import json
+
+    from mysql2pg_spark.functions.mysql_compat import _json_mutate_one
+
+    out = _json_mutate_one(op, doc, path, val)
+    if out is None or out == doc:
+        return
+    json.loads(out)  # mutated output must be well-formed
