@@ -420,3 +420,41 @@ def test_execute_test_only_probes_and_runs_nothing(tmp_path, spark):
     assert "synced" not in result
     assert conn.executed == ["SELECT 1"]  # probe only, no DDL
     assert probed == ["Orders"]           # first selected table, limit 1
+
+
+def test_cli_local_mode_runs_pipeline(tmp_path, spark, capsys):
+    """`--mode local` executes the file-backed pipeline end to end and
+    prints the sync/validation summary JSON."""
+    import json
+
+    import yaml
+
+    from mysql2pg_spark.__main__ import main
+
+    _cfg(tmp_path)
+    snap = {
+        "tables": [
+            {
+                "name": "nation",
+                "columns": [{"name": "n_nationkey", "type": "int",
+                             "nullable": False}],
+                "primary_key": ["n_nationkey"],
+                "row_count": 25,
+                "pk_bounds": [0, 24],
+            }
+        ]
+    }
+    sp = tmp_path / "snap.yml"
+    sp.write_text(yaml.safe_dump(snap))
+    rc = main([
+        "-c", str(tmp_path / "config.yml"),
+        "--mode", "local",
+        "--snapshot", str(sp),
+        "--source-dir", "/root/testdata/sf0.001",
+        "--sink-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["synced"] == {"nation": 25}
+    assert out["validation"] == {"nation": True}
+    assert out["n_ddl"] > 0
