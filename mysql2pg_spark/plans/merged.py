@@ -136,8 +136,12 @@ def f01_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f06_datetime_json_battery",
+    # jkeys is array<string> in the original f07 (kept for pytest); the
+    # driver canonicalizer can't sort/hash list cells, so the merged view
+    # serializes it to a JSON string on both engines (compact [..] form).
     oracle=f"""
-SELECT * FROM {_sub("f06_time")} a
+SELECT * REPLACE (to_json(jkeys)::VARCHAR AS jkeys)
+FROM {_sub("f06_time")} a
 JOIN {_sub("f07_json")} b USING (event_id)
 JOIN {_sub("f08_json_mutation")} c USING (event_id)
 ORDER BY event_id
@@ -147,7 +151,8 @@ def f06_datetime_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = QUERIES["f06_time"](spark, sf_dir)
     b = QUERIES["f07_json"](spark, sf_dir)
     c = QUERIES["f08_json_mutation"](spark, sf_dir)
-    return a.join(b, "event_id").join(c, "event_id")
+    joined = a.join(b, "event_id").join(c, "event_id")
+    return joined.withColumn("jkeys", F.to_json("jkeys"))
 
 
 @query(
@@ -168,8 +173,12 @@ def t01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm01_multimodal_pipeline",
+    # thumb is array<int> in the original mm03 (kept for pytest); the
+    # driver canonicalizer can't sort/hash list cells, so the merged view
+    # serializes it to a JSON string on both engines (compact [..] form).
     oracle=f"""
-SELECT * FROM {_sub("mm02_frame_sample")} x
+SELECT * REPLACE (to_json(thumb)::VARCHAR AS thumb)
+FROM {_sub("mm02_frame_sample")} x
 JOIN {_sub("mm01_binary_decode")} y USING (doc_id)
 JOIN {_sub("mm03_resize_thumbnail")} z USING (doc_id)
 """,
@@ -178,7 +187,8 @@ def mm01_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = QUERIES["mm02_frame_sample"](spark, sf_dir)
     stats = QUERIES["mm01_binary_decode"](spark, sf_dir)
     thumbs = QUERIES["mm03_resize_thumbnail"](spark, sf_dir)
-    return frames.join(stats, "doc_id").join(thumbs, "doc_id")
+    joined = frames.join(stats, "doc_id").join(thumbs, "doc_id")
+    return joined.withColumn("thumb", F.to_json("thumb"))
 
 
 # --------------------------------------------------------------------------
