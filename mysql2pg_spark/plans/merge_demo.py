@@ -58,8 +58,10 @@ def u01_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # cc01 — dedup clusters: connected components over the verified near-dup
-# pairs. Spark side is the iterative label-propagation operator; the
-# oracle reconstructs components with a recursive CTE (min reachable id).
+# pairs. The driver-checked path is the large-star/small-star contraction
+# (O(log^2 n) rounds at ANY graph diameter — the 100 TB-safe algorithm);
+# the oracle reconstructs components with a recursive CTE (min reachable
+# id). Label propagation stays as the pytest-checked cc02 variant.
 # --------------------------------------------------------------------------
 @query(
     "cc01_dedup_clusters",
@@ -88,24 +90,24 @@ FROM reach GROUP BY n ORDER BY node
 """,
 )
 def cc01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mysql2pg_spark.plans.dedup import neardup_pairs
-
-    return connected_components(neardup_pairs(spark, sf_dir))
-
-
-# cc02 — the same clusters via large-star/small-star contraction
-# (O(log^2 n) rounds at any diameter; the unbounded-diameter scale path).
-# Same recursive-CTE oracle; not in the driver window (cc01 covers the
-# family there), pytest-oracle-checked.
-_CC_ORACLE = ORACLES["cc01_dedup_clusters"]
-
-
-@query("cc02_star_clusters", oracle=_CC_ORACLE, driver=False)
-def cc02_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.operators.components import connected_components_star
     from mysql2pg_spark.plans.dedup import neardup_pairs
 
     return connected_components_star(neardup_pairs(spark, sf_dir))
+
+
+# cc02 — the same clusters via iterative label propagation (rounds scale
+# with graph diameter; fine for shallow near-dup graphs, used as the
+# cross-implementation check). Same recursive-CTE oracle; not in the
+# driver window (cc01 covers the family there), pytest-oracle-checked.
+_CC_ORACLE = ORACLES["cc01_dedup_clusters"]
+
+
+@query("cc02_labelprop_clusters", oracle=_CC_ORACLE, driver=False)
+def cc02_labelprop_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.plans.dedup import neardup_pairs
+
+    return connected_components(neardup_pairs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

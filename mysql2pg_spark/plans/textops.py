@@ -259,41 +259,56 @@ def t06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# p02 — sequence packing (training-batch assembly): sequential first-fit
-# into 1024-char bins per source shard. A stateful per-group scan that
-# window functions cannot express — the oracle needs a recursive CTE,
-# and the Spark side is the honest applyInPandas use case.
+# p02 — sequence packing (training-batch assembly): first-fit into
+# 1024-char bins. The driver-checked path is the 100 TB-safe SHARDED
+# packer (operators/grouped.py:pack_sequences_sharded): bins bounded to
+# (source, doc_id DIV 1000) sub-shards packed concurrently, shard-local
+# bin ids stitched group-global with a prefix-sum of per-shard bin
+# counts. The oracle replays the identical algorithm: recursive-CTE
+# first-fit per (source, shard), then the same cumulative stitch. (The
+# unsharded single-scan variant keeps its own oracle in
+# tests/test_pipeline_ops.py.)
 # --------------------------------------------------------------------------
 @query(
     "p02_sequence_packing",
     oracle="""
 WITH RECURSIVE d AS (
-  SELECT source, doc_id, n_chars,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  SELECT source, doc_id, n_chars, doc_id // 1000 AS shard,
+         row_number() OVER (PARTITION BY source, doc_id // 1000
+                            ORDER BY doc_id) AS rn
   FROM documents
 ), packed AS (
-  SELECT source, doc_id, n_chars, rn,
+  SELECT source, shard, doc_id, n_chars, rn,
          CAST(0 AS BIGINT) AS bin_id,
          CAST(0 AS BIGINT) AS seq_offset,
          n_chars AS fill
   FROM d WHERE rn = 1
   UNION ALL
-  SELECT d.source, d.doc_id, d.n_chars, d.rn,
+  SELECT d.source, d.shard, d.doc_id, d.n_chars, d.rn,
          CASE WHEN p.fill + d.n_chars > 1024 THEN p.bin_id + 1 ELSE p.bin_id END,
          CASE WHEN p.fill + d.n_chars > 1024 THEN CAST(0 AS BIGINT) ELSE p.fill END,
          CASE WHEN p.fill + d.n_chars > 1024 THEN d.n_chars ELSE p.fill + d.n_chars END
-  FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+  FROM packed p
+  JOIN d ON d.source = p.source AND d.shard = p.shard AND d.rn = p.rn + 1
+), nb AS (
+  SELECT source, shard, max(bin_id) + 1 AS n_bins FROM packed GROUP BY 1, 2
+), o AS (
+  SELECT source, shard,
+         coalesce(sum(n_bins) OVER (PARTITION BY source ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bin_offset
+  FROM nb
 )
-SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-       bin_id, seq_offset
-FROM packed
+SELECT p.source, p.doc_id, CAST(p.n_chars AS BIGINT) AS n_chars,
+       p.bin_id + o.bin_offset AS bin_id, p.seq_offset
+FROM packed p JOIN o ON o.source = p.source AND o.shard = p.shard
 """,
 )
 def p02_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mysql2pg_spark.operators.grouped import pack_sequences
+    from mysql2pg_spark.operators.grouped import pack_sequences_sharded
 
     d = load_table(spark, sf_dir, "documents")
-    return pack_sequences(d, capacity=1024)
+    return pack_sequences_sharded(d, capacity=1024, shard_size=1000)
 
 
 # --------------------------------------------------------------------------

@@ -24,20 +24,59 @@ def test_knn_returns_k_per_query(spark):
     assert all(r["count"] == 5 for r in per_q)
 
 
+#: Unsharded first-fit oracle (global bins per source) — the driver p02
+#: entry moved to the sharded packer, so the single-scan variant keeps
+#: its recursive-CTE oracle here.
+PACK_UNSHARDED_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_chars, rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         CAST(0 AS BIGINT) AS seq_offset,
+         n_chars AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n_chars, d.rn,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         CASE WHEN p.fill + d.n_chars > 1024 THEN d.n_chars ELSE p.fill + d.n_chars END
+  FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       bin_id, seq_offset
+FROM packed
+"""
+
+
 def test_pack_sequences_streaming_carry(spark, duck):
     """pack_sequences streams groups through mapInPandas with a scalar
     carry; forcing tiny Arrow batches makes every group straddle batch
     boundaries — the result must still match the recursive-CTE oracle."""
-    from mysql2pg_spark.plans import ORACLES, QUERIES
+    from mysql2pg_spark.operators.grouped import pack_sequences
+    from mysql2pg_spark.tables import load_table
     from tests.compare import compare_spark_duckdb
 
     old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
     try:
-        df = QUERIES["p02_sequence_packing"](spark, SF_CORRECT)
-        compare_spark_duckdb(df, duck, ORACLES["p02_sequence_packing"])
+        d = load_table(spark, SF_CORRECT, "documents")
+        df = pack_sequences(d, capacity=1024)
+        compare_spark_duckdb(df, duck, PACK_UNSHARDED_ORACLE)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_pack_sequences_driver_entry_is_sharded(spark, duck):
+    """The driver-checked p02 must run the scale-safe sharded packer and
+    match its stitched recursive-CTE oracle."""
+    from mysql2pg_spark.plans import ORACLES, QUERIES
+    from tests.compare import compare_spark_duckdb
+
+    df = QUERIES["p02_sequence_packing"](spark, SF_CORRECT)
+    compare_spark_duckdb(df, duck, ORACLES["p02_sequence_packing"])
 
 
 def test_pack_sequences_sharded(spark, duck):

@@ -121,9 +121,10 @@ def test_neardup_bucket_blocking_is_equi_join(spark):
 
 
 def test_star_components_rounds_are_hash_joins(spark):
-    """cc02: each star round is groupBy + equi-join — no nested-loop
-    fallbacks anywhere in the converged plan."""
-    plan = plan_of(spark, "cc02_star_clusters")
+    """cc01 (driver path = large-star/small-star): each star round is
+    groupBy + equi-join — no nested-loop fallbacks anywhere in the
+    converged plan."""
+    plan = plan_of(spark, "cc01_dedup_clusters")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
