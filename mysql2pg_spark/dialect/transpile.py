@@ -285,6 +285,11 @@ def transpile_mysql(sql: str) -> str:
     # needs same-typed elements in Spark (MySQL's mixed-type arrays are
     # outside what a typed engine can express without stringifying).
     def _json_object(a: list[str]) -> str:
+        if len(a) % 2:
+            raise ValueError(
+                "JSON_OBJECT requires an even number of arguments "
+                f"(key/value pairs), got {len(a)}"
+            )
         pairs = ", ".join(
             f"{a[i]}, {a[i + 1]}" for i in range(0, len(a) - 1, 2)
         )
@@ -368,7 +373,24 @@ def transpile_mysql(sql: str) -> str:
 
     s = rewrite_call(s, "JSON_CONTAINS_PATH", _jcontains_path)
     # C73-C75: the mutation family (registered scalar UDFs; values travel
-    # as strings — the UDF re-parses JSON-shaped values, MySQL-style)
+    # as strings — the UDF re-parses JSON-shaped values, MySQL-style).
+    # MySQL accepts repeated (path, value) pairs / paths / documents —
+    # chain the binary UDF left-to-right over the variadic tail, exactly
+    # MySQL's documented evaluation order.
+    def _json_pairwise(udf: str, fn: str):
+        def build(a: list[str]) -> str:
+            if len(a) < 3 or len(a) % 2 == 0:
+                raise ValueError(
+                    f"{fn} requires a document plus (path, value) pairs, "
+                    f"got {len(a)} arguments"
+                )
+            out = f"CAST({a[0]} AS STRING)"
+            for i in range(1, len(a) - 1, 2):
+                out = f"{udf}({out}, {a[i]}, CAST({a[i + 1]} AS STRING))"
+            return out
+
+        return build
+
     for _fn, _udf in (
         ("JSON_SET", "mysql_json_set"),
         ("JSON_INSERT", "mysql_json_insert"),
@@ -376,35 +398,32 @@ def transpile_mysql(sql: str) -> str:
         ("JSON_ARRAY_APPEND", "mysql_json_array_append"),
         ("JSON_ARRAY_INSERT", "mysql_json_array_insert"),
     ):
-        s = rewrite_call(
-            s,
-            _fn,
-            lambda a, u=_udf: (
-                f"{u}(CAST({a[0]} AS STRING), {a[1]}, CAST({a[2]} AS STRING))"
-            ),
-        )
-    s = rewrite_call(
-        s,
-        "JSON_REMOVE",
-        lambda a: f"mysql_json_remove(CAST({a[0]} AS STRING), {a[1]})",
-    )
-    s = rewrite_call(
-        s,
-        "JSON_MERGE_PATCH",
-        lambda a: (
-            f"mysql_json_merge_patch(CAST({a[0]} AS STRING), "
-            f"CAST({a[1]} AS STRING))"
-        ),
-    )
+        s = rewrite_call(s, _fn, _json_pairwise(_udf, _fn))
+
+    def _json_remove(a: list[str]) -> str:
+        if len(a) < 2:
+            raise ValueError("JSON_REMOVE requires a document and ≥1 path")
+        out = f"CAST({a[0]} AS STRING)"
+        for p in a[1:]:
+            out = f"mysql_json_remove({out}, {p})"
+        return out
+
+    s = rewrite_call(s, "JSON_REMOVE", _json_remove)
+
+    def _json_merge(udf: str):
+        def build(a: list[str]) -> str:
+            if len(a) < 2:
+                raise ValueError("JSON merge functions require ≥2 documents")
+            out = f"CAST({a[0]} AS STRING)"
+            for d in a[1:]:
+                out = f"{udf}({out}, CAST({d} AS STRING))"
+            return out
+
+        return build
+
+    s = rewrite_call(s, "JSON_MERGE_PATCH", _json_merge("mysql_json_merge_patch"))
     for _fn in ("JSON_MERGE_PRESERVE", "JSON_MERGE"):
-        s = rewrite_call(
-            s,
-            _fn,
-            lambda a: (
-                f"mysql_json_merge_preserve(CAST({a[0]} AS STRING), "
-                f"CAST({a[1]} AS STRING))"
-            ),
-        )
+        s = rewrite_call(s, _fn, _json_merge("mysql_json_merge_preserve"))
     s = rewrite_call(
         s, "JSON_PRETTY", lambda a: f"mysql_json_pretty(CAST({a[0]} AS STRING))"
     )
@@ -419,15 +438,22 @@ def transpile_mysql(sql: str) -> str:
             f"CAST({a[1]} AS STRING))"
         ),
     )
-    # C57: TIME literals/columns travel as strings (no Spark TimeType)
-    def _time_to_sec(a: list[str]) -> str:
-        p = f"split(CAST({a[0]} AS STRING), ':')"
-        return (
-            f"(CAST({p}[0] AS BIGINT) * 3600 + CAST({p}[1] AS BIGINT) * 60"
-            f" + CAST(CAST({p}[2] AS DOUBLE) AS BIGINT))"
+    # C57: TIME literals/columns travel as strings (no Spark TimeType).
+    # MySQL TIME parses right-aligned ('SS', 'MM:SS', 'HH:MM:SS') and the
+    # sign applies to the WHOLE value: '-01:30:00' is -(3600+1800), not
+    # -3600+1800 — so factor the sign out, sum absolute components, then
+    # negate (try_element_at: missing components → 0, ANSI-safe).
+    def _time_seconds(src: str) -> str:
+        t = f"trim(CAST({src} AS STRING))"
+        p = f"split(regexp_replace({t}, '^-', ''), ':')"
+        mag = (
+            f"(coalesce(CAST(try_element_at({p}, -3) AS BIGINT), 0) * 3600"
+            f" + coalesce(CAST(try_element_at({p}, -2) AS BIGINT), 0) * 60"
+            f" + CAST(CAST(try_element_at({p}, -1) AS DOUBLE) AS BIGINT))"
         )
+        return f"(CASE WHEN {t} LIKE '-%' THEN -{mag} ELSE {mag} END)"
 
-    s = rewrite_call(s, "TIME_TO_SEC", _time_to_sec)
+    s = rewrite_call(s, "TIME_TO_SEC", lambda a: _time_seconds(a[0]))
 
     def _sec_to_time(a: list[str]) -> str:
         n = f"CAST({a[0]} AS BIGINT)"
@@ -452,15 +478,14 @@ def transpile_mysql(sql: str) -> str:
 
     s = rewrite_call(s, "TIMEDIFF", _timediff)
 
-    # C58: ADDTIME/SUBTIME — shift by a 'HH:MM:SS' duration
+    # C58: ADDTIME/SUBTIME — shift by a (possibly signed / short-form)
+    # 'HH:MM:SS' duration; _time_seconds handles sign + right-alignment.
     def _time_shift(sign: str):
         def build(a: list[str]) -> str:
-            p = f"split(CAST({a[1]} AS STRING), ':')"
-            secs = (
-                f"(CAST({p}[0] AS BIGINT) * 3600 + CAST({p}[1] AS BIGINT) * 60"
-                f" + CAST(CAST({p}[2] AS DOUBLE) AS BIGINT))"
+            return (
+                f"({a[0]} {sign} "
+                f"make_dt_interval(0, 0, 0, {_time_seconds(a[1])}))"
             )
-            return f"({a[0]} {sign} make_dt_interval(0, 0, 0, {secs}))"
 
         return build
 

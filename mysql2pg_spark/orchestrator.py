@@ -423,7 +423,11 @@ class MigrationPipeline:
                     if meta is not None:
                         df = self._value_fix_transform(meta)(df)
                     sink_writer(df, a.target)
-                    return a.target, df.count()
+                    # Row count from the DESTINATION, not a second source
+                    # scan: df.count() here would re-run the whole JDBC
+                    # read (doubling source load) and could disagree with
+                    # what was written if the source moved between scans.
+                    return a.target, dest_reader(spark, a.target).count()
 
                 with ThreadPoolExecutor(self.cfg.limits.concurrency) as pool:
                     futures = {
@@ -442,8 +446,20 @@ class MigrationPipeline:
                 try:
                     src_table = read_targets.get(a.target, a.target)
                     src = source_reader(spark, {"table": src_table})
+                    # The destination holds VALUE-FIXED data (B7 zero
+                    # dates, B8 points, boolean casts) plus any C90
+                    # generated columns — checksum the source through the
+                    # same transform and restrict both sides to the
+                    # shared column set, else a correct sync reports
+                    # consistent=false.
+                    meta = meta_by_name.get(a.target)
+                    if meta is not None:
+                        src = self._value_fix_transform(meta)(src)
                     dst = dest_reader(spark, a.target)
-                    validation[a.target] = checksum_validation(src, dst)
+                    shared = [c for c in src.columns if c in set(dst.columns)]
+                    validation[a.target] = checksum_validation(
+                        src.select(*shared), dst.select(*shared)
+                    )
                 except Exception as e:
                     logger.table_error(stage, a.target, e)
 

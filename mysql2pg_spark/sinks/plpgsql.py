@@ -60,8 +60,9 @@ def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
         f"$$ LANGUAGE plpgsql;"
     )
     if spec.comment:
+        escaped = spec.comment.replace("'", "''")
         lines += (
-            f"\nCOMMENT ON FUNCTION {spec.name.lower()} IS '{spec.comment}';"
+            f"\nCOMMENT ON FUNCTION {spec.name.lower()} IS '{escaped}';"
         )
     return lines
 

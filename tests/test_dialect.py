@@ -306,3 +306,62 @@ def test_json_constructors(spark):
     ).collect()[0]
     assert row[0] == '{"a":1,"b":"x"}'
     assert row[1] == "[1,2,3]"
+
+
+def test_json_mutation_variadic_args(spark):
+    """MySQL's variadic arities: repeated (path, value) pairs chain
+    left-to-right, JSON_REMOVE takes multiple paths, merges take 3+
+    documents — nothing is silently dropped."""
+    from mysql2pg_spark.functions.mysql_compat import register_compat_udfs
+
+    register_compat_udfs(spark)
+    out = transpile_mysql(
+        "SELECT JSON_SET(j, '$.a', 9, '$.c', 7), "
+        "JSON_REMOVE(j, '$.a', '$.arr'), "
+        "JSON_MERGE_PATCH(j, '{\"a\":2}', '{\"b\":3}'), "
+        "JSON_MERGE(j, '{\"b\":2}', '{\"b\":3}') FROM t"
+    )
+    row = spark.sql(
+        out.replace(
+            "FROM t", "FROM VALUES ('{\"a\":1,\"arr\":[1,2]}') AS t(j)"
+        )
+    ).collect()[0]
+    assert row[0] == '{"a":9,"arr":[1,2],"c":7}'     # both pairs applied
+    assert row[1] == "{}"                            # both paths removed
+    assert row[2] == '{"a":2,"arr":[1,2],"b":3}'     # 3-doc patch
+    assert row[3] == '{"a":1,"arr":[1,2],"b":[2,3]}' # 3-doc preserve
+
+
+def test_json_bad_arity_raises():
+    """Unsupported arities fail loudly at transpile time instead of
+    silently truncating (MySQL errors on these too)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="JSON_OBJECT"):
+        transpile_mysql("SELECT JSON_OBJECT('a', 1, 'b') FROM t")
+    with pytest.raises(ValueError, match="JSON_SET"):
+        transpile_mysql("SELECT JSON_SET(j, '$.a') FROM t")
+    with pytest.raises(ValueError, match="JSON_REMOVE"):
+        transpile_mysql("SELECT JSON_REMOVE(j) FROM t")
+
+
+def test_time_to_sec_sign_and_short_forms(spark):
+    """MySQL TIME parses right-aligned with a whole-value sign:
+    '-01:30:00' → -5400 (not -3600+1800), 'MM:SS'/'SS' short forms
+    right-align, and ADDTIME with a negative duration subtracts."""
+    out = transpile_mysql(
+        "SELECT TIME_TO_SEC('-01:30:00'), TIME_TO_SEC('01:30:00'), "
+        "TIME_TO_SEC('05:30'), TIME_TO_SEC('45'), "
+        "ADDTIME(ts, '-00:30:00') FROM t"
+    )
+    row = spark.sql(
+        out.replace(
+            "FROM t",
+            "FROM VALUES (timestamp'2024-05-01 10:00:00') AS t(ts)",
+        )
+    ).collect()[0]
+    assert row[0] == -5400
+    assert row[1] == 5400
+    assert row[2] == 330          # MM:SS right-aligned
+    assert row[3] == 45           # bare seconds
+    assert str(row[4]) == "2024-05-01 09:30:00"

@@ -292,6 +292,10 @@ def test_execute_value_fixes_and_keep_going(tmp_path, spark):
     assert result["log"]["errors"][0]["stage"] == "tableddl"
     assert result["synced"] == {"t1": 2}
     assert (tmp_path / "logs" / "errors.log").read_text().count("boom") == 1
+    # D3 on a TRANSFORMED table: the checksum must compare the value-fixed
+    # source (zero date nulled, generated column added) against the
+    # destination — a correct sync reports consistent=true.
+    assert result["validation"]["t1"]["consistent"] is True
 
 
 def test_runlogger_timings_and_echo(tmp_path, capsys):
