@@ -75,6 +75,9 @@ def load_snapshot(path: str) -> CatalogSnapshot:
         table_privileges=[
             tuple(p) for p in raw.get("table_privileges", [])
         ],
+        # raw MySQL CREATE FUNCTION DDL strings — plan() converts them
+        # through sinks.plpgsql_builder.build_spec_from_mysql (C95)
+        functions=raw.get("functions", []),
     )
 
 

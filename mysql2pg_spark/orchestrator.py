@@ -210,6 +210,24 @@ class MigrationPipeline:
             from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
 
             for spec in self.snapshot.functions:
+                # Raw MySQL CREATE FUNCTION DDL (the A9 scan shape) goes
+                # through the general spec builder; functions outside the
+                # declarative subset surface as a visible skip action
+                # instead of broken plpgsql (keep-going, like the
+                # reference's per-function failure logging).
+                if isinstance(spec, str):
+                    from mysql2pg_spark.sinks.plpgsql_builder import (
+                        UnsupportedFunctionError,
+                        build_spec_from_mysql,
+                    )
+
+                    try:
+                        spec = build_spec_from_mysql(spec)
+                    except UnsupportedFunctionError as e:
+                        actions.append(
+                            Action("functions", "skip", "function", str(e))
+                        )
+                        continue
                 actions.append(
                     Action(
                         "functions",
