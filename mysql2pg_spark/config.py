@@ -49,6 +49,12 @@ class PostgresConfig:
     def jdbc_url(self) -> str:
         return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
 
+    @property
+    def dsn(self) -> str:
+        """DB-API / libpq DSN (the COPY sink's connection string)."""
+        auth = self.username + (f":{self.password}" if self.password else "")
+        return f"postgresql://{auth}@{self.host}:{self.port}/{self.database}"
+
 
 @dataclass
 class ConversionOptions:
@@ -67,6 +73,10 @@ class ConversionOptions:
     exclude_table_list: list[str] = field(default_factory=list)
     validate_data: bool = True
     truncate_before_sync: bool = False
+    # COPY-protocol fast sink instead of JDBC batch INSERT (the
+    # reference's hot path, postgres/connection.go:557); needs psycopg
+    # on the executors.
+    use_copy_protocol: bool = False
 
 
 @dataclass

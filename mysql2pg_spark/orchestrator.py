@@ -299,6 +299,38 @@ class MigrationPipeline:
 
         return transform
 
+    def _default_sink_writer(self):
+        """Live sink selection (B5): COPY protocol when
+        ``options.use_copy_protocol`` (the reference's hot path, pgx
+        CopyFrom — postgres/connection.go:557,571), else JDBC batch
+        INSERT with ``reWriteBatchedInserts``."""
+        if self.cfg.options.use_copy_protocol:
+            from mysql2pg_spark.sinks.copy_sink import (
+                CopySinkConfig,
+                make_copy_writer,
+            )
+
+            return make_copy_writer(
+                CopySinkConfig(
+                    dsn=self.cfg.postgresql.dsn,
+                    batch_rows=self.cfg.limits.batch_insert_size,
+                )
+            )
+        from mysql2pg_spark.sinks.jdbc_sink import JdbcSinkConfig, write_jdbc
+
+        sink_cfg = JdbcSinkConfig(
+            url=self.cfg.postgresql.jdbc_url,
+            user=self.cfg.postgresql.username,
+            password=self.cfg.postgresql.password,
+            truncate_before_sync=self.cfg.options.truncate_before_sync,
+        )
+
+        def sink_writer(df, table):
+            write_jdbc(df, sink_cfg, table)
+
+        sink_writer.sink_kind = "jdbc"
+        return sink_writer
+
     def execute(
         self,
         spark,
@@ -355,15 +387,7 @@ class MigrationPipeline:
             )
             source_reader = lambda sp, plan: read_jdbc(sp, src_cfg, plan)  # noqa: E731
         if sink_writer is None:
-            from mysql2pg_spark.sinks.jdbc_sink import JdbcSinkConfig, write_jdbc
-
-            sink_cfg = JdbcSinkConfig(
-                url=self.cfg.postgresql.jdbc_url,
-                user=self.cfg.postgresql.username,
-                password=self.cfg.postgresql.password,
-                truncate_before_sync=self.cfg.options.truncate_before_sync,
-            )
-            sink_writer = lambda df, table: write_jdbc(df, sink_cfg, table)  # noqa: E731
+            sink_writer = self._default_sink_writer()
         if dest_reader is None:
             dest_reader = lambda sp, table: sp.read.jdbc(  # noqa: E731
                 self.cfg.postgresql.jdbc_url,

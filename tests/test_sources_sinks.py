@@ -117,3 +117,120 @@ def test_checksum_validation_detects_mismatch(spark):
     assert not checksum_validation(a, c)["consistent"]
     v = count_validation(a, c)
     assert v == {"src_rows": 100, "dst_rows": 99, "consistent": False}
+
+
+# ---- COPY-protocol fast sink (reference hot path, connection.go:557) ------
+
+
+class _CaptureCursor:
+    def __init__(self, log):
+        self.log = log
+
+    def copy_expert(self, sql, buf):
+        self.log.append((sql, buf.read()))
+
+
+class _CaptureConn:
+    def __init__(self, log):
+        self.log = log
+        self.commits = 0
+
+    def cursor(self):
+        return _CaptureCursor(self.log)
+
+    def commit(self):
+        self.commits += 1
+
+    def close(self):
+        pass
+
+
+def test_copy_text_format_escaping():
+    """COPY TEXT protocol fields: NULL marker, booleans, bytea hex,
+    timestamps, and the backslash/tab/newline escape set."""
+    import datetime
+
+    from mysql2pg_spark.sinks.copy_sink import format_copy_row
+
+    line = format_copy_row(
+        [None, True, False, b"\x01\xff", "a\tb\nc\\d",
+         datetime.datetime(2024, 5, 1, 10, 30), 3.5]
+    )
+    assert line == "\\N\tt\tf\t\\\\x01ff\ta\\tb\\nc\\\\d\t2024-05-01 10:30:00\t3.5\n"
+
+
+def test_copy_partition_batches_and_commits():
+    """Chunking parity with the reference (batch_insert_size, per-batch
+    transaction :571-593): 5 rows at batch_rows=2 → 3 COPYs, 3 commits."""
+    from mysql2pg_spark.sinks.copy_sink import copy_partition
+
+    log = []
+    conn = _CaptureConn(log)
+    n = copy_partition(
+        iter([(i, f"v{i}") for i in range(5)]),
+        "public.t", ["id", "val"], lambda: conn, batch_rows=2,
+    )
+    assert n == 5
+    assert conn.commits == 3
+    assert [p.count("\n") for _, p in log] == [2, 2, 1]
+    assert all(sql == "COPY public.t (id, val) FROM STDIN" for sql, _ in log)
+    assert log[0][1] == "0\tv0\n1\tv1\n"
+
+
+def test_write_copy_foreachpartition_executor_side(spark, tmp_path):
+    """The full Spark path: foreachPartition streams every partition
+    through COPY on its own connection, executor-side — reassembling the
+    captured payloads yields exactly the input rows."""
+    import glob
+    import os
+    import uuid
+
+    from mysql2pg_spark.sinks.copy_sink import write_copy
+
+    out_dir = str(tmp_path / "copies")
+    os.makedirs(out_dir)
+
+    class FileConn:
+        """Executor-side fake: each COPY payload lands in its own file."""
+
+        def cursor(self):
+            conn = self
+
+            class Cur:
+                def copy_expert(self, sql, buf):
+                    p = os.path.join(out_dir, uuid.uuid4().hex)
+                    with open(p, "w") as f:
+                        f.write(buf.read())
+
+            return Cur()
+
+        def commit(self):
+            pass
+
+        def close(self):
+            pass
+
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "concat('v', id) AS val")
+    write_copy(df, "t", FileConn, batch_rows=30)
+
+    lines = []
+    for p in glob.glob(os.path.join(out_dir, "*")):
+        with open(p) as f:
+            lines += f.read().splitlines()
+    assert sorted(lines) == sorted(f"{i}\tv{i}" for i in range(100))
+    # 4 partitions of 25 rows at batch_rows=30 → one file per partition
+    assert len(glob.glob(os.path.join(out_dir, "*"))) == 4
+
+
+def test_execute_sink_selection_copy_vs_jdbc(tmp_path):
+    """options.use_copy_protocol flips the default live sink between the
+    JDBC batch writer and the COPY-protocol writer."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import CatalogSnapshot, MigrationPipeline
+
+    cfg = EngineConfig()
+    pipe = MigrationPipeline(cfg, CatalogSnapshot(tables=[]))
+    assert pipe._default_sink_writer().sink_kind == "jdbc"
+    cfg.options.use_copy_protocol = True
+    assert pipe._default_sink_writer().sink_kind == "copy"
+    assert cfg.postgresql.dsn == "postgresql://postgres@localhost:5432/"
