@@ -79,18 +79,24 @@ def main() -> None:
         QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-    # extend with any registered headline-tagged queries not listed yet
+    # Min-of-N per query (default 3): the sandbox is shared, and r1→r2
+    # showed ±30-76% swings on UNTOUCHED queries — the minimum is the
+    # noise-robust estimate of the query's real cost. Override with
+    # SPARK_GRAFT_BENCH_REPS=1 for a quick single-pass run.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    t0 = time.perf_counter()
     for name in names:
-        t = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # Full materialization of every column JVM-side via the noop sink —
-        # measures the query, not Python row serialization (collect() on a
-        # 100k-row result costs ~10s of pure pickling).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t, 3)
-    total = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            # Full materialization of every column JVM-side via the noop
+            # sink — measures the query, not Python row serialization
+            # (collect() on a 100k-row result costs ~10s of pure pickling).
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
@@ -98,6 +104,7 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
+                "reps": reps,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

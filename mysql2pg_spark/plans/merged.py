@@ -30,6 +30,9 @@ Merge map (merged name ← folded originals):
   m01_schema_map            ← m01_type_map + gen01_generated_columns
   sf01_stored_function_battery ← sf01_stored_functions
                               + sf02_stored_function_udf
+  w06_streaming_battery     ← w06_streaming_dedup
+                              + w07_stream_stream_join (round 3)
+  d01_dedup_pipeline        ← d01_exact_dedup + d09_dedup_apply (round 3)
 """
 
 from __future__ import annotations
@@ -86,6 +89,10 @@ FOLDED = (
     "gen01_generated_columns",
     "sf01_stored_functions",
     "sf02_stored_function_udf",
+    "w06_streaming_dedup",
+    "w07_stream_stream_join",
+    "d01_exact_dedup",
+    "d09_dedup_apply",
 )
 
 
@@ -502,6 +509,54 @@ def v02_view_transpile_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("v02", QUERIES["v02_group_concat_view"](spark, sf_dir)),
             ("v03", QUERIES["v03_view_functions"](spark, sf_dir)),
+        ],
+    )
+
+
+@query(
+    "d01_dedup_pipeline",
+    # d01 profiles every document's exact-dup group; d09 is the APPLIED
+    # near-dup dedup (the corpus a training run consumes). Left join on
+    # doc_id: survives_neardup marks d09 survivors.
+    oracle=f"""
+SELECT a.doc_id, a.fp, a.canonical_id, a.is_duplicate, a.group_size,
+       b.source, b.lang, (b.doc_id IS NOT NULL) AS survives_neardup
+FROM {_sub("d01_exact_dedup")} a
+LEFT JOIN {_sub("d09_dedup_apply")} b USING (doc_id)
+ORDER BY a.doc_id
+""",
+)
+def d01_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    profile = QUERIES["d01_exact_dedup"](spark, sf_dir)
+    applied = QUERIES["d09_dedup_apply"](spark, sf_dir)
+    return profile.join(applied, "doc_id", "left").withColumn(
+        "survives_neardup", F.col("source").isNotNull()
+    )
+
+
+@query(
+    "w06_streaming_battery",
+    # Two real readStream pipelines under one driver entry: stateful
+    # dropDuplicates dedup (w06) and the watermarked stream-stream
+    # interval join (w07) — batch-equivalence oracles, tagged union.
+    oracle=f"""
+SELECT 'dedup' AS stream_kind, fp,
+       CAST(NULL AS BIGINT) AS v_user, CAST(NULL AS BIGINT) AS v_event_id,
+       CAST(NULL AS BIGINT) AS p_event_id,
+       CAST(NULL AS TIMESTAMP) AS v_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+FROM {_sub("w06_streaming_dedup")}
+UNION ALL
+SELECT 'interval_join', CAST(NULL AS VARCHAR),
+       v_user, v_event_id, p_event_id, v_ts, p_ts
+FROM {_sub("w07_stream_stream_join")}
+""",
+)
+def w06_streaming_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tagged_union(
+        "stream_kind",
+        [
+            ("dedup", QUERIES["w06_streaming_dedup"](spark, sf_dir)),
+            ("interval_join", QUERIES["w07_stream_stream_join"](spark, sf_dir)),
         ],
     )
 
