@@ -32,7 +32,10 @@ from mysql2pg_spark.sinks.ddl import (
     grant_ddl,
     truncate_ddl,
 )
-from mysql2pg_spark.sources.jdbc import plan_partitioned_read
+from mysql2pg_spark.sources.jdbc import (
+    estimate_row_bytes,
+    plan_partitioned_read,
+)
 
 
 @dataclass
@@ -192,6 +195,11 @@ class MigrationPipeline:
                             rows_per_partition=max(
                                 self.cfg.limits.max_rows_per_batch, 1
                             ) * 100,
+                            # A15: byte-budgeted partitions from the
+                            # declared column widths
+                            row_bytes=estimate_row_bytes(
+                                [c.column_type for c in t.columns]
+                            ),
                         ),
                     )
                 )
@@ -402,8 +410,14 @@ class MigrationPipeline:
         # the reference validates connections and exits).
         if self.cfg.mysql.test_only or self.cfg.postgresql.test_only:
             probe: dict[str, bool] = {}
+            versions: dict[str, str] = {}  # A16 (mysql GetVersion,
+            # mysql/connection.go:258-266; PG analog :pg side)
             try:
-                pg_conn.cursor().execute("SELECT 1")
+                cur = pg_conn.cursor()
+                cur.execute("SELECT version()")
+                row = cur.fetchone() if hasattr(cur, "fetchone") else None
+                if row:
+                    versions["postgresql"] = str(row[0])
                 probe["postgresql"] = True
             except Exception as e:
                 probe["postgresql"] = False
@@ -414,12 +428,24 @@ class MigrationPipeline:
                     source_reader(
                         spark, {"table": first[0].name}
                     ).limit(1).count()
+                try:
+                    row = source_reader(
+                        spark, {"table": "(SELECT VERSION() AS version) v"}
+                    ).first()
+                    if row is not None:
+                        versions["mysql"] = str(row[0])
+                except Exception:
+                    pass  # version is informational; reachability decided above
                 probe["mysql"] = True
             except Exception as e:
                 probe["mysql"] = False
                 logger.table_error("test_only", "mysql", e)
-            logger.info(f"test_only probe: {probe}")
-            return {"test_only": probe, "log": logger.summary()}
+            logger.info(f"test_only probe: {probe} versions: {versions}")
+            return {
+                "test_only": probe,
+                "versions": versions,
+                "log": logger.summary(),
+            }
 
         actions = self.plan()
         by_stage: dict[str, list[Action]] = {}

@@ -22,6 +22,7 @@ without a server.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 
@@ -46,6 +47,37 @@ class JdbcSourceConfig:
 
 
 DEFAULT_ROWS_PER_PARTITION = 1_000_000
+#: Partition byte budget: keep each JDBC range fetch comfortably inside
+#: executor memory (Spark's files.maxPartitionBytes analog for JDBC).
+DEFAULT_PARTITION_BYTES = 256 * 1024 * 1024
+
+#: A15 type-aware per-column byte estimates. The reference punts with a
+#: flat 20 bytes/column (mysql/connection.go:231-244, "每列平均占用20字
+#: 节"); declared widths are strictly better information we already hold
+#: from the A4 column scan, so use them (deliberate divergence).
+_FIXED_SIZES = {
+    "tinyint": 1, "smallint": 2, "mediumint": 3, "int": 4, "integer": 4,
+    "bigint": 8, "float": 4, "double": 8, "decimal": 16, "numeric": 16,
+    "date": 3, "time": 3, "year": 1, "datetime": 8, "timestamp": 4,
+    "bit": 2, "json": 256, "text": 256, "tinytext": 64, "mediumtext": 512,
+    "longtext": 1024, "blob": 256, "tinyblob": 64, "mediumblob": 512,
+    "longblob": 1024, "enum": 2, "set": 4, "point": 25, "geometry": 64,
+}
+_RE_WIDTH = re.compile(r"^(?:var)?(?:char|binary)\s*\((\d+)\)", re.I)
+
+
+def estimate_row_bytes(column_types: list[str]) -> int:
+    """A15: estimated bytes per row from the declared column types
+    (char/varchar use half the declared width as the expected fill)."""
+    total = 0
+    for t in column_types:
+        t = t.strip().lower()
+        if mo := _RE_WIDTH.match(t):
+            total += max(1, int(mo.group(1)) // 2)
+            continue
+        base = t.split("(")[0].split()[0] if t else ""
+        total += _FIXED_SIZES.get(base, 20)  # unknown → reference default
+    return max(total, 1)
 
 
 def keyset_bounds_sql(table: str, pk: str) -> str:
@@ -62,11 +94,21 @@ def plan_partitioned_read(
     row_count: int | None = None,
     rows_per_partition: int = DEFAULT_ROWS_PER_PARTITION,
     max_partitions: int = 64,
+    row_bytes: int | None = None,
+    target_partition_bytes: int = DEFAULT_PARTITION_BYTES,
 ) -> dict:
-    """Build spark.read.jdbc kwargs for one table."""
+    """Build spark.read.jdbc kwargs for one table. When ``row_bytes``
+    (A15 estimate) is given, the rows-per-partition cap is ALSO bounded
+    by a byte budget — a 50-column wide table gets proportionally more,
+    smaller partitions than a 2-column narrow one, so partitions stay
+    executor-memory-sized at any schema width."""
     if pk is None or lo is None or hi is None:
         return {"table": table}  # single partition; fetchsize still streams
     n = row_count or 0
+    if row_bytes:
+        rows_per_partition = max(
+            1, min(rows_per_partition, target_partition_bytes // row_bytes)
+        )
     parts = max(1, min(max_partitions, math.ceil(n / rows_per_partition) or 1))
     return {
         "table": table,

@@ -422,8 +422,11 @@ def test_execute_test_only_probes_and_runs_nothing(tmp_path, spark):
     )
     assert result["test_only"] == {"mysql": True, "postgresql": True}
     assert "synced" not in result
-    assert conn.executed == ["SELECT 1"]  # probe only, no DDL
-    assert probed == ["Orders"]           # first selected table, limit 1
+    assert conn.executed == ["SELECT version()"]  # A16 probe only, no DDL
+    # first selected table (limit 1) + the A16 mysql version probe
+    assert probed == ["Orders", "(SELECT VERSION() AS version) v"]
+    # the fake returns a 1-column row; its value is reported as a version
+    assert result["versions"]["mysql"] == "0"
 
 
 def test_cli_local_mode_runs_pipeline(tmp_path, spark, capsys):

@@ -234,3 +234,29 @@ def test_execute_sink_selection_copy_vs_jdbc(tmp_path):
     cfg.options.use_copy_protocol = True
     assert pipe._default_sink_writer().sink_kind == "copy"
     assert cfg.postgresql.dsn == "postgresql://postgres@localhost:5432/"
+
+
+def test_estimate_row_bytes_and_byte_budgeted_partitions():
+    """A15: declared widths drive the estimate (reference uses a flat
+    20 B/col, mysql/connection.go:231-244 — deliberate divergence), and
+    wide rows shrink the rows-per-partition cap."""
+    from mysql2pg_spark.sources.jdbc import (
+        estimate_row_bytes,
+        plan_partitioned_read,
+    )
+
+    assert estimate_row_bytes(["bigint", "int"]) == 12
+    assert estimate_row_bytes(["varchar(200)"]) == 100
+    assert estimate_row_bytes(["datetime", "mystery_type"]) == 28
+    # 10 MB budget, 1 kB rows → 10_000 rows/partition, not 1M
+    plan = plan_partitioned_read(
+        "t", "id", 1, 10_000_000, row_count=10_000_000,
+        row_bytes=1024, target_partition_bytes=10 * 1024 * 1024,
+        max_partitions=1 << 30,
+    )
+    assert plan["numPartitions"] == 977  # ceil(10M / (10MiB // 1kiB))
+    # narrow rows keep the row-count cap
+    plan = plan_partitioned_read(
+        "t", "id", 1, 10_000_000, row_count=10_000_000, row_bytes=8,
+    )
+    assert plan["numPartitions"] == 10
