@@ -189,7 +189,11 @@ def transpile_mysql(sql: str) -> str:
             if ty == "DATETIME":
                 return f"CA\x02ST({expr} AS TIMESTAMP)"
             if ty == "TIME":
-                return f"date_for\x02mat({expr}, 'HH:mm:ss')"
+                # CAST(x AS TIME(n)) keeps n fractional-second digits
+                frac = re.match(r"\((\d+)\)", mo.group(3) or "")
+                n = int(frac.group(1)) if frac else 0
+                fmt = "HH:mm:ss" + ("." + "S" * n if n else "")
+                return f"date_for\x02mat({expr}, '{fmt}')"
             if ty == "CHAR" and not mo.group(3):
                 return f"CA\x02ST({expr} AS STRING)"
         return f"CA\x02ST({arg})"
@@ -504,9 +508,22 @@ def transpile_mysql(sql: str) -> str:
     s = rewrite_call(
         s, "TIME", lambda a: f"date_format({a[0]}, 'HH:mm:ss')"
     )
-    # C55: WEEK(d[, mode]) → weekofyear (ISO weeks = MySQL mode 3; the
-    # default-mode year-boundary difference is accepted and documented)
-    s = rewrite_call(s, "WEEK", lambda a: f"weekofyear({a[0]})")
+    # C55: WEEK(d[, mode]). Default mode 0 = Sunday-start weeks numbered
+    # 0-53 (week 1 begins at the year's first Sunday): with wd(jan1) as
+    # the Sunday-based weekday of Jan 1, week = (doy + (wd+6) mod 7) / 7
+    # — exact at year boundaries, unlike weekofyear (ISO = mode 3, kept
+    # for an explicit mode 3 / WEEKOFYEAR; other modes fall back to ISO,
+    # documented divergence).
+    def _week(a: list[str]) -> str:
+        mode = a[1].strip() if len(a) > 1 else "0"
+        if mode != "0":
+            return f"weekofyear({a[0]})"
+        return (
+            f"CAST(FLOOR((dayofyear({a[0]}) + "
+            f"pmod(dayofweek(trunc({a[0]}, 'YEAR')) + 5, 7)) / 7) AS INT)"
+        )
+
+    s = rewrite_call(s, "WEEK", _week)
 
     # C48: DATE_ADD/DATE_SUB with INTERVAL units → arithmetic (Spark's
     # date_add only takes day counts; +/- INTERVAL covers every unit)

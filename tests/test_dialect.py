@@ -365,3 +365,30 @@ def test_time_to_sec_sign_and_short_forms(spark):
     assert row[2] == 330          # MM:SS right-aligned
     assert row[3] == 45           # bare seconds
     assert str(row[4]) == "2024-05-01 09:30:00"
+
+
+def test_week_mode0_year_boundaries(spark):
+    """MySQL default WEEK (mode 0: Sunday-start, 0-53): week 0 exists
+    when the year doesn't start on Sunday, week 1 starts at the first
+    Sunday — exact at year boundaries where ISO weekofyear diverges."""
+    out = transpile_mysql(
+        "SELECT WEEK(d), WEEK(d, 3), CAST(ts AS TIME(3)), CAST(ts AS TIME) FROM t"
+    )
+    rows = spark.sql(
+        out.replace(
+            "FROM t",
+            "FROM VALUES (date'2024-01-01', timestamp'2024-05-01 10:30:00.250'),"
+            " (date'2023-01-01', timestamp'2024-05-01 10:30:00.250'),"
+            " (date'2023-12-31', timestamp'2024-05-01 10:30:00.250'),"
+            " (date'2024-01-07', timestamp'2024-05-01 10:30:00.250')"
+            " AS t(d, ts)",
+        )
+    ).collect()
+    by_date = {i: tuple(r) for i, r in enumerate(rows)}
+    assert by_date[0][0] == 0    # 2024-01-01 is a Monday → week 0
+    assert by_date[1][0] == 1    # 2023-01-01 is a Sunday → week 1
+    assert by_date[2][0] == 53   # 2023-12-31 (Sunday) opens week 53
+    assert by_date[3][0] == 1    # first Sunday of 2024 → week 1
+    assert by_date[0][1] == 1    # mode 3 = ISO weekofyear
+    assert by_date[0][2] == "10:30:00.250"
+    assert by_date[0][3] == "10:30:00"
