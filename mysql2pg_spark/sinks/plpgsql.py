@@ -36,6 +36,7 @@ class PlpgsqlFunctionSpec:
     declares: list[tuple[str, str]] = field(default_factory=list)
     volatility: str = "STABLE"               # READS SQL DATA analog
     comment: str | None = None
+    pre_statements: list[str] = field(default_factory=list)  # `v := expr`
 
 
 def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
@@ -46,13 +47,16 @@ def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
     if spec.into_var and spec.into_var not in {n for n, _ in declares}:
         declares.insert(0, (spec.into_var, spec.returns))
     declare_block = "".join(f"    {n} {t};\n" for n, t in declares)
+    pre = "".join(
+        f"    {st.strip().rstrip(';')};\n" for st in spec.pre_statements
+    )
     body = spec.body_select.strip().rstrip(";")
     lines = (
         f"CREATE OR REPLACE FUNCTION {spec.name.lower()}({params})\n"
         f"RETURNS {spec.returns}\n"
         f"{spec.volatility} AS $$\n"
         f"DECLARE\n{declare_block}"
-        f"BEGIN\n"
+        f"BEGIN\n{pre}"
         f"    {body}\n"
         f"    INTO {spec.into_var};\n"
         f"    RETURN {spec.into_var};\n"

@@ -267,10 +267,35 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
     stmts = [t.strip() for t in body.split(";") if t.strip()]
     selects = [t for t in stmts if re.match(r"SELECT\b", t, re.I)]
     returns_stmts = [t for t in stmts if re.match(r"RETURN\b", t, re.I)]
-    if len(stmts) != len(selects) + len(returns_stmts):
+    # MySQL `SET v = expr;` (local variable) → plpgsql `v := expr`
+    pre_statements: list[str] = []
+    sets = [t for t in stmts if re.match(r"SET\b", t, re.I)]
+    for st in sets:
+        mo = re.match(r"SET\s+(\w+)\s*:?=\s*(.+)$", st, re.I | re.S)
+        if not mo:
+            raise UnsupportedFunctionError(
+                f"function {name}: cannot parse SET statement {st!r}"
+            )
+        pre_statements.append(
+            f"{mo.group(1).lower()} := "
+            + rewrite_mysql_expr_to_pg(
+                unmask_literals(mo.group(2).strip(), lits)
+            )
+        )
+    if len(stmts) != len(selects) + len(returns_stmts) + len(sets):
         raise UnsupportedFunctionError(
-            f"function {name}: only SELECT…INTO and RETURN statements are "
-            f"supported, got {len(stmts)} statements"
+            f"function {name}: only SET, SELECT…INTO and RETURN statements "
+            f"are supported, got {len(stmts)} statements"
+        )
+    # The emitted shape is SETs → SELECT INTO → RETURN; reject bodies
+    # ordered differently rather than silently reordering them.
+    kinds = ["set" if re.match(r"SET\b", t, re.I)
+             else "select" if re.match(r"SELECT\b", t, re.I) else "return"
+             for t in stmts]
+    if kinds != ["set"] * len(sets) + ["select"] * len(selects) + ["return"]:
+        raise UnsupportedFunctionError(
+            f"function {name}: statement order {kinds} is not "
+            "SET* → SELECT? → RETURN"
         )
     if len(selects) > 1 or len(returns_stmts) != 1:
         raise UnsupportedFunctionError(
@@ -308,4 +333,5 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
         declares=declares,
         volatility=volatility,
         comment=comment,
+        pre_statements=pre_statements,
     )
