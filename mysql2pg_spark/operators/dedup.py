@@ -370,3 +370,40 @@ def contamination_report(
             F.countDistinct("g").alias("n_shared_grams"),
         )
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix (corpus diagnostics): for each
+    pair of sources, the number of distinct word n-grams they share —
+    the source-level view of the d07 contamination check (same shingles,
+    same normalization).
+
+    Shape at scale: per-source DISTINCT gram sets reduce the corpus to
+    one row per (source, gram) — one shuffle on the gram; the pair count
+    is then an equi-join on the gram key (never all-pairs over docs) and
+    the result is O(sources²) rows.
+    """
+    grams = (
+        shingle_sets(docs, group_col, text_col, ngram)
+        .select(F.col(group_col), F.explode_outer("shingles").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias("source_a"),
+            F.col(f"b.{group_col}").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )

@@ -227,3 +227,60 @@ def winnow_fingerprints(
         .select(id_col, F.explode_outer("fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
+
+
+def corpus_stopword_filter(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 10,
+    preview: int = 10,
+):
+    """C4/CCNet-style corpus-frequency boilerplate filtering: the top-N
+    most frequent tokens corpus-wide (count DESC, token ASC — fully
+    deterministic tie-break) form the stoplist; every document drops
+    them. Emits per doc: total tokens, kept tokens, and the first
+    ``preview`` kept tokens in original order.
+
+    Shape at scale: the frequency pass is one map-side-combined groupBy;
+    the stoplist is top-N via TakeOrdered (distributed partial top-k, no
+    global sort) and joins back as a BROADCAST anti-join, so the corpus
+    pass is scan-speed with no second shuffle of the token stream beyond
+    the per-doc re-aggregation.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    stop = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(top_n)
+        .select("tok")
+    )
+    kept = toks.join(F.broadcast(stop), "tok", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                1,
+                preview,
+            ),
+            " ",
+        ).alias("kept_preview"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_preview", F.lit("")).alias("kept_preview"),
+    )

@@ -267,3 +267,30 @@ def d07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     evalset = d.filter(F.col("doc_id") % DECON_MOD == 0)
     train = d.filter(F.col("doc_id") % DECON_MOD != 0)
     return D.contamination_report(train, evalset, ngram=DECON_NGRAM)
+
+
+# --------------------------------------------------------------------------
+# d10 — cross-source n-gram overlap matrix (dataset diagnostics): how
+# many distinct 8-grams each pair of sources shares — the source-level
+# companion of d07's train/eval decontamination. Not in the driver
+# window (50-slot cap); pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "d10_source_overlap",
+    oracle=f"""
+WITH sg AS (
+  SELECT DISTINCT source, g FROM (
+    SELECT source, unnest({_shingles_sql(DECON_NGRAM)}) AS g FROM documents
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM sg a JOIN sg b ON b.g = a.g AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    driver=False,
+)
+def d10_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.source_overlap_matrix(d, ngram=DECON_NGRAM)

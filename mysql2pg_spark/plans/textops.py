@@ -496,3 +496,40 @@ def t10_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_start")
+
+
+# --------------------------------------------------------------------------
+# t11 — corpus-frequency boilerplate filtering (C4/CCNet-style): the
+# top-10 corpus tokens are the stoplist (count DESC, token ASC — exact
+# deterministic tie-break on both engines); docs report total/kept token
+# counts and the first 10 surviving tokens in order. Not in the driver
+# window (50-slot cap); pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "t11_boilerplate_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS ord
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+), stop AS (
+  SELECT tok FROM toks GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 10
+), kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         array_to_string((list(tok ORDER BY ord))[1:10], ' ') AS kept_preview
+  FROM toks WHERE tok NOT IN (SELECT tok FROM stop)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_preview, '') AS kept_preview
+FROM documents d LEFT JOIN kept k USING (doc_id)
+ORDER BY d.doc_id
+""",
+    driver=False,
+)
+def t11_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.textops import corpus_stopword_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_stopword_filter(d, top_n=10, preview=10)

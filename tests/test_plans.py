@@ -146,3 +146,21 @@ def test_multitable_neardup_no_cartesian(spark):
     plan = plan_of(spark, "d08_neardup_multitable")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_filter_stoplist_is_broadcast_anti_join(spark):
+    """t11: the stoplist joins back as a broadcast anti-join (no shuffle
+    of the token stream against a 10-row list) and the top-N is a
+    TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "t11_boilerplate_filter")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_is_gram_equi_join(spark):
+    """d10: the pair count joins on the gram key — hash join, never
+    all-pairs over documents."""
+    plan = plan_of(spark, "d10_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
