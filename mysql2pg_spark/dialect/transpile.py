@@ -525,6 +525,47 @@ def transpile_mysql(sql: str) -> str:
 
     s = rewrite_call(s, "WEEK", _week)
 
+    # C55 family: YEARWEEK(d) mode 0 — days before the year's first
+    # Sunday belong to the PREVIOUS year's last week (YYYYWW).
+    def _week0_expr(d: str) -> str:
+        return (
+            f"CAST(FLOOR((dayofyear({d}) + "
+            f"pmod(dayofweek(trunc({d}, 'YEAR')) + 5, 7)) / 7) AS INT)"
+        )
+
+    def _yearweek(a: list[str]) -> str:
+        d = a[0]
+        prev_dec31 = f"make_date(year({d}) - 1, 12, 31)"
+        return (
+            f"(CASE WHEN {_week0_expr(d)} = 0 "
+            f"THEN (year({d}) - 1) * 100 + {_week0_expr(prev_dec31)} "
+            f"ELSE year({d}) * 100 + {_week0_expr(d)} END)"
+        )
+
+    s = rewrite_call(s, "YEARWEEK", _yearweek)
+    # C34 spellings with direct Spark equivalents
+    s = rewrite_call(
+        s, "FORMAT", lambda a: f"format_number({a[0]}, {a[1]})"
+    )
+    s = rewrite_call(
+        s, "OCT", lambda a: f"conv(CAST({a[0]} AS STRING), 10, 8)"
+    )
+    # C44: TO_DAYS — days since year 0 (Gregorian; constant offset 366
+    # from Spark's proleptic day count anchored at 0001-01-01)
+    s = rewrite_call(
+        s, "TO_DAYS", lambda a: f"(datediff({a[0]}, DATE'0001-01-01') + 366)"
+    )
+
+    def _field(a: list[str]) -> str:
+        whens = " ".join(
+            f"WHEN {a[0]} = {v} THEN {i}" for i, v in enumerate(a[1:], 1)
+        )
+        return f"(CASE {whens} ELSE 0 END)"
+
+    s = rewrite_call(s, "FIELD", _field)
+    # infix MOD (the MOD(a,b) function is Spark-native and left alone)
+    s = re.sub(r"\bMOD\b(?!\s*\()", "%", s, flags=re.I)
+
     # C48: DATE_ADD/DATE_SUB with INTERVAL units → arithmetic (Spark's
     # date_add only takes day counts; +/- INTERVAL covers every unit)
     def _date_arith(sign: str):

@@ -392,3 +392,26 @@ def test_week_mode0_year_boundaries(spark):
     assert by_date[0][1] == 1    # mode 3 = ISO weekofyear
     assert by_date[0][2] == "10:30:00.250"
     assert by_date[0][3] == "10:30:00"
+
+
+def test_more_mysql_spellings(spark):
+    """Infix MOD, FORMAT, FIELD, OCT, TO_DAYS, YEARWEEK(mode 0) — the
+    long tail of MySQL spellings Spark lacks natively."""
+    out = transpile_mysql(
+        "SELECT 7 MOD 2, MOD(7, 2), FORMAT(1234567.891, 2), "
+        "FIELD('b', 'a', 'b', 'c'), FIELD('z', 'a', 'b'), OCT(8), "
+        "TO_DAYS(d), YEARWEEK(d), YEARWEEK(d2) FROM t"
+    )
+    row = spark.sql(
+        out.replace(
+            "FROM t",
+            "FROM VALUES (date'1970-01-01', date'2024-01-01') AS t(d, d2)",
+        )
+    ).collect()[0]
+    assert row[0] == 1 and row[1] == 1
+    assert row[2] == "1,234,567.89"
+    assert row[3] == 2 and row[4] == 0
+    assert row[5] == "10"
+    assert row[6] == 719528          # MySQL TO_DAYS('1970-01-01')
+    assert row[7] == 196952         # 1970-01-01 (Thu) → 1969 week 52
+    assert row[8] == 202353         # 2024-01-01 (Mon) → 2023 week 53
