@@ -260,3 +260,34 @@ def test_estimate_row_bytes_and_byte_budgeted_partitions():
         "t", "id", 1, 10_000_000, row_count=10_000_000, row_bytes=8,
     )
     assert plan["numPartitions"] == 10
+
+
+def test_row_at_a_time_insert_fallback():
+    """B3: one parameterized INSERT per row through the DB-API seam
+    (reference InsertData parity; legacy/fallback path only)."""
+    from mysql2pg_spark.sinks.copy_sink import insert_rows_partition
+
+    class Conn:
+        def __init__(self):
+            self.sql = []
+            self.commits = 0
+
+        def cursor(self):
+            return self
+
+        def execute(self, sql, params):
+            self.sql.append((sql, params))
+
+        def commit(self):
+            self.commits += 1
+
+        def close(self):
+            pass
+
+    conn = Conn()
+    n = insert_rows_partition(
+        iter([(1, "a"), (2, "b")]), "t", ["id", "val"], lambda: conn
+    )
+    assert n == 2 and conn.commits == 1
+    assert conn.sql[0] == ('INSERT INTO "t" (id, val) VALUES (%s, %s)', (1, "a"))
+    assert conn.sql[1][1] == (2, "b")
