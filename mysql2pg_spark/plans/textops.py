@@ -300,7 +300,7 @@ WITH RECURSIVE d AS (
   FROM nb
 )
 SELECT p.source, p.doc_id, CAST(p.n_chars AS BIGINT) AS n_chars,
-       p.bin_id + o.bin_offset AS bin_id, p.seq_offset
+       CAST(p.bin_id + o.bin_offset AS BIGINT) AS bin_id, p.seq_offset
 FROM packed p JOIN o ON o.source = p.source AND o.shard = p.shard
 """,
 )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql2pg_spark.plans.relational import DEC
+from mysql2pg_spark.tables import normalize_events_ts
 
 
 def windowed_value_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
@@ -60,8 +61,8 @@ def run_streaming_backfill(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # nanos→micros conversion matching tables.load_table
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same type-adaptive ts canonicalization as tables.load_table
+    events = normalize_events_ts(raw)
     agg = windowed_value_agg(events.withWatermark("ts", watermark), window)
     q = (
         agg.writeStream.format("memory")
@@ -101,7 +102,7 @@ def run_stateful_user_counts(
         .option("maxBytesPerTrigger", 512 * 1024)
         .parquet(sf_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_events_ts(raw)
 
     def update_counts(key, pdf_iter, state: GroupState):
         (user_id,) = key
@@ -200,7 +201,7 @@ def run_stream_stream_join(
             .option("maxBytesPerTrigger", 512 * 1024)
             .parquet(sf_dir)
         )
-        e = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        e = normalize_events_ts(raw)
         return (
             e.filter(F.col("event_type") == event_type)
             .select(

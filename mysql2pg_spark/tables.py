@@ -36,19 +36,57 @@ SMALL_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
-    # unless this (runtime-settable) conf is on.  The builder in session.py
-    # sets it too, but load_table must not assume it built the session —
-    # an externally constructed SparkSession (e.g. the correctness driver's)
-    # would otherwise crash with PARQUET_TYPE_ILLEGAL before reading a row.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to TIMESTAMP (LTZ, session tz pinned UTC).
+
+    The driver has regenerated events.parquet with different physical ts
+    encodings across rounds (timestamp[ns] → bigint under nanosAsLong;
+    timestamp[us] → TIMESTAMP_NTZ), so branch on the *loaded* dtype instead
+    of assuming one layout:
+
+    - ``bigint``: legacy nanos-as-long; truncate to micros with integer
+      division exactly like DuckDB (NOT float — nanos exceed 2^53).
+    - ``timestamp_ntz`` / anything else: cast through to ``timestamp``.
+      With the session timezone pinned to UTC (session.py and load_table
+      both enforce it) the NTZ→LTZ cast is wall-clock-preserving, so
+      values stay identical to DuckDB's naive-timestamp oracle.
+
+    Both branches emit the same canonical type; a final assertion turns
+    the next fixture drift into one named error instead of N opaque
+    plan-time crashes.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype is None:
+        return df
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dict(df.dtypes)["ts"]
+    assert out == "timestamp", (
+        f"events.ts normalization failed: parquet dtype {dtype!r} -> {out!r}; "
+        "testdata layout changed again — extend normalize_events_ts."
+    )
+    return df
+
+
+def _pin_session_confs(spark: SparkSession) -> None:
+    # load_table must not assume it built the session — an externally
+    # constructed SparkSession (e.g. the correctness driver's) needs the
+    # same runtime-settable confs session.py applies:
+    #  - nanosAsLong: historical events.parquet used TIMESTAMP(NANOS),
+    #    which Spark rejects outright without it; harmless for micros.
+    #  - UTC session tz: makes the NTZ->LTZ cast in normalize_events_ts
+    #    value-stable vs DuckDB's naive timestamps regardless of host tz.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong (session.py)
-        # it arrives as bigint nanos. Truncate to micros exactly like
-        # DuckDB does — integer division, NOT float (nanos > 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -57,10 +57,12 @@ def test_stateful_counts_across_real_microbatches(spark, tmp_path):
     from pyspark.sql import functions as SF
     from mysql2pg_spark.tables import load_table
 
+    from mysql2pg_spark.tables import normalize_events_ts
+
     src = str(tmp_path / "events_split")
     e = load_table(spark, "/root/testdata/sf0.001", "events")
-    # re-write WITHOUT the micros conversion (the stream expects raw
-    # nanos longs, as in the source fixture)
+    # re-write the RAW fixture (whatever physical ts layout the driver
+    # generated); the stream re-applies the same adaptive normalizer.
     raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     raw.repartition(4).write.mode("overwrite").parquet(src)
 
@@ -70,7 +72,7 @@ def test_stateful_counts_across_real_microbatches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    events = stream.withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+    events = normalize_events_ts(stream)
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
