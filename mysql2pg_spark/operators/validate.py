@@ -31,17 +31,63 @@ def row_digest(df: DataFrame, cols: list[str] | None = None) -> F.Column:
     return F.md5(F.concat_ws("\x01", *parts))
 
 
-def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    d = df.select(row_digest(df, cols).alias("h"))
+def _checksum_aggs(h: F.Column) -> list[F.Column]:
     # top 60 bits of the md5 as an exact decimal term (conv → unsigned
     # decimal string → decimal(38,0)); summed order-insensitively.
-    term = F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")
-    return d.agg(
+    term = F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+    return [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(term).cast("string").alias("hash_sum"),
-        F.min("h").alias("min_digest"),
-        F.max("h").alias("max_digest"),
-    )
+        F.min(h).alias("min_digest"),
+        F.max(h).alias("max_digest"),
+    ]
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    d = df.select(row_digest(df, cols).alias("h"))
+    return d.agg(*_checksum_aggs(F.col("h")))
+
+
+def observe_checksum(df: DataFrame, name: str, cols: list[str] | None = None):
+    """Attach the checksum aggregates as an ``Observation`` so they are
+    computed DURING whatever action materializes ``df`` (e.g. the sink
+    write) — the accumulator path that gives source-side D3 validation
+    with ZERO extra source scans. At 100 TB a JDBC/parquet source is
+    scanned exactly once: write and checksum share the pass.
+
+    Returns ``(observed_df, observation, observed_cols)``; call
+    ``observation.get`` only after an action has run on ``observed_df``.
+    """
+    from pyspark.sql import Observation
+
+    cols = cols or df.columns
+    obs = Observation(name)
+    observed = df.observe(obs, *_checksum_aggs(row_digest(df, cols)))
+    return observed, obs, cols
+
+
+def get_observation(obs, timeout: float = 10.0) -> dict | None:
+    """Non-blocking fetch of an ``Observation``'s metrics.
+
+    ``Observation.get`` waits FOREVER if no action ever ran on the
+    observed DataFrame (e.g. a test fake sink that drops the frame), so
+    fetch on a daemon thread with a timeout. After a real sink write the
+    metrics are already materialized and this returns immediately.
+    """
+    import threading
+
+    box: dict = {}
+
+    def _fetch() -> None:
+        try:
+            box["row"] = dict(obs.get)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_fetch, daemon=True)
+    t.start()
+    t.join(timeout)
+    return box.get("row")
 
 
 def count_validation(src: DataFrame, dst: DataFrame) -> dict:

@@ -457,6 +457,10 @@ class MigrationPipeline:
         synced: dict[str, int] = {}
         validation: dict[str, dict] = {}
         read_targets: dict[str, str] = {}  # normalized target → source table
+        # target → (checksum row dict, observed columns): source-side D3
+        # checksums captured via df.observe() during the sink write, so
+        # the validate stage never re-scans the source (one scan/table).
+        src_checksums: dict[str, tuple[dict, list[str]]] = {}
 
         for stage in STAGE_ORDER:
             stage_actions = by_stage.get(stage, [])
@@ -490,7 +494,23 @@ class MigrationPipeline:
                     meta = meta_by_name.get(a.target)
                     if meta is not None:
                         df = self._value_fix_transform(meta)(df)
+                    # D3 source checksum rides the write action itself via
+                    # df.observe() — the source is scanned exactly ONCE.
+                    from mysql2pg_spark.operators.validate import (
+                        get_observation,
+                        observe_checksum,
+                    )
+
+                    df, obs, obs_cols = observe_checksum(
+                        df, f"checksum_{a.target}"
+                    )
                     sink_writer(df, a.target)
+                    row = get_observation(obs)
+                    if row is not None:
+                        src_checksums[a.target] = (row, obs_cols)
+                    # else: the sink never ran an action on df (some test
+                    # fakes); the check stage falls back to a source
+                    # re-scan for this table.
                     # Row count from the DESTINATION, not a second source
                     # scan: df.count() here would re-run the whole JDBC
                     # read (doubling source load) and could disagree with
@@ -512,18 +532,42 @@ class MigrationPipeline:
 
             for a in (x for x in stage_actions if x.kind == "check"):
                 try:
-                    src_table = read_targets.get(a.target, a.target)
-                    src = source_reader(spark, {"table": src_table})
-                    # The destination holds VALUE-FIXED data (B7 zero
-                    # dates, B8 points, boolean casts) plus any C90
+                    dst = dest_reader(spark, a.target)
+                    observed = src_checksums.get(a.target)
+                    if observed is not None and set(observed[1]) <= set(
+                        dst.columns
+                    ):
+                        # Source side came from the observe() that rode
+                        # the sink write — only the destination is
+                        # scanned here (one source scan per table total).
+                        from mysql2pg_spark.operators.validate import (
+                            table_checksum,
+                        )
+
+                        src_row, obs_cols = observed
+                        dst_row = (
+                            table_checksum(dst.select(*obs_cols))
+                            .collect()[0]
+                            .asDict()
+                        )
+                        validation[a.target] = {
+                            "src": src_row,
+                            "dst": dst_row,
+                            "consistent": src_row == dst_row,
+                        }
+                        continue
+                    # Fallback (table skipped this run / fake sink): full
+                    # re-read. The destination holds VALUE-FIXED data (B7
+                    # zero dates, B8 points, boolean casts) plus any C90
                     # generated columns — checksum the source through the
                     # same transform and restrict both sides to the
                     # shared column set, else a correct sync reports
                     # consistent=false.
+                    src_table = read_targets.get(a.target, a.target)
+                    src = source_reader(spark, {"table": src_table})
                     meta = meta_by_name.get(a.target)
                     if meta is not None:
                         src = self._value_fix_transform(meta)(src)
-                    dst = dest_reader(spark, a.target)
                     shared = [c for c in src.columns if c in set(dst.columns)]
                     validation[a.target] = checksum_validation(
                         src.select(*shared), dst.select(*shared)

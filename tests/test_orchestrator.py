@@ -245,6 +245,56 @@ def test_execute_live_path_with_fakes(tmp_path, spark):
     assert not os.path.exists(tmp_path / "logs" / "errors.log")
 
 
+def test_execute_scans_source_once_per_table(tmp_path, spark):
+    """D3 validation must NOT re-read the source: the checksum rides the
+    sink write via df.observe(), so source_reader is invoked exactly once
+    per synced table even with validation on (the 100 TB property — a
+    JDBC source is paged through a single time)."""
+    from mysql2pg_spark.runlog import RunLogger
+    from mysql2pg_spark.tables import load_table
+
+    cfg = _cfg(tmp_path)
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="nation",
+                columns=[ColumnMeta("n_nationkey", "int", False)],
+                primary_key=["n_nationkey"],
+                row_count=25,
+                pk_bounds=(0, 24),
+            ),
+        ]
+    )
+    sink = tmp_path / "pg"
+    scans: dict[str, int] = {}
+
+    def source_reader(sp, plan):
+        t = plan["table"]
+        scans[t] = scans.get(t, 0) + 1
+        return load_table(sp, "/root/testdata/sf0.001", t)
+
+    result = MigrationPipeline(cfg, snap).execute(
+        spark,
+        _FakeConn(),
+        source_reader=source_reader,
+        sink_writer=lambda df, table: df.write.mode("overwrite").parquet(
+            str(sink / table)
+        ),
+        dest_reader=lambda sp, table: sp.read.parquet(str(sink / table)),
+        logger=RunLogger(str(tmp_path / "logs")),
+    )
+    assert scans == {"nation": 1}  # sync + checksum share one scan
+    assert result["validation"]["nation"]["consistent"] is True
+    # the observed source side carries the full checksum shape
+    assert set(result["validation"]["nation"]["src"]) == {
+        "n_rows",
+        "hash_sum",
+        "min_digest",
+        "max_digest",
+    }
+    assert result["validation"]["nation"]["src"]["n_rows"] == 25
+
+
 def test_execute_value_fixes_and_keep_going(tmp_path, spark):
     """B7 zero-date → NULL and C90 generated columns apply between read
     and write; a failing DDL is recorded in errors.log and the run
