@@ -127,8 +127,18 @@ def connected_components_star(
     )
     cur = edges
     prev_sig = None
-    for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+    for i in range(max_iter):
+        # Lazy checkpoint: the plan is cut every round, but nothing runs
+        # until the (periodic) signature job below — which materializes
+        # the pending checkpoints on its way. Checking convergence every
+        # SECOND round halves both the driver round-trips and the Spark
+        # job count; the fixed point is stable, so the only cost is at
+        # most one extra (no-op) round of star ops. At sf0.1 this took
+        # cc01 from ~20 s back under the label-prop ballpark; at 100 TB
+        # the per-round shuffles dominate and the batching is neutral.
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        if i % 2 == 0 and i + 1 < max_iter:
+            continue
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
