@@ -302,6 +302,64 @@ def refine_centroids(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
+    prune within each cluster any vector that has a τ-similar clustermate
+    with a smaller id (greedy min-id survivor — deterministic, no RNG).
+
+    Returns one row per input vector: ``(id, centroid_id, is_semdup,
+    kept_by)`` where ``kept_by`` is the smallest-id τ-neighbor that
+    shadows a pruned vector (NULL for survivors).
+
+    Scale shape: centroids are broadcast (map-side assignment, corpus
+    scanned once); the pairwise τ-check only forms WITHIN a cluster —
+    the quadratic step is bounded by cluster size, never corpus size,
+    exactly the property that makes SemDeDup viable on web-scale
+    corpora. Skewed (hot) clusters are split by AQE; at 100 TB you also
+    cap cluster size by raising k. No floats in the output — the
+    τ-compare happens on the bit-deterministic left-fold cosine
+    (dedup.dot_fold), so the result hash-matches an external SQL oracle.
+    """
+    assign = ivf_assignments(vectors, centroids, id_col, vec_col, 1, "vid")
+    an = with_norm(assign, "v", "vn")
+    a = an.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+        "centroid_id",
+    )
+    b = an.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+        "centroid_id",
+    )
+    cos = dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    shadowed = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("kept_by"))
+    )
+    return (
+        an.join(shadowed, an.vid == shadowed.id_b, "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "centroid_id",
+            F.col("kept_by").isNotNull().alias("is_semdup"),
+            "kept_by",
+        )
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

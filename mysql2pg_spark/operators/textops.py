@@ -284,3 +284,70 @@ def corpus_stopword_filter(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("kept_preview", F.lit("")).alias("kept_preview"),
     )
+
+
+def char_trigrams(text_col: str) -> Column:
+    """All character trigrams of the normalized text, in order and WITH
+    multiplicity (an LM-style frequency feature, not a shingle set).
+    Empty array below 3 chars. Takes the column NAME: the position-
+    dependent substring needs SQL-text form (the Python ``substring``
+    API requires a literal position, not the HOF lambda variable)."""
+    src = f"trim(lower({text_col}))"
+    return F.expr(
+        f"transform(sequence(1, greatest(length({src}) - 2, 0)),"
+        f" i -> substring({src}, i, 3))"
+    )
+
+
+def trigram_lm_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+):
+    """Corpus-trained character-trigram frequency scoring — the shape of
+    CCNet/Gopher LM-based quality filtering without an external model:
+    documents whose trigrams are rare in the corpus read as noise/garble,
+    ones made of common trigrams read as natural text.
+
+    Per doc: ``n_grams`` (trigram occurrences), ``sum_freq`` (exact
+    BIGINT sum of each occurrence's corpus frequency), ``mean_freq`` and
+    ``rare_ratio`` (share of occurrences whose corpus frequency ≤
+    ``rare_max``) — both a SINGLE IEEE division of exact integers, so
+    the result hash-matches an external SQL oracle (registry docstring
+    pattern). Docs with < 3 chars produce no trigrams and drop out,
+    mirroring the oracle's inner join.
+
+    Scale shape: one corpus pass builds the model (groupBy gram,
+    map-side combinable); the model is BROADCAST back onto the gram
+    stream (char-trigram vocabulary is bounded by charset³, independent
+    of corpus size — the property that makes this viable at 100 TB);
+    one more groupBy(doc) folds the scores. No UDFs anywhere.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(char_trigrams(text_col)).alias("g")
+    )
+    model = grams.groupBy("g").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        grams.join(F.broadcast(model), "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+            F.sum(
+                F.when(F.col("freq") <= rare_max, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("rare_n"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "sum_freq",
+            (
+                F.col("sum_freq").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("mean_freq"),
+            (
+                F.col("rare_n").cast("double") / F.col("n_grams").cast("double")
+            ).alias("rare_ratio"),
+        )
+    )

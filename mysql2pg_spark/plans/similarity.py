@@ -287,6 +287,52 @@ def d08_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# d11 — SemDeDup-style semantic dedup (arXiv:2303.09540): IVF-cluster the
+# corpus, then within each cluster prune every vector with a τ-similar
+# smaller-id clustermate (greedy min-id survivor). The quadratic step is
+# bounded by cluster size — never corpus size. No floats in the output,
+# so the hash compare is airtight. Not in the driver window (cap 50);
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+SEM_T = 0.18  # τ: same cosine threshold family as d06
+
+
+@query(
+    "d11_semantic_dedup",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 1
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_raw_cos('v.embedding', 'c.c')} DESC, c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+shadowed AS (
+  SELECT b.vec_id AS id_b, MIN(a.vec_id) AS kept_by
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_raw_cos('a.embedding', 'b.embedding')} >= {SEM_T}
+  GROUP BY b.vec_id
+)
+SELECT v.vec_id, v.centroid_id,
+       (s.kept_by IS NOT NULL) AS is_semdup, s.kept_by
+FROM assign v LEFT JOIN shadowed s ON s.id_b = v.vec_id
+ORDER BY v.vec_id
+""",
+    driver=False,
+)
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % CENTROID_MOD == 1)
+    return S.semantic_dedup(e, centroids, "vec_id", "embedding", SEM_T)
+
+
+# --------------------------------------------------------------------------
 # s04 — IVF with one Lloyd round: sampled-point centroids are a weak
 # quantizer; refine them once as per-cluster means (integer-quantized for
 # cross-engine exactness — see similarity.refine_centroids) and run the

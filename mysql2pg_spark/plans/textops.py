@@ -533,3 +533,41 @@ def t11_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return corpus_stopword_filter(d, top_n=10, preview=10)
+
+
+# --------------------------------------------------------------------------
+# t12 — corpus-trained character-trigram frequency scoring: the shape of
+# CCNet/Gopher LM-perplexity quality filtering with the external model
+# replaced by the corpus's own trigram statistics. All exact integer
+# arithmetic plus single IEEE divisions, so it hash-matches. Not in the
+# driver window (50-slot cap); pytest-oracle-checked.
+# --------------------------------------------------------------------------
+RARE_MAX = 2
+
+
+@query(
+    "t12_trigram_lm",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(length({_NORM}) - 2, 0) + 1),
+           i -> substr({_NORM}, i, 3))) AS g
+  FROM documents
+),
+model AS (SELECT g, count(*) AS freq FROM g GROUP BY g)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(freq) AS BIGINT) AS sum_freq,
+       CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq,
+       CAST(sum(CASE WHEN freq <= {RARE_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS rare_ratio
+FROM g JOIN model USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    driver=False,
+)
+def t12_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.trigram_lm_scores(d, "doc_id", "text", RARE_MAX)
