@@ -106,31 +106,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH with one band per hash (r=1): docs sharing ANY minhash value
     become a candidate pair. Equi-join on (band, key) — never all-pairs."""
-    bands = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"), F.col(f"mh{i}").alias("key")
-                    )
-                    for i in range(num_hashes)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "b.band", "b.key")
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.key") == F.col(f"b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        _band_keys(signatures, id_col, "id_a", num_hashes)
+        .join(_band_keys(signatures, id_col, "id_b", num_hashes), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -174,6 +154,116 @@ def verify_jaccard(
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _band_keys(
+    sig: DataFrame, id_col: str, out: str, num_hashes: int
+) -> DataFrame:
+    """(id → one row per (band, key)) from a signature frame — the LSH
+    index layout shared by the self-join (lsh_candidate_pairs) and the
+    cross-table delta-vs-history join (incremental_dedup)."""
+    return sig.select(
+        F.col(id_col).alias(out),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"mh{i}").alias("key")
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("b"),
+    ).select(out, "b.band", "b.key")
+
+
+def incremental_dedup(
+    history: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Continuous-ingest dedup: classify each DELTA document against the
+    HISTORY corpus — the shape of a daily crawl landing on an existing
+    100 TB corpus, where re-deduping history against itself every batch
+    would be quadratic waste.
+
+    One row per delta doc: ``exact_dup_of`` (min history id with an
+    identical fingerprint), ``neardup_of`` (min history id that is an
+    LSH candidate with n-gram Jaccard ≥ threshold), ``is_new`` (neither).
+
+    Scale shape: every join is keyed — fingerprint equi-join for exact,
+    (band, key) equi-join for near-dup candidates, Jaccard verify only
+    on candidates. History is scanned once to build its fp/signature
+    index; in a production pipeline that index is PRECOMPUTED and
+    bucketed on the band key, so each delta batch costs
+    O(delta × bands) lookups, independent of history size. Delta
+    shingles are cached (used by both the signature agg and the verify
+    join); history never joins history.
+    """
+    h_fp = history.select(
+        F.col(id_col).alias("h_id"), fingerprint(text_col).alias("fp")
+    )
+    d_fp = delta.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    exact = (
+        d_fp.join(h_fp, "fp")
+        .groupBy(id_col)
+        .agg(F.min("h_id").alias("exact_dup_of"))
+    )
+
+    h_sh = shingle_sets(history, id_col, text_col, ngram).cache()
+    d_sh = shingle_sets(delta, id_col, text_col, ngram).cache()
+    cand = (
+        _band_keys(
+            _signatures_from_shingles(d_sh, id_col, num_hashes),
+            id_col,
+            "d_id",
+            num_hashes,
+        )
+        .join(
+            _band_keys(
+                _signatures_from_shingles(h_sh, id_col, num_hashes),
+                id_col,
+                "h_id",
+                num_hashes,
+            ),
+            ["band", "key"],
+        )
+        .select("d_id", "h_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_d", "sh_h"))
+    union = F.size(F.array_union("sh_d", "sh_h"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    near = (
+        cand.join(
+            d_sh.select(F.col(id_col).alias("d_id"), F.col("shingles").alias("sh_d")),
+            "d_id",
+        )
+        .join(
+            h_sh.select(F.col(id_col).alias("h_id"), F.col("shingles").alias("sh_h")),
+            "h_id",
+        )
+        .filter(jac >= F.lit(threshold))
+        .groupBy(F.col("d_id").alias(id_col))
+        .agg(F.min("h_id").alias("neardup_of"))
+    )
+    return (
+        delta.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            "exact_dup_of",
+            "neardup_of",
+            (
+                F.col("exact_dup_of").isNull() & F.col("neardup_of").isNull()
+            ).alias("is_new"),
+        )
     )
 
 

@@ -294,3 +294,69 @@ ORDER BY 1, 2
 def d10_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.source_overlap_matrix(d, ngram=DECON_NGRAM)
+
+
+# --------------------------------------------------------------------------
+# d12 — incremental (delta-vs-history) dedup: classify each incoming doc
+# against the existing corpus by exact fingerprint AND MinHash-LSH +
+# Jaccard near-dup, without ever re-deduping history against itself —
+# the continuous-ingest shape of a production pipeline. Delta = every
+# 10th doc. Not in the driver window (50-slot cap); pytest-oracle-
+# checked.
+# --------------------------------------------------------------------------
+DELTA_MOD = 10
+_FP = f"md5(regexp_replace({_NORM}, '\\s+', ' ', 'g'))"
+
+
+def _side_minhash(side: str) -> str:
+    """sh/mh CTE pair for one side (hist/delt) of the incremental join."""
+    return f"""
+{side}_sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM {side}),
+{side}_ex AS (SELECT doc_id, unnest(shingles) AS s FROM {side}_sh),
+{side}_mh AS (SELECT doc_id, {_MH_AGGS} FROM {side}_ex GROUP BY doc_id),
+{side}_band AS ({" UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band, mh{i} AS key FROM {side}_mh"
+    for i in range(NUM_HASHES))})"""
+
+
+@query(
+    "d12_incremental_dedup",
+    oracle=f"""
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % {DELTA_MOD} <> 0),
+delt AS (SELECT doc_id, text FROM documents WHERE doc_id % {DELTA_MOD} = 0),
+hfp AS (SELECT doc_id AS h_id, {_FP} AS fp FROM hist),
+dfp AS (SELECT doc_id, {_FP} AS fp FROM delt),
+exact AS (
+  SELECT doc_id, MIN(h_id) AS exact_dup_of FROM dfp JOIN hfp USING (fp)
+  GROUP BY doc_id
+),{_side_minhash("hist")},{_side_minhash("delt")},
+cand AS (
+  SELECT DISTINCT d.doc_id AS d_id, h.doc_id AS h_id
+  FROM delt_band d JOIN hist_band h ON d.band = h.band AND d.key = h.key
+),
+near AS (
+  SELECT d_id AS doc_id, MIN(h_id) AS neardup_of
+  FROM cand
+  JOIN delt_sh sd ON sd.doc_id = cand.d_id
+  JOIN hist_sh sh ON sh.doc_id = cand.h_id
+  WHERE round(CAST(len(list_intersect(sd.shingles, sh.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sd.shingles || sh.shingles)) AS DOUBLE), 6)
+        >= {JACCARD_T}
+  GROUP BY d_id
+)
+SELECT d.doc_id, e.exact_dup_of, n.neardup_of,
+       (e.exact_dup_of IS NULL AND n.neardup_of IS NULL) AS is_new
+FROM delt d
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near n USING (doc_id)
+ORDER BY d.doc_id
+""",
+    driver=False,
+)
+def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % DELTA_MOD != 0)
+    delta = d.filter(F.col("doc_id") % DELTA_MOD == 0)
+    return D.incremental_dedup(
+        history, delta, "doc_id", "text", JACCARD_T, NGRAM, NUM_HASHES
+    )

@@ -144,3 +144,35 @@ def test_grouped_map_fast_matches_applyinpandas(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert fast == slow
     assert len(fast) > 0
+
+
+def test_incremental_dedup_handmade(spark):
+    """Exact, near, and new classifications on a constructed delta: the
+    fixture's exact dups never cross the mod-10 split, so the exact path
+    is pinned here."""
+    from mysql2pg_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    history = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark engines")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, base),  # byte-identical -> exact dup of 1 (and near dup)
+            (11, base + " tail"),  # near dup of 1, not exact
+            (12, "nothing like anything in history at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in incremental_dedup(
+            history, delta, "doc_id", "text", 0.3
+        ).collect()
+    }
+    assert rows[10].exact_dup_of == 1 and not rows[10].is_new
+    assert rows[11].exact_dup_of is None
+    assert rows[11].neardup_of == 1 and not rows[11].is_new
+    assert rows[12].exact_dup_of is None and rows[12].neardup_of is None
+    assert rows[12].is_new
