@@ -1,0 +1,63 @@
+"""mysqldump file source: tokenizer edge cases + distributed read."""
+
+from __future__ import annotations
+
+from mysql2pg_spark.sources.dumpfile import (
+    read_dump_inserts,
+    scan_dump_tables,
+    split_tuples,
+)
+
+DUMP = """-- MySQL dump 10.13
+/*!40101 SET NAMES utf8mb4 */;
+DROP TABLE IF EXISTS `users`;
+CREATE TABLE `users` (
+  `id` bigint NOT NULL,
+  `name` varchar(50) DEFAULT NULL,
+  `note` text,
+  `score` double DEFAULT NULL
+);
+INSERT INTO `users` VALUES (1,'alice','plain',1.5),(2,'bo)b','has ),( inside',-2.25);
+INSERT INTO `users` VALUES (3,NULL,'quote '' doubled',0),(4,'tab\\there','back\\\\slash',1e2);
+INSERT INTO `orders` VALUES (10,'other table');
+"""
+
+
+def test_split_tuples_edges():
+    rows = split_tuples(
+        "(1,'a,b','c)d',NULL),(2,'it''s','x\\'y',-3)"
+    )
+    assert rows == [
+        ["1", "a,b", "c)d", None],
+        ["2", "it's", "x'y", "-3"],
+    ]
+
+
+def test_split_tuples_escapes():
+    (row,) = split_tuples(r"(1,'l1\nl2','t\tab','100\%')")
+    assert row == ["1", "l1\nl2", "t\tab", r"100\%"]
+
+
+def test_read_dump_inserts(spark, tmp_path):
+    p = tmp_path / "dump.sql"
+    p.write_text(DUMP)
+    df = read_dump_inserts(
+        spark,
+        str(p),
+        "users",
+        "id bigint, name string, note string, score double",
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # the orders line is filtered JVM-side
+    assert rows[2].name == "bo)b" and rows[2].note == "has ),( inside"
+    assert rows[2].score == -2.25
+    assert rows[3].name is None and rows[3].note == "quote ' doubled"
+    assert rows[4].name == "tab\there" and rows[4].note == "back\\slash"
+    assert rows[4].score == 100.0  # 1e2 cast JVM-side
+
+
+def test_scan_dump_tables(spark, tmp_path):
+    p = tmp_path / "dump.sql"
+    p.write_text(DUMP)
+    inv = {r.table: r.n_insert_lines for r in scan_dump_tables(spark, str(p)).collect()}
+    assert inv == {"users": 2, "orders": 1}
