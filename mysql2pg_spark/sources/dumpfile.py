@@ -159,6 +159,20 @@ def read_dump_inserts(
     )
 
 
+def dump_source_reader(path: str, schemas: dict[str, StructType | str]):
+    """Factory adapting the dump source to ``MigrationPipeline.execute``'s
+    ``source_reader`` seam: a dump-file migration runs the SAME plan/DDL/
+    sink/validation control flow as a live-MySQL one, swapping only this
+    callable. ``schemas`` maps table name → DDL string or StructType
+    (typically built from the catalog snapshot's column metadata)."""
+
+    def reader(spark: SparkSession, plan: dict) -> DataFrame:
+        table = plan["table"]
+        return read_dump_inserts(spark, path, table, schemas[table])
+
+    return reader
+
+
 def scan_dump_tables(spark: SparkSession, path: str) -> DataFrame:
     """Table inventory of a dump: (table, n_insert_lines). The A1-style
     catalog scan for file-based sources — one distributed pass over the

@@ -61,3 +61,72 @@ def test_scan_dump_tables(spark, tmp_path):
     p.write_text(DUMP)
     inv = {r.table: r.n_insert_lines for r in scan_dump_tables(spark, str(p)).collect()}
     assert inv == {"users": 2, "orders": 1}
+
+
+def test_execute_migration_from_dump(spark, tmp_path):
+    """Full pipeline (plan → DDL → sync → validate) with the dump file as
+    the source: proves a dump-file migration swaps ONLY the source seam."""
+    import yaml
+
+    from mysql2pg_spark.config import load_config
+    from mysql2pg_spark.orchestrator import (
+        CatalogSnapshot,
+        ColumnMeta,
+        MigrationPipeline,
+        TableMeta,
+    )
+    from mysql2pg_spark.runlog import RunLogger
+    from mysql2pg_spark.sources.dumpfile import dump_source_reader
+    from tests.test_orchestrator import _FakeConn
+
+    dump = tmp_path / "dump.sql"
+    dump.write_text(
+        "INSERT INTO `users` VALUES (1,'alice','plain',1.5),"
+        "(2,'bo)b','x',-2.25);\n"
+        "INSERT INTO `users` VALUES (3,NULL,'y',0);\n"
+    )
+    cfgp = tmp_path / "c.yml"
+    cfgp.write_text(
+        yaml.safe_dump(
+            {
+                "mysql": {"host": "h", "database": "d"},
+                "postgresql": {"host": "p", "database": "d"},
+                "conversion": {
+                    "options": {},
+                    "limits": {"concurrency": 2, "max_rows_per_batch": 100},
+                },
+            }
+        )
+    )
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="users",
+                columns=[
+                    ColumnMeta("id", "bigint", False),
+                    ColumnMeta("name", "varchar(50)"),
+                    ColumnMeta("note", "text"),
+                    ColumnMeta("score", "double"),
+                ],
+                primary_key=["id"],
+                row_count=3,
+                pk_bounds=(1, 3),
+            )
+        ]
+    )
+    sink = tmp_path / "pg"
+    result = MigrationPipeline(load_config(str(cfgp)), snap).execute(
+        spark,
+        _FakeConn(),
+        source_reader=dump_source_reader(
+            str(dump),
+            {"users": "id bigint, name string, note string, score double"},
+        ),
+        sink_writer=lambda df, table: df.write.mode("overwrite").parquet(
+            str(sink / table)
+        ),
+        dest_reader=lambda sp, table: sp.read.parquet(str(sink / table)),
+        logger=RunLogger(str(tmp_path / "logs")),
+    )
+    assert result["synced"] == {"users": 3}
+    assert result["validation"]["users"]["consistent"] is True
