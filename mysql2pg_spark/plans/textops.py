@@ -571,3 +571,33 @@ ORDER BY doc_id
 def t12_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.trigram_lm_scores(d, "doc_id", "text", RARE_MAX)
+
+
+# --------------------------------------------------------------------------
+# t13 — exact per-source length-decile profile (data profiling for shard
+# sizing / length filtering). Integer-only rank arithmetic so the order
+# statistics are engine-exact. Not in the driver window (50-slot cap);
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "t13_length_profile",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, d.d AS decile, CAST(n_chars AS BIGINT) AS value,
+       CAST(n AS BIGINT) AS n_rows
+FROM r, UNNEST(range(1, 11)) AS d(d)
+WHERE (d.d * n + 9) // 10 = rn
+ORDER BY source, decile
+""",
+    driver=False,
+)
+def t13_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.quality import decile_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return decile_profile(d, "source", "n_chars", "doc_id")
