@@ -187,3 +187,140 @@ def scan_dump_tables(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("table")
         .agg(F.count(F.lit(1)).alias("n_insert_lines"))
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python DataSource wrapper: spark.read.format("mysqldump").
+# Byte-range input splits give within-file parallelism (a real dump is
+# ONE multi-GB file): each partition seeks to its start offset, skips to
+# the first full line (unless at 0), and parses lines whose START lies
+# inside the split — the standard text input-split contract, so every
+# line is owned by exactly one partition.
+# --------------------------------------------------------------------------
+DEFAULT_SPLIT_BYTES = 64 * 1024 * 1024
+
+
+class _DumpPartition:
+    def __init__(self, path: str, start: int, end: int):
+        self.path, self.start, self.end = path, start, end
+
+
+def _dump_partitions(path: str, split_bytes: int):
+    import os
+
+    files = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path))]
+        if os.path.isdir(path)
+        else [path]
+    )
+    parts = []
+    for f in files:
+        size = os.path.getsize(f)
+        for off in range(0, max(size, 1), split_bytes):
+            parts.append(_DumpPartition(f, off, min(off + split_bytes, size)))
+    return parts
+
+
+def _read_split(part: _DumpPartition, table: str, n_cols: int):
+    """Yield parsed rows for every INSERT line starting in [start, end)."""
+    needle = f"insert into `{table.lower()}`"
+    with open(part.path, "rb") as fh:
+        fh.seek(part.start)
+        if part.start > 0:
+            fh.readline()  # owned by the previous split
+        while fh.tell() < part.end:
+            raw = fh.readline()
+            if not raw:
+                break
+            line = raw.decode("utf-8", errors="replace")
+            low = line.lstrip().lower()
+            if not low.startswith(needle):
+                continue
+            idx = line.upper().find("VALUES")
+            if idx < 0:
+                continue
+            for row in split_tuples(line[idx + len("VALUES"):]):
+                yield tuple(
+                    (row[j] if j < len(row) else None) for j in range(n_cols)
+                )
+
+
+try:  # pyspark >= 4: Python DataSource API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class MysqlDumpDataSource(DataSource):
+        """``spark.read.format("mysqldump").schema(ddl)
+        .option("table", t).load(path)``. Register once per session with
+        ``spark.dataSource.register(MysqlDumpDataSource)``. Options:
+        ``table`` (required), ``split_bytes`` (input-split size,
+        default 64 MiB)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "mysqldump"
+
+        def schema(self):
+            raise ValueError(
+                "mysqldump source needs an explicit .schema(...) — a dump "
+                "stores values untyped, so the reader cannot infer one"
+            )
+
+        def reader(self, schema) -> "MysqlDumpReader":
+            return MysqlDumpReader(schema, self.options)
+
+    class MysqlDumpReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self.schema = schema
+            self.path = options.get("path")
+            self.table = options.get("table")
+            if not self.path or not self.table:
+                raise ValueError("mysqldump source requires path and table")
+            self.split_bytes = int(
+                options.get("split_bytes", DEFAULT_SPLIT_BYTES)
+            )
+
+        def partitions(self):
+            return [
+                InputPartition((p.path, p.start, p.end))
+                for p in _dump_partitions(self.path, self.split_bytes)
+            ]
+
+        def read(self, partition):
+            path, start, end = partition.value
+            part = _DumpPartition(path, start, end)
+            n = len(self.schema.fields)
+            # the DataSource contract wants tuples already matching the
+            # declared types — the tokenizer emits strings, so cast here
+            casters = [_pycast(f.dataType) for f in self.schema.fields]
+            for row in _read_split(part, self.table, n):
+                yield tuple(
+                    None if v is None else caster(v)
+                    for v, caster in zip(row, casters)
+                )
+
+    def _pycast(dt):
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            StringType,
+        )
+
+        if isinstance(dt, (LongType, IntegerType)):
+            return int
+        if isinstance(dt, (DoubleType, FloatType)):
+            return float
+        if isinstance(dt, BooleanType):
+            return lambda v: v not in ("0", "false", "FALSE")
+        if isinstance(dt, StringType):
+            return str
+        return str  # dates/decimals arrive as strings; cast downstream
+
+except ImportError:  # pragma: no cover — pyspark < 4 fallback
+    MysqlDumpDataSource = None  # type: ignore[assignment]

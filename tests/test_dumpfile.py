@@ -130,3 +130,31 @@ def test_execute_migration_from_dump(spark, tmp_path):
     )
     assert result["synced"] == {"users": 3}
     assert result["validation"]["users"]["consistent"] is True
+
+
+def test_mysqldump_datasource_with_splits(spark, tmp_path):
+    """spark.read.format('mysqldump') with a tiny split size: the file
+    fans out over multiple byte-range partitions, each line is owned by
+    exactly one split (no dropped or doubled rows)."""
+    from mysql2pg_spark.sources.dumpfile import MysqlDumpDataSource
+
+    assert MysqlDumpDataSource is not None
+    p = tmp_path / "big.sql"
+    lines = [
+        f"INSERT INTO `t` VALUES ({i},'name{i}'),({i + 1000},'x({i})y');"
+        for i in range(50)
+    ]
+    p.write_text("-- header\n" + "\n".join(lines) + "\n")
+
+    spark.dataSource.register(MysqlDumpDataSource)
+    df = (
+        spark.read.format("mysqldump")
+        .schema("id bigint, name string")
+        .option("table", "t")
+        .option("split_bytes", 256)  # force many partitions
+        .load(str(p))
+    )
+    assert df.rdd.getNumPartitions() > 3
+    rows = {r.id: r.name for r in df.collect()}
+    assert len(rows) == 100
+    assert rows[3] == "name3" and rows[1003] == "x(3)y"
