@@ -338,3 +338,75 @@ def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"stream_joined_events_{next(_sink_counter)}"
     return run_stream_stream_join(spark, sf_dir, sink)
+
+
+# --------------------------------------------------------------------------
+# ts01 — hourly gap-fill / resample: dense per-user hourly spine
+# (sequence+explode per user, bounded by each user's own span) with
+# exact-decimal hourly sums forward-filled across gaps. Not in the
+# driver window (50-slot cap); pytest-oracle-checked.
+# --------------------------------------------------------------------------
+GAP_FILL_MAX_USER = 50
+
+
+@query(
+    "ts01_gap_fill",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+  FROM events WHERE user_id <= {GAP_FILL_MAX_USER}
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM b GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT s.user_id, s.hour,
+       coalesce(b.n_events, 0) AS n_events,
+       last_value(b.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (b.n_events IS NULL) AS is_gap
+FROM spine s LEFT JOIN b ON b.user_id = s.user_id AND b.hour = s.hour
+ORDER BY s.user_id, s.hour
+""",
+    driver=False,
+)
+def ts01_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.resample import hourly_gap_fill
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") <= GAP_FILL_MAX_USER
+    )
+    return hourly_gap_fill(e)
+
+
+# --------------------------------------------------------------------------
+# ts02 — cohort retention triangle: first-seen day × day-offset exact
+# distinct users. Not in the driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "ts02_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(time_bucket(INTERVAL '1 day', ts)) AS cohort_day
+  FROM events GROUP BY 1
+)
+SELECT CAST(f.cohort_day AS DATE) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, time_bucket(INTERVAL '1 day', e.ts)) AS BIGINT)
+         AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    driver=False,
+)
+def ts02_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.resample import cohort_retention
+
+    e = load_table(spark, sf_dir, "events")
+    return cohort_retention(e)
