@@ -286,16 +286,20 @@ def corpus_stopword_filter(
     )
 
 
-def char_trigrams(text_col: str) -> Column:
-    """All character trigrams of the normalized text, in order and WITH
-    multiplicity (an LM-style frequency feature, not a shingle set).
-    Empty array below 3 chars. Takes the column NAME: the position-
-    dependent substring needs SQL-text form (the Python ``substring``
-    API requires a literal position, not the HOF lambda variable)."""
-    src = f"trim(lower({text_col}))"
+def char_trigrams(norm_col: str) -> Column:
+    """All character trigrams of an ALREADY-NORMALIZED text column, in
+    order and WITH multiplicity (an LM-style frequency feature, not a
+    shingle set). Empty array below 3 chars.
+
+    Pass a MATERIALIZED column name (a projection of normalize_text),
+    never an expression: Spark inlines expression arguments into the
+    HOF lambda, re-running e.g. trim(lower(text)) once per trigram —
+    O(len²) per doc (the same trap shingle_sets documents). SQL-text
+    form because the Python ``substring`` API needs a literal position,
+    not the lambda variable."""
     return F.expr(
-        f"transform(sequence(1, greatest(length({src}) - 2, 0)),"
-        f" i -> substring({src}, i, 3))"
+        f"transform(sequence(1, greatest(length({norm_col}) - 2, 0)),"
+        f" i -> substring({norm_col}, i, 3))"
     )
 
 
@@ -325,8 +329,8 @@ def trigram_lm_scores(
     one more groupBy(doc) folds the scores. No UDFs anywhere.
     """
     grams = docs.select(
-        F.col(id_col), F.explode(char_trigrams(text_col)).alias("g")
-    )
+        F.col(id_col), normalize_text(text_col).alias("_t")
+    ).select(F.col(id_col), F.explode(char_trigrams("_t")).alias("g"))
     model = grams.groupBy("g").agg(F.count(F.lit(1)).alias("freq"))
     return (
         grams.join(F.broadcast(model), "g")
