@@ -88,3 +88,63 @@ def cohort_retention(
         )
         .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel progression per user: step k completes at the
+    earliest event of type ``steps[k]`` STRICTLY after step k-1's
+    completion time. Output: one row per user with ``t_<step>``
+    timestamps (NULL where the funnel stalled) and ``steps_completed``.
+
+    Spark shape: ONE shuffle (groupBy user), then a JVM-side
+    ``aggregate`` fold over the user's time-sorted event array — no join
+    chain, no repeated scans per step. Per-user event arrays must fit in
+    memory, the usual contract of per-entity analytics (salt or
+    pre-filter event types if a bot user has millions of rows; the
+    projection below already drops every column but (ts, id, type)).
+
+    Strict ``>`` comparisons make the fold equal to the min-chained
+    subquery definition an external SQL oracle uses, independent of how
+    same-timestamp events are ordered."""
+    evs = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col)))
+    )
+
+    fields = [f"t{i}" for i in range(len(steps))]
+
+    def initial():
+        return F.struct(
+            *[F.lit(None).cast("timestamp").alias(f) for f in fields]
+        )
+
+    def merge(acc, e):
+        outs = []
+        for i, (f, step) in enumerate(zip(fields, steps)):
+            cond = acc[f].isNull() & (e[type_col] == step)
+            if i > 0:
+                prev = acc[fields[i - 1]]
+                cond = cond & prev.isNotNull() & (e[ts_col] > prev)
+            outs.append(F.when(cond, e[ts_col]).otherwise(acc[f]).alias(f))
+        return F.struct(*outs)
+
+    folded = events.select(user_col, ts_col, id_col, type_col).groupBy(
+        user_col
+    ).agg(F.aggregate(evs, initial(), merge).alias("fn"))
+    done = sum(
+        F.when(F.col(f"fn.{f}").isNotNull(), 1).otherwise(0) for f in fields
+    )
+    return folded.select(
+        user_col,
+        *[
+            F.col(f"fn.{f}").alias(f"t_{step}")
+            for f, step in zip(fields, steps)
+        ],
+        done.cast("bigint").alias("steps_completed"),
+    )

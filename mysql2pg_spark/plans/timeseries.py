@@ -410,3 +410,48 @@ def ts02_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return cohort_retention(e)
+
+
+# --------------------------------------------------------------------------
+# ts03 — ordered funnel (view → click → purchase): step k completes at
+# the earliest event of its type strictly after step k-1. One shuffle +
+# a JVM-side fold over each user's sorted events; the oracle is the
+# equivalent min-chained subquery ladder. Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+FUNNEL = ("view", "click", "purchase")
+
+
+@query(
+    "ts03_funnel",
+    oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = '{FUNNEL[0]}' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = '{FUNNEL[1]}' AND e.ts > s0.t0 GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > s1.t1 GROUP BY 1
+)
+SELECT u.user_id,
+       s0.t0 AS t_{FUNNEL[0]}, s1.t1 AS t_{FUNNEL[1]}, s2.t2 AS t_{FUNNEL[2]},
+       CAST((s0.user_id IS NOT NULL)::INT + (s1.user_id IS NOT NULL)::INT
+            + (s2.user_id IS NOT NULL)::INT AS BIGINT) AS steps_completed
+FROM u
+LEFT JOIN s0 USING (user_id)
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+ORDER BY u.user_id
+""",
+    driver=False,
+)
+def ts03_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.resample import funnel_steps
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_steps(e, list(FUNNEL))

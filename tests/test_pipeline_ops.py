@@ -176,3 +176,32 @@ def test_incremental_dedup_handmade(spark):
     assert rows[11].neardup_of == 1 and not rows[11].is_new
     assert rows[12].exact_dup_of is None and rows[12].neardup_of is None
     assert rows[12].is_new
+
+
+def test_funnel_strict_ordering_handmade(spark):
+    """Funnel semantics pinned: strict t> chaining, stalls, and a
+    purchase BEFORE the view not counting."""
+    from mysql2pg_spark.operators.resample import funnel_steps
+
+    rows = [
+        # u1 completes in order
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 1, "click"),
+        (3, "2024-01-01 10:10:00", 1, "purchase"),
+        # u2: purchase precedes view -> only step 1 counts
+        (4, "2024-01-01 09:00:00", 2, "purchase"),
+        (5, "2024-01-01 10:00:00", 2, "view"),
+        # u3: click at the SAME ts as view -> strict > rejects it
+        (6, "2024-01-01 10:00:00", 3, "view"),
+        (7, "2024-01-01 10:00:00", 3, "click"),
+        # u4: never views
+        (8, "2024-01-01 10:00:00", 4, "click"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "event_type")
+    out = {r.user_id: r for r in funnel_steps(e, ["view", "click", "purchase"]).collect()}
+    assert out[1].steps_completed == 3
+    assert out[2].steps_completed == 1 and out[2].t_purchase is None
+    assert out[3].steps_completed == 1 and out[3].t_click is None
+    assert out[4].steps_completed == 0 and out[4].t_view is None
