@@ -324,3 +324,140 @@ try:  # pyspark >= 4: Python DataSource API
 
 except ImportError:  # pragma: no cover — pyspark < 4 fallback
     MysqlDumpDataSource = None  # type: ignore[assignment]
+
+
+# --------------------------------------------------------------------------
+# Dump DDL → CatalogSnapshot: the A-plane catalog scan for file-based
+# sources. With this, a FULL offline migration runs from one dump file:
+# snapshot_from_dump → MigrationPipeline.plan()/execute(
+#   source_reader=dump_source_reader(path, dump_read_schemas(snapshot))).
+# --------------------------------------------------------------------------
+import re as _re
+
+_CREATE_RE = _re.compile(r"(?i)^\s*CREATE\s+TABLE\s+`?([A-Za-z0-9_]+)`?")
+_COL_RE = _re.compile(
+    r"^\s*`([A-Za-z0-9_]+)`\s+"
+    r"([A-Za-z]+(?:\([^)]*\))?(?:\s+unsigned)?)"
+    r"(.*)$",
+    _re.IGNORECASE,
+)
+_PK_RE = _re.compile(r"(?i)^\s*PRIMARY\s+KEY\s+\(([^)]*)\)")
+_KEY_RE = _re.compile(
+    r"(?i)^\s*(UNIQUE\s+)?KEY\s+`?([A-Za-z0-9_]+)`?\s+\(([^)]*)\)"
+)
+_COMMENT_RE = _re.compile(r"(?i)COMMENT\s+'((?:[^']|'')*)'")
+_DEFAULT_RE = _re.compile(r"(?i)DEFAULT\s+('(?:[^']|'')*'|[A-Za-z0-9_.+-]+)")
+
+
+def _key_cols(raw: str) -> list[str]:
+    # `a`,`b`(10) → [a, b]   (prefix-length suffixes dropped)
+    return [
+        c.strip().strip("`").split("(")[0].strip("`")
+        for c in raw.split(",")
+        if c.strip()
+    ]
+
+
+def _ddl_lines(spark: SparkSession, path: str) -> list[str]:
+    """DDL-ish lines of the dump in original order, collected driver-side.
+
+    INSERT lines (the data bulk) are filtered out DISTRIBUTIVELY first,
+    so the collect is only the schema header — tiny at any dump size.
+    Ordering: monotonically_increasing_id puts the text-split index in
+    its high bits and Spark enumerates a file's splits in offset order,
+    so sorting by it reconstructs line order within one dump file."""
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("mid"), "value"
+    )
+    low = F.lower(F.ltrim(F.col("value")))
+    ddl = lines.filter(
+        ~low.startswith("insert into")
+        & ~low.startswith("--")
+        & ~low.startswith("/*")
+        & (F.trim(F.col("value")) != "")
+    )
+    return [r.value for r in ddl.sort("mid").collect()]
+
+
+def snapshot_from_dump(spark: SparkSession, path: str):
+    """Parse every CREATE TABLE block of a mysqldump into a
+    CatalogSnapshot (columns with type/nullability/default/comment/
+    auto-increment, primary keys, secondary indexes) — the
+    information_schema scan for servers that no longer exist."""
+    from mysql2pg_spark.orchestrator import (
+        CatalogSnapshot,
+        ColumnMeta,
+        TableMeta,
+    )
+    from mysql2pg_spark.sinks.ddl import IndexSpec
+
+    tables: list[TableMeta] = []
+    cur: TableMeta | None = None
+    for line in _ddl_lines(spark, path):
+        m = _CREATE_RE.match(line)
+        if m:
+            cur = TableMeta(name=m.group(1), columns=[])
+            continue
+        if cur is None:
+            continue
+        if line.lstrip().startswith(")"):
+            tables.append(cur)
+            cur = None
+            continue
+        pk = _PK_RE.match(line)
+        if pk:
+            cur.primary_key = _key_cols(pk.group(1))
+            continue
+        key = _KEY_RE.match(line)
+        if key:
+            cur.indexes.append(
+                IndexSpec(
+                    name=key.group(2),
+                    columns=_key_cols(key.group(3)),
+                    unique=bool(key.group(1)),
+                )
+            )
+            continue
+        col = _COL_RE.match(line)
+        if col:
+            rest = col.group(3)
+            comment = _COMMENT_RE.search(rest)
+            default = _DEFAULT_RE.search(rest)
+            dflt = default.group(1).strip("'") if default else None
+            cur.columns.append(
+                ColumnMeta(
+                    name=col.group(1),
+                    column_type=col.group(2).lower(),
+                    nullable="NOT NULL" not in rest.upper(),
+                    default=None if (dflt or "").upper() == "NULL" else dflt,
+                    comment=comment.group(1).replace("''", "'")
+                    if comment
+                    else None,
+                    auto_increment="AUTO_INCREMENT" in rest.upper(),
+                )
+            )
+    return CatalogSnapshot(tables=tables)
+
+
+def dump_read_schemas(snapshot) -> dict[str, StructType]:
+    """Per-table Spark read schemas from a parsed snapshot (via the same
+    MySQL→Spark type map the DDL translator uses), ready for
+    ``dump_source_reader``."""
+    from mysql2pg_spark.schema.schema_map import struct_field_for
+
+    return {
+        t.name: StructType(
+            [
+                struct_field_for(
+                    c.name,
+                    c.column_type,
+                    c.nullable,
+                    c.default,
+                    c.comment,
+                    c.auto_increment,
+                )
+                for c in t.columns
+            ]
+        )
+        for t in snapshot.tables
+    }

@@ -158,3 +158,105 @@ def test_mysqldump_datasource_with_splits(spark, tmp_path):
     rows = {r.id: r.name for r in df.collect()}
     assert len(rows) == 100
     assert rows[3] == "name3" and rows[1003] == "x(3)y"
+
+
+REAL_DUMP = """-- MySQL dump 10.13  Distrib 8.0.32
+/*!40101 SET NAMES utf8mb4 */;
+DROP TABLE IF EXISTS `customers`;
+CREATE TABLE `customers` (
+  `id` bigint NOT NULL AUTO_INCREMENT,
+  `name` varchar(100) NOT NULL,
+  `balance` decimal(10,2) DEFAULT '0.00',
+  `joined` datetime DEFAULT NULL COMMENT 'signup ''moment''',
+  PRIMARY KEY (`id`),
+  UNIQUE KEY `uq_name` (`name`),
+  KEY `ix_joined` (`joined`,`name`(10))
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
+INSERT INTO `customers` VALUES (1,'ada',10.50,'2024-01-01 09:00:00'),(2,'bob',NULL,NULL);
+DROP TABLE IF EXISTS `tags`;
+CREATE TABLE `tags` (
+  `tag` varchar(20) NOT NULL,
+  PRIMARY KEY (`tag`)
+);
+INSERT INTO `tags` VALUES ('x'),('y');
+"""
+
+
+def test_snapshot_from_dump(spark, tmp_path):
+    from mysql2pg_spark.sources.dumpfile import (
+        dump_read_schemas,
+        snapshot_from_dump,
+    )
+
+    p = tmp_path / "full.sql"
+    p.write_text(REAL_DUMP)
+    snap = snapshot_from_dump(spark, str(p))
+    by_name = {t.name: t for t in snap.tables}
+    assert set(by_name) == {"customers", "tags"}
+    c = by_name["customers"]
+    cols = {x.name: x for x in c.columns}
+    assert cols["id"].auto_increment and not cols["id"].nullable
+    assert cols["balance"].column_type == "decimal(10,2)"
+    assert cols["balance"].default == "0.00"
+    assert cols["joined"].comment == "signup 'moment'"
+    assert c.primary_key == ["id"]
+    assert [(i.name, i.columns, i.unique) for i in c.indexes] == [
+        ("uq_name", ["name"], True),
+        ("ix_joined", ["joined", "name"], False),
+    ]
+    schemas = dump_read_schemas(snap)
+    assert [f.dataType.simpleString() for f in schemas["customers"].fields] == [
+        "bigint", "string", "decimal(10,2)", "timestamp"
+    ]
+
+
+def test_full_offline_migration_from_dump_only(spark, tmp_path):
+    """The capstone: snapshot + schemas + data ALL from one dump file —
+    plan, DDL emission, sync, and checksum validation with zero
+    hand-written metadata."""
+    import yaml
+
+    from mysql2pg_spark.config import load_config
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.runlog import RunLogger
+    from mysql2pg_spark.sources.dumpfile import (
+        dump_read_schemas,
+        dump_source_reader,
+        snapshot_from_dump,
+    )
+    from tests.test_orchestrator import _FakeConn
+
+    p = tmp_path / "full.sql"
+    p.write_text(REAL_DUMP)
+    cfgp = tmp_path / "c.yml"
+    cfgp.write_text(
+        yaml.safe_dump(
+            {
+                "mysql": {"host": "h", "database": "d"},
+                "postgresql": {"host": "p", "database": "d"},
+                "conversion": {
+                    "options": {},
+                    "limits": {"concurrency": 2, "max_rows_per_batch": 100},
+                },
+            }
+        )
+    )
+    snap = snapshot_from_dump(spark, str(p))
+    sink = tmp_path / "pg"
+    conn = _FakeConn()
+    result = MigrationPipeline(load_config(str(cfgp)), snap).execute(
+        spark,
+        conn,
+        source_reader=dump_source_reader(str(p), dump_read_schemas(snap)),
+        sink_writer=lambda df, table: df.write.mode("overwrite").parquet(
+            str(sink / table)
+        ),
+        dest_reader=lambda sp, table: sp.read.parquet(str(sink / table)),
+        logger=RunLogger(str(tmp_path / "logs")),
+    )
+    assert result["synced"] == {"customers": 2, "tags": 2}
+    assert all(v["consistent"] for v in result["validation"].values())
+    # DDL actually emitted through the connection, incl. the index stage
+    executed = " ".join(conn.executed)
+    assert "CREATE TABLE" in executed and "customers" in executed
+    assert "CREATE UNIQUE INDEX" in executed or "uq_name" in executed
