@@ -414,3 +414,77 @@ def s04_knn_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(
         e, q, refined, "vec_id", "embedding", K, N_PROBE, CORPUS_ASSIGN
     )
+
+
+# --------------------------------------------------------------------------
+# s05 — hard-negative mining: for each query vector, the top-k most
+# similar CORPUS vectors with a DIFFERENT label — the data-prep pass for
+# contrastive training (the negatives that are hard because they look
+# like the anchor). Same broadcast-queries / bucket-local shape as s01;
+# the label inequality just joins into the pair filter. Not in the
+# driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "s05_hard_negatives",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlab
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+         {_cos_sql('q.qvec', 'c.embedding')} AS cos_sim
+  FROM q JOIN embeddings c
+    ON c.vec_id <> q.query_id AND c.label <> q.qlab
+), ranked AS (
+  SELECT query_id, neighbor_id, neg_label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, neg_label, cos_sim FROM ranked
+WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+    driver=False,
+)
+def s05_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from mysql2pg_spark.operators.dedup import dot_fold, with_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = with_norm(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0), "embedding", "qnorm"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlab"),
+        "qnorm",
+    )
+    c = with_norm(e, "embedding", "nnorm").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nvec"),
+        F.col("label").alias("neg_label"),
+        "nnorm",
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("neg_label") != F.col("qlab")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neg_label",
+        F.round(
+            dot_fold(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+            9,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "rank", "neighbor_id", "neg_label", "cos_sim")
+    )

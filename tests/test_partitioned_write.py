@@ -28,3 +28,37 @@ def test_partition_pruning(spark, tmp_path):
     total = load_table(spark, SF_CORRECT, "events").count()
     assert 0 < n_purchase < total
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_training_shard_writer(spark, tmp_path):
+    """Shard writer contract: bounded file sizes, deterministic hash
+    membership across re-writes, within-shard ordering, nothing lost."""
+    from mysql2pg_spark.sinks.shards import shard_manifest, write_training_shards
+    from mysql2pg_spark.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    total = docs.count()
+    out_a = str(tmp_path / "shards_a")
+    out_b = str(tmp_path / "shards_b")
+    for out in (out_a, out_b):
+        write_training_shards(
+            docs, out, "doc_id", num_shards=4,
+            records_per_file=50, order_by=["doc_id"],
+        )
+
+    man = {r.file: r.n_rows for r in shard_manifest(spark, out_a).collect()}
+    assert sum(man.values()) == total
+    assert max(man.values()) <= 50          # maxRecordsPerFile respected
+    assert len(man) >= total // 50          # actually split into pieces
+
+    # deterministic membership: identical per-file row-count multiset
+    man_b = [r.n_rows for r in shard_manifest(spark, out_b).collect()]
+    assert sorted(man.values()) == sorted(man_b)
+
+    # within-file ordering held
+    import pyarrow.parquet as pq
+    import glob
+    f = sorted(glob.glob(out_a + "/part-*.parquet"))[0]
+    ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+    assert ids == sorted(ids)
