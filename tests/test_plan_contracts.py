@@ -1,0 +1,84 @@
+"""Physical-plan contracts: pin the 100 TB scale properties so a future
+refactor that silently degrades a plan (a lost broadcast, an accidental
+cartesian product, a new shuffle in a map-only pipeline) fails HERE with
+a named assertion instead of surfacing as a perf cliff at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql2pg_spark.plans import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are the cheap,
+    # wanted kind)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """The pair-forming queries must all be blocked/bucketed joins."""
+    for name in (
+        "d03_lsh_candidates",
+        "d04_neardup_pairs",
+        "d06_embedding_neardup",
+        "d11_semantic_dedup",
+        "d12_incremental_dedup",
+        "s02_knn_lsh",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} went all-pairs"
+
+
+def test_winnowing_is_map_only(spark):
+    """t07 must stay a scan-speed pipeline: zero shuffle exchanges."""
+    assert _n_exchanges(_plan(spark, "t07_winnowing_fingerprints")) == 0
+
+
+def test_checksum_is_single_pass(spark):
+    """val01's checksum: map-side partial agg + one 1-row exchange, no
+    count-distinct shuffle of the digest set."""
+    plan = _plan(spark, "val01_table_checksum")
+    assert _n_exchanges(plan) <= len(
+        [l for l in plan.splitlines() if "Scan parquet" in l]
+    )
+
+
+def test_small_dims_broadcast(spark):
+    """q02's region/nation joins ride broadcast, not shuffle joins."""
+    plan = _plan(spark, "q02_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_queries_are_broadcast(spark):
+    """s01: the query side is broadcast; the corpus is never shuffled
+    before scoring (only the final per-query top-k exchanges)."""
+    plan = _plan(spark, "s01_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel_single_shuffle(spark):
+    """ts03's fold: exactly one shuffle (the groupBy user), nothing per
+    funnel step."""
+    assert _n_exchanges(_plan(spark, "ts03_funnel")) == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["q01_pricing_summary", "t01_doc_profile", "t12_trigram_lm"]
+)
+def test_filters_reach_the_scan(spark, name):
+    """Representative queries keep parquet scans pruned: every scan
+    carries a ReadSchema (column pruning active)."""
+    plan = _plan(spark, name)
+    assert "ReadSchema" in plan
