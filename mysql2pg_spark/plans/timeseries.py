@@ -455,3 +455,28 @@ def ts03_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return funnel_steps(e, list(FUNNEL))
+
+
+# --------------------------------------------------------------------------
+# w08 — streaming upsert via foreachBatch: per-batch latest-wins
+# compaction appended to a keyed store, final reduction across batches —
+# equals the batch per-user-latest exactly (the Kappa property again,
+# now for the MERGE-shaped sink idiom). Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "w08_streaming_upsert",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+""",
+    driver=False,
+)
+def w08_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.streaming.ingest import run_streaming_upsert
+
+    return run_streaming_upsert(spark, sf_dir)

@@ -229,3 +229,76 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_streaming_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str | None = None,
+) -> DataFrame:
+    """Streaming upsert via ``foreachBatch`` — THE production pattern for
+    merging a stream into a keyed store (the sink API Structured
+    Streaming gives you for MERGE-shaped writes). Each micro-batch is
+    compacted to its per-user latest row (ts desc, event_id tiebreak)
+    and appended to the store; the final read applies the same
+    latest-wins reduction across batch results. A user's global latest
+    event is the latest of some batch, so the result EXACTLY equals the
+    batch-mode per-user-latest query — the oracle.
+
+    With a transactional sink (JDBC/Delta) the merge_batch body becomes
+    the actual MERGE INTO and no final reduction is needed; the
+    append+compact shape here keeps the demo file-backed and
+    deterministic while exercising the identical API surface. State
+    never lives on the driver; each batch is one bounded Spark job.
+    """
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    if store_dir is None:
+        store_dir = tempfile.mkdtemp(prefix="stream_upsert_store_")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        # several micro-batches so the merge genuinely runs per batch
+        .option("maxBytesPerTrigger", 512 * 1024)
+        .parquet(sf_dir)
+    )
+    events = normalize_events_ts(raw)
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+        )
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        latest_per_user(bdf).write.mode("append").parquet(store_dir)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    store = spark.read.parquet(store_dir)
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        store.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
