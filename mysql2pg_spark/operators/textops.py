@@ -355,3 +355,87 @@ def trigram_lm_scores(
             ).alias("rare_ratio"),
         )
     )
+
+
+def chunk_dedup_docs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 6,
+):
+    """Sub-document exact dedup with reassembly — the RefinedWeb-style
+    pass that strips passages repeated across the corpus while keeping
+    each passage's FIRST occurrence (by (doc_id, position)) in place.
+    The passage unit is a fixed ``chunk_tokens``-token window (the
+    fixture corpus has no sentence punctuation; on real text swap the
+    chunker for a sentence splitter — the dedup core is unchanged).
+
+    Returns one row per doc: ``n_chunks``, ``n_kept``, ``dedup_text``
+    (surviving chunks rejoined in original order; empty when the whole
+    doc was shadowed).
+
+    Scale shape: canonical occurrences come from ``min(struct(doc_id,
+    pos))`` per chunk — a map-side-combinable aggregate, NOT a window
+    over the chunk partition, so a boilerplate passage repeated
+    millions of times never forces a single-partition sort (the skew
+    trap of the row_number formulation). One shuffle on the chunk hash
+    + one keyed join back + one per-doc regroup.
+    """
+    from pyspark.sql import functions as F
+
+    n = chunk_tokens
+    n_chunks = F.floor((F.size("_toks") + (n - 1)) / F.lit(n)).cast("int")
+    base = docs.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.array_join(
+                F.slice(F.col("_toks"), (i - 1) * n + 1, n), " "
+            ),
+        ).alias("sents"),
+    )
+    ex = base.select(
+        F.col(id_col), F.posexplode("sents").alias("pos", "sent")
+    )
+    # rename the aggregation's key columns: mins derives from ex, and a
+    # join on same-named columns trips Spark's ambiguous-self-join check
+    mins = (
+        ex.groupBy("sent")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("m")
+        )
+        .select(
+            F.col("sent").alias("msent"),
+            F.col("m.d").alias("mdoc"),
+            F.col("m.p").alias("mpos"),
+        )
+    )
+    kept = ex.join(
+        mins,
+        (F.col("sent") == F.col("msent"))
+        & (F.col(id_col) == F.col("mdoc"))
+        & (F.col("pos") == F.col("mpos")),
+    ).select(id_col, "pos", "sent")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s["sent"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    counts = base.select(
+        F.col(id_col), F.size("sents").cast("bigint").alias("n_chunks")
+    )
+    return counts.join(agg, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )

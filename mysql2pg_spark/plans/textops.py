@@ -601,3 +601,58 @@ def t13_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return decile_profile(d, "source", "n_chars", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# t14 — sub-document (passage-level) corpus dedup with reassembly
+# (RefinedWeb-style): each 6-token chunk survives only at its first
+# (doc_id, pos) occurrence corpus-wide; docs are rejoined from their
+# surviving chunks. The canonical pick is a map-side-combinable
+# min(struct) — no window over the (skew-prone) chunk partition. Not in
+# the driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 6
+
+
+@query(
+    "t14_chunk_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, (len(string_split({_NORM}, ' ')) + {CHUNK_TOKENS - 1})
+                     // {CHUNK_TOKENS} + 1),
+           i -> array_to_string(
+                  (string_split({_NORM}, ' '))
+                    [(i-1)*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}], ' ')) AS sents
+  FROM documents
+), s AS (
+  SELECT doc_id, unnest(sents) AS sent,
+         unnest(range(1, len(sents) + 1)) - 1 AS pos
+  FROM base
+), mins AS (
+  SELECT sent, doc_id, pos FROM (
+    SELECT sent, doc_id, pos,
+           row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+    FROM s
+  ) WHERE rn = 1
+), kept AS (
+  SELECT s.doc_id, s.pos, s.sent
+  FROM s JOIN mins ON mins.sent = s.sent AND mins.doc_id = s.doc_id
+                   AND mins.pos = s.pos
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         array_to_string(list(sent ORDER BY pos), ' ') AS dedup_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(b.sents) AS BIGINT) AS n_chunks,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.dedup_text, '') AS dedup_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+""",
+    driver=False,
+)
+def t14_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.chunk_dedup_docs(d, "doc_id", "text", CHUNK_TOKENS)
