@@ -656,3 +656,75 @@ ORDER BY b.doc_id
 def t14_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.chunk_dedup_docs(d, "doc_id", "text", CHUNK_TOKENS)
+
+
+# --------------------------------------------------------------------------
+# t15 — the assembled corpus quality gate: length + heuristic quality +
+# passage-dedup survival composed into a keep/drop verdict with a NAMED
+# first-failing reason per doc (the quarantine pattern applied to
+# training-corpus curation). Pure composition of green sub-queries, so
+# the oracle composes their SQL. Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+from mysql2pg_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+MIN_TOKENS = 20
+MIN_QUALITY = 0.75
+MIN_KEPT_RATIO = 0.9
+
+
+def _t15_oracle() -> str:
+    # compose the component oracles as FROM-position subqueries (the
+    # merged.py pattern); they are the single source of truth.
+    return f"""
+SELECT q.doc_id, q.n_tokens, q.quality,
+       CAST(d.n_kept AS DOUBLE) / CAST(d.n_chunks AS DOUBLE) AS kept_ratio,
+       CASE WHEN q.n_tokens < {MIN_TOKENS} THEN 'too_short'
+            WHEN q.quality < {MIN_QUALITY} THEN 'low_quality'
+            WHEN CAST(d.n_kept AS DOUBLE) / CAST(d.n_chunks AS DOUBLE)
+                 < {MIN_KEPT_RATIO} THEN 'duplicated'
+            ELSE NULL END AS drop_reason,
+       (q.n_tokens >= {MIN_TOKENS} AND q.quality >= {MIN_QUALITY}
+        AND CAST(d.n_kept AS DOUBLE) / CAST(d.n_chunks AS DOUBLE)
+            >= {MIN_KEPT_RATIO}) AS keep
+FROM ({_ORACLES["t01_text_stats"]}) q
+JOIN ({_ORACLES["t14_chunk_dedup"]}) d USING (doc_id)
+ORDER BY q.doc_id
+"""
+
+
+@query(
+    "t15_quality_gate",
+    oracle=_t15_oracle(),
+    driver=False,
+)
+def t15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.quality import quarantine_split
+    from mysql2pg_spark.plans.registry import QUERIES as _Q
+
+    q = _Q["t01_text_stats"](spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    d = _Q["t14_chunk_dedup"](spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("n_kept").cast("double") / F.col("n_chunks").cast("double")
+        ).alias("kept_ratio"),
+    )
+    j = q.join(d, "doc_id")
+    gated = quarantine_split(
+        j,
+        [
+            ("too_short", F.col("n_tokens") >= MIN_TOKENS),
+            ("low_quality", F.col("quality") >= MIN_QUALITY),
+            ("duplicated", F.col("kept_ratio") >= MIN_KEPT_RATIO),
+        ],
+    )
+    return gated.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "kept_ratio",
+        F.col("quarantine_reason").alias("drop_reason"),
+        F.col("quarantine_reason").isNull().alias("keep"),
+    )
