@@ -488,3 +488,111 @@ def s05_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .select("query_id", "rank", "neighbor_id", "neg_label", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# s06 — product-quantization ANN (Jégou et al., TPAMI 2011): the
+# memory-compression scale path (m small codes per vector instead of
+# dims floats). Codebooks + query LUTs broadcast; corpus encode and
+# scoring map-only. Subspace distances are left-fold l2² QUANTIZED to
+# integers before the cross-subspace sum, so scores are exact BIGINTs —
+# order-free and oracle-identical. Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+CODEBOOK_MOD = 11  # vec_id % 11 == 1 → the deterministic codeword sample
+PQ_RERANK = 50  # ADC shortlist size fed to the exact re-rank
+PQ_M = 8
+PQ_SUB = DIMS // PQ_M
+
+
+def _norm_vec_sql(v: str) -> str:
+    """L2-normalized vector — mirrors knn_pq's normalized() (element /
+    left-fold norm; identical IEEE op sequence)."""
+    norm = f"sqrt({_DOT.format(a=v, b=v)})"
+    return f"list_transform({v}, x -> CAST(x AS DOUBLE) / {norm})"
+
+
+def _l2q_sql(a: str, b: str, s: int) -> str:
+    """Quantized subspace-s squared L2 — mirrors similarity.l2sq_fold +
+    the ×10⁶ integer quantization."""
+    term = (
+        f"({a}[{s * PQ_SUB} + i] - {b}[{s * PQ_SUB} + i])"
+        f" * ({a}[{s * PQ_SUB} + i] - {b}[{s * PQ_SUB} + i])"
+    )
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {PQ_SUB} + 1), i -> {term})), (x, y) -> x + y)"
+    )
+    return f"CAST(round({fold} * 1000000.0, 0) AS BIGINT)"
+
+
+def _pq_side_sql(src_filter: str, idn: str, dn: str) -> str:
+    """(id, s, code/cw_id, d) rows: distance of every (normalized)
+    vector in the filtered side to every codeword, per subspace."""
+    per_s = " UNION ALL ".join(
+        f"SELECT n.{idn}, {s} AS s, cb.cw_id AS code, "
+        f"{_l2q_sql('n.nv', 'cb.cw', s)} AS {dn} "
+        f"FROM (SELECT v.vec_id AS {idn}, {_norm_vec_sql('v.embedding')} AS nv"
+        f"      FROM embeddings v WHERE {src_filter}) n CROSS JOIN cb"
+        for s in range(PQ_M)
+    )
+    return per_s
+
+
+@query(
+    "s06_knn_pq",
+    oracle=f"""
+WITH cb AS (
+  SELECT vec_id AS cw_id, {_norm_vec_sql('embedding')} AS cw FROM embeddings
+  WHERE vec_id % {CODEBOOK_MOD} = 1
+),
+corpus_d AS ({_pq_side_sql("TRUE", "neighbor_id", "d")}),
+codes AS (
+  SELECT neighbor_id, s, code FROM (
+    SELECT neighbor_id, s, code, d,
+           row_number() OVER (PARTITION BY neighbor_id, s
+                              ORDER BY d, code) AS rn
+    FROM corpus_d
+  ) WHERE rn = 1
+),
+lut AS ({_pq_side_sql(f"v.vec_id % {QUERY_MOD} = 0", "query_id", "qd")}),
+scored AS (
+  SELECT l.query_id, c.neighbor_id, SUM(l.qd) AS adc_dist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  WHERE l.query_id <> c.neighbor_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS arank
+    FROM scored
+  ) WHERE arank <= {PQ_RERANK}
+),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_cos_sql('qe.embedding', 'ce.embedding')} AS cos_sim
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM reranked
+)
+SELECT query_id, rank, neighbor_id, cos_sim
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+""",
+    driver=False,
+)
+def s06_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = e.filter(F.col("vec_id") % CODEBOOK_MOD == 1)
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_pq(
+        e, q, codebook, "vec_id", "embedding", K, PQ_M, DIMS, PQ_RERANK
+    )
