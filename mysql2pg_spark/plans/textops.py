@@ -728,3 +728,74 @@ def t15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quarantine_reason").alias("drop_reason"),
         F.col("quarantine_reason").isNull().alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# t16 — deterministic source-weighted data mixing: every doc is
+# replicated floor(w) times plus one more with probability frac(w),
+# decided by an md5 hash coin — the pretraining data-mix op (source
+# upsampling/downsampling as "epochs"). Weights are expressed in 256ths
+# so the acceptance compare is pure integer arithmetic, and weight
+# values (multiples of 1/256) are exact doubles — engine-exact
+# everywhere. The explode is per-row (no shuffle); a repartition by any
+# key downstream shuffles the mixed corpus once. Not in the driver
+# window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+# source class (src<N> % 4) → weight in 256ths: downsample ×0.25,
+# keep ×1, fractional upsample ×1.5, multi-epoch ×2.75.
+_MIX_W256 = {0: 64, 1: 256, 2: 384, 3: 704}
+
+
+@query(
+    "t16_weighted_mix",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INT) % 4 AS cls,
+         CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+         + CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         CASE cls {' '.join(f"WHEN {k} THEN {v}" for k, v in _MIX_W256.items())} END AS w256,
+         bucket
+  FROM b
+)
+SELECT doc_id, source, CAST(w256 AS DOUBLE) / 256.0 AS weight,
+       CAST(u.i AS BIGINT) AS copy_idx
+FROM n, UNNEST(range(0, w256 // 256
+         + CASE WHEN bucket < w256 % 256 THEN 1 ELSE 0 END)) AS u(i)
+ORDER BY doc_id, copy_idx
+""",
+    driver=False,
+)
+def t16_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cls = F.substring("source", 4, 10).cast("int") % 4
+    w256 = F.lit(None).cast("bigint")
+    for k, v in reversed(_MIX_W256.items()):
+        w256 = F.when(cls == k, F.lit(v)).otherwise(w256)
+    h = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
+    bucket = digit(1).cast("bigint") * 16 + digit(2).cast("bigint")
+    n_copies = (
+        F.floor(w256 / F.lit(256.0)).cast("bigint")
+        + F.when(bucket < w256 % 256, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            (w256.cast("double") / F.lit(256.0)).alias("weight"),
+            n_copies.alias("_n"),
+        )
+        .filter(F.col("_n") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("_n") - 1)
+            ).alias("copy_idx"),
+        )
+    )
