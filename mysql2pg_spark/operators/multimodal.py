@@ -168,3 +168,44 @@ def resize_nearest(
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+ENERGY_SCHEMA = "doc_id bigint, win_idx bigint, energy bigint, peak int"
+
+
+def windowed_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    window_bytes: int = 32,
+    center: int = 96,
+) -> DataFrame:
+    """Audio-path plumbing: treat the payload as a stream of 8-bit
+    samples and emit per-window energy (sum of |sample − center|) and
+    peak — the windowed-feature shape of audio preprocessing (RMS/VAD),
+    with the real PCM decode behind the same codec seam as images. Full
+    windows only; all-integer arithmetic so results are engine-exact.
+    1→N fan-out happens inside the scan partition (mapInPandas), no
+    shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, widx, energy, peak = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_win = len(payload) // window_bytes
+                for w in range(n_win):
+                    win = payload[w * window_bytes : (w + 1) * window_bytes]
+                    devs = [abs(b - center) for b in win]
+                    ids.append(doc_id)
+                    widx.append(w)
+                    energy.append(sum(devs))
+                    peak.append(max(devs))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(widx, dtype="int64"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, ENERGY_SCHEMA)

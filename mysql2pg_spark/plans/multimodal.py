@@ -77,3 +77,35 @@ def mm03_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, "text")
     return resize_nearest(with_payload, "doc_id", out_px=8)
+
+
+# --------------------------------------------------------------------------
+# mm04 — audio-path windowed energy: the payload as an 8-bit sample
+# stream, per-32-byte-window sum/peak of |sample − 96| (the RMS/VAD
+# preprocessing shape). All-integer arithmetic; the oracle folds the
+# same windows with list_reduce over char codes (the fixture text is
+# ASCII, so char codes ≡ payload bytes, as mm01/mm02 already rely on).
+# Not in the driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "mm04_audio_energy",
+    oracle="""
+SELECT d.doc_id, u.w AS win_idx,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, 33),
+           i -> CAST(abs(ascii(substr(d.text, CAST(u.w * 32 + i AS INT), 1)) - 96) AS BIGINT))),
+         (x, y) -> x + y)                                    AS energy,
+       CAST(list_max(
+         list_transform(range(1, 33),
+           i -> abs(ascii(substr(d.text, CAST(u.w * 32 + i AS INT), 1)) - 96))) AS INT)
+                                                             AS peak
+FROM documents d, unnest(range(0, strlen(d.text) // 32)) AS u(w)
+ORDER BY d.doc_id, win_idx
+""",
+    driver=False,
+)
+def mm04_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.multimodal import windowed_energy
+
+    d = load_table(spark, sf_dir, "documents")
+    return windowed_energy(attach_binary_payload(d, "text"), "doc_id")
