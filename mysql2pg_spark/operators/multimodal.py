@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the real decoders are
-STUBBED (try-import, NotImplementedError fallback) — but everything
-Spark-side is real and tested: the binary column representation, the
-mapInPandas batch shape, the output schema contract, and a deterministic
-fallback "decoder" (byte-level stats) that exercises the full path with
+The container has no image/audio codecs, so the real decoders sit
+behind a capability gate (try-import; explicit CODEC_SKIPPED marker
+when absent) — but everything Spark-side is real and tested: the binary
+column representation, the mapInPandas batch shape, the output schema
+contract, and deterministic byte-level "decoders" (stats, frames,
+resize, windowed energy) that exercise the full path with
 oracle-checkable results.
 
 At 100 TB: binary payloads ride in parquet alongside metadata; decode
