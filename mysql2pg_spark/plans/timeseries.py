@@ -480,3 +480,41 @@ def w08_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.streaming.ingest import run_streaming_upsert
 
     return run_streaming_upsert(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q15 — recursive CTE (new in Spark 4): data-driven daily spine walked
+# recursively from min(ts) to max(ts), left-joined to per-day event
+# aggregates so empty days appear with zero counts — the calendar-spine
+# idiom MySQL 8 recursive-CTE views use. DuckDB runs the identical SQL.
+# Not in the driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+_Q15_SQL = """
+WITH RECURSIVE days(d) AS (
+  SELECT date_trunc('DAY', (SELECT min(ts) FROM events))
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM days
+  WHERE d + INTERVAL 1 DAY <= (SELECT date_trunc('DAY', max(ts)) FROM events)
+),
+agg AS (
+  SELECT date_trunc('DAY', ts) AS d,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT CAST(days.d AS TIMESTAMP) AS day,
+       CAST(coalesce(agg.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(agg.sum_value, 0.0) AS sum_value
+FROM days LEFT JOIN agg ON agg.d = days.d
+ORDER BY day
+"""
+# (CAST day: DuckDB's date_trunc('DAY') yields DATE, Spark's yields
+# TIMESTAMP — the cast makes the shared SQL emit TIMESTAMP in both.)
+
+
+@query("q15_recursive_cte", oracle=_Q15_SQL, driver=False)
+def q15_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_Q15_SQL)
