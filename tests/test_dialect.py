@@ -415,3 +415,24 @@ def test_more_mysql_spellings(spark):
     assert row[6] == 719528          # MySQL TO_DAYS('1970-01-01')
     assert row[7] == 196952         # 1970-01-01 (Thu) → 1969 week 52
     assert row[8] == 202353         # 2024-01-01 (Mon) → 2023 week 53
+
+
+def test_recursive_cte_view_transpiles_and_runs(spark):
+    """MySQL 8 recursive-CTE view bodies (DATE_ADD / DATETIME / IFNULL
+    spellings) transpile and execute on Spark 4's WITH RECURSIVE."""
+    from mysql2pg_spark.dialect.transpile import transpile_mysql
+
+    mysql_view = """
+WITH RECURSIVE days (d) AS (
+  SELECT CAST('2024-01-01 00:00:00' AS DATETIME)
+  UNION ALL
+  SELECT DATE_ADD(d, INTERVAL 1 DAY) FROM days
+  WHERE d < CAST('2024-01-05 00:00:00' AS DATETIME)
+)
+SELECT d, IFNULL(NULL, 'x') AS tag FROM days
+"""
+    sql = transpile_mysql(mysql_view)
+    assert "AS TIMESTAMP" in sql and "DATE_ADD" not in sql
+    rows = spark.sql(sql).collect()
+    assert len(rows) == 5
+    assert all(r.tag == "x" for r in rows)
