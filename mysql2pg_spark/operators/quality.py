@@ -69,3 +69,48 @@ def decile_profile(
         F.col(value_col).cast("bigint").alias("value"),
         F.col("n").cast("bigint").alias("n_rows"),
     )
+
+
+def value_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """Per-group k-sigma outliers with engine-exact arithmetic: flag rows
+    where (x − μ)² > k²·σ² — algebraically rearranged to
+    (n·x − S₁)² > k²·(n·S₂ − S₁²) so no division or square root happens.
+    Values are quantized to 1e-4 integers first; S₁/S₂ are exact integer
+    sums, and the final compare runs on doubles derived from identical
+    integers by the identical expression, so the flagged set matches an
+    external SQL oracle bit-for-bit (a naive mean/stddev float pipeline
+    would not).
+
+    Scale shape: one map-side-combinable groupBy for the (n, S₁, S₂)
+    moments, one broadcast-or-shuffle join back — two passes over the
+    group key, no window sort, skew-safe."""
+    q = F.round(F.col(value_col) * 10000, 0).cast("bigint")
+    moments = (
+        df.select(F.col(group_col), q.alias("q"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+        )
+    )
+    joined = df.select(*id_cols, group_col, value_col).withColumn(
+        "q", q
+    ).join(moments, group_col)
+    nd = F.col("n").cast("double")
+    xd = F.col("q").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    dev = nd * xd - s1d
+    lhs = dev * dev
+    rhs = F.lit(float(k * k)) * (nd * s2d - s1d * s1d)
+    return (
+        joined.filter(lhs > rhs)
+        .select(*id_cols, group_col, value_col)
+    )

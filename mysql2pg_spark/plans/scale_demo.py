@@ -100,3 +100,44 @@ def qa01_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# qa02 — exact k-sigma outlier detection per user: (x−μ)² > k²σ²
+# rearranged to (n·x−S₁)² > k²(n·S₂−S₁²) over 1e-4-quantized integer
+# moments, so there is no division/sqrt and the flagged set is
+# engine-exact (a naive stddev float pipeline would drift). Not in the
+# driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+SIGMA_K = 2
+
+
+@query(
+    "qa02_outliers",
+    oracle=f"""
+WITH q AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 10000, 0) AS BIGINT) AS qv
+  FROM events
+),
+m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qv) AS BIGINT) AS s1,
+         CAST(sum(qv * qv) AS BIGINT) AS s2
+  FROM q GROUP BY 1
+)
+SELECT q.event_id, q.user_id, q.value
+FROM q JOIN m USING (user_id)
+WHERE (CAST(n AS DOUBLE) * CAST(qv AS DOUBLE) - CAST(s1 AS DOUBLE))
+      * (CAST(n AS DOUBLE) * CAST(qv AS DOUBLE) - CAST(s1 AS DOUBLE))
+      > {float(SIGMA_K * SIGMA_K)} * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+ORDER BY q.event_id
+""",
+    driver=False,
+)
+def qa02_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.quality import value_outliers
+
+    e = load_table(spark, sf_dir, "events")
+    return value_outliers(e, "user_id", "value", ["event_id"], SIGMA_K)
