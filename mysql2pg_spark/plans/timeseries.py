@@ -518,3 +518,47 @@ def q15_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_Q15_SQL)
+
+
+# --------------------------------------------------------------------------
+# ts04 — per-event trailing-hour aggregate via a RANGE window frame (the
+# true event-time moving aggregate, vs w05's bucketed sliding windows):
+# for every event, the count and exact-decimal sum of the SAME user's
+# events in [ts − 1h, ts]. Spark's RANGE frame needs a numeric ORDER BY,
+# so the frame runs over unix microseconds; DuckDB uses the native
+# INTERVAL range frame — identical inclusive semantics (ties are frame
+# peers in both). Not in the driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "ts04_trailing_window",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    driver=False,
+)
+def ts04_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(38,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing"),
+    )
