@@ -562,3 +562,31 @@ def ts04_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_trailing"),
     )
+
+
+# --------------------------------------------------------------------------
+# w09 — stream-static enrichment join: streaming events joined to a
+# static per-user profile dimension inside the streaming query (the
+# lookup pattern — re-planned per micro-batch, no join state, no
+# watermark). Oracle: the equivalent batch join. Not in the driver
+# window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "w09_stream_static_enrich",
+    oracle="""
+WITH profile AS (
+  SELECT user_id, time_bucket(INTERVAL '1 day', min(ts)) AS first_seen,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.event_type, p.first_seen, p.n_total
+FROM events e JOIN profile p USING (user_id)
+ORDER BY e.event_id
+""",
+    driver=False,
+)
+def w09_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.streaming.ingest import run_stream_static_enrich
+
+    sink = f"stream_enriched_{next(_sink_counter)}"
+    return run_stream_static_enrich(spark, sf_dir, sink)

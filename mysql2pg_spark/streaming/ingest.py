@@ -302,3 +302,52 @@ def run_streaming_upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def run_stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_enriched_events",
+) -> DataFrame:
+    """Stream-static enrichment join — the lookup-table pattern: a
+    streaming fact (events) joins a STATIC dimension (per-user profile
+    derived from the corpus) inside the streaming query. Spark re-plans
+    the static side per micro-batch (so a slowly-refreshed dim table is
+    picked up batch-to-batch) and never state-buffers it — enrichment
+    needs no watermark and no join state, which is what makes it free at
+    any stream rate. Inner join, deterministic: output equals the batch
+    join (the oracle).
+
+    Returns per-event rows enriched with the user's corpus-wide stats
+    (first_seen day, n_total events) — aggregated ONCE batch-side, as a
+    real pipeline would maintain a profile table."""
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = normalize_events_ts(spark.read.parquet(path))
+    profile = batch.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_seen"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+    raw = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxBytesPerTrigger", 512 * 1024)
+        .parquet(sf_dir)
+    )
+    events = normalize_events_ts(raw)
+    enriched = events.join(profile, "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "first_seen",
+        "n_total",
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
