@@ -458,12 +458,19 @@ def knn_pq(
     sub = dims // m
 
     def normalized(df: DataFrame, idn: str, vn: str) -> DataFrame:
-        n = F.sqrt(dot_fold(F.col(vec_col), F.col(vec_col)))
-        return df.select(
-            F.col(id_col).alias(idn),
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / n
-            ).alias(vn),
+        # norm is materialized as its OWN column before the transform:
+        # inlining the fold into the lambda recomputes it once per
+        # element — O(dims^2) per vector, and worse when Catalyst pushes
+        # the whole expression into the pair join (measured ~2x on s06)
+        return (
+            with_norm(df, vec_col, "_n")
+            .select(F.col(id_col).alias(idn), F.col(vec_col).alias("_v"), "_n")
+            .select(
+                idn,
+                F.transform(
+                    F.col("_v"), lambda x: x.cast("double") / F.col("_n")
+                ).alias(vn),
+            )
         )
 
     def subvec(v: Column, s: int) -> Column:
@@ -471,50 +478,48 @@ def knn_pq(
 
     cb = normalized(codebook_vectors, "cw_id", "cw")
 
-    def encode(df: DataFrame, out: str) -> DataFrame:
-        """(id, s, code) per subspace: argmin codeword by quantized l2."""
+    def subspace_dists(df: DataFrame, out: str, dn: str) -> DataFrame:
+        """(id, s, code, dist) for every (vector, codeword, subspace) —
+        ONE pass over the broadcast pair join; the m per-subspace
+        distances are computed in a single projection and exploded
+        (m separate union branches would re-run the join m times)."""
         pairs = normalized(df, out, "v").join(F.broadcast(cb))
-        per_s = [
-            pairs.select(
-                out,
-                F.lit(s).alias("s"),
-                F.col("cw_id").alias("code"),
-                F.round(
-                    l2sq_fold(subvec(F.col("v"), s), subvec(F.col("cw"), s))
-                    * F.lit(PQ_QUANT),
-                    0,
-                ).cast("bigint").alias("d"),
-            )
-            for s in range(m)
-        ]
-        allp = per_s[0]
-        for p in per_s[1:]:
-            allp = allp.unionByName(p)
-        w = Window.partitionBy(out, "s").orderBy("d", "code")
+        dist_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.round(
+                        l2sq_fold(
+                            subvec(F.col("v"), s), subvec(F.col("cw"), s)
+                        )
+                        * F.lit(PQ_QUANT),
+                        0,
+                    ).cast("bigint").alias("d"),
+                )
+                for s in range(m)
+            ]
+        )
+        return pairs.select(
+            out, F.col("cw_id").alias("code"), F.explode(dist_arr).alias("sd")
+        ).select(out, F.col("sd.s").alias("s"), "code", F.col("sd.d").alias(dn))
+
+    def encode(df: DataFrame, out: str) -> DataFrame:
+        """(id, s, code) per subspace: argmin codeword by quantized l2.
+        argmin via min(struct) — map-side combinable, no per-partition
+        window sort (same skew-safe trick as the passage-dedup canonical
+        pick); ties break on codeword id by struct order."""
         return (
-            allp.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(out, "s", "code", "d")
+            subspace_dists(df, out, "d")
+            .groupBy(out, "s")
+            .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("m"))
+            .select(out, "s", F.col("m.code").alias("code"), F.col("m.d").alias("d"))
         )
 
     codes = encode(corpus, "neighbor_id")
     # query LUT: quantized distance from each query subvector to EVERY
     # codeword of that subspace (the asymmetric part — queries are never
     # quantized).
-    qpairs = normalized(queries, "query_id", "qv").join(F.broadcast(cb))
-    lut_rows = None
-    for s in range(m):
-        p = qpairs.select(
-            "query_id",
-            F.lit(s).alias("s"),
-            F.col("cw_id").alias("code"),
-            F.round(
-                l2sq_fold(subvec(F.col("qv"), s), subvec(F.col("cw"), s))
-                * F.lit(PQ_QUANT),
-                0,
-            ).cast("bigint").alias("qd"),
-        )
-        lut_rows = p if lut_rows is None else lut_rows.unionByName(p)
+    lut_rows = subspace_dists(queries, "query_id", "qd")
 
     scored = (
         codes.join(F.broadcast(lut_rows), ["s", "code"])

@@ -543,8 +543,11 @@ def _pq_side_sql(src_filter: str, idn: str, dn: str) -> str:
     "s06_knn_pq",
     oracle=f"""
 WITH cb AS (
+  -- vec_id < 500 caps the codebook at a FIXED ~45 codewords at any
+  -- scale factor: codebook size is a model constant, not a function of
+  -- corpus size (encode cost is O(N x K x m))
   SELECT vec_id AS cw_id, {_norm_vec_sql('embedding')} AS cw FROM embeddings
-  WHERE vec_id % {CODEBOOK_MOD} = 1
+  WHERE vec_id % {CODEBOOK_MOD} = 1 AND vec_id < 500
 ),
 corpus_d AS ({_pq_side_sql("TRUE", "neighbor_id", "d")}),
 codes AS (
@@ -591,7 +594,9 @@ ORDER BY query_id, rank
 )
 def s06_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    codebook = e.filter(F.col("vec_id") % CODEBOOK_MOD == 1)
+    codebook = e.filter(
+        (F.col("vec_id") % CODEBOOK_MOD == 1) & (F.col("vec_id") < 500)
+    )
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
     return S.knn_pq(
         e, q, codebook, "vec_id", "embedding", K, PQ_M, DIMS, PQ_RERANK

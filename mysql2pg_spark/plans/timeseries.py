@@ -490,11 +490,14 @@ def w08_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Not in the driver window; pytest-oracle-checked.
 # --------------------------------------------------------------------------
 _Q15_SQL = """
-WITH RECURSIVE days(d) AS (
-  SELECT date_trunc('DAY', (SELECT min(ts) FROM events))
+WITH RECURSIVE days(d, dmax) AS (
+  -- bounds ride INSIDE the recursion as columns: a scalar subquery in
+  -- the termination predicate is re-evaluated every step (30 full
+  -- scans of events, measured 7.8s -> 0.5s at sf0.1 with this shape)
+  SELECT date_trunc('DAY', min(ts)), date_trunc('DAY', max(ts)) FROM events
   UNION ALL
-  SELECT d + INTERVAL 1 DAY FROM days
-  WHERE d + INTERVAL 1 DAY <= (SELECT date_trunc('DAY', max(ts)) FROM events)
+  SELECT d + INTERVAL 1 DAY, dmax FROM days
+  WHERE d + INTERVAL 1 DAY <= dmax
 ),
 agg AS (
   SELECT date_trunc('DAY', ts) AS d,
