@@ -11,6 +11,11 @@
 - ``ivf_assignments`` + ``refine_centroids`` + ``knn_ivf``: the IVF
   scale path. Broadcast centroids, soft corpus assignment, n_probe
   query probing, optional deterministic Lloyd refinement rounds.
+- ``knn_pq``: product quantization — the memory-compression path (m
+  codes per vector instead of dims floats), integer-exact ADC scores,
+  exact re-rank of the shortlist.
+- ``semantic_dedup``: SemDeDup-style cluster-then-prune over the IVF
+  assignment.
 """
 
 from __future__ import annotations
