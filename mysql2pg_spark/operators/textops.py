@@ -439,3 +439,89 @@ def chunk_dedup_docs(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
+
+
+CDC_DIVISOR = 64  # boundary when rolling hash % divisor == 0 (~64-char chunks)
+
+
+def cdc_chunks(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    divisor: int = CDC_DIVISOR,
+):
+    """Content-defined chunking (Rabin/FastCDC shape): chunk boundaries
+    fall where the rolling k-gram hash ≡ 0 (mod divisor), so an insert
+    or delete only moves the boundaries NEAR the edit — unlike fixed-
+    size chunks, where one shifted byte re-fingerprints the whole tail.
+    The chunk fingerprint set is the storage-dedup / delta-sync unit.
+
+    Returns (id, chunk_idx, chunk_len, chunk_md5) rows. Same rolling-
+    hash stage as winnow_fingerprints (kept expression-identical — see
+    that function's docstring for the materialization and explode_outer
+    plan traps, both observed and both avoided here too); entirely
+    JVM-side, scan-speed, no shuffle.
+    """
+    powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+    s = F.regexp_replace(
+        F.regexp_replace(normalize_text(text_col), r"\s+", " "), r"[^a-z0-9 ]", ""
+    )
+    chars = F.slice(F.split(F.col("s"), r"(?!^)"), 1, F.length("s"))
+    p2 = docs.select(F.col(id_col), s.alias("s")).select(
+        id_col,
+        "s",
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")).alias("codes"),
+    )
+    codes = F.col("codes")
+    m = F.size(codes) - k + 1
+    hashes = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: sum(
+                (
+                    F.element_at(codes, i + F.lit(j)) * F.lit(powers[j])
+                    for j in range(1, k)
+                ),
+                F.element_at(codes, i) * F.lit(powers[0]),
+            )
+            % F.lit(WINNOW_MOD),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    p3 = p2.select(id_col, "s", hashes.alias("hs"))
+    hs = F.col("hs")
+    cuts = F.when(
+        F.size(hs) >= 2,
+        F.filter(
+            F.sequence(F.lit(2), F.greatest(F.size(hs), F.lit(2))),
+            lambda i: F.element_at(hs, i) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(
+        F.array(F.lit(1)), cuts, F.array(F.length("s") + 1)
+    )
+    p4 = p3.select(id_col, "s", bounds.alias("bounds"))
+    b = F.col("bounds")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(b) - 1),
+        lambda j: F.struct(
+            j.cast("bigint").alias("chunk_idx"),
+            (F.element_at(b, j + 1) - F.element_at(b, j))
+            .cast("bigint")
+            .alias("chunk_len"),
+            F.md5(
+                F.substring(
+                    F.col("s"),
+                    F.element_at(b, j),
+                    F.element_at(b, j + 1) - F.element_at(b, j),
+                )
+            ).alias("chunk_md5"),
+        ),
+    )
+    return (
+        p4.select(id_col, chunks.alias("chunks"))
+        .select(id_col, F.explode_outer("chunks").alias("ch"))
+        .filter(F.col("ch").isNotNull())
+        .select(id_col, "ch.chunk_idx", "ch.chunk_len", "ch.chunk_md5")
+    )

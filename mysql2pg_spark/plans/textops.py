@@ -799,3 +799,53 @@ def t16_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("copy_idx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t17 — content-defined chunking (Rabin/FastCDC shape): boundaries where
+# the rolling k-gram hash ≡ 0 (mod 64), so edits only move boundaries
+# near the edit (fixed-size chunks re-fingerprint the whole tail after
+# one shifted byte) — the storage-dedup / delta-sync unit. Same rolling
+# hash as t07, identical integer arithmetic both engines. Not in the
+# driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "t17_cdc_chunks",
+    oracle=f"""
+WITH c1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                        '[^a-z0-9 ]', '', 'g') AS s
+  FROM documents
+), c2 AS (
+  SELECT doc_id, s,
+         list_transform(range(1, length(s)+1),
+                        i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+  FROM c1
+), c3 AS (
+  SELECT doc_id, s, CASE WHEN len(codes) >= {T.WINNOW_K} THEN
+      list_transform(range(1, len(codes)-{T.WINNOW_K}+2),
+                     i -> ({_WIN_TERMS}) % {T.WINNOW_MOD})
+      ELSE [] END AS hs
+  FROM c2
+), c4 AS (
+  SELECT doc_id, s,
+         list_concat(list_concat([CAST(1 AS BIGINT)],
+           CASE WHEN len(hs) >= 2 THEN
+             list_filter(range(2, len(hs)+1), i -> hs[i] % {T.CDC_DIVISOR} = 0)
+           ELSE [] END),
+           [CAST(length(s)+1 AS BIGINT)]) AS bounds
+  FROM c3
+)
+SELECT doc_id, CAST(u.j AS BIGINT) AS chunk_idx,
+       CAST(bounds[u.j+1] - bounds[u.j] AS BIGINT) AS chunk_len,
+       md5(substr(s, CAST(bounds[u.j] AS INT),
+                  CAST(bounds[u.j+1] - bounds[u.j] AS INT))) AS chunk_md5
+FROM c4, unnest(range(1, len(bounds))) AS u(j)
+ORDER BY doc_id, chunk_idx
+""",
+    driver=False,
+)
+def t17_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.cdc_chunks(d, "doc_id", "text")

@@ -205,3 +205,21 @@ def test_funnel_strict_ordering_handmade(spark):
     assert out[2].steps_completed == 1 and out[2].t_purchase is None
     assert out[3].steps_completed == 1 and out[3].t_click is None
     assert out[4].steps_completed == 0 and out[4].t_view is None
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The property fixed-size chunking lacks: inserting a prefix only
+    disturbs chunks near the edit — most chunk fingerprints survive."""
+    from mysql2pg_spark.operators.textops import cdc_chunks
+
+    base = " ".join(f"word{i} token{i * 7 % 13}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix here " + base)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.chunk_md5)
+    shared = len(fps[1] & fps[2]) / len(fps[1])
+    assert shared >= 0.8, f"only {shared:.0%} of chunks survived a prefix edit"
