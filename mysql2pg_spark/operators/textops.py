@@ -126,7 +126,16 @@ def quality_score(c) -> Column:
     """Deterministic 0-1 quality heuristic: token-count band + mean token
     length band + alpha ratio. Mirrors the shape of published LLM-corpus
     quality filters (length/punctuation/stopword gates) with exactly
-    reproducible arithmetic."""
+    reproducible arithmetic.
+
+    The result is the RAW double — every term is either an exact
+    constant or a single int/int division scaled once, and both engines
+    evaluate the identical expression shape, so the sum is bit-exact
+    WITHOUT rounding. A trailing round(x, 4) is the thing that is NOT
+    cross-engine-safe: Spark rounds via BigDecimal over the double's
+    exact binary value while DuckDB rounds x*1e4 (whose multiply can
+    land on the other side of a half) — observed to differ on one sf0.1
+    document."""
     s = normalize_text(c)
     n_tok = F.size(tokens(c))
     mean_tok_len = F.length(F.regexp_replace(s, r"\s+", "")) / n_tok
@@ -139,7 +148,7 @@ def quality_score(c) -> Column:
     tokl_component = F.when((mean_tok_len >= 3) & (mean_tok_len <= 8), 0.3).otherwise(
         0.1
     )
-    return F.round(len_component + tokl_component + alpha_ratio * 0.3, 4)
+    return len_component + tokl_component + alpha_ratio * 0.3
 
 
 def fingerprint(c) -> Column:

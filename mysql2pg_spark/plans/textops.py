@@ -54,16 +54,17 @@ SELECT
   doc_id,
   CAST(len({_TOKENS}) AS BIGINT)                      AS n_tokens,
   md5(regexp_replace({_NORM}, '\\s+', ' ', 'g'))      AS fp,
-  round(
-    CASE WHEN len({_TOKENS}) >= 20 AND len({_TOKENS}) <= 80 THEN 0.4
+  -- raw double, NO trailing round: round(x, 4) is the one op that is
+  -- not cross-engine-exact (BigDecimal-over-binary vs x*1e4 rounding;
+  -- diverged on one sf0.1 doc). The unrounded sum is bit-identical.
+  (CASE WHEN len({_TOKENS}) >= 20 AND len({_TOKENS}) <= 80 THEN 0.4
          WHEN len({_TOKENS}) >= 5  AND len({_TOKENS}) < 20  THEN 0.2
          ELSE 0.0 END
     + CASE WHEN length(regexp_replace({_NORM}, '\\s+', '', 'g')) / len({_TOKENS}) >= 3
             AND length(regexp_replace({_NORM}, '\\s+', '', 'g')) / len({_TOKENS}) <= 8
            THEN 0.3 ELSE 0.1 END
     + (length(regexp_replace({_NORM}, '[^a-z]', '', 'g'))
-       / greatest(length({_NORM}), 1)) * 0.3
-  , 4)                                                AS quality
+       / greatest(length({_NORM}), 1)) * 0.3)         AS quality
 FROM documents
 ORDER BY doc_id
 """,
