@@ -62,3 +62,24 @@ def test_training_shard_writer(spark, tmp_path):
     f = sorted(glob.glob(out_a + "/part-*.parquet"))[0]
     ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
     assert ids == sorted(ids)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Lakehouse schema evolution: old files missing a column read as
+    NULL under mergeSchema, new columns are visible, and pruning a
+    pre-evolution column still works across both file generations."""
+    out = str(tmp_path / "evolving")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS a").write.mode(
+        "overwrite"
+    ).parquet(out)
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b"
+    ).write.mode("append").parquet(out)
+
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[5].b is None          # pre-evolution file → NULL
+    assert rows[15].b == 45           # post-evolution value present
+    # a filter on the old column spans both generations
+    assert df.filter("a >= 10").count() == 15
