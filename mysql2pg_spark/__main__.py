@@ -12,6 +12,10 @@ Three modes, least- to most-connected:
   live       execute against MySQL/PostgreSQL via JDBC + a DB-API
              connection (requires driver jars and a psycopg-style
              module; everything is injected through execute()'s seams).
+  dump       offline migration from a mysqldump file: schema AND data
+             both come from the dump (snapshot_from_dump +
+             dump_source_reader), written to a parquet sink dir with
+             validation — no servers at all.
 
 The catalog snapshot comes from a YAML file (``--snapshot``): offline
 parity with what sources/catalog.py reads from information_schema, so
@@ -85,14 +89,49 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mysql2pg_spark")
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument(
-        "--mode", choices=("plan", "local", "live"), default="plan"
+        "--mode", choices=("plan", "local", "live", "dump"), default="plan"
     )
     ap.add_argument("--snapshot", help="catalog snapshot YAML (plan/local)")
     ap.add_argument("--source-dir", help="parquet source dir (local mode)")
-    ap.add_argument("--sink-dir", help="parquet sink dir (local mode)")
+    ap.add_argument("--sink-dir", help="parquet sink dir (local/dump mode)")
+    ap.add_argument("--dump-file", help="mysqldump .sql file (dump mode)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
+
+    if args.mode == "dump":
+        if not (args.dump_file and args.sink_dir):
+            print("dump mode needs --dump-file and --sink-dir",
+                  file=sys.stderr)
+            return 2
+        from mysql2pg_spark.session import get_spark
+        from mysql2pg_spark.sources.dumpfile import (
+            dump_read_schemas,
+            read_dump_inserts,
+            snapshot_from_dump,
+        )
+
+        spark = get_spark(app_name="mysql2pg_spark-cli")
+        snap = snapshot_from_dump(spark, args.dump_file)
+        schemas = dump_read_schemas(snap)
+        pipe = MigrationPipeline(cfg, snap)
+        result = pipe.execute_local(
+            spark,
+            source_loader=lambda t: read_dump_inserts(
+                spark, args.dump_file, t, schemas[t]
+            ),
+            sink_dir=args.sink_dir,
+        )
+        print(json.dumps({
+            "tables": [t.name for t in snap.tables],
+            "synced": result["synced"],
+            "validation": {
+                k: v.get("consistent") for k, v in result["validation"].items()
+            },
+            "n_ddl": len(result["ddl"]),
+        }))
+        return 0
+
     if not args.snapshot:
         print("--snapshot is required (live catalog scan needs a server)",
               file=sys.stderr)

@@ -515,3 +515,36 @@ def test_cli_local_mode_runs_pipeline(tmp_path, spark, capsys):
     assert out["synced"] == {"nation": 25}
     assert out["validation"] == {"nation": True}
     assert out["n_ddl"] > 0
+
+
+def test_cli_dump_mode_runs_offline_migration(tmp_path, spark, capsys):
+    """--mode dump: schema AND data from one mysqldump file through the
+    full plan/DDL/sync/validate flow, no snapshot YAML, no servers."""
+    import json
+
+    from mysql2pg_spark.__main__ import main
+
+    dump = tmp_path / "d.sql"
+    dump.write_text(
+        "CREATE TABLE `users` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `name` varchar(50) DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ");\n"
+        "INSERT INTO `users` VALUES (1,'ada'),(2,'bo''b');\n"
+    )
+    cfg = _cfg(tmp_path)  # writes tmp_path/config.yml
+    rc = main(
+        [
+            "-c", str(tmp_path / "config.yml"),
+            "--mode", "dump",
+            "--dump-file", str(dump),
+            "--sink-dir", str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tables"] == ["users"]
+    assert out["synced"] == {"users": 2}
+    assert out["validation"] == {"users": True}
+    assert out["n_ddl"] >= 1
