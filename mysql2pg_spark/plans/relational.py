@@ -500,3 +500,28 @@ def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
     )
+
+
+# --------------------------------------------------------------------------
+# q16 — correlated LATERAL join (MySQL 8.0.14 parity): top-2 orders per
+# customer via a correlated ORDER BY + LIMIT subquery in the FROM
+# clause — the "top-N per row" idiom that predates window functions.
+# The IDENTICAL SQL text runs on Spark 4 and DuckDB. Not in the driver
+# window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+_Q16_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+
+@query("q16_lateral_topn", oracle=_Q16_SQL, driver=False)
+def q16_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q16_SQL)

@@ -850,3 +850,41 @@ ORDER BY doc_id, chunk_idx
 def t17_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.cdc_chunks(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# t18 — exact per-stratum quota sampling: the K docs per source with the
+# smallest md5(doc_id) — a deterministic "random" quota (eval-set
+# construction), vs t06's rate-based stratified sampling. One window per
+# stratum; hash order is engine-independent. Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+QUOTA_K = 5
+
+
+@query(
+    "t18_quota_sample",
+    oracle=f"""
+SELECT doc_id, source, h FROM (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+) WHERE rn <= {QUOTA_K}
+ORDER BY source, h
+""",
+    driver=False,
+)
+def t18_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_K)
+        .select("doc_id", "source", "h")
+    )
