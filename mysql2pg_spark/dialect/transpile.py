@@ -565,6 +565,10 @@ def transpile_mysql(sql: str) -> str:
     s = rewrite_call(s, "FIELD", _field)
     # infix MOD (the MOD(a,b) function is Spark-native and left alone)
     s = re.sub(r"\bMOD\b(?!\s*\()", "%", s, flags=re.I)
+    # NULL-safe equal: Spark accepts <=> natively but the transpiled text
+    # also feeds the PG view-DDL path — IS NOT DISTINCT FROM is the ANSI
+    # spelling all three engines (Spark/PG/DuckDB) execute.
+    s = re.sub(r"<=>", " IS NOT DISTINCT FROM ", s)
 
     # C48: DATE_ADD/DATE_SUB with INTERVAL units → arithmetic (Spark's
     # date_add only takes day counts; +/- INTERVAL covers every unit)

@@ -436,3 +436,17 @@ SELECT d, IFNULL(NULL, 'x') AS tag FROM days
     rows = spark.sql(sql).collect()
     assert len(rows) == 5
     assert all(r.tag == "x" for r in rows)
+
+
+def test_null_safe_equal_rewrites_portable(spark):
+    """MySQL <=> becomes ANSI IS NOT DISTINCT FROM — executable on
+    Spark AND valid in the PG view-DDL target (PG has no <=>)."""
+    from mysql2pg_spark.dialect.transpile import transpile_mysql
+
+    sql = transpile_mysql(
+        "SELECT NULL <=> NULL AS a, 1 <=> 2 AS b, 'x<=>y' AS lit"
+    )
+    assert "<=>" not in sql.replace("x<=>y", "")  # operator gone
+    assert "x<=>y" in sql                         # string literal untouched
+    row = spark.sql(sql).collect()[0]
+    assert row.a is True and row.b is False and row.lit == "x<=>y"
