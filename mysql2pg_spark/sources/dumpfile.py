@@ -222,13 +222,21 @@ def _dump_partitions(path: str, split_bytes: int):
 
 
 def _read_split(part: _DumpPartition, table: str, n_cols: int):
-    """Yield parsed rows for every INSERT line starting in [start, end)."""
+    """Yield parsed rows for every INSERT line the split OWNS.
+
+    Ownership follows the Hadoop LineRecordReader contract: a split
+    reads lines while the position BEFORE the read is <= end, so the
+    line starting exactly at ``end`` belongs to THIS split — which
+    pairs with the next split (start == end, start > 0) unconditionally
+    discarding its first line. Reading only while tell() < end would
+    orphan a line that starts exactly on a split boundary: neither
+    split would emit it (silent row loss)."""
     needle = f"insert into `{table.lower()}`"
     with open(part.path, "rb") as fh:
         fh.seek(part.start)
         if part.start > 0:
             fh.readline()  # owned by the previous split
-        while fh.tell() < part.end:
+        while fh.tell() <= part.end:
             raw = fh.readline()
             if not raw:
                 break

@@ -160,6 +160,49 @@ def test_mysqldump_datasource_with_splits(spark, tmp_path):
     assert rows[3] == "name3" and rows[1003] == "x(3)y"
 
 
+def test_read_split_owns_boundary_aligned_line(tmp_path):
+    """A line starting EXACTLY at a split boundary must be owned by the
+    split ending there (LineRecordReader contract): reading only while
+    tell() < end orphaned it — the earlier split stopped short and the
+    later split unconditionally skipped its first line (silent loss)."""
+    from mysql2pg_spark.sources.dumpfile import (
+        _DumpPartition,
+        _read_split,
+    )
+
+    l1 = "INSERT INTO `t` VALUES (1,'a');\n"  # exactly 32 bytes
+    l2 = "INSERT INTO `t` VALUES (2,'b');\n"
+    assert len(l1.encode()) == 32
+    p = tmp_path / "b.sql"
+    p.write_bytes((l1 + l2).encode())
+
+    parts = [_DumpPartition(str(p), 0, 32), _DumpPartition(str(p), 32, 64)]
+    rows = [r for part in parts for r in _read_split(part, "t", 2)]
+    assert sorted(r[0] for r in rows) == ["1", "2"]  # both, exactly once
+
+
+def test_mysqldump_datasource_boundary_split(spark, tmp_path):
+    """End-to-end repro of the boundary case through the DataSource: a
+    dump whose every line is exactly split_bytes long loses no rows."""
+    from mysql2pg_spark.sources.dumpfile import MysqlDumpDataSource
+
+    line = "INSERT INTO `t` VALUES ({:03d},'abc');\n"
+    width = len(line.format(0).encode())
+    p = tmp_path / "aligned.sql"
+    p.write_text("".join(line.format(i) for i in range(40)))
+
+    spark.dataSource.register(MysqlDumpDataSource)
+    df = (
+        spark.read.format("mysqldump")
+        .schema("id bigint, name string")
+        .option("table", "t")
+        .option("split_bytes", width)  # every boundary hits a line start
+        .load(str(p))
+    )
+    ids = sorted(r.id for r in df.collect())
+    assert ids == list(range(40))
+
+
 REAL_DUMP = """-- MySQL dump 10.13  Distrib 8.0.32
 /*!40101 SET NAMES utf8mb4 */;
 DROP TABLE IF EXISTS `customers`;
