@@ -21,7 +21,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from mysql2pg_spark.config import EngineConfig
-from mysql2pg_spark.dialect.transpile import transpile_mysql
 from mysql2pg_spark.schema.identifiers import normalize_identifier, quote_pg
 from mysql2pg_spark.schema.schema_map import struct_field_for
 from mysql2pg_spark.sinks.ddl import (
@@ -165,9 +164,14 @@ class MigrationPipeline:
                     actions.append(Action("tableddl", "ddl", name, c_ddl))
 
         if o.view:
+            from mysql2pg_spark.dialect.transpile import transpile_mysql_ansi
+
             for vname, vsql in self.snapshot.views.items():
                 name = self._norm(vname)
-                body = transpile_mysql(vsql)
+                # sink-side DDL needs the ANSI rendering (a real PG/
+                # DuckDB parser rejects backticks/IFNULL that Spark-
+                # dialect output legally keeps)
+                body = transpile_mysql_ansi(vsql)
                 actions.append(
                     Action(
                         "view",
@@ -347,6 +351,7 @@ class MigrationPipeline:
         sink_writer=None,
         dest_reader=None,
         logger=None,
+        target_dialect: str = "postgres",
     ) -> dict:
         """Run the plan against live endpoints, stage order and
         keep-going error semantics per the reference's manager
@@ -471,8 +476,21 @@ class MigrationPipeline:
             ddls = [a for a in stage_actions if a.kind == "ddl"]
             for a in ddls:
                 try:
+                    # target-dialect seam (sinks.ddl.adapt_ddl): plan()
+                    # emits PostgreSQL; an embedded ANSI target gets the
+                    # few PG-isms rewritten, and statements with no
+                    # analog there (GRANT family) are logged skips.
+                    from mysql2pg_spark.sinks.ddl import adapt_ddl
+
+                    payload = adapt_ddl(a.payload, target_dialect)
+                    if payload is None:
+                        logger.info(
+                            f"skip ({target_dialect} has no analog): "
+                            f"{a.payload[:80]}"
+                        )
+                        continue
                     cur = pg_conn.cursor()
-                    cur.execute(a.payload)
+                    cur.execute(payload)
                     ddl_done += 1
                 except Exception as e:  # keep going, record (manager.go)
                     logger.table_error(stage, a.target, e)
