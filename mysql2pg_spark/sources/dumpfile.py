@@ -45,28 +45,60 @@ _ESCAPES = {
 }
 
 
-def split_tuples(blob: str) -> list[list[str | None]]:
+import re as _tokre
+
+#: unquoted SQL hex literal: 0xDEADBEEF (mysqldump --hex-blob output for
+#: BLOB/BINARY/geometry columns). Odd digit counts are left-padded per
+#: MySQL's rule.
+_HEX_LITERAL = _tokre.compile(r"0[xX]([0-9A-Fa-f]*)$")
+#: charset / binary introducer immediately before a quoted literal:
+#: _binary'...', _utf8mb4 '...', N'...'; X'1f' hex and b'1010' bit
+#: literal prefixes ride the same position.
+_INTRODUCER = _tokre.compile(r"_\w+|[Nn]|[Xx]|[Bb]")
+
+
+def _hex_bytes(digits: str) -> bytes:
+    return bytes.fromhex(digits if len(digits) % 2 == 0 else "0" + digits)
+
+
+def split_tuples(blob: str) -> list[list[str | bytes | None]]:
     """Tokenize a ``(v, v), (v, v)`` VALUES blob into rows of decoded
     cells (None for SQL NULL). Handles quoted strings containing commas,
-    parens, and backslash escapes — the cases that break regex splits."""
-    rows: list[list[str | None]] = []
-    cur: list[str | None] = []
+    parens, and backslash escapes — the cases that break regex splits —
+    plus mysqldump's binary spellings: ``0xDEADBEEF`` hex literals and
+    ``X'1f'`` decode to ``bytes``; ``_binary '...'`` / ``_utf8mb4 '...'``
+    / ``N'...'`` introducers are stripped (the quoted text is the value).
+    """
+    rows: list[list[str | bytes | None]] = []
+    cur: list[str | bytes | None] = []
     buf: list[str] = []
     in_tuple = False
     quote: str | None = None
     was_quoted = False
+    quoted_mode = ""  # "" plain | "hex" X'1f' | "bit" b'1010'
     i, n = 0, len(blob)
 
     def flush() -> None:
-        nonlocal was_quoted
+        nonlocal was_quoted, quoted_mode
         raw = "".join(buf)
         buf.clear()
         if was_quoted:
-            cur.append(raw)
+            if quoted_mode == "hex":
+                cur.append(_hex_bytes(raw))
+            elif quoted_mode == "bit":
+                v = int(raw, 2) if raw else 0
+                cur.append(v.to_bytes(max(1, (len(raw) + 7) // 8), "big"))
+            else:
+                cur.append(raw)
         else:
             s = raw.strip()
-            cur.append(None if s.upper() == "NULL" or s == "" else s)
+            mo = _HEX_LITERAL.fullmatch(s)
+            if mo:
+                cur.append(_hex_bytes(mo.group(1)))
+            else:
+                cur.append(None if s.upper() == "NULL" or s == "" else s)
         was_quoted = False
+        quoted_mode = ""
 
     while i < n:
         ch = blob[i]
@@ -95,6 +127,18 @@ def split_tuples(blob: str) -> list[list[str | None]]:
         if ch in ("'", '"'):
             quote = ch
             was_quoted = True
+            # an introducer token before the quote is not part of the
+            # value: _binary'...' / _utf8mb4 '...' / N'...'; X'1f'
+            # means the quoted content is hex digits, b'1010' a bit
+            # literal. Anything else before a quote stays a parse
+            # artifact rather than silently vanishing.
+            pending = "".join(buf).strip()
+            if pending and _INTRODUCER.fullmatch(pending):
+                low = pending.lower()
+                quoted_mode = (
+                    "hex" if low == "x" else "bit" if low == "b" else ""
+                )
+                buf.clear()
             i += 1
             continue
         if ch == ",":
@@ -112,6 +156,46 @@ def split_tuples(blob: str) -> list[list[str | None]]:
     return rows
 
 
+def _align_rows(
+    rows: list[list], collist: str, cols: list[str]
+) -> Iterator[list]:
+    """Reorder parsed tuples into schema order when the INSERT carries an
+    explicit column list (mysqldump --complete-insert); unlisted columns
+    become NULL, unknown listed names are dropped."""
+    if not collist.strip():
+        yield from rows
+        return
+    pos = {c.lower(): j for j, c in enumerate(cols)}
+    idxs = [
+        pos.get(nm.strip().strip("`").lower()) for nm in collist.split(",")
+    ]
+    for r in rows:
+        aligned: list = [None] * len(cols)
+        for v, j in zip(r, idxs):
+            if j is not None:
+                aligned[j] = v
+        yield aligned
+
+
+def _coerce_cell(v, want_bytes: bool):
+    """Tokenizer cells are str (quoted text), bytes (hex/bit literals),
+    or None; line them up with the target column: binary columns get
+    bytes (text encoded as UTF-8), everything else gets text (bytes
+    from a hex literal feeding a text column decode as UTF-8, matching
+    MySQL's cast-to-charset behavior)."""
+    if v is None:
+        return None
+    if want_bytes:
+        return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", errors="replace")
+    return v
+
+
+#: optional --complete-insert column list between table name and VALUES
+_COLLIST_RE = r"(?i)^\s*INSERT\s+INTO\s+`?\w+`?\s*\(([^)]*)\)\s*VALUES"
+
+
 def read_dump_inserts(
     spark: SparkSession,
     path: str,
@@ -120,11 +204,19 @@ def read_dump_inserts(
 ) -> DataFrame:
     """DataFrame of ``table``'s rows from a mysqldump file (or directory
     of files). ``schema`` gives column names/types; parsed cells are cast
-    through it JVM-side."""
+    through it JVM-side. Binary columns take ``0x...``/``_binary``
+    literals byte-exact; ``--complete-insert`` column lists reorder
+    against the schema."""
+    from pyspark.sql.types import BinaryType
+
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     cols = [f.name for f in schema.fields]
-    str_schema = ", ".join(f"`{c}` string" for c in cols)
+    is_binary = [isinstance(f.dataType, BinaryType) for f in schema.fields]
+    mid_schema = ", ".join(
+        f"`{c}` {'binary' if b else 'string'}"
+        for c, b in zip(cols, is_binary)
+    )
 
     lines = spark.read.text(path)
     # JVM-side pre-filter: only this table's INSERT lines reach Python.
@@ -134,26 +226,36 @@ def read_dump_inserts(
         | prefix.startswith(f"insert into {table.lower()} ")
         | prefix.startswith(f"insert into {table.lower()}(")
     ).select(
+        F.regexp_extract(F.col("value"), _COLLIST_RE, 1).alias("collist"),
         F.regexp_extract(
             F.col("value"), r"(?i)VALUES\s*(\(.*\));?\s*$", 1
-        ).alias("blob")
+        ).alias("blob"),
     )
 
     def parse(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in it:
-            out: list[list[str | None]] = []
-            for blob in pdf["blob"]:
+            out: list[list] = []
+            for collist, blob in zip(pdf["collist"], pdf["blob"]):
                 if blob:
-                    out.extend(split_tuples(blob))
+                    out.extend(_align_rows(split_tuples(blob), collist, cols))
             yield pd.DataFrame(
-                {c: [r[j] if j < len(r) else None for r in out]
-                 for j, c in enumerate(cols)},
-                dtype="object",
+                {
+                    c: pd.Series(
+                        [
+                            _coerce_cell(
+                                r[j] if j < len(r) else None, is_binary[j]
+                            )
+                            for r in out
+                        ],
+                        dtype="object",
+                    )
+                    for j, c in enumerate(cols)
+                }
             )
 
-    parsed = matched.mapInPandas(parse, str_schema)
+    parsed = matched.mapInPandas(parse, mid_schema)
     return parsed.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
@@ -221,8 +323,9 @@ def _dump_partitions(path: str, split_bytes: int):
     return parts
 
 
-def _read_split(part: _DumpPartition, table: str, n_cols: int):
-    """Yield parsed rows for every INSERT line the split OWNS.
+def _read_split(part: _DumpPartition, table: str, columns: list[str]):
+    """Yield schema-ordered parsed rows for every INSERT line the split
+    OWNS.
 
     Ownership follows the Hadoop LineRecordReader contract: a split
     reads lines while the position BEFORE the read is <= end, so the
@@ -232,6 +335,7 @@ def _read_split(part: _DumpPartition, table: str, n_cols: int):
     orphan a line that starts exactly on a split boundary: neither
     split would emit it (silent row loss)."""
     needle = f"insert into `{table.lower()}`"
+    n_cols = len(columns)
     with open(part.path, "rb") as fh:
         fh.seek(part.start)
         if part.start > 0:
@@ -247,7 +351,11 @@ def _read_split(part: _DumpPartition, table: str, n_cols: int):
             idx = line.upper().find("VALUES")
             if idx < 0:
                 continue
-            for row in split_tuples(line[idx + len("VALUES"):]):
+            mo = _tokre.search(r"\(([^)]*)\)\s*$", line[:idx])
+            collist = mo.group(1) if mo else ""
+            for row in _align_rows(
+                split_tuples(line[idx + len("VALUES"):]), collist, columns
+            ):
                 yield tuple(
                     (row[j] if j < len(row) else None) for j in range(n_cols)
                 )
@@ -300,11 +408,11 @@ try:  # pyspark >= 4: Python DataSource API
         def read(self, partition):
             path, start, end = partition.value
             part = _DumpPartition(path, start, end)
-            n = len(self.schema.fields)
+            names = [f.name for f in self.schema.fields]
             # the DataSource contract wants tuples already matching the
-            # declared types — the tokenizer emits strings, so cast here
+            # declared types — the tokenizer emits str/bytes, cast here
             casters = [_pycast(f.dataType) for f in self.schema.fields]
-            for row in _read_split(part, self.table, n):
+            for row in _read_split(part, self.table, names):
                 yield tuple(
                     None if v is None else caster(v)
                     for v, caster in zip(row, casters)
@@ -312,6 +420,7 @@ try:  # pyspark >= 4: Python DataSource API
 
     def _pycast(dt):
         from pyspark.sql.types import (
+            BinaryType,
             BooleanType,
             DoubleType,
             FloatType,
@@ -320,15 +429,24 @@ try:  # pyspark >= 4: Python DataSource API
             StringType,
         )
 
+        def text(v):  # hex-literal bytes feeding a non-binary column
+            return (
+                bytes(v).decode("utf-8", errors="replace")
+                if isinstance(v, (bytes, bytearray))
+                else v
+            )
+
+        if isinstance(dt, BinaryType):
+            return lambda v: _coerce_cell(v, True)
         if isinstance(dt, (LongType, IntegerType)):
-            return int
+            return lambda v: int(text(v))
         if isinstance(dt, (DoubleType, FloatType)):
-            return float
+            return lambda v: float(text(v))
         if isinstance(dt, BooleanType):
-            return lambda v: v not in ("0", "false", "FALSE")
+            return lambda v: text(v) not in ("0", "false", "FALSE")
         if isinstance(dt, StringType):
-            return str
-        return str  # dates/decimals arrive as strings; cast downstream
+            return lambda v: str(text(v))
+        return lambda v: str(text(v))  # dates/decimals: cast downstream
 
 except ImportError:  # pragma: no cover — pyspark < 4 fallback
     MysqlDumpDataSource = None  # type: ignore[assignment]

@@ -38,6 +38,97 @@ def test_split_tuples_escapes():
     assert row == ["1", "l1\nl2", "t\tab", r"100\%"]
 
 
+def test_split_tuples_hex_and_binary_literals():
+    """mysqldump --hex-blob / _binary spellings (reference corpus blob
+    tables, scripts/mysql/create_table.sql:267-277): 0x... and X'...'
+    decode to bytes, _charset/N introducers are stripped, b'...' bit
+    literals decode big-endian."""
+    (row,) = split_tuples(
+        "(1,0xDEADBEEF,X'1f2A',_binary 'abc',_utf8mb4'héllo',N'nat',b'100000001',0x)"
+    )
+    assert row == [
+        "1",
+        bytes.fromhex("deadbeef"),
+        bytes.fromhex("1f2a"),
+        "abc",
+        "héllo",
+        "nat",
+        (0b100000001).to_bytes(2, "big"),
+        b"",
+    ]
+    # odd-length hex literal is left-padded like MySQL
+    (row,) = split_tuples("(0xF)")
+    assert row == [b"\x0f"]
+    # a QUOTED string that merely looks like hex stays text
+    (row,) = split_tuples("('0xDEAD')")
+    assert row == ["0xDEAD"]
+
+
+def test_read_dump_inserts_blob_roundtrip(spark, tmp_path):
+    """A --hex-blob style dump of a binary table arrives byte-exact
+    through the mapInPandas path; hex feeding a TEXT column decodes as
+    UTF-8 (MySQL cast-to-charset behavior)."""
+    p = tmp_path / "blob.sql"
+    p.write_text(
+        "INSERT INTO `files` VALUES "
+        "(1,0x00FF10,_binary 'ab\\'c'),(2,NULL,0x68690a);\n"
+    )
+    rows = {
+        r.id: r
+        for r in read_dump_inserts(
+            spark, str(p), "files", "id bigint, payload binary, note string"
+        ).collect()
+    }
+    assert bytes(rows[1].payload) == b"\x00\xff\x10"
+    assert rows[1].note == "ab'c"
+    assert rows[2].payload is None
+    assert rows[2].note == "hi\n"
+
+
+def test_read_dump_inserts_column_list(spark, tmp_path):
+    """--complete-insert column lists reorder against the schema;
+    unlisted columns become NULL."""
+    p = tmp_path / "ci.sql"
+    p.write_text(
+        "INSERT INTO `users` (`name`, `id`) VALUES ('ada', 7), ('bob', 8);\n"
+        "INSERT INTO users (id, score) VALUES (9, 1.5);\n"
+        "INSERT INTO `users` VALUES (10,'carol','x',2.5);\n"
+    )
+    rows = {
+        r.id: r
+        for r in read_dump_inserts(
+            spark,
+            str(p),
+            "users",
+            "id bigint, name string, note string, score double",
+        ).collect()
+    }
+    assert rows[7].name == "ada" and rows[7].note is None
+    assert rows[8].name == "bob"
+    assert rows[9].name is None and rows[9].score == 1.5
+    assert rows[10].name == "carol" and rows[10].note == "x"
+
+
+def test_mysqldump_datasource_hex_and_column_list(spark, tmp_path):
+    """The byte-range DataSource path handles the same spellings."""
+    from mysql2pg_spark.sources.dumpfile import MysqlDumpDataSource
+
+    p = tmp_path / "ds.sql"
+    p.write_text(
+        "INSERT INTO `files` (`payload`, `id`) VALUES (0x0102, 1);\n"
+        "INSERT INTO `files` VALUES (2, _binary 'zz');\n"
+    )
+    spark.dataSource.register(MysqlDumpDataSource)
+    df = (
+        spark.read.format("mysqldump")
+        .schema("id bigint, payload binary")
+        .option("table", "files")
+        .load(str(p))
+    )
+    rows = {r.id: bytes(r.payload) for r in df.collect()}
+    assert rows == {1: b"\x01\x02", 2: b"zz"}
+
+
 def test_read_dump_inserts(spark, tmp_path):
     p = tmp_path / "dump.sql"
     p.write_text(DUMP)
@@ -177,7 +268,9 @@ def test_read_split_owns_boundary_aligned_line(tmp_path):
     p.write_bytes((l1 + l2).encode())
 
     parts = [_DumpPartition(str(p), 0, 32), _DumpPartition(str(p), 32, 64)]
-    rows = [r for part in parts for r in _read_split(part, "t", 2)]
+    rows = [
+        r for part in parts for r in _read_split(part, "t", ["id", "name"])
+    ]
     assert sorted(r[0] for r in rows) == ["1", "2"]  # both, exactly once
 
 

@@ -98,6 +98,16 @@ def _render_cell(v) -> str:
         return "NULL"
     if isinstance(v, int):
         return str(v)
+    if isinstance(v, bytes):
+        # the three spellings mysqldump/clients emit for binary data;
+        # pick deterministically by content so examples stay shrinkable
+        h = v.hex()
+        style = len(v) % 3
+        if style == 0:
+            return "0x" + h.upper()
+        if style == 1:
+            return f"X'{h}'"
+        return "x'" + h + "'"
     esc = (
         v.replace("\\", "\\\\")
         .replace("'", "\\'")
@@ -114,6 +124,7 @@ _cell = st.one_of(
     st.none(),
     st.integers(min_value=-(2**63), max_value=2**63 - 1),
     st.text(max_size=30),
+    st.binary(max_size=20),
 )
 
 
@@ -131,7 +142,15 @@ def test_dump_tokenizer_roundtrip(rows):
     )
     parsed = split_tuples(blob)
     expected = [
-        [None if c is None else str(c) for c in r] for r in rows
+        [
+            None
+            if c is None
+            else c
+            if isinstance(c, bytes)
+            else str(c)
+            for c in r
+        ]
+        for r in rows
     ]
     # unquoted empty-string renders as '' (quoted) and survives; but an
     # all-whitespace INTEGER cell cannot occur. Compare directly:
