@@ -53,6 +53,65 @@ HEADLINE = [
 ]
 
 
+# Extras: newer operator families timed alongside the headline WITHOUT
+# unfreezing its 28-query trend series (round-to-round comparability).
+EXTRA = [
+    "ts01_gap_fill",
+    "ts02_retention",
+    "ts03_funnel",
+    "ts04_trailing_window",
+    "q15_recursive_cte",
+    "q16_lateral_topn",
+    "d11_semantic_dedup",
+    "d12_incremental_dedup",
+    "t17_cdc_chunks",
+    "s04_knn_ivf_refined",
+    "s06_knn_pq",
+]
+
+
+def _bench_dump_parse(spark, sf_dir: str, reps: int, tmpdir: str) -> float:
+    """Time the mysqldump DataSource over a dump synthesized from the
+    sf's orders table (extended-insert, 1000 tuples/line). Generation is
+    untimed; the timed span is the distributed parse + full
+    materialization."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    path = os.path.join(tmpdir, "orders_dump.sql")
+    with open(path, "w") as fh:
+        rows = tb.to_pylist()
+        for i in range(0, len(rows), 1000):
+            chunk = rows[i : i + 1000]
+            vals = ",".join(
+                f"({r['o_orderkey']},{r['o_custkey']},{r['o_totalprice']})"
+                for r in chunk
+            )
+            fh.write(f"INSERT INTO `orders` VALUES {vals};\n")
+
+    from mysql2pg_spark.sources.dumpfile import MysqlDumpDataSource
+
+    spark.dataSource.register(MysqlDumpDataSource)
+    best = float("inf")
+    for _ in range(reps):
+        t = time.perf_counter()
+        (
+            spark.read.format("mysqldump")
+            .schema("o_orderkey bigint, o_custkey bigint, o_totalprice double")
+            .option("table", "orders")
+            .option("split_bytes", 4 * 1024 * 1024)
+            .load(path)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -98,6 +157,26 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
 
+    extras: dict[str, float] = {}
+    for name in (n for n in EXTRA if n in QUERIES):
+        best = float("inf")
+        for _ in range(reps):
+            t = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t)
+        extras[name] = round(best, 3)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            extras["dump_parse_orders"] = _bench_dump_parse(
+                spark, sf_dir, reps, td
+            )
+        except Exception as e:  # extras never break the headline emit
+            extras["dump_parse_orders_error"] = str(e)[:120]
+
     print(
         json.dumps(
             {
@@ -106,6 +185,7 @@ def main() -> None:
                 "unit": "sec",
                 "reps": reps,
                 "queries": timings,
+                "extra_queries": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -148,11 +148,14 @@ def verify_jaccard(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # raw double quotient of two exact ints — bit-identical in any
+    # IEEE engine. No F.round: decimal rounding of doubles is the one
+    # op Spark (HALF_UP) and other engines (HALF_EVEN) disagree on.
     jac = (inter.cast("double") / union.cast("double")).alias("jaccard")
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -238,7 +241,8 @@ def incremental_dedup(
     )
     inter = F.size(F.array_intersect("sh_d", "sh_h"))
     union = F.size(F.array_union("sh_d", "sh_h"))
-    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    jac = inter.cast("double") / union.cast("double")  # raw — see
+    # verify_jaccard on why no F.round
     near = (
         cand.join(
             d_sh.select(F.col(id_col).alias("d_id"), F.col("shingles").alias("sh_d")),
@@ -363,7 +367,9 @@ def embedding_neardup_pairs(
             "blk",
             "id_a",
             "id_b",
-            F.round(cos, 9).alias("cos_sim"),
+            # raw left-fold double (dot_fold docstring) — no F.round,
+            # whose half-way decimal rounding differs across engines
+            cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -423,7 +429,7 @@ def embedding_neardup_multitable(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cos, 9).alias("cos_sim"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -58,10 +58,12 @@ def decile_profile(
             "n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
         )
     )
-    realized = F.filter(
-        F.sequence(F.lit(1), F.lit(10)),
-        lambda d: ((d.cast("bigint") * F.col("n") + 9) / 10).cast("bigint")
-        == F.col("rn"),
+    # integer `div` keeps the documented pure-integer contract at ANY n:
+    # double division + bigint cast is exact only while d·n+9 ≤ 2^53,
+    # after which engine and oracle (integer //) could disagree
+    realized = F.expr(
+        "filter(sequence(1, 10), "
+        "d -> (CAST(d AS BIGINT) * n + 9) div 10 = rn)"
     )
     return ranked.select(
         F.col(group_col),

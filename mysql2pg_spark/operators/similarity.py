@@ -55,7 +55,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_pair_cos(), 9).alias("cos_sim"),
+            _pair_cos().alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -196,7 +196,7 @@ def knn_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_pair_cos(), 9).alias("cos_sim"),
+            _pair_cos().alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -391,13 +391,12 @@ def knn_ivf(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(
+        (
             dot_fold(F.col("qv"), F.col("nv"))
             / (
                 F.sqrt(dot_fold(F.col("qv"), F.col("qv")))
                 * F.sqrt(dot_fold(F.col("nv"), F.col("nv")))
-            ),
-            9,
+            )
         ).alias("cos_sim"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(
@@ -555,7 +554,7 @@ def knn_pq(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_pair_cos(), 9).alias("cos_sim"),
+            _pair_cos().alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -132,6 +132,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_MINHASH_CTE}
 SELECT * FROM mh ORDER BY doc_id
 """,
+    driver=False,
 )
 def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_signatures(spark, sf_dir)
@@ -162,13 +163,13 @@ def d03_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE}
 SELECT
   id_a, id_b,
-  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6) AS jaccard
+  (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE)) AS jaccard
 FROM cand
 JOIN sh sa ON sa.doc_id = cand.id_a
 JOIN sh sb ON sb.doc_id = cand.id_b
-WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6) >= {JACCARD_T}
+WHERE (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE)) >= {JACCARD_T}
 ORDER BY id_a, id_b
 """,
 )
@@ -225,7 +226,7 @@ def _cos_sql(a: str, b: str) -> str:
     dot = _DOT.format(a=a, b=b)
     na = _DOT.format(a=a, b=a)
     nb = _DOT.format(a=b, b=b)
-    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 9)"
+    return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
 
 
 # d06_embedding_neardup lives in plans/similarity.py: its block key is
@@ -339,8 +340,8 @@ near AS (
   FROM cand
   JOIN delt_sh sd ON sd.doc_id = cand.d_id
   JOIN hist_sh sh ON sh.doc_id = cand.h_id
-  WHERE round(CAST(len(list_intersect(sd.shingles, sh.shingles)) AS DOUBLE)
-        / CAST(len(list_distinct(sd.shingles || sh.shingles)) AS DOUBLE), 6)
+  WHERE (CAST(len(list_intersect(sd.shingles, sh.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sd.shingles || sh.shingles)) AS DOUBLE))
         >= {JACCARD_T}
   GROUP BY d_id
 )
@@ -350,9 +351,7 @@ FROM delt d
 LEFT JOIN exact e USING (doc_id)
 LEFT JOIN near n USING (doc_id)
 ORDER BY d.doc_id
-""",
-    driver=False,
-)
+""")
 def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     history = d.filter(F.col("doc_id") % DELTA_MOD != 0)

@@ -72,8 +72,8 @@ pairs AS (
   FROM cand
   JOIN sh sa ON sa.doc_id = cand.id_a
   JOIN sh sb ON sb.doc_id = cand.id_b
-  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6) >= {JACCARD_T}
+  WHERE (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE)) >= {JACCARD_T}
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs

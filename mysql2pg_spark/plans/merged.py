@@ -346,6 +346,7 @@ UNION ALL
 SELECT 'sliding', window_start, window_end, event_type, n_events, sum_value
 FROM {_sub("w05_sliding_windows")}
 """,
+    driver=False,
 )
 def w01_batch_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tagged_union(

@@ -192,6 +192,7 @@ FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20 OFFSET 10
 """,
+    driver=False,
 )
 def q04_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -519,7 +520,7 @@ ORDER BY c.c_custkey, o.o_orderkey
 """
 
 
-@query("q16_lateral_topn", oracle=_Q16_SQL, driver=False)
+@query("q16_lateral_topn", oracle=_Q16_SQL)
 def q16_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.tables import register_views
 

@@ -181,7 +181,7 @@ probes AS (
 ),
 scored AS (
   SELECT DISTINCT p.query_id, a.neighbor_id,
-         round({_raw_cos('p.qv', 'a.nv')}, 9) AS cos_sim
+         {_raw_cos('p.qv', 'a.nv')} AS cos_sim
   FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
   WHERE a.neighbor_id <> p.query_id
 ),
@@ -323,9 +323,7 @@ SELECT v.vec_id, v.centroid_id,
        (s.kept_by IS NOT NULL) AS is_semdup, s.kept_by
 FROM assign v LEFT JOIN shadowed s ON s.id_b = v.vec_id
 ORDER BY v.vec_id
-""",
-    driver=False,
-)
+""")
 def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % CENTROID_MOD == 1)
@@ -390,7 +388,7 @@ probes AS (
 ),
 scored AS (
   SELECT DISTINCT p.query_id, a.neighbor_id,
-         round({_raw_cos('p.qv', 'a.nv')}, 9) AS cos_sim
+         {_raw_cos('p.qv', 'a.nv')} AS cos_sim
   FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
   WHERE a.neighbor_id <> p.query_id
 ),
@@ -474,10 +472,9 @@ def s05_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "neg_label",
-        F.round(
+        (
             dot_fold(F.col("qvec"), F.col("nvec"))
-            / (F.col("qnorm") * F.col("nnorm")),
-            9,
+            / (F.col("qnorm") * F.col("nnorm"))
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -376,8 +376,8 @@ WITH s AS (
 SELECT doc_id,
        CAST(len(sents) AS BIGINT)                 AS n_sentences,
        CAST(len(list_distinct(sents)) AS BIGINT)  AS n_distinct,
-       round(CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
-             / CAST(len(sents) AS DOUBLE), 6)     AS dup_ratio
+       (CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+             / CAST(len(sents) AS DOUBLE))        AS dup_ratio
 FROM s
 WHERE len(sents) > 0
 """,
@@ -396,9 +396,10 @@ def t08_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             n.cast("bigint").alias("n_sentences"),
             nd.cast("bigint").alias("n_distinct"),
-            F.round(
-                (n - nd).cast("double") / n.cast("double"), 6
-            ).alias("dup_ratio"),
+            # raw int/int double — no F.round (half-way decimal
+            # rounding of doubles is engine-specific; 0.5/0.15 ratios
+            # here CAN land on exact halves at 6 digits)
+            ((n - nd).cast("double") / n.cast("double")).alias("dup_ratio"),
         )
     )
 

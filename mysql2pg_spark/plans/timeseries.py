@@ -87,6 +87,7 @@ FROM g
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """,
+    driver=False,
 )
 def w03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -282,6 +283,7 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """,
+    driver=False,
 )
 def w04_stateful_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.streaming.ingest import run_stateful_user_counts
@@ -447,9 +449,7 @@ LEFT JOIN s0 USING (user_id)
 LEFT JOIN s1 USING (user_id)
 LEFT JOIN s2 USING (user_id)
 ORDER BY u.user_id
-""",
-    driver=False,
-)
+""")
 def ts03_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.operators.resample import funnel_steps
 
@@ -515,7 +515,7 @@ ORDER BY day
 # TIMESTAMP — the cast makes the shared SQL emit TIMESTAMP in both.)
 
 
-@query("q15_recursive_cte", oracle=_Q15_SQL, driver=False)
+@query("q15_recursive_cte", oracle=_Q15_SQL)
 def q15_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.tables import register_views
 
