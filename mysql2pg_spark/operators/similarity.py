@@ -313,6 +313,7 @@ def semantic_dedup(
     id_col: str,
     vec_col: str,
     threshold: float,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with a coarse quantizer, then
@@ -327,28 +328,48 @@ def semantic_dedup(
     scanned once); the pairwise τ-check only forms WITHIN a cluster —
     the quadratic step is bounded by cluster size, never corpus size,
     exactly the property that makes SemDeDup viable on web-scale
-    corpora. Skewed (hot) clusters are split by AQE; at 100 TB you also
-    cap cluster size by raising k. No floats in the output — the
-    τ-compare happens on the bit-deterministic left-fold cosine
-    (dedup.dot_fold), so the result hash-matches an external SQL oracle.
+    corpora. ``max_cluster_size`` makes the bound HARD: a cluster with
+    n > cap is sub-split into ceil(n/cap) salt buckets (deterministic
+    ``pmod(id, splits)``, the skew.salted_sum trick) and τ-pairs only
+    form within a salt bucket — per-task pair counts stay ≤ cap²
+    whatever the skew, at the cost of missing cross-bucket pairs inside
+    oversized clusters (the SemDeDup recall/size trade; clusters at or
+    under the cap are untouched and bit-identical). No floats in the
+    output — the τ-compare happens on the bit-deterministic left-fold
+    cosine (dedup.dot_fold), so the result hash-matches an external SQL
+    oracle.
     """
     assign = ivf_assignments(vectors, centroids, id_col, vec_col, 1, "vid")
     an = with_norm(assign, "v", "vn")
+    keys = ["centroid_id"]
+    if max_cluster_size:
+        # cluster census is k rows — broadcast back, map-side salt
+        sizes = assign.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("cn")
+        )
+        splits = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("cn") / F.lit(max_cluster_size)).cast("bigint"),
+        )
+        an = an.join(F.broadcast(sizes), "centroid_id").withColumn(
+            "salt", F.pmod(F.col("vid"), splits).cast("int")
+        )
+        keys = ["centroid_id", "salt"]
     a = an.select(
         F.col("vid").alias("id_a"),
         F.col("v").alias("va"),
         F.col("vn").alias("na"),
-        "centroid_id",
+        *keys,
     )
     b = an.select(
         F.col("vid").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("vn").alias("nb"),
-        "centroid_id",
+        *keys,
     )
     cos = dot_fold(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     shadowed = (
-        a.join(b, "centroid_id")
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cos >= F.lit(threshold))
         .groupBy("id_b")

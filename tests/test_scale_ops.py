@@ -112,3 +112,48 @@ def test_star_components_handle_deep_chains(spark):
     out = connected_components_star(df, max_iter=15).collect()
     assert len(out) == 121
     assert all(r.component == 0 for r in out)
+
+
+def test_semantic_dedup_cluster_cap(spark):
+    """max_cluster_size: (1) a no-op on clusters at/under the cap —
+    bit-identical output with and without it; (2) a HARD per-task bound
+    on an oversized (hot) cluster — every (centroid, salt) group stays
+    <= cap, so pair counts per task are <= cap^2 regardless of skew."""
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators.similarity import semantic_dedup
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "id bigint, v array<double>")
+
+    # two small clusters around orthogonal axes (cap never binds)
+    small = vecs(
+        [(i, [1.0, 0.001 * i]) for i in range(40)]
+        + [(100 + i, [0.001 * i, 1.0]) for i in range(40)]
+    )
+    cents = vecs([(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    base = semantic_dedup(small, cents, "id", "v", 0.999)
+    capped = semantic_dedup(small, cents, "id", "v", 0.999, max_cluster_size=64)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+    assert base.filter("is_semdup").count() > 0  # the test bites
+
+    # one hot cluster: 2000 near-identical vectors, cap 100
+    hot = vecs([(i, [1.0, 1e-9 * i]) for i in range(2000)])
+    one = vecs([(0, [1.0, 0.0])])
+    out = semantic_dedup(hot, one, "id", "v", 0.5, max_cluster_size=100)
+    # every vector still classified, survivors exist
+    assert out.count() == 2000
+    assert out.filter(~F.col("is_semdup")).count() >= 1
+    # the salted group sizes are the pair-join task bound: recompute the
+    # operator's own salt formula and assert the hard cap holds
+    n = 2000
+    splits = -(-n // 100)
+    sizes = (
+        spark.range(n)
+        .select(F.pmod(F.col("id"), F.lit(splits)).alias("salt"))
+        .groupBy("salt")
+        .count()
+    )
+    assert sizes.agg(F.max("count")).first()[0] <= 100
