@@ -16,6 +16,12 @@ Three modes, least- to most-connected:
              both come from the dump (snapshot_from_dump +
              dump_source_reader), written to a parquet sink dir with
              validation — no servers at all.
+  duckdb     the full live execute() path — real DDL execution, real
+             batched DB-API inserts, real read-back validation —
+             against an embedded DuckDB file. Source is a parquet dir
+             (--source-dir, with --snapshot) or a mysqldump file
+             (--dump-file, snapshot parsed from its DDL). The offline
+             analog of a live PG migration, usable end-to-end today.
 
 The catalog snapshot comes from a YAML file (``--snapshot``): offline
 parity with what sources/catalog.py reads from information_schema, so
@@ -89,12 +95,15 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mysql2pg_spark")
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument(
-        "--mode", choices=("plan", "local", "live", "dump"), default="plan"
+        "--mode",
+        choices=("plan", "local", "live", "dump", "duckdb"),
+        default="plan",
     )
     ap.add_argument("--snapshot", help="catalog snapshot YAML (plan/local)")
     ap.add_argument("--source-dir", help="parquet source dir (local mode)")
     ap.add_argument("--sink-dir", help="parquet sink dir (local/dump mode)")
     ap.add_argument("--dump-file", help="mysqldump .sql file (dump mode)")
+    ap.add_argument("--duckdb-file", help="target database (duckdb mode)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -129,6 +138,66 @@ def main(argv: list[str] | None = None) -> int:
                 k: v.get("consistent") for k, v in result["validation"].items()
             },
             "n_ddl": len(result["ddl"]),
+        }))
+        return 0
+
+    if args.mode == "duckdb":
+        if not args.duckdb_file or not (args.source_dir or args.dump_file):
+            print(
+                "duckdb mode needs --duckdb-file plus --source-dir "
+                "(with --snapshot) or --dump-file",
+                file=sys.stderr,
+            )
+            return 2
+        import duckdb
+
+        from mysql2pg_spark.session import get_spark
+        from mysql2pg_spark.sinks.dbapi_sink import make_dbapi_writer
+        from mysql2pg_spark.tables import load_table
+
+        spark = get_spark(app_name="mysql2pg_spark-cli")
+        if args.dump_file:
+            from mysql2pg_spark.sources.dumpfile import (
+                dump_read_schemas,
+                read_dump_inserts,
+                snapshot_from_dump,
+            )
+
+            snap = snapshot_from_dump(spark, args.dump_file)
+            schemas = dump_read_schemas(snap)
+            source_reader = lambda sp, plan: read_dump_inserts(  # noqa: E731
+                sp, args.dump_file, plan["table"], schemas[plan["table"]]
+            )
+        else:
+            if not args.snapshot:
+                print("--source-dir needs --snapshot", file=sys.stderr)
+                return 2
+            snap = load_snapshot(args.snapshot)
+            source_reader = lambda sp, plan: load_table(  # noqa: E731
+                sp, args.source_dir, plan["table"]
+            )
+
+        con = duckdb.connect(args.duckdb_file)
+        result = MigrationPipeline(cfg, snap).execute(
+            spark,
+            con,
+            source_reader=source_reader,
+            sink_writer=make_dbapi_writer(
+                con.cursor, paramstyle="qmark", via="driver"
+            ),
+            dest_reader=lambda sp, table: sp.createDataFrame(
+                con.cursor()
+                .execute(f'SELECT * FROM "{table}"')
+                .fetch_arrow_table()
+            ),
+            target_dialect="duckdb",
+        )
+        print(json.dumps({
+            "synced": result["synced"],
+            "validation": {
+                k: v.get("consistent") for k, v in result["validation"].items()
+            },
+            "ddl": result["ddl"],
         }))
         return 0
 

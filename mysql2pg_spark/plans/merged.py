@@ -537,19 +537,44 @@ def d01_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w06_streaming_battery",
-    # Two real readStream pipelines under one driver entry: stateful
-    # dropDuplicates dedup (w06) and the watermarked stream-stream
-    # interval join (w07) — batch-equivalence oracles, tagged union.
+    # Four family members under one driver entry: stateful
+    # dropDuplicates dedup (w06), the watermarked stream-stream interval
+    # join (w07) — both real readStream pipelines with batch-equivalence
+    # oracles — plus session windows (w03) and the
+    # applyInPandasWithState per-user counters (w04), folded here when
+    # their standalone slots rotated out of the driver window (round 5).
     oracle=f"""
 SELECT 'dedup' AS stream_kind, fp,
        CAST(NULL AS BIGINT) AS v_user, CAST(NULL AS BIGINT) AS v_event_id,
        CAST(NULL AS BIGINT) AS p_event_id,
-       CAST(NULL AS TIMESTAMP) AS v_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+       CAST(NULL AS TIMESTAMP) AS v_ts, CAST(NULL AS TIMESTAMP) AS p_ts,
+       CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS TIMESTAMP) AS session_start,
+       CAST(NULL AS TIMESTAMP) AS session_end,
+       CAST(NULL AS BIGINT) AS n_events,
+       CAST(NULL AS DOUBLE) AS sum_value
 FROM {_sub("w06_streaming_dedup")}
 UNION ALL
 SELECT 'interval_join', CAST(NULL AS VARCHAR),
-       v_user, v_event_id, p_event_id, v_ts, p_ts
+       v_user, v_event_id, p_event_id, v_ts, p_ts,
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
 FROM {_sub("w07_stream_stream_join")}
+UNION ALL
+SELECT 'session', CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       user_id, session_start, session_end,
+       CAST(n_events AS BIGINT), sum_value
+FROM {_sub("w03_session_windows")}
+UNION ALL
+SELECT 'stateful', CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       user_id, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+       CAST(n_events AS BIGINT), CAST(NULL AS DOUBLE)
+FROM {_sub("w04_stateful_stream_counts")}
 """,
 )
 def w06_streaming_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +583,8 @@ def w06_streaming_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("dedup", QUERIES["w06_streaming_dedup"](spark, sf_dir)),
             ("interval_join", QUERIES["w07_stream_stream_join"](spark, sf_dir)),
+            ("session", QUERIES["w03_session_windows"](spark, sf_dir)),
+            ("stateful", QUERIES["w04_stateful_stream_counts"](spark, sf_dir)),
         ],
     )
 

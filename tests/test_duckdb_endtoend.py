@@ -231,3 +231,57 @@ def test_adapt_ddl_dialect_seam():
         'COMMENT ON TABLE "t" IS \'MYSERIAL1\''
     with pytest.raises(ValueError):
         adapt_ddl("SELECT 1", "oracle")
+
+
+def test_cli_duckdb_mode_from_dump(spark, tmp_path, capsys):
+    """The capstone CLI: one command migrates a mysqldump file into a
+    DuckDB database through the REAL execute() path — DDL parsed from
+    the dump, data inserted through the DB-API seam, validation read
+    back from the target engine."""
+    import json
+
+    from mysql2pg_spark.__main__ import main
+
+    dump = tmp_path / "src.sql"
+    dump.write_text(
+        "CREATE TABLE `users` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `name` varchar(50) DEFAULT NULL,\n"
+        "  `avatar` blob,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ");\n"
+        "INSERT INTO `users` VALUES (1,'ada',0x0102),(2,'bob',NULL);\n"
+        "INSERT INTO `users` (`name`, `id`) VALUES ('carol', 3);\n"
+    )
+    cfgp = tmp_path / "cfg.yml"
+    cfgp.write_text(
+        yaml.safe_dump(
+            {
+                "mysql": {"host": "h", "database": "d"},
+                "postgresql": {"host": "p", "database": "d"},
+                "conversion": {
+                    "options": {},
+                    "limits": {"concurrency": 1, "max_rows_per_batch": 100},
+                },
+            }
+        )
+    )
+    db = tmp_path / "target.duckdb"
+    rc = main([
+        "-c", str(cfgp),
+        "--mode", "duckdb",
+        "--dump-file", str(dump),
+        "--duckdb-file", str(db),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["synced"] == {"users": 3}
+    assert out["validation"] == {"users": True}
+
+    con = duckdb.connect(str(db))
+    rows = {r[0]: r for r in con.execute(
+        "SELECT id, name, avatar FROM users ORDER BY id"
+    ).fetchall()}
+    assert rows[1][1] == "ada" and bytes(rows[1][2]) == b"\x01\x02"
+    assert rows[3][1] == "carol" and rows[3][2] is None  # column-list row
+    con.close()
