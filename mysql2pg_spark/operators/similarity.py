@@ -330,7 +330,8 @@ def semantic_dedup(
     exactly the property that makes SemDeDup viable on web-scale
     corpora. ``max_cluster_size`` makes the bound HARD: a cluster with
     n > cap is sub-split into ceil(n/cap) salt buckets (deterministic
-    ``pmod(id, splits)``, the skew.salted_sum trick) and τ-pairs only
+    ``pmod(id, splits)``, the skew.salted_sum trick — the id column
+    must be numeric for this path) and τ-pairs only
     form within a salt bucket — per-task pair counts stay ≤ cap²
     whatever the skew, at the cost of missing cross-bucket pairs inside
     oversized clusters (the SemDeDup recall/size trade; clusters at or
