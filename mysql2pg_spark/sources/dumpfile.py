@@ -192,8 +192,24 @@ def _coerce_cell(v, want_bytes: bool):
     return v
 
 
+#: the three row-verb spellings mysqldump emits: plain (default),
+#: --insert-ignore, --replace
+_VERBS = ("insert into", "insert ignore into", "replace into")
+
 #: optional --complete-insert column list between table name and VALUES
-_COLLIST_RE = r"(?i)^\s*INSERT\s+INTO\s+`?\w+`?\s*\(([^)]*)\)\s*VALUES"
+_COLLIST_RE = (
+    r"(?i)^\s*(?:INSERT\s+(?:IGNORE\s+)?|REPLACE\s+)INTO"
+    r"\s+`?\w+`?\s*\(([^)]*)\)\s*VALUES"
+)
+
+
+def _line_prefixes(table: str) -> list[str]:
+    """Lowercase line prefixes that start a row statement for ``table``
+    under any verb/quoting spelling."""
+    t = table.lower()
+    return [
+        p for verb in _VERBS for p in (f"{verb} `{t}`", f"{verb} {t} ", f"{verb} {t}(")
+    ]
 
 
 def read_dump_inserts(
@@ -218,14 +234,15 @@ def read_dump_inserts(
         for c, b in zip(cols, is_binary)
     )
 
-    lines = spark.read.text(path)
-    # JVM-side pre-filter: only this table's INSERT lines reach Python.
+    lines = spark.read.text(path)  # .gz dumps decompress via JVM codec
+    # JVM-side pre-filter: only this table's INSERT/REPLACE lines reach
+    # Python.
     prefix = F.lower(F.ltrim(F.col("value")))
-    matched = lines.filter(
-        prefix.startswith(f"insert into `{table.lower()}`")
-        | prefix.startswith(f"insert into {table.lower()} ")
-        | prefix.startswith(f"insert into {table.lower()}(")
-    ).select(
+    cond = None
+    for p in _line_prefixes(table):
+        c = prefix.startswith(p)
+        cond = c if cond is None else (cond | c)
+    matched = lines.filter(cond).select(
         F.regexp_extract(F.col("value"), _COLLIST_RE, 1).alias("collist"),
         F.regexp_extract(
             F.col("value"), r"(?i)VALUES\s*(\(.*\));?\s*$", 1
@@ -281,7 +298,10 @@ def scan_dump_tables(spark: SparkSession, path: str) -> DataFrame:
     text, aggregate map-side combined."""
     lines = spark.read.text(path)
     tbl = F.regexp_extract(
-        F.col("value"), r"(?i)^\s*INSERT INTO\s+`?([A-Za-z0-9_]+)`?", 1
+        F.col("value"),
+        r"(?i)^\s*(?:INSERT(?:\s+IGNORE)?|REPLACE)\s+INTO"
+        r"\s+`?([A-Za-z0-9_]+)`?",
+        1,
     )
     return (
         lines.select(tbl.alias("table"))
@@ -318,6 +338,12 @@ def _dump_partitions(path: str, split_bytes: int):
     parts = []
     for f in files:
         size = os.path.getsize(f)
+        if f.endswith(".gz"):
+            # gzip is not seekable/splittable: one partition per file —
+            # a directory of per-table .gz dumps still fans out across
+            # files (the standard Hadoop unsplittable-codec behavior)
+            parts.append(_DumpPartition(f, 0, size))
+            continue
         for off in range(0, max(size, 1), split_bytes):
             parts.append(_DumpPartition(f, off, min(off + split_bytes, size)))
     return parts
@@ -333,20 +359,18 @@ def _read_split(part: _DumpPartition, table: str, columns: list[str]):
     pairs with the next split (start == end, start > 0) unconditionally
     discarding its first line. Reading only while tell() < end would
     orphan a line that starts exactly on a split boundary: neither
-    split would emit it (silent row loss)."""
-    needle = f"insert into `{table.lower()}`"
+    split would emit it (silent row loss).
+
+    ``.gz`` files arrive as one whole-file partition (see
+    _dump_partitions) and stream through gzip without boundary logic."""
+    needles = tuple(_line_prefixes(table))
     n_cols = len(columns)
-    with open(part.path, "rb") as fh:
-        fh.seek(part.start)
-        if part.start > 0:
-            fh.readline()  # owned by the previous split
-        while fh.tell() <= part.end:
-            raw = fh.readline()
-            if not raw:
-                break
+
+    def parse_lines(line_iter):
+        for raw in line_iter:
             line = raw.decode("utf-8", errors="replace")
             low = line.lstrip().lower()
-            if not low.startswith(needle):
+            if not low.startswith(needles):
                 continue
             idx = line.upper().find("VALUES")
             if idx < 0:
@@ -359,6 +383,26 @@ def _read_split(part: _DumpPartition, table: str, columns: list[str]):
                 yield tuple(
                     (row[j] if j < len(row) else None) for j in range(n_cols)
                 )
+
+    if part.path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(part.path, "rb") as fh:
+            yield from parse_lines(fh)
+        return
+
+    def split_lines(fh):
+        fh.seek(part.start)
+        if part.start > 0:
+            fh.readline()  # owned by the previous split
+        while fh.tell() <= part.end:
+            raw = fh.readline()
+            if not raw:
+                break
+            yield raw
+
+    with open(part.path, "rb") as fh:
+        yield from parse_lines(split_lines(fh))
 
 
 try:  # pyspark >= 4: Python DataSource API
@@ -498,6 +542,8 @@ def _ddl_lines(spark: SparkSession, path: str) -> list[str]:
     low = F.lower(F.ltrim(F.col("value")))
     ddl = lines.filter(
         ~low.startswith("insert into")
+        & ~low.startswith("insert ignore into")
+        & ~low.startswith("replace into")
         & ~low.startswith("--")
         & ~low.startswith("/*")
         & (F.trim(F.col("value")) != "")

@@ -129,6 +129,71 @@ def test_mysqldump_datasource_hex_and_column_list(spark, tmp_path):
     assert rows == {1: b"\x01\x02", 2: b"zz"}
 
 
+def test_dump_verbs_insert_ignore_and_replace(spark, tmp_path):
+    """mysqldump --insert-ignore / --replace emit different row verbs;
+    all three spellings must load (previously they silently yielded 0
+    rows). Both reader paths."""
+    from mysql2pg_spark.sources.dumpfile import (
+        MysqlDumpDataSource,
+        scan_dump_tables,
+    )
+
+    p = tmp_path / "verbs.sql"
+    p.write_text(
+        "INSERT INTO `t` VALUES (1,'a');\n"
+        "INSERT IGNORE INTO `t` VALUES (2,'b');\n"
+        "REPLACE INTO `t` VALUES (3,'c');\n"
+        "REPLACE INTO t (id, name) VALUES (4,'d');\n"
+    )
+    df = read_dump_inserts(spark, str(p), "t", "id bigint, name string")
+    assert {r.id: r.name for r in df.collect()} == {
+        1: "a", 2: "b", 3: "c", 4: "d"
+    }
+
+    spark.dataSource.register(MysqlDumpDataSource)
+    ds = (
+        spark.read.format("mysqldump")
+        .schema("id bigint, name string")
+        .option("table", "t")
+        .load(str(p))
+    )
+    assert sorted(r.id for r in ds.collect()) == [1, 2, 3, 4]
+
+    inv = {r.table: r.n_insert_lines
+           for r in scan_dump_tables(spark, str(p)).collect()}
+    assert inv == {"t": 4}
+
+
+def test_gzipped_dump_both_paths(spark, tmp_path):
+    """A .gz dump decompresses via the JVM codec on the text path and
+    via a whole-file gzip partition on the DataSource path."""
+    import gzip
+
+    from mysql2pg_spark.sources.dumpfile import MysqlDumpDataSource
+
+    p = tmp_path / "dump.sql.gz"
+    body = "".join(
+        f"INSERT INTO `t` VALUES ({i},'n{i}');\n" for i in range(200)
+    )
+    with gzip.open(p, "wt") as fh:
+        fh.write(body)
+
+    df = read_dump_inserts(spark, str(p), "t", "id bigint, name string")
+    assert df.count() == 200
+
+    spark.dataSource.register(MysqlDumpDataSource)
+    ds = (
+        spark.read.format("mysqldump")
+        .schema("id bigint, name string")
+        .option("table", "t")
+        .option("split_bytes", 64)  # must NOT split the gz file
+        .load(str(p))
+    )
+    assert ds.rdd.getNumPartitions() == 1
+    rows = {r.id: r.name for r in ds.collect()}
+    assert len(rows) == 200 and rows[199] == "n199"
+
+
 def test_read_dump_inserts(spark, tmp_path):
     p = tmp_path / "dump.sql"
     p.write_text(DUMP)
