@@ -616,21 +616,16 @@ def transpile_mysql(sql: str) -> str:
     return unmask_literals(s, lits).strip()
 
 
-def transpile_mysql_ansi(sql: str) -> str:
-    """MySQL view body → ANSI text a real PostgreSQL/DuckDB parser
-    accepts. ``transpile_mysql`` targets Spark SQL, which still ACCEPTS
-    backtick identifiers and IFNULL — a server-side CREATE VIEW does
-    not (found by the DuckDB end-to-end run; the reference's own view
-    path rewrites the same two MySQL-isms, sync_views.go). Literals are
-    masked first so quoted text is never rewritten."""
-    s, lits = mask_literals(transpile_mysql(sql))
-    s = re.sub(
-        r"`((?:[^`]|``)+)`",
-        lambda m: '"' + m.group(1).replace("``", "`") + '"',
-        s,
-    )
-    s = re.sub(r"\bIFNULL\s*\(", "COALESCE(", s, flags=re.I)
-    return unmask_literals(s, lits)
+def transpile_mysql_ansi(sql: str, dialect: str = "postgres") -> str:
+    """MySQL view body → ANSI text a real server parser accepts.
+    ``transpile_mysql`` targets Spark SQL, which still ACCEPTS backtick
+    identifiers, IFNULL, DATE_FORMAT and friends — a server-side CREATE
+    VIEW does not (found by the DuckDB end-to-end run). The full
+    conversion catalog (the reference's sync_viewddl.go parity) lives
+    in ``dialect/ansi.py``; this is its import surface."""
+    from mysql2pg_spark.dialect.ansi import transpile_mysql_ansi as _impl
+
+    return _impl(sql, dialect)
 
 
 def create_view(spark, name: str, mysql_sql: str, replace: bool = True):
