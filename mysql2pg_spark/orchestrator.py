@@ -137,7 +137,7 @@ class MigrationPipeline:
 
     # ---- the plan --------------------------------------------------------
 
-    def plan(self) -> list[Action]:
+    def plan(self, target_dialect: str = "postgres") -> list[Action]:
         o = self.cfg.options
         actions: list[Action] = []
         tables = self._selected_tables()
@@ -168,10 +168,11 @@ class MigrationPipeline:
 
             for vname, vsql in self.snapshot.views.items():
                 name = self._norm(vname)
-                # sink-side DDL needs the ANSI rendering (a real PG/
-                # DuckDB parser rejects backticks/IFNULL that Spark-
-                # dialect output legally keeps)
-                body = transpile_mysql_ansi(vsql)
+                # sink-side DDL needs the target engine's ANSI
+                # rendering (a real server parser rejects backticks/
+                # IFNULL/DATE_FORMAT that Spark-dialect output legally
+                # keeps) — full catalog in dialect/ansi.py
+                body = transpile_mysql_ansi(vsql, target_dialect)
                 actions.append(
                     Action(
                         "view",
@@ -452,7 +453,7 @@ class MigrationPipeline:
                 "log": logger.summary(),
             }
 
-        actions = self.plan()
+        actions = self.plan(target_dialect)
         by_stage: dict[str, list[Action]] = {}
         for a in actions:
             by_stage.setdefault(a.stage, []).append(a)

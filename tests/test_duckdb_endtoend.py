@@ -103,7 +103,17 @@ def _snapshot() -> CatalogSnapshot:
             "rich_customers": (
                 "SELECT `c_custkey`, IFNULL(`c_acctbal`, 0) AS bal "
                 "FROM `customer` WHERE `c_acctbal` > 1000"
-            )
+            ),
+            # heavier MySQL surface: DATE_FORMAT + GROUP_CONCAT + IF —
+            # proves execute() renders view DDL in the TARGET dialect
+            # (strftime/string_agg here), not the PG default
+            "daily_orders": (
+                "SELECT DATE_FORMAT(`o_orderdate`, '%Y-%m') AS ym, "
+                "GROUP_CONCAT(DISTINCT `o_orderstatus` SEPARATOR '|') "
+                "AS statuses, "
+                "SUM(IF(`o_totalprice` > 100000, 1, 0)) AS n_big "
+                "FROM `orders` GROUP BY DATE_FORMAT(`o_orderdate`, '%Y-%m')"
+            ),
         },
         users={"analyst": ['CREATE ROLE "analyst"']},
         table_privileges=[("analyst", "customer", "Select,Insert")],
@@ -169,11 +179,17 @@ def test_execute_end_to_end_into_duckdb(spark, tmp_path, ddb):
     assert ddb.execute(
         "SELECT count(*) FROM orders WHERE o_orderdate IS NOT NULL"
     ).fetchone()[0] == 1500
-    # the transpiled MySQL view executes inside DuckDB
+    # the transpiled MySQL views execute inside DuckDB
     bal = ddb.execute(
         "SELECT min(bal) FROM rich_customers"
     ).fetchone()[0]
     assert bal is not None and bal > 1000
+    ym, statuses, n_big = ddb.execute(
+        "SELECT ym, statuses, n_big FROM daily_orders ORDER BY ym LIMIT 1"
+    ).fetchone()
+    assert len(ym) == 7 and ym[4] == "-"   # strftime'd '%Y-%m'
+    assert "|" in statuses or statuses in ("F", "O", "P")
+    assert n_big >= 0
     # indexes + comments were real statements, visible in the catalog
     idx = {r[0] for r in ddb.execute(
         "SELECT index_name FROM duckdb_indexes()"
@@ -248,9 +264,11 @@ def test_cli_duckdb_mode_from_dump(spark, tmp_path, capsys):
         "  `id` bigint NOT NULL,\n"
         "  `name` varchar(50) DEFAULT NULL,\n"
         "  `avatar` blob,\n"
+        "  `balance` decimal(10,2) DEFAULT NULL,\n"
         "  PRIMARY KEY (`id`)\n"
         ");\n"
-        "INSERT INTO `users` VALUES (1,'ada',0x0102),(2,'bob',NULL);\n"
+        "INSERT INTO `users` VALUES (1,'ada',0x0102,10.50),"
+        "(2,'bob',NULL,NULL);\n"
         "INSERT INTO `users` (`name`, `id`) VALUES ('carol', 3);\n"
     )
     cfgp = tmp_path / "cfg.yml"
@@ -280,8 +298,12 @@ def test_cli_duckdb_mode_from_dump(spark, tmp_path, capsys):
 
     con = duckdb.connect(str(db))
     rows = {r[0]: r for r in con.execute(
-        "SELECT id, name, avatar FROM users ORDER BY id"
+        "SELECT id, name, avatar, balance FROM users ORDER BY id"
     ).fetchall()}
     assert rows[1][1] == "ada" and bytes(rows[1][2]) == b"\x01\x02"
+    from decimal import Decimal
+
+    assert rows[1][3] == Decimal("10.50")  # decimal survives the
+    # write→read-back checksum path byte-exact
     assert rows[3][1] == "carol" and rows[3][2] is None  # column-list row
     con.close()
