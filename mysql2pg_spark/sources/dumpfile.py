@@ -249,6 +249,23 @@ def read_dump_inserts(
         ).alias("blob"),
     )
 
+    return _parse_blob_frame(matched, schema)
+
+
+def _parse_blob_frame(matched: DataFrame, schema: StructType) -> DataFrame:
+    """(collist, blob) rows → typed DataFrame: distributed tokenize via
+    mapInPandas, then one JVM-side cast through the declared schema.
+    Shared by the line-oriented dump readers and the statement-oriented
+    .sql reader."""
+    from pyspark.sql.types import BinaryType
+
+    cols = [f.name for f in schema.fields]
+    is_binary = [isinstance(f.dataType, BinaryType) for f in schema.fields]
+    mid_schema = ", ".join(
+        f"`{c}` {'binary' if b else 'string'}"
+        for c, b in zip(cols, is_binary)
+    )
+
     def parse(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -276,6 +293,99 @@ def read_dump_inserts(
     return parsed.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+def iter_sql_statements(text: str) -> Iterator[str]:
+    """Quote-aware split of a hand-written ``.sql`` script into
+    statements: ``;`` terminates only outside '…'/"…"/backtick literals,
+    ``--``/``#`` line comments and ``/* … */`` blocks. mysqldump output
+    never needs this (one statement per line); this is for
+    human-authored schema/seed scripts like the reference's fixture
+    corpus."""
+    buf: list[str] = []
+    i, n = 0, len(text)
+    quote: str | None = None
+    while i < n:
+        ch = text[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == "\\" and quote in "'\"" and i + 1 < n:
+                buf.append(text[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "#" or text.startswith("--", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j  # keep the newline as whitespace
+            continue
+        if text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                yield stmt
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        yield tail
+
+
+_STMT_INSERT_RE = _tokre.compile(
+    r"(?is)^\s*(?:INSERT\s+(?:IGNORE\s+)?|REPLACE\s+)INTO\s+`?(\w+)`?"
+    r"\s*(?:\(([^)]*)\))?\s*VALUES\s*(\(.*\))\s*$"
+)
+
+
+def read_sql_inserts(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    schema: StructType | str,
+) -> DataFrame:
+    """Rows of ``table`` from a hand-written ``.sql`` script whose
+    INSERT statements may span MULTIPLE lines (the reference's own
+    fixture seed file does). Statement splitting runs driver-side —
+    authored scripts are human-scale by construction; multi-TB dumps
+    use the line-oriented readers — but the VALUES tokenizing still
+    fans out through the same distributed parse stage."""
+    import os
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    files = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path))]
+        if os.path.isdir(path)
+        else [path]
+    )
+    pairs: list[tuple[str, str]] = []
+    for f in files:
+        opener = __import__("gzip").open if f.endswith(".gz") else open
+        with opener(f, "rt") as fh:
+            text = fh.read()
+        for stmt in iter_sql_statements(text):
+            mo = _STMT_INSERT_RE.match(stmt)
+            if mo and mo.group(1).lower() == table.lower():
+                pairs.append((mo.group(2) or "", mo.group(3)))
+    matched = spark.createDataFrame(
+        pairs or [("", "")], "collist string, blob string"
+    )
+    if not pairs:
+        matched = matched.filter(F.col("blob") != "")
+    return _parse_blob_frame(matched, schema)
 
 
 def dump_source_reader(path: str, schemas: dict[str, StructType | str]):
@@ -504,9 +614,19 @@ except ImportError:  # pragma: no cover — pyspark < 4 fallback
 # --------------------------------------------------------------------------
 import re as _re
 
-_CREATE_RE = _re.compile(r"(?i)^\s*CREATE\s+TABLE\s+`?([A-Za-z0-9_]+)`?")
+_CREATE_RE = _re.compile(
+    r"(?i)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"`?([A-Za-z0-9_]+)`?"
+)
+# column lines may be backtick-quoted (mysqldump) or bare (hand-written
+# DDL, e.g. the reference's fixture corpus); bare spellings need the
+# constraint keywords excluded explicitly.
+_NOT_COLUMNS = frozenset(
+    ("PRIMARY", "UNIQUE", "KEY", "CONSTRAINT", "INDEX", "CHECK",
+     "FULLTEXT", "SPATIAL", "FOREIGN", "ON", "REFERENCES")
+)
 _COL_RE = _re.compile(
-    r"^\s*`([A-Za-z0-9_]+)`\s+"
+    r"^\s*(?:`([A-Za-z0-9_]+)`|([A-Za-z0-9_]+))\s+"
     r"([A-Za-z]+(?:\([^)]*\))?(?:\s+unsigned)?)"
     r"(.*)$",
     _re.IGNORECASE,
@@ -520,12 +640,16 @@ _DEFAULT_RE = _re.compile(r"(?i)DEFAULT\s+('(?:[^']|'')*'|[A-Za-z0-9_.+-]+)")
 
 
 def _key_cols(raw: str) -> list[str]:
-    # `a`,`b`(10) → [a, b]   (prefix-length suffixes dropped)
-    return [
-        c.strip().strip("`").split("(")[0].strip("`")
-        for c in raw.split(",")
-        if c.strip()
-    ]
+    # `a`,`b`(10), c DESC → [a, b, c]  (prefix lengths + sort order
+    # dropped; functional-index expressions yield NO column and the
+    # caller degrades per the C93 policy)
+    out = []
+    for c in raw.split(","):
+        c = _re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", c.strip())
+        c = c.strip().strip("`").split("(")[0].strip("`").strip()
+        if _re.fullmatch(r"[A-Za-z0-9_]+", c):
+            out.append(c)
+    return out
 
 
 def _ddl_lines(spark: SparkSession, path: str) -> list[str]:
@@ -582,24 +706,29 @@ def snapshot_from_dump(spark: SparkSession, path: str):
             continue
         key = _KEY_RE.match(line)
         if key:
-            cur.indexes.append(
-                IndexSpec(
-                    name=key.group(2),
-                    columns=_key_cols(key.group(3)),
-                    unique=bool(key.group(1)),
+            kcols = _key_cols(key.group(3))
+            if kcols:  # functional-index expressions degrade to a skip
+                cur.indexes.append(
+                    IndexSpec(
+                        name=key.group(2),
+                        columns=kcols,
+                        unique=bool(key.group(1)),
+                    )
                 )
-            )
             continue
         col = _COL_RE.match(line)
         if col:
-            rest = col.group(3)
+            name = col.group(1) or col.group(2)
+            if col.group(1) is None and name.upper() in _NOT_COLUMNS:
+                continue  # bare constraint keyword, not a column
+            rest = col.group(4)
             comment = _COMMENT_RE.search(rest)
             default = _DEFAULT_RE.search(rest)
             dflt = default.group(1).strip("'") if default else None
             cur.columns.append(
                 ColumnMeta(
-                    name=col.group(1),
-                    column_type=col.group(2).lower(),
+                    name=name,
+                    column_type=col.group(3).lower(),
                     nullable="NOT NULL" not in rest.upper(),
                     default=None if (dflt or "").upper() == "NULL" else dflt,
                     comment=comment.group(1).replace("''", "'")
