@@ -632,6 +632,12 @@ _COL_RE = _re.compile(
     _re.IGNORECASE,
 )
 _PK_RE = _re.compile(r"(?i)^\s*PRIMARY\s+KEY\s+\(([^)]*)\)")
+#: standalone CREATE INDEX statements (the reference ships them in a
+#: separate create_index.sql; mysqldump can too via --no-data sections)
+_STANDALONE_IDX_RE = _re.compile(
+    r"(?i)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+"
+    r"ON\s+`?([A-Za-z0-9_]+)`?\s*\(([^)]*)\)"
+)
 _KEY_RE = _re.compile(
     r"(?i)^\s*(UNIQUE\s+)?KEY\s+`?([A-Za-z0-9_]+)`?\s+\(([^)]*)\)"
 )
@@ -675,11 +681,13 @@ def _ddl_lines(spark: SparkSession, path: str) -> list[str]:
     return [r.value for r in ddl.sort("mid").collect()]
 
 
-def snapshot_from_dump(spark: SparkSession, path: str):
-    """Parse every CREATE TABLE block of a mysqldump into a
+def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
+    """Parse every CREATE TABLE block of a mysqldump (or a list of DDL
+    scripts — e.g. separate create_table.sql + create_index.sql) into a
     CatalogSnapshot (columns with type/nullability/default/comment/
-    auto-increment, primary keys, secondary indexes) — the
-    information_schema scan for servers that no longer exist."""
+    auto-increment, primary keys, inline AND standalone secondary
+    indexes) — the information_schema scan for servers that no longer
+    exist."""
     from mysql2pg_spark.orchestrator import (
         CatalogSnapshot,
         ColumnMeta,
@@ -688,8 +696,24 @@ def snapshot_from_dump(spark: SparkSession, path: str):
     from mysql2pg_spark.sinks.ddl import IndexSpec
 
     tables: list[TableMeta] = []
+    standalone: list[tuple[str, "IndexSpec"]] = []  # (table, spec)
     cur: TableMeta | None = None
     for line in _ddl_lines(spark, path):
+        idx = _STANDALONE_IDX_RE.match(line)
+        if idx:
+            kcols = _key_cols(idx.group(4))
+            if kcols:
+                standalone.append(
+                    (
+                        idx.group(3),
+                        IndexSpec(
+                            name=idx.group(2),
+                            columns=kcols,
+                            unique=bool(idx.group(1)),
+                        ),
+                    )
+                )
+            continue
         m = _CREATE_RE.match(line)
         if m:
             cur = TableMeta(name=m.group(1), columns=[])
@@ -737,6 +761,13 @@ def snapshot_from_dump(spark: SparkSession, path: str):
                     auto_increment="AUTO_INCREMENT" in rest.upper(),
                 )
             )
+    by_name = {t.name: t for t in tables}
+    for tname, spec in standalone:
+        owner = by_name.get(tname)
+        if owner is not None and spec.name not in {
+            i.name for i in owner.indexes
+        }:
+            owner.indexes.append(spec)
     return CatalogSnapshot(tables=tables)
 
 

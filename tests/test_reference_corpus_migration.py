@@ -37,6 +37,7 @@ from mysql2pg_spark.sources.dumpfile import (
 )
 
 TABLES = "/root/reference/scripts/mysql/create_table.sql"
+INDEXES = "/root/reference/scripts/mysql/create_index.sql"
 SEED = "/root/reference/scripts/mysql/insert_data.sql"
 
 
@@ -73,8 +74,11 @@ def test_read_sql_inserts_multiline_and_column_list(spark, tmp_path):
 
 @pytest.fixture()
 def corpus_snapshot(spark):
-    snap = snapshot_from_dump(spark, TABLES)
+    snap = snapshot_from_dump(spark, [TABLES, INDEXES])
     assert len(snap.tables) >= 55  # the whole corpus parsed
+    # standalone create_index.sql statements folded into their tables
+    n_idx = sum(len(t.indexes) for t in snap.tables)
+    assert n_idx >= 100, n_idx
     return snap
 
 
@@ -156,6 +160,11 @@ def test_reference_corpus_migrates_into_duckdb(spark, tmp_path, corpus_snapshot)
     assert len(made) >= len(snap.tables), sorted(
         set(t.name for t in snap.tables) - made
     )
+    # the index corpus (create_index.sql) executed as real statements
+    n_made_idx = con.execute(
+        "SELECT count(*) FROM duckdb_indexes()"
+    ).fetchone()[0]
+    assert n_made_idx >= 90, n_made_idx
 
     # data: every seeded table loaded with the expected row counts
     expect = {
