@@ -771,6 +771,82 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
     return CatalogSnapshot(tables=tables)
 
 
+def _script_statements(path: str | list[str]) -> Iterator[str]:
+    import os
+
+    paths = [path] if isinstance(path, str) else list(path)
+    for p in paths:
+        files = (
+            [os.path.join(p, f) for f in sorted(os.listdir(p))]
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            opener = __import__("gzip").open if f.endswith(".gz") else open
+            with opener(f, "rt") as fh:
+                yield from iter_sql_statements(fh.read())
+
+
+_VIEW_STMT_RE = _re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:ALGORITHM\s*=\s*\w+\s+)?"
+    r"(?:DEFINER\s*=\s*\S+\s+)?(?:SQL\s+SECURITY\s+\w+\s+)?"
+    r"VIEW\s+`?(\w+)`?\s+AS\s+(.*)$"
+)
+
+
+def views_from_sql(path: str | list[str]) -> dict[str, str]:
+    """name → MySQL body for every CREATE VIEW in the script(s) — the
+    A8 view scan for file-based sources. Bodies stay in MySQL spelling;
+    the orchestrator's view stage renders them for the target dialect
+    (dialect/ansi.py)."""
+    out: dict[str, str] = {}
+    for stmt in _script_statements(path):
+        mo = _VIEW_STMT_RE.match(stmt)
+        if mo:
+            out[mo.group(1)] = mo.group(2).strip()
+    return out
+
+
+_CREATE_USER_RE = _re.compile(
+    r"(?is)^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'"
+)
+_GRANT_RE = _re.compile(
+    r"(?is)^\s*GRANT\s+(.+?)\s+ON\s+(?:`?(\w+)`?\.)?"
+    r"(`?\w+`?|\*)(?:\.(\*))?\s+TO\s+'([^']+)'"
+)
+
+
+def users_from_sql(path: str | list[str]):
+    """(users, table_privileges) from CREATE USER / GRANT statements —
+    the A10/A11 scans for file-based sources, in the CatalogSnapshot
+    shape: users maps name → role-DDL list; table_privileges is
+    (user, table, privs) rows for table-scoped grants (database-wide
+    ``*.*`` grants have no single-table analog and surface as a
+    users-stage comment the sink logs)."""
+    users: dict[str, list[str]] = {}
+    privileges: list[tuple[str, str, str]] = []
+    for stmt in _script_statements(path):
+        mo = _CREATE_USER_RE.match(stmt)
+        if mo:
+            name = mo.group(1)
+            users.setdefault(name, [
+                f'CREATE ROLE "{name}" LOGIN'
+            ])
+            continue
+        mo = _GRANT_RE.match(stmt)
+        if mo:
+            privs, _db, tbl, star, user = mo.groups()
+            privs = "All" if "ALL" in privs.upper() else privs
+            if tbl == "*" or star:
+                users.setdefault(user, []).append(
+                    f"-- database-wide grant has no table analog: "
+                    f"{stmt.splitlines()[0][:60]}"
+                )
+                continue
+            privileges.append((user, tbl.strip("`"), privs))
+    return users, privileges
+
+
 def dump_read_schemas(snapshot) -> dict[str, StructType]:
     """Per-table Spark read schemas from a parsed snapshot (via the same
     MySQL→Spark type map the DDL translator uses), ready for

@@ -14,6 +14,10 @@ metadata:
 - the seed data (`insert_data.sql`) loads through the statement-
   oriented reader — its INSERTs span multiple lines and use column
   lists, both previously unsupported spellings;
+- the view corpus (`create_view.sql`) renders through dialect/ansi.py
+  and CREATEs inside the engine over the REAL migrated tables;
+- the user corpus (`create_user.sql`) parses into role DDL + grants
+  (emitted as PG text; skipped with a log by the embedded target);
 - count + checksum validation reads back from the engine.
 """
 
@@ -34,11 +38,15 @@ from mysql2pg_spark.sources.dumpfile import (
     iter_sql_statements,
     read_sql_inserts,
     snapshot_from_dump,
+    users_from_sql,
+    views_from_sql,
 )
 
 TABLES = "/root/reference/scripts/mysql/create_table.sql"
 INDEXES = "/root/reference/scripts/mysql/create_index.sql"
 SEED = "/root/reference/scripts/mysql/insert_data.sql"
+VIEWS = "/root/reference/scripts/mysql/create_view.sql"
+USERS = "/root/reference/scripts/mysql/create_user.sql"
 
 
 def test_iter_sql_statements_quote_and_comment_aware():
@@ -79,6 +87,11 @@ def corpus_snapshot(spark):
     # standalone create_index.sql statements folded into their tables
     n_idx = sum(len(t.indexes) for t in snap.tables)
     assert n_idx >= 100, n_idx
+    snap.views = views_from_sql(VIEWS)
+    assert len(snap.views) == 10
+    snap.users, snap.table_privileges = users_from_sql(USERS)
+    assert set(snap.users) == {"test1", "test2"}
+    assert len(snap.table_privileges) >= 6
     return snap
 
 
@@ -117,7 +130,8 @@ def test_reference_corpus_migrates_into_duckdb(spark, tmp_path, corpus_snapshot)
     schemas = dump_read_schemas(snap)
     con = duckdb.connect()
     ddl_result = MigrationPipeline(
-        _cfg("ddl.yml", {"data": False, "validate_data": False})
+        _cfg("ddl.yml", {"data": False, "validate_data": False,
+                         "view": True})
     , snap).execute(
         spark,
         con,
@@ -165,6 +179,20 @@ def test_reference_corpus_migrates_into_duckdb(spark, tmp_path, corpus_snapshot)
         "SELECT count(*) FROM duckdb_indexes()"
     ).fetchone()[0]
     assert n_made_idx >= 90, n_made_idx
+    # the view corpus: everything expressible CREATEd over the real
+    # migrated tables (the two known-impossible views are logged skips:
+    # JSON_DEPTH-family and the mixed-type COALESCE)
+    made_views = {
+        r[0]
+        for r in con.execute(
+            "SELECT view_name FROM duckdb_views() "
+            "WHERE view_name LIKE 'view_case%'"
+        ).fetchall()
+    }
+    assert len(made_views) >= 8, sorted(made_views)
+    assert con.execute(
+        "SELECT count(*) FROM view_case01_integers"
+    ).fetchone()[0] >= 0
 
     # data: every seeded table loaded with the expected row counts
     expect = {
