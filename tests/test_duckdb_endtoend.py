@@ -307,3 +307,62 @@ def test_cli_duckdb_mode_from_dump(spark, tmp_path, capsys):
     # write→read-back checksum path byte-exact
     assert rows[3][1] == "carol" and rows[3][2] is None  # column-list row
     con.close()
+
+
+def test_execute_keep_going_on_real_engine(spark, tmp_path, ddb):
+    """Reference keep-going semantics (manager.go: a failed table is
+    recorded, the run continues) exercised against a REAL engine: one
+    table's data violates its DDL mid-run; the other tables still load
+    and validate."""
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="good",
+                columns=[ColumnMeta("id", "bigint", False),
+                         ColumnMeta("v", "varchar(10)")],
+                primary_key=["id"],
+            ),
+            TableMeta(
+                name="poisoned",
+                columns=[ColumnMeta("id", "bigint", False)],
+                primary_key=["id"],
+            ),
+            TableMeta(
+                name="also_good",
+                columns=[ColumnMeta("id", "bigint", False)],
+                primary_key=["id"],
+            ),
+        ]
+    )
+
+    def source_reader(sp, plan):
+        if plan["table"] == "poisoned":
+            # NULL into a NOT NULL PK column → engine-side insert error
+            return sp.createDataFrame([(None,)], "id bigint")
+        if plan["table"] == "good":
+            return sp.createDataFrame([(1, "a"), (2, "b")],
+                                      "id bigint, v string")
+        return sp.createDataFrame([(7,)], "id bigint")
+
+    logger = RunLogger(str(tmp_path / "logs"))
+    result = MigrationPipeline(_config(tmp_path), snap).execute(
+        spark,
+        ddb,
+        source_reader=source_reader,
+        sink_writer=make_dbapi_writer(
+            ddb.cursor, paramstyle="qmark", via="driver"
+        ),
+        dest_reader=lambda sp, table: sp.createDataFrame(
+            ddb.cursor().execute(f'SELECT * FROM "{table}"')
+            .fetch_arrow_table()
+        ),
+        logger=logger,
+        target_dialect="duckdb",
+    )
+    assert result["synced"].get("good") == 2
+    assert result["synced"].get("also_good") == 1
+    assert "poisoned" not in result["synced"]  # recorded failure
+    assert result["validation"]["good"]["consistent"] is True
+    summary = result["log"]
+    assert summary["n_errors"] >= 1  # the failure is visible, not silent
+    assert any("poisoned" in str(e) for e in summary["errors"])
