@@ -112,6 +112,84 @@ def _bench_dump_parse(spark, sf_dir: str, reps: int, tmpdir: str) -> float:
     return round(best, 3)
 
 
+def _bench_migration(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
+    """Time the FULL sf migration pipeline (extract → value-fix plan →
+    load → count+checksum validation) over the fixture tables via
+    execute_local — the number BASELINE.md's perf gate is written
+    against (reference claim: 10k rows/s ⇒ ≈60 s at sf0.1; gate
+    ≤120 s). Emits total seconds and aggregate rows/second."""
+    import os
+    import shutil
+
+    import yaml
+
+    from mysql2pg_spark.config import load_config
+    from mysql2pg_spark.orchestrator import (
+        CatalogSnapshot,
+        ColumnMeta,
+        MigrationPipeline,
+        TableMeta,
+    )
+    from mysql2pg_spark.tables import load_table
+
+    spark_to_mysql = {
+        "bigint": "bigint", "int": "int", "smallint": "smallint",
+        "double": "double", "float": "float", "string": "text",
+        "timestamp": "datetime", "timestamp_ntz": "datetime",
+        "date": "date", "boolean": "tinyint(1)", "binary": "blob",
+    }
+    tables = []
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
+        df = load_table(spark, sf_dir, t)
+        cols = []
+        for f in df.schema.fields:
+            mt = spark_to_mysql.get(f.dataType.simpleString())
+            if mt is None:  # array/map columns have no MySQL analog
+                break
+            cols.append(ColumnMeta(f.name, mt))
+        else:
+            tables.append(TableMeta(name=t, columns=cols))
+    snap = CatalogSnapshot(tables=tables)
+
+    cfgp = os.path.join(tmpdir, "bench_migration.yml")
+    with open(cfgp, "w") as fh:
+        yaml.safe_dump(
+            {
+                "mysql": {"host": "h", "database": "d"},
+                "postgresql": {"host": "p", "database": "d"},
+                "conversion": {
+                    "options": {},
+                    "limits": {"concurrency": 4,
+                               "max_rows_per_batch": 10000},
+                },
+            },
+            fh,
+        )
+    pipe = MigrationPipeline(load_config(cfgp), snap)
+
+    best, rows = float("inf"), 0
+    for i in range(reps):
+        sink = os.path.join(tmpdir, f"sink{i}")
+        t = time.perf_counter()
+        result = pipe.execute_local(
+            spark,
+            source_loader=lambda name: load_table(spark, sf_dir, name),
+            sink_dir=sink,
+        )
+        best = min(best, time.perf_counter() - t)
+        rows = sum(result["synced"].values())
+        assert all(
+            v.get("consistent") for v in result["validation"].values()
+        ), result["validation"]
+        shutil.rmtree(sink, ignore_errors=True)
+    return {
+        "migration_pipeline_sec": round(best, 3),
+        "migration_rows": rows,
+        "migration_rows_per_sec": round(rows / best, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -176,6 +254,10 @@ def main() -> None:
             )
         except Exception as e:  # extras never break the headline emit
             extras["dump_parse_orders_error"] = str(e)[:120]
+        try:
+            extras.update(_bench_migration(spark, sf_dir, reps, td))
+        except Exception as e:
+            extras["migration_pipeline_error"] = str(e)[:120]
 
     print(
         json.dumps(
