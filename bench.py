@@ -235,27 +235,26 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
 
+    # extras are evidence, not the frozen trend series: single-pass so
+    # the official min-of-3 run's wall-clock stays bounded
     extras: dict[str, float] = {}
     for name in (n for n in EXTRA if n in QUERIES):
-        best = float("inf")
-        for _ in range(reps):
-            t = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t)
-        extras[name] = round(best, 3)
+        t = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extras[name] = round(time.perf_counter() - t, 3)
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
         try:
             extras["dump_parse_orders"] = _bench_dump_parse(
-                spark, sf_dir, reps, td
+                spark, sf_dir, 1, td
             )
         except Exception as e:  # extras never break the headline emit
             extras["dump_parse_orders_error"] = str(e)[:120]
         try:
-            extras.update(_bench_migration(spark, sf_dir, reps, td))
+            extras.update(_bench_migration(spark, sf_dir, 1, td))
         except Exception as e:
             extras["migration_pipeline_error"] = str(e)[:120]
 
