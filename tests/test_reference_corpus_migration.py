@@ -223,3 +223,77 @@ def test_reference_corpus_migrates_into_duckdb(spark, tmp_path, corpus_snapshot)
     ]
     assert str(vals[0]) == "-1.10" and len(vals) == 10
     con.close()
+
+
+def test_cli_duckdb_mode_from_parquet_snapshot(spark, tmp_path, capsys):
+    """The CLI's parquet+snapshot branch of duckdb mode (the dump-file
+    branch is covered elsewhere)."""
+    import json
+
+    from mysql2pg_spark.__main__ import main
+
+    snap = tmp_path / "snap.yml"
+    snap.write_text(
+        yaml.safe_dump(
+            {
+                "tables": [
+                    {
+                        "name": "region",
+                        "columns": [
+                            {"name": "r_regionkey", "type": "int",
+                             "nullable": False},
+                            {"name": "r_name", "type": "varchar(25)"},
+                        ],
+                        "primary_key": ["r_regionkey"],
+                    }
+                ]
+            }
+        )
+    )
+    cfgp = tmp_path / "cfg.yml"
+    cfgp.write_text(
+        yaml.safe_dump(
+            {
+                "mysql": {"host": "h", "database": "d"},
+                "postgresql": {"host": "p", "database": "d"},
+                "conversion": {
+                    "options": {},
+                    "limits": {"concurrency": 1,
+                               "max_rows_per_batch": 100},
+                },
+            }
+        )
+    )
+    db = tmp_path / "t.duckdb"
+    rc = main([
+        "-c", str(cfgp),
+        "--mode", "duckdb",
+        "--snapshot", str(snap),
+        "--source-dir", "/root/testdata/sf0.001",
+        "--duckdb-file", str(db),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["synced"] == {"region": 5}
+    assert out["validation"] == {"region": True}
+
+
+def test_statement_splitter_roundtrip_property():
+    """Hypothesis: rendering statements joined by ';' and re-splitting
+    recovers them, whatever quoting/semicolons the bodies contain."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body = st.text(
+        alphabet="ab;'`\"\n ),(", min_size=1, max_size=25
+    ).map(lambda s: "X" + s.replace("'", "''"))
+
+    @given(st.lists(body, min_size=1, max_size=6))
+    @settings(max_examples=200, deadline=None)
+    def run(parts):
+        stmts = [f"SELECT '{p}'" for p in parts]
+        text = ";\n".join(stmts) + ";"
+        got = list(iter_sql_statements(text))
+        assert got == stmts
+
+    run()
