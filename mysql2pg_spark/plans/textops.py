@@ -889,3 +889,101 @@ def t18_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= QUOTA_K)
         .select("doc_id", "source", "h")
     )
+
+
+# --------------------------------------------------------------------------
+# t19 — URL canonicalization + dedup grouping: the normalize step every
+# crawl pipeline runs before URL-level dedup (lowercase scheme/host,
+# strip default port and fragment, drop tracking params, sort the rest,
+# trim trailing slash), then group-size by canonical fingerprint. The
+# corpus has no URL column, so a deterministic messy URL is synthesized
+# per document (mixed case, :443, utm_* junk, fragment) — the
+# canonicalizer's input contract, not its implementation, is synthetic.
+# Pure JVM expressions (regexp + array HOFs): map-only until the one
+# fingerprint groupBy. Not in the driver window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "t19_url_canonicalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.Example.COM:443/Docs/'
+           || CAST(doc_id % 97 AS VARCHAR)
+           || '/?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR)
+           || '&a=' || lang || '#frag' AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         regexp_replace(
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+           '/+$', '') AS path,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             p -> p <> '' AND p NOT LIKE 'utm_%' AND p NOT LIKE 'fbclid=%'
+           )), '&') AS q
+  FROM raw
+), canon AS (
+  SELECT doc_id,
+         scheme || '://' || host
+           || CASE WHEN port <> '' AND NOT (
+                     (scheme = 'https' AND port = '443')
+                  OR (scheme = 'http' AND port = '80'))
+              THEN ':' || port ELSE '' END
+           || path
+           || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical
+  FROM parts
+)
+SELECT doc_id, canonical, md5(canonical) AS url_fp,
+       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_same_url
+FROM canon
+ORDER BY doc_id
+""",
+    driver=False,
+)
+def t19_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("/?utm_source=feed&b="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&a="), F.col("lang"), F.lit("#frag"),
+    )
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    port = F.regexp_extract(url, r"^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    params = F.filter(
+        F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid="),
+    )
+    q = F.array_join(F.sort_array(params), "&")
+    default_port = ((scheme == "https") & (port == "443")) | (
+        (scheme == "http") & (port == "80")
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(
+            (port != "") & ~default_port, F.concat(F.lit(":"), port)
+        ).otherwise(F.lit("")),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy("canonical")
+    return (
+        d.select("doc_id", canonical.alias("canonical"))
+        .withColumn("url_fp", F.md5("canonical"))
+        .withColumn("n_same_url", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select("doc_id", "canonical", "url_fp", "n_same_url")
+    )
