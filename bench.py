@@ -65,6 +65,7 @@ EXTRA = [
     "d11_semantic_dedup",
     "d12_incremental_dedup",
     "t17_cdc_chunks",
+    "t19_url_canonicalize",
     "s04_knn_ivf_refined",
     "s06_knn_pq",
 ]
