@@ -291,3 +291,51 @@ def test_row_at_a_time_insert_fallback():
     assert n == 2 and conn.commits == 1
     assert conn.sql[0] == ('INSERT INTO "t" (id, val) VALUES (%s, %s)', (1, "a"))
     assert conn.sql[1][1] == (2, "b")
+
+
+def test_write_dbapi_foreachpartition_executor_side(spark, tmp_path):
+    """The dbapi sink's executors transport (the client-server shape):
+    each partition opens its own connection and pumps B4-capped
+    executemany batches; reassembling the captured batches yields
+    exactly the input rows, and no batch exceeds the cap."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from mysql2pg_spark.sinks.dbapi_sink import write_dbapi
+
+    out_dir = str(tmp_path / "batches")
+    os.makedirs(out_dir)
+
+    class FileConn:
+        def cursor(self):
+            class Cur:
+                def executemany(self, sql, rows):
+                    p = os.path.join(out_dir, uuid.uuid4().hex)
+                    with open(p, "w") as f:
+                        json.dump({"sql": sql, "rows": rows}, f)
+
+            return Cur()
+
+        def commit(self):
+            pass
+
+        def close(self):
+            pass
+
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "concat('v', id) AS val")
+    write_dbapi(
+        df, "t", FileConn, paramstyle="format", batch_rows=30,
+        via="executors",
+    )
+
+    rows, max_batch = [], 0
+    for p in glob.glob(os.path.join(out_dir, "*")):
+        with open(p) as f:
+            d = json.load(f)
+        assert d["sql"] == 'INSERT INTO "t" ("id", "val") VALUES (%s, %s)'
+        rows += [tuple(r) for r in d["rows"]]
+        max_batch = max(max_batch, len(d["rows"]))
+    assert sorted(rows) == sorted((i, f"v{i}") for i in range(100))
+    assert max_batch <= 30
