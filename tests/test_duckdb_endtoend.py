@@ -366,3 +366,27 @@ def test_execute_keep_going_on_real_engine(spark, tmp_path, ddb):
     summary = result["log"]
     assert summary["n_errors"] >= 1  # the failure is visible, not silent
     assert any("poisoned" in str(e) for e in summary["errors"])
+
+
+def test_test_only_probe_against_real_engine(spark, tmp_path, ddb):
+    """D6/A16 against a real engine: test_only probes the destination
+    with a real SELECT version() and runs nothing else."""
+    cfg = _config(tmp_path)
+    cfg.postgresql.test_only = True
+    result = MigrationPipeline(cfg, _snapshot()).execute(
+        spark,
+        ddb,
+        source_reader=lambda sp, plan: sp.read.parquet(
+            f"{SF_DIR}/{plan['table']}.parquet"
+        ),
+        sink_writer=lambda df, t: (_ for _ in ()).throw(
+            AssertionError("test_only must not sync")
+        ),
+        dest_reader=lambda sp, t: None,
+        logger=RunLogger(str(tmp_path / "logs")),
+        target_dialect="duckdb",
+    )
+    assert result["test_only"]["postgresql"] is True
+    assert "synced" not in result
+    # the engine's real version string came back through the probe
+    assert result["versions"]["postgresql"].startswith(("v", "DuckDB"))
