@@ -380,11 +380,7 @@ def read_sql_inserts(
             mo = _STMT_INSERT_RE.match(stmt)
             if mo and mo.group(1).lower() == table.lower():
                 pairs.append((mo.group(2) or "", mo.group(3)))
-    matched = spark.createDataFrame(
-        pairs or [("", "")], "collist string, blob string"
-    )
-    if not pairs:
-        matched = matched.filter(F.col("blob") != "")
+    matched = spark.createDataFrame(pairs, "collist string, blob string")
     return _parse_blob_frame(matched, schema)
 
 
