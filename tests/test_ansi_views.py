@@ -172,3 +172,35 @@ def test_pg_spellings_golden():
         "SELECT 'IF(a,b,c) % LENGTH(`x`)' AS lit", "postgres"
     )
     assert "'IF(a,b,c) % LENGTH(`x`)'" in out2
+
+
+def test_date_format_every_supported_token_executes_correctly():
+    """MySQL token semantics pinned per-token against hand-written
+    expectations (2024-03-05 07:08:09 is a Tuesday, day-of-year 65),
+    executed through the converter + DuckDB — catches any wrong entry
+    in the token map independently of the map itself."""
+    con = duckdb.connect()
+    expect = {
+        "%Y": "2024", "%y": "24", "%m": "03", "%c": "3",
+        "%d": "05", "%e": "5", "%H": "07", "%k": "7",
+        "%h": "07", "%I": "07", "%i": "08", "%S": "09", "%s": "09",
+        "%p": "AM", "%M": "March", "%b": "Mar",
+        "%a": "Tue", "%W": "Tuesday", "%j": "065",
+        "%T": "07:08:09", "%r": "07:08:09 AM",
+    }
+    for tok, want in expect.items():
+        sql = transpile_mysql_ansi(
+            "SELECT DATE_FORMAT(TIMESTAMP '2024-03-05 07:08:09',"
+            f" '{tok}') AS v",
+            "duckdb",
+        )
+        got = con.execute(sql).fetchone()[0]
+        assert got == want, (tok, got, want, sql)
+    # multi-token pattern with literal separators survives intact
+    sql = transpile_mysql_ansi(
+        "SELECT DATE_FORMAT(TIMESTAMP '2024-03-05 07:08:09',"
+        " '%W, %M %e %Y at %h:%i %p') AS v",
+        "duckdb",
+    )
+    assert con.execute(sql).fetchone()[0] == \
+        "Tuesday, March 5 2024 at 07:08 AM"
