@@ -297,9 +297,14 @@ def transpile_mysql_ansi(sql: str, dialect: str = "postgres") -> str:
         if mo:
             distinct = "DISTINCT "
             src = mo.group(1)
-        return (
-            f"STRING_AGG({distinct}CA\x02ST({src} AS TEXT), {sep}{order})"
-        )
+        arg = f"CA\x02ST({src} AS TEXT)"
+        if distinct and order:
+            # PG requires the ORDER BY expr of a DISTINCT aggregate to
+            # appear verbatim in the argument list; MySQL only allows
+            # ORDER BY == the expression here anyway, so order by the
+            # cast-wrapped argument itself
+            order = " ORDER BY " + arg
+        return f"STRING_AGG({distinct}{arg}, {sep}{order})"
 
     s = rewrite_call(s, "GROUP_CONCAT", _group_concat)
 
@@ -370,22 +375,40 @@ def transpile_mysql_ansi(sql: str, dialect: str = "postgres") -> str:
     s = rewrite_call(s, "DATE_SUB", _interval_shift("-"))
 
     def _timestampdiff(a: list[str]) -> str:
+        """MySQL counts COMPLETE elapsed units (truncation), not
+        boundary crossings (DuckDB date_diff) and not rounded division
+        (a bare numeric→bigint cast in PG rounds)."""
         unit = a[0].strip().lower()
-        if duck:
-            return f"date_di\x02ff('{unit}', {_ts(a[1])}, {_ts(a[2])})"
         secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
                 "week": 604800}
+        if duck:
+            if unit in secs:
+                return (
+                    f"CAST(floor(epo\x02ch({_ts(a[2])} - {_ts(a[1])})"
+                    f" / {secs[unit]}) AS BIGINT)"
+                )
+            # complete months: boundary crossings, minus one when
+            # adding that many months overshoots the end timestamp
+            nd = f"date_di\x02ff('month', {_ts(a[1])}, {_ts(a[2])})"
+            full = (
+                f"({nd} - CASE WHEN {_ts(a[1])} +"
+                f" to_months(CAST({nd} AS INT)) > {_ts(a[2])}"
+                f" THEN 1 ELSE 0 END)"
+            )
+            div = {"month": 1, "quarter": 3, "year": 12}.get(unit, 1)
+            return f"CAST(floor({full} / {div}) AS BIGINT)"
         if unit in secs:
             return (
-                f"CAST(EXTRACT(EPOCH FROM ({_ts(a[2])} - {_ts(a[1])}))"
-                f" / {secs[unit]} AS BIGINT)"
+                f"CAST(FLOOR(EXTRACT(EPOCH FROM"
+                f" ({_ts(a[2])} - {_ts(a[1])})) / {secs[unit]}) AS BIGINT)"
             )
+        # AGE already yields complete calendar months (MySQL semantics)
         months = (
             f"((EXTRACT(YEAR FROM AGE({_ts(a[2])}, {_ts(a[1])})) * 12"
             f" + EXTRACT(MONTH FROM AGE({_ts(a[2])}, {_ts(a[1])}))))"
         )
         div = {"month": 1, "quarter": 3, "year": 12}.get(unit, 1)
-        return f"CAST({months} / {div} AS BIGINT)"
+        return f"CAST(FLOOR({months} / {div}) AS BIGINT)"
 
     s = rewrite_call(s, "TIMESTAMPDIFF", _timestampdiff)
 

@@ -923,7 +923,8 @@ WITH raw AS (
          array_to_string(
            list_sort(list_filter(
              string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-             p -> p <> '' AND p NOT LIKE 'utm_%' AND p NOT LIKE 'fbclid=%'
+             p -> p <> '' AND NOT regexp_matches(p, '^utm_')
+                  AND NOT regexp_matches(p, '^fbclid=')
            )), '&') AS q
   FROM raw
 ), canon AS (

@@ -223,16 +223,8 @@ def read_dump_inserts(
     through it JVM-side. Binary columns take ``0x...``/``_binary``
     literals byte-exact; ``--complete-insert`` column lists reorder
     against the schema."""
-    from pyspark.sql.types import BinaryType
-
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    cols = [f.name for f in schema.fields]
-    is_binary = [isinstance(f.dataType, BinaryType) for f in schema.fields]
-    mid_schema = ", ".join(
-        f"`{c}` {'binary' if b else 'string'}"
-        for c, b in zip(cols, is_binary)
-    )
 
     lines = spark.read.text(path)  # .gz dumps decompress via JVM codec
     # JVM-side pre-filter: only this table's INSERT/REPLACE lines reach
@@ -362,24 +354,13 @@ def read_sql_inserts(
     authored scripts are human-scale by construction; multi-TB dumps
     use the line-oriented readers — but the VALUES tokenizing still
     fans out through the same distributed parse stage."""
-    import os
-
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    files = (
-        [os.path.join(path, f) for f in sorted(os.listdir(path))]
-        if os.path.isdir(path)
-        else [path]
-    )
     pairs: list[tuple[str, str]] = []
-    for f in files:
-        opener = __import__("gzip").open if f.endswith(".gz") else open
-        with opener(f, "rt") as fh:
-            text = fh.read()
-        for stmt in iter_sql_statements(text):
-            mo = _STMT_INSERT_RE.match(stmt)
-            if mo and mo.group(1).lower() == table.lower():
-                pairs.append((mo.group(2) or "", mo.group(3)))
+    for stmt in _script_statements(path):
+        mo = _STMT_INSERT_RE.match(stmt)
+        if mo and mo.group(1).lower() == table.lower():
+            pairs.append((mo.group(2) or "", mo.group(3)))
     matched = spark.createDataFrame(pairs, "collist string, blob string")
     return _parse_blob_frame(matched, schema)
 
@@ -478,13 +459,16 @@ def _read_split(part: _DumpPartition, table: str, columns: list[str]):
             low = line.lstrip().lower()
             if not low.startswith(needles):
                 continue
-            idx = line.upper().find("VALUES")
-            if idx < 0:
+            # word-bounded VALUES followed by a tuple — a table like
+            # `config_values` or a column named values must not match
+            vm = _tokre.search(r"(?i)\bVALUES\s*\(", line)
+            if vm is None:
                 continue
+            idx = vm.start()
             mo = _tokre.search(r"\(([^)]*)\)\s*$", line[:idx])
             collist = mo.group(1) if mo else ""
             for row in _align_rows(
-                split_tuples(line[idx + len("VALUES"):]), collist, columns
+                split_tuples(line[vm.end() - 1:]), collist, columns
             ):
                 yield tuple(
                     (row[j] if j < len(row) else None) for j in range(n_cols)
@@ -744,7 +728,16 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             rest = col.group(4)
             comment = _COMMENT_RE.search(rest)
             default = _DEFAULT_RE.search(rest)
-            dflt = default.group(1).strip("'") if default else None
+            dflt = None
+            if default:
+                raw_d = default.group(1)
+                # unquote + undouble: DEFAULT 'it''s' carries it's, not
+                # it''s (double-escaping corrupted apostrophe defaults)
+                dflt = (
+                    raw_d[1:-1].replace("''", "'")
+                    if raw_d.startswith("'") and raw_d.endswith("'")
+                    else raw_d
+                )
             cur.columns.append(
                 ColumnMeta(
                     name=name,

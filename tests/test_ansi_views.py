@@ -204,3 +204,46 @@ def test_date_format_every_supported_token_executes_correctly():
     )
     assert con.execute(sql).fetchone()[0] == \
         "Tuesday, March 5 2024 at 07:08 AM"
+
+
+def test_review_findings_regressions():
+    """Round-5 self-review fixes pinned: TIMESTAMPDIFF truncates like
+    MySQL (complete units, not crossings or rounding); DISTINCT+ORDER
+    string_agg is PG-legal; adapt_ddl never rewrites inside literals."""
+    con = duckdb.connect()
+    # complete-unit truncation: 90s -> 1 minute; 10:50->11:10 -> 0 hours
+    sql = transpile_mysql_ansi(
+        "SELECT TIMESTAMPDIFF(MINUTE, '2024-01-01 00:00:00',"
+        " '2024-01-01 00:01:30') AS m,"
+        " TIMESTAMPDIFF(HOUR, '2024-01-01 10:50:00',"
+        " '2024-01-01 11:10:00') AS h,"
+        " TIMESTAMPDIFF(MONTH, '2024-01-31', '2024-02-29') AS mo1,"
+        " TIMESTAMPDIFF(MONTH, '2024-01-31', '2024-02-28') AS mo0",
+        "duckdb",
+    )
+    m, h, mo1, mo0 = con.execute(sql).fetchone()
+    assert (m, h, mo1, mo0) == (1, 0, 1, 0)
+    # PG: ORDER BY expr of a DISTINCT aggregate must appear in the args
+    pg = transpile_mysql_ansi(
+        "SELECT GROUP_CONCAT(DISTINCT v ORDER BY v) AS s FROM g",
+        "postgres",
+    )
+    assert "STRING_AGG(DISTINCT CAST(v AS TEXT), ','" in pg
+    assert "ORDER BY CAST(v AS TEXT))" in pg
+    # PG path floors, never rounds
+    pgts = transpile_mysql_ansi(
+        "SELECT TIMESTAMPDIFF(MINUTE, a, b) AS m", "postgres"
+    )
+    assert "FLOOR" in pgts
+
+
+def test_adapt_ddl_leaves_literals_alone():
+    got = adapt_ddl(
+        "COMMENT ON COLUMN \"t\".\"loc\" IS 'POINT of TIMESTAMP(3) "
+        "SERIAL DECIMAL(65,30) interest'",
+        "duckdb",
+    )
+    assert got == (
+        "COMMENT ON COLUMN \"t\".\"loc\" IS 'POINT of TIMESTAMP(3) "
+        "SERIAL DECIMAL(65,30) interest'"
+    )

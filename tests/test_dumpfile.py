@@ -461,3 +461,42 @@ def test_full_offline_migration_from_dump_only(spark, tmp_path):
     executed = " ".join(conn.executed)
     assert "CREATE TABLE" in executed and "customers" in executed
     assert "CREATE UNIQUE INDEX" in executed or "uq_name" in executed
+
+
+def test_values_inside_table_name_datasource(spark, tmp_path):
+    """A table named *_values must not confuse the DataSource's VALUES
+    locator (it previously matched the substring inside the name and
+    parsed the column list as data)."""
+    from mysql2pg_spark.sources.dumpfile import MysqlDumpDataSource
+
+    p = tmp_path / "cv.sql"
+    p.write_text(
+        "INSERT INTO `config_values` (`a`, `b`) VALUES (1,'x'),(2,'y');\n"
+    )
+    spark.dataSource.register(MysqlDumpDataSource)
+    df = (
+        spark.read.format("mysqldump")
+        .schema("a bigint, b string")
+        .option("table", "config_values")
+        .load(str(p))
+    )
+    assert {r.a: r.b for r in df.collect()} == {1: "x", 2: "y"}
+
+
+def test_quoted_default_with_apostrophe_undoubled(spark, tmp_path):
+    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+    p = tmp_path / "d.sql"
+    p.write_text(
+        "CREATE TABLE `n` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `note` varchar(20) DEFAULT 'it''s',\n"
+        "  PRIMARY KEY (`id`)\n"
+        ");\n"
+    )
+    snap = snapshot_from_dump(spark, str(p))
+    col = {c.name: c for c in snap.tables[0].columns}["note"]
+    assert col.default == "it's"
+    from mysql2pg_spark.sinks.ddl import default_sql
+
+    assert default_sql(col.default) == "'it''s'"
