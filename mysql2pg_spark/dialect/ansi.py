@@ -302,8 +302,9 @@ def transpile_mysql_ansi(sql: str, dialect: str = "postgres") -> str:
             # PG requires the ORDER BY expr of a DISTINCT aggregate to
             # appear verbatim in the argument list; MySQL only allows
             # ORDER BY == the expression here anyway, so order by the
-            # cast-wrapped argument itself
-            order = " ORDER BY " + arg
+            # cast-wrapped argument itself — keeping the direction
+            desc = bool(re.search(r"(?i)\bDESC\s*$", order))
+            order = " ORDER BY " + arg + (" DESC" if desc else "")
         return f"STRING_AGG({distinct}{arg}, {sep}{order})"
 
     s = rewrite_call(s, "GROUP_CONCAT", _group_concat)
@@ -375,40 +376,47 @@ def transpile_mysql_ansi(sql: str, dialect: str = "postgres") -> str:
     s = rewrite_call(s, "DATE_SUB", _interval_shift("-"))
 
     def _timestampdiff(a: list[str]) -> str:
-        """MySQL counts COMPLETE elapsed units (truncation), not
-        boundary crossings (DuckDB date_diff) and not rounded division
-        (a bare numeric→bigint cast in PG rounds)."""
+        """MySQL counts COMPLETE elapsed units truncated TOWARD ZERO —
+        not boundary crossings (DuckDB date_diff), not rounded division
+        (a bare numeric→bigint cast in PG rounds), and not floor
+        (which overshoots for negative intervals)."""
         unit = a[0].strip().lower()
-        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
-                "week": 604800}
+        secs = {"microsecond": "0.000001", "second": "1", "minute": "60",
+                "hour": "3600", "day": "86400", "week": "604800"}
         if duck:
             if unit in secs:
                 return (
-                    f"CAST(floor(epo\x02ch({_ts(a[2])} - {_ts(a[1])})"
+                    f"CAST(trunc(epo\x02ch({_ts(a[2])} - {_ts(a[1])})"
                     f" / {secs[unit]}) AS BIGINT)"
                 )
-            # complete months: boundary crossings, minus one when
-            # adding that many months overshoots the end timestamp
+            # complete months from boundary crossings, corrected in
+            # BOTH directions: one too many when adding nd months
+            # overshoots the end (positive), one too few when it
+            # undershoots (negative)
             nd = f"date_di\x02ff('month', {_ts(a[1])}, {_ts(a[2])})"
+            shifted = f"({_ts(a[1])} + to_months(CAST({nd} AS INT)))"
             full = (
-                f"({nd} - CASE WHEN {_ts(a[1])} +"
-                f" to_months(CAST({nd} AS INT)) > {_ts(a[2])}"
+                f"({nd}"
+                f" - CASE WHEN {nd} >= 0 AND {shifted} > {_ts(a[2])}"
+                f" THEN 1 ELSE 0 END"
+                f" + CASE WHEN {nd} < 0 AND {shifted} < {_ts(a[2])}"
                 f" THEN 1 ELSE 0 END)"
             )
             div = {"month": 1, "quarter": 3, "year": 12}.get(unit, 1)
-            return f"CAST(floor({full} / {div}) AS BIGINT)"
+            return f"CAST(trunc(CAST({full} AS DOUBLE) / {div}) AS BIGINT)"
         if unit in secs:
             return (
-                f"CAST(FLOOR(EXTRACT(EPOCH FROM"
+                f"CAST(TRUNC(EXTRACT(EPOCH FROM"
                 f" ({_ts(a[2])} - {_ts(a[1])})) / {secs[unit]}) AS BIGINT)"
             )
-        # AGE already yields complete calendar months (MySQL semantics)
+        # AGE yields complete calendar months with MySQL's toward-zero
+        # sign behavior already
         months = (
             f"((EXTRACT(YEAR FROM AGE({_ts(a[2])}, {_ts(a[1])})) * 12"
             f" + EXTRACT(MONTH FROM AGE({_ts(a[2])}, {_ts(a[1])}))))"
         )
         div = {"month": 1, "quarter": 3, "year": 12}.get(unit, 1)
-        return f"CAST(FLOOR({months} / {div}) AS BIGINT)"
+        return f"CAST(TRUNC({months} / {div}::numeric) AS BIGINT)"
 
     s = rewrite_call(s, "TIMESTAMPDIFF", _timestampdiff)
 

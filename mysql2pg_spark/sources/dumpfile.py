@@ -727,7 +727,11 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                 continue  # bare constraint keyword, not a column
             rest = col.group(4)
             comment = _COMMENT_RE.search(rest)
-            default = _DEFAULT_RE.search(rest)
+            # semantic keywords (DEFAULT/NOT NULL/AUTO_INCREMENT) are
+            # parsed with the COMMENT literal excised — a comment like
+            # 'default 5 when unset' must not fabricate a default
+            rest_nc = _COMMENT_RE.sub("", rest)
+            default = _DEFAULT_RE.search(rest_nc)
             dflt = None
             if default:
                 raw_d = default.group(1)
@@ -742,12 +746,12 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                 ColumnMeta(
                     name=name,
                     column_type=col.group(3).lower(),
-                    nullable="NOT NULL" not in rest.upper(),
+                    nullable="NOT NULL" not in rest_nc.upper(),
                     default=None if (dflt or "").upper() == "NULL" else dflt,
                     comment=comment.group(1).replace("''", "'")
                     if comment
                     else None,
-                    auto_increment="AUTO_INCREMENT" in rest.upper(),
+                    auto_increment="AUTO_INCREMENT" in rest_nc.upper(),
                 )
             )
     by_name = {t.name: t for t in tables}

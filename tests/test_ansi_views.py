@@ -230,11 +230,34 @@ def test_review_findings_regressions():
     )
     assert "STRING_AGG(DISTINCT CAST(v AS TEXT), ','" in pg
     assert "ORDER BY CAST(v AS TEXT))" in pg
-    # PG path floors, never rounds
+    # PG path truncates toward zero, never rounds (and never floors —
+    # MySQL gives -1 for a negative 90-second interval, floor gives -2)
     pgts = transpile_mysql_ansi(
         "SELECT TIMESTAMPDIFF(MINUTE, a, b) AS m", "postgres"
     )
-    assert "FLOOR" in pgts
+    assert "TRUNC" in pgts
+    # negative intervals truncate toward zero; MICROSECOND is mapped
+    sql = transpile_mysql_ansi(
+        "SELECT TIMESTAMPDIFF(MINUTE, '2024-01-01 00:01:30',"
+        " '2024-01-01 00:00:00') AS nm,"
+        " TIMESTAMPDIFF(MONTH, '2024-03-15', '2024-01-20') AS nmo,"
+        " TIMESTAMPDIFF(YEAR, '2025-02-01', '2024-01-01') AS ny,"
+        " TIMESTAMPDIFF(MICROSECOND, '2024-01-01 00:00:00',"
+        " '2024-01-01 00:00:01') AS us",
+        "duckdb",
+    )
+    nm, nmo, ny, us = con.execute(sql).fetchone()
+    assert (nm, nmo, ny, us) == (-1, -1, -1, 1000000)
+    # DESC survives the DISTINCT string_agg rewrite
+    con.execute("CREATE TABLE gd (v VARCHAR)")
+    con.execute("INSERT INTO gd VALUES ('a'),('b'),('a')")
+    got = con.execute(
+        transpile_mysql_ansi(
+            "SELECT GROUP_CONCAT(DISTINCT v ORDER BY v DESC) AS s FROM gd",
+            "duckdb",
+        )
+    ).fetchone()[0]
+    assert got == "b,a"
 
 
 def test_adapt_ddl_leaves_literals_alone():

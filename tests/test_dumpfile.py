@@ -500,3 +500,32 @@ def test_quoted_default_with_apostrophe_undoubled(spark, tmp_path):
     from mysql2pg_spark.sinks.ddl import default_sql
 
     assert default_sql(col.default) == "'it''s'"
+
+
+def test_comment_text_never_fabricates_column_semantics(spark, tmp_path):
+    """DEFAULT/NOT NULL/AUTO_INCREMENT are parsed with the COMMENT
+    literal excised — comment prose must not leak into semantics."""
+    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+    p = tmp_path / "c.sql"
+    p.write_text(
+        "CREATE TABLE `n` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `x` int COMMENT 'default 5 when not null auto_increment',\n"
+        "  PRIMARY KEY (`id`)\n"
+        ");\n"
+    )
+    snap = snapshot_from_dump(spark, str(p))
+    col = {c.name: c for c in snap.tables[0].columns}["x"]
+    assert col.default is None
+    assert col.nullable is True
+    assert col.auto_increment is False
+    assert col.comment == "default 5 when not null auto_increment"
+
+
+def test_triple_quote_default_round_trips():
+    """A default whose VALUE is wrapped in apostrophes ('''x''' -> 'x')
+    must still be quoted by default_sql, not emitted raw."""
+    from mysql2pg_spark.sinks.ddl import default_sql
+
+    assert default_sql("'x'") == "'''x'''"
