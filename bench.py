@@ -68,6 +68,8 @@ EXTRA = [
     "t19_url_canonicalize",
     "s04_knn_ivf_refined",
     "s06_knn_pq",
+    "s07_embedding_postproc",
+    "t20_dup_spans",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Embedding post-processing operators: L2 normalization, Matryoshka
+truncation (Kusupati et al. arXiv:2205.13147 — MRL-trained vectors keep
+their semantics under prefix truncation + renorm), sign-bit binarization
+(the 1-bit Hamming index unit), and per-vector symmetric int8
+quantization (the faiss-style SQ8 storage path: 4× smaller than float32,
+8× smaller than the double the JVM would otherwise carry).
+
+All pure Column expressions over ``array<float>`` — zip_with/aggregate
+HOFs, zero UDFs, zero shuffles: at 100 TB these run at scan speed and
+the outputs (packed bigint, int8 codes) are exactly what a vector store
+or ANN index ingests. Every float fold is the LEFT-FOLD double pattern
+from operators/dedup.dot_fold, so a SQL oracle replays it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mysql2pg_spark.operators.dedup import dot_fold
+
+
+def _c(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def l2_norm(v) -> Column:
+    """||v|| as sqrt of the left-fold self-dot (cross-engine exact)."""
+    v = _c(v)
+    return F.sqrt(dot_fold(v, v))
+
+
+def unit_vector(v, norm: Column) -> Column:
+    """v / ||v|| with the norm passed in (fold it ONCE per vector)."""
+    return F.transform(_c(v), lambda x: x.cast("double") / norm)
+
+
+def matryoshka_norm(v, dims: int) -> Column:
+    """Norm of the dims-prefix — the renormalization denominator for
+    Matryoshka truncation. Truncate-then-renorm ≡ slice + unit_vector
+    with THIS norm."""
+    head = F.slice(_c(v), 1, dims)
+    return F.sqrt(dot_fold(head, head))
+
+
+def sign_bits(v, nbits: int = 32) -> Column:
+    """Pack the sign pattern of the first nbits dims into ONE bigint
+    (bit i = dim i+1 > 0). Fold over the REVERSED prefix with
+    acc*2 + bit so no shift-by-column is needed and any SQL engine
+    replays it exactly. 64 vectors/KB: the Hamming-distance prefilter
+    for binary ANN."""
+    head = F.reverse(F.slice(_c(v), 1, nbits))
+    return F.aggregate(
+        head,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2
+        + F.when(x.cast("double") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def abs_max(v) -> Column:
+    """max |v_i| as double — the symmetric-quantization range."""
+    return F.array_max(F.transform(_c(v), lambda x: F.abs(x.cast("double"))))
+
+
+def int8_codes(v, amax: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(v_i * 127/amax + 0.5).
+    floor(x + 0.5) instead of round(): round's midpoint rule is the one
+    op observed to diverge across engines (HALF_UP vs HALF_EVEN);
+    floor is bit-deterministic on identical doubles. Zero vector → all
+    zeros (scale 0), not NaN."""
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    return F.transform(
+        _c(v), lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+    )

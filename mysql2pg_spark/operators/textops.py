@@ -534,3 +534,83 @@ def cdc_chunks(
         .filter(F.col("ch").isNotNull())
         .select(id_col, "ch.chunk_idx", "ch.chunk_len", "ch.chunk_md5")
     )
+
+
+def positional_ngrams(t: Column, n: int) -> Column:
+    """Positional k-gram structs (pos, gram) — NOT distinct, position
+    matters: the unit of substring-level duplicate detection. pos is the
+    0-based index of the gram's first token. Same materialization rule
+    as ngrams_from_tokens: pass an attribute, not the tokens() tree."""
+    count = F.size(t) - n + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.struct(
+            (i - 1).cast("bigint").alias("pos"),
+            F.array_join(F.slice(t, i, n), " ").alias("gram"),
+        ),
+    )
+    return F.when(count >= 1, grams).otherwise(
+        F.array().cast("array<struct<pos:bigint,gram:string>>")
+    )
+
+
+def duplicate_spans(
+    docs,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Substring-level duplicate-span detection — the ExactSubstr-dedup
+    semantics of Lee et al. 2022 (arXiv:2107.06499) at k-token-gram
+    granularity, without the suffix array: a span is duplicated when
+    every k-gram inside it occurs >= min_count times corpus-wide
+    (within-doc repeats count, exactly like a suffix array would see
+    them). Adjacent duplicated grams merge into maximal spans via
+    gaps-and-islands (pos - row_number), so a 50-token copied paragraph
+    reports as ONE span [start, end], the removal unit for training-set
+    substring dedup.
+
+    Returns (id, span_start, span_end, span_tokens, n_grams); token
+    indices are 0-based and inclusive.
+
+    Scale: no all-pairs stage anywhere. Shuffles are (1) the gram
+    occurrence count — map-side partial-combined, key = gram; (2) the
+    gram equi-join back (AQE-planned, skew-splittable: a degenerate
+    ultra-hot gram, e.g. a boilerplate sentence, lands on the dup side
+    as a SINGLE row since it is pre-aggregated); (3) the per-doc window
+    + final span groupBy, both hash-partitioned by doc id. At 100 TB
+    the gram count dominates; it is the same shape as d07's n-gram
+    decontamination join and would take the same bucketing treatment.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(positional_ngrams(F.col("toks"), k)).alias("pg"),
+    ).select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_grams",
+        )
+    )

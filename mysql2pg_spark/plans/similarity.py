@@ -598,3 +598,96 @@ def s06_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_pq(
         e, q, codebook, "vec_id", "embedding", K, PQ_M, DIMS, PQ_RERANK
     )
+
+
+# --------------------------------------------------------------------------
+# s07 — embedding post-processing battery: L2 norm, Matryoshka 16-dim
+# truncate+renorm (arXiv:2205.13147), 32-bit sign packing, symmetric
+# int8 quantization (faiss SQ8 shape). All folds are the left-fold
+# double pattern; quantization uses floor(x+0.5), never round() — the
+# cross-engine midpoint trap (see operators/embeddings.py).
+# --------------------------------------------------------------------------
+MAT_DIMS = 16
+BIT_DIMS = 32
+
+_SELF_DOT = _DOT.format(a="{v}", b="{v}")
+
+
+def _norm_sql(v: str) -> str:
+    return f"sqrt({_SELF_DOT.format(v=v)})"
+
+
+@query(
+    "s07_embedding_postproc",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         {_norm_sql('embedding')} AS norm,
+         {_norm_sql(f'embedding[1:{MAT_DIMS}]')} AS norm16,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+), q AS (
+  SELECT vec_id, norm, norm16, amax,
+         list_transform(embedding[1:{MAT_DIMS}],
+                        x -> CAST(x AS DOUBLE) / norm16) AS unit16,
+         -- map to BIGINT bits BEFORE the fold: list_prepend(BIGINT,
+         -- FLOAT[]) unifies the list to float32 and corrupts the
+         -- accumulator above 2^24 (observed: ...198 became ...192.0)
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          list_reverse(embedding[1:{BIT_DIMS}]),
+                          x -> CAST(CASE WHEN CAST(x AS DOUBLE) > 0
+                                    THEN 1 ELSE 0 END AS BIGINT))),
+           (a, b) -> a * 2 + b) AS bits32,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) *
+                      (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)
+                      + 0.5)) AS q
+  FROM base
+)
+SELECT vec_id, norm, norm16, unit16, bits32,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+                        (a, b) -> a + b) AS BIGINT)           AS q_sum,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(q, x -> abs(x))),
+                        (a, b) -> a + b) AS BIGINT)           AS q_l1,
+       amax
+FROM q ORDER BY vec_id
+""",
+    driver=False,
+)
+def s07_embedding_postproc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators import embeddings as E
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        E.l2_norm("embedding").alias("norm"),
+        E.matryoshka_norm("embedding", MAT_DIMS).alias("norm16"),
+        E.abs_max("embedding").alias("amax"),
+    )
+    q = base.select(
+        "vec_id",
+        "norm",
+        "norm16",
+        "amax",
+        E.unit_vector(
+            F.slice("embedding", 1, MAT_DIMS), F.col("norm16")
+        ).alias("unit16"),
+        E.sign_bits("embedding", BIT_DIMS).alias("bits32"),
+        E.int8_codes("embedding", F.col("amax")).alias("q"),
+    )
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "norm",
+        "norm16",
+        "unit16",
+        "bits32",
+        F.aggregate("q", zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("q", zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
+        "amax",
+    ).orderBy("vec_id")

@@ -988,3 +988,48 @@ def t19_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_same_url", F.count(F.lit(1)).over(w).cast("bigint"))
         .select("doc_id", "canonical", "url_fp", "n_same_url")
     )
+
+
+# --------------------------------------------------------------------------
+# t20 — substring-level duplicate spans (ExactSubstr dedup semantics at
+# k-gram granularity, Lee et al. arXiv:2107.06499): maximal token spans
+# whose every k-gram occurs >= 2 times corpus-wide. The oracle replays
+# the identical positional-gram -> occurrence-count -> islands pipeline.
+# --------------------------------------------------------------------------
+_DS_K = 8
+
+
+@query(
+    "t20_dup_spans",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {_DS_K} + 1, 0) + 1),
+             i -> {{'pos': i - 1,
+                   'gram': array_to_string(toks[i:i + {_DS_K - 1}], ' ')}})) AS pg
+    FROM t)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT)                    AS span_start,
+       CAST(max(pos) + {_DS_K} - 1 AS BIGINT)      AS span_end,
+       CAST(max(pos) - min(pos) + {_DS_K} AS BIGINT) AS span_tokens,
+       count(*)                                    AS n_grams
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+)
+def t20_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.duplicate_spans(d, k=_DS_K).orderBy("doc_id", "span_start")

@@ -223,3 +223,64 @@ def test_cdc_chunks_shift_resistance(spark):
         fps[r.doc_id].add(r.chunk_md5)
     shared = len(fps[1] & fps[2]) / len(fps[1])
     assert shared >= 0.8, f"only {shared:.0%} of chunks survived a prefix edit"
+
+
+def test_duplicate_spans_handmade(spark):
+    """Two docs sharing a 10-token paragraph -> ONE maximal span each
+    covering exactly the shared region; a doc with an internal repeat is
+    caught too (ExactSubstr counts occurrences, not distinct docs); a
+    unique doc reports nothing."""
+    from mysql2pg_spark.operators.textops import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one " + shared + " tail1 tail2"),
+            (2, "other prefix words here " + shared + " suffix"),
+            # internal repeat of an 8-token run (k=8) within ONE doc
+            (3, "r1 r2 r3 r4 r5 r6 r7 r8 mid r1 r2 r3 r4 r5 r6 r7 r8"),
+            (4, "totally different content with no overlap at all okay"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.span_start, r.span_end): r.span_tokens
+        for r in duplicate_spans(docs, k=8).collect()
+    }
+    # doc 1: shared = tokens 2..11 (0-based) -> one span, 10 tokens
+    assert out.pop((1, 2, 11)) == 10
+    # doc 2: shared = tokens 4..13
+    assert out.pop((2, 4, 13)) == 10
+    # doc 3: both copies of the 8-token run are spans
+    assert out.pop((3, 0, 7)) == 8
+    assert out.pop((3, 9, 16)) == 8
+    assert out == {}  # doc 4 absent; no spurious spans
+
+
+def test_sign_bits_and_int8_quantize_handmade(spark):
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators import embeddings as E
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 3.0, 0.0]),   # signs 1,0,1,0 -> 0b0101 = 5
+            (2, [0.0, 0.0, 0.0, 0.0]),    # zero vector -> no NaNs
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            E.sign_bits("embedding", 4).alias("bits"),
+            E.int8_codes("embedding", E.abs_max("embedding")).alias("q"),
+            E.l2_norm("embedding").alias("norm"),
+        ).collect()
+    }
+    assert rows[1].bits == 5
+    # amax=3 -> scale 127/3: floor(1*42.33+0.5)=42, -2 -> -85, 3 -> 127
+    assert rows[1].q == [42, -85, 127, 0]
+    assert rows[2].bits == 0
+    assert rows[2].q == [0, 0, 0, 0]
+    assert rows[2].norm == 0.0
