@@ -284,3 +284,56 @@ def test_sign_bits_and_int8_quantize_handmade(spark):
     assert rows[2].bits == 0
     assert rows[2].q == [0, 0, 0, 0]
     assert rows[2].norm == 0.0
+
+
+def test_duplicate_spans_matches_naive_reference(spark):
+    """Randomized cross-check: seeded corpora from a tiny vocabulary
+    (guaranteeing organic k-gram collisions) vs a direct Python
+    re-implementation of ExactSubstr-at-k-gram-granularity. Catches
+    off-by-ones in the island merge and the positional-gram window that
+    a single handmade case could miss."""
+    import random
+    import re
+    from collections import Counter
+
+    from mysql2pg_spark.operators.textops import duplicate_spans
+
+    k = 3
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(12)
+        ]
+
+        # naive reference
+        toks = {i: re.split(r"\s+", t.strip().lower()) for i, t in docs}
+        counts: Counter = Counter()
+        pos_grams = {}
+        for i, tk in toks.items():
+            pg = [
+                (p, " ".join(tk[p : p + k])) for p in range(len(tk) - k + 1)
+            ]
+            pos_grams[i] = pg
+            counts.update(g for _, g in pg)
+        expect = set()
+        for i, pg in pos_grams.items():
+            dup_pos = sorted(p for p, g in pg if counts[g] >= 2)
+            run: list[int] = []
+            for p in dup_pos + [None]:
+                if run and (p is None or p != run[-1] + 1):
+                    expect.add(
+                        (i, run[0], run[-1] + k - 1, run[-1] - run[0] + k,
+                         len(run))
+                    )
+                    run = []
+                if p is not None:
+                    run.append(p)
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+            for r in duplicate_spans(df, k=k).collect()
+        }
+        assert got == expect, f"seed {seed}: {got ^ expect}"

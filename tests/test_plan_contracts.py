@@ -82,3 +82,20 @@ def test_filters_reach_the_scan(spark, name):
     carries a ReadSchema (column pruning active)."""
     plan = _plan(spark, name)
     assert "ReadSchema" in plan
+
+
+def test_embedding_postproc_is_map_only(spark):
+    """s07: every fold/pack/quantize is an array HOF over the scan — the
+    only allowed exchange is the final presentation sort (range
+    partitioning), never a hash shuffle."""
+    plan = _plan(spark, "s07_embedding_postproc")
+    assert "hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_no_all_pairs(spark):
+    """t20: dup grams come from a pre-aggregated count joined back on
+    the gram key — never a doc×doc pair join."""
+    plan = _plan(spark, "t20_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
