@@ -69,6 +69,7 @@ EXTRA = [
     "s04_knn_ivf_refined",
     "s06_knn_pq",
     "s07_embedding_postproc",
+    "s08_kcenter_coreset",
     "t20_dup_spans",
 ]
 

@@ -73,3 +73,59 @@ def int8_codes(v, amax: Column) -> Column:
     return F.transform(
         _c(v), lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
     )
+
+
+def _sq_dist(v: Column, center: list[float]) -> Column:
+    """Squared L2 distance to a FIXED center (broadcast as literals) —
+    the same left-fold double pattern as dot_fold, so an oracle that
+    derives the identical center replays it bit-for-bit."""
+    c = F.array(*[F.lit(float(x)) for x in center])
+    prods = F.zip_with(
+        v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kcenter_select(df, id_col: str, vec_col: str, k: int):
+    """Greedy k-center coreset selection (Gonzalez 1985, the classic
+    2-approximation; the diversity-sampling step of coreset-based data
+    selection). Deterministic: seeded at the smallest id, each round
+    picks the point FARTHEST from the selected set (tie-break smaller
+    id) and folds its distance into the running min.
+
+    Returns the k selected rows: (rank, id, radius) where radius is the
+    point's distance-to-set at selection time — rank r's radius is the
+    (r-1)-center covering radius of the corpus, the quantity the
+    2-approximation bounds.
+
+    Scale: k driver rounds, each ONE map over the corpus (distance to a
+    single literal-broadcast center + running min) and ONE top-1 reduce
+    — no pairwise matrix, no k×n shuffle. State is (id, vec, mind);
+    lineage grows by one projection per round (k is small by
+    construction — for k beyond ~50 switch to localCheckpoint every few
+    rounds exactly like components.connected_components_star)."""
+    first = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .first()
+    )
+    centers = [(1, first["id"], 0.0)]
+    state = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _sq_dist(F.col(vec_col), first["vec"]).alias("mind"),
+    )
+    for r in range(2, k + 1):
+        best = (
+            state.orderBy(F.desc("mind"), F.asc("id"))
+            .select("id", "vec", "mind")
+            .first()
+        )
+        centers.append((r, best["id"], best["mind"]))
+        state = state.withColumn(
+            "mind", F.least(F.col("mind"), _sq_dist(F.col("vec"), best["vec"]))
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        centers, "rank long, vec_id long, radius double"
+    ).orderBy("rank")

@@ -691,3 +691,63 @@ def s07_embedding_postproc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("q", zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
         "amax",
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# s08 — greedy k-center coreset selection (Gonzalez 2-approximation),
+# the diversity-sampling primitive of coreset data selection. The oracle
+# unrolls the identical greedy chain: seed = min id, then k-1 rounds of
+# (argmax running-min-distance, fold new center in) as paired CTEs.
+# --------------------------------------------------------------------------
+KC_K = 6
+
+
+def _d2_sql(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {DIMS} + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    ctes = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)",
+        "m1 AS (SELECT e.vec_id, e.embedding, "
+        f"{_d2_sql('e.embedding', 'c.embedding')} AS mind "
+        "FROM embeddings e, c1 c)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, embedding, mind FROM m{r - 1} "
+            "ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            ctes.append(
+                f"m{r} AS (SELECT m.vec_id, m.embedding, least(m.mind, "
+                f"{_d2_sql('m.embedding', 'c.embedding')}) AS mind "
+                f"FROM m{r - 1} m, c{r} c)"
+            )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS rank, vec_id, "
+        "CAST(0.0 AS DOUBLE) AS radius FROM c1"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), vec_id, mind FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY rank"
+    )
+
+
+@query("s08_kcenter_coreset", oracle=_kcenter_oracle(KC_K), driver=False)
+def s08_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.embeddings import kcenter_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(e, "vec_id", "embedding", KC_K)

@@ -337,3 +337,18 @@ def test_duplicate_spans_matches_naive_reference(spark):
             for r in duplicate_spans(df, k=k).collect()
         }
         assert got == expect, f"seed {seed}: {got ^ expect}"
+
+
+def test_kcenter_selection_invariants(spark):
+    """Greedy k-center on the fixture: distinct centers, radii
+    non-increasing (each round covers the worst remaining point), first
+    radius 0 by construction."""
+    from mysql2pg_spark.plans import QUERIES
+
+    rows = QUERIES["s08_kcenter_coreset"](spark, SF_CORRECT).collect()
+    assert [r.rank for r in rows] == list(range(1, 7))
+    assert len({r.vec_id for r in rows}) == 6
+    assert rows[0].radius == 0.0
+    radii = [r.radius for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert radii[-1] > 0
