@@ -33,6 +33,7 @@ Merge map (merged name ← folded originals):
   w06_streaming_battery     ← w06_streaming_dedup
                               + w07_stream_stream_join (round 3)
   d01_dedup_pipeline        ← d01_exact_dedup + d09_dedup_apply (round 3)
+                              + d05_simhash (round 5 — t20 took its slot)
 """
 
 from __future__ import annotations
@@ -93,6 +94,7 @@ FOLDED = (
     "w07_stream_stream_join",
     "d01_exact_dedup",
     "d09_dedup_apply",
+    "d05_simhash",
 )
 
 
@@ -518,20 +520,27 @@ def v02_view_transpile_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d01_dedup_pipeline",
     # d01 profiles every document's exact-dup group; d09 is the APPLIED
     # near-dup dedup (the corpus a training run consumes). Left join on
-    # doc_id: survives_neardup marks d09 survivors.
+    # doc_id: survives_neardup marks d09 survivors. d05's 32-bit SimHash
+    # rides along as a per-doc column (folded here round 5 when t20 took
+    # its driver slot).
     oracle=f"""
 SELECT a.doc_id, a.fp, a.canonical_id, a.is_duplicate, a.group_size,
-       b.source, b.lang, (b.doc_id IS NOT NULL) AS survives_neardup
+       b.source, b.lang, (b.doc_id IS NOT NULL) AS survives_neardup,
+       c.simhash
 FROM {_sub("d01_exact_dedup")} a
 LEFT JOIN {_sub("d09_dedup_apply")} b USING (doc_id)
+JOIN {_sub("d05_simhash")} c USING (doc_id)
 ORDER BY a.doc_id
 """,
 )
 def d01_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = QUERIES["d01_exact_dedup"](spark, sf_dir)
     applied = QUERIES["d09_dedup_apply"](spark, sf_dir)
-    return profile.join(applied, "doc_id", "left").withColumn(
-        "survives_neardup", F.col("source").isNotNull()
+    sims = QUERIES["d05_simhash"](spark, sf_dir)
+    return (
+        profile.join(applied, "doc_id", "left")
+        .withColumn("survives_neardup", F.col("source").isNotNull())
+        .join(sims, "doc_id")
     )
 
 
