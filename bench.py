@@ -71,6 +71,7 @@ EXTRA = [
     "s07_embedding_postproc",
     "s08_kcenter_coreset",
     "t20_dup_spans",
+    "t21_novelty",
 ]
 
 

@@ -1033,3 +1033,69 @@ ORDER BY doc_id, span_start
 def t20_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.duplicate_spans(d, k=_DS_K).orderBy("doc_id", "span_start")
+
+
+# --------------------------------------------------------------------------
+# t21 — corpus novelty attribution: scanning docs in id order, what
+# fraction of each doc's distinct k-grams appear here FIRST? The
+# standard marginal-contribution metric for curation (a doc that mostly
+# repeats earlier grams adds little; dedup's continuous cousin).
+# Shuffle shape is identical to t20/d07: gram min-reduce (map-side
+# combinable), gram equi-join back, per-doc count — no pair joins.
+# --------------------------------------------------------------------------
+_NOV_K = 3
+
+
+@query(
+    "t21_novelty",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {_NOV_K} + 1, 0) + 1),
+           i -> array_to_string(toks[i:i + {_NOV_K - 1}], ' ')))) AS gram
+  FROM t
+),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*)                                            AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT)                                     AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*)                          AS novelty
+FROM g JOIN first f USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+    driver=False,
+)
+def t21_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(T.ngrams_from_tokens(F.col("toks"), _NOV_K)).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -352,3 +352,14 @@ def test_kcenter_selection_invariants(spark):
     radii = [r.radius for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     assert radii[-1] > 0
+
+
+def test_novelty_first_doc_is_fully_novel(spark):
+    """Scanning in id order, the earliest doc's grams are all first
+    occurrences by construction; every novelty fraction is in [0, 1]."""
+    from mysql2pg_spark.plans import QUERIES
+
+    rows = QUERIES["t21_novelty"](spark, SF_CORRECT).collect()
+    assert rows[0].novelty == 1.0
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+    assert all(r.n_novel <= r.n_grams for r in rows)
