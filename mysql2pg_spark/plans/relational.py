@@ -27,12 +27,9 @@ from pyspark.sql.window import Window
 from mysql2pg_spark.plans.registry import query
 from mysql2pg_spark.tables import load_table
 
-# Exact-sum accumulator type. Scale 4 (not higher) is deliberate: the final
-# cast to DOUBLE is computed by both engines as (double)unscaled / 10^scale,
-# which is correctly rounded only while |unscaled| < 2^53 ≈ 9e15 — scale 4
-# keeps sums up to ~9e11 bit-exact across engines; scale 10 already diverges
-# at ~1e6 (observed 1-ulp mismatches vs DuckDB).
-DEC = "decimal(38,4)"
+# Exact-sum accumulator type — canonical definition (and rationale) in
+# mysql2pg_spark.tables; re-exported here for the plan modules.
+from mysql2pg_spark.tables import DEC  # noqa: E402,F401
 
 
 def _c(c: str | Column) -> Column:

@@ -593,3 +593,4 @@ def w09_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"stream_enriched_{next(_sink_counter)}"
     return run_stream_static_enrich(spark, sf_dir, sink)
+

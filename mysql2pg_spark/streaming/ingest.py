@@ -15,8 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql2pg_spark.plans.relational import DEC
-from mysql2pg_spark.tables import normalize_events_ts
+from mysql2pg_spark.tables import DEC, normalize_events_ts
 
 
 def windowed_value_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
@@ -351,3 +350,4 @@ def run_stream_static_enrich(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+

@@ -35,6 +35,16 @@ SMALL_DIMS = ("region", "nation")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Exact-sum accumulator type (defined HERE, a leaf module, so non-plans
+# modules — e.g. streaming.ingest — can use it without importing the
+# whole plans package and tripping its registration-order cycle).
+# Scale 4 (not higher) is deliberate: the final cast to DOUBLE is
+# computed by both engines as (double)unscaled / 10^scale, which is
+# correctly rounded only while |unscaled| < 2^53 ≈ 9e15 — scale 4 keeps
+# sums up to ~9e11 bit-exact across engines; scale 10 already diverges
+# at ~1e6 (observed 1-ulp mismatches vs DuckDB).
+DEC = "decimal(38,4)"
+
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Canonicalize ``events.ts`` to TIMESTAMP (LTZ, session tz pinned UTC).
