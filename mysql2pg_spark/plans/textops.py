@@ -1099,3 +1099,61 @@ def t21_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t22 — BPE merge-pair statistics: corpus-wide counts of ADJACENT piece
+# pairs (whitespace pieces excluded), the argmax of which is exactly the
+# merge rule BPE training learns next. One explode + one pair groupBy
+# (map-side combinable) — the scalable inner loop of distributed
+# tokenizer training. Top 20 with a total (n, left, right) order so the
+# LIMIT boundary is engine-independent.
+# --------------------------------------------------------------------------
+@query(
+    "t22_bpe_merge_pairs",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '{_BPE_SQL_PAT}'),
+                     x -> NOT regexp_matches(x, '^\\s+$')) AS p
+  FROM documents
+),
+pr AS (
+  SELECT unnest(list_transform(range(1, greatest(len(p) - 1, 0) + 1),
+                i -> {{'l': p[i], 'r': p[i + 1]}})) AS pair
+  FROM p
+)
+SELECT pair.l AS left_piece, pair.r AS right_piece, count(*) AS n
+FROM pr GROUP BY 1, 2
+ORDER BY n DESC, left_piece, right_piece
+LIMIT 20
+""",
+    driver=False,
+)
+def t22_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.filter(
+        T.bpe_tokens("text"), lambda t: ~t.rlike(r"^\s+$")
+    )
+    base = d.select(pieces.alias("p"))
+    p = F.col("p")
+    pairs = F.when(
+        F.size(p) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(p) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(p, i).alias("left_piece"),
+                F.element_at(p, i + 1).alias("right_piece"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<left_piece:string,right_piece:string>>")
+    )
+    return (
+        base.select(F.explode(pairs).alias("pr"))
+        .select("pr.left_piece", "pr.right_piece")
+        .groupBy("left_piece", "right_piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "left_piece", "right_piece")
+        .limit(20)
+    )

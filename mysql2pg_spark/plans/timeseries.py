@@ -594,3 +594,25 @@ def w09_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_enriched_{next(_sink_counter)}"
     return run_stream_static_enrich(spark, sf_dir, sink)
 
+
+
+# --------------------------------------------------------------------------
+# w11 — bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+# per-key state is evicted once the watermark passes it, so dedup runs
+# with finite memory on an unbounded feed. Fixture span << watermark ⇒
+# output ≡ batch DISTINCT (exact oracle).
+# --------------------------------------------------------------------------
+@query(
+    "w11_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+""",
+    driver=False,
+)
+def w11_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.streaming.ingest import run_dedup_within_watermark
+
+    sink = f"stream_wm_dedup_{next(_sink_counter)}"
+    return run_dedup_within_watermark(spark, sf_dir, sink)

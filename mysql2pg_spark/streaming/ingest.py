@@ -351,3 +351,47 @@ def run_stream_static_enrich(
     q.awaitTermination()
     return spark.table(sink_table)
 
+
+def run_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_wm_dedup",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts a key's state once the watermark passes it, so an unbounded
+    feed dedups with finite memory — the production replacement for
+    w06's unbounded dropDuplicates state. Key = (user_id, event_type),
+    the per-user activity-kind set.
+
+    Correctness contract here: the fixture backlog spans far less than
+    the watermark, so NO state is evicted mid-run and the emitted key
+    set equals batch DISTINCT exactly (same Kappa-equivalence as w06).
+    On a live feed the watermark is the dedup-horizon dial: duplicates
+    farther apart than it may re-emit — by design, that is the price of
+    bounded state."""
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        # several micro-batches so dedup state genuinely carries across
+        .option("maxBytesPerTrigger", 512 * 1024)
+        .parquet(sf_dir)
+    )
+    events = normalize_events_ts(raw)
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table).orderBy("user_id", "event_type")
