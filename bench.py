@@ -72,6 +72,7 @@ EXTRA = [
     "s08_kcenter_coreset",
     "t20_dup_spans",
     "t21_novelty",
+    "t22_bpe_merge_pairs",
 ]
 
 
