@@ -363,3 +363,22 @@ def test_novelty_first_doc_is_fully_novel(spark):
     assert rows[0].novelty == 1.0
     assert all(0.0 <= r.novelty <= 1.0 for r in rows)
     assert all(r.n_novel <= r.n_grams for r in rows)
+
+
+def test_kcenter_handmade_geometry(spark):
+    """1-D corpus with a known greedy order: seed=min id (x=0), then the
+    farthest point each round. Points 0,1,10,11,30 (ids 1..5):
+    round 2 picks x=30 (d2=900), round 3 picks x=10 (min-dist 100 to
+    {0,30} ... x=11 has 81? no: 11->0 is 121, 11->30 is 361 -> min 121)
+    so round 3 is x=11 (d2=121), round 4 x=10? after {0,30,11}: x=10 has
+    min(100, 400, 1) = 1; x=1 has min(1,841,100)=1 -> tie at 1.0,
+    smaller id wins -> id 2 (x=1)."""
+    from mysql2pg_spark.operators.embeddings import kcenter_select
+
+    pts = [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0]), (5, [30.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [
+        (r.rank, r.vec_id, r.radius)
+        for r in kcenter_select(df, "vec_id", "embedding", 4).collect()
+    ]
+    assert got == [(1, 1, 0.0), (2, 5, 900.0), (3, 4, 121.0), (4, 2, 1.0)]

@@ -99,3 +99,12 @@ def test_duplicate_spans_no_all_pairs(spark):
     plan = _plan(spark, "t20_dup_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gram_attribution_queries_stay_key_partitioned(spark):
+    """t21/t22: gram/pair statistics must be hash-partitioned reduces —
+    never a pair-of-docs join (cartesian or broadcast nested loop)."""
+    for name in ("t21_novelty", "t22_bpe_merge_pairs"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
