@@ -147,3 +147,42 @@ def d09_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# u02 — SCD Type 2 history: each user's event_type change feed collapsed
+# into validity intervals (valid_from, valid_to, version, is_current).
+# Single shuffle on user_id (all windows share it). The oracle replays
+# the identical double-row_number islands + lead() close.
+# --------------------------------------------------------------------------
+@query(
+    "u02_scd2_history",
+    oracle="""
+WITH runs AS (
+  SELECT user_id, event_type, _run, min(ts) AS valid_from
+  FROM (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS _run
+    FROM events
+  ) GROUP BY user_id, event_type, _run
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       (lead(valid_from) OVER w IS NULL) AS is_current
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type)
+ORDER BY user_id, version
+""",
+    driver=False,
+)
+def u02_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.upsert import scd2_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        e, ["user_id"], "event_type", "ts", "event_id"
+    ).orderBy("user_id", "version")

@@ -382,3 +382,37 @@ def test_kcenter_handmade_geometry(spark):
         for r in kcenter_select(df, "vec_id", "embedding", 4).collect()
     ]
     assert got == [(1, 1, 0.0), (2, 5, 900.0), (3, 4, 121.0), (4, 2, 1.0)]
+
+
+def test_scd2_intervals_handmade(spark):
+    """Pinned SCD2 semantics: runs collapse, intervals chain end-to-end
+    (valid_to == next valid_from), exactly one current row per key, and
+    a revisited value opens a NEW version (type 2, not type 1)."""
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators.upsert import scd2_intervals
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-02 00:00:00", 1, "a"),   # same run
+        (3, "2024-01-03 00:00:00", 1, "b"),   # change
+        (4, "2024-01-04 00:00:00", 1, "a"),   # back to a -> new version
+        (5, "2024-01-01 00:00:00", 2, "x"),   # second key, single run
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = (
+        scd2_intervals(df, ["user_id"], "event_type", "ts", "event_id")
+        .orderBy("user_id", "version")
+        .collect()
+    )
+    u1 = [r for r in out if r.user_id == 1]
+    assert [(r.event_type, r.version, r.is_current) for r in u1] == [
+        ("a", 1, False), ("b", 2, False), ("a", 3, True),
+    ]
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current
+    assert sum(r.is_current for r in out) == 2
