@@ -27,7 +27,8 @@ for t in TABLE_NAMES:
         f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
     )
 for name in ["q01_pricing_summary", "d06_embedding_neardup",
-             "s01_knn_bruteforce", "sk01_salted_agg", "w01_tumbling_agg"]:
+             "s01_knn_bruteforce", "sk01_salted_agg", "w01_tumbling_agg",
+             "s07_embedding_postproc", "s08_kcenter_coreset"]:
     compare_spark_duckdb(QUERIES[name](spark, "/root/testdata/sf0.01"),
                          con, ORACLES[name])
     print("DETERMINISTIC", name)
@@ -44,4 +45,4 @@ def test_results_partition_independent():
         cwd="/root/repo",
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
-    assert out.stdout.count("DETERMINISTIC") == 5
+    assert out.stdout.count("DETERMINISTIC") == 7
