@@ -116,3 +116,61 @@ def value_outliers(
         joined.filter(lhs > rhs)
         .select(*id_cols, group_col, value_col)
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: Column,
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Distribution-drift profile between two slices of one table (the
+    monitoring primitive run between pipeline versions or time windows):
+    fixed-width histogram of ``value_col``, per-bucket counts for each
+    slice, slice-relative fractions, and the per-bucket chi-square-style
+    contribution (fa−fb)²/(fa+fb).
+
+    Determinism: counts are exact integers aggregated map-side; the
+    fractions and contribution are per-ROW double arithmetic on those
+    integers (no float SUM whose order could differ across engines — a
+    total statistic is the consumer's one-line fold over ~n_buckets
+    rows). The totals window runs over the ALREADY-AGGREGATED n_buckets
+    rows, not the raw table, so the single-partition window is O(buckets)
+    at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col(value_col) / F.lit(float(bucket_width))),
+    ).cast("bigint")
+    grouped = (
+        df.select(bucket.alias("bucket"), split_col.alias("_s"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(~F.col("_s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    w = Window.partitionBy()
+    fa = F.col("n_a").cast("double") / F.sum("n_a").over(w).cast("double")
+    fb = F.col("n_b").cast("double") / F.sum("n_b").over(w).cast("double")
+    diff2 = (fa - fb) * (fa - fb)
+    return (
+        grouped.select(
+            "bucket",
+            "n_a",
+            "n_b",
+            fa.alias("frac_a"),
+            fb.alias("frac_b"),
+            F.when(fa + fb > 0, diff2 / (fa + fb))
+            .otherwise(F.lit(0.0))
+            .alias("drift_term"),
+        )
+        .orderBy("bucket")
+    )

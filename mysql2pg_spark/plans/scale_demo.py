@@ -141,3 +141,49 @@ def qa02_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return value_outliers(e, "user_id", "value", ["event_id"], SIGMA_K)
+
+
+# --------------------------------------------------------------------------
+# qa03 — distribution-drift profile between two deterministic slices of
+# the events feed (event_id parity stands in for "pipeline version A/B"
+# or "this week vs last"): fixed-width value histogram, per-slice exact
+# counts, and the per-bucket chi-square-style drift term. Integer counts
+# shuffle once; fractions are per-row doubles over those integers, so
+# the profile is engine-exact (no cross-engine float SUM ordering).
+# --------------------------------------------------------------------------
+DRIFT_WIDTH = 25.0
+DRIFT_BUCKETS = 20
+
+
+@query(
+    "qa03_drift_profile",
+    oracle=f"""
+WITH g AS (
+  SELECT least({DRIFT_BUCKETS - 1},
+               CAST(floor(value / {DRIFT_WIDTH}) AS BIGINT)) AS bucket,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_b
+  FROM events GROUP BY 1
+), f AS (
+  SELECT bucket, n_a, n_b,
+         CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE) AS frac_a,
+         CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE) AS frac_b
+  FROM g
+)
+SELECT bucket, n_a, n_b, frac_a, frac_b,
+       CASE WHEN frac_a + frac_b > 0
+            THEN (frac_a - frac_b) * (frac_a - frac_b) / (frac_a + frac_b)
+            ELSE 0.0 END AS drift_term
+FROM f ORDER BY bucket
+""",
+    driver=False,
+)
+def qa03_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.quality import distribution_drift
+
+    e = load_table(spark, sf_dir, "events")
+    return distribution_drift(
+        e, "value", F.col("event_id") % 2 == 0, DRIFT_WIDTH, DRIFT_BUCKETS
+    )
