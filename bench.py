@@ -73,6 +73,8 @@ EXTRA = [
     "t20_dup_spans",
     "t21_novelty",
     "t22_bpe_merge_pairs",
+    "qa03_drift_profile",
+    "mm05_phash_neardup",
 ]
 
 

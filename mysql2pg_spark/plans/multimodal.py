@@ -109,3 +109,58 @@ def mm04_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return windowed_energy(attach_binary_payload(d, "text"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# mm05 — perceptual-hash (aHash) near-dup pairs over binary payloads:
+# 48-point downsample → 48-bit average hash → banded Hamming join
+# (3 bands × 16 bits; Hamming <= 2 < 3 bands guarantees a band
+# collision) → bit_count(xor) verify. The media-dedup flow on the
+# codec-free deterministic decode stand-in; same LSH-band scale shape
+# as d03. 16-bit bands keep bucket occupancy ~n/65536 — the 4-bit first
+# cut degenerated toward all-pairs (see the operator docstring).
+# --------------------------------------------------------------------------
+_TH48 = (
+    "[CAST(ascii(substr(text, CAST(least(i * CAST(ceil(strlen(text) / 48.0)"
+    " AS BIGINT), strlen(text) - 1) + 1 AS INT), 1)) AS INT)"
+    " for i in range(0, 48)]"
+)
+
+
+@query(
+    "mm05_phash_neardup",
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id, {_TH48} AS thumb FROM documents
+), h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(thumb,
+             x -> CAST(CASE WHEN x >
+                    (list_reduce(list_prepend(0, thumb), (a, b) -> a + b)
+                     // 48)
+                  THEN 1 ELSE 0 END AS BIGINT))),
+           (a, b) -> a * 2 + b) AS phash
+  FROM th
+), bands AS (
+  SELECT doc_id, phash, u.b AS band,
+         (phash >> (16 * u.b)) & 65535 AS val
+  FROM h, range(0, 3) u(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= 2
+ORDER BY id_a, id_b
+""",
+    driver=False,
+)
+def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.multimodal import phash_neardup
+
+    d = load_table(spark, sf_dir, "documents")
+    return phash_neardup(attach_binary_payload(d, "text"), "doc_id")

@@ -108,3 +108,11 @@ def test_gram_attribution_queries_stay_key_partitioned(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_phash_neardup_no_all_pairs(spark):
+    """mm05: the banded Hamming join must stay an equi-join on
+    (band, val) — never a cartesian/nested-loop pair former."""
+    plan = _plan(spark, "mm05_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
