@@ -153,3 +153,58 @@ def connected_components_star(
         "node", F.col("node").alias("component")
     )
     return labeled.union(rest)
+
+
+PR_SCALE = 10**12  # fixed-point rank unit
+PR_ROUNDS = 5
+
+
+def pagerank_fixed_point(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = PR_ROUNDS,
+) -> DataFrame:
+    """PageRank over an undirected pair graph in FIXED-POINT integer
+    arithmetic: ranks are integers in PR_SCALE units, each round
+    redistributes r div deg along edges and damps with
+    r' = (15·SCALE) div 100 + (85·Σcontrib) div 100. Every operation is
+    integer add/div — sums are order-independent and division is exact,
+    so the result is bit-identical on any engine and any partitioning
+    (a float PageRank would diverge in the groupBy sum order; this is
+    the same engine-exactness trick as qa02's integer moments).
+
+    Centrality = dedup canonical selection: within a near-dup cluster
+    the highest-rank member is the best-connected exemplar.
+
+    Scale: each round is one edges⋈ranks equi-join + one dst groupBy sum
+    (map-side combinable) — PageRank's canonical Pregel shape; rank state
+    is 16 bytes/node. Rounds are fixed (not run to convergence), which
+    is both the production norm and what keeps the oracle unrollable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    for _ in range(rounds):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div deg").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(15 * PR_SCALE // 100).cast("long")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    return ranks

@@ -186,3 +186,64 @@ def u02_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(
         e, ["user_id"], "event_type", "ts", "event_id"
     ).orderBy("user_id", "version")
+
+
+# --------------------------------------------------------------------------
+# cc03 — PageRank canonical selection over the near-dup graph: 5 rounds
+# of FIXED-POINT integer PageRank (bit-exact on any engine — see
+# operators/components.pagerank_fixed_point), joined with the connected
+# components; the highest-rank member of each cluster is its canonical
+# exemplar (best-connected, vs cc01's min-id convention). Oracle unrolls
+# the identical 5 integer rounds over the recursive-CC pair CTEs.
+# --------------------------------------------------------------------------
+def _pagerank_oracle() -> str:
+    from mysql2pg_spark.operators.components import PR_ROUNDS, PR_SCALE
+
+    rounds = []
+    for k in range(1, PR_ROUNDS + 1):
+        rounds.append(f"""
+r{k} AS (
+  SELECT n.node,
+         CAST({15 * PR_SCALE // 100} + (85 * coalesce(s.s, 0)) // 100
+              AS BIGINT) AS r
+  FROM nds n LEFT JOIN (
+    SELECT e.b AS dst, sum(r.r // d.deg) AS s
+    FROM edges e
+    JOIN r{k - 1} r ON r.node = e.a
+    JOIN deg d ON d.src = e.a
+    GROUP BY e.b) s ON s.dst = n.node)""")
+    return f"""
+WITH RECURSIVE {_CC_BODY.strip()},
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+deg AS (SELECT a AS src, count(*) AS deg FROM edges GROUP BY a),
+nds AS (SELECT DISTINCT a AS node FROM edges),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nds),
+{",".join(rounds)}
+SELECT c.component, r.node, r.r AS rank_fp,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY r.r DESC, r.node) = 1) AS is_canonical
+FROM r{PR_ROUNDS} r JOIN comp c ON c.node = r.node
+ORDER BY c.component, r.node
+"""
+
+
+@query("cc03_pagerank_canonical", oracle=_pagerank_oracle(), driver=False)
+def cc03_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from mysql2pg_spark.operators.components import pagerank_fixed_point
+    from mysql2pg_spark.plans.dedup import neardup_pairs
+
+    pairs = neardup_pairs(spark, sf_dir)
+    ranks = pagerank_fixed_point(pairs)
+    comp = connected_components(pairs)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("rank_fp"), F.asc("node")
+    )
+    return (
+        ranks.withColumnRenamed("r", "rank_fp")
+        .join(comp, "node")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("component", "node", "rank_fp", "is_canonical")
+        .orderBy("component", "node")
+    )

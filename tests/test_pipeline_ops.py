@@ -416,3 +416,23 @@ def test_scd2_intervals_handmade(spark):
     u2 = [r for r in out if r.user_id == 2]
     assert len(u2) == 1 and u2[0].is_current
     assert sum(r.is_current for r in out) == 2
+
+
+def test_pagerank_star_center_is_canonical(spark):
+    """On a star graph the hub must out-rank every leaf (and win the
+    canonical flag); fixed-point ranks are exact integers so the
+    assertion is equality-safe."""
+    from mysql2pg_spark.operators.components import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13)], "id_a long, id_b long"
+    )
+    r = {row.node: row.r for row in pagerank_fixed_point(pairs).collect()}
+    assert r[1] > r[10]
+    assert r[10] == r[11] == r[12] == r[13]
+    # leaves send their whole rank to the hub: round-1 hub rank is
+    # 0.15 + 0.85*4 in SCALE units; exact integer arithmetic
+    assert r[1] > PR_SCALE  # hub above the uniform start
