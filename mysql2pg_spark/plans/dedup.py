@@ -359,3 +359,72 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(
         history, delta, "doc_id", "text", JACCARD_T, NGRAM, NUM_HASHES
     )
+
+
+# --------------------------------------------------------------------------
+# d13 — edit-distance near-dup verification: the LSH candidate pairs
+# re-verified with character-level Levenshtein on the normalized text —
+# the short-text dedup verifier (n-gram Jaccard is blind to within-word
+# edits; edit distance is not). Distance and the length-normalized
+# similarity are exact integers / per-row doubles, so the output is
+# engine-exact. Candidates come from the SAME banded LSH join as d03 —
+# the O(n·m) DP per pair is bounded by the candidate count, never
+# |corpus|²; at 100 TB you'd also cap max(len) per side (docstring
+# contract, here the fixture is short).
+# --------------------------------------------------------------------------
+EDIT_SIM_T = 0.6
+
+
+@query(
+    "d13_editdistance_verify",
+    oracle=f"""
+WITH {_MINHASH_CTE}, {_BANDS_CTE}, {_CAND_CTE},
+norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+  FROM documents
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(levenshtein(na.s, nb.s) AS BIGINT) AS edit_dist,
+         greatest(strlen(na.s), strlen(nb.s)) AS max_len
+  FROM cand
+  JOIN norm na ON na.doc_id = cand.id_a
+  JOIN norm nb ON nb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, edit_dist,
+       1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE) AS edit_sim
+FROM scored
+WHERE 1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE)
+      >= {EDIT_SIM_T}
+ORDER BY id_a, id_b
+""",
+    driver=False,
+)
+def d13_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias(
+            "s"
+        ),
+    )
+    cands = D.lsh_candidate_pairs(
+        cached_signatures(spark, sf_dir), "doc_id", NUM_HASHES
+    )
+    na = norm.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    dist = F.levenshtein("sa", "sb").cast("bigint")
+    max_len = F.greatest(F.length("sa"), F.length("sb"))
+    sim = F.lit(1.0) - dist.cast("double") / max_len.cast("double")
+    return (
+        cands.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= EDIT_SIM_T)
+        .orderBy("id_a", "id_b")
+    )

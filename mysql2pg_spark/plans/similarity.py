@@ -751,3 +751,71 @@ def s08_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kcenter_select(e, "vec_id", "embedding", KC_K)
+
+
+# --------------------------------------------------------------------------
+# s09 — per-dimension embedding health stats: mean / variance / range of
+# every embedding dimension across the corpus — the standard embedding
+# QA sweep (collapsed or exploded dims break downstream ANN). Values are
+# quantized to 1e-6 integers first (floor(x·1e6 + 0.5), never round()),
+# so the sums are order-independent integers and the final mean/variance
+# are per-row doubles over those integers — engine-exact, the qa02
+# moment trick. posexplode + groupBy(dim): one shuffle, 64 groups,
+# map-side combinable. (At ~1e12 rows the s2 int64 headroom runs out —
+# the scale path switches s2 to per-partition partial DOUBLEs or 128-bit
+# decimal; the fixture stays exact.)
+# --------------------------------------------------------------------------
+@query(
+    "s09_dim_stats",
+    oracle="""
+WITH q AS (
+  SELECT u.i - 1 AS dim,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings, range(1, 65) u(i)
+), m AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qx) AS BIGINT) AS s1,
+         CAST(sum(qx * qx) AS BIGINT) AS s2,
+         CAST(min(qx) AS BIGINT) AS min_q,
+         CAST(max(qx) AS BIGINT) AS max_q
+  FROM q GROUP BY dim
+)
+SELECT dim, n,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+       (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_q,
+       min_q, max_q
+FROM m ORDER BY dim
+""",
+    driver=False,
+)
+def s09_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qx = F.floor(
+        F.col("x").cast("double") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    q = e.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(F.col("dim").cast("bigint"), qx.alias("qx"))
+    m = q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("s1"),
+        F.sum(F.col("qx") * F.col("qx")).alias("s2"),
+        F.min("qx").alias("min_q"),
+        F.max("qx").alias("max_q"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "dim",
+        "n",
+        (F.col("s1").cast("double") / nd).alias("mean_q"),
+        (
+            (nd * F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double"))
+            / (nd * nd)
+        ).alias("var_q"),
+        "min_q",
+        "max_q",
+    ).orderBy("dim")
