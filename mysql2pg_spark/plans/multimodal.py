@@ -164,3 +164,50 @@ def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return phash_neardup(attach_binary_payload(d, "text"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# mm06 — cross-document frame dedup: fingerprint every sampled frame
+# (mm02's 1→N fan-out) and report fingerprints shared by >= 2 documents
+# — the content-addressed storage-dedup pass of a video pipeline (shared
+# intros/watermarks dedup to one stored copy). One groupBy on the frame
+# hash, map-side combinable; no pair joins.
+# --------------------------------------------------------------------------
+@query(
+    "mm06_frame_dedup",
+    oracle="""
+WITH f AS (
+  SELECT d.doc_id,
+         md5(substr(d.text, CAST(u.i * 64 + 1 AS INT), 64)) AS frame_md5
+  FROM documents d,
+       unnest(range(0, CAST(ceil(strlen(d.text) / 64.0) AS BIGINT), 4)) u(i)
+)
+SELECT frame_md5,
+       CAST(count(*) AS BIGINT)              AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT)           AS canonical_doc
+FROM f GROUP BY frame_md5
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY frame_md5
+""",
+    driver=False,
+)
+def mm06_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_binary_payload(d, "text"), "doc_id", frame_bytes=64, stride=4
+    )
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("frame_md5")
+    )

@@ -70,3 +70,68 @@ def val02_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# val03 — ANALYZE-style per-column statistics for the orders table:
+# count / nulls / exact NDV / numeric min-max — the optimizer-statistics
+# collection pass (the reference's A12 row count generalized to the
+# stats a cost-based planner actually consumes). One aggregate computes
+# every column's stats in a single scan (no per-column passes); NDV here
+# is exact count_distinct for oracle parity — at 100 TB you'd flip the
+# same plan to approx_count_distinct (sk02's tolerance pattern).
+# --------------------------------------------------------------------------
+_STAT_STR_COLS = ("o_orderstatus", "o_orderpriority")
+_STAT_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "val03_table_stats",
+    oracle=" UNION ALL ".join(
+        [
+            f"""SELECT '{c}' AS col_name, COUNT(*) AS n,
+  CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+FROM orders"""
+            for c in _STAT_STR_COLS
+        ]
+        + [
+            f"""SELECT '{c}', COUNT(*),
+  CAST(COUNT(*) - COUNT({c}) AS BIGINT),
+  CAST(COUNT(DISTINCT {c}) AS BIGINT),
+  CAST(MIN({c}) AS DOUBLE), CAST(MAX({c}) AS DOUBLE)
+FROM orders"""
+            for c in _STAT_NUM_COLS
+        ]
+    )
+    + " ORDER BY col_name",
+)
+def val03_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _STAT_STR_COLS + _STAT_NUM_COLS:
+        is_num = c in _STAT_NUM_COLS
+        parts.append(
+            o.agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
+                    "n_null"
+                ),
+                F.count_distinct(F.col(c)).alias("ndv"),
+                (
+                    F.min(c).cast("double")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.max(c).cast("double")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
