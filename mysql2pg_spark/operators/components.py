@@ -197,13 +197,22 @@ def pagerank_fixed_point(
             .select(F.col("dst"), F.expr("r div deg").alias("c"))
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        # floor(85·s/100) decomposed as 85·(s div 100) + (85·(s mod 100))
+        # div 100 — exact for s = 100q + r, and never forms 85·s, which
+        # would overflow int64 for a hub collecting ≳1.1e5·SCALE of rank
+        # (a giant boilerplate cluster). Headroom is now bounded by s
+        # itself: ~9.2e6·SCALE of incoming rank per node; beyond that,
+        # lower PR_SCALE.
         ranks = (
             nodes.join(sums, nodes["node"] == sums["dst"], "left")
             .select(
                 "node",
                 (
                     F.lit(15 * PR_SCALE // 100).cast("long")
-                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                    + F.expr(
+                        "85 * (coalesce(s, 0L) div 100) "
+                        "+ (85 * (coalesce(s, 0L) % 100)) div 100"
+                    )
                 ).alias("r"),
             )
         )

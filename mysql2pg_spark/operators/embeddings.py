@@ -31,8 +31,14 @@ def l2_norm(v) -> Column:
 
 
 def unit_vector(v, norm: Column) -> Column:
-    """v / ||v|| with the norm passed in (fold it ONCE per vector)."""
-    return F.transform(_c(v), lambda x: x.cast("double") / norm)
+    """v / ||v|| with the norm passed in (fold it ONCE per vector).
+    Zero norm → NULL elements, not a crash: under Spark 4's default
+    ANSI mode x/0.0 raises DIVIDE_BY_ZERO, while SQL engines return
+    NULL — the guard keeps both engines on the NULL behavior."""
+    return F.transform(
+        _c(v),
+        lambda x: F.when(norm != 0, x.cast("double") / norm),
+    )
 
 
 def matryoshka_norm(v, dims: int) -> Column:
@@ -114,15 +120,22 @@ def kcenter_select(df, id_col: str, vec_col: str, k: int):
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _sq_dist(F.col(vec_col), first["vec"]).alias("mind"),
-    )
+    ).filter(F.col("id") != first["id"])
     for r in range(2, k + 1):
+        # selected ids leave the pool: without this, a corpus whose
+        # remaining max distance is 0 (duplicate vectors) re-selects an
+        # existing center instead of a remaining point
         best = (
             state.orderBy(F.desc("mind"), F.asc("id"))
             .select("id", "vec", "mind")
             .first()
         )
+        if best is None:
+            raise ValueError(
+                f"kcenter_select: k={k} exceeds the number of points"
+            )
         centers.append((r, best["id"], best["mind"]))
-        state = state.withColumn(
+        state = state.filter(F.col("id") != best["id"]).withColumn(
             "mind", F.least(F.col("mind"), _sq_dist(F.col("vec"), best["vec"]))
         )
     spark = df.sparkSession

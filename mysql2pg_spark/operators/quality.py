@@ -158,8 +158,12 @@ def distribution_drift(
         )
     )
     w = Window.partitionBy()
-    fa = F.col("n_a").cast("double") / F.sum("n_a").over(w).cast("double")
-    fb = F.col("n_b").cast("double") / F.sum("n_b").over(w).cast("double")
+    ta = F.sum("n_a").over(w)
+    tb = F.sum("n_b").over(w)
+    # empty slice → NULL fraction (matching SQL-engine 0/0 → NULL), not
+    # a NaN/ANSI-error divergence
+    fa = F.when(ta > 0, F.col("n_a").cast("double") / ta.cast("double"))
+    fb = F.when(tb > 0, F.col("n_b").cast("double") / tb.cast("double"))
     diff2 = (fa - fb) * (fa - fb)
     return (
         grouped.select(

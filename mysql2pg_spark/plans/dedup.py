@@ -386,7 +386,9 @@ norm AS (
 scored AS (
   SELECT cand.id_a, cand.id_b,
          CAST(levenshtein(na.s, nb.s) AS BIGINT) AS edit_dist,
-         greatest(strlen(na.s), strlen(nb.s)) AS max_len
+         -- length(), not strlen(): Spark's F.length counts CHARACTERS;
+         -- DuckDB strlen counts bytes and diverges on non-ASCII text
+         greatest(length(na.s), length(nb.s)) AS max_len
   FROM cand
   JOIN norm na ON na.doc_id = cand.id_a
   JOIN norm nb ON nb.doc_id = cand.id_b

@@ -201,10 +201,14 @@ def _pagerank_oracle() -> str:
 
     rounds = []
     for k in range(1, PR_ROUNDS + 1):
+        # 85·s decomposed exactly like the operator (overflow-safe):
+        # 85·(s div 100) + (85·(s mod 100)) div 100
         rounds.append(f"""
 r{k} AS (
   SELECT n.node,
-         CAST({15 * PR_SCALE // 100} + (85 * coalesce(s.s, 0)) // 100
+         CAST({15 * PR_SCALE // 100}
+              + 85 * (coalesce(s.s, 0) // 100)
+              + (85 * (coalesce(s.s, 0) % 100)) // 100
               AS BIGINT) AS r
   FROM nds n LEFT JOIN (
     SELECT e.b AS dst, sum(r.r // d.deg) AS s

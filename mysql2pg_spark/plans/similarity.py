@@ -713,12 +713,15 @@ def _d2_sql(a: str, b: str) -> str:
 
 
 def _kcenter_oracle(k: int) -> str:
+    # selected points leave the pool at every step (m_r excludes c_r's
+    # id), mirroring the operator: without this, an all-duplicates pool
+    # would re-select an existing center
     ctes = [
         "c1 AS (SELECT vec_id, embedding FROM embeddings "
         "ORDER BY vec_id LIMIT 1)",
         "m1 AS (SELECT e.vec_id, e.embedding, "
         f"{_d2_sql('e.embedding', 'c.embedding')} AS mind "
-        "FROM embeddings e, c1 c)",
+        "FROM embeddings e, c1 c WHERE e.vec_id <> c.vec_id)",
     ]
     for r in range(2, k + 1):
         ctes.append(
@@ -729,7 +732,7 @@ def _kcenter_oracle(k: int) -> str:
             ctes.append(
                 f"m{r} AS (SELECT m.vec_id, m.embedding, least(m.mind, "
                 f"{_d2_sql('m.embedding', 'c.embedding')}) AS mind "
-                f"FROM m{r - 1} m, c{r} c)"
+                f"FROM m{r - 1} m, c{r} c WHERE m.vec_id <> c.vec_id)"
             )
     selects = [
         "SELECT CAST(1 AS BIGINT) AS rank, vec_id, "

@@ -109,29 +109,32 @@ FROM orders"""
 )
 def val03_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    parts = []
-    for c in _STAT_STR_COLS + _STAT_NUM_COLS:
-        is_num = c in _STAT_NUM_COLS
-        parts.append(
-            o.agg(
-                F.count(F.lit(1)).alias("n"),
-                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
-                    "n_null"
-                ),
-                F.count_distinct(F.col(c)).alias("ndv"),
-                (
-                    F.min(c).cast("double")
-                    if is_num
-                    else F.lit(None).cast("double")
-                ).alias("min_num"),
-                (
-                    F.max(c).cast("double")
-                    if is_num
-                    else F.lit(None).cast("double")
-                ).alias("max_num"),
-            ).select(F.lit(c).alias("col_name"), "*")
+    cols = _STAT_STR_COLS + _STAT_NUM_COLS
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"cnt_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
+    for c in _STAT_NUM_COLS:
+        aggs.append(F.min(c).cast("double").alias(f"min_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"max_{c}"))
+    # every column's stats ride ONE aggregate over ONE scan; stack()
+    # unpivots the single row into the per-column shape (a union of
+    # per-column o.agg() selects would re-scan the table per column)
+    rows = []
+    for c in cols:
+        minmax = (
+            f"min_{c}, max_{c}"
+            if c in _STAT_NUM_COLS
+            else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("col_name")
+        rows.append(
+            f"'{c}', n, CAST(n - cnt_{c} AS BIGINT), ndv_{c}, {minmax}"
+        )
+    return (
+        o.agg(*aggs)
+        .selectExpr(
+            f"stack({len(cols)}, {', '.join(rows)}) AS "
+            "(col_name, n, n_null, ndv, min_num, max_num)"
+        )
+        .orderBy("col_name")
+    )

@@ -370,14 +370,23 @@ def run_dedup_within_watermark(
     On a live feed the watermark is the dedup-horizon dial: duplicates
     farther apart than it may re-emit — by design, that is the price of
     bounded state."""
+    import tempfile
+
     path = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(path).schema
+    # Stage the backlog as SEVERAL files and trigger one file per
+    # micro-batch: the file stream source never splits one file across
+    # triggers (maxBytesPerTrigger groups whole files), so streaming the
+    # single fixture file would be ONE batch and the cross-batch state
+    # eviction contract under test would never actually engage.
+    stage = tempfile.mkdtemp(prefix="wm_dedup_stage_")
+    spark.read.parquet(path).repartition(8).write.mode("overwrite").parquet(
+        stage
+    )
+    batch_schema = spark.read.parquet(stage).schema
     raw = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        # several micro-batches so dedup state genuinely carries across
-        .option("maxBytesPerTrigger", 512 * 1024)
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
     )
     events = normalize_events_ts(raw)
     deduped = (

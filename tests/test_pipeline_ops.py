@@ -436,3 +436,55 @@ def test_pagerank_star_center_is_canonical(spark):
     # leaves send their whole rank to the hub: round-1 hub rank is
     # 0.15 + 0.85*4 in SCALE units; exact integer arithmetic
     assert r[1] > PR_SCALE  # hub above the uniform start
+
+
+def test_review_fixes_zero_norm_and_empty_slice(spark):
+    """Round-5 review regressions: zero-norm unit vectors yield NULLs
+    (not an ANSI divide-by-zero abort); an empty drift slice yields NULL
+    fractions (not NaN or a crash)."""
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators.embeddings import l2_norm, unit_vector
+    from mysql2pg_spark.operators.quality import distribution_drift
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r.u
+        for r in df.select(
+            "vec_id",
+            unit_vector("embedding", l2_norm("embedding")).alias("u"),
+        ).collect()
+    }
+    assert rows[1] == [None, None]
+    assert rows[2] == [0.6, 0.8]
+
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, 40.0)], "event_id long, value double"
+    )
+    out = distribution_drift(ev, "value", F.lit(False), 25.0, 4).collect()
+    assert all(r.frac_a is None for r in out)  # empty slice, no crash
+    assert all(r.drift_term == 0.0 for r in out)
+
+
+def test_kcenter_duplicates_and_exhaustion(spark):
+    """Selected points leave the pool: with duplicate vectors the
+    remaining duplicate is selected (radius 0) instead of re-selecting a
+    center; k beyond the point count raises."""
+    import pytest as _pytest
+
+    from mysql2pg_spark.operators.embeddings import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [0.0]), (3, [5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r.rank, r.vec_id, r.radius)
+        for r in kcenter_select(df, "vec_id", "embedding", 3).collect()
+    ]
+    assert got == [(1, 1, 0.0), (2, 3, 25.0), (3, 2, 0.0)]
+    with _pytest.raises(ValueError, match="exceeds"):
+        kcenter_select(df, "vec_id", "embedding", 4)
