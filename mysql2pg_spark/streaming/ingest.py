@@ -36,6 +36,42 @@ def windowed_value_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+
+def stage_stream_files(
+    spark: SparkSession, path: str, order_col: str, n_files: int = 8
+) -> str:
+    """Stage a single-file backlog as ``n_files`` range-ordered files so
+    the file stream source genuinely produces multiple micro-batches.
+
+    The fixture backlog is ONE parquet file, and FileStreamSource never
+    splits a file across triggers (maxBytesPerTrigger only groups whole
+    files) — so streaming the file directly is a single micro-batch and
+    "state carries across batches" claims are never actually exercised
+    (verified empirically: w04's update-mode sink held exactly one row
+    per user). Staging fixes that: repartitionByRange(order_col) writes
+    files whose order_col ranges are disjoint and ascending, and mtimes
+    are forced ascending in that same order so the source (which orders
+    by file timestamp) replays them in event order — watermarks advance
+    monotonically and never drop an in-order backlog row. Read with
+    maxFilesPerTrigger=1 for one batch per file."""
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_stage_")
+    (
+        spark.read.parquet(path)
+        .repartitionByRange(n_files, order_col)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    parts = sorted(
+        f for f in os.listdir(stage) if f.startswith("part-")
+    )
+    base = int(os.path.getmtime(os.path.join(stage, parts[0])))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(stage, f), (base + i, base + i))
+    return stage
+
+
 def run_streaming_backfill(
     spark: SparkSession,
     sf_dir: str,
@@ -53,12 +89,11 @@ def run_streaming_backfill(
     would."""
     path = os.path.join(sf_dir, "events.parquet")
     batch_schema = spark.read.parquet(path).schema
-    # FileStreamSource requires a directory: stream the sf dir with a glob
-    # restricted to the events file.
+    stage = stage_stream_files(spark, path, "ts")
     raw = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
     )
     # same type-adaptive ts canonicalization as tables.load_table
     events = normalize_events_ts(raw)
@@ -94,12 +129,12 @@ def run_stateful_user_counts(
 
     path = os.path.join(sf_dir, "events.parquet")
     batch_schema = spark.read.parquet(path).schema
+    # several micro-batches so state genuinely carries across batches
+    stage = stage_stream_files(spark, path, "ts")
     raw = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        # several micro-batches so state genuinely carries across batches
-        .option("maxBytesPerTrigger", 512 * 1024)
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
     )
     events = normalize_events_ts(raw)
 
@@ -150,12 +185,12 @@ def run_streaming_dedup(
 
     path = os.path.join(sf_dir, "documents.parquet")
     batch_schema = spark.read.parquet(path).schema
+    # several micro-batches so dedup state genuinely carries across
+    stage = stage_stream_files(spark, path, "doc_id")
     raw = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        # several micro-batches so dedup state genuinely carries across
-        .option("maxBytesPerTrigger", 256 * 1024)
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
     )
     deduped = raw.select(fingerprint("text").alias("fp")).dropDuplicates(["fp"])
     q = (
@@ -191,14 +226,15 @@ def run_stream_stream_join(
     """
     path = os.path.join(sf_dir, "events.parquet")
     batch_schema = spark.read.parquet(path).schema
+    # several micro-batches so join state genuinely buffers; one staged
+    # dir shared by both sides
+    stage = stage_stream_files(spark, path, "ts")
 
     def side(event_type: str, prefix: str) -> DataFrame:
         raw = (
             spark.readStream.schema(batch_schema)
-            .option("pathGlobFilter", "events.parquet")
-            # several micro-batches so join state genuinely buffers
-            .option("maxBytesPerTrigger", 512 * 1024)
-            .parquet(sf_dir)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
         )
         e = normalize_events_ts(raw)
         return (
@@ -258,12 +294,12 @@ def run_streaming_upsert(
         store_dir = tempfile.mkdtemp(prefix="stream_upsert_store_")
     path = os.path.join(sf_dir, "events.parquet")
     batch_schema = spark.read.parquet(path).schema
+    # several micro-batches so the merge genuinely runs per batch
+    stage = stage_stream_files(spark, path, "ts")
     raw = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        # several micro-batches so the merge genuinely runs per batch
-        .option("maxBytesPerTrigger", 512 * 1024)
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
     )
     events = normalize_events_ts(raw)
 
@@ -327,11 +363,11 @@ def run_stream_static_enrich(
         F.count(F.lit(1)).alias("n_total"),
     )
 
+    stage = stage_stream_files(spark, path, "ts")
     raw = (
         spark.readStream.schema(spark.read.parquet(path).schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxBytesPerTrigger", 512 * 1024)
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
     )
     events = normalize_events_ts(raw)
     enriched = events.join(profile, "user_id").select(
@@ -370,18 +406,9 @@ def run_dedup_within_watermark(
     On a live feed the watermark is the dedup-horizon dial: duplicates
     farther apart than it may re-emit — by design, that is the price of
     bounded state."""
-    import tempfile
-
     path = os.path.join(sf_dir, "events.parquet")
-    # Stage the backlog as SEVERAL files and trigger one file per
-    # micro-batch: the file stream source never splits one file across
-    # triggers (maxBytesPerTrigger groups whole files), so streaming the
-    # single fixture file would be ONE batch and the cross-batch state
-    # eviction contract under test would never actually engage.
-    stage = tempfile.mkdtemp(prefix="wm_dedup_stage_")
-    spark.read.parquet(path).repartition(8).write.mode("overwrite").parquet(
-        stage
-    )
+    # several genuinely separate micro-batches (see stage_stream_files)
+    stage = stage_stream_files(spark, path, "ts")
     batch_schema = spark.read.parquet(stage).schema
     raw = (
         spark.readStream.schema(batch_schema)
