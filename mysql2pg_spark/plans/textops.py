@@ -1157,3 +1157,78 @@ def t22_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "left_piece", "right_piece")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# t23 — Gopher-style top-n-gram repetition fractions (Rae et al.
+# arXiv:2112.11446 Table A1): for n = 2,3,4 the fraction of the doc's
+# tokens covered by its MOST FREQUENT n-gram (count·n / n_tokens) — the
+# "most common 2-gram > 0.20 of text" family of filter rules. Positional
+# (non-distinct) grams; per-(doc, gram) count then per-doc max, all
+# map-side combinable; the three gram sizes join back on doc_id.
+# --------------------------------------------------------------------------
+def _topgram_sql(n: int) -> str:
+    return f"""
+  SELECT doc_id, max(c) AS m{n} FROM (
+    SELECT doc_id, gram, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - {n} + 1, 0) + 1),
+               i -> array_to_string(toks[i:i + {n - 1}], ' '))) AS gram
+      FROM t) GROUP BY doc_id, gram
+  ) GROUP BY doc_id"""
+
+
+@query(
+    "t23_gopher_ngram_fractions",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g2 AS ({_topgram_sql(2)}),
+g3 AS ({_topgram_sql(3)}),
+g4 AS ({_topgram_sql(4)})
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT)                        AS n_tokens,
+       CAST(g2.m2 * 2 AS DOUBLE) / len(t.toks)            AS top2_frac,
+       CAST(g3.m3 * 3 AS DOUBLE) / len(t.toks)            AS top3_frac,
+       CAST(g4.m4 * 4 AS DOUBLE) / len(t.toks)            AS top4_frac
+FROM t
+LEFT JOIN g2 ON g2.doc_id = t.doc_id
+LEFT JOIN g3 ON g3.doc_id = t.doc_id
+LEFT JOIN g4 ON g4.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+    driver=False,
+)
+def t23_gopher_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens("text").alias("toks"))
+    base = toks.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    out = base
+    for n in (2, 3, 4):
+        grams = toks.select(
+            "doc_id",
+            F.explode(T.positional_ngrams(F.col("toks"), n)).alias("pg"),
+        ).select("doc_id", F.col("pg.gram").alias("gram"))
+        m = (
+            grams.groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(f"m{n}"))
+        )
+        out = out.join(m, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        *[
+            (F.col(f"m{n}") * n).cast("double").alias(f"_t{n}")
+            for n in (2, 3, 4)
+        ],
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_t2") / F.col("n_tokens")).alias("top2_frac"),
+        (F.col("_t3") / F.col("n_tokens")).alias("top3_frac"),
+        (F.col("_t4") / F.col("n_tokens")).alias("top4_frac"),
+    ).orderBy("doc_id")
