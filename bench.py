@@ -75,6 +75,13 @@ EXTRA = [
     "t22_bpe_merge_pairs",
     "qa03_drift_profile",
     "mm05_phash_neardup",
+    "mm06_frame_dedup",
+    "d13_editdistance_verify",
+    "s09_dim_stats",
+    "u02_scd2_history",
+    "val03_table_stats",
+    "t23_gopher_ngram_fractions",
+    "cc03_pagerank_canonical",
 ]
 
 

@@ -182,10 +182,17 @@ def pagerank_fixed_point(
     is 16 bytes/node. Rounds are fixed (not run to convergence), which
     is both the production norm and what keeps the oracle unrollable.
     """
+    # Materialize the edge list ONCE: every round consumes it (and deg /
+    # nodes derive from it), and `pairs` is typically the whole LSH
+    # near-dup pipeline — without the checkpoint each of the ~2·rounds
+    # consumers re-executes that pipeline (observed 37 s -> ~4 s at
+    # sf0.1). This is the write-the-graph-to-parquet boundary of a real
+    # pipeline.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()

@@ -238,7 +238,10 @@ def cc03_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.operators.components import pagerank_fixed_point
     from mysql2pg_spark.plans.dedup import neardup_pairs
 
-    pairs = neardup_pairs(spark, sf_dir)
+    # one LSH pipeline execution feeds BOTH consumers (pagerank and the
+    # component labeling are each iterative — without this the pair
+    # pipeline re-executes once per internal round)
+    pairs = neardup_pairs(spark, sf_dir).localCheckpoint(eager=False)
     ranks = pagerank_fixed_point(pairs)
     comp = connected_components(pairs)
     w = Window.partitionBy("component").orderBy(

@@ -106,6 +106,7 @@ FROM orders"""
         ]
     )
     + " ORDER BY col_name",
+    driver=False,  # 50-slot driver window is full; pytest-oracle-checked
 )
 def val03_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
