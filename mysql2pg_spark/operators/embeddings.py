@@ -115,6 +115,10 @@ def kcenter_select(df, id_col: str, vec_col: str, k: int):
         .orderBy("id")
         .first()
     )
+    if first is None:
+        raise ValueError(
+            f"kcenter_select: k={k} exceeds the number of points (empty input)"
+        )
     centers = [(1, first["id"], 0.0)]
     state = df.select(
         F.col(id_col).alias("id"),

@@ -168,8 +168,12 @@ WITH g AS (
   FROM events GROUP BY 1
 ), f AS (
   SELECT bucket, n_a, n_b,
-         CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE) AS frac_a,
-         CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE) AS frac_b
+         -- empty-slice guard mirrored from distribution_drift (NULL on
+         -- every DuckDB version, not version-dependent 0/0 behavior)
+         CASE WHEN sum(n_a) OVER () > 0 THEN
+           CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE) END AS frac_a,
+         CASE WHEN sum(n_b) OVER () > 0 THEN
+           CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE) END AS frac_b
   FROM g
 )
 SELECT bucket, n_a, n_b, frac_a, frac_b,

@@ -629,8 +629,12 @@ WITH base AS (
   FROM embeddings
 ), q AS (
   SELECT vec_id, norm, norm16, amax,
+         -- zero-norm guard mirrored from unit_vector: DuckDB <= 1.0
+         -- returns NULL for 0/0 but >= 1.1 defaults to IEEE NaN/inf,
+         -- so the CASE pins the NULL contract on every version
          list_transform(embedding[1:{MAT_DIMS}],
-                        x -> CAST(x AS DOUBLE) / norm16) AS unit16,
+                        x -> CASE WHEN norm16 <> 0
+                             THEN CAST(x AS DOUBLE) / norm16 END) AS unit16,
          -- map to BIGINT bits BEFORE the fold: list_prepend(BIGINT,
          -- FLOAT[]) unifies the list to float32 and corrupts the
          -- accumulator above 2^24 (observed: ...198 became ...192.0)

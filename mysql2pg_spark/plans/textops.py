@@ -1160,12 +1160,16 @@ def t22_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# t23 — Gopher-style top-n-gram repetition fractions (Rae et al.
-# arXiv:2112.11446 Table A1): for n = 2,3,4 the fraction of the doc's
-# tokens covered by its MOST FREQUENT n-gram (count·n / n_tokens) — the
-# "most common 2-gram > 0.20 of text" family of filter rules. Positional
-# (non-distinct) grams; per-(doc, gram) count then per-doc max, all
-# map-side combinable; the three gram sizes join back on doc_id.
+# t23 — Gopher-style top-n-gram repetition signals (Rae et al.
+# arXiv:2112.11446 Table A1): for n = 2,3,4 the statistic
+# count·n / n_tokens of the doc's MOST FREQUENT n-gram — the
+# "most common 2-gram > 0.20 of text" family of filter rules. NOTE:
+# overlapping occurrences are counted as Gopher does, so the value can
+# EXCEED 1.0 on degenerate repeats ("x x x x" → top2 = 1.5); it is a
+# repetition score thresholded low, not a [0,1] coverage fraction.
+# ONE scan: all three gram sizes ride a single (n, gram) explode, then
+# per-(doc, n, gram) count → per-(doc, n) max → pivot; every stage
+# map-side combinable.
 # --------------------------------------------------------------------------
 def _topgram_sql(n: int) -> str:
     return f"""
@@ -1202,33 +1206,41 @@ ORDER BY t.doc_id
 def t23_gopher_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
+    def _tag(n: int):
+        # a one-arg lambda is essential: transform() treats a second
+        # lambda parameter as the ELEMENT INDEX, so `lambda pg, n=n`
+        # silently rebinds n per element
+        return F.transform(
+            T.positional_ngrams(F.col("toks"), n),
+            lambda pg: F.struct(
+                F.lit(n).alias("n"), pg["gram"].alias("gram")
+            ),
+        )
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in (2, 3, 4)]))
+    m = (
+        toks.select("doc_id", F.explode(tagged).alias("tg"))
+        .select("doc_id", "tg.n", "tg.gram")
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .pivot("n", [2, 3, 4])
+        .max("c")
+    )
     base = toks.select(
         "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
     )
-    out = base
-    for n in (2, 3, 4):
-        grams = toks.select(
+    return (
+        base.join(m, "doc_id", "left")
+        .select(
             "doc_id",
-            F.explode(T.positional_ngrams(F.col("toks"), n)).alias("pg"),
-        ).select("doc_id", F.col("pg.gram").alias("gram"))
-        m = (
-            grams.groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("doc_id")
-            .agg(F.max("c").alias(f"m{n}"))
+            "n_tokens",
+            *[
+                (
+                    (F.col(str(n)) * n).cast("double") / F.col("n_tokens")
+                ).alias(f"top{n}_frac")
+                for n in (2, 3, 4)
+            ],
         )
-        out = out.join(m, "doc_id", "left")
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        *[
-            (F.col(f"m{n}") * n).cast("double").alias(f"_t{n}")
-            for n in (2, 3, 4)
-        ],
-    ).select(
-        "doc_id",
-        "n_tokens",
-        (F.col("_t2") / F.col("n_tokens")).alias("top2_frac"),
-        (F.col("_t3") / F.col("n_tokens")).alias("top3_frac"),
-        (F.col("_t4") / F.col("n_tokens")).alias("top4_frac"),
-    ).orderBy("doc_id")
+        .orderBy("doc_id")
+    )

@@ -54,9 +54,12 @@ def stage_stream_files(
     by file timestamp) replays them in event order — watermarks advance
     monotonically and never drop an in-order backlog row. Read with
     maxFilesPerTrigger=1 for one batch per file."""
+    import atexit
+    import shutil
     import tempfile
 
     stage = tempfile.mkdtemp(prefix="stream_stage_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     (
         spark.read.parquet(path)
         .repartitionByRange(n_files, order_col)
@@ -66,6 +69,8 @@ def stage_stream_files(
     parts = sorted(
         f for f in os.listdir(stage) if f.startswith("part-")
     )
+    if not parts:
+        raise ValueError(f"stage_stream_files: no rows staged from {path}")
     base = int(os.path.getmtime(os.path.join(stage, parts[0])))
     for i, f in enumerate(parts):
         os.utime(os.path.join(stage, f), (base + i, base + i))
