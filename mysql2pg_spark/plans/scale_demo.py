@@ -191,3 +191,67 @@ def qa03_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         e, "value", F.col("event_id") % 2 == 0, DRIFT_WIDTH, DRIFT_BUCKETS
     )
+
+
+# --------------------------------------------------------------------------
+# qa05 — engine-exact Pearson correlation (value vs hour-of-day, per
+# event type): the profiling statistic computed the qa02 way — quantize
+# to integers (floor(v·100 + 0.5)), aggregate EXACT integer moments
+# (order-independent sums), finish with per-row double arithmetic on
+# those integers. A float corr() aggregate would diverge across engines
+# with partitioning; this cannot. One combineable shuffle, 5 groups.
+# --------------------------------------------------------------------------
+@query(
+    "qa05_correlation_profile",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxy,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))
+       END AS pearson_r
+FROM m ORDER BY event_type
+""",
+    driver=False,
+)
+def qa05_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return m.select(
+        "event_type", "n", "sx", "sy", "sxy", r.alias("pearson_r")
+    ).orderBy("event_type")
