@@ -82,6 +82,7 @@ EXTRA = [
     "val03_table_stats",
     "t23_gopher_ngram_fractions",
     "cc03_pagerank_canonical",
+    "qa05_correlation_profile",
 ]
 
 
