@@ -826,3 +826,67 @@ def s09_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_q",
         "max_q",
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# s10 — embedding-space cosine histogram over DETERMINISTIC sampled
+# pairs: each vector pairs with its id+stride neighbor for three fixed
+# strides — an unbiased-enough similarity-distribution probe (the
+# embedding-health companion to s09: a collapsed space shows mass near
+# 1.0, a healthy one a bell around 0). No all-pairs: one equi-join per
+# stride on the computed key, histogram = integer counts of
+# floor((cos+1)·10) buckets (left-fold cosine, floor on identical
+# doubles — engine-exact).
+# --------------------------------------------------------------------------
+S10_STRIDES = (1, 17, 113)
+
+
+def _s10_leg(stride: int) -> str:
+    return f"""
+  SELECT {stride} AS stride,
+         CAST(least(19, floor(({_raw_cos('a.embedding', 'b.embedding')}
+                               + 1.0) * 10)) AS BIGINT) AS bucket
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {stride}"""
+
+
+@query(
+    "s10_cosine_histogram",
+    oracle=f"""
+SELECT stride, bucket, count(*) AS n
+FROM ({" UNION ALL ".join(_s10_leg(s) for s in S10_STRIDES)})
+GROUP BY stride, bucket
+ORDER BY stride, bucket
+""",
+    driver=False,
+)
+def s10_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.operators.dedup import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    legs = []
+    for s in S10_STRIDES:
+        a = e.select(
+            F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
+        )
+        b = e.select(
+            F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
+        )
+        legs.append(
+            a.join(b, F.col("idb") == F.col("ida") + s).select(
+                F.lit(s).alias("stride"),
+                F.least(
+                    F.lit(19),
+                    F.floor((cosine(F.col("va"), F.col("vb")) + 1.0) * 10),
+                )
+                .cast("bigint")
+                .alias("bucket"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return (
+        out.groupBy("stride", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("stride", "bucket")
+    )
