@@ -83,6 +83,7 @@ EXTRA = [
     "t23_gopher_ngram_fractions",
     "cc03_pagerank_canonical",
     "qa05_correlation_profile",
+    "s10_cosine_histogram",
 ]
 
 
@@ -126,6 +127,41 @@ def _bench_dump_parse(spark, sf_dir: str, reps: int, tmpdir: str) -> float:
         )
         best = min(best, time.perf_counter() - t)
     return round(best, 3)
+
+
+def _bench_curation(spark, sf_dir: str, tmpdir: str) -> dict:
+    """Time the FULL text-curation pipeline at the sf: quality gate
+    (t15: length + quality + dedup-survival) → survivor selection →
+    shard-bounded sequence packing → hash-bucketed training-shard write
+    → manifest read-back. The training-data analog of the migration
+    benchmark: one end-to-end number for "curate this corpus"."""
+    import os
+    import time
+
+    from mysql2pg_spark.operators.grouped import pack_sequences_sharded
+    from mysql2pg_spark.plans import QUERIES
+    from mysql2pg_spark.sinks.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from mysql2pg_spark.tables import load_table
+
+    t0 = time.perf_counter()
+    gate = QUERIES["t15_quality_gate"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.join(gate.filter("keep").select("doc_id"), "doc_id")
+    packed = pack_sequences_sharded(kept, capacity=1024, shard_size=500)
+    out = os.path.join(tmpdir, "curated_shards")
+    write_training_shards(
+        packed, out, "bin_id", 8, order_by=["bin_id", "seq_offset"]
+    )
+    n = sum(r.n_rows for r in shard_manifest(spark, out).collect())
+    sec = time.perf_counter() - t0
+    return {
+        "curation_pipeline_sec": round(sec, 3),
+        "curation_docs": n,
+        "curation_docs_per_sec": round(n / max(sec, 1e-9), 1),
+    }
 
 
 def _bench_migration(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
@@ -273,6 +309,10 @@ def main() -> None:
             extras.update(_bench_migration(spark, sf_dir, 1, td))
         except Exception as e:
             extras["migration_pipeline_error"] = str(e)[:120]
+        try:
+            extras.update(_bench_curation(spark, sf_dir, td))
+        except Exception as e:
+            extras["curation_pipeline_error"] = str(e)[:120]
 
     print(
         json.dumps(
