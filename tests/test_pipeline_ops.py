@@ -488,3 +488,66 @@ def test_kcenter_duplicates_and_exhaustion(spark):
     assert got == [(1, 1, 0.0), (2, 3, 25.0), (3, 2, 0.0)]
     with _pytest.raises(ValueError, match="exceeds"):
         kcenter_select(df, "vec_id", "embedding", 4)
+
+
+def test_scd2_matches_naive_reference(spark):
+    """Randomized cross-check of scd2_intervals against a direct Python
+    run-length reference over seeded change feeds with heavy ts ties
+    (the tie-break path a handmade case undercovers)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators.upsert import scd2_intervals
+
+    for seed in (3, 77):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for user in range(6):
+            for _ in range(rng.randint(1, 25)):
+                eid += 1
+                # coarse ts pool forces ties; tiebreak = event_id
+                rows.append(
+                    (eid, f"2024-01-{rng.randint(1, 5):02d} 00:00:00",
+                     user, rng.choice("abc"))
+                )
+
+        # naive reference: order by (ts, event_id), collapse runs
+        expect = set()
+        for user in range(6):
+            evs = sorted(
+                (r for r in rows if r[2] == user),
+                key=lambda r: (r[1], r[0]),
+            )
+            runs = []
+            for _, ts, _, attr in evs:
+                if runs and runs[-1][0] == attr:
+                    continue
+                runs.append((attr, ts))
+            # versions ordered by (valid_from, attr) as the operator does
+            runs_o = sorted(range(len(runs)), key=lambda i: (runs[i][1], runs[i][0]))
+            # valid_to chains by that same order
+            for v, i in enumerate(runs_o):
+                nxt = runs[runs_o[v + 1]][1] if v + 1 < len(runs) else None
+                expect.add(
+                    (user, runs[i][0], runs[i][1], nxt, v + 1, nxt is None)
+                )
+
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {
+            (
+                r.user_id,
+                r.event_type,
+                r.valid_from.strftime("%Y-%m-%d %H:%M:%S"),
+                r.valid_to.strftime("%Y-%m-%d %H:%M:%S") if r.valid_to else None,
+                r.version,
+                r.is_current,
+            )
+            for r in scd2_intervals(
+                df, ["user_id"], "event_type", "ts", "event_id"
+            ).collect()
+        }
+        assert got == expect, f"seed {seed}: {got ^ expect}"
