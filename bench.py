@@ -135,11 +135,7 @@ def _bench_curation(spark, sf_dir: str, tmpdir: str) -> dict:
     shard-bounded sequence packing → hash-bucketed training-shard write
     → manifest read-back. The training-data analog of the migration
     benchmark: one end-to-end number for "curate this corpus"."""
-    import os
-    import time
-
     from mysql2pg_spark.operators.grouped import pack_sequences_sharded
-    from mysql2pg_spark.plans import QUERIES
     from mysql2pg_spark.sinks.shards import (
         shard_manifest,
         write_training_shards,

@@ -841,52 +841,61 @@ def s09_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 S10_STRIDES = (1, 17, 113)
 
 
-def _s10_leg(stride: int) -> str:
-    return f"""
-  SELECT {stride} AS stride,
-         CAST(least(19, floor(({_raw_cos('a.embedding', 'b.embedding')}
-                               + 1.0) * 10)) AS BIGINT) AS bucket
-  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {stride}"""
+# degenerate-input contract: zero-norm vectors are EXCLUDED (their
+# cosine is 0/0 — engine-version-dependent NULL/NaN, and a clamp would
+# park broken vectors in the top bucket, the exact collapse signal this
+# probe detects); the bucket is clamped on BOTH ends because a left-fold
+# float cosine can land fractionally outside [-1, 1].
+_S10_SELF = _DOT.format(a="{v}", b="{v}")
+
+
+def _s10_bucket(cos: str) -> str:
+    return f"greatest(0, least(19, CAST(floor(({cos} + 1.0) * 10) AS BIGINT)))"
 
 
 @query(
     "s10_cosine_histogram",
     oracle=f"""
-SELECT stride, bucket, count(*) AS n
-FROM ({" UNION ALL ".join(_s10_leg(s) for s in S10_STRIDES)})
+WITH pr AS (
+  SELECT u.s AS stride, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a, (VALUES {", ".join(f"({s})" for s in S10_STRIDES)}) u(s)
+  JOIN embeddings b ON b.vec_id = a.vec_id + u.s
+  WHERE {_S10_SELF.format(v='a.embedding')} > 0
+    AND {_S10_SELF.format(v='b.embedding')} > 0
+)
+SELECT stride, {_s10_bucket(_raw_cos('va', 'vb'))} AS bucket, count(*) AS n
+FROM pr
 GROUP BY stride, bucket
 ORDER BY stride, bucket
 """,
     driver=False,
 )
 def s10_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mysql2pg_spark.operators.dedup import cosine
+    from mysql2pg_spark.operators.dedup import cosine, dot_fold
 
     e = load_table(spark, sf_dir, "embeddings")
-    legs = []
-    for s in S10_STRIDES:
-        a = e.select(
-            F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
-        )
-        b = e.select(
-            F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
-        )
-        legs.append(
-            a.join(b, F.col("idb") == F.col("ida") + s).select(
-                F.lit(s).alias("stride"),
-                F.least(
-                    F.lit(19),
-                    F.floor((cosine(F.col("va"), F.col("vb")) + 1.0) * 10),
-                )
-                .cast("bigint")
-                .alias("bucket"),
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
+    nonzero = e.filter(dot_fold(F.col("embedding"), F.col("embedding")) > 0)
+    a = nonzero.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("va"),
+        F.explode(F.array(*[F.lit(s) for s in S10_STRIDES])).alias("stride"),
+    )
+    b = nonzero.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
+    )
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(19),
+            F.floor((cosine(F.col("va"), F.col("vb")) + 1.0) * 10).cast(
+                "bigint"
+            ),
+        ),
+    )
     return (
-        out.groupBy("stride", "bucket")
+        a.join(b, F.col("idb") == F.col("ida") + F.col("stride"))
+        .select("stride", bucket.alias("bucket"))
+        .groupBy("stride", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("stride", "bucket")
     )

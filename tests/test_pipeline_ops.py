@@ -537,17 +537,20 @@ def test_scd2_matches_naive_reference(spark):
         df = spark.createDataFrame(
             rows, "event_id long, ts string, user_id long, event_type string"
         ).withColumn("ts", F.to_timestamp("ts"))
+        # format Spark-side: collect() converts timestamps to the HOST
+        # timezone, which would shift the strings on any non-UTC machine
+        out = scd2_intervals(
+            df, ["user_id"], "event_type", "ts", "event_id"
+        ).select(
+            "user_id",
+            "event_type",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("vf"),
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("vt"),
+            "version",
+            "is_current",
+        )
         got = {
-            (
-                r.user_id,
-                r.event_type,
-                r.valid_from.strftime("%Y-%m-%d %H:%M:%S"),
-                r.valid_to.strftime("%Y-%m-%d %H:%M:%S") if r.valid_to else None,
-                r.version,
-                r.is_current,
-            )
-            for r in scd2_intervals(
-                df, ["user_id"], "event_type", "ts", "event_id"
-            ).collect()
+            (r.user_id, r.event_type, r.vf, r.vt, r.version, r.is_current)
+            for r in out.collect()
         }
         assert got == expect, f"seed {seed}: {got ^ expect}"
