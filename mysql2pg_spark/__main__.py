@@ -96,10 +96,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument(
         "--mode",
-        choices=("plan", "local", "live", "dump", "duckdb"),
+        choices=("plan", "local", "live", "dump", "duckdb", "diff"),
         default="plan",
     )
     ap.add_argument("--snapshot", help="catalog snapshot YAML (plan/local)")
+    ap.add_argument(
+        "--old-snapshot",
+        help="previously-migrated snapshot YAML (diff mode)",
+    )
+    ap.add_argument(
+        "--allow-drop",
+        action="store_true",
+        help="diff mode: emit destructive DROPs instead of comments",
+    )
     ap.add_argument("--source-dir", help="parquet source dir (local mode)")
     ap.add_argument("--sink-dir", help="parquet sink dir (local/dump mode)")
     ap.add_argument("--dump-file", help="mysqldump .sql file (dump mode)")
@@ -199,6 +208,23 @@ def main(argv: list[str] | None = None) -> int:
             },
             "ddl": result["ddl"],
         }))
+        return 0
+
+    if args.mode == "diff":
+        # incremental catch-up: the plan that takes a target migrated at
+        # --old-snapshot to the source's current --snapshot
+        if not (args.old_snapshot and args.snapshot):
+            print("diff mode needs --old-snapshot and --snapshot",
+                  file=sys.stderr)
+            return 2
+        from mysql2pg_spark.schema.diff import diff_snapshots
+
+        for stmt in diff_snapshots(
+            load_snapshot(args.old_snapshot),
+            load_snapshot(args.snapshot),
+            allow_drop=args.allow_drop,
+        ):
+            print(stmt + ("" if stmt.startswith("--") else ";"))
         return 0
 
     if not args.snapshot:

@@ -548,3 +548,43 @@ def test_cli_dump_mode_runs_offline_migration(tmp_path, spark, capsys):
     assert out["synced"] == {"users": 2}
     assert out["validation"] == {"users": True}
     assert out["n_ddl"] >= 1
+
+
+def test_cli_diff_mode(tmp_path, capsys):
+    """--mode diff prints the executable catch-up plan for two snapshot
+    files (statement-terminated; destructive skips as comments)."""
+    import yaml as _yaml
+
+    from mysql2pg_spark.__main__ import main
+
+    (tmp_path / "config.yml").write_text(
+        _yaml.safe_dump(
+            {"mysql": {"host": "h", "database": "d"},
+             "postgresql": {"host": "p", "database": "d"}}
+        )
+    )
+    (tmp_path / "old.yml").write_text(_yaml.safe_dump({"tables": [
+        {"name": "users", "columns": [
+            {"name": "id", "type": "bigint", "nullable": False},
+            {"name": "gone", "type": "text"},
+        ]}]}))
+    (tmp_path / "new.yml").write_text(_yaml.safe_dump({"tables": [
+        {"name": "users", "columns": [
+            {"name": "id", "type": "bigint", "nullable": False},
+            {"name": "email", "type": "varchar(100)"},
+        ]}]}))
+    rc = main([
+        "-c", str(tmp_path / "config.yml"),
+        "--mode", "diff",
+        "--old-snapshot", str(tmp_path / "old.yml"),
+        "--snapshot", str(tmp_path / "new.yml"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert 'ADD COLUMN email VARCHAR(100);' in out
+    assert "-- SKIPPED (destructive)" in out and "gone" in out
+    # missing --old-snapshot is a usage error
+    assert main([
+        "-c", str(tmp_path / "config.yml"), "--mode", "diff",
+        "--snapshot", str(tmp_path / "new.yml"),
+    ]) == 2
