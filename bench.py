@@ -84,6 +84,7 @@ EXTRA = [
     "cc03_pagerank_canonical",
     "qa05_correlation_profile",
     "s10_cosine_histogram",
+    "ts05_seasonality",
 ]
 
 

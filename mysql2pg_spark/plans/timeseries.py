@@ -616,3 +616,49 @@ def w11_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"stream_wm_dedup_{next(_sink_counter)}"
     return run_dedup_within_watermark(spark, sf_dir, sink)
+
+
+# --------------------------------------------------------------------------
+# ts05 — seasonality profile: the (day-of-week × hour) activity matrix
+# per event type — the load-shape/staleness dashboard behind every
+# time-partitioned pipeline. Exact counts + DEC-accumulated value sums;
+# one combineable shuffle over at most 7·24·|types| groups. Day-of-week
+# ISO-pinned (1 = Monday on both engines).
+# --------------------------------------------------------------------------
+@query(
+    "ts05_seasonality",
+    oracle="""
+SELECT event_type,
+       CAST(isodow(ts) AS BIGINT)                       AS dow,
+       CAST(hour(ts) AS BIGINT)                         AS hod,
+       COUNT(*)                                         AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, dow, hod
+ORDER BY event_type, dow, hod
+""",
+    driver=False,
+)
+def ts05_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.dayofweek("ts").alias("_d"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        # Spark dayofweek: 1 = Sunday; DuckDB isodow: 1 = Monday —
+        # convert to ISO on the Spark side
+        .select(
+            "event_type",
+            (((F.col("_d") + 5) % 7) + 1).cast("bigint").alias("dow"),
+            "hod",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "dow", "hod")
+    )
