@@ -125,6 +125,27 @@ def diff_snapshots(
             if ix.name not in old_ix:
                 stmts.append(create_index_ddl(name, ix))
 
+        if t.primary_key != o.primary_key:
+            if o.primary_key:
+                stmts.append(
+                    f"ALTER TABLE {qt} DROP CONSTRAINT "
+                    f"{quote_pg(name + '_pkey')}"
+                )
+            if t.primary_key:
+                pk = ", ".join(quote_pg(c) for c in t.primary_key)
+                stmts.append(f"ALTER TABLE {qt} ADD PRIMARY KEY ({pk})")
+
+        if (t.comment or None) != (o.comment or None):
+            esc = (t.comment or "").replace("'", "''")
+            stmts.append(f"COMMENT ON TABLE {qt} IS '{esc}'")
+        for cname, c in new_cols.items():
+            oc = old_cols.get(cname)
+            if oc is not None and (c.comment or None) != (oc.comment or None):
+                esc = (c.comment or "").replace("'", "''")
+                stmts.append(
+                    f"COMMENT ON COLUMN {qt}.{quote_pg(cname)} IS '{esc}'"
+                )
+
     for name in old_tables:
         if name not in new_tables:
             stmt = f"DROP TABLE {quote_pg(name)}"
