@@ -116,3 +116,23 @@ def test_phash_neardup_no_all_pairs(spark):
     plan = _plan(spark, "mm05_phash_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_hash_shuffle(spark):
+    """u02: every window and the run aggregate share ONE user_id hash
+    partitioning — the only other exchange is the presentation sort."""
+    plan = _plan(spark, "u02_scd2_history")
+    hashes = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(hashes) == 1, plan
+    assert _n_exchanges(plan) <= 2
+
+
+def test_cosine_histogram_no_pair_former(spark):
+    """s10: the stride sample is an equi-join on a computed key — never
+    a cartesian/nested-loop pair former."""
+    plan = _plan(spark, "s10_cosine_histogram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
