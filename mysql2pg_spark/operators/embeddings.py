@@ -99,10 +99,13 @@ def kcenter_select(df, id_col: str, vec_col: str, k: int):
     picks the point FARTHEST from the selected set (tie-break smaller
     id) and folds its distance into the running min.
 
-    Returns the k selected rows: (rank, id, radius) where radius is the
-    point's distance-to-set at selection time — rank r's radius is the
-    (r-1)-center covering radius of the corpus, the quantity the
-    2-approximation bounds.
+    Returns the k selected rows: (rank, id, radius_sq) where radius_sq
+    is the point's SQUARED L2 distance-to-set at selection time —
+    sqrt(rank r's radius_sq) is the (r-1)-center covering radius of the
+    corpus, the quantity the 2-approximation bounds. Kept squared so the
+    column replays bit-for-bit cross-engine (sqrt would add one more
+    libm boundary); take sqrt at the consumer if a metric radius is
+    needed.
 
     Scale: k driver rounds, each ONE map over the corpus (distance to a
     single literal-broadcast center + running min) and ONE top-1 reduce
@@ -144,5 +147,5 @@ def kcenter_select(df, id_col: str, vec_col: str, k: int):
         )
     spark = df.sparkSession
     return spark.createDataFrame(
-        centers, "rank long, vec_id long, radius double"
+        centers, "rank long, vec_id long, radius_sq double"
     ).orderBy("rank")

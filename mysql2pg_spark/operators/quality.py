@@ -141,9 +141,15 @@ def distribution_drift(
     """
     from pyspark.sql.window import Window
 
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(F.col(value_col) / F.lit(float(bucket_width))),
+    # clamp BOTH ends: without greatest(0, ...), negative values yield
+    # unbounded negative bucket ids and n_buckets no longer bounds the
+    # output cardinality
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.col(value_col) / F.lit(float(bucket_width))),
+        ),
     ).cast("bigint")
     grouped = (
         df.select(bucket.alias("bucket"), split_col.alias("_s"))

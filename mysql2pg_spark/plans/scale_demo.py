@@ -159,8 +159,9 @@ DRIFT_BUCKETS = 20
     "qa03_drift_profile",
     oracle=f"""
 WITH g AS (
-  SELECT least({DRIFT_BUCKETS - 1},
-               CAST(floor(value / {DRIFT_WIDTH}) AS BIGINT)) AS bucket,
+  SELECT CAST(greatest(0, least({DRIFT_BUCKETS - 1},
+               CAST(floor(value / {DRIFT_WIDTH}) AS BIGINT))) AS BIGINT)
+           AS bucket,
          CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_a,
          CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END)

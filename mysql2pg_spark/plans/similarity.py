@@ -740,7 +740,7 @@ def _kcenter_oracle(k: int) -> str:
             )
     selects = [
         "SELECT CAST(1 AS BIGINT) AS rank, vec_id, "
-        "CAST(0.0 AS DOUBLE) AS radius FROM c1"
+        "CAST(0.0 AS DOUBLE) AS radius_sq FROM c1"
     ] + [
         f"SELECT CAST({r} AS BIGINT), vec_id, mind FROM c{r}"
         for r in range(2, k + 1)

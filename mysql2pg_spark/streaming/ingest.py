@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 from mysql2pg_spark.tables import DEC, normalize_events_ts
 
+#: (abspath, mtime, order_col, n_files) → staged dir; see
+#: stage_stream_files for the memoization contract.
+_STAGE_CACHE: dict[tuple[str, int, str, int], str] = {}
+
 
 def windowed_value_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window per-type aggregate — shared by batch and stream."""
@@ -53,10 +57,26 @@ def stage_stream_files(
     are forced ascending in that same order so the source (which orders
     by file timestamp) replays them in event order — watermarks advance
     monotonically and never drop an in-order backlog row. Read with
-    maxFilesPerTrigger=1 for one batch per file."""
+    maxFilesPerTrigger=1 for one batch per file.
+
+    Staging is memoized per (path, mtime, order_col, n_files): repeated
+    demo invocations in one long-lived session reuse the same staged
+    copy instead of accumulating a fresh dataset copy under /tmp per
+    call; the at-most-len(cache) copies are removed at interpreter
+    exit."""
     import atexit
     import shutil
     import tempfile
+
+    key = (
+        os.path.abspath(path),
+        int(os.path.getmtime(path)),
+        order_col,
+        n_files,
+    )
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
 
     stage = tempfile.mkdtemp(prefix="stream_stage_")
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
@@ -74,6 +94,7 @@ def stage_stream_files(
     base = int(os.path.getmtime(os.path.join(stage, parts[0])))
     for i, f in enumerate(parts):
         os.utime(os.path.join(stage, f), (base + i, base + i))
+    _STAGE_CACHE[key] = stage
     return stage
 
 

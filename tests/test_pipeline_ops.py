@@ -348,8 +348,8 @@ def test_kcenter_selection_invariants(spark):
     rows = QUERIES["s08_kcenter_coreset"](spark, SF_CORRECT).collect()
     assert [r.rank for r in rows] == list(range(1, 7))
     assert len({r.vec_id for r in rows}) == 6
-    assert rows[0].radius == 0.0
-    radii = [r.radius for r in rows[1:]]
+    assert rows[0].radius_sq == 0.0
+    radii = [r.radius_sq for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     assert radii[-1] > 0
 
@@ -378,7 +378,7 @@ def test_kcenter_handmade_geometry(spark):
     pts = [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0]), (5, [30.0])]
     df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
     got = [
-        (r.rank, r.vec_id, r.radius)
+        (r.rank, r.vec_id, r.radius_sq)
         for r in kcenter_select(df, "vec_id", "embedding", 4).collect()
     ]
     assert got == [(1, 1, 0.0), (2, 5, 900.0), (3, 4, 121.0), (4, 2, 1.0)]
@@ -482,7 +482,7 @@ def test_kcenter_duplicates_and_exhaustion(spark):
         "vec_id long, embedding array<float>",
     )
     got = [
-        (r.rank, r.vec_id, r.radius)
+        (r.rank, r.vec_id, r.radius_sq)
         for r in kcenter_select(df, "vec_id", "embedding", 3).collect()
     ]
     assert got == [(1, 1, 0.0), (2, 3, 25.0), (3, 2, 0.0)]
