@@ -30,6 +30,7 @@ Merge map (merged name ← folded originals):
   m01_schema_map            ← m01_type_map + gen01_generated_columns
   sf01_stored_function_battery ← sf01_stored_functions
                               + sf02_stored_function_udf
+                              + sf03_cursor_loop_twin (round 6)
   w06_streaming_battery     ← w06_streaming_dedup
                               + w07_stream_stream_join (round 3)
   d01_dedup_pipeline        ← d01_exact_dedup + d09_dedup_apply (round 3)
@@ -242,11 +243,19 @@ def d03_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sf01_stored_function_battery",
     oracle=f"""
-SELECT a.c_custkey, a.total, a.level, a.label,
-       b.level AS level_udf, CAST(b.n AS BIGINT) AS n_udf
+SELECT 'scalar_fns' AS part, a.c_custkey, a.total, a.level, a.label,
+       b.level AS level_udf, CAST(b.n AS BIGINT) AS n_udf,
+       CAST(NULL AS VARCHAR) AS om, CAST(NULL AS BIGINT) AS picked_n,
+       CAST(NULL AS DOUBLE) AS spent
 FROM {_sub("sf01_stored_functions")} a
 LEFT JOIN {_sub("sf02_stored_function_udf")} b ON b.o_custkey = a.c_custkey
-ORDER BY a.c_custkey
+UNION ALL
+SELECT 'cursor_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       c.om, c.picked_n, c.spent
+FROM {_sub("sf03_cursor_loop_twin")} c
+ORDER BY part, c_custkey, om
 """,
 )
 def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,9 +265,13 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("level").alias("level_udf"),
         F.col("n").alias("n_udf"),
     )
-    return inline.join(
+    scalar = inline.join(
         via_udf, inline.c_custkey == via_udf.o_custkey, "left"
     ).drop("o_custkey")
+    cursor_twin = QUERIES["sf03_cursor_loop_twin"](spark, sf_dir)
+    return _tagged_union(
+        "part", [("scalar_fns", scalar), ("cursor_twin", cursor_twin)]
+    )
 
 
 @query(

@@ -204,3 +204,103 @@ def q13_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+# --------------------------------------------------------------------------
+# sf03 — the cursor+REPEAT stored function's set-based twin (C95
+# procedural half). The MySQL fixture below (BUDGET_PICK_DDL) walks a
+# price-ordered cursor accumulating orders while they fit a budget —
+# the canonical imperative cursor-loop shape the reference translates
+# at sync_functions.go:1040-1283 / :220-407 and
+# sinks/plpgsql_builder.build_spec_from_mysql now parses to a statement
+# tree (golden plpgsql pinned in tests/test_schema.py). Because the
+# cursor scans prices ASCENDING, "skip what doesn't fit and keep
+# going" equals "take the maximal prefix whose cumulative sum fits" —
+# so the per-row loop is exactly a window cumulative sum + filter.
+# Generalized per order-month (each month = one independent budget
+# run), the O(n) serial cursor becomes a partitioned window: parallel
+# across months, one shuffle, no driver loop — the set-based rewrite
+# that survives 100 TB where a row-at-a-time cursor cannot.
+# Determinism: the cumsum runs in DECIMAL(38,4) over a unique ordering
+# (o_totalprice, o_orderkey), so the <= budget cut is engine-exact.
+# --------------------------------------------------------------------------
+PICK_BUDGET = "400000.0000"
+
+#: MySQL fixture translated by the procedural plpgsql path — kept next
+#: to its Spark twin so the two halves of C95 stay in one place.
+BUDGET_PICK_DDL = """
+CREATE FUNCTION budget_pick_count(budget DECIMAL(18,2)) RETURNS INT
+READS SQL DATA
+COMMENT 'greedy order picker'
+BEGIN
+  DECLARE done INT DEFAULT 0;
+  DECLARE price DECIMAL(18,2);
+  DECLARE spent DECIMAL(18,2) DEFAULT 0;
+  DECLARE n INT DEFAULT 0;
+  DECLARE cur CURSOR FOR SELECT o_totalprice FROM orders
+    ORDER BY o_totalprice, o_orderkey;
+  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1;
+  OPEN cur;
+  pick: REPEAT
+    FETCH cur INTO price;
+    IF done = 0 AND spent + price <= budget THEN
+      SET spent = spent + price;
+      SET n = n + 1;
+    END IF;
+  UNTIL done = 1 END REPEAT pick;
+  CLOSE cur;
+  RETURN n;
+END
+"""
+
+
+@query(
+    "sf03_cursor_loop_twin",
+    oracle=f"""
+WITH ranked AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS om, o_orderkey, o_totalprice,
+         sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+           PARTITION BY strftime(o_orderdate, '%Y-%m')
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM orders
+)
+SELECT om,
+       CAST(sum(CASE WHEN cum <= CAST({PICK_BUDGET} AS DECIMAL(38,4))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS picked_n,
+       CAST(coalesce(sum(CASE WHEN cum <= CAST({PICK_BUDGET}
+                                              AS DECIMAL(38,4))
+                              THEN CAST(o_totalprice AS DECIMAL(38,4))
+                         END), 0) AS DOUBLE) AS spent
+FROM ranked GROUP BY om ORDER BY om
+""",
+    driver=False,
+)
+def sf03_cursor_loop_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("om")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("om"),
+        "o_orderkey",
+        "o_totalprice",
+    ).withColumn("cum", F.sum(F.col("o_totalprice").cast(DEC)).over(w))
+    fits = F.col("cum") <= F.lit(PICK_BUDGET).cast(DEC)
+    return (
+        ranked.groupBy("om")
+        .agg(
+            F.sum(F.when(fits, 1).otherwise(0))
+            .cast("bigint")
+            .alias("picked_n"),
+            F.coalesce(
+                F.sum(F.when(fits, F.col("o_totalprice").cast(DEC))),
+                F.lit(0).cast(DEC),
+            )
+            .cast("double")
+            .alias("spent"),
+        )
+        .orderBy("om")
+    )

@@ -37,12 +37,37 @@ class PlpgsqlFunctionSpec:
     volatility: str = "STABLE"               # READS SQL DATA analog
     comment: str | None = None
     pre_statements: list[str] = field(default_factory=list)  # `v := expr`
+    #: Control-flow bodies (cursors / loops / handlers) carry a parsed
+    #: statement tree instead of the declarative SELECT shape; see
+    #: sinks.plpgsql_proc (C95 procedural half).
+    procedural: object | None = None         # plpgsql_proc.ProceduralBody
 
 
 def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
     """One CREATE OR REPLACE FUNCTION statement (name lowered, like the
     reference's generateDDL :1286-1320)."""
     params = ", ".join(f"{n} {t}" for n, t in spec.params)
+    if spec.procedural is not None:
+        from mysql2pg_spark.sinks.plpgsql_proc import emit_statements
+
+        declare_block = "".join(
+            f"    {n} {t};\n" for n, t in spec.procedural.declares
+        )
+        lines = (
+            f"CREATE OR REPLACE FUNCTION {spec.name.lower()}({params})\n"
+            f"RETURNS {spec.returns}\n"
+            f"{spec.volatility} AS $$\n"
+            f"DECLARE\n{declare_block}"
+            f"BEGIN\n"
+            + emit_statements(spec.procedural.statements)
+            + "\nEND;\n$$ LANGUAGE plpgsql;"
+        )
+        if spec.comment:
+            escaped = spec.comment.replace("'", "''")
+            lines += (
+                f"\nCOMMENT ON FUNCTION {spec.name.lower()} IS '{escaped}';"
+            )
+        return lines
     declares = list(spec.declares)
     if spec.into_var and spec.into_var not in {n for n, _ in declares}:
         declares.insert(0, (spec.into_var, spec.returns))

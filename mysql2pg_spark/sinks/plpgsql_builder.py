@@ -12,10 +12,14 @@ mapping, SQL SECURITY, COMMENT, DECLARE blocks, and a body that is
 either one ``SELECT … INTO var`` + ``RETURN var`` or a bare
 ``RETURN expr`` — by PARSING it into the spec that drives
 :func:`mysql2pg_spark.sinks.plpgsql.emit_plpgsql`, so the emitted DDL is
-well-formed by construction. Constructs outside the subset (cursors,
-loops, handlers, @user variables — the things the reference only
-survives via name-keyed patches) raise :class:`UnsupportedFunctionError`
-instead of producing silently-wrong plpgsql.
+well-formed by construction. Control-flow bodies — cursors, REPEAT /
+WHILE / LOOP, statement-level IF, LEAVE/ITERATE, and the canonical
+``CONTINUE HANDLER FOR NOT FOUND`` pattern — route to the procedural
+statement-tree parser (:mod:`mysql2pg_spark.sinks.plpgsql_proc`,
+round 6; the reference's sync_functions.go:220-407 / :1040-1283
+territory). What remains outside both paths (@user variables, other
+handlers) raises :class:`UnsupportedFunctionError` instead of
+producing silently-wrong plpgsql.
 
 Builtin-expression mapping mirrors the reference's table
 (sync_functions.go:502-543): IFNULL→COALESCE, IF→CASE, CONCAT→``||``,
@@ -58,19 +62,19 @@ _RE_CHAR_END = re.compile(
     r"\bBEGIN\b|\bRETURN\b",
     re.I,
 )
-#: Body constructs the declarative subset does not cover. The reference
-#: "supports" them only through name-keyed regex patches (:430-465).
+#: Body constructs no path covers (the reference also mangles these;
+#: @vars survive only through name-keyed regex patches :430-465).
 _UNSUPPORTED = (
-    (re.compile(r"\bCURSOR\b", re.I), "CURSOR declarations"),
-    (re.compile(r"\bDECLARE\s+\w+\s+HANDLER\b|\bHANDLER\s+FOR\b", re.I),
-     "condition HANDLERs"),
-    (re.compile(r"\bWHILE\b", re.I), "WHILE loops"),
-    (re.compile(r"\bREPEAT\b", re.I), "REPEAT loops"),
-    (re.compile(r"\bLOOP\b", re.I), "LOOP blocks"),
-    (re.compile(r"\bFETCH\b", re.I), "FETCH"),
-    (re.compile(r"\bITERATE\b|\bLEAVE\b", re.I), "ITERATE/LEAVE"),
     (re.compile(r"@\w+"), "@user variables"),
-    (re.compile(r"\bIF\b(?!\s*\()", re.I), "statement-level IF blocks"),
+)
+
+#: Control flow routed to the procedural parser (sinks.plpgsql_proc):
+#: cursors, loops, handlers, statement-level IF — the reference's
+#: :220-407 / :1040-1283 territory, rebuilt as a statement tree.
+_PROCEDURAL = re.compile(
+    r"\bCURSOR\b|\bHANDLER\b|\bWHILE\b|\bREPEAT\b|\bLOOP\b|\bFETCH\b|"
+    r"\bITERATE\b|\bLEAVE\b|\bIF\b(?!\s*\()",
+    re.I,
 )
 
 #: MySQL DATE_FORMAT %-tokens → PG TO_CHAR templates (the reference
@@ -243,10 +247,34 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
     for pat, what in _UNSUPPORTED:
         if pat.search(body):
             raise UnsupportedFunctionError(
-                f"function {name}: {what} are outside the declarative "
+                f"function {name}: {what} are outside the translatable "
                 "subset (the reference handles these only via "
                 "per-function hardcoded patches)"
             )
+
+    if _PROCEDURAL.search(body):
+        from mysql2pg_spark.sinks.plpgsql_proc import (
+            ProcParseError,
+            parse_procedural,
+        )
+
+        def _rw(masked: str) -> str:
+            return rewrite_mysql_expr_to_pg(unmask_literals(masked, lits))
+
+        try:
+            proc = parse_procedural(body, name, _rw, _pg_type)
+        except ProcParseError as e:
+            raise UnsupportedFunctionError(str(e)) from e
+        return PlpgsqlFunctionSpec(
+            name=name,
+            params=params,
+            returns=returns,
+            body_select="",
+            into_var="",
+            volatility=volatility,
+            comment=comment,
+            procedural=proc,
+        )
 
     declares: list[tuple[str, str]] = []
 

@@ -1,0 +1,547 @@
+"""Procedural stored-function bodies: MySQL control flow → plpgsql
+(SURVEY C95, the cursor / loop / handler half).
+
+The reference translates these with flat regex passes over the body text
+(internal/converter/postgres/sync_functions.go:
+``LEAVE``→``EXIT`` / ``ITERATE``→``CONTINUE`` / ``REPEAT``→``LOOP`` /
+``UNTIL c END REPEAT``→``EXIT WHEN c; END LOOP;`` at :532-535, cursor
+declarations→``refcursor`` + ``OPEN c FOR <select>`` and
+``FETCH c INTO v``→``FETCH NEXT FROM c INTO v; IF NOT FOUND THEN
+done := true; END IF;`` at :1040-1077, handler/label removal at
+:1083-1086) — and then needs per-function hardcoded patches (:430-465)
+for the bodies the regexes mangle. Here the SAME target shapes are
+produced from a parsed statement tree: a recursive-descent parser turns
+the MySQL body into typed statement nodes, and the emitter prints
+plpgsql from the tree, so nesting (an IF inside a REPEAT inside a
+labeled LOOP) is structurally correct by construction instead of
+hoping the regex order works out.
+
+Supported statements: ``SET``, ``SELECT … INTO``, ``RETURN``,
+``IF/ELSEIF/ELSE``, ``LOOP``, ``REPEAT…UNTIL``, ``WHILE``,
+``LEAVE``/``ITERATE`` (labels are KEPT as plpgsql ``<<label>>`` /
+``EXIT label`` — the reference strips them at :1085, which silently
+retargets a multi-level ``LEAVE outer`` at the inner loop),
+``OPEN``/``FETCH``/``CLOSE`` cursors, and the
+canonical ``DECLARE CONTINUE HANDLER FOR NOT FOUND SET flag = 1``
+pattern. The NOT FOUND handler flag is forced to BOOLEAN (the
+reference does the same for ``done`` variables, :1116-1119) and integer
+comparisons against it (``done = 1``, ``UNTIL done = 1``) are rewritten
+to boolean form — the step the reference's flat replace misses, which
+leaves ``boolean = integer`` type errors in its output.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class ProcParseError(ValueError):
+    """Body construct outside the procedural subset."""
+
+
+# --------------------------------------------------------------------------
+# Statement tree
+# --------------------------------------------------------------------------
+@dataclass
+class Assign:
+    var: str
+    expr: str                        # PG-dialect expression
+
+
+@dataclass
+class RowCountInto:
+    """``SET v = ROW_COUNT();`` → ``GET DIAGNOSTICS v = ROW_COUNT;``
+    (reference reRowCountAssign, sync_functions.go:553)."""
+
+    var: str
+
+
+@dataclass
+class SelectInto:
+    select_sql: str                  # PG dialect, INTO removed
+    into_vars: list[str]
+
+
+@dataclass
+class Return:
+    expr: str
+
+
+@dataclass
+class If:
+    #: (condition, statements) per branch; final branch cond None = ELSE
+    branches: list[tuple[str | None, list]]
+
+
+@dataclass
+class Loop:
+    body: list
+    label: str | None = None
+
+
+@dataclass
+class RepeatUntil:
+    body: list
+    until: str                       # exit condition (PG dialect)
+    label: str | None = None
+
+
+@dataclass
+class While:
+    cond: str
+    body: list
+    label: str | None = None
+
+
+@dataclass
+class Leave:
+    label: str | None = None
+
+
+@dataclass
+class Iterate:
+    label: str | None = None
+
+
+@dataclass
+class OpenCursor:
+    name: str
+    select_sql: str                  # attached from the declaration
+
+
+@dataclass
+class Fetch:
+    cursor: str
+    into_vars: list[str]
+    not_found_flag: str | None       # handler flag to set on exhaustion
+
+
+@dataclass
+class CloseCursor:
+    name: str
+
+
+@dataclass
+class ProceduralBody:
+    declares: list[tuple[str, str]]  # (name, pg type [:= default])
+    statements: list
+
+
+# --------------------------------------------------------------------------
+# Emitter
+# --------------------------------------------------------------------------
+def emit_statements(stmts: list, indent: int = 1) -> str:
+    pad = "    " * indent
+    out: list[str] = []
+    for st in stmts:
+        if isinstance(st, Assign):
+            out.append(f"{pad}{st.var} := {st.expr};")
+        elif isinstance(st, RowCountInto):
+            out.append(f"{pad}GET DIAGNOSTICS {st.var} = ROW_COUNT;")
+        elif isinstance(st, SelectInto):
+            out.append(
+                f"{pad}{st.select_sql}\n{pad}INTO "
+                + ", ".join(st.into_vars) + ";"
+            )
+        elif isinstance(st, Return):
+            out.append(f"{pad}RETURN {st.expr};")
+        elif isinstance(st, If):
+            for i, (cond, body) in enumerate(st.branches):
+                kw = "IF" if i == 0 else ("ELSIF" if cond else "ELSE")
+                head = f"{pad}{kw} {cond} THEN" if cond else f"{pad}{kw}"
+                out.append(head)
+                out.append(emit_statements(body, indent + 1))
+            out.append(f"{pad}END IF;")
+        elif isinstance(st, Loop):
+            if st.label:
+                out.append(f"{pad}<<{st.label}>>")
+            out.append(f"{pad}LOOP")
+            out.append(emit_statements(st.body, indent + 1))
+            out.append(f"{pad}END LOOP{' ' + st.label if st.label else ''};")
+        elif isinstance(st, RepeatUntil):
+            # reference shape :534-535: REPEAT→LOOP,
+            # UNTIL c END REPEAT→EXIT WHEN c; END LOOP;
+            if st.label:
+                out.append(f"{pad}<<{st.label}>>")
+            out.append(f"{pad}LOOP")
+            out.append(emit_statements(st.body, indent + 1))
+            out.append(f"{pad}    EXIT WHEN {st.until};")
+            out.append(f"{pad}END LOOP{' ' + st.label if st.label else ''};")
+        elif isinstance(st, While):
+            if st.label:
+                out.append(f"{pad}<<{st.label}>>")
+            out.append(f"{pad}WHILE {st.cond} LOOP")
+            out.append(emit_statements(st.body, indent + 1))
+            out.append(f"{pad}END LOOP{' ' + st.label if st.label else ''};")
+        elif isinstance(st, Leave):
+            out.append(f"{pad}EXIT{' ' + st.label if st.label else ''};")
+        elif isinstance(st, Iterate):
+            out.append(f"{pad}CONTINUE{' ' + st.label if st.label else ''};")
+        elif isinstance(st, OpenCursor):
+            out.append(f"{pad}OPEN {st.name} FOR {st.select_sql};")
+        elif isinstance(st, Fetch):
+            into = ", ".join(st.into_vars)
+            out.append(f"{pad}FETCH NEXT FROM {st.cursor} INTO {into};")
+            if st.not_found_flag:
+                out.append(
+                    f"{pad}IF NOT FOUND THEN "
+                    f"{st.not_found_flag} := true; END IF;"
+                )
+        elif isinstance(st, CloseCursor):
+            out.append(f"{pad}CLOSE {st.name};")
+        else:  # pragma: no cover - parser only builds the nodes above
+            raise ProcParseError(f"unknown statement node {st!r}")
+    return "\n".join(out)
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+_WS = re.compile(r"\s+")
+_LABEL = re.compile(r"(\w+)\s*:\s*(?=LOOP\b|REPEAT\b|WHILE\b)", re.I)
+
+
+def _kw(word: str) -> re.Pattern:
+    return re.compile(rf"{word}\b", re.I)
+
+
+_T_ELSEIF = _kw("ELSEIF")
+_T_ELSE = _kw("ELSE")
+_T_END_IF = re.compile(r"END\s+IF\b", re.I)
+_T_UNTIL = _kw("UNTIL")
+_T_END_REPEAT = re.compile(r"END\s+REPEAT\b", re.I)
+_T_END_LOOP = re.compile(r"END\s+LOOP\b", re.I)
+_T_END_WHILE = re.compile(r"END\s+WHILE\b", re.I)
+_T_THEN = _kw("THEN")
+_T_DO = _kw("DO")
+
+
+class _Parser:
+    """Recursive descent over the masked body text (literals are already
+    ``\\x00L<n>\\x00`` placeholders, so ``;`` and keywords inside strings
+    cannot confuse statement boundaries)."""
+
+    def __init__(self, text: str, fname: str, rewrite, flag: str | None,
+                 cursors: dict[str, str]):
+        self.s = text
+        self.i = 0
+        self.fname = fname
+        self.rewrite = rewrite       # MySQL expr (masked) → PG expr
+        self.flag = flag             # NOT FOUND handler flag, if any
+        self.cursors = cursors       # cursor name → PG select
+
+    # -- lexing helpers ----------------------------------------------------
+    def _skip_ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def _at(self, pat: re.Pattern) -> re.Match | None:
+        return pat.match(self.s, self.i)
+
+    def _eat(self, pat: re.Pattern, what: str) -> re.Match:
+        mo = pat.match(self.s, self.i)
+        if not mo:
+            ctx = self.s[self.i : self.i + 40]
+            raise ProcParseError(
+                f"function {self.fname}: expected {what} at {ctx!r}"
+            )
+        self.i = mo.end()
+        return mo
+
+    def _until_kw(self, pat: re.Pattern, what: str) -> str:
+        """Text from here to the next occurrence of ``pat`` (consumed).
+        CASE expressions would nest the terminator keyword; they are
+        rejected in control-flow conditions rather than mis-split."""
+        mo = pat.search(self.s, self.i)
+        if not mo:
+            raise ProcParseError(
+                f"function {self.fname}: missing {what}"
+            )
+        chunk = self.s[self.i : mo.start()]
+        if re.search(r"\bCASE\b", chunk, re.I):
+            raise ProcParseError(
+                f"function {self.fname}: CASE inside a control-flow "
+                "condition is outside the procedural subset"
+            )
+        self.i = mo.end()
+        return chunk.strip()
+
+    def _until_semicolon(self) -> str:
+        j = self.s.find(";", self.i)
+        if j < 0:
+            raise ProcParseError(
+                f"function {self.fname}: unterminated statement at "
+                f"{self.s[self.i:self.i + 40]!r}"
+            )
+        chunk = self.s[self.i : j]
+        self.i = j + 1
+        return chunk.strip()
+
+    # -- grammar -----------------------------------------------------------
+    def parse_block(self, *terminators: re.Pattern) -> tuple[list, re.Pattern | None]:
+        """Statements until one of ``terminators`` (consumed) or EOF."""
+        stmts: list = []
+        while True:
+            self._skip_ws()
+            if self.i >= len(self.s):
+                if terminators:
+                    raise ProcParseError(
+                        f"function {self.fname}: unterminated block"
+                    )
+                return stmts, None
+            for t in terminators:
+                mo = self._at(t)
+                if mo:
+                    self.i = mo.end()
+                    return stmts, t
+            stmts.append(self.parse_statement())
+
+    def parse_statement(self):
+        self._skip_ws()
+        label = None
+        lbl = self._at(_LABEL)
+        if lbl:
+            label = lbl.group(1).lower()   # kept as plpgsql <<label>>
+            self.i = lbl.end()
+            self._skip_ws()
+
+        if self._at(_kw("IF")):
+            return self._parse_if()
+        if self._at(_kw("LOOP")):
+            self._eat(_kw("LOOP"), "LOOP")
+            body, _ = self.parse_block(_T_END_LOOP)
+            self._finish_compound()
+            return Loop(body, label)
+        if self._at(_kw("REPEAT")):
+            self._eat(_kw("REPEAT"), "REPEAT")
+            body, term = self.parse_block(_T_UNTIL)
+            cond = self._until_kw(_T_END_REPEAT, "END REPEAT")
+            self._finish_compound()
+            return RepeatUntil(body, self.rewrite(cond), label)
+        if self._at(_kw("WHILE")):
+            self._eat(_kw("WHILE"), "WHILE")
+            cond = self._until_kw(_T_DO, "DO after WHILE condition")
+            body, _ = self.parse_block(_T_END_WHILE)
+            self._finish_compound()
+            return While(self.rewrite(cond), body, label)
+
+        raw = self._until_semicolon()
+        return self._parse_simple(raw)
+
+    def _finish_compound(self) -> None:
+        """Consume the optional trailing label and the ``;`` after
+        END LOOP/REPEAT/WHILE/IF (labels are dropped, reference :1085)."""
+        self._skip_ws()
+        mo = re.compile(r"(\w+)\s*;").match(self.s, self.i)
+        if mo:
+            self.i = mo.end()
+            return
+        if self.i < len(self.s) and self.s[self.i] == ";":
+            self.i += 1
+
+    def _parse_if(self) -> If:
+        self._eat(_kw("IF"), "IF")
+        branches: list[tuple[str | None, list]] = []
+        cond = self._until_kw(_T_THEN, "THEN after IF condition")
+        while True:
+            body, term = self.parse_block(_T_ELSEIF, _T_ELSE, _T_END_IF)
+            branches.append((self.rewrite(cond) if cond else None, body))
+            if term is _T_ELSEIF:
+                cond = self._until_kw(_T_THEN, "THEN after ELSEIF")
+                continue
+            if term is _T_ELSE:
+                cond = None
+                continue
+            break
+        self._finish_compound()
+        return If(branches)
+
+    def _parse_simple(self, raw: str):
+        up = raw.upper()
+        if up.startswith("SET "):
+            mo = re.match(r"SET\s+(\w+)\s*:?=\s*(.+)$", raw, re.I | re.S)
+            if not mo:
+                raise ProcParseError(
+                    f"function {self.fname}: cannot parse SET {raw!r}"
+                )
+            var = mo.group(1).lower()
+            raw_expr = mo.group(2).strip()
+            if re.fullmatch(r"ROW_COUNT\s*\(\s*\)", raw_expr, re.I):
+                return RowCountInto(var)
+            expr = self.rewrite(raw_expr)
+            if self.flag and var == self.flag:
+                expr = _flag_literal(expr)
+            return Assign(var, expr)
+        if up.startswith("SELECT"):
+            into = re.search(r"\s+INTO\s+([\w\s,]+?)(?=\s+FROM\b|$)", raw, re.I)
+            if not into:
+                raise ProcParseError(
+                    f"function {self.fname}: SELECT without INTO in a "
+                    "procedural body"
+                )
+            vars_ = [v.strip().lower() for v in into.group(1).split(",")]
+            sel = raw[: into.start()] + raw[into.end() :]
+            return SelectInto(self.rewrite(sel.strip()), vars_)
+        if up.startswith("RETURN"):
+            return Return(self.rewrite(raw[6:].strip()))
+        mo = re.match(r"LEAVE\s*(\w+)?$", raw, re.I)
+        if mo:
+            return Leave(mo.group(1).lower() if mo.group(1) else None)
+        mo = re.match(r"ITERATE\s*(\w+)?$", raw, re.I)
+        if mo:
+            return Iterate(mo.group(1).lower() if mo.group(1) else None)
+        mo = re.match(r"OPEN\s+(\w+)$", raw, re.I)
+        if mo:
+            name = mo.group(1).lower()
+            if name not in self.cursors:
+                raise ProcParseError(
+                    f"function {self.fname}: OPEN of undeclared cursor "
+                    f"{name!r}"
+                )
+            return OpenCursor(name, self.cursors[name])
+        mo = re.match(r"FETCH\s+(?:NEXT\s+FROM\s+)?(\w+)\s+INTO\s+(.+)$",
+                      raw, re.I | re.S)
+        if mo:
+            name = mo.group(1).lower()
+            if name not in self.cursors:
+                raise ProcParseError(
+                    f"function {self.fname}: FETCH from undeclared cursor "
+                    f"{name!r}"
+                )
+            vars_ = [v.strip().lower() for v in mo.group(2).split(",")]
+            return Fetch(name, vars_, self.flag)
+        mo = re.match(r"CLOSE\s+(\w+)$", raw, re.I)
+        if mo:
+            return CloseCursor(mo.group(1).lower())
+        raise ProcParseError(
+            f"function {self.fname}: unsupported statement {raw[:60]!r}"
+        )
+
+
+def _flag_literal(expr: str) -> str:
+    """1/0/TRUE/FALSE assigned to the (boolean-forced) handler flag."""
+    v = expr.strip().upper()
+    if v in ("1", "TRUE"):
+        return "true"
+    if v in ("0", "FALSE"):
+        return "false"
+    return expr
+
+
+def normalize_flag_comparisons(expr: str, flag: str) -> str:
+    """The handler flag is forced BOOLEAN (reference :1116-1119 forces
+    ``done`` INT→BOOLEAN) so integer comparisons against it must become
+    boolean tests — ``done = 1``→``done``, ``done = 0``→``NOT done``.
+    The reference's flat replaces skip this, leaving
+    ``boolean = integer`` type errors in its emitted plpgsql."""
+    out = re.sub(
+        rf"\b{flag}\s*(?:=\s*1|=\s*TRUE|<>\s*0|!=\s*0)\b",
+        flag, expr, flags=re.I,
+    )
+    out = re.sub(
+        rf"\b{flag}\s*(?:=\s*0|=\s*FALSE|<>\s*1|!=\s*1)\b",
+        f"NOT {flag}", out, flags=re.I,
+    )
+    return out
+
+
+_RE_CURSOR_DECL = re.compile(
+    r"DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+([^;]+);", re.I
+)
+_RE_HANDLER = re.compile(
+    r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+([^;]+?)\s+"
+    r"SET\s+(\w+)\s*=\s*(\S+)\s*;",
+    re.I,
+)
+_RE_VAR_DECL = re.compile(r"DECLARE\s+(\w+)\s+([^;]+);", re.I)
+
+
+def parse_procedural(
+    body: str,
+    fname: str,
+    rewrite_expr,
+    pg_type,
+) -> ProceduralBody:
+    """Masked MySQL body (BEGIN/END stripped) → :class:`ProceduralBody`.
+
+    ``rewrite_expr(masked_text) -> str`` converts expression/SELECT text
+    to PG dialect (including unmasking); ``pg_type(mysql_type) -> str``
+    is the C86 type matrix.
+    """
+    declares: list[tuple[str, str]] = []
+    cursors: dict[str, str] = {}
+    flag: str | None = None
+
+    # 1. NOT FOUND handler → boolean flag (reference removes handlers at
+    # :1086 and leans on the done-flag FETCH rewrite; same model here,
+    # but only the canonical pattern is accepted — anything else raises)
+    def _take_handler(mo: re.Match) -> str:
+        nonlocal flag
+        kind, cond, var = mo.group(1).upper(), mo.group(2), mo.group(3)
+        if kind != "CONTINUE" or not re.fullmatch(
+            r"NOT\s+FOUND", cond.strip(), re.I
+        ):
+            raise ProcParseError(
+                f"function {fname}: only `DECLARE CONTINUE HANDLER FOR "
+                f"NOT FOUND SET flag = 1` is translatable, got "
+                f"{kind} HANDLER FOR {cond.strip()!r}"
+            )
+        flag = var.lower()
+        return ""
+
+    body = _RE_HANDLER.sub(_take_handler, body)
+    if re.search(r"\bHANDLER\b", body, re.I):
+        raise ProcParseError(
+            f"function {fname}: HANDLER outside the canonical "
+            "NOT FOUND SET-flag pattern"
+        )
+
+    # 2. cursor declarations → refcursor + remembered select (:1044-1060)
+    def _take_cursor(mo: re.Match) -> str:
+        name = mo.group(1).lower()
+        cursors[name] = rewrite_expr(mo.group(2).strip())
+        declares.append((name, "refcursor"))
+        return ""
+
+    body = _RE_CURSOR_DECL.sub(_take_cursor, body)
+
+    # 3. plain variable declarations (flag forced BOOLEAN, :1116-1119)
+    def _take_var(mo: re.Match) -> str:
+        var, rest = mo.group(1).lower(), mo.group(2).strip()
+        dflt = re.search(r"\bDEFAULT\s+(.+)$", rest, re.I | re.S)
+        if flag and var == flag:
+            t = "BOOLEAN"
+            init = _flag_literal(dflt.group(1).strip()) if dflt else "false"
+            declares.append((var, f"{t} := {init}"))
+            return ""
+        t = pg_type(rest[: dflt.start()].strip() if dflt else rest)
+        if dflt:
+            t += " := " + rewrite_expr(dflt.group(1).strip())
+        declares.append((var, t))
+        return ""
+
+    body = _RE_VAR_DECL.sub(_take_var, body)
+
+    def _rewrite(masked: str) -> str:
+        if flag:
+            masked = normalize_flag_comparisons(masked, flag)
+        return rewrite_expr(masked)
+
+    p = _Parser(body, fname, _rewrite, flag, cursors)
+    stmts, _ = p.parse_block()
+    if not any(_has_return(s) for s in stmts):
+        raise ProcParseError(f"function {fname}: body has no RETURN")
+    return ProceduralBody(declares, stmts)
+
+
+def _has_return(st) -> bool:
+    if isinstance(st, Return):
+        return True
+    if isinstance(st, If):
+        return any(_has_return(s) for _, b in st.branches for s in b)
+    if isinstance(st, (Loop, While)):
+        return any(_has_return(s) for s in st.body)
+    if isinstance(st, RepeatUntil):
+        return any(_has_return(s) for s in st.body)
+    return False
