@@ -35,6 +35,24 @@ Merge map (merged name ← folded originals):
                               + w07_stream_stream_join (round 3)
   d01_dedup_pipeline        ← d01_exact_dedup + d09_dedup_apply (round 3)
                               + d05_simhash (round 5 — t20 took its slot)
+
+Round 6 rotation (every round-5 family earns a driver row):
+  d03_lsh_neardup           += d13_editdistance_verify
+  val01_validation          += val03_table_stats
+  mm01_multimodal_pipeline  += mm05_phash_neardup + mm06_frame_dedup
+  w06_streaming_battery     += w11_dedup_within_watermark
+  u01_upsert_battery        ← u01_upsert_latest + u02_scd2_history
+  qa01_quality_battery      ← qa01_quarantine + qa03_drift_profile
+                              + qa05_correlation_profile
+  cc01_cluster_battery      ← cc01_dedup_clusters + cc03_pagerank_canonical
+  ts03_timeseries_battery   ← ts03_funnel + ts05_seasonality
+  t20_span_battery          ← t20_dup_spans + t21_novelty
+  t08_repetition_battery    ← t08_repetition + t23_gopher_ngram_fractions
+  t04_vocab_battery         ← t04_vocabulary + t22_bpe_merge_pairs
+  f03_conditional_battery   ← f03_null_conditional + q05_case_when
+                              (frees the slot for s07_embedding_health)
+  s07_embedding_health      ← s07_embedding_postproc + s08_kcenter_coreset
+                              + s09_dim_stats + s10_cosine_histogram
 """
 
 from __future__ import annotations
@@ -96,6 +114,16 @@ FOLDED = (
     "d01_exact_dedup",
     "d09_dedup_apply",
     "d05_simhash",
+    # round 6 rotation
+    "u01_upsert_latest",
+    "qa01_quarantine",
+    "cc01_dedup_clusters",
+    "ts03_funnel",
+    "t20_dup_spans",
+    "t08_repetition",
+    "t04_vocabulary",
+    "f03_null_conditional",
+    "q05_case_when",
 )
 
 
@@ -187,18 +215,36 @@ def t01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver canonicalizer can't sort/hash list cells, so the merged view
     # serializes it to a JSON string on both engines (compact [..] form).
     oracle=f"""
-SELECT * REPLACE (to_json(thumb)::VARCHAR AS thumb)
+SELECT 'decode' AS mm_kind, *
+    REPLACE (to_json(thumb)::VARCHAR AS thumb)
 FROM {_sub("mm02_frame_sample")} x
 JOIN {_sub("mm01_binary_decode")} y USING (doc_id)
 JOIN {_sub("mm03_resize_thumbnail")} z USING (doc_id)
+UNION ALL BY NAME
+SELECT 'phash_pairs' AS mm_kind, * FROM {_sub("mm05_phash_neardup")}
+UNION ALL BY NAME
+SELECT 'frame_dedup' AS mm_kind, * FROM {_sub("mm06_frame_dedup")}
 """,
 )
 def mm01_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = QUERIES["mm02_frame_sample"](spark, sf_dir)
     stats = QUERIES["mm01_binary_decode"](spark, sf_dir)
     thumbs = QUERIES["mm03_resize_thumbnail"](spark, sf_dir)
-    joined = frames.join(stats, "doc_id").join(thumbs, "doc_id")
-    return joined.withColumn("thumb", F.to_json("thumb"))
+    joined = (
+        frames.join(stats, "doc_id")
+        .join(thumbs, "doc_id")
+        .withColumn("thumb", F.to_json("thumb"))
+    )
+    # round 6: + the media-dedup family — banded pHash Hamming pairs
+    # (mm05) and cross-doc frame dedup (mm06)
+    return _tagged_union(
+        "mm_kind",
+        [
+            ("decode", joined),
+            ("phash_pairs", QUERIES["mm05_phash_neardup"](spark, sf_dir)),
+            ("frame_dedup", QUERIES["mm06_frame_dedup"](spark, sf_dir)),
+        ],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -224,19 +270,27 @@ def q07_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d03_lsh_neardup",
+    # round 6: + d13's Levenshtein verification over the same LSH
+    # candidate pairs — one more left join on the shared pair key.
     oracle=f"""
-SELECT c.id_a, c.id_b, v.jaccard, (v.jaccard IS NOT NULL) AS is_neardup
+SELECT c.id_a, c.id_b, v.jaccard, (v.jaccard IS NOT NULL) AS is_neardup,
+       e.edit_dist, e.edit_sim
 FROM {_sub("d03_lsh_candidates")} c
 LEFT JOIN {_sub("d04_neardup_pairs")} v
   ON v.id_a = c.id_a AND v.id_b = c.id_b
+LEFT JOIN {_sub("d13_editdistance_verify")} e
+  ON e.id_a = c.id_a AND e.id_b = c.id_b
 ORDER BY c.id_a, c.id_b
 """,
 )
 def d03_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = QUERIES["d03_lsh_candidates"](spark, sf_dir)
     verified = QUERIES["d04_neardup_pairs"](spark, sf_dir)
-    return cands.join(verified, ["id_a", "id_b"], "left").withColumn(
-        "is_neardup", F.col("jaccard").isNotNull()
+    edits = QUERIES["d13_editdistance_verify"](spark, sf_dir)
+    return (
+        cands.join(verified, ["id_a", "id_b"], "left")
+        .withColumn("is_neardup", F.col("jaccard").isNotNull())
+        .join(edits, ["id_a", "id_b"], "left")
     )
 
 
@@ -429,6 +483,10 @@ UNION ALL
 SELECT 'lineitem#checksum', CAST(n_rows AS BIGINT), hash_sum,
        min_digest, max_digest
 FROM {_sub("val01_table_checksum")}
+UNION ALL BY NAME
+SELECT 'stats#' || col_name AS table_name, n AS n_rows,
+       n_null, ndv, min_num, max_num
+FROM {_sub("val03_table_stats")}
 """,
 )
 def val01_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,8 +498,17 @@ def val01_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_digest",
         "max_digest",
     )
+    # round 6: + val03's per-column profile (ANALYZE-style stats)
+    stats = QUERIES["val03_table_stats"](spark, sf_dir).select(
+        F.concat(F.lit("stats#"), F.col("col_name")).alias("table_name"),
+        F.col("n").alias("n_rows"),
+        "n_null",
+        "ndv",
+        "min_num",
+        "max_num",
+    )
     return _tagged_union(
-        "__drop__", [("a", counts), ("b", checksum)]
+        "__drop__", [("a", counts), ("b", checksum), ("c", stats)]
     ).drop("__drop__")
 
 
@@ -597,6 +664,9 @@ SELECT 'stateful', CAST(NULL AS VARCHAR),
        user_id, CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
        CAST(n_events AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("w04_stateful_stream_counts")}
+UNION ALL BY NAME
+SELECT 'watermark_dedup' AS stream_kind, user_id, event_type
+FROM {_sub("w11_dedup_within_watermark")}
 """,
 )
 def w06_streaming_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +677,205 @@ def w06_streaming_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("interval_join", QUERIES["w07_stream_stream_join"](spark, sf_dir)),
             ("session", QUERIES["w03_session_windows"](spark, sf_dir)),
             ("stateful", QUERIES["w04_stateful_stream_counts"](spark, sf_dir)),
+            # round 6: watermark-bounded streaming dedup (finite state
+            # on an unbounded feed)
+            (
+                "watermark_dedup",
+                QUERIES["w11_dedup_within_watermark"](spark, sf_dir),
+            ),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 6 rotation: batteries for the round-5 families that had no
+# driver row. Tag + NULL-padded union (UNION ALL BY NAME on the DuckDB
+# side mirrors _tagged_union exactly) or a join when the parts share a
+# key. The originals remain the single source of truth for semantics.
+# --------------------------------------------------------------------------
+@query(
+    "u01_upsert_battery",
+    # u02's `version` is renamed scd_version: it is a per-key change
+    # ordinal (bigint), not u01's source-batch version tag (int).
+    oracle=f"""
+SELECT 'latest' AS part, * FROM {_sub("u01_upsert_latest")}
+UNION ALL BY NAME
+SELECT 'scd2' AS part, user_id, event_type, valid_from, valid_to,
+       version AS scd_version, is_current
+FROM {_sub("u02_scd2_history")}
+""",
+)
+def u01_upsert_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = QUERIES["u01_upsert_latest"](spark, sf_dir)
+    scd2 = QUERIES["u02_scd2_history"](spark, sf_dir).withColumnRenamed(
+        "version", "scd_version"
+    )
+    return _tagged_union("part", [("latest", latest), ("scd2", scd2)])
+
+
+@query(
+    "qa01_quality_battery",
+    oracle=f"""
+SELECT 'quarantine' AS part, * FROM {_sub("qa01_quarantine")}
+UNION ALL BY NAME
+SELECT 'drift' AS part, * FROM {_sub("qa03_drift_profile")}
+UNION ALL BY NAME
+SELECT 'correlation' AS part, * FROM {_sub("qa05_correlation_profile")}
+""",
+)
+def qa01_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tagged_union(
+        "part",
+        [
+            ("quarantine", QUERIES["qa01_quarantine"](spark, sf_dir)),
+            ("drift", QUERIES["qa03_drift_profile"](spark, sf_dir)),
+            ("correlation", QUERIES["qa05_correlation_profile"](spark, sf_dir)),
+        ],
+    )
+
+
+@query(
+    "cc01_cluster_battery",
+    # same node universe: star-CC components left-joined with the
+    # PageRank canonical pick for each (component, node)
+    oracle=f"""
+SELECT c.node, c.component, p.rank_fp, p.is_canonical
+FROM {_sub("cc01_dedup_clusters")} c
+LEFT JOIN {_sub("cc03_pagerank_canonical")} p
+  ON p.component = c.component AND p.node = c.node
+ORDER BY c.node
+""",
+)
+def cc01_cluster_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = QUERIES["cc01_dedup_clusters"](spark, sf_dir)
+    ranks = QUERIES["cc03_pagerank_canonical"](spark, sf_dir)
+    return comps.join(ranks, ["component", "node"], "left").select(
+        "node", "component", "rank_fp", "is_canonical"
+    )
+
+
+@query(
+    "ts03_timeseries_battery",
+    oracle=f"""
+SELECT 'funnel' AS part, * FROM {_sub("ts03_funnel")}
+UNION ALL BY NAME
+SELECT 'seasonality' AS part, * FROM {_sub("ts05_seasonality")}
+""",
+)
+def ts03_timeseries_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tagged_union(
+        "part",
+        [
+            ("funnel", QUERIES["ts03_funnel"](spark, sf_dir)),
+            ("seasonality", QUERIES["ts05_seasonality"](spark, sf_dir)),
+        ],
+    )
+
+
+@query(
+    "t20_span_battery",
+    # t20 emits per-span rows, t21 per-doc novelty; t20.n_grams (grams
+    # in the span) and t21.n_grams (grams in the doc) are different
+    # quantities → tagged union, not a join
+    oracle=f"""
+SELECT 'dup_spans' AS part, * FROM {_sub("t20_dup_spans")}
+UNION ALL BY NAME
+SELECT 'novelty' AS part, * FROM {_sub("t21_novelty")}
+""",
+)
+def t20_span_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tagged_union(
+        "part",
+        [
+            ("dup_spans", QUERIES["t20_dup_spans"](spark, sf_dir)),
+            ("novelty", QUERIES["t21_novelty"](spark, sf_dir)),
+        ],
+    )
+
+
+@query(
+    "t08_repetition_battery",
+    # both one row per doc → join on doc_id (sentence-level dup ratio
+    # beside Gopher's top-n-gram fractions)
+    oracle=f"""
+SELECT * FROM {_sub("t08_repetition")} a
+JOIN {_sub("t23_gopher_ngram_fractions")} b USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def t08_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = QUERIES["t08_repetition"](spark, sf_dir)
+    b = QUERIES["t23_gopher_ngram_fractions"](spark, sf_dir)
+    return a.join(b, "doc_id")
+
+
+@query(
+    "t04_vocab_battery",
+    oracle=f"""
+SELECT 'unigram' AS part, * FROM {_sub("t04_vocabulary")}
+UNION ALL BY NAME
+SELECT 'bpe_pairs' AS part, * FROM {_sub("t22_bpe_merge_pairs")}
+""",
+)
+def t04_vocab_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tagged_union(
+        "part",
+        [
+            ("unigram", QUERIES["t04_vocabulary"](spark, sf_dir)),
+            ("bpe_pairs", QUERIES["t22_bpe_merge_pairs"](spark, sf_dir)),
+        ],
+    )
+
+
+@query(
+    "f03_conditional_battery",
+    # q05's CASE/IF pivot over orders folds in here (C4/C30 shares the
+    # conditional-function family), freeing its slot for
+    # s07_embedding_health
+    oracle=f"""
+SELECT 'null_fns' AS part, * FROM {_sub("f03_null_conditional")}
+UNION ALL BY NAME
+SELECT 'case_pivot' AS part, * FROM {_sub("q05_case_when")}
+""",
+)
+def f03_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tagged_union(
+        "part",
+        [
+            ("null_fns", QUERIES["f03_null_conditional"](spark, sf_dir)),
+            ("case_pivot", QUERIES["q05_case_when"](spark, sf_dir)),
+        ],
+    )
+
+
+@query(
+    "s07_embedding_health",
+    # the embedding-health family: post-processing invariants (s07;
+    # the unit16 double array is EXCLUDED here — Spark and DuckDB
+    # to_json render doubles differently, and the driver canonicalizer
+    # can't hash list cells; the full array stays element-exact-checked
+    # in the original s07's pytest oracle), k-center coreset (s08),
+    # per-dim stats (s09), cosine-collapse histogram (s10)
+    oracle=f"""
+SELECT 'postproc' AS part, * EXCLUDE (unit16)
+FROM {_sub("s07_embedding_postproc")}
+UNION ALL BY NAME
+SELECT 'kcenter' AS part, * FROM {_sub("s08_kcenter_coreset")}
+UNION ALL BY NAME
+SELECT 'dim_stats' AS part, * FROM {_sub("s09_dim_stats")}
+UNION ALL BY NAME
+SELECT 'cos_hist' AS part, * FROM {_sub("s10_cosine_histogram")}
+""",
+)
+def s07_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postproc = QUERIES["s07_embedding_postproc"](spark, sf_dir).drop("unit16")
+    return _tagged_union(
+        "part",
+        [
+            ("postproc", postproc),
+            ("kcenter", QUERIES["s08_kcenter_coreset"](spark, sf_dir)),
+            ("dim_stats", QUERIES["s09_dim_stats"](spark, sf_dir)),
+            ("cos_hist", QUERIES["s10_cosine_histogram"](spark, sf_dir)),
         ],
     )
 
