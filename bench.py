@@ -239,6 +239,164 @@ def _bench_migration(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
     }
 
 
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Throughput + per-trigger latency for the REAL Structured
+    Streaming backfills (8-file staged source, availableNow): the
+    windowed-agg pipeline (w02 family) and the applyInPandasWithState
+    per-user counters (w04 family). Per-trigger numbers come from the
+    query's own recentProgress, not wall/8 guessing."""
+    from mysql2pg_spark.streaming import ingest
+
+    out: dict = {}
+    for tag, fn in (
+        ("windowed", ingest.run_streaming_backfill),
+        ("stateful", ingest.run_stateful_user_counts),
+    ):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir, sink_table=f"bench_stream_{tag}").count()
+        wall = time.perf_counter() - t0
+        rows = 0
+        trig_ms: list[float] = []
+        for p in ingest.LAST_PROGRESS:
+            try:
+                d = p if isinstance(p, dict) else json.loads(p.json)
+                rows += int(d.get("numInputRows", 0))
+                ms = (d.get("durationMs") or {}).get("triggerExecution")
+                if ms is not None and int(d.get("numInputRows", 0)) > 0:
+                    trig_ms.append(float(ms))
+            except Exception:
+                continue
+        out[f"streaming_{tag}_sec"] = round(wall, 3)
+        out[f"streaming_{tag}_rows"] = rows
+        out[f"streaming_{tag}_rows_per_sec"] = round(rows / max(wall, 1e-9), 1)
+        out[f"streaming_{tag}_triggers"] = len(trig_ms)
+        if trig_ms:
+            out[f"streaming_{tag}_avg_trigger_sec"] = round(
+                sum(trig_ms) / len(trig_ms) / 1000.0, 3
+            )
+    return out
+
+
+#: Scale-critical subset benched at ~10× data (round-6 scale-step
+#: evidence), cheapest-first so a budget cut loses the least. The
+#: candidate-driven dedup trio (cc01/d06/d13) runs LAST with workload
+#: normalization — see _bench_scale_step.
+SCALE_SUBSET = [
+    "val01_table_checksum",
+    "t20_dup_spans",
+    "t23_gopher_ngram_fractions",
+    "cc03_pagerank_canonical",
+    "s04_knn_ivf_refined",
+    "s06_knn_pq",
+]
+
+
+def _lev_verify_sampled(spark, sf_dir: str, mod: int = 10):
+    """d13's Levenshtein verification over a DETERMINISTIC 1/mod sample
+    of the LSH candidate pairs (xxhash64 bucket of the pair key). The
+    full sf1 candidate mass is quadratic in this fixture corpus (31-word
+    vocabulary → random-pair Jaccard ≈ 0.1, so LSH collisions grow ~n²
+    — a corpus property, measured 911→82k→8.2M across sf0.01/0.1/1);
+    the sample keeps the scale bench bounded while per-PAIR throughput
+    still proves the operator linear in its workload."""
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators import dedup as D
+    from mysql2pg_spark.plans.dedup import NUM_HASHES, cached_signatures
+    from mysql2pg_spark.tables import load_table
+
+    cands = D.lsh_candidate_pairs(
+        cached_signatures(spark, sf_dir), "doc_id", NUM_HASHES
+    ).filter(F.pmod(F.xxhash64("id_a", "id_b"), F.lit(mod)) == 0)
+    norm = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias(
+            "s"
+        ),
+    )
+    na = norm.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cands.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("d"))
+    )
+
+
+def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
+                      budget_sec: float) -> dict:
+    """Run the scale-critical subset + migration at ~10× the bench sf
+    (generated once into .scale/sf1, key-shifted replication — see
+    tools/gen_scale.py). Emits per-query seconds; read beside the same
+    queries' sf0.1 numbers to check near-linear scaling. The
+    candidate-driven dedup queries also emit their WORKLOAD (candidate
+    pair count): in this fixture corpus candidate mass is quadratic in
+    corpus size (tiny vocabulary — see PLANS.md scale-step note), so
+    pairs/sec, not raw seconds, is the linearity signal for them. A
+    hard wall budget bounds the section: anything unstarted is recorded
+    as skipped, and the bench JSON always emits."""
+    from tools.gen_scale import generate_scale_dir
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # sf0.1 → .scale/sf1 (the canonical scale step); any other source
+    # sf gets its own dir so a smoke run can't poison the sf1 cache
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        repo, ".scale", "sf1" if base == "sf0.1" else f"{base}x10"
+    )
+    deadline = time.perf_counter() + budget_sec
+    t0 = time.perf_counter()
+    generate_scale_dir(spark, sf_dir, out_dir, factor=10)
+    res: dict = {"generate_sec": round(time.perf_counter() - t0, 3),
+                 "factor": 10}
+
+    def over_budget(key: str) -> bool:
+        if time.perf_counter() > deadline:
+            res[key] = "skipped(budget)"
+            return True
+        return False
+
+    for name in SCALE_SUBSET:
+        if name not in QUERIES or over_budget(name):
+            continue
+        t = time.perf_counter()
+        QUERIES[name](spark, out_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        res[name] = round(time.perf_counter() - t, 3)
+
+    if not over_budget("migration_pipeline_sec"):
+        mig = _bench_migration(spark, out_dir, 1, tmpdir)
+        res["migration_pipeline_sec"] = mig["migration_pipeline_sec"]
+        res["migration_rows"] = mig["migration_rows"]
+        res["migration_rows_per_sec"] = mig["migration_rows_per_sec"]
+
+    # candidate-driven dedup: seconds + workload, pairs/sec is the
+    # linearity signal (candidate mass is quadratic in THIS corpus)
+    if not over_budget("lsh_candidate_pairs"):
+        t = time.perf_counter()
+        res["lsh_candidate_pairs"] = QUERIES["d03_lsh_candidates"](
+            spark, out_dir
+        ).count()
+        res["lsh_candidates_sec"] = round(time.perf_counter() - t, 3)
+    for name in ("cc01_dedup_clusters", "d06_embedding_neardup"):
+        if over_budget(name):
+            continue
+        t = time.perf_counter()
+        QUERIES[name](spark, out_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        res[name] = round(time.perf_counter() - t, 3)
+    if not over_budget("d13_lev_sampled_sec"):
+        t = time.perf_counter()
+        n_pairs = _lev_verify_sampled(spark, out_dir).count()
+        sec = time.perf_counter() - t
+        res["d13_lev_sampled_sec"] = round(sec, 3)
+        res["d13_lev_sampled_pairs"] = n_pairs
+        res["d13_lev_pairs_per_sec"] = round(n_pairs / max(sec, 1e-9), 1)
+    return res
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -265,14 +423,18 @@ def main() -> None:
         QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-    # Min-of-N per query (default 3): the sandbox is shared, and r1→r2
-    # showed ±30-76% swings on UNTOUCHED queries — the minimum is the
-    # noise-robust estimate of the query's real cost. Override with
-    # SPARK_GRAFT_BENCH_REPS=1 for a quick single-pass run.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Median-of-N per query (default 5, round-6 measurement hygiene):
+    # min-of-3 at sub-second scale was too noisy to read — r4→r5 showed
+    # ±66% swings on untouched queries. The median is robust to one slow
+    # outlier AND one lucky cache hit; the raw sorted times per query are
+    # emitted (queries_spread) so a reader can separate dispersion from
+    # real regression. Override with SPARK_GRAFT_BENCH_REPS=1 for a quick
+    # single-pass run.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
+        times: list[float] = []
         for _ in range(reps):
             t = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
@@ -280,8 +442,10 @@ def main() -> None:
             # sink — measures the query, not Python row serialization
             # (collect() on a 100k-row result costs ~10s of pure pickling).
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t)
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 3)  # median
+        spread[name] = [round(x, 3) for x in times]
     total = round(sum(timings.values()), 3)
 
     # extras are evidence, not the frozen trend series: single-pass so
@@ -295,6 +459,7 @@ def main() -> None:
         extras[name] = round(time.perf_counter() - t, 3)
     import tempfile
 
+    scale_step: dict = {}
     with tempfile.TemporaryDirectory() as td:
         try:
             extras["dump_parse_orders"] = _bench_dump_parse(
@@ -310,6 +475,21 @@ def main() -> None:
             extras.update(_bench_curation(spark, sf_dir, td))
         except Exception as e:
             extras["curation_pipeline_error"] = str(e)[:120]
+        try:
+            extras.update(_bench_streaming(spark, sf_dir))
+        except Exception as e:
+            extras["streaming_error"] = str(e)[:120]
+        # ~10× scale step (skippable: SPARK_GRAFT_SCALE=0; hard wall
+        # budget keeps the bench emit safe on a slow machine)
+        if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+            try:
+                scale_step = _bench_scale_step(
+                    spark, sf_dir, td,
+                    float(os.environ.get(
+                        "SPARK_GRAFT_SCALE_BUDGET", "900")),
+                )
+            except Exception as e:
+                scale_step = {"error": str(e)[:200]}
 
     print(
         json.dumps(
@@ -318,8 +498,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "reps": reps,
+                "estimator": "median",
                 "queries": timings,
+                "queries_spread": spread,
                 "extra_queries": extras,
+                "scale_step": scale_step,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -133,9 +133,20 @@ def _coerce_strings(s: str) -> str:
     return s
 
 
-def transpile_mysql_ansi(sql: str, dialect: str = "postgres") -> str:
+def transpile_mysql_ansi(
+    sql: str, dialect: str = "postgres", coalesce_text: bool = False
+) -> str:
     """Translate one MySQL SELECT/view body into the target engine's
-    ANSI spelling. ``dialect``: ``postgres`` (default) or ``duckdb``."""
+    ANSI spelling. ``dialect``: ``postgres`` (default) or ``duckdb``.
+
+    ``coalesce_text=True`` casts every COALESCE argument to text — the
+    reference's unconditional hack (sync_viewddl.go:377-383) that makes
+    MySQL's loosely-typed ``COALESCE(varchar_col, ts_col, 0)`` views
+    execute on a strict engine. It is OFF by default (it would retype
+    well-formed numeric COALESCEs); the execute path enables it as a
+    per-view RETRY when the engine rejects the plain form with a
+    COALESCE type error — the engine itself is the mixed-type detector
+    a text transpiler cannot be (C33)."""
     duck = dialect == "duckdb"
     s, lits = mask_literals(sql)
 
@@ -151,6 +162,18 @@ def transpile_mysql_ansi(sql: str, dialect: str = "postgres") -> str:
 
     # ---- conditionals -----------------------------------------------------
     s = re.sub(r"\bIFNULL\s*\(", "COALESCE(", s, flags=re.I)
+    if coalesce_text:
+        # CO\x02ALESCE sentinel: rewrite_call rescans its output, so a
+        # bare COALESCE( replacement would re-match forever
+        s = rewrite_call(
+            s,
+            "COALESCE",
+            lambda a: (
+                "CO\x02ALESCE("
+                + ", ".join(f"CA\x02ST({x.strip()} AS text)" for x in a)
+                + ")"
+            ),
+        )
     s = rewrite_call(
         s,
         "IF",

@@ -616,16 +616,20 @@ def transpile_mysql(sql: str) -> str:
     return unmask_literals(s, lits).strip()
 
 
-def transpile_mysql_ansi(sql: str, dialect: str = "postgres") -> str:
+def transpile_mysql_ansi(
+    sql: str, dialect: str = "postgres", coalesce_text: bool = False
+) -> str:
     """MySQL view body → ANSI text a real server parser accepts.
     ``transpile_mysql`` targets Spark SQL, which still ACCEPTS backtick
     identifiers, IFNULL, DATE_FORMAT and friends — a server-side CREATE
     VIEW does not (found by the DuckDB end-to-end run). The full
     conversion catalog (the reference's sync_viewddl.go parity) lives
-    in ``dialect/ansi.py``; this is its import surface."""
+    in ``dialect/ansi.py``; this is its import surface.
+    ``coalesce_text``: the C33 mixed-type COALESCE retry knob (see
+    ansi.py)."""
     from mysql2pg_spark.dialect.ansi import transpile_mysql_ansi as _impl
 
-    return _impl(sql, dialect)
+    return _impl(sql, dialect, coalesce_text=coalesce_text)
 
 
 def create_view(spark, name: str, mysql_sql: str, replace: bool = True):

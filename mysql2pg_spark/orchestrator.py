@@ -118,6 +118,24 @@ class MigrationPipeline:
     def _norm(self, name: str) -> str:
         return normalize_identifier(name, self.cfg.options.lowercase_columns)
 
+    def _view_coalesce_fallback(self, name: str, dialect: str) -> str | None:
+        """C33 retry payload: the view's ORIGINAL MySQL body re-transpiled
+        with every COALESCE argument cast to text (see dialect/ansi.py).
+        Returns None if the view is unknown."""
+        from mysql2pg_spark.dialect.transpile import transpile_mysql_ansi
+        from mysql2pg_spark.schema.identifiers import quote_pg
+
+        for vname, vsql in self.snapshot.views.items():
+            if self._norm(vname) == name:
+                body = transpile_mysql_ansi(
+                    vsql, dialect, coalesce_text=True
+                )
+                return (
+                    f"DROP VIEW IF EXISTS {quote_pg(name)} CASCADE; "
+                    f"CREATE OR REPLACE VIEW {quote_pg(name)} AS {body}"
+                )
+        return None
+
     def _schema_of(self, t: TableMeta):
         from pyspark.sql.types import StructType
 
@@ -494,6 +512,30 @@ class MigrationPipeline:
                     cur.execute(payload)
                     ddl_done += 1
                 except Exception as e:  # keep going, record (manager.go)
+                    # C33: a strict engine rejects MySQL's loosely-typed
+                    # mixed COALESCE; retry the view with every COALESCE
+                    # arg cast to text (the reference's
+                    # sync_viewddl.go:377-383 hack, applied here only
+                    # when the engine actually reported the mismatch)
+                    retry = None
+                    if stage == "view" and "coalesce" in str(e).lower():
+                        retry = self._view_coalesce_fallback(
+                            a.target, target_dialect
+                        )
+                    if retry is not None:
+                        try:
+                            from mysql2pg_spark.sinks.ddl import adapt_ddl
+
+                            cur = pg_conn.cursor()
+                            cur.execute(adapt_ddl(retry, target_dialect))
+                            ddl_done += 1
+                            logger.info(
+                                f"view {a.target}: mixed-type COALESCE "
+                                "unified to text on retry (C33)"
+                            )
+                            continue
+                        except Exception as e2:
+                            e = e2
                     logger.table_error(stage, a.target, e)
             if ddls:
                 pg_conn.commit()

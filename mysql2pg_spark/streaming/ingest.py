@@ -21,6 +21,18 @@ from mysql2pg_spark.tables import DEC, normalize_events_ts
 #: stage_stream_files for the memoization contract.
 _STAGE_CACHE: dict[tuple[str, int, str, int], str] = {}
 
+#: Per-trigger progress dicts of the most recently terminated query
+#: (bench.py reads this for rows/s + trigger-latency metrics).
+LAST_PROGRESS: list = []
+
+
+def _record_progress(q) -> None:
+    global LAST_PROGRESS
+    try:
+        LAST_PROGRESS = list(q.recentProgress)
+    except Exception:
+        LAST_PROGRESS = []
+
 
 def windowed_value_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window per-type aggregate — shared by batch and stream."""
@@ -132,6 +144,7 @@ def run_streaming_backfill(
         .start()
     )
     q.awaitTermination()
+    _record_progress(q)
     return spark.table(sink_table)
 
 
@@ -187,6 +200,7 @@ def run_stateful_user_counts(
         .start()
     )
     q.awaitTermination()
+    _record_progress(q)
     return (
         spark.table(sink_table)
         .groupBy("user_id")
@@ -227,6 +241,7 @@ def run_streaming_dedup(
         .start()
     )
     q.awaitTermination()
+    _record_progress(q)
     return spark.table(sink_table)
 
 
@@ -289,6 +304,7 @@ def run_stream_stream_join(
         .start()
     )
     q.awaitTermination()
+    _record_progress(q)
     return spark.table(sink_table)
 
 
@@ -354,6 +370,7 @@ def run_streaming_upsert(
         .start()
     )
     q.awaitTermination()
+    _record_progress(q)
     store = spark.read.parquet(store_dir)
     w2 = Window.partitionBy("user_id").orderBy(
         F.col("last_ts").desc(), F.col("last_event_id").desc()
@@ -411,6 +428,7 @@ def run_stream_static_enrich(
         .start()
     )
     q.awaitTermination()
+    _record_progress(q)
     return spark.table(sink_table)
 
 
@@ -456,4 +474,5 @@ def run_dedup_within_watermark(
         .start()
     )
     q.awaitTermination()
+    _record_progress(q)
     return spark.table(sink_table).orderBy("user_id", "event_type")

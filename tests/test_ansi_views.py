@@ -9,9 +9,12 @@ tables. The two exceptions are pinned with their reasons:
 
 - view_case08_json uses JSON_DEPTH / JSON_PRETTY / JSON_OVERLAPS —
   no PG/DuckDB analog exists and the reference has no mapping either;
-- view_case10_defaults mixes INT and VARCHAR in one COALESCE —
-  MySQL-only loose typing that every strict engine rejects (the Spark
-  path pins the same expected failure).
+- view_case10_defaults mixes INT / VARCHAR / TIMESTAMP in one
+  COALESCE — MySQL-only loose typing a strict engine rejects in the
+  plain form; since round 6 the sink path RETRIES it with every
+  COALESCE argument cast to text (C33, the reference's
+  sync_viewddl.go:377-383 unification, applied only when the engine
+  reports the mismatch) and the view executes.
 """
 
 from __future__ import annotations
@@ -30,8 +33,11 @@ VIEW_SQL = "/root/reference/scripts/mysql/create_view.sql"
 
 EXPECTED_FAIL = {
     "view_case08_json": "json_depth",      # must fail on THIS, not more
-    "view_case10_defaults": "COALESCE",
 }
+
+#: plain transpile fails on the engine's COALESCE type check; the
+#: coalesce_text retry must execute (C33)
+COALESCE_RETRY = {"view_case10_defaults"}
 
 
 def _stub_tables(con) -> None:
@@ -82,8 +88,48 @@ def test_fixture_views_execute_in_duckdb_via_sink_path():
                 con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {out}')
                 con.execute(f'SELECT * FROM "{name}"').fetchall()
             continue
+        if name in COALESCE_RETRY:
+            # the plain form must fail on COALESCE typing specifically…
+            with pytest.raises(Exception, match="(?i)coalesce"):
+                con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {out}')
+                con.execute(f'SELECT * FROM "{name}"').fetchall()
+            # …and the C33 text-unified retry must execute
+            out = transpile_mysql_ansi(body, "duckdb", coalesce_text=True)
+            con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {out}')
+            con.execute(f'SELECT * FROM "{name}"').fetchall()
+            continue
         con.execute(f'CREATE OR REPLACE VIEW "{name}" AS {out}')
         con.execute(f'SELECT * FROM "{name}"').fetchall()
+    # 9 of 10 fixture views now EXECUTE; only the JSON_DEPTH one cannot
+    made = {r[0] for r in con.execute(
+        "SELECT view_name FROM duckdb_views() "
+        "WHERE view_name LIKE 'view_case%'").fetchall()}
+    assert "view_case10_defaults" in made
+    assert len(made) == len(bodies) - 1
+
+
+def test_case10_coalesce_retry_pins_values():
+    """C33 value check, not just execution: over the all-NULL stub row,
+    the text-unified COALESCE falls through to its literal default —
+    matching what MySQL (loose typing) returns for the same row."""
+    con = duckdb.connect()
+    _stub_tables(con)
+    body = next(
+        b for n, b in re.findall(
+            r"CREATE OR REPLACE VIEW (\w+) AS(.*?);",
+            open(VIEW_SQL).read(), re.S,
+        )
+        if n == "view_case10_defaults"
+    )
+    out = transpile_mysql_ansi(body, "duckdb", coalesce_text=True)
+    con.execute(f'CREATE OR REPLACE VIEW v10 AS {out}')
+    row = con.execute(
+        "SELECT coalesce_result, ifnull_result, case_result FROM v10"
+    ).fetchone()
+    # COALESCE(c2,c3,c4,0) / IFNULL(c1,0) over NULLs → the literal 0,
+    # rendered as text (MySQL's result type for the mixed form is a
+    # string type too); CASE over NULL c1 → ELSE branch
+    assert row == ("0", "0", "zero")
 
 
 def test_substring_index_matches_mysql_semantics():

@@ -180,8 +180,9 @@ def test_reference_corpus_migrates_into_duckdb(spark, tmp_path, corpus_snapshot)
     ).fetchone()[0]
     assert n_made_idx >= 90, n_made_idx
     # the view corpus: everything expressible CREATEd over the real
-    # migrated tables (the two known-impossible views are logged skips:
-    # JSON_DEPTH-family and the mixed-type COALESCE)
+    # migrated tables. 9 of 10 since round 6: the mixed-type COALESCE
+    # view (case10) lands via the C33 text-unification retry; only the
+    # JSON_DEPTH-family view (case08) remains a logged skip.
     made_views = {
         r[0]
         for r in con.execute(
@@ -189,10 +190,18 @@ def test_reference_corpus_migrates_into_duckdb(spark, tmp_path, corpus_snapshot)
             "WHERE view_name LIKE 'view_case%'"
         ).fetchall()
     }
-    assert len(made_views) >= 8, sorted(made_views)
+    assert len(made_views) >= 9, sorted(made_views)
+    assert "view_case10_defaults" in made_views
     assert con.execute(
         "SELECT count(*) FROM view_case01_integers"
     ).fetchone()[0] >= 0
+    # C33 value check over the REAL seeded row: case_10_defaults seeds
+    # c2=NULL-or-int, c3 varchar — the unified COALESCE returns the
+    # first non-null, rendered as text
+    v10 = con.execute(
+        "SELECT coalesce_result FROM view_case10_defaults"
+    ).fetchall()
+    assert len(v10) == 1 and isinstance(v10[0][0], str), v10
 
     # data: every seeded table loaded with the expected row counts
     expect = {

@@ -1,0 +1,175 @@
+"""Scale-step dataset generator: replicate an sf fixture N× with
+shifted keys so scale-critical queries can be benched at ~10× data
+(round-6 scale-step evidence; BENCH `scale_step` section).
+
+The driver's fixtures are read-only, so the scaled copy lives inside
+the repo at ``.scale/sf<X>`` (gitignored) and is generated once, then
+reused (marker file). Replication preserves the workload's SHAPE
+rather than degenerating it:
+
+- dims (region/nation/customer/supplier/part) are copied as-is;
+- fact keys are shifted by ``replica * KEY_STRIDE`` so orders↔lineitem
+  joins stay consistent and keys stay unique;
+- events shift user_id per replica so per-user session/state sizes
+  stay constant (10× users, not 10× events per user — the scale-out
+  axis a real feed grows along);
+- documents rotate their word order by the replica index and
+  embeddings rotate their dimensions: a small edit (suffix tag,
+  one-dim nudge) would leave every replica a NEAR-duplicate of the
+  original — MinHash Jaccard ≈ 1, cosine ≈ 1 — and candidate-pair
+  formation inside LSH buckets would grow quadratically in the
+  replication factor (measured: d13 went 9× super-linear under a
+  suffix-only variant). Rotation preserves each document's length /
+  token multiset and each embedding's norm, but decorrelates shingles
+  and cosine across replicas, so per-replica dup structure matches
+  the original corpus and totals grow ~linearly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+#: Far beyond any fixture key (sf0.1 max keys ~6e6).
+KEY_STRIDE = 10_000_000_000
+USER_STRIDE = 1_000_000_000
+
+DIMS = ("region", "nation", "customer", "supplier", "part")
+FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _replicate(spark: SparkSession, df, factor: int):
+    reps = spark.range(factor).withColumnRenamed("id", "_rep")
+    return df.crossJoin(F.broadcast(reps))
+
+
+def generate_scale_dir(
+    spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10
+) -> str:
+    """Write the scaled dataset; idempotent via a marker file."""
+    marker = os.path.join(out_dir, f"_SCALE_OK_{factor}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    for t in DIMS:
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+    shift = F.col("_rep") * KEY_STRIDE
+
+    orders = spark.read.parquet(os.path.join(src_dir, "orders.parquet"))
+    (
+        _replicate(spark, orders, factor)
+        .withColumn("o_orderkey", F.col("o_orderkey") + shift)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
+    )
+
+    lineitem = spark.read.parquet(os.path.join(src_dir, "lineitem.parquet"))
+    (
+        _replicate(spark, lineitem, factor)
+        .withColumn("l_orderkey", F.col("l_orderkey") + shift)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lineitem.parquet"))
+    )
+
+    events = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+    (
+        _replicate(spark, events, factor)
+        .withColumn("event_id", F.col("event_id") + shift)
+        .withColumn("user_id", F.col("user_id") + F.col("_rep") * USER_STRIDE)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    # permute word order by an md5(word, position, rep) sort key: a
+    # bijective per-replica shuffle that destroys word adjacency, so
+    # word-ngram shingle sets between replicas are ~disjoint (a mere
+    # rotation keeps ~all linear ngrams except the seam — measured 120×
+    # LSH-candidate inflation) while the token multiset (length / vocab
+    # / quality stats) is preserved exactly
+    words = F.split(F.col("text"), " ")
+    shuffled = F.transform(
+        F.array_sort(
+            F.transform(
+                words,
+                lambda w, j: F.struct(
+                    F.md5(
+                        F.concat_ws(
+                            "#", w, j.cast("string"),
+                            F.col("_rep").cast("string"),
+                        )
+                    ).alias("k"),
+                    w.alias("w"),
+                ),
+            )
+        ),
+        lambda s: s["w"],
+    )
+    (
+        _replicate(spark, docs, factor)
+        .withColumn(
+            "text",
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                F.array_join(shuffled, " ")
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + shift)
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    # rotate dimensions by 3 * rep: norm-preserving, cosine between a
+    # vector and its rotation is ~uncorrelated → replicas do not flood
+    # each other's LSH / IVF buckets
+    edim = F.size(F.col("embedding"))
+    erot = ((F.col("_rep") * 3) % F.greatest(edim, F.lit(1))).cast("int")
+    (
+        _replicate(spark, emb, factor)
+        .withColumn("vec_id", F.col("vec_id") + shift)
+        .withColumn(
+            "embedding",
+            F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
+                F.concat(
+                    F.slice(F.col("embedding"), erot + 1, edim - erot),
+                    F.slice(F.col("embedding"), 1, erot),
+                )
+            ),
+        )
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+    with open(marker, "w") as fh:
+        fh.write(f"factor={factor} src={src_dir}\n")
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mysql2pg_spark.session import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scale", "sf1")
+    )
+    spark = get_spark(app_name="gen-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(generate_scale_dir(spark, src, out))
