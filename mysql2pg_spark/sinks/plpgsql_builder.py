@@ -244,6 +244,10 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
     if re.match(r"\bBEGIN\b", body, re.I):
         body = re.sub(r"^\s*BEGIN\b", "", body, flags=re.I)
         body = re.sub(r"\bEND\s*;?\s*$", "", body, flags=re.I)
+    # line comments are annotation, not statements (safe on masked text
+    # — string literals are placeholders, so -- / # here is a comment)
+    body = re.sub(r"--[^\n]*", "", body)
+    body = re.sub(r"#[^\n]*", "", body)
     for pat, what in _UNSUPPORTED:
         if pat.search(body):
             raise UnsupportedFunctionError(
