@@ -324,7 +324,7 @@ def _lev_verify_sampled(spark, sf_dir: str, mod: int = 10):
 
 
 def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
-                      budget_sec: float) -> dict:
+                      budget_sec: float, out: dict | None = None) -> dict:
     """Run the scale-critical subset + migration at ~10× the bench sf
     (generated once into .scale/sf1, key-shifted replication — see
     tools/gen_scale.py). Emits per-query seconds; read beside the same
@@ -347,8 +347,11 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
     deadline = time.perf_counter() + budget_sec
     t0 = time.perf_counter()
     generate_scale_dir(spark, sf_dir, out_dir, factor=10)
-    res: dict = {"generate_sec": round(time.perf_counter() - t0, 3),
-                 "factor": 10}
+    # populate the CALLER's dict in place when given: the wall-budget
+    # watchdog can then emit whatever portion completed
+    res: dict = out if out is not None else {}
+    res["generate_sec"] = round(time.perf_counter() - t0, 3)
+    res["factor"] = 10
 
     def over_budget(key: str) -> bool:
         if time.perf_counter() > deadline:
@@ -445,6 +448,44 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    extras: dict[str, float] = {}
+    scale_step: dict = {}
+    result = {
+        "metric": "headline_suite_total",
+        "value": 0.0,
+        "unit": "sec",
+        "reps": reps,
+        "estimator": "median",
+        "queries": timings,
+        "queries_spread": spread,
+        "extra_queries": extras,
+        "scale_step": scale_step,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Wall watchdog: whatever happens — a slow machine, a hung stage, an
+    # external timeout looming — ONE complete JSON line always reaches
+    # stdout. The sections above mutate the dicts referenced by `result`
+    # in place, so a truncated emit carries everything finished so far.
+    import threading
+
+    emitted = threading.Event()
+
+    def _emit() -> None:
+        if not emitted.is_set():
+            emitted.set()
+            print(json.dumps(result), flush=True)
+
+    wall_budget = float(os.environ.get("SPARK_GRAFT_WALL_BUDGET", "1380"))
+
+    def _watchdog() -> None:
+        time.sleep(wall_budget)
+        result["truncated"] = f"wall budget {wall_budget:.0f}s"
+        _emit()
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     for name in names:
         times: list[float] = []
         for _ in range(reps):
@@ -458,11 +499,11 @@ def main() -> None:
         times.sort()
         timings[name] = round(times[len(times) // 2], 3)  # median
         spread[name] = [round(x, 3) for x in times]
+        result["value"] = round(sum(timings.values()), 3)
     total = round(sum(timings.values()), 3)
 
     # extras are evidence, not the frozen trend series: single-pass so
-    # the official min-of-3 run's wall-clock stays bounded
-    extras: dict[str, float] = {}
+    # the official run's wall-clock stays bounded
     for name in (n for n in EXTRA if n in QUERIES):
         t = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -471,7 +512,6 @@ def main() -> None:
         extras[name] = round(time.perf_counter() - t, 3)
     import tempfile
 
-    scale_step: dict = {}
     with tempfile.TemporaryDirectory() as td:
         try:
             extras["dump_parse_orders"] = _bench_dump_parse(
@@ -495,30 +535,17 @@ def main() -> None:
         # budget keeps the bench emit safe on a slow machine)
         if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
             try:
-                scale_step = _bench_scale_step(
+                _bench_scale_step(
                     spark, sf_dir, td,
                     float(os.environ.get(
                         "SPARK_GRAFT_SCALE_BUDGET", "900")),
+                    out=scale_step,
                 )
             except Exception as e:
-                scale_step = {"error": str(e)[:200]}
+                scale_step["error"] = str(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "reps": reps,
-                "estimator": "median",
-                "queries": timings,
-                "queries_spread": spread,
-                "extra_queries": extras,
-                "scale_step": scale_step,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result["value"] = total
+    _emit()
     spark.stop()
 
 
