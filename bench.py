@@ -85,6 +85,9 @@ EXTRA = [
     "qa05_correlation_profile",
     "s10_cosine_histogram",
     "ts05_seasonality",
+    "s11_ann_recall",
+    "t24_source_mixing",
+    "sf03_cursor_loop_twin",
 ]
 
 

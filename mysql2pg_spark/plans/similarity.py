@@ -899,3 +899,84 @@ def s10_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("stride", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# s11 — ANN quality audit: recall@K of the approximate methods (LSH
+# s02, IVF s03) against the exact brute-force baseline (s01). The QA
+# gate every production ANN deployment runs before trusting an index —
+# approximate retrieval without a measured recall number is a silent
+# data-quality bug. Pure composition of the existing queries: the
+# tagged union of approximate results left-joins the exact pairs on
+# (query_id, neighbor_id); hits and totals are exact integer counts,
+# recall their per-row double ratio (engine-exact). Scale: exact
+# results are queries×K rows (tiny — broadcast side); one groupBy on
+# 2 method keys.
+# --------------------------------------------------------------------------
+from mysql2pg_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+from mysql2pg_spark.plans.registry import QUERIES as _QUERIES  # noqa: E402
+
+
+def _sub11(name: str) -> str:
+    return "(" + _ORACLES[name] + ")"
+
+
+@query(
+    "s11_ann_recall",
+    oracle=f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM {_sub11("s01_knn_bruteforce")}
+),
+approx AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id
+  FROM {_sub11("s02_knn_lsh")}
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id
+  FROM {_sub11("s03_knn_ivf")}
+)
+SELECT a.method,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST(count(e.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(e.neighbor_id) AS DOUBLE)
+         / (SELECT count(*) FROM exact) AS recall_at_k
+FROM approx a
+LEFT JOIN exact e
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.method
+ORDER BY a.method
+""",
+    driver=False,
+)
+def s11_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _QUERIES["s01_knn_bruteforce"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        _QUERIES["s02_knn_lsh"](spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
+        .unionByName(
+            _QUERIES["s03_knn_ivf"](spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hit = exact.withColumn("hit", F.lit(1))
+    return (
+        approx.join(
+            F.broadcast(hit), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("method")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "method",
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )

@@ -1244,3 +1244,72 @@ def t23_gopher_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t24 — temperature-based mixing over languages (the corpus' skewed
+# slice: en dominates 3:1): the sampling-weight table a
+# multi-source training pipeline derives before building a data mix
+# (upsample small slices, damp the biggest — the standard
+# temperature-resampling rule w_s ∝ n_s^τ). τ = 0.5 so the power is a
+# single IEEE sqrt — correctly rounded, hence bit-exact cross-engine —
+# and the weights divide QUANTIZED integer scores (floor(√n·1e6+0.5))
+# whose total is an exact integer sum: no float-accumulation ordering
+# anywhere. Scale: one count per source (map-side combinable) and a
+# window over #sources rows (a handful at any corpus size).
+# --------------------------------------------------------------------------
+MIX_EPOCH_BUDGET = 100_000  # documents drawn per training epoch
+
+
+@query(
+    "t24_source_mixing",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+scored AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS s_q
+  FROM counts
+)
+SELECT lang, n_docs,
+       CAST(s_q AS DOUBLE) / CAST(sum(s_q) OVER () AS DOUBLE) AS weight,
+       CAST(floor(CAST(s_q AS DOUBLE) / CAST(sum(s_q) OVER () AS DOUBLE)
+                  * {MIX_EPOCH_BUDGET} + 0.5) AS BIGINT)
+         AS docs_per_epoch,
+       CAST(floor(CAST(s_q AS DOUBLE) / CAST(sum(s_q) OVER () AS DOUBLE)
+                  * {MIX_EPOCH_BUDGET} + 0.5) AS DOUBLE)
+         / CAST(n_docs AS DOUBLE) AS epochs_per_doc
+FROM scored
+ORDER BY lang
+""",
+    driver=False,
+)
+def t24_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    s_q = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * 1_000_000 + F.lit(0.5)
+    ).cast("bigint")
+    w = Window.partitionBy()
+    scored = counts.withColumn("s_q", s_q)
+    weight = F.col("s_q").cast("double") / F.sum("s_q").over(w).cast("double")
+    per_epoch = F.floor(weight * MIX_EPOCH_BUDGET + F.lit(0.5)).cast("bigint")
+    return (
+        scored.select(
+            "lang",
+            "n_docs",
+            weight.alias("weight"),
+            per_epoch.alias("docs_per_epoch"),
+            (
+                per_epoch.cast("double") / F.col("n_docs").cast("double")
+            ).alias("epochs_per_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -554,3 +554,40 @@ def test_scd2_matches_naive_reference(spark):
             for r in out.collect()
         }
         assert got == expect, f"seed {seed}: {got ^ expect}"
+
+
+def test_ann_recall_audit_invariants(spark):
+    """s11: recall of every approximate method is a true ratio over the
+    exact baseline — in (0, 1], with the multi-table LSH and
+    soft-assignment IVF above their documented fixture floors (0.8) —
+    and n_hits can never exceed the exact result count."""
+    from mysql2pg_spark.plans import QUERIES
+
+    rows = {r.method: r for r in
+            QUERIES["s11_ann_recall"](spark, SF_CORRECT).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert 0.0 < r.recall_at_k <= 1.0
+        assert r.n_hits <= r.n_exact
+        assert r.recall_at_k == r.n_hits / r.n_exact
+        assert r.recall_at_k >= 0.8, (r.method, r.recall_at_k)
+
+
+def test_source_mixing_temperature_damps_majority(spark):
+    """t24: weights sum to ~1, the majority language's weight share is
+    BELOW its document share (temperature < 1 damps the head), every
+    minority's is above, and docs_per_epoch re-sums to ~the budget."""
+    from mysql2pg_spark.plans import QUERIES
+    from mysql2pg_spark.plans.textops import MIX_EPOCH_BUDGET
+
+    rows = QUERIES["t24_source_mixing"](spark, SF_CORRECT).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.docs_per_epoch for r in rows) - MIX_EPOCH_BUDGET) <= len(rows)
+    head = max(rows, key=lambda r: r.n_docs)
+    for r in rows:
+        share = r.n_docs / total_docs
+        if r is head:
+            assert r.weight < share
+        else:
+            assert r.weight > share

@@ -155,3 +155,120 @@ def test_dump_tokenizer_roundtrip(rows):
     # unquoted empty-string renders as '' (quoted) and survives; but an
     # all-whitespace INTEGER cell cannot occur. Compare directly:
     assert parsed == expected
+
+
+# --------------------------------------------------------------------------
+# C95 procedural parser round-trip (round 6): a randomly generated
+# statement tree, rendered to MySQL body text, must parse back to the
+# SAME tree — the property that separates a grammar from regex surgery.
+# --------------------------------------------------------------------------
+from mysql2pg_spark.sinks import plpgsql_proc as P  # noqa: E402
+
+
+def _names(prefix):
+    return st.sampled_from([f"{prefix}{i}" for i in range(1, 4)])
+
+
+_EXPR = st.sampled_from(
+    ["v1 + 1", "v2 - v1", "42", "v1 * 2 + v2"]
+)
+_COND = st.sampled_from(
+    ["v1 < 10", "v2 >= v1", "v1 <> 0", "v1 = 5 AND v2 < 3"]
+)
+
+
+def _simple_stmt(label):
+    opts = [
+        st.builds(P.Assign, _names("v"), _EXPR),
+        st.builds(P.Return, _EXPR),
+    ]
+    if label is not None:
+        opts += [st.just(P.Leave(label)), st.just(P.Iterate(label))]
+    return st.one_of(*opts)
+
+
+def _stmts(depth, label):
+    """Statement-list strategy; compound statements recurse with a
+    fresh label for their own bodies."""
+    if depth <= 0:
+        return st.lists(_simple_stmt(label), min_size=1, max_size=3)
+
+    sub = st.deferred(lambda: _stmts(depth - 1, label))
+
+    def loop_body(lbl):
+        return _stmts(depth - 1, lbl)
+
+    compound = st.one_of(
+        st.builds(
+            P.If,
+            st.lists(
+                st.tuples(_COND, sub), min_size=1, max_size=2
+            ).flatmap(
+                lambda brs: st.one_of(
+                    st.just([(c, b) for c, b in brs]),
+                    sub.map(
+                        lambda els: [(c, b) for c, b in brs]
+                        + [(None, els)]
+                    ),
+                )
+            ),
+        ),
+        st.builds(P.Loop, loop_body("w1"), st.just("w1")),
+        st.builds(P.RepeatUntil, loop_body("r1"), _COND, st.just("r1")),
+        st.builds(P.While, _COND, loop_body("h1"), st.just("h1")),
+    )
+    return st.lists(
+        st.one_of(_simple_stmt(label), compound), min_size=1, max_size=3
+    )
+
+
+def _render(stmts, indent=1):
+    """Statement tree → MySQL body text (the inverse of the parser)."""
+    pad = "  " * indent
+    out = []
+    for s in stmts:
+        if isinstance(s, P.Assign):
+            out.append(f"{pad}SET {s.var} = {s.expr};")
+        elif isinstance(s, P.Return):
+            out.append(f"{pad}RETURN {s.expr};")
+        elif isinstance(s, P.Leave):
+            out.append(f"{pad}LEAVE {s.label};")
+        elif isinstance(s, P.Iterate):
+            out.append(f"{pad}ITERATE {s.label};")
+        elif isinstance(s, P.If):
+            for i, (cond, body) in enumerate(s.branches):
+                kw = (
+                    "IF" if i == 0 else ("ELSEIF" if cond else "ELSE")
+                )
+                head = f"{pad}{kw} {cond} THEN" if cond else f"{pad}{kw}"
+                out.append(head)
+                out.append(_render(body, indent + 1))
+            out.append(f"{pad}END IF;")
+        elif isinstance(s, P.Loop):
+            out.append(f"{pad}{s.label}: LOOP")
+            out.append(_render(s.body, indent + 1))
+            out.append(f"{pad}END LOOP {s.label};")
+        elif isinstance(s, P.RepeatUntil):
+            out.append(f"{pad}{s.label}: REPEAT")
+            out.append(_render(s.body, indent + 1))
+            out.append(f"{pad}UNTIL {s.until} END REPEAT {s.label};")
+        elif isinstance(s, P.While):
+            out.append(f"{pad}{s.label}: WHILE {s.cond} DO")
+            out.append(_render(s.body, indent + 1))
+            out.append(f"{pad}END WHILE {s.label};")
+    return "\n".join(out)
+
+
+@given(_stmts(depth=2, label=None))
+@settings(max_examples=150, deadline=None)
+def test_procedural_parser_roundtrip(tree):
+    tree = list(tree) + [P.Return("v1")]  # body must return
+    body = _render(tree)
+    parsed = P.parse_procedural(
+        body, "fuzz", lambda masked: masked.strip(), lambda t: "INTEGER"
+    )
+    assert parsed.statements == tree, f"\nBODY:\n{body}"
+    # and the emitter prints balanced plpgsql for whatever was parsed
+    out = P.emit_statements(parsed.statements)
+    assert out.count("IF ") + out.count("IF\n") >= out.count("END IF;")
+    assert out.count("LOOP") % 2 == 0 or "WHILE" in out
