@@ -22,6 +22,9 @@ Three modes, least- to most-connected:
              (--source-dir, with --snapshot) or a mysqldump file
              (--dump-file, snapshot parsed from its DDL). The offline
              analog of a live PG migration, usable end-to-end today.
+  pgddl      schema-only: print the complete PostgreSQL DDL script
+             (tables, indexes, comments, views, plpgsql functions,
+             roles, grants) for a snapshot or dump — pipe to psql.
 
 The catalog snapshot comes from a YAML file (``--snapshot``): offline
 parity with what sources/catalog.py reads from information_schema, so
@@ -96,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument(
         "--mode",
-        choices=("plan", "local", "live", "dump", "duckdb", "diff"),
+        choices=("plan", "local", "live", "dump", "duckdb", "diff",
+                 "pgddl"),
         default="plan",
     )
     ap.add_argument("--snapshot", help="catalog snapshot YAML (plan/local)")
@@ -225,6 +229,39 @@ def main(argv: list[str] | None = None) -> int:
             allow_drop=args.allow_drop,
         ):
             print(stmt + ("" if stmt.startswith("--") else ";"))
+        return 0
+
+    if args.mode == "pgddl":
+        # schema-only migration script: every executable statement the
+        # plan would run, as plain PostgreSQL SQL (pipe to psql). Skips
+        # are preserved as comment lines so the script stays reviewable.
+        if not (args.snapshot or args.dump_file):
+            print("pgddl mode needs --snapshot or --dump-file",
+                  file=sys.stderr)
+            return 2
+        if args.dump_file:
+            from mysql2pg_spark.session import get_spark
+            from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+            snap = snapshot_from_dump(
+                get_spark(app_name="mysql2pg_spark-cli"), args.dump_file
+            )
+        else:
+            snap = load_snapshot(args.snapshot)
+        # a schema script means ALL schema stages, regardless of the
+        # config's sync toggles (data/validation are not DDL anyway)
+        cfg.options.view = True
+        cfg.options.functions = True
+        cfg.options.users = True
+        cfg.options.table_privileges = True
+        cfg.options.data = False
+        cfg.options.validate_data = False
+        for a in MigrationPipeline(cfg, snap).plan():
+            if a.kind == "ddl":
+                print(a.payload.rstrip(";") + ";")
+            elif a.kind == "skip":
+                first = str(a.payload).splitlines()[0]
+                print(f"-- SKIP [{a.target}]: {first}")
         return 0
 
     if not args.snapshot:

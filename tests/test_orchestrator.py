@@ -588,3 +588,60 @@ def test_cli_diff_mode(tmp_path, capsys):
         "-c", str(tmp_path / "config.yml"), "--mode", "diff",
         "--snapshot", str(tmp_path / "new.yml"),
     ]) == 2
+
+
+def test_cli_pgddl_mode(tmp_path, capsys):
+    """`--mode pgddl` prints the complete PostgreSQL schema script —
+    every schema stage regardless of the config's sync toggles, plain
+    SQL (pipe to psql), skips preserved as comments."""
+    import yaml
+
+    from mysql2pg_spark.__main__ import main
+
+    _cfg(tmp_path)  # note: view/functions NOT enabled in the config
+    snap = {
+        "tables": [
+            {
+                "name": "acct",
+                "columns": [
+                    {"name": "id", "type": "int", "nullable": False,
+                     "auto_increment": True},
+                    {"name": "note", "type": "varchar(20)",
+                     "comment": "the note"},
+                ],
+                "primary_key": ["id"],
+                "indexes": [{"name": "idx_note", "columns": ["note"]}],
+            }
+        ],
+        "views": {"v1": "SELECT id, IFNULL(note, 'n/a') AS note FROM acct"},
+        "functions": [
+            "CREATE FUNCTION f1(x INT) RETURNS INT NO SQL BEGIN "
+            "DECLARE n INT DEFAULT 0; WHILE x > 0 DO SET n = n + x; "
+            "SET x = x - 1; END WHILE; RETURN n; END",
+            # outside the translatable subset → must surface as a skip
+            "CREATE FUNCTION g1(x INT) RETURNS INT BEGIN "
+            "SET @a = x; RETURN @a; END",
+        ],
+        "users": {"u1": ['CREATE ROLE "u1" LOGIN']},
+    }
+    p = tmp_path / "snap.yml"
+    p.write_text(yaml.safe_dump(snap))
+    rc = main([
+        "-c", str(tmp_path / "config.yml"),
+        "--mode", "pgddl",
+        "--snapshot", str(p),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CREATE TABLE IF NOT EXISTS acct" in out
+    assert "id SERIAL NOT NULL" in out
+    assert "COMMENT ON COLUMN acct.note IS 'the note';" in out
+    assert "CREATE OR REPLACE VIEW v1 AS" in out
+    assert "COALESCE(note, 'n/a')" in out  # IFNULL transpiled
+    assert "CREATE INDEX IF NOT EXISTS acct_idx_note" in out
+    assert "CREATE OR REPLACE FUNCTION f1(x INTEGER)" in out
+    assert "WHILE x > 0 LOOP" in out and "$$ LANGUAGE plpgsql;" in out
+    assert 'CREATE ROLE "u1" LOGIN;' in out
+    assert "-- SKIP [function]" in out and "user variables" in out
+    # no JSON, no payload wrappers — plain SQL statements
+    assert '"stage"' not in out
