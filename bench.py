@@ -480,6 +480,7 @@ def main() -> None:
             print(json.dumps(result), flush=True)
 
     wall_budget = float(os.environ.get("SPARK_GRAFT_WALL_BUDGET", "1380"))
+    wall_start = time.perf_counter()
 
     def _watchdog() -> None:
         time.sleep(wall_budget)
@@ -537,13 +538,16 @@ def main() -> None:
         # ~10× scale step (skippable: SPARK_GRAFT_SCALE=0; hard wall
         # budget keeps the bench emit safe on a slow machine)
         if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+            # the scale section gets at most its own budget AND at most
+            # the wall time still left (minus a margin for the emit), so
+            # the normal path always finishes ahead of the watchdog
+            remaining = wall_budget - (time.perf_counter() - wall_start) - 60
+            budget = min(
+                float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "900")),
+                max(0.0, remaining),
+            )
             try:
-                _bench_scale_step(
-                    spark, sf_dir, td,
-                    float(os.environ.get(
-                        "SPARK_GRAFT_SCALE_BUDGET", "900")),
-                    out=scale_step,
-                )
+                _bench_scale_step(spark, sf_dir, td, budget, out=scale_step)
             except Exception as e:
                 scale_step["error"] = str(e)[:200]
 
