@@ -336,8 +336,30 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine exactness — see similarity.refine_centroids) and run the
 # same probe/re-rank pipeline. Not in the driver window;
 # pytest-oracle-checked.
+#
+# Unlike s03's fixed CENTROID_MOD demo, s04 derives the sampling modulus
+# from the corpus count so nlist ∝ √n — the standard IVF sizing that
+# balances assignment cost (n·nlist) against probe cost (nq·n/nlist);
+# with a fixed modulus nlist ∝ n and corpus×centroid assignment is
+# quadratic (the round-6 scale step measured 42× at 10× data). One cheap
+# count() keeps it deterministic and the same floor(sqrt(n)) formula is
+# oracle-expressible as a DuckDB scalar subquery.
 # --------------------------------------------------------------------------
 QUANT = "1000000.0"
+
+#: sqrt-of-count modulus, shared verbatim by code and oracle: both sides
+#: compute GREATEST(2, floor(sqrt(n))) over the same corpus, so the
+#: centroid set is identical on any engine at any scale.
+_SQRT_MOD_SQL = (
+    "SELECT GREATEST(2, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))"
+    " AS BIGINT)) AS cmod FROM embeddings"
+)
+
+
+def _sqrt_mod(n: int) -> int:
+    import math
+
+    return max(2, int(math.floor(math.sqrt(float(n)))))
 
 
 def _mean_sql() -> str:
@@ -350,9 +372,10 @@ def _mean_sql() -> str:
 @query(
     "s04_knn_ivf_refined",
     oracle=f"""
-WITH cent0 AS (
-  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings
-  WHERE vec_id % {CENTROID_MOD} = 1
+WITH m AS ({_SQRT_MOD_SQL}),
+cent0 AS (
+  SELECT vec_id AS centroid_id, embedding AS c FROM embeddings, m
+  WHERE vec_id % m.cmod = 1
 ),
 assign0 AS (
   SELECT vec_id, embedding, centroid_id FROM (
@@ -406,7 +429,8 @@ ORDER BY query_id, rank
 )
 def s04_knn_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cent0 = e.filter(F.col("vec_id") % CENTROID_MOD == 1)
+    cmod = _sqrt_mod(e.count())  # nlist ∝ √n — see block comment above
+    cent0 = e.filter(F.col("vec_id") % cmod == 1)
     refined = S.refine_centroids(e, cent0, "vec_id", "embedding", iters=1)
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0)
     return S.knn_ivf(
