@@ -53,6 +53,11 @@ Round 6 rotation (every round-5 family earns a driver row):
                               (frees the slot for s07_embedding_health)
   s07_embedding_health      ← s07_embedding_postproc + s08_kcenter_coreset
                               + s09_dim_stats + s10_cosine_histogram
+
+Round 7 rotation (rule adopted: a new family joins a battery the same
+round it is born):
+  s01_knn_methods           += s11_ann_recall (recall@K audit rows)
+  t03_sampling              += t24_source_mixing (per-lang mixing rates)
 """
 
 from __future__ import annotations
@@ -364,11 +369,21 @@ def sk01_scale_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t03_sampling",
     oracle=f"""
 SELECT 'split' AS demo, doc_id, split,
-       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source
+       CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS DOUBLE) AS weight,
+       CAST(NULL AS BIGINT) AS docs_per_epoch,
+       CAST(NULL AS DOUBLE) AS epochs_per_doc
 FROM {_sub("t03_train_test_split")}
 UNION ALL
-SELECT 'sample', doc_id, CAST(NULL AS VARCHAR), lang, source
+SELECT 'sample', doc_id, CAST(NULL AS VARCHAR), lang, source,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("t06_stratified_sample")}
+UNION ALL
+SELECT 'mixing', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), lang,
+       CAST(NULL AS VARCHAR), n_docs, weight, docs_per_epoch,
+       epochs_per_doc
+FROM {_sub("t24_source_mixing")}
 """,
 )
 def t03_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +392,9 @@ def t03_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("split", QUERIES["t03_train_test_split"](spark, sf_dir)),
             ("sample", QUERIES["t06_stratified_sample"](spark, sf_dir)),
+            # round 7: t24 joins its family's battery the round it was
+            # born — temperature-weighted source-mixing rates per lang
+            ("mixing", QUERIES["t24_source_mixing"](spark, sf_dir)),
         ],
     )
 
@@ -384,25 +402,54 @@ def t03_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s01_knn_methods",
     oracle=f"""
-SELECT 'brute' AS method, query_id, rank, neighbor_id, cos_sim
+SELECT 'brute' AS method, query_id, rank, neighbor_id, cos_sim,
+       CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hits,
+       CAST(NULL AS DOUBLE) AS recall_at_k
 FROM {_sub("s01_knn_bruteforce")}
 UNION ALL
-SELECT 'lsh', query_id, rank, neighbor_id, cos_sim
+SELECT 'lsh', query_id, rank, neighbor_id, cos_sim,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("s02_knn_lsh")}
 UNION ALL
-SELECT 'ivf', query_id, rank, neighbor_id, cos_sim
+SELECT 'ivf', query_id, rank, neighbor_id, cos_sim,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("s03_knn_ivf")}
+UNION ALL
+SELECT 'recall_' || method, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       n_exact, n_hits, recall_at_k
+FROM {_sub("s11_ann_recall")}
 """,
 )
 def s01_knn_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tagged_union(
+    base = _tagged_union(
         "method",
         [
             ("brute", QUERIES["s01_knn_bruteforce"](spark, sf_dir)),
             ("lsh", QUERIES["s02_knn_lsh"](spark, sf_dir)),
             ("ivf", QUERIES["s03_knn_ivf"](spark, sf_dir)),
         ],
+    ).select(
+        "*",
+        F.lit(None).cast("bigint").alias("n_exact"),
+        F.lit(None).cast("bigint").alias("n_hits"),
+        F.lit(None).cast("double").alias("recall_at_k"),
     )
+    # round 7: s11's recall@K audit joins the KNN battery the round it
+    # was born — one tagged row per approximate method, NULL-padded to
+    # the per-neighbor schema
+    types = {f.name: f.dataType for f in base.schema.fields}
+    recall = QUERIES["s11_ann_recall"](spark, sf_dir).select(
+        F.concat(F.lit("recall_"), F.col("method")).alias("method"),
+        *[
+            F.lit(None).cast(types[c]).alias(c)
+            for c in ("query_id", "rank", "neighbor_id", "cos_sim")
+        ],
+        "n_exact",
+        "n_hits",
+        "recall_at_k",
+    )
+    return base.unionByName(recall)
 
 
 @query(
