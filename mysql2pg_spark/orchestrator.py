@@ -93,6 +93,21 @@ STAGE_ORDER = (
 )
 
 
+def _rollback_quietly(conn) -> None:
+    """Reset a DB-API connection after a failed statement. On
+    non-autocommit engines (psycopg2's default) the transaction is
+    poisoned until rollback; autocommit engines (duckdb) may have no
+    transaction to roll back — both outcomes are fine here, the caller
+    is a keep-going loop that must be able to execute the NEXT
+    statement."""
+    try:
+        rb = getattr(conn, "rollback", None)
+        if rb is not None:
+            rb()
+    except Exception:
+        pass
+
+
 class MigrationPipeline:
     def __init__(self, cfg: EngineConfig, snapshot: CatalogSnapshot,
                  existing_pg_tables: set[str] | None = None):
@@ -512,6 +527,13 @@ class MigrationPipeline:
                     cur.execute(payload)
                     ddl_done += 1
                 except Exception as e:  # keep going, record (manager.go)
+                    # A failed statement poisons a non-autocommit DB-API
+                    # transaction (psycopg2 raises InFailedSqlTransaction
+                    # on EVERY later statement until rollback) — roll
+                    # back before the C33 retry and before the
+                    # keep-going loop moves on, or one bad DDL would
+                    # fail the whole stage on real PostgreSQL.
+                    _rollback_quietly(pg_conn)
                     # C33: a strict engine rejects MySQL's loosely-typed
                     # mixed COALESCE; retry the view with every COALESCE
                     # arg cast to text (the reference's
@@ -535,6 +557,7 @@ class MigrationPipeline:
                             )
                             continue
                         except Exception as e2:
+                            _rollback_quietly(pg_conn)
                             e = e2
                     logger.table_error(stage, a.target, e)
             if ddls:

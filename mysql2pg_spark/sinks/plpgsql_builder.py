@@ -245,9 +245,16 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
         body = re.sub(r"^\s*BEGIN\b", "", body, flags=re.I)
         body = re.sub(r"\bEND\s*;?\s*$", "", body, flags=re.I)
     # line comments are annotation, not statements (safe on masked text
-    # — string literals are placeholders, so -- / # here is a comment)
-    body = re.sub(r"--[^\n]*", "", body)
+    # — string literals are placeholders, so -- / # here is a comment).
+    # MySQL only treats "--" as a comment when followed by whitespace or
+    # end-of-line (SET n = n--1 is n minus negative one, not a comment).
+    body = re.sub(r"--(?=\s|$)[^\n]*", "", body)
     body = re.sub(r"#[^\n]*", "", body)
+    # Any "--" that SURVIVES the strip is MySQL operator text (double
+    # negation: n--1 = n minus negative 1) — but PostgreSQL comments on
+    # every "--" regardless of what follows, so re-space the dashes to
+    # keep the emitted plpgsql semantically identical.
+    body = re.sub(r"-(?=-)", "- ", body)
     for pat, what in _UNSUPPORTED:
         if pat.search(body):
             raise UnsupportedFunctionError(

@@ -627,7 +627,10 @@ _DEFAULT_RE = _re.compile(r"(?i)DEFAULT\s+('(?:[^']|'')*'|[A-Za-z0-9_.+-]+)")
 
 def _strip_line_comment(s: str) -> str:
     """Drop a trailing ``--`` / ``#`` line comment, quote-aware (a
-    ``--`` inside a quoted default literal is data, not a comment)."""
+    ``--`` inside a quoted default literal is data, not a comment).
+    Matches MySQL's rule: ``--`` starts a comment only when followed by
+    whitespace or end-of-line, so ``n--1`` (n minus negative 1) is an
+    expression, not a truncation point."""
     in_q = False
     i = 0
     while i < len(s):
@@ -635,7 +638,11 @@ def _strip_line_comment(s: str) -> str:
         if ch == "'":
             in_q = not in_q
         elif not in_q and (
-            s.startswith("--", i) or ch == "#"
+            (
+                s.startswith("--", i)
+                and (i + 2 >= len(s) or s[i + 2].isspace())
+            )
+            or ch == "#"
         ):
             return s[:i]
         i += 1
@@ -896,11 +903,25 @@ def functions_from_sql(path: str) -> list[str]:
     out: list[str] = []
     delim = ";"
     buf: list[str] = []
-    for line in open(path, encoding="utf-8", errors="replace").read().splitlines():
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        text = fh.read()
+    for line in text.splitlines():
         stripped = line.strip()
         mo = _re.match(r"(?i)^DELIMITER\s+(\S+)\s*$", stripped)
         if mo and not buf:
             delim = mo.group(1)
+            continue
+        # blank / comment-only preamble lines must not start a buffered
+        # statement: mysqldump --routines puts a `-- ` header block and a
+        # blank line before each DELIMITER directive, and a non-empty
+        # buffer would stop that directive from matching above (the
+        # active delimiter would silently stay stale).
+        if not buf and (
+            not stripped
+            or stripped.startswith("-- ")
+            or stripped == "--"
+            or stripped.startswith("#")
+        ):
             continue
         buf.append(line)
         joined = "\n".join(buf)

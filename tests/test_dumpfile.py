@@ -529,3 +529,42 @@ def test_triple_quote_default_round_trips():
     from mysql2pg_spark.sinks.ddl import default_sql
 
     assert default_sql("'x'") == "'''x'''"
+
+
+def test_functions_from_sql_mysqldump_header_before_delimiter(tmp_path):
+    """mysqldump --routines puts a `-- ` header block and blank lines
+    before each DELIMITER directive; those preamble lines must not start
+    a buffered statement (which would stop the directive from matching
+    and silently split every later function on the stale delimiter)."""
+    from mysql2pg_spark.sources.dumpfile import functions_from_sql
+
+    p = tmp_path / "routines.sql"
+    p.write_text(
+        "--\n"
+        "-- Dumping routines for database 'shop'\n"
+        "--\n"
+        "\n"
+        "DELIMITER ;;\n"
+        "CREATE FUNCTION f1(n INT) RETURNS INT\n"
+        "BEGIN\n"
+        "  RETURN n + 1;\n"
+        "END ;;\n"
+        "\n"
+        "-- another header\n"
+        "DELIMITER ;\n"
+        "SELECT 1;\n"
+    )
+    fns = functions_from_sql(str(p))
+    assert len(fns) == 1
+    assert "f1" in fns[0] and "RETURN n + 1;" in fns[0]
+
+
+def test_strip_line_comment_requires_whitespace_after_dashes():
+    """MySQL only treats `-- ` (dash dash whitespace/EOL) as a comment:
+    `n--1` is n minus negative one and must survive intact."""
+    from mysql2pg_spark.sources.dumpfile import _strip_line_comment
+
+    assert _strip_line_comment("DEFAULT 5 -- note") == "DEFAULT 5 "
+    assert _strip_line_comment("DEFAULT n--1") == "DEFAULT n--1"
+    assert _strip_line_comment("DEFAULT 5 --") == "DEFAULT 5 "
+    assert _strip_line_comment("DEFAULT '--x' -- c") == "DEFAULT '--x' "

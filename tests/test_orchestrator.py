@@ -645,3 +645,80 @@ def test_cli_pgddl_mode(tmp_path, capsys):
     assert "-- SKIP [function]" in out and "user variables" in out
     # no JSON, no payload wrappers — plain SQL statements
     assert '"stage"' not in out
+
+
+class _PoisoningConn(_FakeConn):
+    """psycopg2 transaction semantics: after any failed statement, every
+    later statement raises until rollback() — the seam that proves the
+    keep-going loop resets the connection between DDL failures."""
+
+    def __init__(self, fail_if=None):
+        super().__init__(fail_if)
+        self.poisoned = False
+        self.rollbacks = 0
+
+    def execute(self, sql):
+        if self.poisoned:
+            raise RuntimeError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block"
+            )
+        try:
+            super().execute(sql)
+        except Exception:
+            self.poisoned = True
+            raise
+
+    def rollback(self):
+        self.poisoned = False
+        self.rollbacks += 1
+
+
+def test_failed_ddl_rolls_back_so_later_ddl_still_runs(tmp_path, spark):
+    """On real PostgreSQL (non-autocommit DB-API), one failed DDL poisons
+    the transaction; without a rollback the keep-going loop and the C33
+    view retry both hit InFailedSqlTransaction. The pipeline must roll
+    back after each failure so every later statement gets a clean
+    transaction."""
+    cfg = _cfg(tmp_path)
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="bad",
+                columns=[ColumnMeta("id", "bigint", False)],
+                primary_key=["id"],
+                row_count=1,
+                pk_bounds=(1, 1),
+            ),
+            TableMeta(
+                name="good",
+                columns=[ColumnMeta("id", "bigint", False)],
+                primary_key=["id"],
+                row_count=1,
+                pk_bounds=(1, 1),
+            ),
+        ]
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    written = {}
+    conn = _PoisoningConn(fail_if="bad")
+
+    from mysql2pg_spark.runlog import RunLogger
+
+    result = MigrationPipeline(cfg, snap).execute(
+        spark,
+        conn,
+        source_reader=lambda sp, plan: src,
+        sink_writer=lambda df, table: written.setdefault(table, df.collect()),
+        dest_reader=lambda sp, table: sp.createDataFrame(
+            written[table], "id long"
+        ),
+        logger=RunLogger(str(tmp_path / "logs")),
+    )
+    # the poisoned transaction was rolled back, so the NEXT table's DDL
+    # executed instead of dying on the aborted-transaction error
+    assert conn.rollbacks >= 1
+    assert any("good" in s and "CREATE TABLE" in s for s in conn.executed)
+    assert not any(
+        "aborted" in e.get("error", "") for e in result["log"]["errors"]
+    ), result["log"]["errors"]
