@@ -58,6 +58,8 @@ Round 7 rotation (rule adopted: a new family joins a battery the same
 round it is born):
   s01_knn_methods           += s11_ann_recall (recall@K audit rows)
   t03_sampling              += t24_source_mixing (per-lang mixing rates)
+  sf01_stored_function_battery += sf04_case_block_twin (nested-block /
+                              CASE-statement / EXIT-handler twin)
 """
 
 from __future__ import annotations
@@ -305,16 +307,26 @@ def d03_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'scalar_fns' AS part, a.c_custkey, a.total, a.level, a.label,
        b.level AS level_udf, CAST(b.n AS BIGINT) AS n_udf,
        CAST(NULL AS VARCHAR) AS om, CAST(NULL AS BIGINT) AS picked_n,
-       CAST(NULL AS DOUBLE) AS spent
+       CAST(NULL AS DOUBLE) AS spent,
+       CAST(NULL AS VARCHAR) AS tier, CAST(NULL AS BIGINT) AS n_orders,
+       CAST(NULL AS DOUBLE) AS total_spend
 FROM {_sub("sf01_stored_functions")} a
 LEFT JOIN {_sub("sf02_stored_function_udf")} b ON b.o_custkey = a.c_custkey
 UNION ALL
 SELECT 'cursor_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-       c.om, c.picked_n, c.spent
+       c.om, c.picked_n, c.spent,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("sf03_cursor_loop_twin")} c
-ORDER BY part, c_custkey, om
+UNION ALL
+SELECT 'case_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       d.tier, d.n_orders, d.total_spend
+FROM {_sub("sf04_case_block_twin")} d
+ORDER BY part, c_custkey, om, tier
 """,
 )
 def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,8 +340,16 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         via_udf, inline.c_custkey == via_udf.o_custkey, "left"
     ).drop("o_custkey")
     cursor_twin = QUERIES["sf03_cursor_loop_twin"](spark, sf_dir)
+    # round 7: the nested-block/CASE-statement/EXIT-handler function's
+    # set-based twin joins the battery the round those shapes landed
+    case_twin = QUERIES["sf04_case_block_twin"](spark, sf_dir)
     return _tagged_union(
-        "part", [("scalar_fns", scalar), ("cursor_twin", cursor_twin)]
+        "part",
+        [
+            ("scalar_fns", scalar),
+            ("cursor_twin", cursor_twin),
+            ("case_twin", case_twin),
+        ],
     )
 
 

@@ -304,3 +304,74 @@ def sf03_cursor_loop_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("om")
     )
+
+
+# --------------------------------------------------------------------------
+# sf04 — the nested-block / CASE-statement / EXIT-handler stored
+# function's set-based twin (round-7 C95 widening). ORDER_TIER_DDL
+# below exercises all three newly-translatable shapes — a nested
+# BEGIN…END whose DECLARE is scope-lifted, a searched CASE *statement*,
+# and DECLARE EXIT HANDLER FOR SQLEXCEPTION (golden plpgsql pinned in
+# tests/test_schema.py; the reference strips handlers wholesale at
+# sync_functions.go:1086 and has no CASE-statement pass at all). The
+# per-row function is a pure banding of o_totalprice, so its set-based
+# twin is one map-side CASE expression + a grouped aggregate: no
+# per-row UDF, one shuffle on a 3-value key, decimal-exact totals —
+# the shape that survives 100 TB where row-at-a-time evaluation
+# cannot.
+# --------------------------------------------------------------------------
+ORDER_TIER_DDL = """
+CREATE FUNCTION order_tier(p_price DECIMAL(18,2)) RETURNS VARCHAR(10)
+DETERMINISTIC
+COMMENT 'price band for one order'
+BEGIN
+  DECLARE v_tier VARCHAR(10) DEFAULT 'mid';
+  DECLARE EXIT HANDLER FOR SQLEXCEPTION RETURN 'err';
+  BEGIN
+    DECLARE v_price DECIMAL(18,2) DEFAULT 0;
+    SET v_price = p_price;
+    CASE
+      WHEN v_price < 50000 THEN SET v_tier = 'low';
+      WHEN v_price < 200000 THEN SET v_tier = 'mid';
+      ELSE SET v_tier = 'high';
+    END CASE;
+  END;
+  RETURN v_tier;
+END
+"""
+
+_TIER_CASE = (
+    "CASE WHEN o_totalprice < 50000 THEN 'low' "
+    "WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END"
+)
+
+
+@query(
+    "sf04_case_block_twin",
+    oracle=f"""
+SELECT {_TIER_CASE} AS tier,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+         AS total_spend
+FROM orders
+GROUP BY 1 ORDER BY tier
+""",
+    driver=False,
+)
+def sf04_case_block_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .orderBy("tier")
+    )

@@ -53,6 +53,16 @@ def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
         declare_block = "".join(
             f"    {n} {t};\n" for n, t in spec.procedural.declares
         )
+        # EXIT HANDLER FOR SQLEXCEPTION → the block's EXCEPTION clause:
+        # plpgsql's native semantics (abort the rest of the block, run
+        # the handler) match MySQL's EXIT handler exactly
+        exc = ""
+        if getattr(spec.procedural, "exc_handler", None):
+            exc = (
+                "EXCEPTION WHEN others THEN\n"
+                + emit_statements(spec.procedural.exc_handler)
+                + "\n"
+            )
         lines = (
             f"CREATE OR REPLACE FUNCTION {spec.name.lower()}({params})\n"
             f"RETURNS {spec.returns}\n"
@@ -60,7 +70,9 @@ def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
             f"DECLARE\n{declare_block}"
             f"BEGIN\n"
             + emit_statements(spec.procedural.statements)
-            + "\nEND;\n$$ LANGUAGE plpgsql;"
+            + "\n"
+            + exc
+            + "END;\n$$ LANGUAGE plpgsql;"
         )
         if spec.comment:
             escaped = spec.comment.replace("'", "''")

@@ -69,11 +69,15 @@ _UNSUPPORTED = (
 )
 
 #: Control flow routed to the procedural parser (sinks.plpgsql_proc):
-#: cursors, loops, handlers, statement-level IF — the reference's
-#: :220-407 / :1040-1283 territory, rebuilt as a statement tree.
+#: cursors, loops, handlers, statement-level IF, nested BEGIN blocks
+#: (the outer BEGIN is already stripped when this runs, so any BEGIN
+#: left is a nested compound) and CASE statements (END CASE only closes
+#: the statement form — CASE expressions close with a bare END) — the
+#: reference's :220-407 / :1040-1283 territory, rebuilt as a statement
+#: tree.
 _PROCEDURAL = re.compile(
     r"\bCURSOR\b|\bHANDLER\b|\bWHILE\b|\bREPEAT\b|\bLOOP\b|\bFETCH\b|"
-    r"\bITERATE\b|\bLEAVE\b|\bIF\b(?!\s*\()",
+    r"\bITERATE\b|\bLEAVE\b|\bBEGIN\b|\bEND\s+CASE\b|\bIF\b(?!\s*\()",
     re.I,
 )
 

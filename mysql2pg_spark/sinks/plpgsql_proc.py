@@ -21,13 +21,28 @@ Supported statements: ``SET``, ``SELECT … INTO``, ``RETURN``,
 ``LEAVE``/``ITERATE`` (labels are KEPT as plpgsql ``<<label>>`` /
 ``EXIT label`` — the reference strips them at :1085, which silently
 retargets a multi-level ``LEAVE outer`` at the inner loop),
-``OPEN``/``FETCH``/``CLOSE`` cursors, and the
-canonical ``DECLARE CONTINUE HANDLER FOR NOT FOUND SET flag = 1``
-pattern. The NOT FOUND handler flag is forced to BOOLEAN (the
-reference does the same for ``done`` variables, :1116-1119) and integer
-comparisons against it (``done = 1``, ``UNTIL done = 1``) are rewritten
-to boolean form — the step the reference's flat replace misses, which
-leaves ``boolean = integer`` type errors in its output.
+``OPEN``/``FETCH``/``CLOSE`` cursors, nested ``BEGIN…END`` blocks
+(round 7 — DECLAREs are scope-lifted to the function's DECLARE section
+the way the reference's flat pass implicitly does at :1100-1150;
+conflicting same-name re-declarations raise instead of silently
+shadowing), the CASE *statement* (both searched ``CASE WHEN … THEN
+stmts`` and value ``CASE expr WHEN v THEN stmts`` forms → the plpgsql
+CASE statement, whose no-match/no-ELSE error matches MySQL's "Case not
+found"), and two handler shapes:
+
+* ``DECLARE CONTINUE HANDLER FOR NOT FOUND SET flag = 1`` — the flag
+  is forced to BOOLEAN (the reference does the same for ``done``
+  variables, :1116-1119) and integer comparisons against it
+  (``done = 1``, ``UNTIL done = 1``) are rewritten to boolean form —
+  the step the reference's flat replace misses, which leaves
+  ``boolean = integer`` type errors in its output.
+* ``DECLARE EXIT HANDLER FOR SQLEXCEPTION <action>`` (round 7, the
+  second-most-common real-world handler; the reference strips handlers
+  wholesale at :1086) — the action (a single ``SET``/``RETURN``
+  statement or a ``BEGIN…END`` group) becomes the function block's
+  ``EXCEPTION WHEN others THEN`` clause, which is plpgsql's native
+  exit-handler semantics: abort the block's remaining statements, run
+  the handler.
 """
 
 from __future__ import annotations
@@ -123,9 +138,31 @@ class CloseCursor:
 
 
 @dataclass
+class Block:
+    """Nested ``BEGIN…END`` compound (DECLAREs already scope-lifted)."""
+
+    body: list
+    label: str | None = None
+
+
+@dataclass
+class CaseStmt:
+    """CASE *statement* (searched when ``subject`` is None, else value
+    form); final branch with cond None = ELSE. plpgsql raises
+    CASE_NOT_FOUND when no branch matches and there is no ELSE — the
+    same runtime contract as MySQL's "Case not found" error."""
+
+    subject: str | None
+    branches: list[tuple[str | None, list]]
+
+
+@dataclass
 class ProceduralBody:
     declares: list[tuple[str, str]]  # (name, pg type [:= default])
     statements: list
+    #: EXIT HANDLER FOR SQLEXCEPTION action → the function block's
+    #: EXCEPTION WHEN others THEN statements (None = no handler)
+    exc_handler: list | None = None
 
 
 # --------------------------------------------------------------------------
@@ -190,6 +227,20 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
                 )
         elif isinstance(st, CloseCursor):
             out.append(f"{pad}CLOSE {st.name};")
+        elif isinstance(st, Block):
+            if st.label:
+                out.append(f"{pad}<<{st.label}>>")
+            out.append(f"{pad}BEGIN")
+            out.append(emit_statements(st.body, indent + 1))
+            out.append(f"{pad}END{' ' + st.label if st.label else ''};")
+        elif isinstance(st, CaseStmt):
+            out.append(f"{pad}CASE" + (f" {st.subject}" if st.subject else ""))
+            for cond, body in st.branches:
+                out.append(
+                    f"{pad}WHEN {cond} THEN" if cond is not None else f"{pad}ELSE"
+                )
+                out.append(emit_statements(body, indent + 1))
+            out.append(f"{pad}END CASE;")
         else:  # pragma: no cover - parser only builds the nodes above
             raise ProcParseError(f"unknown statement node {st!r}")
     return "\n".join(out)
@@ -199,7 +250,7 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
 # Parser
 # --------------------------------------------------------------------------
 _WS = re.compile(r"\s+")
-_LABEL = re.compile(r"(\w+)\s*:\s*(?=LOOP\b|REPEAT\b|WHILE\b)", re.I)
+_LABEL = re.compile(r"(\w+)\s*:\s*(?=LOOP\b|REPEAT\b|WHILE\b|BEGIN\b)", re.I)
 
 
 def _kw(word: str) -> re.Pattern:
@@ -213,7 +264,13 @@ _T_UNTIL = _kw("UNTIL")
 _T_END_REPEAT = re.compile(r"END\s+REPEAT\b", re.I)
 _T_END_LOOP = re.compile(r"END\s+LOOP\b", re.I)
 _T_END_WHILE = re.compile(r"END\s+WHILE\b", re.I)
+_T_END_CASE = re.compile(r"END\s+CASE\b", re.I)
+#: a bare END (nested-block close) — NOT the END of IF/CASE/loops
+_T_END_BLOCK = re.compile(
+    r"END\b(?!\s+(?:IF|CASE|LOOP|REPEAT|WHILE)\b)", re.I
+)
 _T_THEN = _kw("THEN")
+_T_WHEN = _kw("WHEN")
 _T_DO = _kw("DO")
 
 
@@ -325,9 +382,41 @@ class _Parser:
             body, _ = self.parse_block(_T_END_WHILE)
             self._finish_compound()
             return While(self.rewrite(cond), body, label)
+        if self._at(_kw("BEGIN")):
+            # nested compound: DECLAREs were scope-lifted by
+            # parse_procedural's extraction passes, so only statements
+            # remain inside
+            self._eat(_kw("BEGIN"), "BEGIN")
+            body, _ = self.parse_block(_T_END_BLOCK)
+            self._finish_compound()
+            return Block(body, label)
+        if self._at(_kw("CASE")):
+            return self._parse_case()
 
         raw = self._until_semicolon()
         return self._parse_simple(raw)
+
+    def _parse_case(self) -> CaseStmt:
+        """CASE statement, both forms: ``CASE WHEN cond THEN stmts …``
+        (searched) and ``CASE expr WHEN val THEN stmts …`` (value);
+        terminated by ``END CASE``. Branch bodies recurse through
+        parse_block, so nesting is structural."""
+        self._eat(_kw("CASE"), "CASE")
+        subject = self._until_kw(_T_WHEN, "WHEN after CASE")
+        subject_pg = self.rewrite(subject) if subject else None
+        branches: list[tuple[str | None, list]] = []
+        while True:
+            cond = self._until_kw(_T_THEN, "THEN after WHEN")
+            body, term = self.parse_block(_T_WHEN, _T_ELSE, _T_END_CASE)
+            branches.append((self.rewrite(cond), body))
+            if term is _T_WHEN:
+                continue
+            if term is _T_ELSE:
+                ebody, _ = self.parse_block(_T_END_CASE)
+                branches.append((None, ebody))
+            break
+        self._finish_compound()
+        return CaseStmt(subject_pg, branches)
 
     def _finish_compound(self) -> None:
         """Consume the optional trailing label and the ``;`` after
@@ -454,6 +543,16 @@ _RE_HANDLER = re.compile(
     r"SET\s+(\w+)\s*=\s*(\S+)\s*;",
     re.I,
 )
+#: EXIT HANDLER FOR SQLEXCEPTION with a single-statement action or a
+#: BEGIN…END group. The non-greedy END-scan stops at a bare ``END;`` —
+#: nested IF/CASE closers (``END IF;``) don't match it, so they are
+#: safely inside; a nested plain block would mis-split and then fail to
+#: parse, which raises instead of mistranslating.
+_RE_EXC_HANDLER = re.compile(
+    r"DECLARE\s+EXIT\s+HANDLER\s+FOR\s+SQLEXCEPTION\s+"
+    r"(BEGIN\b.*?\bEND\s*;|[^;]*;)",
+    re.I | re.S,
+)
 _RE_VAR_DECL = re.compile(r"DECLARE\s+(\w+)\s+([^;]+);", re.I)
 
 
@@ -472,6 +571,29 @@ def parse_procedural(
     declares: list[tuple[str, str]] = []
     cursors: dict[str, str] = {}
     flag: str | None = None
+    exc_raw: str | None = None
+
+    # 0. EXIT HANDLER FOR SQLEXCEPTION → remember the action text; it
+    # becomes the block's EXCEPTION WHEN others THEN clause (plpgsql's
+    # native exit-handler shape). Extracted before the canonical-handler
+    # pass so the SET form of this handler isn't mistaken for a
+    # malformed NOT FOUND handler. One per function: MySQL allows one
+    # handler per condition per block, and the lifted EXCEPTION clause
+    # has a single others arm.
+    def _take_exc(mo: re.Match) -> str:
+        nonlocal exc_raw
+        if exc_raw is not None:
+            raise ProcParseError(
+                f"function {fname}: multiple SQLEXCEPTION handlers"
+            )
+        action = mo.group(1).strip()
+        if re.match(r"BEGIN\b", action, re.I):
+            action = re.sub(r"^BEGIN\b", "", action, flags=re.I)
+            action = re.sub(r"\bEND\s*;$", "", action, flags=re.I)
+        exc_raw = action.strip()
+        return ""
+
+    body = _RE_EXC_HANDLER.sub(_take_exc, body)
 
     # 1. NOT FOUND handler → boolean flag (reference removes handlers at
     # :1086 and leans on the done-flag FETCH rewrite; same model here,
@@ -523,6 +645,21 @@ def parse_procedural(
 
     body = _RE_VAR_DECL.sub(_take_var, body)
 
+    # scope-lifted declarations (nested blocks lose their scoping in a
+    # single flat DECLARE section): identical re-declarations dedupe,
+    # conflicting ones raise — lifting a shadow with a DIFFERENT type
+    # would silently change semantics
+    seen: dict[str, str] = {}
+    for n, t in declares:
+        if n in seen and seen[n] != t:
+            raise ProcParseError(
+                f"function {fname}: variable {n!r} re-declared with a "
+                f"different type across block scopes ({seen[n]!r} vs "
+                f"{t!r}) — scope-lifting cannot preserve shadowing"
+            )
+        seen.setdefault(n, t)
+    declares = list(seen.items())
+
     def _rewrite(masked: str) -> str:
         if flag:
             masked = normalize_flag_comparisons(masked, flag)
@@ -532,16 +669,23 @@ def parse_procedural(
     stmts, _ = p.parse_block()
     if not any(_has_return(s) for s in stmts):
         raise ProcParseError(f"function {fname}: body has no RETURN")
-    return ProceduralBody(declares, stmts)
+
+    exc_stmts: list | None = None
+    if exc_raw is not None:
+        sub = _Parser(exc_raw, fname, _rewrite, flag, cursors)
+        exc_stmts, _ = sub.parse_block()
+        if not exc_stmts:
+            raise ProcParseError(
+                f"function {fname}: empty SQLEXCEPTION handler action"
+            )
+    return ProceduralBody(declares, stmts, exc_stmts)
 
 
 def _has_return(st) -> bool:
     if isinstance(st, Return):
         return True
-    if isinstance(st, If):
+    if isinstance(st, (If, CaseStmt)):
         return any(_has_return(s) for _, b in st.branches for s in b)
-    if isinstance(st, (Loop, While)):
-        return any(_has_return(s) for s in st.body)
-    if isinstance(st, RepeatUntil):
+    if isinstance(st, (Loop, While, RepeatUntil, Block)):
         return any(_has_return(s) for s in st.body)
     return False

@@ -216,6 +216,21 @@ def _stmts(depth, label):
         st.builds(P.Loop, loop_body("w1"), st.just("w1")),
         st.builds(P.RepeatUntil, loop_body("r1"), _COND, st.just("r1")),
         st.builds(P.While, _COND, loop_body("h1"), st.just("h1")),
+        # round 7: nested BEGIN blocks (optionally labeled) and CASE
+        # statements (searched and value forms, optional ELSE)
+        st.builds(P.Block, sub, st.one_of(st.none(), st.just("b1"))),
+        st.builds(
+            P.CaseStmt,
+            st.one_of(st.none(), st.just("v1")),
+            st.lists(
+                st.tuples(_COND, sub), min_size=1, max_size=2
+            ).flatmap(
+                lambda brs: st.one_of(
+                    st.just(list(brs)),
+                    sub.map(lambda els: list(brs) + [(None, els)]),
+                )
+            ),
+        ),
     )
     return st.lists(
         st.one_of(_simple_stmt(label), compound), min_size=1, max_size=3
@@ -256,6 +271,22 @@ def _render(stmts, indent=1):
             out.append(f"{pad}{s.label}: WHILE {s.cond} DO")
             out.append(_render(s.body, indent + 1))
             out.append(f"{pad}END WHILE {s.label};")
+        elif isinstance(s, P.Block):
+            out.append(f"{pad}{s.label}: BEGIN" if s.label else f"{pad}BEGIN")
+            out.append(_render(s.body, indent + 1))
+            out.append(f"{pad}END {s.label};" if s.label else f"{pad}END;")
+        elif isinstance(s, P.CaseStmt):
+            out.append(
+                f"{pad}CASE {s.subject}" if s.subject else f"{pad}CASE"
+            )
+            for cond, body in s.branches:
+                out.append(
+                    f"{pad}WHEN {cond} THEN"
+                    if cond is not None
+                    else f"{pad}ELSE"
+                )
+                out.append(_render(body, indent + 1))
+            out.append(f"{pad}END CASE;")
     return "\n".join(out)
 
 
