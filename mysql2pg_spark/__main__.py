@@ -117,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sink-dir", help="parquet sink dir (local/dump mode)")
     ap.add_argument("--dump-file", help="mysqldump .sql file (dump mode)")
     ap.add_argument("--duckdb-file", help="target database (duckdb mode)")
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="pgddl mode: run the golden-file structural lint over the "
+        "generated script (exit 1 on problems) — a CI gate that needs "
+        "no pytest",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -256,12 +263,27 @@ def main(argv: list[str] | None = None) -> int:
         cfg.options.table_privileges = True
         cfg.options.data = False
         cfg.options.validate_data = False
+        lines: list[str] = []
         for a in MigrationPipeline(cfg, snap).plan():
             if a.kind == "ddl":
-                print(a.payload.rstrip(";") + ";")
+                lines.append(a.payload.rstrip(";") + ";")
             elif a.kind == "skip":
                 first = str(a.payload).splitlines()[0]
-                print(f"-- SKIP [{a.target}]: {first}")
+                lines.append(f"-- SKIP [{a.target}]: {first}")
+        script = "\n".join(lines)
+        print(script)
+        if args.check:
+            # same checks the golden-corpus pytest runs — head
+            # whitelist, balance, MySQL-ism scan — as a plain CLI gate
+            from mysql2pg_spark.schema.ddl_lint import lint_ddl
+
+            problems = lint_ddl(script)
+            for p in problems:
+                print(f"LINT: {p}", file=sys.stderr)
+            if problems:
+                return 1
+            print(f"-- lint: OK ({script.count(chr(10)) + 1} lines)",
+                  file=sys.stderr)
         return 0
 
     if not args.snapshot:

@@ -26,70 +26,16 @@ GOLDEN = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "golden", "corpus_pg_ddl.sql"
 )
 
-_STATEMENT_HEADS = (
-    "CREATE TABLE",
-    "CREATE INDEX",
-    "CREATE UNIQUE INDEX",
-    "CREATE OR REPLACE VIEW",
-    "CREATE OR REPLACE FUNCTION",
-    "CREATE ROLE",
-    "COMMENT ON TABLE",
-    "COMMENT ON COLUMN",
-    "COMMENT ON FUNCTION",
-    "GRANT ",
-    "DROP VIEW IF EXISTS",
-    "ALTER TABLE",
+# splitting / masking / head whitelist / MySQL-ism scan live in the
+# reusable lint module so the CLI's `--mode pgddl --check` gates on the
+# SAME checks (one source of truth)
+from mysql2pg_spark.schema.ddl_lint import (  # noqa: E402
+    MYSQL_ISMS as _MYSQL_ISMS,
+    STATEMENT_HEADS as _STATEMENT_HEADS,
+    lint_ddl,
+    mask_bodies as _masked,
+    split_statements as _statements,
 )
-
-_MYSQL_ISMS = ("`", "AUTO_INCREMENT", "ENGINE=", " UNSIGNED", " ZEROFILL",
-               "\x00", "\x02")
-
-
-def _statements(text: str) -> list[str]:
-    """Golden-file statements: strip comment lines, split on ``;`` at
-    quote depth 0 (dollar-quoted plpgsql bodies counted as quoted)."""
-    body = "\n".join(
-        ln for ln in text.splitlines() if not ln.startswith("--")
-    )
-    out, buf, i, n = [], [], 0, len(body)
-    in_q = False
-    in_dollar = False
-    while i < n:
-        ch = body[i]
-        if in_dollar:
-            if body.startswith("$$", i):
-                in_dollar = False
-                buf.append("$$")
-                i += 2
-                continue
-        elif in_q:
-            if ch == "'":
-                in_q = False
-        elif body.startswith("$$", i):
-            in_dollar = True
-            buf.append("$$")
-            i += 2
-            continue
-        elif ch == "'":
-            in_q = True
-        elif ch == ";":
-            stmt = "".join(buf).strip()
-            if stmt:
-                out.append(stmt)
-            buf = []
-            i += 1
-            continue
-        buf.append(ch)
-        i += 1
-    tail = "".join(buf).strip()
-    if tail:
-        out.append(tail)
-    return out
-
-
-def _masked(stmt: str) -> str:
-    stmt = re.sub(r"\$\$.*?\$\$", "$$x$$", stmt, flags=re.S)
-    return re.sub(r"'(?:[^']|'')*'", "'x'", stmt)
 
 
 def test_golden_corpus_ddl_matches_regeneration(spark):
@@ -105,6 +51,7 @@ def test_golden_corpus_ddl_matches_regeneration(spark):
 
 def test_golden_corpus_ddl_structure():
     text = open(GOLDEN).read()
+    assert lint_ddl(text) == []
     stmts = _statements(text)
     # the whole corpus is present: 61 tables, 100+ indexes, 10 views
     # (9 CREATE + case08's absence), 3 functions, roles + grants

@@ -722,3 +722,40 @@ def test_failed_ddl_rolls_back_so_later_ddl_still_runs(tmp_path, spark):
     assert not any(
         "aborted" in e.get("error", "") for e in result["log"]["errors"]
     ), result["log"]["errors"]
+
+
+def test_cli_pgddl_check_lints_live_output(tmp_path, capsys):
+    """`--mode pgddl --check` runs the golden-file structural lint
+    against the LIVE script (exit 1 on problems) — the CI gate that
+    previously existed only inside pytest."""
+    import yaml
+
+    from mysql2pg_spark.__main__ import main
+
+    _cfg(tmp_path)
+    snap = {
+        "tables": [
+            {
+                "name": "acct",
+                "columns": [
+                    {"name": "id", "type": "int", "nullable": False},
+                    {"name": "note", "type": "varchar(20)"},
+                ],
+                "primary_key": ["id"],
+            }
+        ],
+        "views": {"v1": "SELECT id, IFNULL(note, 'n/a') AS note FROM acct"},
+    }
+    p = tmp_path / "snap.yml"
+    p.write_text(yaml.safe_dump(snap))
+    rc = main([
+        "-c", str(tmp_path / "config.yml"),
+        "--mode", "pgddl",
+        "--snapshot", str(p),
+        "--check",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "CREATE TABLE IF NOT EXISTS acct" in captured.out
+    assert "lint: OK" in captured.err
+    assert "LINT:" not in captured.err
