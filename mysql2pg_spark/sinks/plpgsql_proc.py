@@ -307,22 +307,38 @@ class _Parser:
         return mo
 
     def _until_kw(self, pat: re.Pattern, what: str) -> str:
-        """Text from here to the next occurrence of ``pat`` (consumed).
-        CASE expressions would nest the terminator keyword; they are
-        rejected in control-flow conditions rather than mis-split."""
-        mo = pat.search(self.s, self.i)
-        if not mo:
-            raise ProcParseError(
-                f"function {self.fname}: missing {what}"
-            )
-        chunk = self.s[self.i : mo.start()]
-        if re.search(r"\bCASE\b", chunk, re.I):
-            raise ProcParseError(
-                f"function {self.fname}: CASE inside a control-flow "
-                "condition is outside the procedural subset"
-            )
-        self.i = mo.end()
-        return chunk.strip()
+        """Text from here to the next occurrence of ``pat`` (consumed),
+        CASE-aware (round 7): a CASE *expression* inside a control-flow
+        condition nests THEN/ELSE/END keywords, so the scan skips
+        balanced ``CASE…END`` spans instead of mis-splitting on the
+        first keyword hit (round 6 rejected these conditions outright)."""
+        i = self.i
+        depth = 0
+        while True:
+            if depth == 0:
+                mo = pat.search(self.s, i)
+                if not mo:
+                    raise ProcParseError(
+                        f"function {self.fname}: missing {what}"
+                    )
+                opener = re.compile(r"\bCASE\b", re.I).search(
+                    self.s, i, mo.start()
+                )
+                if opener is None:
+                    chunk = self.s[self.i : mo.start()]
+                    self.i = mo.end()
+                    return chunk.strip()
+                depth = 1
+                i = opener.end()
+            else:
+                mo = re.compile(r"\bCASE\b|\bEND\b", re.I).search(self.s, i)
+                if not mo:
+                    raise ProcParseError(
+                        f"function {self.fname}: unterminated CASE "
+                        f"expression while scanning for {what}"
+                    )
+                depth += 1 if mo.group().upper() == "CASE" else -1
+                i = mo.end()
 
     def _until_semicolon(self) -> str:
         j = self.s.find(";", self.i)
