@@ -589,6 +589,32 @@ def parse_procedural(
     flag: str | None = None
     exc_raw: str | None = None
 
+    # Handlers are BLOCK-scoped in MySQL, but this translator lifts
+    # them to function scope (the NOT FOUND flag / the EXCEPTION
+    # clause). A handler declared inside a NESTED block would therefore
+    # silently widen its scope — raise instead. Detection: every
+    # handler declaration must start before the first nested BEGIN
+    # that is not itself part of a handler's BEGIN…END action.
+    handler_spans = [
+        m.span() for m in _RE_EXC_HANDLER.finditer(body)
+    ] + [m.span() for m in _RE_HANDLER.finditer(body)]
+    first_nested = next(
+        (
+            m
+            for m in re.finditer(r"\bBEGIN\b", body, re.I)
+            if not any(s <= m.start() < e for s, e in handler_spans)
+        ),
+        None,
+    )
+    if first_nested is not None:
+        for s, _e in handler_spans:
+            if s > first_nested.start():
+                raise ProcParseError(
+                    f"function {fname}: HANDLER declared inside a "
+                    "nested block — block-scoped handlers cannot be "
+                    "lifted to function scope without widening them"
+                )
+
     # 0. EXIT HANDLER FOR SQLEXCEPTION → remember the action text; it
     # becomes the block's EXCEPTION WHEN others THEN clause (plpgsql's
     # native exit-handler shape). Extracted before the canonical-handler
