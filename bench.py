@@ -380,6 +380,13 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
         repo, ".scale", "sf1" if base == "sf0.1" else f"{base}x10"
     )
     deadline = time.perf_counter() + budget_sec
+    # Evict the sf0.1-era .cache() pins (shared shingle/signature
+    # stages) before timing at 10x: leftover storage blocks shrink
+    # executor execution memory and inflate the big scale queries
+    # (measured: s04 118 s inside the full run vs 51 s in a clean
+    # session at the same sf1 data). The pinned stages re-cache on
+    # next use, so correctness is unaffected.
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     generate_scale_dir(spark, sf_dir, out_dir, factor=10)
     # populate the CALLER's dict in place when given: the wall-budget
