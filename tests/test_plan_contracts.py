@@ -136,3 +136,23 @@ def test_cosine_histogram_no_pair_former(spark):
     plan = _plan(spark, "s10_cosine_histogram")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall_hit_join_is_broadcast(spark):
+    """s11's exact-vs-approx hit join must broadcast the exact side
+    (queries×K rows — tiny at any corpus size); a shuffled hash join
+    here would move the whole approximate result set for no reason."""
+    plan = _plan(spark, "s11_ann_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_mixing_window_on_aggregate_only(spark):
+    """t24's global sum window must run on the per-language aggregate
+    (a handful of rows), never on the documents table: exactly one
+    shuffle pair for the groupBy + the single-partition window."""
+    plan = _plan(spark, "t24_source_mixing")
+    assert "CartesianProduct" not in plan
+    # groupBy (hash exchange) + SinglePartition window exchange; the
+    # document scan itself must not be globally re-partitioned
+    assert _n_exchanges(plan) <= 3, plan
