@@ -89,6 +89,7 @@ EXTRA = [
     "s11_ann_recall",
     "t24_source_mixing",
     "sf03_cursor_loop_twin",
+    "sf04_case_block_twin",
 ]
 
 
