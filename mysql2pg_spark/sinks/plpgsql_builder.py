@@ -294,18 +294,21 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
     declares: list[tuple[str, str]] = []
 
     def _take_declare(mo: re.Match) -> str:
-        var, rest = mo.group(1).lower(), mo.group(2).strip()
+        # MySQL comma lists (`DECLARE a, b INT DEFAULT 0`) share one
+        # type/default → one plpgsql declaration per name
+        rest = mo.group(2).strip()
         dflt = re.search(r"\bDEFAULT\s+(.+)$", rest, re.I | re.S)
         pg_t = _pg_type(rest[: dflt.start()].strip() if dflt else rest)
         if dflt:
             pg_t += " := " + rewrite_mysql_expr_to_pg(
                 unmask_literals(dflt.group(1).strip(), lits)
             )
-        declares.append((var, pg_t))
+        for var in (v.strip().lower() for v in mo.group(1).split(",")):
+            declares.append((var, pg_t))
         return ""
 
-    body = re.sub(r"\bDECLARE\s+(\w+)\s+([^;]+);", _take_declare, body,
-                  flags=re.I)
+    body = re.sub(r"\bDECLARE\s+(\w+(?:\s*,\s*\w+)*)\s+([^;]+);",
+                  _take_declare, body, flags=re.I)
 
     stmts = [t.strip() for t in body.split(";") if t.strip()]
     selects = [t for t in stmts if re.match(r"SELECT\b", t, re.I)]
@@ -314,17 +317,23 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
     pre_statements: list[str] = []
     sets = [t for t in stmts if re.match(r"SET\b", t, re.I)]
     for st in sets:
-        mo = re.match(r"SET\s+(\w+)\s*:?=\s*(.+)$", st, re.I | re.S)
-        if not mo:
-            raise UnsupportedFunctionError(
-                f"function {name}: cannot parse SET statement {st!r}"
+        # MySQL multi-assignment (`SET a = 1, b = a`) → sequential
+        # assignments; split on top-level commas only (literals are
+        # masked, parens guard call arguments)
+        from mysql2pg_spark.sinks.plpgsql_proc import _split_top_level
+
+        for piece in _split_top_level(st[3:]):
+            mo = re.match(r"\s*(\w+)\s*:?=\s*(.+)$", piece, re.S)
+            if not mo:
+                raise UnsupportedFunctionError(
+                    f"function {name}: cannot parse SET statement {st!r}"
+                )
+            pre_statements.append(
+                f"{mo.group(1).lower()} := "
+                + rewrite_mysql_expr_to_pg(
+                    unmask_literals(mo.group(2).strip(), lits)
+                )
             )
-        pre_statements.append(
-            f"{mo.group(1).lower()} := "
-            + rewrite_mysql_expr_to_pg(
-                unmask_literals(mo.group(2).strip(), lits)
-            )
-        )
     if len(stmts) != len(selects) + len(returns_stmts) + len(sets):
         raise UnsupportedFunctionError(
             f"function {name}: only SET, SELECT…INTO and RETURN statements "

@@ -43,6 +43,24 @@ found"), and two handler shapes:
   ``EXCEPTION WHEN others THEN`` clause, which is plpgsql's native
   exit-handler semantics: abort the block's remaining statements, run
   the handler.
+* ``DECLARE CONTINUE HANDLER FOR SQLEXCEPTION <action>`` (round 7,
+  resume-after-error) — every raise-capable statement is wrapped in its
+  own ``BEGIN … EXCEPTION WHEN others THEN <action>; END`` sub-block.
+  A plpgsql sub-block with an EXCEPTION clause is a subtransaction that
+  rolls back only the failing statement's work — the same
+  statement-level atomicity MySQL gives the failing statement before
+  running a CONTINUE handler — and control resumes after the sub-block,
+  i.e. at the next statement, which is exactly MySQL's CONTINUE. An
+  error inside a condition (``WHILE``/``IF``/``CASE`` heads) aborts the
+  whole compound and resumes after it, so condition-bearing compounds
+  are wrapped as a unit on top of their individually-wrapped bodies.
+
+Also handled (round 7): MySQL's multi-assignment ``SET a = 1, b = a``
+splits — paren-aware, at the top level only — into sequential plpgsql
+assignments (``a := 1; b := a;``; MySQL evaluates left-to-right too),
+and comma-list declarations ``DECLARE a, b INT DEFAULT 0`` become one
+declaration per name. Both previously mis-parsed (the single-var
+regexes silently emitted ``a := 1, b = a;`` — invalid plpgsql).
 """
 
 from __future__ import annotations
@@ -157,6 +175,17 @@ class CaseStmt:
 
 
 @dataclass
+class TryWrap:
+    """One statement (or condition-bearing compound) guarded by a
+    CONTINUE HANDLER FOR SQLEXCEPTION: emitted as a ``BEGIN … EXCEPTION
+    WHEN others THEN <action> END;`` sub-block (a subtransaction —
+    plpgsql's statement-level resume-after-error shape)."""
+
+    body: list
+    action: list
+
+
+@dataclass
 class ProceduralBody:
     declares: list[tuple[str, str]]  # (name, pg type [:= default])
     statements: list
@@ -233,6 +262,12 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
             out.append(f"{pad}BEGIN")
             out.append(emit_statements(st.body, indent + 1))
             out.append(f"{pad}END{' ' + st.label if st.label else ''};")
+        elif isinstance(st, TryWrap):
+            out.append(f"{pad}BEGIN")
+            out.append(emit_statements(st.body, indent + 1))
+            out.append(f"{pad}EXCEPTION WHEN others THEN")
+            out.append(emit_statements(st.action, indent + 1))
+            out.append(f"{pad}END;")
         elif isinstance(st, CaseStmt):
             out.append(f"{pad}CASE" + (f" {st.subject}" if st.subject else ""))
             for cond, body in st.branches:
@@ -368,7 +403,9 @@ class _Parser:
                 if mo:
                     self.i = mo.end()
                     return stmts, t
-            stmts.append(self.parse_statement())
+            st = self.parse_statement()
+            # a multi-assignment SET parses to a list of Assigns
+            stmts.extend(st) if isinstance(st, list) else stmts.append(st)
 
     def parse_statement(self):
         self._skip_ws()
@@ -465,19 +502,28 @@ class _Parser:
     def _parse_simple(self, raw: str):
         up = raw.upper()
         if up.startswith("SET "):
-            mo = re.match(r"SET\s+(\w+)\s*:?=\s*(.+)$", raw, re.I | re.S)
-            if not mo:
-                raise ProcParseError(
-                    f"function {self.fname}: cannot parse SET {raw!r}"
-                )
-            var = mo.group(1).lower()
-            raw_expr = mo.group(2).strip()
-            if re.fullmatch(r"ROW_COUNT\s*\(\s*\)", raw_expr, re.I):
-                return RowCountInto(var)
-            expr = self.rewrite(raw_expr)
-            if self.flag and var == self.flag:
-                expr = _flag_literal(expr)
-            return Assign(var, expr)
+            # MySQL multi-assignment `SET a = 1, b = a` — split on
+            # TOP-LEVEL commas only (literals are masked; parens guard
+            # function-call commas) into sequential assignments, the
+            # order MySQL itself evaluates them in
+            out: list = []
+            for piece in _split_top_level(raw[3:]):
+                mo = re.match(r"\s*(\w+)\s*:?=\s*(.+)$", piece, re.S)
+                if not mo:
+                    raise ProcParseError(
+                        f"function {self.fname}: cannot parse SET "
+                        f"assignment {piece.strip()!r} in {raw!r}"
+                    )
+                var = mo.group(1).lower()
+                raw_expr = mo.group(2).strip()
+                if re.fullmatch(r"ROW_COUNT\s*\(\s*\)", raw_expr, re.I):
+                    out.append(RowCountInto(var))
+                    continue
+                expr = self.rewrite(raw_expr)
+                if self.flag and var == self.flag:
+                    expr = _flag_literal(expr)
+                out.append(Assign(var, expr))
+            return out if len(out) > 1 else out[0]
         if up.startswith("SELECT"):
             into = re.search(r"\s+INTO\s+([\w\s,]+?)(?=\s+FROM\b|$)", raw, re.I)
             if not into:
@@ -524,6 +570,24 @@ class _Parser:
         )
 
 
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas outside parentheses (literals are already masked,
+    so string commas cannot appear)."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
+
 def _flag_literal(expr: str) -> str:
     """1/0/TRUE/FALSE assigned to the (boolean-forced) handler flag."""
     v = expr.strip().upper()
@@ -559,17 +623,21 @@ _RE_HANDLER = re.compile(
     r"SET\s+(\w+)\s*=\s*(\S+)\s*;",
     re.I,
 )
-#: EXIT HANDLER FOR SQLEXCEPTION with a single-statement action or a
-#: BEGIN…END group. The non-greedy END-scan stops at a bare ``END;`` —
-#: nested IF/CASE closers (``END IF;``) don't match it, so they are
-#: safely inside; a nested plain block would mis-split and then fail to
-#: parse, which raises instead of mistranslating.
+#: EXIT/CONTINUE HANDLER FOR SQLEXCEPTION with a single-statement
+#: action or a BEGIN…END group. The non-greedy END-scan stops at a bare
+#: ``END;`` — nested IF/CASE closers (``END IF;``) don't match it, so
+#: they are safely inside; a nested plain block would mis-split and then
+#: fail to parse, which raises instead of mistranslating.
 _RE_EXC_HANDLER = re.compile(
-    r"DECLARE\s+EXIT\s+HANDLER\s+FOR\s+SQLEXCEPTION\s+"
+    r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+SQLEXCEPTION\s+"
     r"(BEGIN\b.*?\bEND\s*;|[^;]*;)",
     re.I | re.S,
 )
-_RE_VAR_DECL = re.compile(r"DECLARE\s+(\w+)\s+([^;]+);", re.I)
+#: MySQL allows a comma list of names sharing one type:
+#: ``DECLARE a, b INT DEFAULT 0;``
+_RE_VAR_DECL = re.compile(
+    r"DECLARE\s+(\w+(?:\s*,\s*\w+)*)\s+([^;]+);", re.I
+)
 
 
 def parse_procedural(
@@ -588,6 +656,7 @@ def parse_procedural(
     cursors: dict[str, str] = {}
     flag: str | None = None
     exc_raw: str | None = None
+    exc_kind: str | None = None      # "EXIT" | "CONTINUE"
 
     # Handlers are BLOCK-scoped in MySQL, but this translator lifts
     # them to function scope (the NOT FOUND flag / the EXCEPTION
@@ -615,20 +684,22 @@ def parse_procedural(
                     "lifted to function scope without widening them"
                 )
 
-    # 0. EXIT HANDLER FOR SQLEXCEPTION → remember the action text; it
-    # becomes the block's EXCEPTION WHEN others THEN clause (plpgsql's
-    # native exit-handler shape). Extracted before the canonical-handler
-    # pass so the SET form of this handler isn't mistaken for a
-    # malformed NOT FOUND handler. One per function: MySQL allows one
-    # handler per condition per block, and the lifted EXCEPTION clause
-    # has a single others arm.
+    # 0. EXIT/CONTINUE HANDLER FOR SQLEXCEPTION → remember the action
+    # text. EXIT becomes the block's EXCEPTION WHEN others THEN clause
+    # (plpgsql's native exit-handler shape); CONTINUE wraps every
+    # raise-capable statement in its own EXCEPTION sub-block (see module
+    # docstring). Extracted before the canonical-handler pass so the SET
+    # form of these handlers isn't mistaken for a malformed NOT FOUND
+    # handler. One per function: MySQL allows one handler per condition
+    # per block.
     def _take_exc(mo: re.Match) -> str:
-        nonlocal exc_raw
+        nonlocal exc_raw, exc_kind
         if exc_raw is not None:
             raise ProcParseError(
                 f"function {fname}: multiple SQLEXCEPTION handlers"
             )
-        action = mo.group(1).strip()
+        exc_kind = mo.group(1).upper()
+        action = mo.group(2).strip()
         if re.match(r"BEGIN\b", action, re.I):
             action = re.sub(r"^BEGIN\b", "", action, flags=re.I)
             action = re.sub(r"\bEND\s*;$", "", action, flags=re.I)
@@ -670,19 +741,23 @@ def parse_procedural(
 
     body = _RE_CURSOR_DECL.sub(_take_cursor, body)
 
-    # 3. plain variable declarations (flag forced BOOLEAN, :1116-1119)
+    # 3. plain variable declarations (flag forced BOOLEAN, :1116-1119);
+    # a comma list (`DECLARE a, b INT DEFAULT 0`) shares one type and
+    # default across every name, so it expands to one declare per name
     def _take_var(mo: re.Match) -> str:
-        var, rest = mo.group(1).lower(), mo.group(2).strip()
+        rest = mo.group(2).strip()
         dflt = re.search(r"\bDEFAULT\s+(.+)$", rest, re.I | re.S)
-        if flag and var == flag:
-            t = "BOOLEAN"
-            init = _flag_literal(dflt.group(1).strip()) if dflt else "false"
-            declares.append((var, f"{t} := {init}"))
-            return ""
-        t = pg_type(rest[: dflt.start()].strip() if dflt else rest)
-        if dflt:
-            t += " := " + rewrite_expr(dflt.group(1).strip())
-        declares.append((var, t))
+        for var in (v.strip().lower() for v in mo.group(1).split(",")):
+            if flag and var == flag:
+                init = (
+                    _flag_literal(dflt.group(1).strip()) if dflt else "false"
+                )
+                declares.append((var, f"BOOLEAN := {init}"))
+                continue
+            t = pg_type(rest[: dflt.start()].strip() if dflt else rest)
+            if dflt:
+                t += " := " + rewrite_expr(dflt.group(1).strip())
+            declares.append((var, t))
         return ""
 
     body = _RE_VAR_DECL.sub(_take_var, body)
@@ -720,7 +795,62 @@ def parse_procedural(
             raise ProcParseError(
                 f"function {fname}: empty SQLEXCEPTION handler action"
             )
+        if exc_kind == "CONTINUE":
+            # resume-after-error: per-statement EXCEPTION sub-blocks
+            # instead of one block-level clause
+            stmts = _wrap_continue(stmts, exc_stmts)
+            exc_stmts = None
     return ProceduralBody(declares, stmts, exc_stmts)
+
+
+def _wrap_continue(stmts: list, action: list) -> list:
+    """CONTINUE HANDLER FOR SQLEXCEPTION: guard each raise-capable
+    statement with its own ``BEGIN … EXCEPTION`` sub-block so execution
+    resumes at the NEXT statement — MySQL's CONTINUE semantics, with the
+    sub-block subtransaction matching MySQL's statement-level rollback
+    of the failing statement. Condition-bearing compounds (IF / CASE /
+    WHILE / REPEAT) are additionally wrapped as a unit: an error raised
+    by the condition itself aborts the whole compound and resumes after
+    it, which is where MySQL resumes too (the CASE wrap also catches
+    plpgsql's CASE_NOT_FOUND, mirroring MySQL's handleable "Case not
+    found" error). ``LEAVE``/``ITERATE`` cannot raise and must stay
+    unwrapped so their loop targeting is untouched (an unlabeled EXIT
+    never matches a BEGIN block, but keeping them bare is simplest)."""
+    out: list = []
+    for st in stmts:
+        if isinstance(st, (Leave, Iterate, RowCountInto)):
+            out.append(st)
+        elif isinstance(st, Block):
+            out.append(Block(_wrap_continue(st.body, action), st.label))
+        elif isinstance(st, Loop):
+            out.append(Loop(_wrap_continue(st.body, action), st.label))
+        elif isinstance(st, If):
+            out.append(TryWrap(
+                [If([(c, _wrap_continue(b, action))
+                     for c, b in st.branches])],
+                action,
+            ))
+        elif isinstance(st, CaseStmt):
+            out.append(TryWrap(
+                [CaseStmt(st.subject,
+                          [(c, _wrap_continue(b, action))
+                           for c, b in st.branches])],
+                action,
+            ))
+        elif isinstance(st, While):
+            out.append(TryWrap(
+                [While(st.cond, _wrap_continue(st.body, action), st.label)],
+                action,
+            ))
+        elif isinstance(st, RepeatUntil):
+            out.append(TryWrap(
+                [RepeatUntil(_wrap_continue(st.body, action), st.until,
+                             st.label)],
+                action,
+            ))
+        else:
+            out.append(TryWrap([st], action))
+    return out
 
 
 def _has_return(st) -> bool:
@@ -728,6 +858,6 @@ def _has_return(st) -> bool:
         return True
     if isinstance(st, (If, CaseStmt)):
         return any(_has_return(s) for _, b in st.branches for s in b)
-    if isinstance(st, (Loop, While, RepeatUntil, Block)):
+    if isinstance(st, (Loop, While, RepeatUntil, Block, TryWrap)):
         return any(_has_return(s) for s in st.body)
     return False
