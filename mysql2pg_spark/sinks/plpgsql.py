@@ -53,13 +53,16 @@ def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
         declare_block = "".join(
             f"    {n} {t};\n" for n, t in spec.procedural.declares
         )
-        # EXIT HANDLER FOR SQLEXCEPTION → the block's EXCEPTION clause:
-        # plpgsql's native semantics (abort the rest of the block, run
-        # the handler) match MySQL's EXIT handler exactly
+        # EXIT HANDLER FOR SQLEXCEPTION (→ WHEN others) or for one
+        # specific SQLSTATE (→ WHEN SQLSTATE 'xxxxx') → the block's
+        # EXCEPTION clause: plpgsql's native semantics (abort the rest
+        # of the block, run the handler) match MySQL's EXIT handler
+        # exactly, and the condition stays exactly as narrow as MySQL's
         exc = ""
         if getattr(spec.procedural, "exc_handler", None):
+            cond = getattr(spec.procedural, "exc_cond", "others")
             exc = (
-                "EXCEPTION WHEN others THEN\n"
+                f"EXCEPTION WHEN {cond} THEN\n"
                 + emit_statements(spec.procedural.exc_handler)
                 + "\n"
             )

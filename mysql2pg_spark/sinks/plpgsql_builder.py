@@ -13,12 +13,14 @@ either one ``SELECT … INTO var`` + ``RETURN var`` or a bare
 ``RETURN expr`` — by PARSING it into the spec that drives
 :func:`mysql2pg_spark.sinks.plpgsql.emit_plpgsql`, so the emitted DDL is
 well-formed by construction. Control-flow bodies — cursors, REPEAT /
-WHILE / LOOP, statement-level IF, LEAVE/ITERATE, and the canonical
-``CONTINUE HANDLER FOR NOT FOUND`` pattern — route to the procedural
-statement-tree parser (:mod:`mysql2pg_spark.sinks.plpgsql_proc`,
-round 6; the reference's sync_functions.go:220-407 / :1040-1283
-territory). What remains outside both paths (@user variables, other
-handlers) raises :class:`UnsupportedFunctionError` instead of
+WHILE / LOOP, statement-level IF, LEAVE/ITERATE, nested blocks, CASE
+statements, ``SIGNAL SQLSTATE``, the canonical ``CONTINUE HANDLER FOR
+NOT FOUND`` pattern, and EXIT/CONTINUE handlers for SQLEXCEPTION or a
+specific SQLSTATE — route to the procedural statement-tree parser
+(:mod:`mysql2pg_spark.sinks.plpgsql_proc`, rounds 6-7; the reference's
+sync_functions.go:220-407 / :1040-1283 territory). What remains outside
+both paths (@user variables, SQLWARNING / named-condition handlers,
+RESIGNAL) raises :class:`UnsupportedFunctionError` instead of
 producing silently-wrong plpgsql.
 
 Builtin-expression mapping mirrors the reference's table
@@ -77,7 +79,8 @@ _UNSUPPORTED = (
 #: tree.
 _PROCEDURAL = re.compile(
     r"\bCURSOR\b|\bHANDLER\b|\bWHILE\b|\bREPEAT\b|\bLOOP\b|\bFETCH\b|"
-    r"\bITERATE\b|\bLEAVE\b|\bBEGIN\b|\bEND\s+CASE\b|\bIF\b(?!\s*\()",
+    r"\bITERATE\b|\bLEAVE\b|\bBEGIN\b|\bEND\s+CASE\b|\bSIGNAL\b|"
+    r"\bRESIGNAL\b|\bIF\b(?!\s*\()",
     re.I,
 )
 

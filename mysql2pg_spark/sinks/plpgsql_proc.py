@@ -43,6 +43,20 @@ found"), and two handler shapes:
   ``EXCEPTION WHEN others THEN`` clause, which is plpgsql's native
   exit-handler semantics: abort the block's remaining statements, run
   the handler.
+* ``DECLARE EXIT/CONTINUE HANDLER FOR SQLSTATE 'xxxxx' <action>``
+  (round 7) — same shapes as the SQLEXCEPTION forms but with
+  ``EXCEPTION WHEN SQLSTATE 'xxxxx' THEN``, exactly as narrow as
+  MySQL's handler (round 6 refused these because lifting them to
+  ``WHEN others`` would have widened what they catch; emitting the
+  specific SQLSTATE removes the widening). Classes 00/01/02
+  (success/warning/not-found) still refuse — plpgsql EXCEPTION clauses
+  cannot trap them.
+* ``SIGNAL SQLSTATE 'xxxxx' [SET MESSAGE_TEXT = …, MYSQL_ERRNO = …]``
+  (round 7) → ``RAISE EXCEPTION USING ERRCODE = 'xxxxx'[, MESSAGE =
+  …][, HINT = 'MYSQL_ERRNO …']`` — the validation-raise idiom real
+  MySQL functions use; the errno rides in HINT because PG has no errno
+  field (dropping it silently would be lossy). The reference has no
+  SIGNAL pass at all.
 * ``DECLARE CONTINUE HANDLER FOR SQLEXCEPTION <action>`` (round 7,
   resume-after-error) — every raise-capable statement is wrapped in its
   own ``BEGIN … EXCEPTION WHEN others THEN <action>; END`` sub-block.
@@ -175,14 +189,31 @@ class CaseStmt:
 
 
 @dataclass
+class Signal:
+    """``SIGNAL SQLSTATE '45000' [SET MESSAGE_TEXT = expr]`` → ``RAISE
+    EXCEPTION USING ERRCODE = '45000'[, MESSAGE = expr]`` — the
+    validation-raise idiom real MySQL functions use (the reference has
+    no SIGNAL pass at all; bodies containing it hit its regex fallback
+    and emit broken plpgsql)."""
+
+    errcode: str                     # PG string literal, e.g. "'45000'"
+    message: str | None              # PG expression (already rewritten)
+    #: MYSQL_ERRNO has no PG analog; it is preserved losslessly in the
+    #: error's HINT field instead of being silently dropped
+    errno: str | None = None         # PG expression
+
+
+@dataclass
 class TryWrap:
     """One statement (or condition-bearing compound) guarded by a
-    CONTINUE HANDLER FOR SQLEXCEPTION: emitted as a ``BEGIN … EXCEPTION
-    WHEN others THEN <action> END;`` sub-block (a subtransaction —
-    plpgsql's statement-level resume-after-error shape)."""
+    CONTINUE HANDLER: emitted as a ``BEGIN … EXCEPTION WHEN <cond> THEN
+    <action> END;`` sub-block (a subtransaction — plpgsql's
+    statement-level resume-after-error shape). ``cond`` is ``others``
+    for SQLEXCEPTION or a specific ``SQLSTATE 'xxxxx'``."""
 
     body: list
     action: list
+    cond: str = "others"
 
 
 @dataclass
@@ -190,8 +221,10 @@ class ProceduralBody:
     declares: list[tuple[str, str]]  # (name, pg type [:= default])
     statements: list
     #: EXIT HANDLER FOR SQLEXCEPTION action → the function block's
-    #: EXCEPTION WHEN others THEN statements (None = no handler)
+    #: EXCEPTION WHEN <exc_cond> THEN statements (None = no handler)
     exc_handler: list | None = None
+    #: ``others`` (SQLEXCEPTION) or ``SQLSTATE 'xxxxx'`` (specific)
+    exc_cond: str = "others"
 
 
 # --------------------------------------------------------------------------
@@ -265,9 +298,20 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
         elif isinstance(st, TryWrap):
             out.append(f"{pad}BEGIN")
             out.append(emit_statements(st.body, indent + 1))
-            out.append(f"{pad}EXCEPTION WHEN others THEN")
+            out.append(f"{pad}EXCEPTION WHEN {st.cond} THEN")
             out.append(emit_statements(st.action, indent + 1))
             out.append(f"{pad}END;")
+        elif isinstance(st, Signal):
+            using = [f"ERRCODE = {st.errcode}"]
+            if st.message is not None:
+                using.append(f"MESSAGE = {st.message}")
+            if st.errno is not None:
+                using.append(
+                    f"HINT = 'MYSQL_ERRNO ' || ({st.errno})::text"
+                )
+            out.append(
+                f"{pad}RAISE EXCEPTION USING " + ", ".join(using) + ";"
+            )
         elif isinstance(st, CaseStmt):
             out.append(f"{pad}CASE" + (f" {st.subject}" if st.subject else ""))
             for cond, body in st.branches:
@@ -565,9 +609,64 @@ class _Parser:
         mo = re.match(r"CLOSE\s+(\w+)$", raw, re.I)
         if mo:
             return CloseCursor(mo.group(1).lower())
+        mo = re.match(
+            r"SIGNAL\s+SQLSTATE\s+(?:VALUE\s+)?(\x00L\d+\x00)"
+            r"\s*(?:SET\s+(.+))?$",
+            raw, re.I | re.S,
+        )
+        if mo:
+            return self._parse_signal(mo)
+        if re.match(r"(?:RE)?SIGNAL\b", raw, re.I):
+            raise ProcParseError(
+                f"function {self.fname}: only `SIGNAL SQLSTATE 'xxxxx' "
+                f"[SET MESSAGE_TEXT = …]` is translatable, got "
+                f"{raw[:60]!r} (RESIGNAL / named conditions have no "
+                "function-scope plpgsql analog)"
+            )
         raise ProcParseError(
             f"function {self.fname}: unsupported statement {raw[:60]!r}"
         )
+
+    def _parse_signal(self, mo: re.Match) -> Signal:
+        """``SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = …[, MYSQL_ERRNO
+        = …]`` → RAISE EXCEPTION USING ERRCODE/MESSAGE (errno kept in
+        HINT — PG has no errno field). The reference has no SIGNAL pass
+        at all (bodies containing it fall into sync_functions.go's
+        generic regex path and emit plpgsql that fails at CREATE time)."""
+        errcode = self.rewrite(mo.group(1)).strip()
+        if not re.fullmatch(r"'[0-9A-Za-z]{5}'", errcode):
+            raise ProcParseError(
+                f"function {self.fname}: SIGNAL SQLSTATE value "
+                f"{errcode!r} is not a 5-character SQLSTATE literal"
+            )
+        if errcode[1:3] in ("00", "01", "02"):
+            raise ProcParseError(
+                f"function {self.fname}: SIGNAL SQLSTATE class "
+                f"{errcode[1:3]!r} (success/warning/not-found) cannot "
+                "be raised as a plpgsql exception"
+            )
+        message: str | None = None
+        errno: str | None = None
+        if mo.group(2):
+            for item in _split_top_level(mo.group(2)):
+                im = re.match(r"\s*(\w+)\s*=\s*(.+)$", item, re.S)
+                if not im:
+                    raise ProcParseError(
+                        f"function {self.fname}: cannot parse SIGNAL "
+                        f"item {item.strip()!r}"
+                    )
+                key = im.group(1).upper()
+                if key == "MESSAGE_TEXT":
+                    message = self.rewrite(im.group(2).strip())
+                elif key == "MYSQL_ERRNO":
+                    errno = self.rewrite(im.group(2).strip())
+                else:
+                    raise ProcParseError(
+                        f"function {self.fname}: SIGNAL item {key} has "
+                        "no plpgsql analog (only MESSAGE_TEXT / "
+                        "MYSQL_ERRNO translate)"
+                    )
+        return Signal(errcode, message, errno)
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -623,14 +722,17 @@ _RE_HANDLER = re.compile(
     r"SET\s+(\w+)\s*=\s*(\S+)\s*;",
     re.I,
 )
-#: EXIT/CONTINUE HANDLER FOR SQLEXCEPTION with a single-statement
-#: action or a BEGIN…END group. The non-greedy END-scan stops at a bare
-#: ``END;`` — nested IF/CASE closers (``END IF;``) don't match it, so
-#: they are safely inside; a nested plain block would mis-split and then
-#: fail to parse, which raises instead of mistranslating.
+#: EXIT/CONTINUE HANDLER FOR SQLEXCEPTION — or for one specific
+#: ``SQLSTATE 'xxxxx'`` (round 7; the literal is masked at this point) —
+#: with a single-statement action or a BEGIN…END group. The non-greedy
+#: END-scan stops at a bare ``END;`` — nested IF/CASE closers
+#: (``END IF;``) don't match it, so they are safely inside; a nested
+#: plain block would mis-split and then fail to parse, which raises
+#: instead of mistranslating.
 _RE_EXC_HANDLER = re.compile(
-    r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+SQLEXCEPTION\s+"
-    r"(BEGIN\b.*?\bEND\s*;|[^;]*;)",
+    r"DECLARE\s+(?P<kind>CONTINUE|EXIT)\s+HANDLER\s+FOR\s+"
+    r"(?P<cond>SQLEXCEPTION|SQLSTATE(?:\s+VALUE)?\s+\x00L\d+\x00)\s+"
+    r"(?P<action>BEGIN\b.*?\bEND\s*;|[^;]*;)",
     re.I | re.S,
 )
 #: MySQL allows a comma list of names sharing one type:
@@ -657,6 +759,7 @@ def parse_procedural(
     flag: str | None = None
     exc_raw: str | None = None
     exc_kind: str | None = None      # "EXIT" | "CONTINUE"
+    exc_cond: str = "others"         # or "SQLSTATE 'xxxxx'"
 
     # Handlers are BLOCK-scoped in MySQL, but this translator lifts
     # them to function scope (the NOT FOUND flag / the EXCEPTION
@@ -693,13 +796,35 @@ def parse_procedural(
     # handler. One per function: MySQL allows one handler per condition
     # per block.
     def _take_exc(mo: re.Match) -> str:
-        nonlocal exc_raw, exc_kind
+        nonlocal exc_raw, exc_kind, exc_cond
         if exc_raw is not None:
             raise ProcParseError(
-                f"function {fname}: multiple SQLEXCEPTION handlers"
+                f"function {fname}: multiple SQLEXCEPTION/SQLSTATE "
+                "handlers (MySQL allows one per condition per block; "
+                "several distinct conditions cannot share the one "
+                "lifted clause)"
             )
-        exc_kind = mo.group(1).upper()
-        action = mo.group(2).strip()
+        exc_kind = mo.group("kind").upper()
+        cond_txt = mo.group("cond")
+        if not re.fullmatch(r"SQLEXCEPTION", cond_txt.strip(), re.I):
+            # specific-SQLSTATE handler → EXCEPTION WHEN SQLSTATE '…'
+            # (exactly as narrow as MySQL's handler — no widening)
+            lit = rewrite_expr(
+                re.search(r"\x00L\d+\x00", cond_txt).group()
+            ).strip()
+            if not re.fullmatch(r"'[0-9A-Za-z]{5}'", lit):
+                raise ProcParseError(
+                    f"function {fname}: HANDLER SQLSTATE value {lit!r} "
+                    "is not a 5-character SQLSTATE literal"
+                )
+            if lit[1:3] in ("00", "01", "02"):
+                raise ProcParseError(
+                    f"function {fname}: HANDLER for SQLSTATE class "
+                    f"{lit[1:3]!r} (success/warning/not-found) cannot "
+                    "be caught by a plpgsql EXCEPTION clause"
+                )
+            exc_cond = f"SQLSTATE {lit}"
+        action = mo.group("action").strip()
         if re.match(r"BEGIN\b", action, re.I):
             action = re.sub(r"^BEGIN\b", "", action, flags=re.I)
             action = re.sub(r"\bEND\s*;$", "", action, flags=re.I)
@@ -798,12 +923,13 @@ def parse_procedural(
         if exc_kind == "CONTINUE":
             # resume-after-error: per-statement EXCEPTION sub-blocks
             # instead of one block-level clause
-            stmts = _wrap_continue(stmts, exc_stmts)
+            stmts = _wrap_continue(stmts, exc_stmts, exc_cond)
             exc_stmts = None
-    return ProceduralBody(declares, stmts, exc_stmts)
+            exc_cond = "others"
+    return ProceduralBody(declares, stmts, exc_stmts, exc_cond)
 
 
-def _wrap_continue(stmts: list, action: list) -> list:
+def _wrap_continue(stmts: list, action: list, cond: str = "others") -> list:
     """CONTINUE HANDLER FOR SQLEXCEPTION: guard each raise-capable
     statement with its own ``BEGIN … EXCEPTION`` sub-block so execution
     resumes at the NEXT statement — MySQL's CONTINUE semantics, with the
@@ -821,35 +947,40 @@ def _wrap_continue(stmts: list, action: list) -> list:
         if isinstance(st, (Leave, Iterate, RowCountInto)):
             out.append(st)
         elif isinstance(st, Block):
-            out.append(Block(_wrap_continue(st.body, action), st.label))
+            out.append(
+                Block(_wrap_continue(st.body, action, cond), st.label)
+            )
         elif isinstance(st, Loop):
-            out.append(Loop(_wrap_continue(st.body, action), st.label))
+            out.append(
+                Loop(_wrap_continue(st.body, action, cond), st.label)
+            )
         elif isinstance(st, If):
             out.append(TryWrap(
-                [If([(c, _wrap_continue(b, action))
+                [If([(c, _wrap_continue(b, action, cond))
                      for c, b in st.branches])],
-                action,
+                action, cond,
             ))
         elif isinstance(st, CaseStmt):
             out.append(TryWrap(
                 [CaseStmt(st.subject,
-                          [(c, _wrap_continue(b, action))
+                          [(c, _wrap_continue(b, action, cond))
                            for c, b in st.branches])],
-                action,
+                action, cond,
             ))
         elif isinstance(st, While):
             out.append(TryWrap(
-                [While(st.cond, _wrap_continue(st.body, action), st.label)],
-                action,
+                [While(st.cond, _wrap_continue(st.body, action, cond),
+                       st.label)],
+                action, cond,
             ))
         elif isinstance(st, RepeatUntil):
             out.append(TryWrap(
-                [RepeatUntil(_wrap_continue(st.body, action), st.until,
-                             st.label)],
-                action,
+                [RepeatUntil(_wrap_continue(st.body, action, cond),
+                             st.until, st.label)],
+                action, cond,
             ))
         else:
-            out.append(TryWrap([st], action))
+            out.append(TryWrap([st], action, cond))
     return out
 
 

@@ -290,13 +290,18 @@ def _parse_blob_frame(matched: DataFrame, schema: StructType) -> DataFrame:
 def iter_sql_statements(text: str) -> Iterator[str]:
     """Quote-aware split of a hand-written ``.sql`` script into
     statements: ``;`` terminates only outside '…'/"…"/backtick literals,
-    ``--``/``#`` line comments and ``/* … */`` blocks. mysqldump output
-    never needs this (one statement per line); this is for
-    human-authored schema/seed scripts like the reference's fixture
-    corpus."""
+    ``--``/``#`` line comments and ``/* … */`` blocks. MySQL
+    *conditional* comments ``/*!50001 … */`` are version-gated CODE, not
+    commentary — mysqldump wraps every CREATE VIEW (and DROP VIEW) in
+    them — so their markers are removed and the content KEPT; plain
+    comments are dropped whole. A ``--`` starts a comment only when
+    followed by whitespace or end-of-line (MySQL's rule — ``n--1`` is
+    an expression). Used for human-authored schema/seed scripts AND the
+    statement-level scans (views/users) over real mysqldump output."""
     buf: list[str] = []
     i, n = 0, len(text)
     quote: str | None = None
+    cond_depth = 0                   # open /*!NNNNN … */ spans
     while i < n:
         ch = text[i]
         if quote is not None:
@@ -314,9 +319,23 @@ def iter_sql_statements(text: str) -> Iterator[str]:
             buf.append(ch)
             i += 1
             continue
-        if ch == "#" or text.startswith("--", i):
+        if ch == "#" or (
+            text.startswith("--", i)
+            and (i + 2 >= n or text[i + 2].isspace())
+        ):
             j = text.find("\n", i)
             i = n if j < 0 else j  # keep the newline as whitespace
+            continue
+        if text.startswith("/*!", i):
+            j = i + 3
+            while j < n and text[j].isdigit():
+                j += 1
+            cond_depth += 1
+            i = j
+            continue
+        if cond_depth and text.startswith("*/", i):
+            cond_depth -= 1
+            i += 2
             continue
         if text.startswith("/*", i):
             j = text.find("*/", i + 2)
@@ -891,6 +910,52 @@ def dump_read_schemas(snapshot) -> dict[str, StructType]:
     }
 
 
+def strip_conditional_comments(text: str) -> str:
+    """Remove MySQL conditional-comment MARKERS (``/*!50003`` … ``*/``)
+    while keeping their content — mysqldump --routines wraps the whole
+    ``CREATE … FUNCTION`` head in them (``/*!50003 CREATE*/ /*!50020
+    DEFINER=…*/ /*!50003 FUNCTION … END */``). Quote-aware so a ``*/``
+    inside a string literal doesn't close the span early; plain comments
+    are left untouched (the plpgsql builder strips those itself)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    depth = 0
+    quote: str | None = None
+    while i < n:
+        ch = text[i]
+        if quote is not None:
+            out.append(ch)
+            if ch == "\\" and quote in "'\"" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if text.startswith("/*!", i):
+            j = i + 3
+            while j < n and text[j].isdigit():
+                j += 1
+            if j < n and text[j] == " ":
+                j += 1
+            depth += 1
+            i = j
+            continue
+        if depth and text.startswith("*/", i):
+            depth -= 1
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def functions_from_sql(path: str) -> list[str]:
     """CREATE FUNCTION statements from a ``DELIMITER``-switched script
     (the mysql-client convention the reference's
@@ -926,7 +991,12 @@ def functions_from_sql(path: str) -> list[str]:
         buf.append(line)
         joined = "\n".join(buf)
         if stripped.endswith(delim):
-            stmt = joined.rstrip()[: -len(delim)].strip()
+            # mysqldump --routines wraps the CREATE…FUNCTION head in
+            # conditional comments — unwrap before matching, or every
+            # real-dump routine is silently skipped
+            stmt = strip_conditional_comments(
+                joined.rstrip()[: -len(delim)].strip()
+            ).strip()
             buf = []
             if _re.match(
                 r"(?is)^\s*CREATE\s+(DEFINER\s*=\s*\S+\s+)?FUNCTION", stmt

@@ -568,3 +568,74 @@ def test_strip_line_comment_requires_whitespace_after_dashes():
     assert _strip_line_comment("DEFAULT n--1") == "DEFAULT n--1"
     assert _strip_line_comment("DEFAULT 5 --") == "DEFAULT 5 "
     assert _strip_line_comment("DEFAULT '--x' -- c") == "DEFAULT '--x' "
+
+
+def test_conditional_comments_keep_views_and_drop_plain_comments(tmp_path):
+    """mysqldump wraps EVERY view in /*!50001 … */ conditional comments
+    (version-gated code, not commentary) and precedes it with a
+    placeholder CREATE TABLE in the same wrappers. The statement scan
+    must unwrap the markers and keep the content — otherwise real-dump
+    views are silently dropped — while plain /* … */ comments still
+    vanish and `--` only comments when followed by whitespace/EOL."""
+    from mysql2pg_spark.sources.dumpfile import (
+        iter_sql_statements,
+        views_from_sql,
+    )
+
+    dump = tmp_path / "views.sql"
+    dump.write_text(
+        "/* plain comment ; with a semicolon */\n"
+        "-- mysqldump header\n"
+        "/*!50001 DROP VIEW IF EXISTS `v_top` */;\n"
+        "/*!50001 CREATE TABLE `v_top` (\n"
+        "  `id` bigint\n"
+        ") ENGINE=MyISAM */;\n"
+        "/*!50001 DROP TABLE IF EXISTS `v_top` */;\n"
+        "/*!50001 CREATE ALGORITHM=UNDEFINED */\n"
+        "/*!50013 DEFINER=`root`@`localhost` SQL SECURITY DEFINER */\n"
+        "/*!50001 VIEW `v_top` AS select `t`.`id` AS `id`, "
+        "`t`.`a`--1 AS `b` from `t` */;\n"
+    )
+    views = views_from_sql(str(dump))
+    assert list(views) == ["v_top"]
+    assert "select `t`.`id` AS `id`" in views["v_top"]
+    # the `--1` expression survived (MySQL comment rule) and the
+    # placeholder CREATE TABLE never surfaced as a view
+    assert "`t`.`a`--1" in views["v_top"]
+
+    stmts = list(iter_sql_statements(dump.read_text()))
+    # DROP VIEW / placeholder CREATE TABLE / DROP TABLE / CREATE VIEW
+    assert len(stmts) == 4
+    assert stmts[0].startswith("DROP VIEW")
+    assert stmts[1].startswith("CREATE TABLE")
+    assert "plain comment" not in " ".join(stmts)
+
+
+def test_functions_from_sql_mysqldump_routines_conditional_form(tmp_path):
+    """mysqldump --routines emits `/*!50003 CREATE*/ /*!50020
+    DEFINER=…*/ /*!50003 FUNCTION … END */;;` — the conditional markers
+    must unwrap or every real-dump routine is skipped; the surrounding
+    sql_mode save/restore statements must not leak into the result."""
+    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+    from mysql2pg_spark.sinks.plpgsql_builder import build_spec_from_mysql
+    from mysql2pg_spark.sources.dumpfile import functions_from_sql
+
+    p = tmp_path / "routines.sql"
+    p.write_text(
+        "/*!50003 SET @saved_sql_mode       = @@sql_mode */ ;\n"
+        "DELIMITER ;;\n"
+        "/*!50003 CREATE*/ /*!50020 DEFINER=`root`@`localhost`*/"
+        " /*!50003 FUNCTION `add_one`(n INT) RETURNS int\n"
+        "    DETERMINISTIC\n"
+        "BEGIN\n"
+        "  RETURN n + 1;\n"
+        "END */;;\n"
+        "DELIMITER ;\n"
+        "/*!50003 SET sql_mode              = @saved_sql_mode */ ;\n"
+    )
+    fns = functions_from_sql(str(p))
+    assert len(fns) == 1
+    assert fns[0].startswith("CREATE")
+    out = emit_plpgsql(build_spec_from_mysql(fns[0]))
+    assert "FUNCTION add_one(n INTEGER)" in out
+    assert "IMMUTABLE" in out  # DETERMINISTIC

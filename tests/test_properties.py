@@ -303,3 +303,65 @@ def test_procedural_parser_roundtrip(tree):
     out = P.emit_statements(parsed.statements)
     assert out.count("IF ") + out.count("IF\n") >= out.count("END IF;")
     assert out.count("LOOP") % 2 == 0 or "WHILE" in out
+
+
+# round 7: multi-assignment SET — `SET a = e1, b = e2, …;` must parse to
+# the SAME sequential Assigns as separate SET statements, including
+# expressions whose call arguments contain commas (the paren-aware split)
+_EXPR_COMMA = st.sampled_from(
+    ["v1 + 1", "GREATEST(v1, 2)", "COALESCE(v2, v1, 0)", "42"]
+)
+
+
+@given(
+    st.lists(
+        st.tuples(_names("v"), _EXPR_COMMA), min_size=1, max_size=4
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_multi_assignment_set_splits_sequentially(pairs):
+    joined = "SET " + ", ".join(f"{v} = {e}" for v, e in pairs) + ";"
+    body = f"{joined}\nRETURN v1;"
+    parsed = P.parse_procedural(
+        body, "fuzz_ma", lambda masked: masked.strip(), lambda t: "INTEGER"
+    )
+    expect = [P.Assign(v, e) for v, e in pairs] + [P.Return("v1")]
+    assert parsed.statements == expect, f"\nBODY:\n{body}"
+
+
+# round 7: CONTINUE HANDLER FOR SQLEXCEPTION — for any tree, parsing the
+# body with the handler declared must yield exactly the per-statement
+# TryWrap transform of parsing the body without it (the wrap never
+# reorders, drops, or duplicates statements)
+@given(_stmts(depth=2, label=None))
+@settings(max_examples=100, deadline=None)
+def test_continue_handler_wraps_every_statement(tree):
+    tree = list(tree) + [P.Return("v1")]
+    body = _render(tree)
+    handler = (
+        "DECLARE CONTINUE HANDLER FOR SQLEXCEPTION SET err = err + 1;\n"
+    )
+    parsed = P.parse_procedural(
+        handler + body, "fuzz_ch",
+        lambda masked: masked.strip(), lambda t: "INTEGER",
+    )
+    action = [P.Assign("err", "err + 1")]
+    assert parsed.statements == P._wrap_continue(tree, action)
+    assert parsed.exc_handler is None
+    # one EXCEPTION clause per TryWrap (plain nested Blocks also emit
+    # BEGIN, so count wraps, not BEGINs)
+    def _count_wraps(stmts):
+        n = 0
+        for s in stmts:
+            if isinstance(s, P.TryWrap):
+                n += 1 + _count_wraps(s.body)
+            elif isinstance(s, (P.Block, P.Loop, P.While, P.RepeatUntil)):
+                n += _count_wraps(s.body)
+            elif isinstance(s, (P.If, P.CaseStmt)):
+                n += sum(_count_wraps(b) for _, b in s.branches)
+        return n
+
+    out = P.emit_statements(parsed.statements)
+    assert out.count("EXCEPTION WHEN others THEN") == _count_wraps(
+        parsed.statements
+    )
