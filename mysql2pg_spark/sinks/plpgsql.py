@@ -53,19 +53,17 @@ def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
         declare_block = "".join(
             f"    {n} {t};\n" for n, t in spec.procedural.declares
         )
-        # EXIT HANDLER FOR SQLEXCEPTION (→ WHEN others) or for one
-        # specific SQLSTATE (→ WHEN SQLSTATE 'xxxxx') → the block's
-        # EXCEPTION clause: plpgsql's native semantics (abort the rest
-        # of the block, run the handler) match MySQL's EXIT handler
-        # exactly, and the condition stays exactly as narrow as MySQL's
+        # EXIT handlers (FOR SQLEXCEPTION → WHEN others; for a specific
+        # SQLSTATE → WHEN SQLSTATE 'xxxxx') → the block's EXCEPTION
+        # clauses, specific-first: plpgsql's native semantics (abort the
+        # rest of the block, run the first matching clause) match
+        # MySQL's EXIT handler + most-specific-wins precedence exactly
         exc = ""
-        if getattr(spec.procedural, "exc_handler", None):
-            cond = getattr(spec.procedural, "exc_cond", "others")
-            exc = (
-                f"EXCEPTION WHEN {cond} THEN\n"
-                + emit_statements(spec.procedural.exc_handler)
-                + "\n"
-            )
+        for k, (cond, action) in enumerate(
+            getattr(spec.procedural, "exc_clauses", []) or []
+        ):
+            kw = "EXCEPTION WHEN" if k == 0 else "WHEN"
+            exc += f"{kw} {cond} THEN\n" + emit_statements(action) + "\n"
         lines = (
             f"CREATE OR REPLACE FUNCTION {spec.name.lower()}({params})\n"
             f"RETURNS {spec.returns}\n"

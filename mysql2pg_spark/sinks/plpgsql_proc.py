@@ -51,6 +51,11 @@ found"), and two handler shapes:
   specific SQLSTATE removes the widening). Classes 00/01/02
   (success/warning/not-found) still refuse — plpgsql EXCEPTION clauses
   cannot trap them.
+* ``DECLARE err CONDITION FOR SQLSTATE 'xxxxx'`` (round 7) — named
+  conditions resolve to their SQLSTATE before handler/SIGNAL parsing,
+  so ``SIGNAL err`` and ``HANDLER FOR err`` translate through the
+  SQLSTATE paths above. A condition declared for a bare MySQL errno
+  has no SQLSTATE to map and refuses.
 * ``SIGNAL SQLSTATE 'xxxxx' [SET MESSAGE_TEXT = …, MYSQL_ERRNO = …]``
   (round 7) → ``RAISE EXCEPTION USING ERRCODE = 'xxxxx'[, MESSAGE =
   …][, HINT = 'MYSQL_ERRNO …']`` — the validation-raise idiom real
@@ -205,26 +210,28 @@ class Signal:
 
 @dataclass
 class TryWrap:
-    """One statement (or condition-bearing compound) guarded by a
-    CONTINUE HANDLER: emitted as a ``BEGIN … EXCEPTION WHEN <cond> THEN
-    <action> END;`` sub-block (a subtransaction — plpgsql's
-    statement-level resume-after-error shape). ``cond`` is ``others``
-    for SQLEXCEPTION or a specific ``SQLSTATE 'xxxxx'``."""
+    """One statement (or condition-bearing compound) guarded by the
+    function's CONTINUE handlers: emitted as a ``BEGIN … EXCEPTION WHEN
+    <cond1> THEN <action1> [WHEN <cond2> THEN <action2> …] END;``
+    sub-block (a subtransaction — plpgsql's statement-level
+    resume-after-error shape). Each clause cond is ``others`` for
+    SQLEXCEPTION or a specific ``SQLSTATE 'xxxxx'``; clauses are ordered
+    specific-first so plpgsql's first-match dispatch reproduces MySQL's
+    most-specific-handler-wins precedence."""
 
     body: list
-    action: list
-    cond: str = "others"
+    clauses: list                    # [(cond, action statements), …]
 
 
 @dataclass
 class ProceduralBody:
     declares: list[tuple[str, str]]  # (name, pg type [:= default])
     statements: list
-    #: EXIT HANDLER FOR SQLEXCEPTION action → the function block's
-    #: EXCEPTION WHEN <exc_cond> THEN statements (None = no handler)
-    exc_handler: list | None = None
-    #: ``others`` (SQLEXCEPTION) or ``SQLSTATE 'xxxxx'`` (specific)
-    exc_cond: str = "others"
+    #: EXIT handlers → the function block's EXCEPTION clauses, ordered
+    #: specific-SQLSTATE-first (empty = no EXIT handler). Each entry is
+    #: (cond, action statements) with cond ``others`` or
+    #: ``SQLSTATE 'xxxxx'``.
+    exc_clauses: list = field(default_factory=list)
 
 
 # --------------------------------------------------------------------------
@@ -298,8 +305,10 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
         elif isinstance(st, TryWrap):
             out.append(f"{pad}BEGIN")
             out.append(emit_statements(st.body, indent + 1))
-            out.append(f"{pad}EXCEPTION WHEN {st.cond} THEN")
-            out.append(emit_statements(st.action, indent + 1))
+            for k, (cond, action) in enumerate(st.clauses):
+                kw = "EXCEPTION WHEN" if k == 0 else "WHEN"
+                out.append(f"{pad}{kw} {cond} THEN")
+                out.append(emit_statements(action, indent + 1))
             out.append(f"{pad}END;")
         elif isinstance(st, Signal):
             using = [f"ERRCODE = {st.errcode}"]
@@ -620,8 +629,9 @@ class _Parser:
             raise ProcParseError(
                 f"function {self.fname}: only `SIGNAL SQLSTATE 'xxxxx' "
                 f"[SET MESSAGE_TEXT = …]` is translatable, got "
-                f"{raw[:60]!r} (RESIGNAL / named conditions have no "
-                "function-scope plpgsql analog)"
+                f"{raw[:60]!r} (RESIGNAL and UNDECLARED condition names "
+                "have no plpgsql analog; names declared `CONDITION FOR "
+                "SQLSTATE` resolve before parsing)"
             )
         raise ProcParseError(
             f"function {self.fname}: unsupported statement {raw[:60]!r}"
@@ -740,6 +750,12 @@ _RE_EXC_HANDLER = re.compile(
 _RE_VAR_DECL = re.compile(
     r"DECLARE\s+(\w+(?:\s*,\s*\w+)*)\s+([^;]+);", re.I
 )
+#: ``DECLARE err_name CONDITION FOR SQLSTATE 'xxxxx';`` (or a bare
+#: MySQL errno, which has no SQLSTATE and refuses) — names resolve to
+#: their SQLSTATE before handler/SIGNAL parsing (round 7)
+_RE_COND_DECL = re.compile(
+    r"DECLARE\s+(\w+)\s+CONDITION\s+FOR\s+([^;]+);", re.I
+)
 
 
 def parse_procedural(
@@ -757,9 +773,43 @@ def parse_procedural(
     declares: list[tuple[str, str]] = []
     cursors: dict[str, str] = {}
     flag: str | None = None
-    exc_raw: str | None = None
-    exc_kind: str | None = None      # "EXIT" | "CONTINUE"
-    exc_cond: str = "others"         # or "SQLSTATE 'xxxxx'"
+    #: (kind "EXIT"|"CONTINUE", cond "others"|"SQLSTATE '…'", action raw)
+    exc_handlers: list[tuple[str, str, str]] = []
+
+    # -1. named conditions (round 7): `DECLARE err CONDITION FOR
+    # SQLSTATE 'xxxxx';` declares an alias real functions then use in
+    # `SIGNAL err` / `DECLARE … HANDLER FOR err`. Resolve every use to
+    # its SQLSTATE up front so the handler and SIGNAL passes see only
+    # the canonical spelling. A condition declared FOR a bare MySQL
+    # errno has no SQLSTATE to map (MySQL gives those HY000) — refuse.
+    conditions: dict[str, str] = {}
+
+    def _take_cond(mo: re.Match) -> str:
+        name = mo.group(1).lower()
+        target = mo.group(2).strip()
+        tmo = re.fullmatch(
+            r"SQLSTATE(?:\s+VALUE)?\s+(\x00L\d+\x00)", target, re.I
+        )
+        if not tmo:
+            raise ProcParseError(
+                f"function {fname}: CONDITION {name!r} declared FOR "
+                f"{target!r} — only `CONDITION FOR SQLSTATE 'xxxxx'` "
+                "resolves to a plpgsql-catchable condition (a bare "
+                "MySQL errno has no SQLSTATE)"
+            )
+        conditions[name] = f"SQLSTATE {tmo.group(1)}"
+        return ""
+
+    body = _RE_COND_DECL.sub(_take_cond, body)
+    for name, tgt in conditions.items():
+        body = re.sub(
+            rf"(\bHANDLER\s+FOR\s+){name}\b",
+            lambda m, t=tgt: m.group(1) + t, body, flags=re.I,
+        )
+        body = re.sub(
+            rf"(\bSIGNAL\s+){name}\b",
+            lambda m, t=tgt: m.group(1) + t, body, flags=re.I,
+        )
 
     # Handlers are BLOCK-scoped in MySQL, but this translator lifts
     # them to function scope (the NOT FOUND flag / the EXCEPTION
@@ -787,25 +837,20 @@ def parse_procedural(
                     "lifted to function scope without widening them"
                 )
 
-    # 0. EXIT/CONTINUE HANDLER FOR SQLEXCEPTION → remember the action
-    # text. EXIT becomes the block's EXCEPTION WHEN others THEN clause
-    # (plpgsql's native exit-handler shape); CONTINUE wraps every
-    # raise-capable statement in its own EXCEPTION sub-block (see module
-    # docstring). Extracted before the canonical-handler pass so the SET
-    # form of these handlers isn't mistaken for a malformed NOT FOUND
-    # handler. One per function: MySQL allows one handler per condition
-    # per block.
+    # 0. EXIT/CONTINUE HANDLER FOR SQLEXCEPTION / SQLSTATE 'xxxxx' →
+    # remember (kind, cond, action). EXIT handlers become the block's
+    # EXCEPTION clauses (plpgsql's native exit-handler shape); CONTINUE
+    # handlers wrap every raise-capable statement in its own EXCEPTION
+    # sub-block (see module docstring). Extracted before the
+    # canonical-handler pass so the SET form of these handlers isn't
+    # mistaken for a malformed NOT FOUND handler. Several handlers with
+    # DISTINCT conditions coexist as ordered WHEN clauses
+    # (specific-first = MySQL's most-specific-wins precedence, since
+    # plpgsql dispatches to the first matching clause).
     def _take_exc(mo: re.Match) -> str:
-        nonlocal exc_raw, exc_kind, exc_cond
-        if exc_raw is not None:
-            raise ProcParseError(
-                f"function {fname}: multiple SQLEXCEPTION/SQLSTATE "
-                "handlers (MySQL allows one per condition per block; "
-                "several distinct conditions cannot share the one "
-                "lifted clause)"
-            )
-        exc_kind = mo.group("kind").upper()
+        kind = mo.group("kind").upper()
         cond_txt = mo.group("cond")
+        cond = "others"
         if not re.fullmatch(r"SQLEXCEPTION", cond_txt.strip(), re.I):
             # specific-SQLSTATE handler → EXCEPTION WHEN SQLSTATE '…'
             # (exactly as narrow as MySQL's handler — no widening)
@@ -823,15 +868,33 @@ def parse_procedural(
                     f"{lit[1:3]!r} (success/warning/not-found) cannot "
                     "be caught by a plpgsql EXCEPTION clause"
                 )
-            exc_cond = f"SQLSTATE {lit}"
+            cond = f"SQLSTATE {lit}"
         action = mo.group("action").strip()
         if re.match(r"BEGIN\b", action, re.I):
             action = re.sub(r"^BEGIN\b", "", action, flags=re.I)
             action = re.sub(r"\bEND\s*;$", "", action, flags=re.I)
-        exc_raw = action.strip()
+        exc_handlers.append((kind, cond, action.strip()))
         return ""
 
     body = _RE_EXC_HANDLER.sub(_take_exc, body)
+    conds = [c for _k, c, _a in exc_handlers]
+    if len(set(conds)) != len(conds):
+        raise ProcParseError(
+            f"function {fname}: multiple handlers for the same "
+            "condition (MySQL allows one per condition per block)"
+        )
+    if any(k == "CONTINUE" and c == "others" for k, c, _a in exc_handlers) \
+            and any(k == "EXIT" and c != "others"
+                    for k, c, _a in exc_handlers):
+        # a CONTINUE others sub-block would catch the specific error
+        # BEFORE the block-level EXIT clause could, inverting MySQL's
+        # most-specific-wins precedence — refuse instead of reordering
+        raise ProcParseError(
+            f"function {fname}: CONTINUE HANDLER FOR SQLEXCEPTION "
+            "combined with an EXIT handler for a specific SQLSTATE — "
+            "the per-statement wrap would shadow the more-specific "
+            "EXIT handler (MySQL dispatches to the specific one)"
+        )
 
     # 1. NOT FOUND handler → boolean flag (reference removes handlers at
     # :1086 and leans on the done-flag FETCH rewrite; same model here,
@@ -912,24 +975,29 @@ def parse_procedural(
     if not any(_has_return(s) for s in stmts):
         raise ProcParseError(f"function {fname}: body has no RETURN")
 
-    exc_stmts: list | None = None
-    if exc_raw is not None:
-        sub = _Parser(exc_raw, fname, _rewrite, flag, cursors)
-        exc_stmts, _ = sub.parse_block()
-        if not exc_stmts:
+    continue_clauses: list = []
+    exit_clauses: list = []
+    # specific-SQLSTATE clauses first (stable within each group) so
+    # plpgsql's first-match dispatch = MySQL's most-specific-wins
+    for kind, cond, action_raw in sorted(
+        exc_handlers, key=lambda h: h[1] == "others"
+    ):
+        sub = _Parser(action_raw, fname, _rewrite, flag, cursors)
+        action_stmts, _ = sub.parse_block()
+        if not action_stmts:
             raise ProcParseError(
-                f"function {fname}: empty SQLEXCEPTION handler action"
+                f"function {fname}: empty {kind} handler action"
             )
-        if exc_kind == "CONTINUE":
-            # resume-after-error: per-statement EXCEPTION sub-blocks
-            # instead of one block-level clause
-            stmts = _wrap_continue(stmts, exc_stmts, exc_cond)
-            exc_stmts = None
-            exc_cond = "others"
-    return ProceduralBody(declares, stmts, exc_stmts, exc_cond)
+        (continue_clauses if kind == "CONTINUE"
+         else exit_clauses).append((cond, action_stmts))
+    if continue_clauses:
+        # resume-after-error: per-statement EXCEPTION sub-blocks
+        # instead of one block-level clause
+        stmts = _wrap_continue(stmts, continue_clauses)
+    return ProceduralBody(declares, stmts, exit_clauses)
 
 
-def _wrap_continue(stmts: list, action: list, cond: str = "others") -> list:
+def _wrap_continue(stmts: list, clauses: list) -> list:
     """CONTINUE HANDLER FOR SQLEXCEPTION: guard each raise-capable
     statement with its own ``BEGIN … EXCEPTION`` sub-block so execution
     resumes at the NEXT statement — MySQL's CONTINUE semantics, with the
@@ -948,39 +1016,39 @@ def _wrap_continue(stmts: list, action: list, cond: str = "others") -> list:
             out.append(st)
         elif isinstance(st, Block):
             out.append(
-                Block(_wrap_continue(st.body, action, cond), st.label)
+                Block(_wrap_continue(st.body, clauses), st.label)
             )
         elif isinstance(st, Loop):
             out.append(
-                Loop(_wrap_continue(st.body, action, cond), st.label)
+                Loop(_wrap_continue(st.body, clauses), st.label)
             )
         elif isinstance(st, If):
             out.append(TryWrap(
-                [If([(c, _wrap_continue(b, action, cond))
+                [If([(c, _wrap_continue(b, clauses))
                      for c, b in st.branches])],
-                action, cond,
+                clauses,
             ))
         elif isinstance(st, CaseStmt):
             out.append(TryWrap(
                 [CaseStmt(st.subject,
-                          [(c, _wrap_continue(b, action, cond))
+                          [(c, _wrap_continue(b, clauses))
                            for c, b in st.branches])],
-                action, cond,
+                clauses,
             ))
         elif isinstance(st, While):
             out.append(TryWrap(
-                [While(st.cond, _wrap_continue(st.body, action, cond),
+                [While(st.cond, _wrap_continue(st.body, clauses),
                        st.label)],
-                action, cond,
+                clauses,
             ))
         elif isinstance(st, RepeatUntil):
             out.append(TryWrap(
-                [RepeatUntil(_wrap_continue(st.body, action, cond),
+                [RepeatUntil(_wrap_continue(st.body, clauses),
                              st.until, st.label)],
-                action, cond,
+                clauses,
             ))
         else:
-            out.append(TryWrap([st], action, cond))
+            out.append(TryWrap([st], clauses))
     return out
 
 

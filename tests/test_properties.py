@@ -346,8 +346,8 @@ def test_continue_handler_wraps_every_statement(tree):
         lambda masked: masked.strip(), lambda t: "INTEGER",
     )
     action = [P.Assign("err", "err + 1")]
-    assert parsed.statements == P._wrap_continue(tree, action)
-    assert parsed.exc_handler is None
+    assert parsed.statements == P._wrap_continue(tree, [("others", action)])
+    assert parsed.exc_clauses == []
     # one EXCEPTION clause per TryWrap (plain nested Blocks also emit
     # BEGIN, so count wraps, not BEGINs)
     def _count_wraps(stmts):
