@@ -60,6 +60,8 @@ round it is born):
   t03_sampling              += t24_source_mixing (per-lang mixing rates)
   sf01_stored_function_battery += sf04_case_block_twin (nested-block /
                               CASE-statement / EXIT-handler twin)
+  sf01_stored_function_battery += sf05_signal_guard_twin (SIGNAL /
+                              named-condition / specific-SQLSTATE twin)
 """
 
 from __future__ import annotations
@@ -309,7 +311,9 @@ SELECT 'scalar_fns' AS part, a.c_custkey, a.total, a.level, a.label,
        CAST(NULL AS VARCHAR) AS om, CAST(NULL AS BIGINT) AS picked_n,
        CAST(NULL AS DOUBLE) AS spent,
        CAST(NULL AS VARCHAR) AS tier, CAST(NULL AS BIGINT) AS n_orders,
-       CAST(NULL AS DOUBLE) AS total_spend
+       CAST(NULL AS DOUBLE) AS total_spend,
+       CAST(NULL AS VARCHAR) AS flag, CAST(NULL AS BIGINT) AS n_guarded,
+       CAST(NULL AS DOUBLE) AS guarded_rev
 FROM {_sub("sf01_stored_functions")} a
 LEFT JOIN {_sub("sf02_stored_function_udf")} b ON b.o_custkey = a.c_custkey
 UNION ALL
@@ -317,6 +321,7 @@ SELECT 'cursor_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        c.om, c.picked_n, c.spent,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("sf03_cursor_loop_twin")} c
 UNION ALL
@@ -324,9 +329,18 @@ SELECT 'case_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-       d.tier, d.n_orders, d.total_spend
+       d.tier, d.n_orders, d.total_spend,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("sf04_case_block_twin")} d
-ORDER BY part, c_custkey, om, tier
+UNION ALL
+SELECT 'signal_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       e.flag, e.n_guarded, e.guarded_rev
+FROM {_sub("sf05_signal_guard_twin")} e
+ORDER BY part, c_custkey, om, tier, flag
 """,
 )
 def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,14 +355,17 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("o_custkey")
     cursor_twin = QUERIES["sf03_cursor_loop_twin"](spark, sf_dir)
     # round 7: the nested-block/CASE-statement/EXIT-handler function's
-    # set-based twin joins the battery the round those shapes landed
+    # set-based twin joins the battery the round those shapes landed,
+    # as does the SIGNAL / named-condition / specific-SQLSTATE twin
     case_twin = QUERIES["sf04_case_block_twin"](spark, sf_dir)
+    signal_twin = QUERIES["sf05_signal_guard_twin"](spark, sf_dir)
     return _tagged_union(
         "part",
         [
             ("scalar_fns", scalar),
             ("cursor_twin", cursor_twin),
             ("case_twin", case_twin),
+            ("signal_twin", signal_twin),
         ],
     )
 

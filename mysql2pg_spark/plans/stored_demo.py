@@ -375,3 +375,71 @@ def sf04_case_block_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# sf05 — the SIGNAL / named-condition / specific-SQLSTATE-handler stored
+# function's set-based twin (round-7 C95 widening). GUARDED_REV_DDL
+# exercises all three newly-translatable shapes — a named condition
+# (`DECLARE bad_disc CONDITION FOR SQLSTATE '45000'`), a `SIGNAL
+# bad_disc SET MESSAGE_TEXT` validation raise, and a specific-SQLSTATE
+# EXIT handler (`EXCEPTION WHEN SQLSTATE '45000' THEN` on the PG side;
+# translation golden-pinned in tests/test_schema.py — the reference has
+# no SIGNAL or condition pass at all, sync_functions.go:477-570). The
+# per-row raise+catch collapses set-based into ONE branch of a CASE:
+# rows the function would SIGNAL on take the handler's sentinel, all
+# others the computed value — no per-row error machinery, no UDF, one
+# map-side projection + a grouped decimal-exact aggregate. That
+# collapse is the rewrite that survives 100 TB: a million raises/sec
+# would serialize in any engine, a CASE branch is free.
+# --------------------------------------------------------------------------
+GUARDED_REV_DDL = """
+CREATE FUNCTION guarded_rev(p_price DECIMAL(18,2), p_disc DECIMAL(18,2))
+RETURNS DECIMAL(18,2)
+DETERMINISTIC
+BEGIN
+  DECLARE bad_disc CONDITION FOR SQLSTATE '45000';
+  DECLARE EXIT HANDLER FOR bad_disc RETURN -1;
+  IF p_disc * 100 > 5 THEN
+    SIGNAL bad_disc SET MESSAGE_TEXT = 'discount above policy';
+  END IF;
+  RETURN p_price * (1 - p_disc);
+END
+"""
+
+# `l_discount * 100 > 5` (not `> 0.05`): decimal*int stays exact on
+# both engines, so the guard can never flip on a float boundary.
+_GUARD_SQL = "l_discount * 100 > 5"
+
+
+@query(
+    "sf05_signal_guard_twin",
+    oracle=f"""
+SELECT l_returnflag AS flag,
+       CAST(SUM(CASE WHEN {_GUARD_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_guarded,
+       CAST(SUM(CAST(CASE WHEN {_GUARD_SQL} THEN -1
+                ELSE l_extendedprice * (1 - l_discount) END
+                AS DECIMAL(38,4))) AS DOUBLE) AS guarded_rev
+FROM lineitem
+GROUP BY 1 ORDER BY flag
+""",
+    driver=False,
+)
+def sf05_signal_guard_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    guard = (F.col("l_discount") * 100) > 5
+    per_row = (
+        F.when(guard, F.lit(-1))
+        .otherwise(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast(DEC)
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(guard, 1).otherwise(0)).cast("bigint")
+            .alias("n_guarded"),
+            F.sum(per_row).cast("double").alias("guarded_rev"),
+        )
+        .orderBy("flag")
+    )
