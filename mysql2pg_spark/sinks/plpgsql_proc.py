@@ -619,7 +619,7 @@ class _Parser:
         if mo:
             return CloseCursor(mo.group(1).lower())
         mo = re.match(
-            r"SIGNAL\s+SQLSTATE\s+(?:VALUE\s+)?(\x00L\d+\x00)"
+            r"SIGNAL\s+SQLSTATE\s+(?:VALUE\s+)?(\x00L\d+\x00|'[^'\n]*')"
             r"\s*(?:SET\s+(.+))?$",
             raw, re.I | re.S,
         )
@@ -741,7 +741,8 @@ _RE_HANDLER = re.compile(
 #: instead of mistranslating.
 _RE_EXC_HANDLER = re.compile(
     r"DECLARE\s+(?P<kind>CONTINUE|EXIT)\s+HANDLER\s+FOR\s+"
-    r"(?P<cond>SQLEXCEPTION|SQLSTATE(?:\s+VALUE)?\s+\x00L\d+\x00)\s+"
+    r"(?P<cond>SQLEXCEPTION"
+    r"|SQLSTATE(?:\s+VALUE)?\s+(?:\x00L\d+\x00|'[^'\n]*'))\s+"
     r"(?P<action>BEGIN\b.*?\bEND\s*;|[^;]*;)",
     re.I | re.S,
 )
@@ -788,7 +789,8 @@ def parse_procedural(
         name = mo.group(1).lower()
         target = mo.group(2).strip()
         tmo = re.fullmatch(
-            r"SQLSTATE(?:\s+VALUE)?\s+(\x00L\d+\x00)", target, re.I
+            r"SQLSTATE(?:\s+VALUE)?\s+(\x00L\d+\x00|'[^'\n]*')",
+            target, re.I,
         )
         if not tmo:
             raise ProcParseError(
@@ -855,7 +857,7 @@ def parse_procedural(
             # specific-SQLSTATE handler → EXCEPTION WHEN SQLSTATE '…'
             # (exactly as narrow as MySQL's handler — no widening)
             lit = rewrite_expr(
-                re.search(r"\x00L\d+\x00", cond_txt).group()
+                re.search(r"\x00L\d+\x00|'[^'\n]*'", cond_txt).group()
             ).strip()
             if not re.fullmatch(r"'[0-9A-Za-z]{5}'", lit):
                 raise ProcParseError(

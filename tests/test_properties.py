@@ -181,6 +181,14 @@ def _simple_stmt(label):
     opts = [
         st.builds(P.Assign, _names("v"), _EXPR),
         st.builds(P.Return, _EXPR),
+        # round 7: SIGNAL (errcode kept comma-free/quote-free so the
+        # unmasked fuzz render survives _split_top_level)
+        st.builds(
+            P.Signal,
+            st.sampled_from(["'45000'", "'45001'"]),
+            st.one_of(st.none(), st.just("'boom'")),
+            st.one_of(st.none(), st.just("1644")),
+        ),
     ]
     if label is not None:
         opts += [st.just(P.Leave(label)), st.just(P.Iterate(label))]
@@ -246,6 +254,14 @@ def _render(stmts, indent=1):
             out.append(f"{pad}SET {s.var} = {s.expr};")
         elif isinstance(s, P.Return):
             out.append(f"{pad}RETURN {s.expr};")
+        elif isinstance(s, P.Signal):
+            items = []
+            if s.message is not None:
+                items.append(f"MESSAGE_TEXT = {s.message}")
+            if s.errno is not None:
+                items.append(f"MYSQL_ERRNO = {s.errno}")
+            tail = (" SET " + ", ".join(items)) if items else ""
+            out.append(f"{pad}SIGNAL SQLSTATE {s.errcode}{tail};")
         elif isinstance(s, P.Leave):
             out.append(f"{pad}LEAVE {s.label};")
         elif isinstance(s, P.Iterate):
