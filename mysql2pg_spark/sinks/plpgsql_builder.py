@@ -13,14 +13,16 @@ either one ``SELECT … INTO var`` + ``RETURN var`` or a bare
 ``RETURN expr`` — by PARSING it into the spec that drives
 :func:`mysql2pg_spark.sinks.plpgsql.emit_plpgsql`, so the emitted DDL is
 well-formed by construction. Control-flow bodies — cursors, REPEAT /
-WHILE / LOOP, statement-level IF, LEAVE/ITERATE, nested blocks, CASE
-statements, ``SIGNAL SQLSTATE``, the canonical ``CONTINUE HANDLER FOR
-NOT FOUND`` pattern, and EXIT/CONTINUE handlers for SQLEXCEPTION or a
-specific SQLSTATE — route to the procedural statement-tree parser
-(:mod:`mysql2pg_spark.sinks.plpgsql_proc`, rounds 6-7; the reference's
+WHILE / LOOP, statement-level IF, LEAVE/ITERATE, nested blocks (with
+their own block-scoped DECLAREs and handlers, round 8), CASE
+statements, ``SIGNAL SQLSTATE`` / named conditions, bare ``RESIGNAL``
+inside handlers, ``CONTINUE HANDLER FOR NOT FOUND`` with any
+single-SET action, and EXIT/CONTINUE handlers for SQLEXCEPTION or
+specific SQLSTATEs — route to the procedural statement-tree parser
+(:mod:`mysql2pg_spark.sinks.plpgsql_proc`, rounds 6-8; the reference's
 sync_functions.go:220-407 / :1040-1283 territory). What remains outside
-both paths (@user variables, SQLWARNING / named-condition handlers,
-RESIGNAL) raises :class:`UnsupportedFunctionError` instead of
+both paths (@user variables, SQLWARNING handlers, attribute-modifying
+RESIGNAL forms) raises :class:`UnsupportedFunctionError` instead of
 producing silently-wrong plpgsql.
 
 Builtin-expression mapping mirrors the reference's table

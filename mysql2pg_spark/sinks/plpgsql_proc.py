@@ -16,70 +16,103 @@ plpgsql from the tree, so nesting (an IF inside a REPEAT inside a
 labeled LOOP) is structurally correct by construction instead of
 hoping the regex order works out.
 
+Round 8 makes the parse BLOCK-SCOPED, mirroring both engines' native
+scoping instead of regex-lifting declarations to function scope:
+``DECLARE`` statements (variables, conditions, cursors, handlers) are
+parsed inline at the start of each ``BEGIN…END`` block — exactly where
+MySQL requires them — and each nested block emits its OWN plpgsql
+``DECLARE`` section and its OWN ``EXCEPTION`` clauses. That fixes two
+real mistranslations of the round-7 scope-lifting design:
+
+* per-block-entry DEFAULT re-initialization: ``DECLARE t INT DEFAULT 0``
+  inside a loop body re-initializes on every iteration in MySQL; a
+  lifted declaration initialized once.  plpgsql's own block DECLARE
+  re-evaluates defaults on each entry, so emitting the declaration in
+  its source block restores MySQL's semantics (and defaults that
+  reference outer variables now evaluate at block entry, not function
+  entry);
+* handlers declared inside nested blocks: MySQL scopes handlers per
+  block, and plpgsql scopes ``EXCEPTION`` clauses per block — attaching
+  the translated handler to its own block (instead of refusing, as
+  round 7 did) preserves the scope exactly.  Same-name re-declaration
+  in an inner block (shadowing) is now legal too — plpgsql shadows the
+  same way MySQL does.
+
 Supported statements: ``SET``, ``SELECT … INTO``, ``RETURN``,
 ``IF/ELSEIF/ELSE``, ``LOOP``, ``REPEAT…UNTIL``, ``WHILE``,
 ``LEAVE``/``ITERATE`` (labels are KEPT as plpgsql ``<<label>>`` /
 ``EXIT label`` — the reference strips them at :1085, which silently
 retargets a multi-level ``LEAVE outer`` at the inner loop),
-``OPEN``/``FETCH``/``CLOSE`` cursors, nested ``BEGIN…END`` blocks
-(round 7 — DECLAREs are scope-lifted to the function's DECLARE section
-the way the reference's flat pass implicitly does at :1100-1150;
-conflicting same-name re-declarations raise instead of silently
-shadowing), the CASE *statement* (both searched ``CASE WHEN … THEN
-stmts`` and value ``CASE expr WHEN v THEN stmts`` forms → the plpgsql
-CASE statement, whose no-match/no-ELSE error matches MySQL's "Case not
-found"), and two handler shapes:
+``OPEN``/``FETCH``/``CLOSE`` cursors, nested ``BEGIN…END`` blocks with
+their own DECLARE/EXCEPTION sections, the CASE *statement* (both
+searched ``CASE WHEN … THEN stmts`` and value ``CASE expr WHEN v THEN
+stmts`` forms → the plpgsql CASE statement, whose no-match/no-ELSE
+error matches MySQL's "Case not found"), and these handler shapes:
 
-* ``DECLARE CONTINUE HANDLER FOR NOT FOUND SET flag = 1`` — the flag
-  is forced to BOOLEAN (the reference does the same for ``done``
-  variables, :1116-1119) and integer comparisons against it
-  (``done = 1``, ``UNTIL done = 1``) are rewritten to boolean form —
-  the step the reference's flat replace misses, which leaves
-  ``boolean = integer`` type errors in its output.
-* ``DECLARE EXIT HANDLER FOR SQLEXCEPTION <action>`` (round 7, the
-  second-most-common real-world handler; the reference strips handlers
-  wholesale at :1086) — the action (a single ``SET``/``RETURN``
-  statement or a ``BEGIN…END`` group) becomes the function block's
-  ``EXCEPTION WHEN others THEN`` clause, which is plpgsql's native
-  exit-handler semantics: abort the block's remaining statements, run
-  the handler.
-* ``DECLARE EXIT/CONTINUE HANDLER FOR SQLSTATE 'xxxxx' <action>``
-  (round 7) — same shapes as the SQLEXCEPTION forms but with
-  ``EXCEPTION WHEN SQLSTATE 'xxxxx' THEN``, exactly as narrow as
-  MySQL's handler (round 6 refused these because lifting them to
-  ``WHEN others`` would have widened what they catch; emitting the
-  specific SQLSTATE removes the widening). Classes 00/01/02
+* ``DECLARE CONTINUE HANDLER FOR NOT FOUND <action>`` — the action may
+  be any single ``SET var = expr`` (round 8; round 7 accepted only the
+  literal ``SET flag = 1``).  When the assigned value is boolean-ish
+  (1/0/TRUE/FALSE) the variable is forced BOOLEAN (the reference does
+  the same for ``done`` variables, :1116-1119) and integer comparisons
+  against it (``done = 1``, ``UNTIL done = 1``) are rewritten to
+  boolean form — the step the reference's flat replace misses, which
+  leaves ``boolean = integer`` type errors in its output.  A
+  general-expression action (``SET n_missing = n_missing + 1``) is
+  emitted verbatim in the FETCH's ``IF NOT FOUND THEN`` arm with no
+  type forcing.
+* ``DECLARE EXIT HANDLER FOR SQLEXCEPTION <action>`` (the second-most-
+  common real-world handler; the reference strips handlers wholesale
+  at :1086) — the action (a single statement or a ``BEGIN…END`` group)
+  becomes the DECLARING block's ``EXCEPTION WHEN others THEN`` clause,
+  which is plpgsql's native exit-handler semantics: abort the block's
+  remaining statements, run the handler.
+* ``DECLARE EXIT/CONTINUE HANDLER FOR SQLSTATE 'xxxxx' <action>`` —
+  same shapes but with ``EXCEPTION WHEN SQLSTATE 'xxxxx' THEN``,
+  exactly as narrow as MySQL's handler.  Classes 00/01/02
   (success/warning/not-found) still refuse — plpgsql EXCEPTION clauses
-  cannot trap them.
-* ``DECLARE err CONDITION FOR SQLSTATE 'xxxxx'`` (round 7) — named
-  conditions resolve to their SQLSTATE before handler/SIGNAL parsing,
-  so ``SIGNAL err`` and ``HANDLER FOR err`` translate through the
-  SQLSTATE paths above. A condition declared for a bare MySQL errno
-  has no SQLSTATE to map and refuses.
+  cannot trap them.  A comma list of SQLSTATE conditions becomes one
+  clause with ``OR`` (round 8).
+* ``DECLARE err CONDITION FOR SQLSTATE 'xxxxx'`` — named conditions
+  resolve through the scope chain, so ``SIGNAL err`` and ``HANDLER FOR
+  err`` translate through the SQLSTATE paths.  A condition declared
+  for a bare MySQL errno has no SQLSTATE to map and refuses.
 * ``SIGNAL SQLSTATE 'xxxxx' [SET MESSAGE_TEXT = …, MYSQL_ERRNO = …]``
-  (round 7) → ``RAISE EXCEPTION USING ERRCODE = 'xxxxx'[, MESSAGE =
-  …][, HINT = 'MYSQL_ERRNO …']`` — the validation-raise idiom real
-  MySQL functions use; the errno rides in HINT because PG has no errno
-  field (dropping it silently would be lossy). The reference has no
-  SIGNAL pass at all.
-* ``DECLARE CONTINUE HANDLER FOR SQLEXCEPTION <action>`` (round 7,
-  resume-after-error) — every raise-capable statement is wrapped in its
-  own ``BEGIN … EXCEPTION WHEN others THEN <action>; END`` sub-block.
-  A plpgsql sub-block with an EXCEPTION clause is a subtransaction that
-  rolls back only the failing statement's work — the same
+  → ``RAISE EXCEPTION USING ERRCODE = 'xxxxx'[, MESSAGE = …][, HINT =
+  'MYSQL_ERRNO …']`` — the validation-raise idiom real MySQL functions
+  use; the errno rides in HINT because PG has no errno field (dropping
+  it silently would be lossy).  The reference has no SIGNAL pass.
+* ``RESIGNAL;`` (bare form, round 8) inside a handler action →
+  plpgsql ``RAISE;`` — re-raise the condition being handled, which is
+  exactly MySQL's bare RESIGNAL.  The attribute-modifying forms
+  (``RESIGNAL SQLSTATE …``, ``RESIGNAL SET …``) still refuse, as does
+  RESIGNAL outside a handler (illegal in MySQL too).
+* ``DECLARE CONTINUE HANDLER FOR SQLEXCEPTION <action>``
+  (resume-after-error) — every raise-capable statement in the
+  declaring block (and its nested blocks) is wrapped in its own
+  ``BEGIN … EXCEPTION WHEN others THEN <action>; END`` sub-block.
+  A plpgsql sub-block with an EXCEPTION clause is a subtransaction
+  that rolls back only the failing statement's work — the same
   statement-level atomicity MySQL gives the failing statement before
-  running a CONTINUE handler — and control resumes after the sub-block,
-  i.e. at the next statement, which is exactly MySQL's CONTINUE. An
-  error inside a condition (``WHILE``/``IF``/``CASE`` heads) aborts the
-  whole compound and resumes after it, so condition-bearing compounds
-  are wrapped as a unit on top of their individually-wrapped bodies.
+  running a CONTINUE handler — and control resumes after the
+  sub-block, i.e. at the next statement, which is exactly MySQL's
+  CONTINUE.  An error inside a condition (``WHILE``/``IF``/``CASE``
+  heads) aborts the whole compound and resumes after it, so
+  condition-bearing compounds are wrapped as a unit on top of their
+  individually-wrapped bodies.
 
-Also handled (round 7): MySQL's multi-assignment ``SET a = 1, b = a``
-splits — paren-aware, at the top level only — into sequential plpgsql
+Handler dispatch across scopes follows MySQL's rule (innermost scope
+first, most-specific within a scope).  plpgsql reproduces it for free
+when handlers stay in their blocks — with one exception the translator
+refuses rather than mistranslates: a CONTINUE handler whose
+per-statement wrap would intercept an error that MySQL would give to a
+same-or-inner-scope EXIT handler (the wrap sits closer to the
+statement than the block's EXCEPTION clause, inverting precedence).
+
+Also handled: MySQL's multi-assignment ``SET a = 1, b = a`` splits —
+paren-aware, at the top level only — into sequential plpgsql
 assignments (``a := 1; b := a;``; MySQL evaluates left-to-right too),
 and comma-list declarations ``DECLARE a, b INT DEFAULT 0`` become one
-declaration per name. Both previously mis-parsed (the single-var
-regexes silently emitted ``a := 1, b = a;`` — invalid plpgsql).
+declaration per name.
 """
 
 from __future__ import annotations
@@ -166,7 +199,10 @@ class OpenCursor:
 class Fetch:
     cursor: str
     into_vars: list[str]
-    not_found_flag: str | None       # handler flag to set on exhaustion
+    #: the innermost in-scope NOT FOUND handler's action statements
+    #: (``None`` = no handler in scope); emitted inside
+    #: ``IF NOT FOUND THEN … END IF;`` after the FETCH
+    on_empty: list | None = None
 
 
 @dataclass
@@ -176,10 +212,18 @@ class CloseCursor:
 
 @dataclass
 class Block:
-    """Nested ``BEGIN…END`` compound (DECLAREs already scope-lifted)."""
+    """Nested ``BEGIN…END`` compound with its OWN plpgsql DECLARE
+    section and EXCEPTION clauses (round 8) — block-entry DEFAULT
+    re-initialization and block-scoped handlers are plpgsql natives,
+    so keeping declarations in their block preserves MySQL semantics
+    that round 7's scope-lifting lost."""
 
     body: list
     label: str | None = None
+    declares: list = field(default_factory=list)   # (name, pg decl)
+    #: EXIT handlers declared IN this block → this block's EXCEPTION
+    #: clauses, specific-SQLSTATE-first
+    exc_clauses: list = field(default_factory=list)
 
 
 @dataclass
@@ -209,9 +253,16 @@ class Signal:
 
 
 @dataclass
+class Resignal:
+    """Bare ``RESIGNAL;`` inside a handler action → plpgsql ``RAISE;``
+    (re-raise the condition being handled — the exact MySQL semantics;
+    round 8).  Attribute-modifying RESIGNAL forms refuse."""
+
+
+@dataclass
 class TryWrap:
     """One statement (or condition-bearing compound) guarded by the
-    function's CONTINUE handlers: emitted as a ``BEGIN … EXCEPTION WHEN
+    block's CONTINUE handlers: emitted as a ``BEGIN … EXCEPTION WHEN
     <cond1> THEN <action1> [WHEN <cond2> THEN <action2> …] END;``
     sub-block (a subtransaction — plpgsql's statement-level
     resume-after-error shape). Each clause cond is ``others`` for
@@ -289,18 +340,34 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
         elif isinstance(st, Fetch):
             into = ", ".join(st.into_vars)
             out.append(f"{pad}FETCH NEXT FROM {st.cursor} INTO {into};")
-            if st.not_found_flag:
-                out.append(
-                    f"{pad}IF NOT FOUND THEN "
-                    f"{st.not_found_flag} := true; END IF;"
-                )
+            if st.on_empty is not None:
+                if len(st.on_empty) == 1 and isinstance(
+                    st.on_empty[0], Assign
+                ):
+                    a = st.on_empty[0]
+                    out.append(
+                        f"{pad}IF NOT FOUND THEN "
+                        f"{a.var} := {a.expr}; END IF;"
+                    )
+                else:
+                    out.append(f"{pad}IF NOT FOUND THEN")
+                    out.append(emit_statements(st.on_empty, indent + 1))
+                    out.append(f"{pad}END IF;")
         elif isinstance(st, CloseCursor):
             out.append(f"{pad}CLOSE {st.name};")
         elif isinstance(st, Block):
             if st.label:
                 out.append(f"{pad}<<{st.label}>>")
+            if st.declares:
+                out.append(f"{pad}DECLARE")
+                for n, t in st.declares:
+                    out.append(f"{pad}    {n} {t};")
             out.append(f"{pad}BEGIN")
             out.append(emit_statements(st.body, indent + 1))
+            for k, (cond, action) in enumerate(st.exc_clauses):
+                kw = "EXCEPTION WHEN" if k == 0 else "WHEN"
+                out.append(f"{pad}{kw} {cond} THEN")
+                out.append(emit_statements(action, indent + 1))
             out.append(f"{pad}END{' ' + st.label if st.label else ''};")
         elif isinstance(st, TryWrap):
             out.append(f"{pad}BEGIN")
@@ -321,6 +388,8 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
             out.append(
                 f"{pad}RAISE EXCEPTION USING " + ", ".join(using) + ";"
             )
+        elif isinstance(st, Resignal):
+            out.append(f"{pad}RAISE;")
         elif isinstance(st, CaseStmt):
             out.append(f"{pad}CASE" + (f" {st.subject}" if st.subject else ""))
             for cond, body in st.branches:
@@ -361,20 +430,53 @@ _T_THEN = _kw("THEN")
 _T_WHEN = _kw("WHEN")
 _T_DO = _kw("DO")
 
+_RE_HANDLER_HEAD = re.compile(
+    r"(CONTINUE|EXIT|UNDO)\s+HANDLER\s+FOR\s+", re.I
+)
+#: one handler condition: SQLEXCEPTION / SQLWARNING / NOT FOUND /
+#: SQLSTATE [VALUE] '…' (literal possibly masked) / bare errno /
+#: a declared condition name
+_RE_COND_TOKEN = re.compile(
+    r"SQLEXCEPTION\b|SQLWARNING\b|NOT\s+FOUND\b|"
+    r"SQLSTATE(?:\s+VALUE)?\s+(?:\x00L\d+\x00|'[^'\n]*')|\d+\b|\w+",
+    re.I,
+)
+
+
+@dataclass
+class _Scope:
+    """One BEGIN…END block's declarations (MySQL requires DECLAREs at
+    block start, so each block's scope is complete before its
+    statements parse).  Lookups walk the parent chain — the same
+    resolution order both MySQL and plpgsql use."""
+
+    parent: "_Scope | None" = None
+    declares: list = field(default_factory=list)     # [(name, pg decl)]
+    raw_defaults: dict = field(default_factory=dict)  # name → masked default
+    cursors: dict = field(default_factory=dict)       # name → PG select
+    conditions: dict = field(default_factory=dict)    # name → masked literal
+    #: NOT FOUND handler: boolean-flag variable (canonical form) and/or
+    #: the parsed action statements for the FETCH IF-NOT-FOUND arm
+    flag: str | None = None
+    not_found_action: list | None = None
+    #: [(cond string, action stmts, cond atoms)]
+    continue_clauses: list = field(default_factory=list)
+    exit_clauses: list = field(default_factory=list)
+
 
 class _Parser:
     """Recursive descent over the masked body text (literals are already
     ``\\x00L<n>\\x00`` placeholders, so ``;`` and keywords inside strings
     cannot confuse statement boundaries)."""
 
-    def __init__(self, text: str, fname: str, rewrite, flag: str | None,
-                 cursors: dict[str, str]):
+    def __init__(self, text: str, fname: str, rewrite, pg_type):
         self.s = text
         self.i = 0
         self.fname = fname
-        self.rewrite = rewrite       # MySQL expr (masked) → PG expr
-        self.flag = flag             # NOT FOUND handler flag, if any
-        self.cursors = cursors       # cursor name → PG select
+        self.rewrite_user = rewrite  # MySQL expr (masked) → PG expr
+        self.pg_type = pg_type       # MySQL type string → PG type
+        self.scope: _Scope | None = None
+        self.in_handler = False      # RESIGNAL legality context
 
     # -- lexing helpers ----------------------------------------------------
     def _skip_ws(self) -> None:
@@ -396,10 +498,10 @@ class _Parser:
 
     def _until_kw(self, pat: re.Pattern, what: str) -> str:
         """Text from here to the next occurrence of ``pat`` (consumed),
-        CASE-aware (round 7): a CASE *expression* inside a control-flow
-        condition nests THEN/ELSE/END keywords, so the scan skips
-        balanced ``CASE…END`` spans instead of mis-splitting on the
-        first keyword hit (round 6 rejected these conditions outright)."""
+        CASE-aware: a CASE *expression* inside a control-flow condition
+        nests THEN/ELSE/END keywords, so the scan skips balanced
+        ``CASE…END`` spans instead of mis-splitting on the first
+        keyword hit."""
         i = self.i
         depth = 0
         while True:
@@ -439,7 +541,346 @@ class _Parser:
         self.i = j + 1
         return chunk.strip()
 
+    # -- scope helpers -----------------------------------------------------
+    def _scopes(self):
+        s = self.scope
+        while s is not None:
+            yield s
+            s = s.parent
+
+    def _lookup_cursor(self, name: str) -> str | None:
+        for s in self._scopes():
+            if name in s.cursors:
+                return s.cursors[name]
+        return None
+
+    def _lookup_condition(self, name: str) -> str | None:
+        for s in self._scopes():
+            if name in s.conditions:
+                return s.conditions[name]
+        return None
+
+    def _flags_in_scope(self) -> list[str]:
+        return [s.flag for s in self._scopes() if s.flag]
+
+    def _not_found_action(self) -> list | None:
+        for s in self._scopes():
+            if s.not_found_action is not None:
+                return s.not_found_action
+        return None
+
+    def _rewrite(self, masked: str) -> str:
+        for flag in self._flags_in_scope():
+            masked = normalize_flag_comparisons(masked, flag)
+        return self.rewrite_user(masked)
+
+    # -- declarations (block start; MySQL requires them there) -------------
+    def _parse_declares(self) -> None:
+        while True:
+            self._skip_ws()
+            mo = self._at(_kw("DECLARE"))
+            if not mo:
+                return
+            self.i = mo.end()
+            self._skip_ws()
+            hm = self._at(_RE_HANDLER_HEAD)
+            if hm:
+                self.i = hm.end()
+                self._parse_handler(hm.group(1).upper())
+                continue
+            raw = self._until_semicolon()
+            self._parse_decl_rest(raw)
+
+    def _declare(self, name: str, decl: str, raw_default: str | None) -> None:
+        if any(n == name for n, _t in self.scope.declares):
+            raise ProcParseError(
+                f"function {self.fname}: variable {name!r} declared "
+                "twice in the same block (MySQL rejects this too)"
+            )
+        self.scope.declares.append((name, decl))
+        self.scope.raw_defaults[name] = raw_default
+
+    def _parse_decl_rest(self, raw: str) -> None:
+        cm = re.match(r"(\w+)\s+CURSOR\s+FOR\s+(.+)$", raw, re.I | re.S)
+        if cm:
+            name = cm.group(1).lower()
+            self.scope.cursors[name] = self._rewrite(cm.group(2).strip())
+            self._declare(name, "refcursor", None)
+            return
+        cm = re.match(r"(\w+)\s+CONDITION\s+FOR\s+(.+)$", raw, re.I | re.S)
+        if cm:
+            name, target = cm.group(1).lower(), cm.group(2).strip()
+            tmo = re.fullmatch(
+                r"SQLSTATE(?:\s+VALUE)?\s+(\x00L\d+\x00|'[^'\n]*')",
+                target, re.I,
+            )
+            if not tmo:
+                raise ProcParseError(
+                    f"function {self.fname}: CONDITION {name!r} declared "
+                    f"FOR {target!r} — only `CONDITION FOR SQLSTATE "
+                    "'xxxxx'` resolves to a plpgsql-catchable condition "
+                    "(a bare MySQL errno has no SQLSTATE)"
+                )
+            self.scope.conditions[name] = tmo.group(1)
+            return
+        cm = re.match(r"(\w+(?:\s*,\s*\w+)*)\s+(.+)$", raw, re.S)
+        if not cm:
+            raise ProcParseError(
+                f"function {self.fname}: cannot parse DECLARE {raw!r}"
+            )
+        # MySQL comma lists (`DECLARE a, b INT DEFAULT 0`) share one
+        # type and default across every name
+        rest = cm.group(2).strip()
+        dflt = re.search(r"\bDEFAULT\s+(.+)$", rest, re.I | re.S)
+        t = self.pg_type(rest[: dflt.start()].strip() if dflt else rest)
+        for var in (v.strip().lower() for v in cm.group(1).split(",")):
+            raw_default = dflt.group(1).strip() if dflt else None
+            decl = t + (
+                " := " + self._rewrite(raw_default) if dflt else ""
+            )
+            self._declare(var, decl, raw_default)
+
+    def _sqlstate_cond(self, text: str) -> str:
+        """``SQLSTATE [VALUE] <lit>`` → validated ``SQLSTATE 'xxxxx'``."""
+        lit = self.rewrite_user(
+            re.search(r"\x00L\d+\x00|'[^'\n]*'", text).group()
+        ).strip()
+        if not re.fullmatch(r"'[0-9A-Za-z]{5}'", lit):
+            raise ProcParseError(
+                f"function {self.fname}: HANDLER SQLSTATE value {lit!r} "
+                "is not a 5-character SQLSTATE literal"
+            )
+        if lit[1:3] in ("00", "01", "02"):
+            raise ProcParseError(
+                f"function {self.fname}: HANDLER for SQLSTATE class "
+                f"{lit[1:3]!r} (success/warning/not-found) cannot "
+                "be caught by a plpgsql EXCEPTION clause"
+            )
+        return f"SQLSTATE {lit}"
+
+    def _parse_handler(self, kind: str) -> None:
+        if kind == "UNDO":
+            raise ProcParseError(
+                f"function {self.fname}: UNDO handlers are not supported "
+                "by MySQL itself and have no plpgsql analog"
+            )
+        conds: list[str] = []
+        while True:
+            self._skip_ws()
+            mo = self._eat(_RE_COND_TOKEN, "handler condition")
+            conds.append(mo.group())
+            self._skip_ws()
+            if self.i < len(self.s) and self.s[self.i] == ",":
+                self.i += 1
+                continue
+            break
+        # the action is exactly one statement (possibly a BEGIN…END
+        # group) — parsed structurally, so nested blocks inside the
+        # action are fine; RESIGNAL is legal only in here
+        prev = self.in_handler
+        self.in_handler = True
+        try:
+            action = self.parse_statement()
+        finally:
+            self.in_handler = prev
+        action = action if isinstance(action, list) else [action]
+        if (
+            len(action) == 1
+            and isinstance(action[0], Block)
+            and not action[0].declares
+            and not action[0].exc_clauses
+            and not action[0].label
+        ):
+            # a plain BEGIN…END action group flattens into the clause
+            action = action[0].body
+        if not action:
+            raise ProcParseError(
+                f"function {self.fname}: empty {kind} handler action"
+            )
+
+        atoms: list[str] = []
+        for c in conds:
+            cu = re.sub(r"\s+", " ", c.strip()).upper()
+            if cu == "SQLEXCEPTION":
+                atoms.append("others")
+            elif cu == "SQLWARNING":
+                raise ProcParseError(
+                    f"function {self.fname}: HANDLER FOR SQLWARNING — "
+                    "plpgsql EXCEPTION clauses cannot trap warnings"
+                )
+            elif cu == "NOT FOUND":
+                atoms.append("NOT FOUND")
+            elif cu.startswith("SQLSTATE"):
+                atoms.append(self._sqlstate_cond(c))
+            elif re.fullmatch(r"\d+", cu):
+                raise ProcParseError(
+                    f"function {self.fname}: HANDLER FOR bare MySQL "
+                    f"errno {cu} — an errno has no SQLSTATE to map "
+                    "(declare a CONDITION FOR SQLSTATE instead)"
+                )
+            else:
+                lit = self._lookup_condition(c.strip().lower())
+                if lit is None:
+                    raise ProcParseError(
+                        f"function {self.fname}: HANDLER FOR UNDECLARED "
+                        f"condition name {c.strip()!r}"
+                    )
+                atoms.append(self._sqlstate_cond("SQLSTATE " + lit))
+
+        if "NOT FOUND" in atoms:
+            if len(atoms) > 1:
+                raise ProcParseError(
+                    f"function {self.fname}: NOT FOUND cannot share a "
+                    "handler with other conditions here — the FETCH "
+                    "IF-NOT-FOUND arm and the EXCEPTION clause are "
+                    "different plpgsql mechanisms"
+                )
+            self._register_not_found(kind, action)
+            return
+        if "others" in atoms and len(atoms) > 1:
+            raise ProcParseError(
+                f"function {self.fname}: SQLEXCEPTION combined with "
+                "specific conditions in one handler — the SQLSTATEs "
+                "are redundant and their precedence is ambiguous"
+            )
+        cond = " OR ".join(atoms)
+        target = (
+            self.scope.continue_clauses
+            if kind == "CONTINUE"
+            else self.scope.exit_clauses
+        )
+        target.append((cond, action, atoms))
+
+    def _register_not_found(self, kind: str, action: list) -> None:
+        if kind != "CONTINUE":
+            raise ProcParseError(
+                f"function {self.fname}: only CONTINUE HANDLER FOR "
+                "NOT FOUND is translatable (an EXIT not-found handler "
+                "has no plpgsql analog — SQLSTATE class 02 cannot be "
+                "trapped by EXCEPTION clauses)"
+            )
+        if self.scope.not_found_action is not None:
+            raise ProcParseError(
+                f"function {self.fname}: multiple handlers for the same "
+                "condition (NOT FOUND) in one block"
+            )
+        if len(action) != 1 or not isinstance(action[0], Assign):
+            raise ProcParseError(
+                f"function {self.fname}: NOT FOUND handler action must "
+                "be a single `SET var = expr` statement"
+            )
+        a = action[0]
+        lit = _flag_literal(a.expr)
+        if lit in ("true", "false"):
+            # canonical done-flag: force the variable BOOLEAN
+            # (reference :1116-1119) and normalize integer comparisons
+            # against it throughout the flag's scope
+            self.scope.flag = a.var
+            self.scope.not_found_action = [Assign(a.var, lit)]
+            self._force_flag_boolean(a.var)
+        else:
+            # general action (`SET n = n + 1`): emitted verbatim in the
+            # FETCH arm; the variable keeps its declared type
+            self.scope.not_found_action = [a]
+
+    def _force_flag_boolean(self, var: str) -> None:
+        for s in self._scopes():
+            for k, (n, _t) in enumerate(s.declares):
+                if n == var:
+                    raw = s.raw_defaults.get(var)
+                    init = _flag_literal(raw) if raw is not None else "false"
+                    s.declares[k] = (var, f"BOOLEAN := {init}")
+                    return
+        raise ProcParseError(
+            f"function {self.fname}: NOT FOUND handler flag {var!r} is "
+            "not a declared variable"
+        )
+
+    def _close_scope(self, body: list) -> tuple[list, list, list]:
+        """Validate this block's handlers against enclosing scopes,
+        apply its CONTINUE wraps, and return (declares, wrapped body,
+        EXCEPTION clauses) — everything the Block/function emitter
+        needs.  Precedence guard: MySQL dispatches to the innermost
+        scope's matching handler (most-specific within a scope), but an
+        ancestor CONTINUE handler's per-statement wrap sits CLOSER to
+        the statement than this block's EXCEPTION clause — so any
+        overlap between an ancestor (or same-scope ``others``) CONTINUE
+        condition and this block's EXIT conditions would invert MySQL's
+        dispatch, and refuses instead."""
+        sc = self.scope
+
+        seen: set[str] = set()
+        for _cond, _a, atoms in sc.continue_clauses + sc.exit_clauses:
+            for atom in atoms:
+                if atom in seen:
+                    raise ProcParseError(
+                        f"function {self.fname}: multiple handlers for "
+                        f"the same condition ({atom}) in one block "
+                        "(MySQL allows one per condition per block)"
+                    )
+                seen.add(atom)
+
+        def _overlap(c1: str, c2: str) -> bool:
+            return c1 == "others" or c2 == "others" or c1 == c2
+
+        for _cond, _a, eatoms in sc.exit_clauses:
+            # same-scope: a CONTINUE-others wrap shadows a specific EXIT
+            for _c, _aa, catoms in sc.continue_clauses:
+                if "others" in catoms and any(e != "others" for e in eatoms):
+                    raise ProcParseError(
+                        f"function {self.fname}: CONTINUE HANDLER FOR "
+                        "SQLEXCEPTION combined with an EXIT handler for "
+                        "a specific SQLSTATE — the per-statement wrap "
+                        "would shadow the more-specific EXIT handler "
+                        "(MySQL dispatches to the specific one)"
+                    )
+            # ancestor CONTINUE vs this block's EXIT: any overlap would
+            # let the (closer) wrap steal what MySQL gives the inner
+            # EXIT handler
+            anc = sc.parent
+            while anc is not None:
+                for _c, _aa, catoms in anc.continue_clauses:
+                    if any(
+                        _overlap(ca, ea) for ca in catoms for ea in eatoms
+                    ):
+                        raise ProcParseError(
+                            f"function {self.fname}: an outer-block "
+                            "CONTINUE handler overlaps an inner-block "
+                            "EXIT handler — the per-statement wrap "
+                            "would shadow the inner handler (MySQL "
+                            "dispatches to the innermost scope first)"
+                        )
+                anc = anc.parent
+
+        # specific-SQLSTATE clauses first (stable within each group) so
+        # plpgsql's first-match dispatch = MySQL's most-specific-wins
+        cont = [
+            (cond, action)
+            for cond, action, atoms in sorted(
+                sc.continue_clauses, key=lambda h: "others" in h[2]
+            )
+        ]
+        exits = [
+            (cond, action)
+            for cond, action, atoms in sorted(
+                sc.exit_clauses, key=lambda h: "others" in h[2]
+            )
+        ]
+        if cont:
+            body = _wrap_continue(body, cont)
+        return sc.declares, body, exits
+
     # -- grammar -----------------------------------------------------------
+    def parse_root(self) -> tuple[list, list, list]:
+        """The function body itself (outer BEGIN/END already stripped):
+        declare section, then statements to EOF."""
+        self.scope = _Scope(parent=None)
+        self._parse_declares()
+        stmts, _ = self.parse_block()
+        declares, stmts, exits = self._close_scope(stmts)
+        self.scope = None
+        return declares, stmts, exits
+
     def parse_block(self, *terminators: re.Pattern) -> tuple[list, re.Pattern | None]:
         """Statements until one of ``terminators`` (consumed) or EOF."""
         stmts: list = []
@@ -481,21 +922,26 @@ class _Parser:
             body, term = self.parse_block(_T_UNTIL)
             cond = self._until_kw(_T_END_REPEAT, "END REPEAT")
             self._finish_compound()
-            return RepeatUntil(body, self.rewrite(cond), label)
+            return RepeatUntil(body, self._rewrite(cond), label)
         if self._at(_kw("WHILE")):
             self._eat(_kw("WHILE"), "WHILE")
             cond = self._until_kw(_T_DO, "DO after WHILE condition")
             body, _ = self.parse_block(_T_END_WHILE)
             self._finish_compound()
-            return While(self.rewrite(cond), body, label)
+            return While(self._rewrite(cond), body, label)
         if self._at(_kw("BEGIN")):
-            # nested compound: DECLAREs were scope-lifted by
-            # parse_procedural's extraction passes, so only statements
-            # remain inside
+            # nested compound with its own scope: declare section first
+            # (exactly where MySQL requires it), then statements; the
+            # block keeps its declarations and EXIT handlers as its own
+            # plpgsql DECLARE / EXCEPTION sections
             self._eat(_kw("BEGIN"), "BEGIN")
+            self.scope = _Scope(parent=self.scope)
+            self._parse_declares()
             body, _ = self.parse_block(_T_END_BLOCK)
             self._finish_compound()
-            return Block(body, label)
+            declares, body, exits = self._close_scope(body)
+            self.scope = self.scope.parent
+            return Block(body, label, declares, exits)
         if self._at(_kw("CASE")):
             return self._parse_case()
 
@@ -509,12 +955,12 @@ class _Parser:
         parse_block, so nesting is structural."""
         self._eat(_kw("CASE"), "CASE")
         subject = self._until_kw(_T_WHEN, "WHEN after CASE")
-        subject_pg = self.rewrite(subject) if subject else None
+        subject_pg = self._rewrite(subject) if subject else None
         branches: list[tuple[str | None, list]] = []
         while True:
             cond = self._until_kw(_T_THEN, "THEN after WHEN")
             body, term = self.parse_block(_T_WHEN, _T_ELSE, _T_END_CASE)
-            branches.append((self.rewrite(cond), body))
+            branches.append((self._rewrite(cond), body))
             if term is _T_WHEN:
                 continue
             if term is _T_ELSE:
@@ -541,7 +987,7 @@ class _Parser:
         cond = self._until_kw(_T_THEN, "THEN after IF condition")
         while True:
             body, term = self.parse_block(_T_ELSEIF, _T_ELSE, _T_END_IF)
-            branches.append((self.rewrite(cond) if cond else None, body))
+            branches.append((self._rewrite(cond) if cond else None, body))
             if term is _T_ELSEIF:
                 cond = self._until_kw(_T_THEN, "THEN after ELSEIF")
                 continue
@@ -560,6 +1006,7 @@ class _Parser:
             # function-call commas) into sequential assignments, the
             # order MySQL itself evaluates them in
             out: list = []
+            flags = self._flags_in_scope()
             for piece in _split_top_level(raw[3:]):
                 mo = re.match(r"\s*(\w+)\s*:?=\s*(.+)$", piece, re.S)
                 if not mo:
@@ -572,8 +1019,8 @@ class _Parser:
                 if re.fullmatch(r"ROW_COUNT\s*\(\s*\)", raw_expr, re.I):
                     out.append(RowCountInto(var))
                     continue
-                expr = self.rewrite(raw_expr)
-                if self.flag and var == self.flag:
+                expr = self._rewrite(raw_expr)
+                if var in flags:
                     expr = _flag_literal(expr)
                 out.append(Assign(var, expr))
             return out if len(out) > 1 else out[0]
@@ -586,9 +1033,9 @@ class _Parser:
                 )
             vars_ = [v.strip().lower() for v in into.group(1).split(",")]
             sel = raw[: into.start()] + raw[into.end() :]
-            return SelectInto(self.rewrite(sel.strip()), vars_)
+            return SelectInto(self._rewrite(sel.strip()), vars_)
         if up.startswith("RETURN"):
-            return Return(self.rewrite(raw[6:].strip()))
+            return Return(self._rewrite(raw[6:].strip()))
         mo = re.match(r"LEAVE\s*(\w+)?$", raw, re.I)
         if mo:
             return Leave(mo.group(1).lower() if mo.group(1) else None)
@@ -598,23 +1045,24 @@ class _Parser:
         mo = re.match(r"OPEN\s+(\w+)$", raw, re.I)
         if mo:
             name = mo.group(1).lower()
-            if name not in self.cursors:
+            sel = self._lookup_cursor(name)
+            if sel is None:
                 raise ProcParseError(
                     f"function {self.fname}: OPEN of undeclared cursor "
                     f"{name!r}"
                 )
-            return OpenCursor(name, self.cursors[name])
+            return OpenCursor(name, sel)
         mo = re.match(r"FETCH\s+(?:NEXT\s+FROM\s+)?(\w+)\s+INTO\s+(.+)$",
                       raw, re.I | re.S)
         if mo:
             name = mo.group(1).lower()
-            if name not in self.cursors:
+            if self._lookup_cursor(name) is None:
                 raise ProcParseError(
                     f"function {self.fname}: FETCH from undeclared cursor "
                     f"{name!r}"
                 )
             vars_ = [v.strip().lower() for v in mo.group(2).split(",")]
-            return Fetch(name, vars_, self.flag)
+            return Fetch(name, vars_, self._not_found_action())
         mo = re.match(r"CLOSE\s+(\w+)$", raw, re.I)
         if mo:
             return CloseCursor(mo.group(1).lower())
@@ -624,26 +1072,52 @@ class _Parser:
             raw, re.I | re.S,
         )
         if mo:
-            return self._parse_signal(mo)
-        if re.match(r"(?:RE)?SIGNAL\b", raw, re.I):
+            return self._parse_signal(mo.group(1), mo.group(2))
+        mo = re.match(r"RESIGNAL\s*(.*)$", raw, re.I | re.S)
+        if mo:
+            if mo.group(1).strip():
+                raise ProcParseError(
+                    f"function {self.fname}: only the bare `RESIGNAL;` "
+                    "re-raise translates (→ plpgsql RAISE;); the "
+                    "attribute-modifying RESIGNAL forms have no "
+                    "plpgsql analog — got SIGNAL-like "
+                    f"{raw[:60]!r}"
+                )
+            if not self.in_handler:
+                raise ProcParseError(
+                    f"function {self.fname}: RESIGNAL outside a handler "
+                    "action (illegal in MySQL too; SIGNAL-like "
+                    "statements elsewhere are not translatable)"
+                )
+            return Resignal()
+        mo = re.match(r"SIGNAL\s+(\w+)\s*(?:SET\s+(.+))?$", raw, re.I | re.S)
+        if mo:
+            lit = self._lookup_condition(mo.group(1).lower())
+            if lit is None:
+                raise ProcParseError(
+                    f"function {self.fname}: SIGNAL with UNDECLARED "
+                    f"condition name {mo.group(1)!r} (names declared "
+                    "`CONDITION FOR SQLSTATE` resolve through the "
+                    "scope chain)"
+                )
+            return self._parse_signal(lit, mo.group(2))
+        if re.match(r"SIGNAL\b", raw, re.I):
             raise ProcParseError(
                 f"function {self.fname}: only `SIGNAL SQLSTATE 'xxxxx' "
-                f"[SET MESSAGE_TEXT = …]` is translatable, got "
-                f"{raw[:60]!r} (RESIGNAL and UNDECLARED condition names "
-                "have no plpgsql analog; names declared `CONDITION FOR "
-                "SQLSTATE` resolve before parsing)"
+                f"[SET MESSAGE_TEXT = …]` or a declared condition name "
+                f"is translatable, got {raw[:60]!r}"
             )
         raise ProcParseError(
             f"function {self.fname}: unsupported statement {raw[:60]!r}"
         )
 
-    def _parse_signal(self, mo: re.Match) -> Signal:
+    def _parse_signal(self, lit_raw: str, items_raw: str | None) -> Signal:
         """``SIGNAL SQLSTATE '45000' SET MESSAGE_TEXT = …[, MYSQL_ERRNO
         = …]`` → RAISE EXCEPTION USING ERRCODE/MESSAGE (errno kept in
         HINT — PG has no errno field). The reference has no SIGNAL pass
         at all (bodies containing it fall into sync_functions.go's
         generic regex path and emit plpgsql that fails at CREATE time)."""
-        errcode = self.rewrite(mo.group(1)).strip()
+        errcode = self.rewrite_user(lit_raw).strip()
         if not re.fullmatch(r"'[0-9A-Za-z]{5}'", errcode):
             raise ProcParseError(
                 f"function {self.fname}: SIGNAL SQLSTATE value "
@@ -657,8 +1131,8 @@ class _Parser:
             )
         message: str | None = None
         errno: str | None = None
-        if mo.group(2):
-            for item in _split_top_level(mo.group(2)):
+        if items_raw:
+            for item in _split_top_level(items_raw):
                 im = re.match(r"\s*(\w+)\s*=\s*(.+)$", item, re.S)
                 if not im:
                     raise ProcParseError(
@@ -667,9 +1141,9 @@ class _Parser:
                     )
                 key = im.group(1).upper()
                 if key == "MESSAGE_TEXT":
-                    message = self.rewrite(im.group(2).strip())
+                    message = self._rewrite(im.group(2).strip())
                 elif key == "MYSQL_ERRNO":
-                    errno = self.rewrite(im.group(2).strip())
+                    errno = self._rewrite(im.group(2).strip())
                 else:
                     raise ProcParseError(
                         f"function {self.fname}: SIGNAL item {key} has "
@@ -724,41 +1198,6 @@ def normalize_flag_comparisons(expr: str, flag: str) -> str:
     return out
 
 
-_RE_CURSOR_DECL = re.compile(
-    r"DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+([^;]+);", re.I
-)
-_RE_HANDLER = re.compile(
-    r"DECLARE\s+(CONTINUE|EXIT)\s+HANDLER\s+FOR\s+([^;]+?)\s+"
-    r"SET\s+(\w+)\s*=\s*(\S+)\s*;",
-    re.I,
-)
-#: EXIT/CONTINUE HANDLER FOR SQLEXCEPTION — or for one specific
-#: ``SQLSTATE 'xxxxx'`` (round 7; the literal is masked at this point) —
-#: with a single-statement action or a BEGIN…END group. The non-greedy
-#: END-scan stops at a bare ``END;`` — nested IF/CASE closers
-#: (``END IF;``) don't match it, so they are safely inside; a nested
-#: plain block would mis-split and then fail to parse, which raises
-#: instead of mistranslating.
-_RE_EXC_HANDLER = re.compile(
-    r"DECLARE\s+(?P<kind>CONTINUE|EXIT)\s+HANDLER\s+FOR\s+"
-    r"(?P<cond>SQLEXCEPTION"
-    r"|SQLSTATE(?:\s+VALUE)?\s+(?:\x00L\d+\x00|'[^'\n]*'))\s+"
-    r"(?P<action>BEGIN\b.*?\bEND\s*;|[^;]*;)",
-    re.I | re.S,
-)
-#: MySQL allows a comma list of names sharing one type:
-#: ``DECLARE a, b INT DEFAULT 0;``
-_RE_VAR_DECL = re.compile(
-    r"DECLARE\s+(\w+(?:\s*,\s*\w+)*)\s+([^;]+);", re.I
-)
-#: ``DECLARE err_name CONDITION FOR SQLSTATE 'xxxxx';`` (or a bare
-#: MySQL errno, which has no SQLSTATE and refuses) — names resolve to
-#: their SQLSTATE before handler/SIGNAL parsing (round 7)
-_RE_COND_DECL = re.compile(
-    r"DECLARE\s+(\w+)\s+CONDITION\s+FOR\s+([^;]+);", re.I
-)
-
-
 def parse_procedural(
     body: str,
     fname: str,
@@ -770,232 +1209,17 @@ def parse_procedural(
     ``rewrite_expr(masked_text) -> str`` converts expression/SELECT text
     to PG dialect (including unmasking); ``pg_type(mysql_type) -> str``
     is the C86 type matrix.
+
+    Each block's declarations (variables, conditions, cursors,
+    handlers) parse inline at block start — MySQL's required position —
+    into per-block scopes, so nested blocks keep their own plpgsql
+    DECLARE sections (block-entry DEFAULT re-initialization, legal
+    shadowing) and their own EXCEPTION clauses (block-scoped handlers).
     """
-    declares: list[tuple[str, str]] = []
-    cursors: dict[str, str] = {}
-    flag: str | None = None
-    #: (kind "EXIT"|"CONTINUE", cond "others"|"SQLSTATE '…'", action raw)
-    exc_handlers: list[tuple[str, str, str]] = []
-
-    # -1. named conditions (round 7): `DECLARE err CONDITION FOR
-    # SQLSTATE 'xxxxx';` declares an alias real functions then use in
-    # `SIGNAL err` / `DECLARE … HANDLER FOR err`. Resolve every use to
-    # its SQLSTATE up front so the handler and SIGNAL passes see only
-    # the canonical spelling. A condition declared FOR a bare MySQL
-    # errno has no SQLSTATE to map (MySQL gives those HY000) — refuse.
-    conditions: dict[str, str] = {}
-
-    def _take_cond(mo: re.Match) -> str:
-        name = mo.group(1).lower()
-        target = mo.group(2).strip()
-        tmo = re.fullmatch(
-            r"SQLSTATE(?:\s+VALUE)?\s+(\x00L\d+\x00|'[^'\n]*')",
-            target, re.I,
-        )
-        if not tmo:
-            raise ProcParseError(
-                f"function {fname}: CONDITION {name!r} declared FOR "
-                f"{target!r} — only `CONDITION FOR SQLSTATE 'xxxxx'` "
-                "resolves to a plpgsql-catchable condition (a bare "
-                "MySQL errno has no SQLSTATE)"
-            )
-        conditions[name] = f"SQLSTATE {tmo.group(1)}"
-        return ""
-
-    body = _RE_COND_DECL.sub(_take_cond, body)
-    for name, tgt in conditions.items():
-        body = re.sub(
-            rf"(\bHANDLER\s+FOR\s+){name}\b",
-            lambda m, t=tgt: m.group(1) + t, body, flags=re.I,
-        )
-        body = re.sub(
-            rf"(\bSIGNAL\s+){name}\b",
-            lambda m, t=tgt: m.group(1) + t, body, flags=re.I,
-        )
-
-    # Handlers are BLOCK-scoped in MySQL, but this translator lifts
-    # them to function scope (the NOT FOUND flag / the EXCEPTION
-    # clause). A handler declared inside a NESTED block would therefore
-    # silently widen its scope — raise instead. Detection: every
-    # handler declaration must start before the first nested BEGIN
-    # that is not itself part of a handler's BEGIN…END action.
-    handler_spans = [
-        m.span() for m in _RE_EXC_HANDLER.finditer(body)
-    ] + [m.span() for m in _RE_HANDLER.finditer(body)]
-    first_nested = next(
-        (
-            m
-            for m in re.finditer(r"\bBEGIN\b", body, re.I)
-            if not any(s <= m.start() < e for s, e in handler_spans)
-        ),
-        None,
-    )
-    if first_nested is not None:
-        for s, _e in handler_spans:
-            if s > first_nested.start():
-                raise ProcParseError(
-                    f"function {fname}: HANDLER declared inside a "
-                    "nested block — block-scoped handlers cannot be "
-                    "lifted to function scope without widening them"
-                )
-
-    # 0. EXIT/CONTINUE HANDLER FOR SQLEXCEPTION / SQLSTATE 'xxxxx' →
-    # remember (kind, cond, action). EXIT handlers become the block's
-    # EXCEPTION clauses (plpgsql's native exit-handler shape); CONTINUE
-    # handlers wrap every raise-capable statement in its own EXCEPTION
-    # sub-block (see module docstring). Extracted before the
-    # canonical-handler pass so the SET form of these handlers isn't
-    # mistaken for a malformed NOT FOUND handler. Several handlers with
-    # DISTINCT conditions coexist as ordered WHEN clauses
-    # (specific-first = MySQL's most-specific-wins precedence, since
-    # plpgsql dispatches to the first matching clause).
-    def _take_exc(mo: re.Match) -> str:
-        kind = mo.group("kind").upper()
-        cond_txt = mo.group("cond")
-        cond = "others"
-        if not re.fullmatch(r"SQLEXCEPTION", cond_txt.strip(), re.I):
-            # specific-SQLSTATE handler → EXCEPTION WHEN SQLSTATE '…'
-            # (exactly as narrow as MySQL's handler — no widening)
-            lit = rewrite_expr(
-                re.search(r"\x00L\d+\x00|'[^'\n]*'", cond_txt).group()
-            ).strip()
-            if not re.fullmatch(r"'[0-9A-Za-z]{5}'", lit):
-                raise ProcParseError(
-                    f"function {fname}: HANDLER SQLSTATE value {lit!r} "
-                    "is not a 5-character SQLSTATE literal"
-                )
-            if lit[1:3] in ("00", "01", "02"):
-                raise ProcParseError(
-                    f"function {fname}: HANDLER for SQLSTATE class "
-                    f"{lit[1:3]!r} (success/warning/not-found) cannot "
-                    "be caught by a plpgsql EXCEPTION clause"
-                )
-            cond = f"SQLSTATE {lit}"
-        action = mo.group("action").strip()
-        if re.match(r"BEGIN\b", action, re.I):
-            action = re.sub(r"^BEGIN\b", "", action, flags=re.I)
-            action = re.sub(r"\bEND\s*;$", "", action, flags=re.I)
-        exc_handlers.append((kind, cond, action.strip()))
-        return ""
-
-    body = _RE_EXC_HANDLER.sub(_take_exc, body)
-    conds = [c for _k, c, _a in exc_handlers]
-    if len(set(conds)) != len(conds):
-        raise ProcParseError(
-            f"function {fname}: multiple handlers for the same "
-            "condition (MySQL allows one per condition per block)"
-        )
-    if any(k == "CONTINUE" and c == "others" for k, c, _a in exc_handlers) \
-            and any(k == "EXIT" and c != "others"
-                    for k, c, _a in exc_handlers):
-        # a CONTINUE others sub-block would catch the specific error
-        # BEFORE the block-level EXIT clause could, inverting MySQL's
-        # most-specific-wins precedence — refuse instead of reordering
-        raise ProcParseError(
-            f"function {fname}: CONTINUE HANDLER FOR SQLEXCEPTION "
-            "combined with an EXIT handler for a specific SQLSTATE — "
-            "the per-statement wrap would shadow the more-specific "
-            "EXIT handler (MySQL dispatches to the specific one)"
-        )
-
-    # 1. NOT FOUND handler → boolean flag (reference removes handlers at
-    # :1086 and leans on the done-flag FETCH rewrite; same model here,
-    # but only the canonical pattern is accepted — anything else raises)
-    def _take_handler(mo: re.Match) -> str:
-        nonlocal flag
-        kind, cond, var = mo.group(1).upper(), mo.group(2), mo.group(3)
-        if kind != "CONTINUE" or not re.fullmatch(
-            r"NOT\s+FOUND", cond.strip(), re.I
-        ):
-            raise ProcParseError(
-                f"function {fname}: only `DECLARE CONTINUE HANDLER FOR "
-                f"NOT FOUND SET flag = 1` is translatable, got "
-                f"{kind} HANDLER FOR {cond.strip()!r}"
-            )
-        flag = var.lower()
-        return ""
-
-    body = _RE_HANDLER.sub(_take_handler, body)
-    if re.search(r"\bHANDLER\b", body, re.I):
-        raise ProcParseError(
-            f"function {fname}: HANDLER outside the canonical "
-            "NOT FOUND SET-flag pattern"
-        )
-
-    # 2. cursor declarations → refcursor + remembered select (:1044-1060)
-    def _take_cursor(mo: re.Match) -> str:
-        name = mo.group(1).lower()
-        cursors[name] = rewrite_expr(mo.group(2).strip())
-        declares.append((name, "refcursor"))
-        return ""
-
-    body = _RE_CURSOR_DECL.sub(_take_cursor, body)
-
-    # 3. plain variable declarations (flag forced BOOLEAN, :1116-1119);
-    # a comma list (`DECLARE a, b INT DEFAULT 0`) shares one type and
-    # default across every name, so it expands to one declare per name
-    def _take_var(mo: re.Match) -> str:
-        rest = mo.group(2).strip()
-        dflt = re.search(r"\bDEFAULT\s+(.+)$", rest, re.I | re.S)
-        for var in (v.strip().lower() for v in mo.group(1).split(",")):
-            if flag and var == flag:
-                init = (
-                    _flag_literal(dflt.group(1).strip()) if dflt else "false"
-                )
-                declares.append((var, f"BOOLEAN := {init}"))
-                continue
-            t = pg_type(rest[: dflt.start()].strip() if dflt else rest)
-            if dflt:
-                t += " := " + rewrite_expr(dflt.group(1).strip())
-            declares.append((var, t))
-        return ""
-
-    body = _RE_VAR_DECL.sub(_take_var, body)
-
-    # scope-lifted declarations (nested blocks lose their scoping in a
-    # single flat DECLARE section): identical re-declarations dedupe,
-    # conflicting ones raise — lifting a shadow with a DIFFERENT type
-    # would silently change semantics
-    seen: dict[str, str] = {}
-    for n, t in declares:
-        if n in seen and seen[n] != t:
-            raise ProcParseError(
-                f"function {fname}: variable {n!r} re-declared with a "
-                f"different type across block scopes ({seen[n]!r} vs "
-                f"{t!r}) — scope-lifting cannot preserve shadowing"
-            )
-        seen.setdefault(n, t)
-    declares = list(seen.items())
-
-    def _rewrite(masked: str) -> str:
-        if flag:
-            masked = normalize_flag_comparisons(masked, flag)
-        return rewrite_expr(masked)
-
-    p = _Parser(body, fname, _rewrite, flag, cursors)
-    stmts, _ = p.parse_block()
+    p = _Parser(body, fname, rewrite_expr, pg_type)
+    declares, stmts, exit_clauses = p.parse_root()
     if not any(_has_return(s) for s in stmts):
         raise ProcParseError(f"function {fname}: body has no RETURN")
-
-    continue_clauses: list = []
-    exit_clauses: list = []
-    # specific-SQLSTATE clauses first (stable within each group) so
-    # plpgsql's first-match dispatch = MySQL's most-specific-wins
-    for kind, cond, action_raw in sorted(
-        exc_handlers, key=lambda h: h[1] == "others"
-    ):
-        sub = _Parser(action_raw, fname, _rewrite, flag, cursors)
-        action_stmts, _ = sub.parse_block()
-        if not action_stmts:
-            raise ProcParseError(
-                f"function {fname}: empty {kind} handler action"
-            )
-        (continue_clauses if kind == "CONTINUE"
-         else exit_clauses).append((cond, action_stmts))
-    if continue_clauses:
-        # resume-after-error: per-statement EXCEPTION sub-blocks
-        # instead of one block-level clause
-        stmts = _wrap_continue(stmts, continue_clauses)
     return ProceduralBody(declares, stmts, exit_clauses)
 
 
@@ -1011,14 +1235,18 @@ def _wrap_continue(stmts: list, clauses: list) -> list:
     plpgsql's CASE_NOT_FOUND, mirroring MySQL's handleable "Case not
     found" error). ``LEAVE``/``ITERATE`` cannot raise and must stay
     unwrapped so their loop targeting is untouched (an unlabeled EXIT
-    never matches a BEGIN block, but keeping them bare is simplest)."""
+    never matches a BEGIN block, but keeping them bare is simplest).
+    A statement already guarded by an inner block's handlers (a
+    TryWrap) is wrapped AROUND, so the inner clause dispatches first —
+    MySQL's innermost-scope-first rule."""
     out: list = []
     for st in stmts:
         if isinstance(st, (Leave, Iterate, RowCountInto)):
             out.append(st)
         elif isinstance(st, Block):
             out.append(
-                Block(_wrap_continue(st.body, clauses), st.label)
+                Block(_wrap_continue(st.body, clauses), st.label,
+                      st.declares, st.exc_clauses)
             )
         elif isinstance(st, Loop):
             out.append(

@@ -381,3 +381,40 @@ def test_continue_handler_wraps_every_statement(tree):
     assert out.count("EXCEPTION WHEN others THEN") == _count_wraps(
         parsed.statements
     )
+
+
+# round 8: block-scoped declarations — for any tree, wrapping it in a
+# nested BEGIN block that declares its own variable (with DEFAULT) and
+# its own EXIT handler must parse to a Block node carrying exactly that
+# declare and that EXCEPTION clause, with the inner body unchanged
+# (handlers/declares attach to their OWN block, never lift to function
+# scope)
+@given(_stmts(depth=2, label=None))
+@settings(max_examples=100, deadline=None)
+def test_nested_block_owns_declares_and_handlers(tree):
+    tree = list(tree)
+    inner = _render(tree, indent=2)
+    body = (
+        "BEGIN\n"
+        "  DECLARE nb1 INT DEFAULT 7;\n"
+        "  DECLARE EXIT HANDLER FOR SQLEXCEPTION SET nb1 = 0;\n"
+        f"{inner}\n"
+        "END;\n"
+        "RETURN v1;"
+    )
+    parsed = P.parse_procedural(
+        body, "fuzz_nb", lambda masked: masked.strip(), lambda t: "INTEGER"
+    )
+    # function scope holds nothing from the nested block
+    assert parsed.declares == []
+    assert parsed.exc_clauses == []
+    blk, ret = parsed.statements
+    assert isinstance(blk, P.Block) and isinstance(ret, P.Return)
+    assert blk.declares == [("nb1", "INTEGER := 7")]
+    assert blk.exc_clauses == [("others", [P.Assign("nb1", "0")])]
+    assert blk.body == tree
+    # the emitted plpgsql keeps the declaration and clause inside the
+    # nested block's own DECLARE/EXCEPTION sections
+    out = P.emit_statements(parsed.statements)
+    assert out.index("DECLARE") < out.index("nb1 INTEGER := 7;")
+    assert out.index("EXCEPTION WHEN others THEN") < out.rindex("END;")
