@@ -526,6 +526,13 @@ class MigrationPipeline:
                     cur = pg_conn.cursor()
                     cur.execute(payload)
                     ddl_done += 1
+                    # commit per statement: on a non-autocommit DB-API
+                    # engine, a LATER failure in this stage rolls back
+                    # the whole open transaction — without this, every
+                    # earlier successful-but-uncommitted DDL would be
+                    # silently discarded while ddl_done already counted
+                    # it (and nothing re-executes it)
+                    pg_conn.commit()
                 except Exception as e:  # keep going, record (manager.go)
                     # A failed statement poisons a non-autocommit DB-API
                     # transaction (psycopg2 raises InFailedSqlTransaction
@@ -551,6 +558,7 @@ class MigrationPipeline:
                             cur = pg_conn.cursor()
                             cur.execute(adapt_ddl(retry, target_dialect))
                             ddl_done += 1
+                            pg_conn.commit()
                             logger.info(
                                 f"view {a.target}: mixed-type COALESCE "
                                 "unified to text on retry (C33)"
@@ -560,8 +568,6 @@ class MigrationPipeline:
                             _rollback_quietly(pg_conn)
                             e = e2
                     logger.table_error(stage, a.target, e)
-            if ddls:
-                pg_conn.commit()
 
             reads = [a for a in stage_actions if a.kind == "read_plan"]
             if reads:

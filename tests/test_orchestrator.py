@@ -759,3 +759,79 @@ def test_cli_pgddl_check_lints_live_output(tmp_path, capsys):
     assert "CREATE TABLE IF NOT EXISTS acct" in captured.out
     assert "lint: OK" in captured.err
     assert "LINT:" not in captured.err
+
+
+class _TxnConn(_PoisoningConn):
+    """Full non-autocommit transaction model: executed statements sit in
+    an open transaction until commit() (moved to ``committed``) or
+    rollback() (discarded) — the seam that proves a failed DDL can no
+    longer throw away earlier successful statements in its stage."""
+
+    def __init__(self, fail_if=None):
+        super().__init__(fail_if)
+        self.pending = []
+        self.committed = []
+
+    def execute(self, sql):
+        super().execute(sql)
+        self.pending.append(sql)
+
+    def commit(self):
+        super().commit()
+        self.committed.extend(self.pending)
+        self.pending = []
+
+    def rollback(self):
+        super().rollback()
+        self.pending = []
+
+
+def test_earlier_ddl_survives_later_failure_in_stage(tmp_path, spark):
+    """Each successful DDL commits immediately: when a LATER statement
+    in the same stage fails and the transaction rolls back, the earlier
+    statements (already counted in ddl_done) must survive in the
+    database instead of being silently discarded with the rollback."""
+    cfg = _cfg(tmp_path)
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="good",
+                columns=[ColumnMeta("id", "bigint", False)],
+                primary_key=["id"],
+                row_count=1,
+                pk_bounds=(1, 1),
+            ),
+            TableMeta(
+                name="bad",
+                columns=[ColumnMeta("id", "bigint", False)],
+                primary_key=["id"],
+                row_count=1,
+                pk_bounds=(1, 1),
+            ),
+        ]
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    written = {}
+    conn = _TxnConn(fail_if="bad")
+
+    from mysql2pg_spark.runlog import RunLogger
+
+    result = MigrationPipeline(cfg, snap).execute(
+        spark,
+        conn,
+        source_reader=lambda sp, plan: src,
+        sink_writer=lambda df, table: written.setdefault(table, df.collect()),
+        dest_reader=lambda sp, table: sp.createDataFrame(
+            written[table], "id long"
+        ),
+        logger=RunLogger(str(tmp_path / "logs")),
+    )
+    # the good table's CREATE TABLE was committed BEFORE bad's failure
+    # rolled the transaction back — nothing of it was lost
+    assert any(
+        "good" in s and "CREATE TABLE" in s for s in conn.committed
+    ), conn.committed
+    assert conn.pending == []            # nothing left uncommitted
+    assert conn.rollbacks >= 1           # the failure still rolled back
+    # and the run log counted exactly the statements that are durable
+    assert result["ddl"] == len(conn.committed)
