@@ -313,7 +313,9 @@ SELECT 'scalar_fns' AS part, a.c_custkey, a.total, a.level, a.label,
        CAST(NULL AS VARCHAR) AS tier, CAST(NULL AS BIGINT) AS n_orders,
        CAST(NULL AS DOUBLE) AS total_spend,
        CAST(NULL AS VARCHAR) AS flag, CAST(NULL AS BIGINT) AS n_guarded,
-       CAST(NULL AS DOUBLE) AS guarded_rev
+       CAST(NULL AS DOUBLE) AS guarded_rev,
+       CAST(NULL AS VARCHAR) AS status, CAST(NULL AS BIGINT) AS n_caught,
+       CAST(NULL AS DOUBLE) AS guarded_sum
 FROM {_sub("sf01_stored_functions")} a
 LEFT JOIN {_sub("sf02_stored_function_udf")} b ON b.o_custkey = a.c_custkey
 UNION ALL
@@ -321,6 +323,7 @@ SELECT 'cursor_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        c.om, c.picked_n, c.spent,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("sf03_cursor_loop_twin")} c
@@ -330,6 +333,7 @@ SELECT 'case_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        d.tier, d.n_orders, d.total_spend,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("sf04_case_block_twin")} d
 UNION ALL
@@ -338,9 +342,19 @@ SELECT 'signal_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-       e.flag, e.n_guarded, e.guarded_rev
+       e.flag, e.n_guarded, e.guarded_rev,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
 FROM {_sub("sf05_signal_guard_twin")} e
-ORDER BY part, c_custkey, om, tier, flag
+UNION ALL
+SELECT 'nested_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       f.status, f.n_caught, f.guarded_sum
+FROM {_sub("sf06_nested_guard_twin")} f
+ORDER BY part, c_custkey, om, tier, flag, status
 """,
 )
 def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +373,9 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as does the SIGNAL / named-condition / specific-SQLSTATE twin
     case_twin = QUERIES["sf04_case_block_twin"](spark, sf_dir)
     signal_twin = QUERIES["sf05_signal_guard_twin"](spark, sf_dir)
+    # round 8: the nested-block-with-inner-handler function's set-based
+    # twin joins the battery the round that shape became translatable
+    nested_twin = QUERIES["sf06_nested_guard_twin"](spark, sf_dir)
     return _tagged_union(
         "part",
         [
@@ -366,6 +383,7 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("cursor_twin", cursor_twin),
             ("case_twin", case_twin),
             ("signal_twin", signal_twin),
+            ("nested_twin", nested_twin),
         ],
     )
 

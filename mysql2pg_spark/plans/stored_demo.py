@@ -443,3 +443,70 @@ def sf05_signal_guard_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# --------------------------------------------------------------------------
+# sf06 — the nested-block-with-inner-handler stored function's set-based
+# twin (round-8 C95 widening: block-scoped DECLAREs and handlers).
+# NESTED_GUARD_DDL exercises the two shapes round 8 made translatable —
+# a handler declared INSIDE a nested BEGIN…END (it becomes that block's
+# own EXCEPTION clause; round 7 refused these, the reference strips
+# them at sync_functions.go:1086) and an inner-block DECLARE whose
+# DEFAULT re-initializes on every entry (the round-7 scope-lift
+# initialized once — the ADVICE mistranslation).  The per-row
+# raise+catch collapses set-based into one CASE branch: rows whose
+# inner block would raise 22012 (quantity = 25 makes the probe divisor
+# zero) take the handler's sentinel, all others the price — no per-row
+# error machinery, decimal-exact, one map-side projection + a grouped
+# aggregate.  That collapse is the 100 TB rewrite: a raise per row
+# serializes in any engine, a CASE branch is free.
+# --------------------------------------------------------------------------
+NESTED_GUARD_DDL = """
+CREATE FUNCTION guarded_price(p_price DECIMAL(18,2), p_qty INT)
+RETURNS DECIMAL(18,2)
+DETERMINISTIC
+BEGIN
+  DECLARE r DECIMAL(18,2) DEFAULT 0;
+  BEGIN
+    DECLARE chk DECIMAL(18,2) DEFAULT 0;
+    DECLARE EXIT HANDLER FOR SQLSTATE '22012' SET r = -1;
+    SET chk = p_price / (p_qty - 25);
+    SET r = p_price;
+  END;
+  RETURN r;
+END
+"""
+
+_NG_GUARD = "l_quantity = 25"
+
+
+@query(
+    "sf06_nested_guard_twin",
+    oracle=f"""
+SELECT l_linestatus AS status,
+       CAST(SUM(CASE WHEN {_NG_GUARD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST(SUM(CASE WHEN {_NG_GUARD} THEN CAST(-1 AS DECIMAL(38,4))
+                ELSE CAST(l_extendedprice AS DECIMAL(38,4)) END)
+            AS DOUBLE) AS guarded_sum
+FROM lineitem
+GROUP BY 1 ORDER BY status
+""",
+    driver=False,
+)
+def sf06_nested_guard_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    guard = F.col("l_quantity") == 25
+    per_row = (
+        F.when(guard, F.lit(-1).cast(DEC))
+        .otherwise(F.col("l_extendedprice").cast(DEC))
+    )
+    return (
+        li.groupBy(F.col("l_linestatus").alias("status"))
+        .agg(
+            F.sum(F.when(guard, 1).otherwise(0)).cast("bigint")
+            .alias("n_caught"),
+            F.sum(per_row).cast("double").alias("guarded_sum"),
+        )
+        .orderBy("status")
+    )
