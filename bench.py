@@ -273,7 +273,10 @@ def _bench_streaming(spark, sf_dir: str, reps: int = 1) -> dict:
     per-user counters (w04 family). Per-trigger numbers come from the
     query's own recentProgress, not wall/8 guessing. Median-of-reps
     (each rep a fresh end-to-end backfill) with [min, med, max]
-    spread, so the rows/s trend is dispersion-robust."""
+    spread, so the rows/s trend is dispersion-robust.  rows /
+    triggers / trigger-latency are collected PER REP and the emitted
+    values come from the median-wall rep, so rows_per_sec's numerator
+    and denominator are the same rep's observation."""
     from mysql2pg_spark.streaming import ingest
 
     out: dict = {}
@@ -282,14 +285,14 @@ def _bench_streaming(spark, sf_dir: str, reps: int = 1) -> dict:
         ("stateful", ingest.run_stateful_user_counts),
     ):
         walls: list[float] = []
-        rows = 0
-        trig_ms: list[float] = []
+        rep_rows: list[int] = []
+        rep_trig: list[list[float]] = []
         for i in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir, sink_table=f"bench_stream_{tag}{i}").count()
             walls.append(time.perf_counter() - t0)
             rows = 0
-            trig_ms = []
+            trig_ms: list[float] = []
             for p in ingest.LAST_PROGRESS:
                 try:
                     d = p if isinstance(p, dict) else json.loads(p.json)
@@ -299,7 +302,10 @@ def _bench_streaming(spark, sf_dir: str, reps: int = 1) -> dict:
                         trig_ms.append(float(ms))
                 except Exception:
                     continue
-        wall = sorted(walls)[len(walls) // 2]
+            rep_rows.append(rows)
+            rep_trig.append(trig_ms)
+        med_i = sorted(range(reps), key=lambda j: walls[j])[reps // 2]
+        wall, rows, trig_ms = walls[med_i], rep_rows[med_i], rep_trig[med_i]
         out[f"streaming_{tag}_sec"] = round(wall, 3)
         out[f"streaming_{tag}_rows"] = rows
         out[f"streaming_{tag}_rows_per_sec"] = round(rows / max(wall, 1e-9), 1)
