@@ -13,7 +13,7 @@ Three modes, least- to most-connected:
              connection (requires driver jars and a psycopg-style
              module; everything is injected through execute()'s seams).
   dump       offline migration from a mysqldump file: schema AND data
-             both come from the dump (snapshot_from_dump +
+             both come from the dump (full_snapshot_from_dump +
              dump_source_reader), written to a parquet sink dir with
              validation — no servers at all.
   duckdb     the full live execute() path — real DDL execution, real
@@ -137,11 +137,11 @@ def main(argv: list[str] | None = None) -> int:
         from mysql2pg_spark.sources.dumpfile import (
             dump_read_schemas,
             read_dump_inserts,
-            snapshot_from_dump,
+            full_snapshot_from_dump,
         )
 
         spark = get_spark(app_name="mysql2pg_spark-cli")
-        snap = snapshot_from_dump(spark, args.dump_file)
+        snap = full_snapshot_from_dump(spark, args.dump_file)
         schemas = dump_read_schemas(snap)
         pipe = MigrationPipeline(cfg, snap)
         result = pipe.execute_local(
@@ -180,10 +180,10 @@ def main(argv: list[str] | None = None) -> int:
             from mysql2pg_spark.sources.dumpfile import (
                 dump_read_schemas,
                 read_dump_inserts,
-                snapshot_from_dump,
+                full_snapshot_from_dump,
             )
 
-            snap = snapshot_from_dump(spark, args.dump_file)
+            snap = full_snapshot_from_dump(spark, args.dump_file)
             schemas = dump_read_schemas(snap)
             source_reader = lambda sp, plan: read_dump_inserts(  # noqa: E731
                 sp, args.dump_file, plan["table"], schemas[plan["table"]]
@@ -248,9 +248,9 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         if args.dump_file:
             from mysql2pg_spark.session import get_spark
-            from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+            from mysql2pg_spark.sources.dumpfile import full_snapshot_from_dump
 
-            snap = snapshot_from_dump(
+            snap = full_snapshot_from_dump(
                 get_spark(app_name="mysql2pg_spark-cli"), args.dump_file
             )
         else:

@@ -965,11 +965,14 @@ def functions_from_sql(path: str) -> list[str]:
     tracks ``DELIMITER <tok>`` lines, splits on the ACTIVE delimiter,
     and returns only the CREATE FUNCTION statements (A9 scan shape,
     ready for ``sinks.plpgsql_builder.build_spec_from_mysql``)."""
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        return functions_from_text(fh.read())
+
+
+def functions_from_text(text: str) -> list[str]:
     out: list[str] = []
     delim = ";"
     buf: list[str] = []
-    with open(path, encoding="utf-8", errors="replace") as fh:
-        text = fh.read()
     for line in text.splitlines():
         stripped = line.strip()
         mo = _re.match(r"(?i)^DELIMITER\s+(\S+)\s*$", stripped)
@@ -1003,3 +1006,46 @@ def functions_from_sql(path: str) -> list[str]:
             ):
                 out.append(stmt)
     return out
+
+
+def dump_schema_text(path: str) -> str:
+    """The NON-data text of a mysqldump, streamed line-by-line with the
+    INSERT bulk dropped — what the statement-level scans (views,
+    routines) may safely hold driver-side. A real dump is ~99% INSERT
+    lines (mysqldump emits each extended INSERT as one line), so this
+    stays tiny at any dump size; the data itself only ever moves through
+    the distributed readers (``read_dump_inserts`` / the mysqldump
+    DataSource)."""
+    keep: list[str] = []
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            low = line.lstrip().lower()
+            if low.startswith(
+                ("insert into", "insert ignore into", "replace into")
+            ):
+                continue
+            keep.append(line.rstrip("\n"))
+    return "\n".join(keep)
+
+
+def full_snapshot_from_dump(spark: SparkSession, path: str):
+    """CatalogSnapshot from a COMPLETE mysqldump artifact: the table
+    corpus (``snapshot_from_dump``) plus everything else a real
+    ``mysqldump --routines`` file carries — ``/*!50001*/``-wrapped view
+    definitions (parsed via the conditional-comment-aware statement
+    splitter) and DELIMITER-switched ``/*!50003 CREATE*/ … FUNCTION``
+    routines (raw MySQL DDL; the orchestrator's functions stage builds
+    plpgsql specs from them, refusing — visibly — what it cannot
+    translate). This is the one-call A-scan for file-based sources:
+    reference parity A4-A9 (sync_tables.go / sync_views.go /
+    sync_functions.go scans) from a single offline artifact."""
+    snap = snapshot_from_dump(spark, path)
+    schema_text = dump_schema_text(path)
+    views: dict[str, str] = {}
+    for stmt in iter_sql_statements(schema_text):
+        mo = _VIEW_STMT_RE.match(stmt)
+        if mo:
+            views[mo.group(1)] = mo.group(2).strip()
+    snap.views = views
+    snap.functions = list(functions_from_text(schema_text))
+    return snap

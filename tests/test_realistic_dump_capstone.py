@@ -1,0 +1,255 @@
+"""Round-8 capstone (VERDICT ask #2): the whole A+→B→C95 chain from ONE
+byte-realistic ``mysqldump --routines`` artifact.
+
+``tools/make_mysqldump.py`` renders the reference's fixture corpus
+(`scripts/mysql/*` — the inputs to its own integration test) in real
+mysqldump 8.0 layout: `/*!40101 SET …*/` header blocks, DROP+CREATE
+per table with inlined KEY lines, LOCK TABLES/DISABLE KEYS around the
+data, `/*!50001 CREATE TABLE*/` view stand-ins plus the final
+`/*!50001 … VIEW … AS …*/` definitions, and a `--routines` section
+with DELIMITER switching and `/*!50003 CREATE*/ /*!50020 DEFINER=…*/`
+conditional-comment wraps. The pipeline then migrates that single file
+into a real engine (DuckDB standing in for PostgreSQL): schema, data,
+views, cross-engine checksums — and the routines emit golden-pinned
+plpgsql through the C95 translator.
+
+Reference parity: this is the dump-file analog of
+scripts/integrationtests (test_reference_corpus_migration.py covers
+the script-corpus form); the reference itself has no offline-dump
+path at all.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+import yaml
+
+from mysql2pg_spark.config import load_config
+from mysql2pg_spark.orchestrator import MigrationPipeline
+from mysql2pg_spark.runlog import RunLogger
+from mysql2pg_spark.sinks.dbapi_sink import make_dbapi_writer
+from mysql2pg_spark.sources.dumpfile import (
+    dump_read_schemas,
+    full_snapshot_from_dump,
+    read_dump_inserts,
+)
+from tools.make_mysqldump import render_corpus_dump
+
+GOLDEN_FUNCTIONS = "tests/golden/corpus_functions_pg.sql"
+
+
+@pytest.fixture(scope="module")
+def dump_path(tmp_path_factory):
+    return render_corpus_dump(
+        str(tmp_path_factory.mktemp("dump") / "corpus_dump.sql")
+    )
+
+
+def test_dump_is_byte_realistic(dump_path):
+    """The artifact carries every mysqldump-ism the parsers must
+    survive — if one goes missing the fixture has drifted into the
+    sanitized form the round-7 unit tests already covered."""
+    text = open(dump_path).read()
+    assert text.startswith("-- MySQL dump 10.13")
+    assert "/*!40101 SET @OLD_CHARACTER_SET_CLIENT" in text
+    assert text.count("DELIMITER ;;") == 3  # one per routine
+    assert "/*!50003 CREATE*/ /*!50020 DEFINER=`root`@`localhost`*/" in text
+    assert text.count("/*!50001 CREATE TABLE") == 10  # view stand-ins
+    assert text.count("/*!50001 VIEW") == 10  # final definitions
+    assert len(re.findall(r"(?m)^LOCK TABLES `\w+` WRITE;$", text)) >= 55
+    assert "/*!40000 ALTER TABLE" in text  # DISABLE/ENABLE KEYS
+    assert "Dump completed on" in text.splitlines()[-1]
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark, dump_path):
+    return full_snapshot_from_dump(spark, dump_path)
+
+
+def test_full_snapshot_carries_every_section(snapshot):
+    assert len(snapshot.tables) >= 55
+    # the standalone index corpus came back INLINE (mysqldump form)
+    assert sum(len(t.indexes) for t in snapshot.tables) >= 100
+    assert len(snapshot.views) == 10
+    # view bodies are the REAL definitions (they select FROM the
+    # migrated tables), not the FROM-less `1 AS col` stand-ins
+    assert all(
+        re.search(r"(?i)\bfrom\b", b) for b in snapshot.views.values()
+    )
+    assert len(snapshot.functions) == 3
+
+
+def test_corpus_functions_emit_golden_plpgsql(snapshot):
+    """C95 end-to-end from the dump's /*!50003*/-wrapped routines to
+    byte-pinned plpgsql. The reference strips handlers and regex-patches
+    these bodies (sync_functions.go:1086); here they parse through the
+    statement-tree builder. Regenerate the golden with
+    tools/dump_corpus_functions.py when emission changes on purpose."""
+    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+    from mysql2pg_spark.sinks.plpgsql_builder import build_spec_from_mysql
+
+    emitted = [
+        emit_plpgsql(build_spec_from_mysql(f)) for f in snapshot.functions
+    ]
+    assert [e.splitlines()[0] for e in emitted] == [
+        "CREATE OR REPLACE FUNCTION get_joined_data(p_id INTEGER)",
+        "CREATE OR REPLACE FUNCTION get_combined_data(p_status INTEGER)",
+        "CREATE OR REPLACE FUNCTION get_detailed_data(p_id INTEGER)",
+    ]
+    golden = open(GOLDEN_FUNCTIONS).read()
+    body = "\n".join(e + "\n" for e in emitted)
+    assert golden.endswith(body), "golden drift — regenerate if intended"
+
+
+def _cfg(tmp_path, name: str, options: dict):
+    p = tmp_path / name
+    p.write_text(
+        yaml.safe_dump(
+            {
+                "mysql": {"host": "h", "database": "d"},
+                "postgresql": {"host": "p", "database": "d"},
+                "conversion": {
+                    "options": options,
+                    "limits": {"concurrency": 2, "max_rows_per_batch": 100},
+                },
+            }
+        )
+    )
+    return load_config(str(p))
+
+
+def test_dump_migrates_end_to_end_into_duckdb(
+    spark, tmp_path, dump_path, snapshot
+):
+    """One dump file → real engine: DDL for the whole corpus, data for
+    the seeded tables through the distributed dump reader, views over
+    the migrated tables, functions surfaced (skip on DuckDB, which has
+    no plpgsql — the payload is golden-checked above), and count +
+    cross-engine checksum validation green."""
+    seeded = set()
+    for line in open(dump_path):
+        mo = re.match(r"(?i)^\s*INSERT\s+INTO\s+`?(\w+)`?", line)
+        if mo:
+            seeded.add(mo.group(1).lower())
+    assert len(seeded) >= 5
+
+    schemas = dump_read_schemas(snapshot)
+    con = duckdb.connect()
+    ddl_cfg = _cfg(tmp_path, "ddl.yml", {
+        "data": False, "validate_data": False,
+        "view": True, "functions": True,
+    })
+    ddl_result = MigrationPipeline(ddl_cfg, snapshot).execute(
+        spark,
+        con,
+        source_reader=lambda sp, plan: None,
+        sink_writer=lambda df, t: None,
+        dest_reader=lambda sp, t: None,
+        logger=RunLogger(str(tmp_path / "logs_ddl")),
+        target_dialect="duckdb",
+    )
+    assert ddl_result["ddl"] >= len(snapshot.tables)
+
+    data_cfg = _cfg(tmp_path, "data.yml", {
+        "tableddl": False, "indexes": False,
+    })
+    data_cfg.options.table_list = sorted(seeded)
+    data_cfg.options.use_table_list = True
+    result = MigrationPipeline(data_cfg, snapshot).execute(
+        spark,
+        con,
+        source_reader=lambda sp, plan: read_dump_inserts(
+            sp, dump_path, plan["table"], schemas[plan["table"]]
+        ),
+        sink_writer=make_dbapi_writer(
+            con.cursor, paramstyle="qmark", via="driver"
+        ),
+        dest_reader=lambda sp, table: sp.createDataFrame(
+            con.cursor()
+            .execute(f'SELECT * FROM "{table}"')
+            .fetch_arrow_table()
+        ),
+        logger=RunLogger(str(tmp_path / "logs_data")),
+        target_dialect="duckdb",
+    )
+
+    made = {
+        r[0]
+        for r in con.execute(
+            "SELECT table_name FROM duckdb_tables()"
+        ).fetchall()
+    }
+    assert len(made) >= len(snapshot.tables)
+    # the inlined KEY corpus executed as real index DDL
+    assert con.execute(
+        "SELECT count(*) FROM duckdb_indexes()"
+    ).fetchone()[0] >= 90
+    made_views = {
+        r[0]
+        for r in con.execute(
+            "SELECT view_name FROM duckdb_views() "
+            "WHERE view_name LIKE 'view_case%'"
+        ).fetchall()
+    }
+    assert len(made_views) >= 9, sorted(made_views)
+
+    # data + cross-engine checksums for the seeded tables
+    expect = {
+        "case_01_integers": 1,
+        "case_02_boolean": 2,
+        "case_03_floats": 10,
+        "case_10_defaults": 1,
+        "case_11_autoincrement": 2,
+        "case_27_mysql8_check": 2,
+    }
+    for t, n in expect.items():
+        assert result["synced"].get(t) == n, (t, result["synced"].get(t))
+        assert result["validation"][t]["consistent"] is True, (
+            t,
+            result["validation"][t],
+        )
+    assert con.execute(
+        "SELECT col_small FROM case_01_integers"
+    ).fetchone()[0] == -32768
+    con.close()
+
+
+def test_cli_pgddl_mode_on_realistic_dump(dump_path, capsys):
+    """The top-level CLI surface over the same artifact: a reviewable
+    PostgreSQL schema script with the corpus tables, views AND the
+    three plpgsql routines, passing the structural lint gate."""
+    from mysql2pg_spark.__main__ import main
+
+    import yaml as _yaml
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cfgp = f"{td}/cfg.yml"
+        with open(cfgp, "w") as fh:
+            _yaml.safe_dump(
+                {
+                    "mysql": {"host": "h", "database": "d"},
+                    "postgresql": {"host": "p", "database": "d"},
+                    "conversion": {
+                        "options": {},
+                        "limits": {"concurrency": 1,
+                                   "max_rows_per_batch": 100},
+                    },
+                },
+                fh,
+            )
+        rc = main([
+            "-c", cfgp, "--mode", "pgddl",
+            "--dump-file", dump_path, "--check",
+        ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("CREATE TABLE") >= 55
+    assert out.count("CREATE OR REPLACE VIEW") + out.count(
+        "CREATE VIEW"
+    ) >= 9
+    assert out.count("CREATE OR REPLACE FUNCTION") == 3
+    assert "$$ LANGUAGE plpgsql" in out
