@@ -82,7 +82,11 @@ _UNSUPPORTED = (
 _PROCEDURAL = re.compile(
     r"\bCURSOR\b|\bHANDLER\b|\bWHILE\b|\bREPEAT\b|\bLOOP\b|\bFETCH\b|"
     r"\bITERATE\b|\bLEAVE\b|\bBEGIN\b|\bEND\s+CASE\b|\bSIGNAL\b|"
-    r"\bRESIGNAL\b|\bIF\b(?!\s*\()",
+    r"\bRESIGNAL\b|\bIF\b(?!\s*\()|"
+    # body DML (round 8): the statement-tree parser owns INSERT/UPDATE/
+    # DELETE passthrough and the REPLACE refusal
+    r"^\s*(?:INSERT|UPDATE|DELETE|REPLACE)\b|"
+    r";\s*(?:INSERT|UPDATE|DELETE|REPLACE)\b",
     re.I,
 )
 

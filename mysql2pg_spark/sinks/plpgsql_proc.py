@@ -74,8 +74,14 @@ error matches MySQL's "Case not found"), and these handler shapes:
   clause with ``OR`` (round 8).
 * ``DECLARE err CONDITION FOR SQLSTATE 'xxxxx'`` — named conditions
   resolve through the scope chain, so ``SIGNAL err`` and ``HANDLER FOR
-  err`` translate through the SQLSTATE paths.  A condition declared
-  for a bare MySQL errno has no SQLSTATE to map and refuses.
+  err`` translate through the SQLSTATE paths.
+* Bare MySQL errnos (round 8) — ``HANDLER FOR 1062`` and ``DECLARE dup
+  CONDITION FOR 1062`` map through ``MYSQL_ERRNO_SQLSTATE`` to the
+  SQLSTATE the equivalent PostgreSQL runtime error carries (1062 →
+  unique_violation 23505, 1452 → foreign_key_violation 23503, …).
+  Errnos outside the well-known table refuse, and ``SIGNAL`` on an
+  errno-declared condition refuses exactly as MySQL itself does
+  (ER_SIGNAL_BAD_CONDITION_TYPE).
 * ``SIGNAL SQLSTATE 'xxxxx' [SET MESSAGE_TEXT = …, MYSQL_ERRNO = …]``
   → ``RAISE EXCEPTION USING ERRCODE = 'xxxxx'[, MESSAGE = …][, HINT =
   'MYSQL_ERRNO …']`` — the validation-raise idiom real MySQL functions
@@ -111,8 +117,11 @@ statement than the block's EXCEPTION clause, inverting precedence).
 Also handled: MySQL's multi-assignment ``SET a = 1, b = a`` splits —
 paren-aware, at the top level only — into sequential plpgsql
 assignments (``a := 1; b := a;``; MySQL evaluates left-to-right too),
-and comma-list declarations ``DECLARE a, b INT DEFAULT 0`` become one
-declaration per name.
+comma-list declarations ``DECLARE a, b INT DEFAULT 0`` become one
+declaration per name, and body DML (round 8) — ``INSERT`` / ``UPDATE``
+/ ``DELETE`` in MODIFIES SQL DATA functions pass through with the
+expression rewrite applied (plpgsql runs plain SQL natively;
+``REPLACE INTO`` refuses — see :class:`Dml`).
 """
 
 from __future__ import annotations
@@ -146,6 +155,19 @@ class RowCountInto:
 class SelectInto:
     select_sql: str                  # PG dialect, INTO removed
     into_vars: list[str]
+
+
+@dataclass
+class Dml:
+    """``INSERT`` / ``UPDATE`` / ``DELETE`` inside a MODIFIES SQL DATA
+    body (round 8) — plpgsql runs plain SQL statements natively, so the
+    translation is the expression rewrite (MySQL function spellings →
+    PG) and verbatim emission. Raise-capable, so the CONTINUE-handler
+    wrap treats it like any other statement. ``REPLACE INTO`` refuses:
+    its delete-then-insert semantics (fired triggers, FK cascades)
+    differ from ``INSERT … ON CONFLICT`` in observable ways."""
+
+    sql: str                         # PG dialect
 
 
 @dataclass
@@ -301,6 +323,8 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
                 f"{pad}{st.select_sql}\n{pad}INTO "
                 + ", ".join(st.into_vars) + ";"
             )
+        elif isinstance(st, Dml):
+            out.append(f"{pad}{st.sql};")
         elif isinstance(st, Return):
             out.append(f"{pad}RETURN {st.expr};")
         elif isinstance(st, If):
@@ -434,6 +458,10 @@ _RE_HANDLER_HEAD = re.compile(
     r"(CONTINUE|EXIT|UNDO)\s+HANDLER\s+FOR\s+", re.I
 )
 #: one handler condition: SQLEXCEPTION / SQLWARNING / NOT FOUND /
+#: expression-position ROW_COUNT() (the SET path pre-empts the
+#: assignment form, so any survivor needs hoisting or refusal)
+_RC_EXPR = re.compile(r"ROW_COUNT\s*\(\s*\)", re.I)
+
 #: SQLSTATE [VALUE] '…' (literal possibly masked) / bare errno /
 #: a declared condition name
 _RE_COND_TOKEN = re.compile(
@@ -441,6 +469,35 @@ _RE_COND_TOKEN = re.compile(
     r"SQLSTATE(?:\s+VALUE)?\s+(?:\x00L\d+\x00|'[^'\n]*')|\d+\b|\w+",
     re.I,
 )
+
+
+#: MySQL errno → the SQLSTATE the EQUIVALENT PostgreSQL error carries at
+#: runtime. Both columns are public record (MySQL's Server Error Message
+#: Reference; PostgreSQL's Appendix A errcodes). The mapping targets
+#: what the handler will actually CATCH once the function runs on
+#: PostgreSQL: a MySQL `HANDLER FOR 1062` traps duplicate-key, and on
+#: PostgreSQL that same failure raises unique_violation 23505 — so 1062
+#: maps to 23505, not to MySQL's own generic 23000. Errnos outside this
+#: table refuse (raise-don't-mistranslate); the reference strips ALL
+#: handlers wholesale (sync_functions.go:1086).
+MYSQL_ERRNO_SQLSTATE = {
+    1022: "23505",  # ER_DUP_KEY
+    1048: "23502",  # ER_BAD_NULL_ERROR
+    1062: "23505",  # ER_DUP_ENTRY
+    1146: "42P01",  # ER_NO_SUCH_TABLE
+    1205: "55P03",  # ER_LOCK_WAIT_TIMEOUT
+    1213: "40P01",  # ER_LOCK_DEADLOCK
+    1216: "23503",  # ER_NO_REFERENCED_ROW
+    1217: "23503",  # ER_ROW_IS_REFERENCED
+    1264: "22003",  # ER_WARN_DATA_OUT_OF_RANGE (strict mode error)
+    1292: "22007",  # ER_TRUNCATED_WRONG_VALUE (bad datetime literal)
+    1365: "22012",  # ER_DIVISION_BY_ZERO
+    1406: "22001",  # ER_DATA_TOO_LONG
+    1451: "23503",  # ER_ROW_IS_REFERENCED_2
+    1452: "23503",  # ER_NO_REFERENCED_ROW_2
+    1690: "22003",  # ER_DATA_OUT_OF_RANGE
+    3819: "23514",  # ER_CHECK_CONSTRAINT_VIOLATED
+}
 
 
 @dataclass
@@ -454,7 +511,10 @@ class _Scope:
     declares: list = field(default_factory=list)     # [(name, pg decl)]
     raw_defaults: dict = field(default_factory=dict)  # name → masked default
     cursors: dict = field(default_factory=dict)       # name → PG select
-    conditions: dict = field(default_factory=dict)    # name → masked literal
+    #: name → (masked SQLSTATE literal, declared-from-bare-errno?) —
+    #: the flag gates SIGNAL, which MySQL only allows on
+    #: SQLSTATE-defined conditions (ER_SIGNAL_BAD_CONDITION_TYPE)
+    conditions: dict = field(default_factory=dict)
     #: NOT FOUND handler: boolean-flag variable (canonical form) and/or
     #: the parsed action statements for the FETCH IF-NOT-FOUND arm
     flag: str | None = None
@@ -477,6 +537,7 @@ class _Parser:
         self.pg_type = pg_type       # MySQL type string → PG type
         self.scope: _Scope | None = None
         self.in_handler = False      # RESIGNAL legality context
+        self._rc_n = 0               # ROW_COUNT() hoist counter
 
     # -- lexing helpers ----------------------------------------------------
     def _skip_ws(self) -> None:
@@ -554,7 +615,9 @@ class _Parser:
                 return s.cursors[name]
         return None
 
-    def _lookup_condition(self, name: str) -> str | None:
+    def _lookup_condition(self, name: str) -> "tuple[str, bool] | None":
+        """(masked SQLSTATE literal, errno-declared?) through the scope
+        chain — innermost wins, like MySQL and plpgsql both resolve."""
         for s in self._scopes():
             if name in s.conditions:
                 return s.conditions[name]
@@ -573,6 +636,37 @@ class _Parser:
         for flag in self._flags_in_scope():
             masked = normalize_flag_comparisons(masked, flag)
         return self.rewrite_user(masked)
+
+    def _hoist_row_count(self, exprs: list) -> tuple[list, list]:
+        """PG has no expression-position ``ROW_COUNT()`` — only ``GET
+        DIAGNOSTICS v = ROW_COUNT`` (an assignment). An expression
+        using it (``IF ROW_COUNT() = 0 THEN …``, an audit INSERT)
+        hoists to a synthesized BIGINT read immediately before the
+        statement: the observation point is identical, because both
+        engines report the statement BEFORE this one and nothing runs
+        in between. Loop conditions must NOT use this (they re-observe
+        each iteration after body DML) — their parse sites refuse
+        instead. Returns (exprs with the call replaced, prelude
+        statements to emit first)."""
+        if not any(e and _RC_EXPR.search(e) for e in exprs):
+            return exprs, []
+        var = f"__rc{self._rc_n}" if self._rc_n else "__rc"
+        self._rc_n += 1
+        self._declare(var, "BIGINT", None)
+        return (
+            [_RC_EXPR.sub(var, e) if e else e for e in exprs],
+            [RowCountInto(var)],
+        )
+
+    def _refuse_loop_row_count(self, cond: str, kind: str) -> str:
+        if cond and _RC_EXPR.search(cond):
+            raise ProcParseError(
+                f"function {self.fname}: ROW_COUNT() in a {kind} "
+                "condition re-observes every iteration — a hoisted "
+                "GET DIAGNOSTICS would freeze it (assign it inside "
+                "the loop body instead)"
+            )
+        return cond
 
     # -- declarations (block start; MySQL requires them there) -------------
     def _parse_declares(self) -> None:
@@ -614,15 +708,22 @@ class _Parser:
                 r"SQLSTATE(?:\s+VALUE)?\s+(\x00L\d+\x00|'[^'\n]*')",
                 target, re.I,
             )
-            if not tmo:
-                raise ProcParseError(
-                    f"function {self.fname}: CONDITION {name!r} declared "
-                    f"FOR {target!r} — only `CONDITION FOR SQLSTATE "
-                    "'xxxxx'` resolves to a plpgsql-catchable condition "
-                    "(a bare MySQL errno has no SQLSTATE)"
+            if tmo:
+                self.scope.conditions[name] = (tmo.group(1), False)
+                return
+            emo = re.fullmatch(r"\d+", target)
+            if emo and int(target) in MYSQL_ERRNO_SQLSTATE:
+                self.scope.conditions[name] = (
+                    f"'{MYSQL_ERRNO_SQLSTATE[int(target)]}'", True,
                 )
-            self.scope.conditions[name] = tmo.group(1)
-            return
+                return
+            raise ProcParseError(
+                f"function {self.fname}: CONDITION {name!r} declared "
+                f"FOR {target!r} — only `CONDITION FOR SQLSTATE "
+                "'xxxxx'` or a well-known MySQL errno (the "
+                "MYSQL_ERRNO_SQLSTATE table) resolves to a "
+                "plpgsql-catchable condition"
+            )
         cm = re.match(r"(\w+(?:\s*,\s*\w+)*)\s+(.+)$", raw, re.S)
         if not cm:
             raise ProcParseError(
@@ -713,19 +814,23 @@ class _Parser:
             elif cu.startswith("SQLSTATE"):
                 atoms.append(self._sqlstate_cond(c))
             elif re.fullmatch(r"\d+", cu):
-                raise ProcParseError(
-                    f"function {self.fname}: HANDLER FOR bare MySQL "
-                    f"errno {cu} — an errno has no SQLSTATE to map "
-                    "(declare a CONDITION FOR SQLSTATE instead)"
-                )
+                code = MYSQL_ERRNO_SQLSTATE.get(int(cu))
+                if code is None:
+                    raise ProcParseError(
+                        f"function {self.fname}: HANDLER FOR MySQL "
+                        f"errno {cu} — outside the well-known errno → "
+                        "SQLSTATE table (declare a CONDITION FOR "
+                        "SQLSTATE instead)"
+                    )
+                atoms.append(f"SQLSTATE '{code}'")
             else:
-                lit = self._lookup_condition(c.strip().lower())
-                if lit is None:
+                cond = self._lookup_condition(c.strip().lower())
+                if cond is None:
                     raise ProcParseError(
                         f"function {self.fname}: HANDLER FOR UNDECLARED "
                         f"condition name {c.strip()!r}"
                     )
-                atoms.append(self._sqlstate_cond("SQLSTATE " + lit))
+                atoms.append(self._sqlstate_cond("SQLSTATE " + cond[0]))
 
         if "NOT FOUND" in atoms:
             if len(atoms) > 1:
@@ -922,13 +1027,21 @@ class _Parser:
             body, term = self.parse_block(_T_UNTIL)
             cond = self._until_kw(_T_END_REPEAT, "END REPEAT")
             self._finish_compound()
-            return RepeatUntil(body, self._rewrite(cond), label)
+            return RepeatUntil(
+                body,
+                self._refuse_loop_row_count(self._rewrite(cond), "UNTIL"),
+                label,
+            )
         if self._at(_kw("WHILE")):
             self._eat(_kw("WHILE"), "WHILE")
             cond = self._until_kw(_T_DO, "DO after WHILE condition")
             body, _ = self.parse_block(_T_END_WHILE)
             self._finish_compound()
-            return While(self._rewrite(cond), body, label)
+            return While(
+                self._refuse_loop_row_count(self._rewrite(cond), "WHILE"),
+                body,
+                label,
+            )
         if self._at(_kw("BEGIN")):
             # nested compound with its own scope: declare section first
             # (exactly where MySQL requires it), then statements; the
@@ -948,7 +1061,7 @@ class _Parser:
         raw = self._until_semicolon()
         return self._parse_simple(raw)
 
-    def _parse_case(self) -> CaseStmt:
+    def _parse_case(self):
         """CASE statement, both forms: ``CASE WHEN cond THEN stmts …``
         (searched) and ``CASE expr WHEN val THEN stmts …`` (value);
         terminated by ``END CASE``. Branch bodies recurse through
@@ -968,6 +1081,16 @@ class _Parser:
                 branches.append((None, ebody))
             break
         self._finish_compound()
+        # CASE evaluates its subject once and its WHEN heads in order
+        # with nothing executing between them — one hoist is sound
+        flat = [subject_pg] + [c for c, _ in branches]
+        hoisted, prelude = self._hoist_row_count(flat)
+        if prelude:
+            subject_pg = hoisted[0]
+            branches = [
+                (h, b) for h, (_, b) in zip(hoisted[1:], branches)
+            ]
+            return prelude + [CaseStmt(subject_pg, branches)]
         return CaseStmt(subject_pg, branches)
 
     def _finish_compound(self) -> None:
@@ -981,7 +1104,7 @@ class _Parser:
         if self.i < len(self.s) and self.s[self.i] == ";":
             self.i += 1
 
-    def _parse_if(self) -> If:
+    def _parse_if(self):
         self._eat(_kw("IF"), "IF")
         branches: list[tuple[str | None, list]] = []
         cond = self._until_kw(_T_THEN, "THEN after IF condition")
@@ -996,6 +1119,13 @@ class _Parser:
                 continue
             break
         self._finish_compound()
+        # IF/ELSEIF heads evaluate in order with nothing executing
+        # between them — one hoist before the IF is sound
+        hoisted, prelude = self._hoist_row_count([c for c, _ in branches])
+        if prelude:
+            return prelude + [
+                If([(h, b) for h, (_, b) in zip(hoisted, branches)])
+            ]
         return If(branches)
 
     def _parse_simple(self, raw: str):
@@ -1019,11 +1149,24 @@ class _Parser:
                 if re.fullmatch(r"ROW_COUNT\s*\(\s*\)", raw_expr, re.I):
                     out.append(RowCountInto(var))
                     continue
-                expr = self._rewrite(raw_expr)
+                (expr,), prelude = self._hoist_row_count(
+                    [self._rewrite(raw_expr)]
+                )
+                out.extend(prelude)
                 if var in flags:
                     expr = _flag_literal(expr)
                 out.append(Assign(var, expr))
             return out if len(out) > 1 else out[0]
+        if up.startswith(("INSERT ", "UPDATE ", "DELETE ")):
+            (sql,), prelude = self._hoist_row_count([self._rewrite(raw)])
+            return prelude + [Dml(sql)] if prelude else Dml(sql)
+        if up.startswith("REPLACE "):
+            raise ProcParseError(
+                f"function {self.fname}: REPLACE INTO has "
+                "delete-then-insert semantics (triggers, FK cascades) "
+                "that INSERT … ON CONFLICT does not reproduce — "
+                "rewrite the body against PostgreSQL upsert explicitly"
+            )
         if up.startswith("SELECT"):
             into = re.search(r"\s+INTO\s+([\w\s,]+?)(?=\s+FROM\b|$)", raw, re.I)
             if not into:
@@ -1033,9 +1176,16 @@ class _Parser:
                 )
             vars_ = [v.strip().lower() for v in into.group(1).split(",")]
             sel = raw[: into.start()] + raw[into.end() :]
-            return SelectInto(self._rewrite(sel.strip()), vars_)
+            (sql,), prelude = self._hoist_row_count(
+                [self._rewrite(sel.strip())]
+            )
+            node = SelectInto(sql, vars_)
+            return prelude + [node] if prelude else node
         if up.startswith("RETURN"):
-            return Return(self._rewrite(raw[6:].strip()))
+            (expr,), prelude = self._hoist_row_count(
+                [self._rewrite(raw[6:].strip())]
+            )
+            return prelude + [Return(expr)] if prelude else Return(expr)
         mo = re.match(r"LEAVE\s*(\w+)?$", raw, re.I)
         if mo:
             return Leave(mo.group(1).lower() if mo.group(1) else None)
@@ -1092,13 +1242,24 @@ class _Parser:
             return Resignal()
         mo = re.match(r"SIGNAL\s+(\w+)\s*(?:SET\s+(.+))?$", raw, re.I | re.S)
         if mo:
-            lit = self._lookup_condition(mo.group(1).lower())
-            if lit is None:
+            cond = self._lookup_condition(mo.group(1).lower())
+            if cond is None:
                 raise ProcParseError(
                     f"function {self.fname}: SIGNAL with UNDECLARED "
                     f"condition name {mo.group(1)!r} (names declared "
                     "`CONDITION FOR SQLSTATE` resolve through the "
                     "scope chain)"
+                )
+            lit, from_errno = cond
+            if from_errno:
+                # MySQL itself rejects this (ER_SIGNAL_BAD_CONDITION_TYPE:
+                # SIGNAL/RESIGNAL can only use a CONDITION defined with
+                # SQLSTATE) — translating it would run code MySQL refuses
+                raise ProcParseError(
+                    f"function {self.fname}: SIGNAL {mo.group(1)!r} — "
+                    "the condition is declared FOR a MySQL errno, and "
+                    "MySQL only allows SIGNAL on SQLSTATE-defined "
+                    "conditions"
                 )
             return self._parse_signal(lit, mo.group(2))
         if re.match(r"SIGNAL\b", raw, re.I):
