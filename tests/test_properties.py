@@ -181,6 +181,15 @@ def _simple_stmt(label):
     opts = [
         st.builds(P.Assign, _names("v"), _EXPR),
         st.builds(P.Return, _EXPR),
+        # round 8: body DML passes through the statement tree verbatim
+        st.builds(
+            P.Dml,
+            st.sampled_from([
+                "INSERT INTO t1(c) VALUES (v1)",
+                "UPDATE t1 SET c = v1 WHERE id = v2",
+                "DELETE FROM t1 WHERE id = v1",
+            ]),
+        ),
         # round 7: SIGNAL (errcode kept comma-free/quote-free so the
         # unmasked fuzz render survives _split_top_level)
         st.builds(
@@ -254,6 +263,8 @@ def _render(stmts, indent=1):
             out.append(f"{pad}SET {s.var} = {s.expr};")
         elif isinstance(s, P.Return):
             out.append(f"{pad}RETURN {s.expr};")
+        elif isinstance(s, P.Dml):
+            out.append(f"{pad}{s.sql};")
         elif isinstance(s, P.Signal):
             items = []
             if s.message is not None:
