@@ -29,10 +29,12 @@ STATEMENT_HEADS = (
     "CREATE UNIQUE INDEX",
     "CREATE OR REPLACE VIEW",
     "CREATE OR REPLACE FUNCTION",
+    "CREATE OR REPLACE PROCEDURE",
     "CREATE ROLE",
     "COMMENT ON TABLE",
     "COMMENT ON COLUMN",
     "COMMENT ON FUNCTION",
+    "COMMENT ON PROCEDURE",
     "GRANT ",
     "DROP VIEW IF EXISTS",
     "ALTER TABLE",

@@ -41,12 +41,29 @@ class PlpgsqlFunctionSpec:
     #: statement tree instead of the declarative SELECT shape; see
     #: sinks.plpgsql_proc (C95 procedural half).
     procedural: object | None = None         # plpgsql_proc.ProceduralBody
+    #: "function" | "procedure" (round 8). MySQL procedures emit as
+    #: PostgreSQL 11+ CREATE PROCEDURE (CALL-able, IN/OUT/INOUT params,
+    #: no RETURNS, no volatility marker — PG rejects one on procedures).
+    #: The reference migrates FUNCTIONS only (sync_functions.go scans
+    #: information_schema.ROUTINES WHERE ROUTINE_TYPE='FUNCTION');
+    #: procedures are at least as common in real MySQL apps, so this is
+    #: a deliberate beyond-reference widening.
+    kind: str = "function"
+    #: parameter modes aligned with ``params`` (procedures only);
+    #: None means all-IN
+    param_modes: list[str] | None = None
 
 
 def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
-    """One CREATE OR REPLACE FUNCTION statement (name lowered, like the
-    reference's generateDDL :1286-1320)."""
-    params = ", ".join(f"{n} {t}" for n, t in spec.params)
+    """One CREATE OR REPLACE FUNCTION/PROCEDURE statement (name lowered,
+    like the reference's generateDDL :1286-1320)."""
+    if spec.param_modes:
+        params = ", ".join(
+            (f"{m} " if m != "IN" else "") + f"{n} {t}"
+            for m, (n, t) in zip(spec.param_modes, spec.params)
+        )
+    else:
+        params = ", ".join(f"{n} {t}" for n, t in spec.params)
     if spec.procedural is not None:
         from mysql2pg_spark.sinks.plpgsql_proc import emit_statements
 
@@ -64,11 +81,22 @@ def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
         ):
             kw = "EXCEPTION WHEN" if k == 0 else "WHEN"
             exc += f"{kw} {cond} THEN\n" + emit_statements(action) + "\n"
+        if spec.kind == "procedure":
+            # PG procedures take no RETURNS and REJECT volatility markers
+            head = (
+                f"CREATE OR REPLACE PROCEDURE "
+                f"{spec.name.lower()}({params})\n"
+                f"AS $$\n"
+            )
+        else:
+            head = (
+                f"CREATE OR REPLACE FUNCTION {spec.name.lower()}({params})\n"
+                f"RETURNS {spec.returns}\n"
+                f"{spec.volatility} AS $$\n"
+            )
         lines = (
-            f"CREATE OR REPLACE FUNCTION {spec.name.lower()}({params})\n"
-            f"RETURNS {spec.returns}\n"
-            f"{spec.volatility} AS $$\n"
-            f"DECLARE\n{declare_block}"
+            head
+            + f"DECLARE\n{declare_block}"
             f"BEGIN\n"
             + emit_statements(spec.procedural.statements)
             + "\n"
@@ -77,8 +105,9 @@ def emit_plpgsql(spec: PlpgsqlFunctionSpec) -> str:
         )
         if spec.comment:
             escaped = spec.comment.replace("'", "''")
+            obj = "PROCEDURE" if spec.kind == "procedure" else "FUNCTION"
             lines += (
-                f"\nCOMMENT ON FUNCTION {spec.name.lower()} IS '{escaped}';"
+                f"\nCOMMENT ON {obj} {spec.name.lower()} IS '{escaped}';"
             )
         return lines
     declares = list(spec.declares)

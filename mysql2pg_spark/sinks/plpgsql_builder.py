@@ -57,6 +57,21 @@ _RE_HEAD = re.compile(
     r"(?:`(?P<q>[^`]+)`|(?P<n>[\w.]+))\s*\(",
     re.I,
 )
+_RE_PROC_HEAD = re.compile(
+    r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?PROCEDURE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:`(?P<q>[^`]+)`|(?P<n>[\w.]+))\s*\(",
+    re.I,
+)
+#: Procedure characteristic tokens (no RETURNS clause to anchor on —
+#: these are consumed one by one until the body starts).
+_RE_PROC_CHAR = re.compile(
+    r"\s*(?:(?:NOT\s+)?DETERMINISTIC|NO\s+SQL|CONTAINS\s+SQL|"
+    r"READS\s+SQL\s+DATA|MODIFIES\s+SQL\s+DATA|"
+    r"SQL\s+SECURITY\s+(?:DEFINER|INVOKER)|LANGUAGE\s+SQL|"
+    r"COMMENT\s+\x00L\d+\x00)",
+    re.I,
+)
 _RE_RETURNS = re.compile(r"\bRETURNS\s+", re.I)
 #: Characteristic keywords that terminate the RETURNS type clause
 #: (reference parseCharacteristics :339-407 searches this same region).
@@ -214,15 +229,141 @@ def _parse_params(masked: str, start: int) -> tuple[list[tuple[str, str]], int]:
     return params, i
 
 
+def _parse_proc_params(
+    masked: str, start: int
+) -> tuple[list[tuple[str, str]], list[str], int]:
+    """Procedure signature: like :func:`_parse_params` but each
+    parameter carries an explicit IN / OUT / INOUT mode (MySQL defaults
+    to IN; PostgreSQL 11+ procedures accept all three — OUT since
+    PG 14). Returns (params, modes, index-after-close-paren)."""
+    depth, i = 1, start
+    while i < len(masked) and depth:
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise UnsupportedFunctionError("unbalanced parameter parentheses")
+    inner = masked[start : i - 1].strip()
+    params: list[tuple[str, str]] = []
+    modes: list[str] = []
+    if inner:
+        for part in split_top_level(inner):
+            mo = re.match(
+                r"(?:(?P<m>IN|OUT|INOUT)\s+)?"
+                r"(?:`(?P<q>[^`]+)`|(?P<n>\w+))\s+(?P<t>.+)",
+                part.strip(),
+                re.I | re.S,
+            )
+            if not mo:
+                raise UnsupportedFunctionError(
+                    f"cannot parse parameter {part!r}"
+                )
+            modes.append((mo.group("m") or "IN").upper())
+            name = (mo.group("q") or mo.group("n")).lower()
+            params.append((name, _pg_type(mo.group("t").strip())))
+    return params, modes, i
+
+
+def _build_procedure_spec(masked: str, lits, head) -> PlpgsqlFunctionSpec:
+    """MySQL ``CREATE PROCEDURE`` → spec with kind="procedure" (round
+    8, beyond-reference: sync_functions.go scans ROUTINE_TYPE=
+    'FUNCTION' only, silently dropping every procedure). The body
+    always takes the procedural statement-tree path — bare ``RETURN;``
+    is legal, no RETURN is required, OUT/INOUT params assign like
+    variables, and ``CALL``/DML pass through. Result-set ``SELECT``
+    without INTO refuses: a plpgsql procedure cannot return one (use
+    OUT params — the parser's message says so)."""
+    name = (head.group("q") or head.group("n")).lower()
+    params, modes, after = _parse_proc_params(masked, head.end())
+
+    # characteristics: consumed token-by-token (no RETURNS anchor)
+    i, comment = after, None
+    while True:
+        mo = _RE_PROC_CHAR.match(masked, i)
+        if not mo:
+            break
+        cm = re.search(r"COMMENT\s+\x00L(\d+)\x00", mo.group(), re.I)
+        if cm:
+            comment = lits[int(cm.group(1))][1:-1].replace("''", "'")
+        i = mo.end()
+    body = masked[i:].strip()
+    if not body:
+        raise UnsupportedFunctionError(f"procedure {name}: no body found")
+    if re.match(r"\bBEGIN\b", body, re.I):
+        body = re.sub(r"^\s*BEGIN\b", "", body, flags=re.I)
+        body = re.sub(r"\bEND\s*;?\s*$", "", body, flags=re.I)
+    elif not body.rstrip().endswith(";"):
+        # single-statement body without BEGIN…END — MySQL allows the
+        # bare form with no terminator inside the CREATE
+        body = body.rstrip() + ";"
+    body = _clean_body(name, body)
+
+    from mysql2pg_spark.sinks.plpgsql_proc import (
+        ProcParseError,
+        parse_procedural,
+    )
+
+    def _rw(m: str) -> str:
+        return rewrite_mysql_expr_to_pg(unmask_literals(m, lits))
+
+    try:
+        proc = parse_procedural(body, name, _rw, _pg_type,
+                                kind="procedure")
+    except ProcParseError as e:
+        raise UnsupportedFunctionError(str(e)) from e
+    return PlpgsqlFunctionSpec(
+        name=name,
+        params=params,
+        returns="",
+        body_select="",
+        into_var="",
+        comment=comment,
+        procedural=proc,
+        kind="procedure",
+        param_modes=modes,
+    )
+
+
+def _clean_body(name: str, body: str) -> str:
+    """Shared body hygiene for both routine kinds: line comments are
+    annotation, not statements (safe on masked text — string literals
+    are placeholders, so -- / # here is a comment). MySQL only treats
+    "--" as a comment when followed by whitespace or end-of-line
+    (SET n = n--1 is n minus negative one, not a comment)."""
+    body = re.sub(r"--(?=\s|$)[^\n]*", "", body)
+    body = re.sub(r"#[^\n]*", "", body)
+    # Any "--" that SURVIVES the strip is MySQL operator text (double
+    # negation: n--1 = n minus negative 1) — but PostgreSQL comments on
+    # every "--" regardless of what follows, so re-space the dashes to
+    # keep the emitted plpgsql semantically identical.
+    body = re.sub(r"-(?=-)", "- ", body)
+    for pat, what in _UNSUPPORTED:
+        if pat.search(body):
+            raise UnsupportedFunctionError(
+                f"function {name}: {what} are outside the translatable "
+                "subset (the reference handles these only via "
+                "per-function hardcoded patches)"
+            )
+    return body
+
+
 def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
-    """Parse one MySQL ``CREATE FUNCTION`` statement into a
-    :class:`PlpgsqlFunctionSpec` (raises :class:`UnsupportedFunctionError`
-    outside the supported subset — see module docstring)."""
+    """Parse one MySQL ``CREATE FUNCTION`` / ``CREATE PROCEDURE``
+    statement into a :class:`PlpgsqlFunctionSpec` (raises
+    :class:`UnsupportedFunctionError` outside the supported subset —
+    see module docstring)."""
     masked, lits = mask_literals(ddl)
 
     head = _RE_HEAD.search(masked)
     if not head:
-        raise UnsupportedFunctionError("not a CREATE FUNCTION statement")
+        proc = _RE_PROC_HEAD.search(masked)
+        if proc:
+            return _build_procedure_spec(masked, lits, proc)
+        raise UnsupportedFunctionError(
+            "not a CREATE FUNCTION/PROCEDURE statement"
+        )
     name = (head.group("q") or head.group("n")).lower()
     params, after_params = _parse_params(masked, head.end())
 
@@ -257,24 +398,7 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
     if re.match(r"\bBEGIN\b", body, re.I):
         body = re.sub(r"^\s*BEGIN\b", "", body, flags=re.I)
         body = re.sub(r"\bEND\s*;?\s*$", "", body, flags=re.I)
-    # line comments are annotation, not statements (safe on masked text
-    # — string literals are placeholders, so -- / # here is a comment).
-    # MySQL only treats "--" as a comment when followed by whitespace or
-    # end-of-line (SET n = n--1 is n minus negative one, not a comment).
-    body = re.sub(r"--(?=\s|$)[^\n]*", "", body)
-    body = re.sub(r"#[^\n]*", "", body)
-    # Any "--" that SURVIVES the strip is MySQL operator text (double
-    # negation: n--1 = n minus negative 1) — but PostgreSQL comments on
-    # every "--" regardless of what follows, so re-space the dashes to
-    # keep the emitted plpgsql semantically identical.
-    body = re.sub(r"-(?=-)", "- ", body)
-    for pat, what in _UNSUPPORTED:
-        if pat.search(body):
-            raise UnsupportedFunctionError(
-                f"function {name}: {what} are outside the translatable "
-                "subset (the reference handles these only via "
-                "per-function hardcoded patches)"
-            )
+    body = _clean_body(name, body)
 
     if _PROCEDURAL.search(body):
         from mysql2pg_spark.sinks.plpgsql_proc import (

@@ -172,7 +172,7 @@ class Dml:
 
 @dataclass
 class Return:
-    expr: str
+    expr: str | None                 # None = bare RETURN (procedures)
 
 
 @dataclass
@@ -326,7 +326,10 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
         elif isinstance(st, Dml):
             out.append(f"{pad}{st.sql};")
         elif isinstance(st, Return):
-            out.append(f"{pad}RETURN {st.expr};")
+            out.append(
+                f"{pad}RETURN;" if st.expr is None
+                else f"{pad}RETURN {st.expr};"
+            )
         elif isinstance(st, If):
             for i, (cond, body) in enumerate(st.branches):
                 kw = "IF" if i == 0 else ("ELSIF" if cond else "ELSE")
@@ -529,12 +532,14 @@ class _Parser:
     ``\\x00L<n>\\x00`` placeholders, so ``;`` and keywords inside strings
     cannot confuse statement boundaries)."""
 
-    def __init__(self, text: str, fname: str, rewrite, pg_type):
+    def __init__(self, text: str, fname: str, rewrite, pg_type,
+                 kind: str = "function"):
         self.s = text
         self.i = 0
         self.fname = fname
         self.rewrite_user = rewrite  # MySQL expr (masked) → PG expr
         self.pg_type = pg_type       # MySQL type string → PG type
+        self.kind = kind             # "function" | "procedure"
         self.scope: _Scope | None = None
         self.in_handler = False      # RESIGNAL legality context
         self._rc_n = 0               # ROW_COUNT() hoist counter
@@ -1182,10 +1187,24 @@ class _Parser:
             node = SelectInto(sql, vars_)
             return prelude + [node] if prelude else node
         if up.startswith("RETURN"):
+            tail = raw[6:].strip()
+            if not tail:
+                # bare `RETURN;` — early exit, legal in procedures only
+                # (MySQL functions must return a value; so must plpgsql)
+                if self.kind != "procedure":
+                    raise ProcParseError(
+                        f"function {self.fname}: RETURN without a value "
+                        "in a function body"
+                    )
+                return Return(None)
             (expr,), prelude = self._hoist_row_count(
-                [self._rewrite(raw[6:].strip())]
+                [self._rewrite(tail)]
             )
             return prelude + [Return(expr)] if prelude else Return(expr)
+        if up.startswith("CALL "):
+            # plpgsql procedures CALL each other natively — passthrough
+            # with the expression rewrite, like body DML
+            return Dml(self._rewrite(raw))
         mo = re.match(r"LEAVE\s*(\w+)?$", raw, re.I)
         if mo:
             return Leave(mo.group(1).lower() if mo.group(1) else None)
@@ -1364,6 +1383,7 @@ def parse_procedural(
     fname: str,
     rewrite_expr,
     pg_type,
+    kind: str = "function",
 ) -> ProceduralBody:
     """Masked MySQL body (BEGIN/END stripped) → :class:`ProceduralBody`.
 
@@ -1377,9 +1397,9 @@ def parse_procedural(
     DECLARE sections (block-entry DEFAULT re-initialization, legal
     shadowing) and their own EXCEPTION clauses (block-scoped handlers).
     """
-    p = _Parser(body, fname, rewrite_expr, pg_type)
+    p = _Parser(body, fname, rewrite_expr, pg_type, kind=kind)
     declares, stmts, exit_clauses = p.parse_root()
-    if not any(_has_return(s) for s in stmts):
+    if kind == "function" and not any(_has_return(s) for s in stmts):
         raise ProcParseError(f"function {fname}: body has no RETURN")
     return ProceduralBody(declares, stmts, exit_clauses)
 

@@ -957,14 +957,16 @@ def strip_conditional_comments(text: str) -> str:
 
 
 def functions_from_sql(path: str) -> list[str]:
-    """CREATE FUNCTION statements from a ``DELIMITER``-switched script
-    (the mysql-client convention the reference's
-    scripts/mysql/create_function.sql uses; function bodies contain
-    ``;`` so the file switches to ``//`` around each CREATE).
+    """CREATE FUNCTION / CREATE PROCEDURE statements from a
+    ``DELIMITER``-switched script (the mysql-client convention the
+    reference's scripts/mysql/create_function.sql uses; routine bodies
+    contain ``;`` so the file switches to ``//`` around each CREATE).
     ``iter_sql_statements`` is delimiter-blind by design — this wrapper
     tracks ``DELIMITER <tok>`` lines, splits on the ACTIVE delimiter,
-    and returns only the CREATE FUNCTION statements (A9 scan shape,
-    ready for ``sinks.plpgsql_builder.build_spec_from_mysql``)."""
+    and returns only the routine-CREATE statements (A9 scan shape,
+    ready for ``sinks.plpgsql_builder.build_spec_from_mysql``; the
+    reference scans ROUTINE_TYPE='FUNCTION' only and silently drops
+    procedures)."""
     with open(path, encoding="utf-8", errors="replace") as fh:
         return functions_from_text(fh.read())
 
@@ -1002,7 +1004,9 @@ def functions_from_text(text: str) -> list[str]:
             ).strip()
             buf = []
             if _re.match(
-                r"(?is)^\s*CREATE\s+(DEFINER\s*=\s*\S+\s+)?FUNCTION", stmt
+                r"(?is)^\s*CREATE\s+(DEFINER\s*=\s*\S+\s+)?"
+                r"(FUNCTION|PROCEDURE)\b",
+                stmt,
             ):
                 out.append(stmt)
     return out

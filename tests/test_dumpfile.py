@@ -639,3 +639,35 @@ def test_functions_from_sql_mysqldump_routines_conditional_form(tmp_path):
     out = emit_plpgsql(build_spec_from_mysql(fns[0]))
     assert "FUNCTION add_one(n INTEGER)" in out
     assert "IMMUTABLE" in out  # DETERMINISTIC
+
+
+def test_routines_scan_includes_procedures():
+    """mysqldump --routines emits PROCEDUREs in the same /*!50003*/ +
+    DELIMITER format as functions; the A9 scan returns both (round 8 —
+    the reference scans ROUTINE_TYPE='FUNCTION' only and silently drops
+    procedures), and the builder emits a PG CREATE PROCEDURE."""
+    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+    from mysql2pg_spark.sinks.plpgsql_builder import build_spec_from_mysql
+    from mysql2pg_spark.sources.dumpfile import functions_from_text
+
+    text = (
+        "--\n-- Dumping routines for database 'testdb'\n--\n"
+        "/*!50003 DROP PROCEDURE IF EXISTS `bump` */;\n"
+        "/*!50003 SET @saved_sql_mode       = @@sql_mode */ ;\n"
+        "DELIMITER ;;\n"
+        "/*!50003 CREATE*/ /*!50020 DEFINER=`root`@`localhost`*/"
+        " /*!50003 PROCEDURE `bump`(IN p_id INT, OUT p_n INT)\n"
+        "BEGIN\n"
+        "  UPDATE counters SET n = n + 1 WHERE id = p_id;\n"
+        "  SET p_n = ROW_COUNT();\n"
+        "END */;;\n"
+        "DELIMITER ;\n"
+        "/*!50003 SET sql_mode              = @saved_sql_mode */ ;\n"
+    )
+    stmts = functions_from_text(text)
+    assert len(stmts) == 1 and "PROCEDURE" in stmts[0].upper()
+    out = emit_plpgsql(build_spec_from_mysql(stmts[0]))
+    assert out.startswith(
+        "CREATE OR REPLACE PROCEDURE bump(p_id INTEGER, OUT p_n INTEGER)"
+    )
+    assert "GET DIAGNOSTICS p_n = ROW_COUNT;" in out
