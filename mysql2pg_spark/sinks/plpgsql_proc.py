@@ -756,10 +756,16 @@ class _Parser:
                 f"function {self.fname}: HANDLER SQLSTATE value {lit!r} "
                 "is not a 5-character SQLSTATE literal"
             )
-        if lit[1:3] in ("00", "01", "02"):
+        if lit[1:3] == "02":
+            # MySQL defines class-02 SQLSTATEs as the NOT FOUND class —
+            # a `HANDLER FOR SQLSTATE '02000'` IS a not-found handler
+            # (round 8), so it routes to the FETCH-arm machinery rather
+            # than an EXCEPTION clause (which cannot trap the class)
+            return "NOT FOUND"
+        if lit[1:3] in ("00", "01"):
             raise ProcParseError(
                 f"function {self.fname}: HANDLER for SQLSTATE class "
-                f"{lit[1:3]!r} (success/warning/not-found) cannot "
+                f"{lit[1:3]!r} (success/warning) cannot "
                 "be caught by a plpgsql EXCEPTION clause"
             )
         return f"SQLSTATE {lit}"
