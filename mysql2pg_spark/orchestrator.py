@@ -85,6 +85,7 @@ STAGE_ORDER = (
     "tableddl",
     "view",
     "data",
+    "sequences",
     "indexes",
     "functions",
     "users",
@@ -241,6 +242,27 @@ class MigrationPipeline:
                         ),
                     )
                 )
+
+        if o.data:
+            # identity resync (SURVEY 7.4-6): the rows just loaded carry
+            # the SOURCE auto_increment values, but the PG identity
+            # sequence still sits at 1 — the first post-migration INSERT
+            # would raise unique_violation. Runs as its own stage so it
+            # executes AFTER every data load (within a stage, DDL runs
+            # before reads). The reference never does this; its migrated
+            # tables collide on their first insert.
+            from mysql2pg_spark.sinks.ddl import setval_ddl
+
+            for t in tables:
+                name = self._norm(t.name)
+                for c in t.columns:
+                    if c.auto_increment:
+                        actions.append(
+                            Action(
+                                "sequences", "ddl", name,
+                                setval_ddl(name, self._norm(c.name)),
+                            )
+                        )
 
         if o.indexes:
             for t in tables:

@@ -1012,21 +1012,34 @@ def functions_from_text(text: str) -> list[str]:
     return out
 
 
-def dump_schema_text(path: str) -> str:
-    """The NON-data text of a mysqldump, streamed line-by-line with the
-    INSERT bulk dropped — what the statement-level scans (views,
-    routines) may safely hold driver-side. A real dump is ~99% INSERT
-    lines (mysqldump emits each extended INSERT as one line), so this
-    stays tiny at any dump size; the data itself only ever moves through
-    the distributed readers (``read_dump_inserts`` / the mysqldump
+def dump_schema_text(path: str, spark: SparkSession | None = None) -> str:
+    """The NON-data text of a mysqldump with the INSERT bulk dropped —
+    what the statement-level scans (views, routines) may safely hold
+    driver-side. A real dump is ~99% INSERT lines (mysqldump emits each
+    extended INSERT as one line), so the RESULT stays tiny at any dump
+    size. With a SparkSession the line filter runs DISTRIBUTED (the
+    same split-scan ``_ddl_lines`` uses, ordered by
+    monotonically_increasing_id — a multi-TB dump never funnels through
+    one driver thread just to find its schema sections); without one it
+    streams the local file. The data itself only ever moves through the
+    distributed readers (``read_dump_inserts`` / the mysqldump
     DataSource)."""
+    drop = ("insert into", "insert ignore into", "replace into")
+    if spark is not None:
+        lines = spark.read.text(path).select(
+            F.monotonically_increasing_id().alias("mid"), "value"
+        )
+        low = F.lower(F.ltrim(F.col("value")))
+        keep_df = lines.filter(
+            ~low.startswith(drop[0])
+            & ~low.startswith(drop[1])
+            & ~low.startswith(drop[2])
+        )
+        return "\n".join(r.value for r in keep_df.sort("mid").collect())
     keep: list[str] = []
     with open(path, encoding="utf-8", errors="replace") as fh:
         for line in fh:
-            low = line.lstrip().lower()
-            if low.startswith(
-                ("insert into", "insert ignore into", "replace into")
-            ):
+            if line.lstrip().lower().startswith(drop):
                 continue
             keep.append(line.rstrip("\n"))
     return "\n".join(keep)
@@ -1044,7 +1057,7 @@ def full_snapshot_from_dump(spark: SparkSession, path: str):
     reference parity A4-A9 (sync_tables.go / sync_views.go /
     sync_functions.go scans) from a single offline artifact."""
     snap = snapshot_from_dump(spark, path)
-    schema_text = dump_schema_text(path)
+    schema_text = dump_schema_text(path, spark)
     views: dict[str, str] = {}
     for stmt in iter_sql_statements(schema_text):
         mo = _VIEW_STMT_RE.match(stmt)

@@ -835,3 +835,73 @@ def test_earlier_ddl_survives_later_failure_in_stage(tmp_path, spark):
     assert conn.rollbacks >= 1           # the failure still rolled back
     # and the run log counted exactly the statements that are durable
     assert result["ddl"] == len(conn.committed)
+
+
+def test_identity_sequence_resync_after_data(tmp_path, spark):
+    """SURVEY 7.4-6 (round 8): rows loaded with explicit source
+    auto_increment values leave the PG identity sequence at 1 — the
+    plan now carries a `sequences`-stage setval that runs AFTER the
+    data stage, so the first post-migration INSERT gets MAX+1 instead
+    of a unique_violation. (The reference has no such step.)"""
+    from mysql2pg_spark.tables import load_table
+
+    cfg = _cfg(tmp_path)
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(
+                name="Orders",
+                columns=[
+                    ColumnMeta("ID", "bigint", False, auto_increment=True),
+                    ColumnMeta("Amount", "double"),
+                ],
+                primary_key=["ID"],
+                row_count=25,
+                pk_bounds=(0, 24),
+            )
+        ]
+    )
+    pipe = MigrationPipeline(cfg, snap)
+
+    # plan: the setval action exists, in its own post-data stage
+    actions = pipe.plan()
+    stages = [a.stage for a in actions]
+    assert "sequences" in stages
+    seq = next(a for a in actions if a.stage == "sequences")
+    assert seq.payload == (
+        "SELECT setval(pg_get_serial_sequence('orders', 'id'), "
+        "COALESCE((SELECT MAX(id) FROM orders), 0) + 1, false)"
+    )
+    assert STAGE_ORDER.index("sequences") > STAGE_ORDER.index("data")
+
+    # execute: the setval statement reaches the engine AFTER the table
+    # sync (events interleaved through one shared recorder)
+    from mysql2pg_spark.runlog import RunLogger
+
+    events: list[str] = []
+
+    class _SeqConn(_FakeConn):
+        def execute(self, sql):
+            super().execute(sql)
+            if "setval" in sql:
+                events.append("setval")
+
+    conn = _SeqConn()
+
+    def source_reader(sp, plan):
+        return load_table(sp, "/root/testdata/sf0.001", "nation").selectExpr(
+            "n_nationkey AS ID", "CAST(n_regionkey AS DOUBLE) AS Amount"
+        )
+
+    def sink_writer(df, table):
+        events.append(f"sync:{table}")
+
+    result = pipe.execute(
+        spark,
+        conn,
+        source_reader=source_reader,
+        sink_writer=sink_writer,
+        dest_reader=lambda sp, t: source_reader(sp, None),
+        logger=RunLogger(str(tmp_path / "logs_seq")),
+    )
+    assert result["synced"] == {"orders": 25}
+    assert events.index("sync:orders") < events.index("setval")
