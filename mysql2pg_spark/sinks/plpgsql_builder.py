@@ -1,5 +1,8 @@
-"""General MySQL ``CREATE FUNCTION`` DDL → :class:`PlpgsqlFunctionSpec`
-builder (SURVEY C95, the "arbitrary user function" half).
+"""General MySQL ``CREATE FUNCTION`` / ``CREATE PROCEDURE`` DDL →
+:class:`PlpgsqlFunctionSpec` builder (SURVEY C95, the "arbitrary user
+routine" half; procedures are round-8 beyond-reference — the
+reference's scan filters ROUTINE_TYPE='FUNCTION' and silently drops
+them).
 
 The reference converts function DDL with a 10-step regex-surgery
 pipeline (internal/converter/postgres/sync_functions.go:173-212:
@@ -20,10 +23,15 @@ inside handlers, ``CONTINUE HANDLER FOR NOT FOUND`` with any
 single-SET action, and EXIT/CONTINUE handlers for SQLEXCEPTION or
 specific SQLSTATEs — route to the procedural statement-tree parser
 (:mod:`mysql2pg_spark.sinks.plpgsql_proc`, rounds 6-8; the reference's
-sync_functions.go:220-407 / :1040-1283 territory). What remains outside
-both paths (@user variables, SQLWARNING handlers, attribute-modifying
-RESIGNAL forms) raises :class:`UnsupportedFunctionError` instead of
-producing silently-wrong plpgsql.
+sync_functions.go:220-407 / :1040-1283 territory), as do body DML
+(INSERT/UPDATE/DELETE passthrough, CALL), well-known bare errnos
+(``MYSQL_ERRNO_SQLSTATE``), class-02 SQLSTATE handlers (→ NOT FOUND
+machinery), and expression-position ``ROW_COUNT()`` (hoisted to GET
+DIAGNOSTICS). What remains outside both paths (@user variables,
+SQLWARNING handlers, attribute-modifying RESIGNAL forms, REPLACE INTO,
+errnos outside the table, ROW_COUNT() in loop conditions) raises
+:class:`UnsupportedFunctionError` instead of producing silently-wrong
+plpgsql.
 
 Builtin-expression mapping mirrors the reference's table
 (sync_functions.go:502-543): IFNULL→COALESCE, IF→CASE, CONCAT→``||``,
