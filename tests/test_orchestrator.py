@@ -621,6 +621,10 @@ def test_cli_pgddl_mode(tmp_path, capsys):
             # outside the translatable subset → must surface as a skip
             "CREATE FUNCTION g1(x INT) RETURNS INT BEGIN "
             "SET @a = x; RETURN @a; END",
+            # round 8: procedures ride the same snapshot key (the A9
+            # scan returns both; the reference drops procedures)
+            "CREATE PROCEDURE p1(IN a INT, OUT b INT) "
+            "BEGIN SET b = a * 2; END",
         ],
         "users": {"u1": ['CREATE ROLE "u1" LOGIN']},
     }
@@ -641,6 +645,8 @@ def test_cli_pgddl_mode(tmp_path, capsys):
     assert "CREATE INDEX IF NOT EXISTS acct_idx_note" in out
     assert "CREATE OR REPLACE FUNCTION f1(x INTEGER)" in out
     assert "WHILE x > 0 LOOP" in out and "$$ LANGUAGE plpgsql;" in out
+    assert "CREATE OR REPLACE PROCEDURE p1(a INTEGER, OUT b INTEGER)" in out
+    assert "b := (a * 2);" in out or "b := a * 2;" in out
     assert 'CREATE ROLE "u1" LOGIN;' in out
     assert "-- SKIP [function]" in out and "user variables" in out
     # no JSON, no payload wrappers — plain SQL statements
