@@ -27,17 +27,21 @@ SCALE_R7 = {
     "val01_table_checksum": 14.4,  # ~9×
     "t20_dup_spans": 19.4,  # 6.7×
     "t23_gopher_ngram_fractions": 18.7,  # 7.8×
-    "cc03_pagerank_canonical": 27.7,  # 7.9×
+    # 20.8× wall at 100× pairs — the live run that moved cc03 to
+    # rate-only gating (per-pair it was 4.8× FASTER)
+    "cc03_pagerank_canonical": 67.9,
     "s04_knn_ivf_refined": 43.5,  # 13.6×
     "s06_knn_pq": 48.6,  # 9.0×
     "d13_lev_pairs_per_sec": 25_900.0,
     "cc01_pairs_per_sec": 60_000.0,
+    "cc03_pairs_per_sec": 120_800.0,
     "d06_pairs_per_sec": 900_000.0,
     "migration_rows_per_sec": 178_000.0,
 }
 BASE_RATES = {
     "d13_lev": 17_300.0,
     "cc01": 30_000.0,
+    "cc03": 25_100.0,
     "d06": 1_800_000.0,
     "migration": 101_800.0,
 }
@@ -53,9 +57,15 @@ def test_r7_measurements_pass_every_gate():
         "s04_knn_ivf_refined",
         "d13_lev_rate",
         "cc01_rate",
+        "cc03_rate",
         "d06_rate",
         "migration_rate",
     }
+    # cc03 gates on RATE only: its 20.8× wall ratio is reported for
+    # the record but carries no wall verdict (checkpointed-round
+    # dispersion made wall the wrong instrument — measured live)
+    assert "cc03_pagerank_canonical" in g["scale_ratio"]
+    assert "cc03_pagerank_canonical" not in g["scale_ok"]
 
 
 def test_deliberate_wall_deoptimization_flips_false():
