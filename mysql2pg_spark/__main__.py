@@ -91,6 +91,9 @@ def load_snapshot(path: str) -> CatalogSnapshot:
         # raw MySQL CREATE FUNCTION DDL strings — plan() converts them
         # through sinks.plpgsql_builder.build_spec_from_mysql (C95)
         functions=raw.get("functions", []),
+        # raw MySQL CREATE TRIGGER DDL strings (round 8) — plan()
+        # converts them via sinks.plpgsql_builder.build_trigger_from_mysql
+        triggers=raw.get("triggers", []),
     )
 
 
@@ -259,6 +262,7 @@ def main(argv: list[str] | None = None) -> int:
         # config's sync toggles (data/validation are not DDL anyway)
         cfg.options.view = True
         cfg.options.functions = True
+        cfg.options.triggers = True
         cfg.options.users = True
         cfg.options.table_privileges = True
         cfg.options.data = False

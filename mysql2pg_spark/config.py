@@ -63,6 +63,7 @@ class ConversionOptions:
     view: bool = False
     indexes: bool = True
     functions: bool = False
+    triggers: bool = False
     users: bool = True
     table_privileges: bool = True
     lowercase_columns: bool = True

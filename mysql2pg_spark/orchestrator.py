@@ -67,6 +67,7 @@ class CatalogSnapshot:
     tables: list[TableMeta] = field(default_factory=list)
     views: dict[str, str] = field(default_factory=dict)       # name → MySQL SQL
     functions: list = field(default_factory=list)  # PlpgsqlFunctionSpec (C95)
+    triggers: list = field(default_factory=list)   # raw MySQL CREATE TRIGGER (r8)
     users: dict[str, list[str]] = field(default_factory=dict)  # user → grants
     table_privileges: list[tuple[str, str, str]] = field(default_factory=list)
     # (user, table, "Select,Insert")
@@ -88,6 +89,7 @@ STAGE_ORDER = (
     "sequences",
     "indexes",
     "functions",
+    "triggers",
     "users",
     "table_privileges",
     "validate",
@@ -302,6 +304,34 @@ class MigrationPipeline:
                         "ddl",
                         spec.name.lower(),
                         emit_plpgsql(spec),
+                    )
+                )
+
+        if getattr(o, "triggers", False):
+            # round 8, beyond-reference: mysqldump includes triggers by
+            # DEFAULT, the reference drops them all. Raw MySQL CREATE
+            # TRIGGER → trigger function + CREATE TRIGGER (one payload);
+            # untranslatable shapes surface as visible skips.
+            from mysql2pg_spark.sinks.plpgsql import emit_trigger
+            from mysql2pg_spark.sinks.plpgsql_builder import (
+                UnsupportedFunctionError,
+                build_trigger_from_mysql,
+            )
+
+            for raw in self.snapshot.triggers:
+                try:
+                    tspec = build_trigger_from_mysql(raw)
+                except UnsupportedFunctionError as e:
+                    actions.append(
+                        Action("triggers", "skip", "trigger", str(e))
+                    )
+                    continue
+                actions.append(
+                    Action(
+                        "triggers",
+                        "ddl",
+                        tspec.name.lower(),
+                        emit_trigger(tspec),
                     )
                 )
 

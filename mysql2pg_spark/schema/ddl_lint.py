@@ -37,6 +37,8 @@ STATEMENT_HEADS = (
     "COMMENT ON PROCEDURE",
     "GRANT ",
     "DROP VIEW IF EXISTS",
+    "DROP TRIGGER IF EXISTS",
+    "CREATE TRIGGER",
     "ALTER TABLE",
 )
 

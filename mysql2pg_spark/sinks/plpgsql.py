@@ -198,3 +198,60 @@ GET_DETAILED_DATA = PlpgsqlFunctionSpec(
 )
 
 FIXTURE_FUNCTIONS = (GET_JOINED_DATA, GET_COMBINED_DATA, GET_DETAILED_DATA)
+
+
+@dataclass
+class PlpgsqlTriggerSpec:
+    """One MySQL trigger, parsed (round 8, beyond-reference — the
+    reference has no trigger pass at all, and mysqldump includes
+    triggers by DEFAULT, so every real dump carries them). PostgreSQL
+    splits a trigger into a trigger FUNCTION plus a CREATE TRIGGER
+    binding; NEW/OLD row images spell identically in both engines, so
+    the body reuses the C95 statement-tree parser with kind="trigger"
+    (no RETURN allowed in the MySQL body; the emitter adds the plpgsql
+    RETURN NEW/OLD)."""
+
+    name: str
+    table: str
+    timing: str                      # BEFORE | AFTER
+    event: str                       # INSERT | UPDATE | DELETE
+    procedural: object               # plpgsql_proc.ProceduralBody
+
+
+def emit_trigger(spec: PlpgsqlTriggerSpec) -> str:
+    """Trigger function + DROP IF EXISTS + CREATE TRIGGER, one payload
+    (executes as one DB-API batch, like function+COMMENT). Row triggers
+    must RETURN a row: NEW for INSERT/UPDATE (so BEFORE triggers keep
+    their NEW.col mutations), OLD for DELETE; every EXCEPTION clause
+    gets its own trailing RETURN so a handled error still returns a
+    row instead of 'control reached end of trigger procedure'."""
+    from mysql2pg_spark.sinks.plpgsql_proc import emit_statements
+
+    fn = f"trg_{spec.name.lower()}"
+    ret = "OLD" if spec.event.upper() == "DELETE" else "NEW"
+    declare_block = "".join(
+        f"    {n} {t};\n" for n, t in spec.procedural.declares
+    )
+    exc = ""
+    for k, (cond, action) in enumerate(
+        getattr(spec.procedural, "exc_clauses", []) or []
+    ):
+        kw = "EXCEPTION WHEN" if k == 0 else "WHEN"
+        exc += (
+            f"{kw} {cond} THEN\n" + emit_statements(action)
+            + f"\n    RETURN {ret};\n"
+        )
+    tbl = spec.table.lower()
+    return (
+        f"CREATE OR REPLACE FUNCTION {fn}() RETURNS trigger AS $$\n"
+        f"DECLARE\n{declare_block}"
+        f"BEGIN\n"
+        + emit_statements(spec.procedural.statements)
+        + f"\n    RETURN {ret};\n"
+        + exc
+        + "END;\n$$ LANGUAGE plpgsql;\n"
+        f"DROP TRIGGER IF EXISTS {spec.name.lower()} ON {tbl};\n"
+        f"CREATE TRIGGER {spec.name.lower()} "
+        f"{spec.timing.upper()} {spec.event.upper()} ON {tbl}\n"
+        f"FOR EACH ROW EXECUTE FUNCTION {fn}();"
+    )

@@ -528,3 +528,71 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
         comment=comment,
         pre_statements=pre_statements,
     )
+
+
+_RE_TRIGGER_HEAD = re.compile(
+    r"CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:`(?P<q>[^`]+)`|(?P<n>\w+))\s+"
+    r"(?P<timing>BEFORE|AFTER)\s+(?P<event>INSERT|UPDATE|DELETE)\s+"
+    r"ON\s+(?:`(?P<tq>[^`]+)`|(?P<tn>\w+))\s+"
+    r"FOR\s+EACH\s+ROW\s+",
+    re.I,
+)
+
+
+def build_trigger_from_mysql(ddl: str):
+    """MySQL ``CREATE TRIGGER`` → :class:`PlpgsqlTriggerSpec` (round 8,
+    beyond-reference: the reference has no trigger pass at all, and
+    mysqldump includes triggers by DEFAULT — every real dump carries
+    them). NEW/OLD row images spell identically in plpgsql, so the body
+    reuses the statement-tree parser with kind="trigger" (RETURN
+    refuses — MySQL trigger bodies have none; the emitter appends the
+    plpgsql RETURN NEW/OLD). ``FOLLOWS``/``PRECEDES`` ordering refuses:
+    PostgreSQL fires same-event triggers alphabetically, so silently
+    dropping the clause could reorder effects."""
+    from mysql2pg_spark.sinks.plpgsql import PlpgsqlTriggerSpec
+
+    masked, lits = mask_literals(ddl)
+    head = _RE_TRIGGER_HEAD.search(masked)
+    if not head:
+        raise UnsupportedFunctionError("not a CREATE TRIGGER statement")
+    name = (head.group("q") or head.group("n")).lower()
+    table = (head.group("tq") or head.group("tn")).lower()
+
+    body = masked[head.end():].strip()
+    fp = re.match(r"(?:FOLLOWS|PRECEDES)\s+\S+\s*", body, re.I)
+    if fp:
+        raise UnsupportedFunctionError(
+            f"trigger {name}: FOLLOWS/PRECEDES ordering has no "
+            "PostgreSQL analog (same-event triggers fire "
+            "alphabetically) — dropping it could reorder effects"
+        )
+    if not body:
+        raise UnsupportedFunctionError(f"trigger {name}: no body found")
+    if re.match(r"\bBEGIN\b", body, re.I):
+        body = re.sub(r"^\s*BEGIN\b", "", body, flags=re.I)
+        body = re.sub(r"\bEND\s*;?\s*$", "", body, flags=re.I)
+    elif not body.rstrip().endswith(";"):
+        body = body.rstrip() + ";"
+    body = _clean_body(name, body)
+
+    from mysql2pg_spark.sinks.plpgsql_proc import (
+        ProcParseError,
+        parse_procedural,
+    )
+
+    def _rw(m: str) -> str:
+        return rewrite_mysql_expr_to_pg(unmask_literals(m, lits))
+
+    try:
+        proc = parse_procedural(body, name, _rw, _pg_type, kind="trigger")
+    except ProcParseError as e:
+        raise UnsupportedFunctionError(str(e)) from e
+    return PlpgsqlTriggerSpec(
+        name=name,
+        table=table,
+        timing=head.group("timing").upper(),
+        event=head.group("event").upper(),
+        procedural=proc,
+    )

@@ -1149,7 +1149,9 @@ class _Parser:
             out: list = []
             flags = self._flags_in_scope()
             for piece in _split_top_level(raw[3:]):
-                mo = re.match(r"\s*(\w+)\s*:?=\s*(.+)$", piece, re.S)
+                # dotted targets are trigger-row fields (SET NEW.col = …)
+                mo = re.match(r"\s*(\w+(?:\.\w+)?)\s*:?=\s*(.+)$", piece,
+                              re.S)
                 if not mo:
                     raise ProcParseError(
                         f"function {self.fname}: cannot parse SET "
@@ -1193,6 +1195,14 @@ class _Parser:
             node = SelectInto(sql, vars_)
             return prelude + [node] if prelude else node
         if up.startswith("RETURN"):
+            if self.kind == "trigger":
+                # MySQL trigger bodies have no RETURN statement at all —
+                # one here means the input isn't a MySQL trigger body
+                raise ProcParseError(
+                    f"function {self.fname}: RETURN inside a trigger "
+                    "body (MySQL triggers have no RETURN; the emitter "
+                    "adds the plpgsql RETURN NEW/OLD itself)"
+                )
             tail = raw[6:].strip()
             if not tail:
                 # bare `RETURN;` — early exit, legal in procedures only

@@ -971,7 +971,17 @@ def functions_from_sql(path: str) -> list[str]:
         return functions_from_text(fh.read())
 
 
-def functions_from_text(text: str) -> list[str]:
+def triggers_from_sql(path: str) -> list[str]:
+    """CREATE TRIGGER statements from a DELIMITER-switched script or
+    the mysqldump ``/*!50003 … TRIGGER`` form (round 8 — mysqldump
+    includes triggers by DEFAULT, and the reference drops them)."""
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        return functions_from_text(fh.read(), kinds=("TRIGGER",))
+
+
+def functions_from_text(
+    text: str, kinds: tuple = ("FUNCTION", "PROCEDURE")
+) -> list[str]:
     out: list[str] = []
     delim = ";"
     buf: list[str] = []
@@ -1005,7 +1015,7 @@ def functions_from_text(text: str) -> list[str]:
             buf = []
             if _re.match(
                 r"(?is)^\s*CREATE\s+(DEFINER\s*=\s*\S+\s+)?"
-                r"(FUNCTION|PROCEDURE)\b",
+                r"(" + "|".join(kinds) + r")\b",
                 stmt,
             ):
                 out.append(stmt)
@@ -1065,4 +1075,7 @@ def full_snapshot_from_dump(spark: SparkSession, path: str):
             views[mo.group(1)] = mo.group(2).strip()
     snap.views = views
     snap.functions = list(functions_from_text(schema_text))
+    snap.triggers = list(
+        functions_from_text(schema_text, kinds=("TRIGGER",))
+    )
     return snap

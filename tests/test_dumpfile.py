@@ -671,3 +671,30 @@ def test_routines_scan_includes_procedures():
         "CREATE OR REPLACE PROCEDURE bump(p_id INTEGER, OUT p_n INTEGER)"
     )
     assert "GET DIAGNOSTICS p_n = ROW_COUNT;" in out
+
+
+def test_routines_scan_includes_dump_form_triggers():
+    """mysqldump emits triggers by DEFAULT in the table section as
+    `/*!50003 CREATE*/ /*!50017 DEFINER=…*/ /*!50003 TRIGGER …*/` with
+    DELIMITER switching — the scan must return them (round 8; the
+    reference has no trigger pass at all)."""
+    from mysql2pg_spark.sinks.plpgsql import emit_trigger
+    from mysql2pg_spark.sinks.plpgsql_builder import build_trigger_from_mysql
+    from mysql2pg_spark.sources.dumpfile import functions_from_text
+
+    text = (
+        "/*!50003 SET @saved_cs_client      = @@character_set_client */ ;\n"
+        "DELIMITER ;;\n"
+        "/*!50003 CREATE*/ /*!50017 DEFINER=`root`@`localhost`*/"
+        " /*!50003 TRIGGER `t_stamp` BEFORE UPDATE ON `t` FOR EACH ROW\n"
+        "SET NEW.updated_at = NOW() */;;\n"
+        "DELIMITER ;\n"
+        "/*!50003 SET character_set_client  = @saved_cs_client */ ;\n"
+    )
+    trigs = functions_from_text(text, kinds=("TRIGGER",))
+    assert len(trigs) == 1
+    # and the same text yields NO function/procedure entries
+    assert functions_from_text(text) == []
+    out = emit_trigger(build_trigger_from_mysql(trigs[0]))
+    assert "new.updated_at := CURRENT_TIMESTAMP;" in out
+    assert "CREATE TRIGGER t_stamp BEFORE UPDATE ON t" in out

@@ -626,6 +626,10 @@ def test_cli_pgddl_mode(tmp_path, capsys):
             "CREATE PROCEDURE p1(IN a INT, OUT b INT) "
             "BEGIN SET b = a * 2; END",
         ],
+        "triggers": [
+            "CREATE TRIGGER acct_bu BEFORE UPDATE ON acct FOR EACH ROW "
+            "SET NEW.note = UPPER(NEW.note)",
+        ],
         "users": {"u1": ['CREATE ROLE "u1" LOGIN']},
     }
     p = tmp_path / "snap.yml"
@@ -647,6 +651,8 @@ def test_cli_pgddl_mode(tmp_path, capsys):
     assert "WHILE x > 0 LOOP" in out and "$$ LANGUAGE plpgsql;" in out
     assert "CREATE OR REPLACE PROCEDURE p1(a INTEGER, OUT b INTEGER)" in out
     assert "b := (a * 2);" in out or "b := a * 2;" in out
+    assert "CREATE OR REPLACE FUNCTION trg_acct_bu() RETURNS trigger" in out
+    assert "CREATE TRIGGER acct_bu BEFORE UPDATE ON acct" in out
     assert 'CREATE ROLE "u1" LOGIN;' in out
     assert "-- SKIP [function]" in out and "user variables" in out
     # no JSON, no payload wrappers — plain SQL statements
