@@ -47,7 +47,7 @@ from mysql2pg_spark.orchestrator import (
     MigrationPipeline,
     TableMeta,
 )
-from mysql2pg_spark.sinks.ddl import IndexSpec
+from mysql2pg_spark.sinks.ddl import FkSpec, IndexSpec
 
 
 def load_snapshot(path: str) -> CatalogSnapshot:
@@ -76,6 +76,17 @@ def load_snapshot(path: str) -> CatalogSnapshot:
                 indexes=[
                     IndexSpec(i["name"], i["columns"], i.get("unique", False))
                     for i in t.get("indexes", [])
+                ],
+                foreign_keys=[
+                    FkSpec(
+                        name=f.get("name"),
+                        columns=f["columns"],
+                        ref_table=f["ref_table"],
+                        ref_columns=f["ref_columns"],
+                        on_delete=f.get("on_delete"),
+                        on_update=f.get("on_update"),
+                    )
+                    for f in t.get("foreign_keys", [])
                 ],
                 row_count=t.get("row_count", 0),
                 pk_bounds=tuple(t["pk_bounds"]) if t.get("pk_bounds") else None,

@@ -64,6 +64,7 @@ class ConversionOptions:
     indexes: bool = True
     functions: bool = False
     triggers: bool = False
+    foreign_keys: bool = True  # r8: reference drops FKs; we keep them
     users: bool = True
     table_privileges: bool = True
     lowercase_columns: bool = True

@@ -56,6 +56,7 @@ class TableMeta:
     comment: str | None = None
     primary_key: list[str] = field(default_factory=list)
     indexes: list[IndexSpec] = field(default_factory=list)
+    foreign_keys: list = field(default_factory=list)  # FkSpec (r8)
     row_count: int = 0
     pk_bounds: tuple | None = None  # (lo, hi) for the leading numeric PK
 
@@ -88,6 +89,7 @@ STAGE_ORDER = (
     "data",
     "sequences",
     "indexes",
+    "fkeys",
     "functions",
     "triggers",
     "users",
@@ -274,6 +276,31 @@ class MigrationPipeline:
                         Action(
                             "indexes", "ddl", name, create_index_ddl(name, idx)
                         )
+                    )
+
+        if getattr(o, "foreign_keys", True):
+            # round 8, beyond-reference: the reference SKIPS every
+            # FOREIGN KEY line (sync_tableddl.go:738) — its migrated
+            # schemas lose referential integrity. Emitted AFTER data
+            # (bulk load needs no parent-first ordering; one set-based
+            # check per constraint instead of per-row checks).
+            from mysql2pg_spark.sinks.ddl import FkSpec, add_fk_ddl
+
+            for t in tables:
+                name = self._norm(t.name)
+                for fk in t.foreign_keys:
+                    nfk = FkSpec(
+                        name=fk.name.lower() if fk.name else None,
+                        columns=[self._norm(c) for c in fk.columns],
+                        ref_table=self._norm(fk.ref_table),
+                        ref_columns=[
+                            self._norm(c) for c in fk.ref_columns
+                        ],
+                        on_delete=fk.on_delete,
+                        on_update=fk.on_update,
+                    )
+                    actions.append(
+                        Action("fkeys", "ddl", name, add_fk_ddl(name, nfk))
                     )
 
         if o.functions:

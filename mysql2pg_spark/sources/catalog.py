@@ -70,6 +70,25 @@ def primary_keys_query(database: str) -> str:
     )
 
 
+def foreign_keys_query(database: str) -> str:
+    """A6b (round 8, beyond-reference — the reference skips FOREIGN KEY
+    lines wholesale, sync_tableddl.go:738): one set-based scan of the
+    FK graph with referential actions, ordered for the grouper."""
+    return (
+        "(SELECT k.table_name, k.constraint_name, k.column_name, "
+        "k.ordinal_position, k.referenced_table_name, "
+        "k.referenced_column_name, r.delete_rule, r.update_rule "
+        "FROM information_schema.key_column_usage k "
+        "JOIN information_schema.referential_constraints r "
+        "ON r.constraint_schema = k.constraint_schema "
+        "AND r.constraint_name = k.constraint_name "
+        "AND r.table_name = k.table_name "
+        f"WHERE k.table_schema = '{database}' "
+        "AND k.referenced_table_name IS NOT NULL "
+        "ORDER BY k.table_name, k.constraint_name, k.ordinal_position) fk"
+    )
+
+
 def views_query(database: str) -> str:
     """A8: view name + definition (metadata.go:347-374)."""
     return (
@@ -126,4 +145,35 @@ def group_primary_keys(rows: list[dict]) -> dict[str, list[str]]:
         rows, key=lambda r: (r["table_name"], r["ordinal_position"])
     ):
         out.setdefault(r["table_name"], []).append(r["column_name"])
+    return out
+
+
+def group_foreign_keys(rows: list[dict]) -> dict:
+    """FK scan rows → per-table FkSpec list (composite keys accumulate
+    columns in ordinal order; MySQL's RESTRICT reports as the rule
+    text, passed through verbatim — PG spells every MySQL action)."""
+    from mysql2pg_spark.sinks.ddl import FkSpec
+
+    out: dict[str, list[FkSpec]] = {}
+    current: dict[tuple[str, str], FkSpec] = {}
+    for r in sorted(
+        rows,
+        key=lambda r: (
+            r["table_name"], r["constraint_name"], r["ordinal_position"]
+        ),
+    ):
+        key = (r["table_name"], r["constraint_name"])
+        if key not in current:
+            spec = FkSpec(
+                name=r["constraint_name"],
+                columns=[],
+                ref_table=r["referenced_table_name"],
+                ref_columns=[],
+                on_delete=r.get("delete_rule"),
+                on_update=r.get("update_rule"),
+            )
+            current[key] = spec
+            out.setdefault(r["table_name"], []).append(spec)
+        current[key].columns.append(r["column_name"])
+        current[key].ref_columns.append(r["referenced_column_name"])
     return out

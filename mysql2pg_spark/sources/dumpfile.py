@@ -631,6 +631,50 @@ _COL_RE = _re.compile(
     _re.IGNORECASE,
 )
 _PK_RE = _re.compile(r"(?i)^\s*PRIMARY\s+KEY\s+\(([^)]*)\)")
+#: FOREIGN KEY constraint line (round 8 — the reference skips these,
+#: sync_tableddl.go:738; hand-written DDL may put the referential
+#: actions on CONTINUATION lines, so the block parser buffers an FK
+#: until a non-`ON …` line arrives)
+_FK_START_RE = _re.compile(
+    r"(?i)^\s*(?:CONSTRAINT\s+`?\w+`?\s+)?FOREIGN\s+KEY\b"
+)
+_FK_RE = _re.compile(
+    r"(?is)^\s*(?:CONSTRAINT\s+`?(\w+)`?\s+)?FOREIGN\s+KEY\s*"
+    r"\(([^)]*)\)\s*REFERENCES\s+`?(\w+)`?\s*\(([^)]*)\)\s*(.*)$"
+)
+_FK_ACTION_RE = _re.compile(
+    r"(?i)ON\s+(DELETE|UPDATE)\s+"
+    r"(CASCADE|SET\s+NULL|SET\s+DEFAULT|RESTRICT|NO\s+ACTION)"
+)
+_FK_CONT_RE = _re.compile(r"(?i)^\s*ON\s+(DELETE|UPDATE)\b")
+
+
+def _parse_fk(text: str):
+    """Joined FK constraint text → FkSpec (None if unparseable — the
+    scan degrades to a skip rather than a crash, like functional
+    indexes)."""
+    from mysql2pg_spark.sinks.ddl import FkSpec
+
+    m = _FK_RE.match(text)
+    if not m:
+        return None
+    cols = _key_cols(m.group(2))
+    rcols = _key_cols(m.group(4))
+    if not cols or not rcols:
+        return None
+    actions = {"DELETE": None, "UPDATE": None}
+    for am in _FK_ACTION_RE.finditer(m.group(5) or ""):
+        actions[am.group(1).upper()] = _re.sub(
+            r"\s+", " ", am.group(2).upper()
+        )
+    return FkSpec(
+        name=m.group(1),
+        columns=cols,
+        ref_table=m.group(3),
+        ref_columns=rcols,
+        on_delete=actions["DELETE"],
+        on_update=actions["UPDATE"],
+    )
 #: standalone CREATE INDEX statements (the reference ships them in a
 #: separate create_index.sql; mysqldump can too via --no-data sections)
 _STANDALONE_IDX_RE = _re.compile(
@@ -721,7 +765,22 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
     tables: list[TableMeta] = []
     standalone: list[tuple[str, "IndexSpec"]] = []  # (table, spec)
     cur: TableMeta | None = None
+    fk_buf: list[str] = []
+
+    def _finish_fk() -> None:
+        if fk_buf and cur is not None:
+            fk = _parse_fk(" ".join(fk_buf))
+            if fk is not None:
+                cur.foreign_keys.append(fk)
+        fk_buf.clear()
+
     for line in _ddl_lines(spark, path):
+        if fk_buf:
+            # referential actions may continue on their own lines
+            if _FK_CONT_RE.match(line):
+                fk_buf.append(line.rstrip().rstrip(","))
+                continue
+            _finish_fk()
         idx = _STANDALONE_IDX_RE.match(line)
         if idx:
             kcols = _key_cols(idx.group(4))
@@ -750,6 +809,9 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
         pk = _PK_RE.match(line)
         if pk:
             cur.primary_key = _key_cols(pk.group(1))
+            continue
+        if _FK_START_RE.match(line):
+            fk_buf.append(line.rstrip().rstrip(","))
             continue
         key = _KEY_RE.match(line)
         if key:

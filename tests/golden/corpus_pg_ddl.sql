@@ -1326,6 +1326,10 @@ CREATE INDEX IF NOT EXISTS case_48_index_types_idx_name_btree ON case_48_index_t
 
 CREATE INDEX IF NOT EXISTS case_48_index_types_idx_value_hash ON case_48_index_types (value);
 
+-- ==== stage: fkeys ====
+
+ALTER TABLE case_41_foreign_key ADD CONSTRAINT case_41_foreign_key_ibfk_parent_id FOREIGN KEY (parent_id) REFERENCES case_41_parent (id) ON DELETE CASCADE ON UPDATE SET NULL;
+
 -- ==== stage: functions ====
 
 CREATE OR REPLACE FUNCTION get_joined_data(p_id INTEGER)

@@ -698,3 +698,48 @@ def test_routines_scan_includes_dump_form_triggers():
     out = emit_trigger(build_trigger_from_mysql(trigs[0]))
     assert "new.updated_at := CURRENT_TIMESTAMP;" in out
     assert "CREATE TRIGGER t_stamp BEFORE UPDATE ON t" in out
+
+
+def test_foreign_keys_parse_from_create_blocks(spark, tmp_path):
+    """Round 8 (beyond-reference — the reference skips FOREIGN KEY
+    lines, sync_tableddl.go:738): both the mysqldump one-line
+    CONSTRAINT form and the hand-written multi-line form (actions on
+    continuation lines, as the corpus' case_41 writes them) parse into
+    FkSpecs, including composite keys."""
+    p = tmp_path / "fk.sql"
+    p.write_text(
+        "CREATE TABLE parent (\n"
+        "  id int PRIMARY KEY,\n"
+        "  region int\n"
+        ");\n"
+        "CREATE TABLE child (\n"
+        "  id int PRIMARY KEY,\n"
+        "  p_id int,\n"
+        "  p_region int,\n"
+        "  KEY idx_p (p_id),\n"
+        "  CONSTRAINT `fk_child_parent` FOREIGN KEY (`p_id`, `p_region`)"
+        " REFERENCES `parent` (`id`, `region`) ON DELETE CASCADE\n"
+        ");\n"
+        "CREATE TABLE note (\n"
+        "  id int PRIMARY KEY,\n"
+        "  child_id int,\n"
+        "  FOREIGN KEY (child_id) REFERENCES child(id)\n"
+        "    ON DELETE SET NULL\n"
+        "    ON UPDATE RESTRICT\n"
+        ");\n"
+    )
+    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+    snap = snapshot_from_dump(spark, str(p))
+    by = {t.name: t for t in snap.tables}
+    assert by["parent"].foreign_keys == []
+    (fk,) = by["child"].foreign_keys
+    assert fk.name == "fk_child_parent"
+    assert fk.columns == ["p_id", "p_region"]
+    assert fk.ref_table == "parent" and fk.ref_columns == ["id", "region"]
+    assert fk.on_delete == "CASCADE" and fk.on_update is None
+    (fk2,) = by["note"].foreign_keys
+    assert fk2.name is None and fk2.columns == ["child_id"]
+    assert fk2.on_delete == "SET NULL" and fk2.on_update == "RESTRICT"
+    # the column scan was not confused by the constraint lines
+    assert [c.name for c in by["child"].columns] == ["id", "p_id", "p_region"]

@@ -917,3 +917,62 @@ def test_identity_sequence_resync_after_data(tmp_path, spark):
     )
     assert result["synced"] == {"orders": 25}
     assert events.index("sync:orders") < events.index("setval")
+
+
+def test_foreign_keys_emit_after_data(tmp_path):
+    """FKs land in their own `fkeys` stage AFTER data (bulk load needs
+    no parent-first ordering; one set-based check per constraint), with
+    identifier normalization applied; the DuckDB dialect skips the
+    ALTER visibly (no ADD CONSTRAINT support there)."""
+    from mysql2pg_spark.sinks.ddl import FkSpec, adapt_ddl
+
+    cfg = _cfg(tmp_path)
+    snap = CatalogSnapshot(
+        tables=[
+            TableMeta(name="Parent", columns=[ColumnMeta("ID", "int", False)],
+                      primary_key=["ID"]),
+            TableMeta(
+                name="Child",
+                columns=[ColumnMeta("ID", "int", False),
+                         ColumnMeta("P_ID", "int")],
+                primary_key=["ID"],
+                foreign_keys=[FkSpec(
+                    name="FK_Child", columns=["P_ID"], ref_table="Parent",
+                    ref_columns=["ID"], on_delete="CASCADE",
+                )],
+            ),
+        ]
+    )
+    actions = MigrationPipeline(cfg, snap).plan()
+    fkeys = [a for a in actions if a.stage == "fkeys"]
+    assert len(fkeys) == 1
+    assert fkeys[0].payload == (
+        "ALTER TABLE child ADD CONSTRAINT fk_child FOREIGN KEY (p_id) "
+        "REFERENCES parent (id) ON DELETE CASCADE"
+    )
+    assert STAGE_ORDER.index("fkeys") > STAGE_ORDER.index("data")
+    assert STAGE_ORDER.index("fkeys") > STAGE_ORDER.index("sequences")
+    assert adapt_ddl(fkeys[0].payload, "duckdb") is None
+    assert adapt_ddl(fkeys[0].payload, "postgres") == fkeys[0].payload
+
+
+def test_group_foreign_keys_composite():
+    from mysql2pg_spark.sources.catalog import (
+        foreign_keys_query,
+        group_foreign_keys,
+    )
+
+    assert "referential_constraints" in foreign_keys_query("db")
+    rows = [
+        {"table_name": "child", "constraint_name": "fk1",
+         "column_name": "b", "ordinal_position": 2,
+         "referenced_table_name": "parent", "referenced_column_name": "y",
+         "delete_rule": "CASCADE", "update_rule": "NO ACTION"},
+        {"table_name": "child", "constraint_name": "fk1",
+         "column_name": "a", "ordinal_position": 1,
+         "referenced_table_name": "parent", "referenced_column_name": "x",
+         "delete_rule": "CASCADE", "update_rule": "NO ACTION"},
+    ]
+    out = group_foreign_keys(rows)
+    (fk,) = out["child"]
+    assert fk.columns == ["a", "b"] and fk.ref_columns == ["x", "y"]

@@ -74,6 +74,14 @@ def test_full_snapshot_carries_every_section(snapshot):
     # the standalone index corpus came back INLINE (mysqldump form)
     assert sum(len(t.indexes) for t in snapshot.tables) >= 100
     assert len(snapshot.views) == 10
+    # the FK corpus (case_41) survives the dump round-trip (round 8 —
+    # the reference drops every FOREIGN KEY line)
+    fk_tables = {t.name: t.foreign_keys for t in snapshot.tables
+                 if t.foreign_keys}
+    assert "case_41_foreign_key" in fk_tables
+    (fk,) = fk_tables["case_41_foreign_key"]
+    assert fk.ref_table == "case_41_parent"
+    assert fk.on_delete == "CASCADE" and fk.on_update == "SET NULL"
     # view bodies are the REAL definitions (they select FROM the
     # migrated tables), not the FROM-less `1 AS col` stand-ins
     assert all(
