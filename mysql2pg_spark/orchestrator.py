@@ -361,6 +361,22 @@ class MigrationPipeline:
                         emit_trigger(tspec),
                     )
                 )
+        elif self.snapshot.triggers:
+            # triggers parsed from the source (mysqldump includes them
+            # by DEFAULT) but the sync option is off — surface a visible
+            # note instead of silently omitting them (ADVICE r8: dump /
+            # duckdb CLI modes hit exactly this; mirrors the
+            # skip-don't-drop convention everywhere else).
+            actions.append(
+                Action(
+                    "triggers",
+                    "skip",
+                    "trigger",
+                    f"{len(self.snapshot.triggers)} trigger(s) present in "
+                    "source but conversion.options.triggers is false — "
+                    "not migrated",
+                )
+            )
 
         if o.users:
             for user, grants in self.snapshot.users.items():

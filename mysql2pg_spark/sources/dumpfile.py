@@ -23,11 +23,15 @@ shape:
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+_log = logging.getLogger(__name__)
 
 # mysqldump string-literal escapes (--default-character-set output).
 _ESCAPES = {
@@ -769,9 +773,20 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
 
     def _finish_fk() -> None:
         if fk_buf and cur is not None:
-            fk = _parse_fk(" ".join(fk_buf))
+            joined = " ".join(fk_buf)
+            fk = _parse_fk(joined)
             if fk is not None:
                 cur.foreign_keys.append(fk)
+            else:
+                # losing referential integrity must be VISIBLE (ADVICE
+                # r8): unparsed shapes (e.g. schema-qualified
+                # REFERENCES `db`.`tbl`) log a skip like the other
+                # degrade paths instead of vanishing.
+                _log.warning(
+                    "skipping unparseable FOREIGN KEY on table %s: %s",
+                    cur.name,
+                    joined.strip(),
+                )
         fk_buf.clear()
 
     for line in _ddl_lines(spark, path):
@@ -1084,34 +1099,89 @@ def functions_from_text(
     return out
 
 
+_DELIM_DIRECTIVE_RE = _re.compile(r"(?i)^\s*DELIMITER\s+(\S+)\s*$")
+
+
+def _protected_intervals(
+    delim_rows: list,
+) -> list[tuple[int, float]]:
+    """Half-open ``[start, end)`` line-id intervals in which the active
+    statement delimiter is NOT ``;`` — i.e. DELIMITER-switched routine /
+    trigger regions of a mysqldump, whose body lines must never be
+    mistaken for data-section INSERTs. ``delim_rows`` is the (tiny)
+    ordered list of ``(line_id, token)`` DELIMITER directives."""
+    intervals: list[tuple[int, float]] = []
+    open_at: int | None = None
+    for mid, tok in delim_rows:
+        if tok != ";" and open_at is None:
+            open_at = mid
+        elif tok == ";" and open_at is not None:
+            intervals.append((open_at, mid))
+            open_at = None
+    if open_at is not None:
+        intervals.append((open_at, float("inf")))
+    return intervals
+
+
 def dump_schema_text(path: str, spark: SparkSession | None = None) -> str:
     """The NON-data text of a mysqldump with the INSERT bulk dropped —
     what the statement-level scans (views, routines) may safely hold
     driver-side. A real dump is ~99% INSERT lines (mysqldump emits each
     extended INSERT as one line), so the RESULT stays tiny at any dump
-    size. With a SparkSession the line filter runs DISTRIBUTED (the
-    same split-scan ``_ddl_lines`` uses, ordered by
+    size.
+
+    The drop filter is SECTION-AWARE: mysqldump emits routine and
+    trigger bodies only inside ``DELIMITER ;;`` … ``DELIMITER ;``
+    regions (bodies contain ``;``), so an ``INSERT INTO audit_log…``
+    line INSIDE a trigger body is body text, not bulk data, and must
+    survive — dropping it would silently mistranslate the trigger.
+    Only lines outside every DELIMITER-switched region are candidates
+    for the drop.
+
+    With a SparkSession the line filter runs DISTRIBUTED (the same
+    split-scan ``_ddl_lines`` uses, ordered by
     monotonically_increasing_id — a multi-TB dump never funnels through
-    one driver thread just to find its schema sections); without one it
-    streams the local file. The data itself only ever moves through the
-    distributed readers (``read_dump_inserts`` / the mysqldump
-    DataSource)."""
+    one driver thread just to find its schema sections); the rare
+    DELIMITER directives are collected first (O(#routines) rows) and
+    their protected intervals pushed back into the line filter. Without
+    a session it streams the local file tracking the delimiter
+    directly. The data itself only ever moves through the distributed
+    readers (``read_dump_inserts`` / the mysqldump DataSource)."""
     drop = ("insert into", "insert ignore into", "replace into")
     if spark is not None:
         lines = spark.read.text(path).select(
             F.monotonically_increasing_id().alias("mid"), "value"
         )
+        delim_rows = [
+            (r.mid, _DELIM_DIRECTIVE_RE.match(r.value).group(1))
+            for r in lines.filter(
+                F.col("value").rlike(r"(?i)^\s*DELIMITER\s+\S+\s*$")
+            )
+            .sort("mid")
+            .collect()
+        ]
         low = F.lower(F.ltrim(F.col("value")))
-        keep_df = lines.filter(
-            ~low.startswith(drop[0])
-            & ~low.startswith(drop[1])
-            & ~low.startswith(drop[2])
+        is_insert = (
+            low.startswith(drop[0])
+            | low.startswith(drop[1])
+            | low.startswith(drop[2])
         )
+        protected = F.lit(False)
+        for start, end in _protected_intervals(delim_rows):
+            cond = F.col("mid") >= F.lit(start)
+            if end != float("inf"):
+                cond = cond & (F.col("mid") < F.lit(end))
+            protected = protected | cond
+        keep_df = lines.filter(~is_insert | protected)
         return "\n".join(r.value for r in keep_df.sort("mid").collect())
     keep: list[str] = []
+    delim = ";"
     with open(path, encoding="utf-8", errors="replace") as fh:
         for line in fh:
-            if line.lstrip().lower().startswith(drop):
+            mo = _DELIM_DIRECTIVE_RE.match(line)
+            if mo:
+                delim = mo.group(1)
+            elif delim == ";" and line.lstrip().lower().startswith(drop):
                 continue
             keep.append(line.rstrip("\n"))
     return "\n".join(keep)

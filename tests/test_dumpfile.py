@@ -743,3 +743,78 @@ def test_foreign_keys_parse_from_create_blocks(spark, tmp_path):
     assert fk2.on_delete == "SET NULL" and fk2.on_update == "RESTRICT"
     # the column scan was not confused by the constraint lines
     assert [c.name for c in by["child"].columns] == ["id", "p_id", "p_region"]
+
+
+def test_dump_schema_text_keeps_routine_body_inserts(spark, tmp_path):
+    """ADVICE r8 (high): the data-drop filter must be section-aware. A
+    trigger body's `INSERT INTO audit_log…;` line lives inside a
+    DELIMITER-switched region and is BODY TEXT — dropping it silently
+    mistranslates the trigger. Data-section extended INSERTs (outside
+    any DELIMITER switch) are still dropped. Both the local streaming
+    path and the distributed Spark path must agree."""
+    from mysql2pg_spark.sources.dumpfile import (
+        dump_schema_text,
+        functions_from_text,
+    )
+
+    text = (
+        "CREATE TABLE t (id int PRIMARY KEY, updated_at datetime);\n"
+        "LOCK TABLES `t` WRITE;\n"
+        "INSERT INTO `t` VALUES (1,'2024-01-01'),(2,'2024-01-02');\n"
+        "UNLOCK TABLES;\n"
+        "/*!50003 SET @saved_sql_mode       = @@sql_mode */ ;\n"
+        "DELIMITER ;;\n"
+        "/*!50003 CREATE*/ /*!50017 DEFINER=`root`@`localhost`*/"
+        " /*!50003 TRIGGER `t_audit` BEFORE UPDATE ON `t` FOR EACH ROW\n"
+        "BEGIN\n"
+        "INSERT INTO audit_log (tbl) VALUES ('t');\n"
+        "SET NEW.updated_at = NOW();\n"
+        "END */;;\n"
+        "DELIMITER ;\n"
+        "/*!50003 SET sql_mode              = @saved_sql_mode */ ;\n"
+        "INSERT INTO `t` VALUES (3,'2024-01-03');\n"
+    )
+    p = tmp_path / "d.sql"
+    p.write_text(text)
+
+    for schema_text in (
+        dump_schema_text(str(p)),            # local streaming path
+        dump_schema_text(str(p), spark),     # distributed path
+    ):
+        # data-section bulk dropped…
+        assert "VALUES (1,'2024-01-01')" not in schema_text
+        assert "VALUES (3,'2024-01-03')" not in schema_text
+        # …but the trigger body INSERT survives
+        assert "INSERT INTO audit_log (tbl) VALUES ('t');" in schema_text
+        (trg,) = functions_from_text(schema_text, kinds=("TRIGGER",))
+        assert "INSERT INTO audit_log" in trg
+        assert "SET NEW.updated_at = NOW()" in trg
+
+
+def test_unparseable_fk_logs_visible_skip(spark, tmp_path, caplog):
+    """ADVICE r8: an FK shape _parse_fk cannot express (schema-qualified
+    REFERENCES) must surface as a logged skip, not vanish silently —
+    referential-integrity loss has to be visible like every other
+    degrade path."""
+    import logging
+
+    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+    p = tmp_path / "fkq.sql"
+    p.write_text(
+        "CREATE TABLE child (\n"
+        "  id int PRIMARY KEY,\n"
+        "  p_id int,\n"
+        "  CONSTRAINT `fk_x` FOREIGN KEY (`p_id`)"
+        " REFERENCES `otherdb`.`parent` (`id`)\n"
+        ");\n"
+    )
+    with caplog.at_level(logging.WARNING, logger="mysql2pg_spark.sources.dumpfile"):
+        snap = snapshot_from_dump(spark, str(p))
+    by = {t.name: t for t in snap.tables}
+    assert by["child"].foreign_keys == []
+    assert any(
+        "unparseable FOREIGN KEY" in r.getMessage()
+        and "child" in r.getMessage()
+        for r in caplog.records
+    )

@@ -976,3 +976,76 @@ def test_group_foreign_keys_composite():
     out = group_foreign_keys(rows)
     (fk,) = out["child"]
     assert fk.columns == ["a", "b"] and fk.ref_columns == ["x", "y"]
+
+
+def test_add_fk_ddl_caps_names_at_63_bytes():
+    """ADVICE r8: PG silently truncates identifiers past 63 bytes, so an
+    over-long generated FK name would differ from the emitted one
+    (breaking skip-existing reruns) and two long composite FKs could
+    truncate to COLLIDING names. The emitter caps deterministically with
+    a distinguishing hash suffix instead."""
+    import re
+
+    from mysql2pg_spark.sinks.ddl import FkSpec, add_fk_ddl
+
+    long_cols_a = [f"customer_account_reference_column_{i}" for i in (1, 2)]
+    long_cols_b = [f"customer_account_reference_column_{i}" for i in (1, 3)]
+    table = "extremely_long_fact_table_name_for_identifier_tests"
+
+    def _name(ddl: str) -> str:
+        return re.search(r'ADD CONSTRAINT "?([^"\s]+)"?\s', ddl).group(1)
+
+    na = _name(add_fk_ddl(table, FkSpec(
+        name=None, columns=long_cols_a, ref_table="parent",
+        ref_columns=["a", "b"],
+    )))
+    nb = _name(add_fk_ddl(table, FkSpec(
+        name=None, columns=long_cols_b, ref_table="parent",
+        ref_columns=["a", "b"],
+    )))
+    assert len(na.encode()) <= 63 and len(nb.encode()) <= 63
+    assert na != nb  # blind [:63] truncation would collide here
+    assert na.startswith(table[:40])  # still recognizably table-prefixed
+    # short names pass through untouched
+    short = add_fk_ddl("t", FkSpec(
+        name="fk_ok", columns=["a"], ref_table="p", ref_columns=["id"],
+    ))
+    assert 'ADD CONSTRAINT fk_ok' in short
+
+
+def test_plan_surfaces_disabled_triggers(tmp_path):
+    """ADVICE r8: mysqldump includes triggers by default, so a snapshot
+    can carry them while options.triggers is off (dump/duckdb CLI modes
+    do exactly this) — the plan must emit a visible note instead of
+    silently omitting them."""
+    import yaml
+
+    from mysql2pg_spark.config import load_config
+    from mysql2pg_spark.orchestrator import (
+        CatalogSnapshot,
+        MigrationPipeline,
+    )
+
+    cfgp = tmp_path / "c.yml"
+    cfgp.write_text(yaml.safe_dump({
+        "mysql": {"host": "h", "database": "d"},
+        "postgresql": {"host": "p", "database": "d"},
+        "conversion": {"options": {}, "limits": {"concurrency": 1,
+                                                 "max_rows_per_batch": 10}},
+    }))
+    cfg = load_config(str(cfgp))
+    assert cfg.options.triggers is False
+    snap = CatalogSnapshot(tables=[], triggers=[
+        "CREATE TRIGGER t_bu BEFORE UPDATE ON t FOR EACH ROW "
+        "SET NEW.x = 1",
+    ])
+    actions = MigrationPipeline(cfg, snap).plan()
+    notes = [a for a in actions
+             if a.stage == "triggers" and a.kind == "skip"]
+    assert len(notes) == 1
+    assert "options.triggers is false" in notes[0].payload
+    # with the option ON there is no note, just the DDL
+    cfg.options.triggers = True
+    actions = MigrationPipeline(cfg, snap).plan()
+    trig = [a for a in actions if a.stage == "triggers"]
+    assert len(trig) == 1 and trig[0].kind == "ddl"

@@ -55,8 +55,12 @@ def test_dump_is_byte_realistic(dump_path):
     text = open(dump_path).read()
     assert text.startswith("-- MySQL dump 10.13")
     assert "/*!40101 SET @OLD_CHARACTER_SET_CLIENT" in text
-    assert text.count("DELIMITER ;;") == 3  # one per routine
+    assert text.count("DELIMITER ;;") == 4  # 3 routines + 1 trigger
     assert "/*!50003 CREATE*/ /*!50020 DEFINER=`root`@`localhost`*/" in text
+    # the audit trigger's body INSERT sits on its own line inside the
+    # DELIMITER-switched region — the ADVICE-r8 data-filter repro
+    assert "/*!50003 TRIGGER `case_41_parent_audit`" in text
+    assert "\nINSERT INTO case_41_foreign_key" in text
     assert text.count("/*!50001 CREATE TABLE") == 10  # view stand-ins
     assert text.count("/*!50001 VIEW") == 10  # final definitions
     assert len(re.findall(r"(?m)^LOCK TABLES `\w+` WRITE;$", text)) >= 55
@@ -88,6 +92,29 @@ def test_full_snapshot_carries_every_section(snapshot):
         re.search(r"(?i)\bfrom\b", b) for b in snapshot.views.values()
     )
     assert len(snapshot.functions) == 3
+    # the trigger survives the schema scan WITH its body INSERT intact
+    # (ADVICE r8: the old line-prefix data filter dropped any
+    # `INSERT INTO …` line, even inside a DELIMITER-switched routine
+    # region, silently mistranslating audit triggers)
+    assert len(snapshot.triggers) == 1
+    assert "INSERT INTO case_41_foreign_key" in snapshot.triggers[0]
+    assert "SET NEW.name = UPPER(NEW.name)" in snapshot.triggers[0]
+
+
+def test_trigger_translates_with_body_dml(snapshot):
+    """The dump-carried audit trigger emits a complete plpgsql trigger
+    function: the body INSERT passes through, SET NEW.col becomes an
+    assignment, and the BEFORE UPDATE wiring is intact."""
+    from mysql2pg_spark.sinks.plpgsql import emit_trigger
+    from mysql2pg_spark.sinks.plpgsql_builder import build_trigger_from_mysql
+
+    out = emit_trigger(build_trigger_from_mysql(snapshot.triggers[0]))
+    assert "INSERT INTO case_41_foreign_key" in out
+    assert "new.name := UPPER(new.name);" in out.lower().replace(
+        "upper", "UPPER"
+    ) or "new.name := upper(new.name);" in out.lower()
+    assert "CREATE TRIGGER case_41_parent_audit BEFORE UPDATE ON "\
+        "case_41_parent" in out
 
 
 def test_corpus_functions_emit_golden_plpgsql(snapshot):
@@ -259,5 +286,7 @@ def test_cli_pgddl_mode_on_realistic_dump(dump_path, capsys):
     assert out.count("CREATE OR REPLACE VIEW") + out.count(
         "CREATE VIEW"
     ) >= 9
-    assert out.count("CREATE OR REPLACE FUNCTION") == 3
+    # 3 routines + the audit trigger's trigger function
+    assert out.count("CREATE OR REPLACE FUNCTION") == 4
+    assert out.count("CREATE TRIGGER") == 1
     assert "$$ LANGUAGE plpgsql" in out

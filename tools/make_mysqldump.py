@@ -25,7 +25,15 @@ mysqldump.cc's emitted headers):
   DEFINER=… SQL SECURITY DEFINER */ /*!50001 VIEW … AS … */`;
 - `--routines`: the `-- Dumping routines` banner and each function as
   `DELIMITER ;;` + `/*!50003 CREATE*/ /*!50020 DEFINER=…*/ /*!50003
-  FUNCTION … END */;;` with the `@saved_sql_mode` save/restore wrap.
+  FUNCTION … END */;;` with the `@saved_sql_mode` save/restore wrap;
+- triggers: mysqldump includes them by DEFAULT, emitted right after
+  the owning table's data section in the same `/*!50003*/` +
+  DELIMITER-switched wrap. The built-in TRIGGERS corpus includes an
+  audit-INSERT body — a bare `INSERT INTO …;` line inside a
+  DELIMITER-switched region — the exact shape the section-aware
+  `dump_schema_text` filter must NOT mistake for bulk data (ADVICE r8:
+  the old line-prefix filter silently dropped it, mistranslating the
+  trigger).
 
 Usage: ``python tools/make_mysqldump.py [out.sql]`` (default
 /tmp/corpus_dump.sql); the capstone test calls ``render_corpus_dump``
@@ -54,6 +62,60 @@ _VIEW_RE = re.compile(
 )
 _INSERT_RE = re.compile(r"(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?")
 _FN_NAME_RE = re.compile(r"(?is)^\s*CREATE\s+FUNCTION\s+`?(\w+)`?")
+
+#: Trigger corpus (the reference's scripts have none — mysqldump emits
+#: triggers by default, so a byte-realistic dump must carry some). The
+#: audit trigger's body deliberately contains a line-leading
+#: ``INSERT INTO …;`` — the ADVICE-r8 repro for the data-drop filter.
+TRIGGERS: dict[str, list[str]] = {
+    "case_41_parent": [
+        "CREATE TRIGGER `case_41_parent_audit` BEFORE UPDATE ON "
+        "`case_41_parent` FOR EACH ROW\n"
+        "BEGIN\n"
+        "INSERT INTO case_41_foreign_key (id, parent_id, name) "
+        "VALUES (NEW.id, NEW.id, NEW.name);\n"
+        "SET NEW.name = UPPER(NEW.name);\n"
+        "END",
+    ],
+}
+
+_TRG_SAVE = """\
+/*!50003 SET @saved_cs_client      = @@character_set_client */ ;
+/*!50003 SET @saved_cs_results     = @@character_set_results */ ;
+/*!50003 SET @saved_col_connection = @@collation_connection */ ;
+/*!50003 SET character_set_client  = utf8mb4 */ ;
+/*!50003 SET character_set_results = utf8mb4 */ ;
+/*!50003 SET collation_connection  = utf8mb4_0900_ai_ci */ ;
+/*!50003 SET @saved_sql_mode       = @@sql_mode */ ;
+/*!50003 SET sql_mode              = 'ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES' */ ;
+"""
+
+_TRG_RESTORE = """\
+/*!50003 SET sql_mode              = @saved_sql_mode */ ;
+/*!50003 SET character_set_client  = @saved_cs_client */ ;
+/*!50003 SET character_set_results = @saved_cs_results */ ;
+/*!50003 SET collation_connection  = @saved_col_connection */ ;
+"""
+
+
+def _render_trigger(ddl: str) -> str:
+    """One trigger in mysqldump 8.0 layout: the /*!50003*/ session wrap
+    + DELIMITER switch + /*!50017 DEFINER*/-wrapped CREATE."""
+    wrapped = re.sub(
+        r"(?is)^\s*CREATE\s+TRIGGER",
+        "/*!50003 CREATE*/ /*!50017 DEFINER=`root`@`localhost`*/"
+        " /*!50003 TRIGGER",
+        ddl.rstrip().rstrip(";"),
+        count=1,
+    )
+    return (
+        _TRG_SAVE
+        + "DELIMITER ;;\n"
+        + wrapped
+        + " */;;\n"
+        + "DELIMITER ;\n"
+        + _TRG_RESTORE
+    )
 
 HEADER = """\
 -- MySQL dump 10.13  Distrib 8.0.36, for Linux (x86_64)
@@ -224,6 +286,9 @@ LOCK TABLES `{t}` WRITE;
 UNLOCK TABLES;
 """
         )
+        # mysqldump emits the table's triggers right after its data
+        for trg in TRIGGERS.get(t.lower(), []):
+            parts.append(_render_trigger(trg))
 
     # view stand-ins (table section order, as mysqldump interleaves)
     for name, body in views:
