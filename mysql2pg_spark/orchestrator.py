@@ -113,6 +113,19 @@ def _rollback_quietly(conn) -> None:
         pass
 
 
+def _rollback_to_savepoint_quietly(conn) -> None:
+    """Savepoint-mode failure reset: roll back to the statement's
+    savepoint so EARLIER statements in the stage's open transaction
+    survive; if even that fails (connection gone, engine without
+    savepoints), fall back to a full rollback — the keep-going loop
+    must always be able to run the next statement."""
+    try:
+        cur = conn.cursor()
+        cur.execute("ROLLBACK TO SAVEPOINT mig_ddl")
+    except Exception:
+        _rollback_quietly(conn)
+
+
 class MigrationPipeline:
     def __init__(self, cfg: EngineConfig, snapshot: CatalogSnapshot,
                  existing_pg_tables: set[str] | None = None):
@@ -481,6 +494,7 @@ class MigrationPipeline:
         dest_reader=None,
         logger=None,
         target_dialect: str = "postgres",
+        ddl_commit: str = "statement",
     ) -> dict:
         """Run the plan against live endpoints, stage order and
         keep-going error semantics per the reference's manager
@@ -508,8 +522,22 @@ class MigrationPipeline:
         partitioned read plan's job. Between read and write each table
         passes through the B7/B8/C90 value-fix transform.
 
+        ``ddl_commit`` picks the DDL transaction granularity (round 9,
+        the VERDICT-asked SAVEPOINT evaluation seam):
+
+        - ``"statement"`` (default): commit after every successful DDL —
+          one network round-trip per statement, maximally durable.
+        - ``"savepoint"``: each DDL runs inside ``SAVEPOINT``/``RELEASE``
+          and the stage commits ONCE — a failed statement rolls back to
+          its savepoint (earlier work in the stage is preserved, same
+          keep-going semantics) while N commit round-trips collapse to
+          one per stage. Requires an engine with savepoint support
+          (PostgreSQL, SQLite; DuckDB has none — keep "statement"
+          there).
+
         Returns {"ddl": n_executed, "synced": {table: rows},
-        "validation": {table: verdict}, "log": logger.summary()}.
+        "validation": {table: verdict}, "stage_sec": {stage: seconds},
+        "log": logger.summary()}.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -595,12 +623,20 @@ class MigrationPipeline:
         # checksums captured via df.observe() during the sink write, so
         # the validate stage never re-scans the source (one scan/table).
         src_checksums: dict[str, tuple[dict, list[str]]] = {}
+        # per-stage wall seconds (round 9: the bench artifact carries
+        # the breakdown so a commit-granularity or new-stage regression
+        # is attributable instead of one opaque pipeline number)
+        stage_sec: dict[str, float] = {}
+        use_savepoint = ddl_commit == "savepoint"
+
+        import time as _time
 
         for stage in STAGE_ORDER:
             stage_actions = by_stage.get(stage, [])
             if not stage_actions:
                 continue
             logger.stage_start(stage)
+            _stage_t0 = _time.perf_counter()
 
             ddls = [a for a in stage_actions if a.kind == "ddl"]
             for a in ddls:
@@ -619,23 +655,38 @@ class MigrationPipeline:
                         )
                         continue
                     cur = pg_conn.cursor()
-                    cur.execute(payload)
-                    ddl_done += 1
-                    # commit per statement: on a non-autocommit DB-API
-                    # engine, a LATER failure in this stage rolls back
-                    # the whole open transaction — without this, every
-                    # earlier successful-but-uncommitted DDL would be
-                    # silently discarded while ddl_done already counted
-                    # it (and nothing re-executes it)
-                    pg_conn.commit()
+                    if use_savepoint:
+                        # savepoint mode: per-statement durability comes
+                        # from ROLLBACK TO SAVEPOINT on failure; the
+                        # stage commits once below (one round-trip per
+                        # stage instead of one per statement)
+                        cur.execute("SAVEPOINT mig_ddl")
+                        cur.execute(payload)
+                        cur.execute("RELEASE SAVEPOINT mig_ddl")
+                        ddl_done += 1
+                    else:
+                        cur.execute(payload)
+                        ddl_done += 1
+                        # commit per statement: on a non-autocommit
+                        # DB-API engine, a LATER failure in this stage
+                        # rolls back the whole open transaction —
+                        # without this, every earlier successful-but-
+                        # uncommitted DDL would be silently discarded
+                        # while ddl_done already counted it (and nothing
+                        # re-executes it)
+                        pg_conn.commit()
                 except Exception as e:  # keep going, record (manager.go)
                     # A failed statement poisons a non-autocommit DB-API
                     # transaction (psycopg2 raises InFailedSqlTransaction
                     # on EVERY later statement until rollback) — roll
-                    # back before the C33 retry and before the
-                    # keep-going loop moves on, or one bad DDL would
-                    # fail the whole stage on real PostgreSQL.
-                    _rollback_quietly(pg_conn)
+                    # back (to the statement's savepoint when batching)
+                    # before the C33 retry and before the keep-going
+                    # loop moves on, or one bad DDL would fail the whole
+                    # stage on real PostgreSQL.
+                    if use_savepoint:
+                        _rollback_to_savepoint_quietly(pg_conn)
+                    else:
+                        _rollback_quietly(pg_conn)
                     # C33: a strict engine rejects MySQL's loosely-typed
                     # mixed COALESCE; retry the view with every COALESCE
                     # arg cast to text (the reference's
@@ -651,18 +702,35 @@ class MigrationPipeline:
                             from mysql2pg_spark.sinks.ddl import adapt_ddl
 
                             cur = pg_conn.cursor()
-                            cur.execute(adapt_ddl(retry, target_dialect))
-                            ddl_done += 1
-                            pg_conn.commit()
+                            if use_savepoint:
+                                cur.execute("SAVEPOINT mig_ddl")
+                                cur.execute(
+                                    adapt_ddl(retry, target_dialect)
+                                )
+                                cur.execute("RELEASE SAVEPOINT mig_ddl")
+                                ddl_done += 1
+                            else:
+                                cur.execute(
+                                    adapt_ddl(retry, target_dialect)
+                                )
+                                ddl_done += 1
+                                pg_conn.commit()
                             logger.info(
                                 f"view {a.target}: mixed-type COALESCE "
                                 "unified to text on retry (C33)"
                             )
                             continue
                         except Exception as e2:
-                            _rollback_quietly(pg_conn)
+                            if use_savepoint:
+                                _rollback_to_savepoint_quietly(pg_conn)
+                            else:
+                                _rollback_quietly(pg_conn)
                             e = e2
                     logger.table_error(stage, a.target, e)
+            if use_savepoint and ddls:
+                # one commit per stage: every released savepoint above
+                # becomes durable here
+                pg_conn.commit()
 
             reads = [a for a in stage_actions if a.kind == "read_plan"]
             if reads:
@@ -761,11 +829,13 @@ class MigrationPipeline:
                     logger.table_error(stage, a.target, e)
 
             logger.stage_end(stage, f"{len(stage_actions)} actions")
+            stage_sec[stage] = round(_time.perf_counter() - _stage_t0, 3)
 
         return {
             "ddl": ddl_done,
             "synced": synced,
             "validation": validation,
+            "stage_sec": stage_sec,
             "log": logger.summary(),
         }
 
@@ -784,17 +854,25 @@ class MigrationPipeline:
           against the source.
 
         Returns {"ddl": [...], "synced": {table: rows}, "validation":
-        {table: {...}}}.
+        {table: {...}}, "stage_sec": {"plan": s, "data": s,
+        "validate": s}} — the phase seconds feed the bench artifact's
+        migration breakdown (round 9) so a planner or validation
+        regression is attributable instead of hiding inside one
+        pipeline number.
         """
         import os
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         from mysql2pg_spark.operators.validate import checksum_validation
 
+        stage_sec: dict[str, float] = {}
+        _t0 = _time.perf_counter()
         actions = self.plan()
         ddl = [a.payload for a in actions if a.kind == "ddl"]
         reads = [a for a in actions if a.kind == "read_plan"]
         checks = [a for a in actions if a.kind == "check"]
+        stage_sec["plan"] = round(_time.perf_counter() - _t0, 3)
 
         synced: dict[str, int] = {}
 
@@ -805,10 +883,13 @@ class MigrationPipeline:
             df.write.mode("overwrite").parquet(dest)
             return action.target, spark.read.parquet(dest).count()
 
+        _t0 = _time.perf_counter()
         with ThreadPoolExecutor(self.cfg.limits.concurrency) as pool:
             for name, n in pool.map(sync_one, reads):
                 synced[name] = n
+        stage_sec["data"] = round(_time.perf_counter() - _t0, 3)
 
+        _t0 = _time.perf_counter()
         validation: dict[str, dict] = {}
         by_target = {a.payload["table"]: a.target for a in reads}
         for chk in checks:
@@ -827,4 +908,10 @@ class MigrationPipeline:
                 if f.dataType.simpleString() in ("bigint", "int", "string")
             ]
             validation[chk.target] = checksum_validation(src, dst, cols)
-        return {"ddl": ddl, "synced": synced, "validation": validation}
+        stage_sec["validate"] = round(_time.perf_counter() - _t0, 3)
+        return {
+            "ddl": ddl,
+            "synced": synced,
+            "validation": validation,
+            "stage_sec": stage_sec,
+        }

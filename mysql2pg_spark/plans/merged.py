@@ -315,7 +315,11 @@ SELECT 'scalar_fns' AS part, a.c_custkey, a.total, a.level, a.label,
        CAST(NULL AS VARCHAR) AS flag, CAST(NULL AS BIGINT) AS n_guarded,
        CAST(NULL AS DOUBLE) AS guarded_rev,
        CAST(NULL AS VARCHAR) AS status, CAST(NULL AS BIGINT) AS n_caught,
-       CAST(NULL AS DOUBLE) AS guarded_sum
+       CAST(NULL AS DOUBLE) AS guarded_sum,
+       CAST(NULL AS BIGINT) AS a_custkey, CAST(NULL AS BIGINT) AS a_orders,
+       CAST(NULL AS DOUBLE) AS acct_total,
+       CAST(NULL AS BIGINT) AS rs_custkey,
+       CAST(NULL AS VARCHAR) AS rs_name, CAST(NULL AS DOUBLE) AS rs_acctbal
 FROM {_sub("sf01_stored_functions")} a
 LEFT JOIN {_sub("sf02_stored_function_udf")} b ON b.o_custkey = a.c_custkey
 UNION ALL
@@ -325,7 +329,9 @@ SELECT 'cursor_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        c.om, c.picked_n, c.spent,
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
 FROM {_sub("sf03_cursor_loop_twin")} c
 UNION ALL
 SELECT 'case_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
@@ -334,7 +340,9 @@ SELECT 'case_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        d.tier, d.n_orders, d.total_spend,
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
 FROM {_sub("sf04_case_block_twin")} d
 UNION ALL
 SELECT 'signal_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
@@ -343,7 +351,9 @@ SELECT 'signal_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        e.flag, e.n_guarded, e.guarded_rev,
-       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
 FROM {_sub("sf05_signal_guard_twin")} e
 UNION ALL
 SELECT 'nested_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
@@ -352,9 +362,33 @@ SELECT 'nested_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-       f.status, f.n_caught, f.guarded_sum
+       f.status, f.n_caught, f.guarded_sum,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
 FROM {_sub("sf06_nested_guard_twin")} f
-ORDER BY part, c_custkey, om, tier, flag, status
+UNION ALL
+SELECT 'uservar_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       g.a_custkey, g.a_orders, g.acct_total,
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM {_sub("sf07_uservar_accum_twin")} g
+UNION ALL
+SELECT 'resultset_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       h.rs_custkey, h.rs_name, h.rs_acctbal
+FROM {_sub("sf08_resultset_proc_twin")} h
+ORDER BY part, c_custkey, om, tier, flag, status, a_custkey, rs_custkey
 """,
 )
 def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +410,10 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 8: the nested-block-with-inner-handler function's set-based
     # twin joins the battery the round that shape became translatable
     nested_twin = QUERIES["sf06_nested_guard_twin"](spark, sf_dir)
+    # round 9: the @user-variable accumulator and result-set-procedure
+    # twins join the battery the round those shapes landed
+    uservar_twin = QUERIES["sf07_uservar_accum_twin"](spark, sf_dir)
+    resultset_twin = QUERIES["sf08_resultset_proc_twin"](spark, sf_dir)
     return _tagged_union(
         "part",
         [
@@ -384,6 +422,8 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("case_twin", case_twin),
             ("signal_twin", signal_twin),
             ("nested_twin", nested_twin),
+            ("uservar_twin", uservar_twin),
+            ("resultset_twin", resultset_twin),
         ],
     )
 

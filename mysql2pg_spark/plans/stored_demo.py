@@ -510,3 +510,109 @@ def sf06_nested_guard_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# sf07 — the @user-variable cursor accumulator's set-based twin (round-9
+# C95 widening: plain @vars now translate as synthesized typed locals —
+# the reference name-rewrites them with a name heuristic at
+# sync_functions.go:1180-1224, this repo infers the type from the
+# assignments and seeds NULL). USERVAR_TOTAL_DDL is the canonical
+# accumulator shape — `SET @total = 0` then `SET @total = @total + v`
+# in a cursor loop (golden plpgsql pinned in tests/test_schema.py:
+# @total/@n become `uv_total NUMERIC`/`uv_n NUMERIC` at function
+# scope). The per-customer function collapses set-based into ONE
+# grouped aggregate — the 100 TB rewrite: a session-variable
+# accumulator serializes per row in any engine, a groupBy sum is one
+# partial-agg shuffle.
+# --------------------------------------------------------------------------
+USERVAR_TOTAL_DDL = """
+CREATE FUNCTION customer_spend(p_cust INT) RETURNS DECIMAL(18,2)
+READS SQL DATA
+COMMENT 'sum of one customer''s order totals'
+BEGIN
+  DECLARE done INT DEFAULT 0;
+  DECLARE v DECIMAL(18,2);
+  DECLARE cur CURSOR FOR SELECT o_totalprice FROM orders
+    WHERE o_custkey = p_cust;
+  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1;
+  SET @total = 0;
+  SET @n = 0;
+  OPEN cur;
+  read_loop: LOOP
+    FETCH cur INTO v;
+    IF done = 1 THEN LEAVE read_loop; END IF;
+    SET @total = @total + v, @n = @n + 1;
+  END LOOP;
+  CLOSE cur;
+  RETURN @total;
+END
+"""
+
+
+@query(
+    "sf07_uservar_accum_twin",
+    oracle="""
+SELECT o_custkey AS a_custkey,
+       CAST(count(*) AS BIGINT) AS a_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+         AS acct_total
+FROM orders GROUP BY 1 ORDER BY a_custkey
+""",
+    driver=False,
+)
+def sf07_uservar_accum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("a_custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("a_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("acct_total"),
+        )
+        .orderBy("a_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# sf08 — the result-set procedure's set-based twin (round 9: a MySQL
+# procedure whose body streams ONE bare SELECT gains an
+# ``INOUT p_resultset refcursor`` parameter and ``OPEN p_resultset FOR
+# <select>`` — plpgsql's native result-set idiom; the reference drops
+# ALL procedures). RESULTSET_PROC_DDL is the canonical shape (golden
+# pinned in tests/test_schema.py); the twin runs the SELECT itself —
+# deterministic top-10 (acctbal DESC, custkey tie-break) so the
+# cross-engine hash is stable.
+# --------------------------------------------------------------------------
+RESULTSET_PROC_DDL = """
+CREATE PROCEDURE top_customers()
+READS SQL DATA
+COMMENT 'ten largest accounts'
+BEGIN
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 10;
+END
+"""
+
+
+@query(
+    "sf08_resultset_proc_twin",
+    oracle="""
+SELECT c_custkey AS rs_custkey, c_name AS rs_name,
+       CAST(c_acctbal AS DOUBLE) AS rs_acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+""",
+    driver=False,
+)
+def sf08_resultset_proc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.col("c_custkey").alias("rs_custkey"),
+            F.col("c_name").alias("rs_name"),
+            F.col("c_acctbal").cast("double").alias("rs_acctbal"),
+        )
+        .orderBy(F.desc("rs_acctbal"), "rs_custkey")
+        .limit(10)
+    )

@@ -27,11 +27,16 @@ sync_functions.go:220-407 / :1040-1283 territory), as do body DML
 (INSERT/UPDATE/DELETE passthrough, CALL), well-known bare errnos
 (``MYSQL_ERRNO_SQLSTATE``), class-02 SQLSTATE handlers (→ NOT FOUND
 machinery), and expression-position ``ROW_COUNT()`` (hoisted to GET
-DIAGNOSTICS). What remains outside both paths (@user variables,
-SQLWARNING handlers, attribute-modifying RESIGNAL forms, REPLACE INTO,
-errnos outside the table, ROW_COUNT() in loop conditions) raises
-:class:`UnsupportedFunctionError` instead of producing silently-wrong
-plpgsql.
+DIAGNOSTICS). Plain ``@user`` variables translate as synthesized
+typed function-scope locals (round 9 — the reference name-rewrites
+them with a weaker heuristic at :1180-1224), and a PROCEDURE whose
+body streams ONE result set gains an ``INOUT p_resultset refcursor``
+parameter (round 9; the reference drops all procedures). What remains
+outside both paths (@@system variables, quoted/@-inline-:=-in-query
+variable uses, SQLWARNING handlers, multiple result sets, REPLACE
+INTO, errnos outside the table, ROW_COUNT() in loop conditions)
+raises :class:`UnsupportedFunctionError` instead of producing
+silently-wrong plpgsql.
 
 Builtin-expression mapping mirrors the reference's table
 (sync_functions.go:502-543): IFNULL→COALESCE, IF→CASE, CONCAT→``||``,
@@ -89,11 +94,167 @@ _RE_CHAR_END = re.compile(
     r"\bBEGIN\b|\bRETURN\b",
     re.I,
 )
-#: Body constructs no path covers (the reference also mangles these;
-#: @vars survive only through name-keyed regex patches :430-465).
+#: Body constructs no path covers.
 _UNSUPPORTED = (
-    (re.compile(r"@\w+"), "@user variables"),
+    # @@sql_mode etc. are server-session state with no per-function
+    # plpgsql analog (PG spells them current_setting('…') with
+    # DIFFERENT names and units — a name-rewrite would mistranslate)
+    (re.compile(r"@@\w+"), "@@system/session variables"),
+    # @`quoted` / @'quoted' user-variable names (the quoted literal is
+    # masked by the time this runs, so \x00 catches @'…' / @"…")
+    (re.compile(r"@[`\x00]"), "quoted @user-variable names"),
 )
+
+#: plain ``@var`` user-variable reference (the lookbehind keeps ``@@x``
+#: system variables — refused above — out of the capture)
+_RE_USER_VAR = re.compile(r"(?<![@\w])@(\w+)")
+
+#: the reference's name heuristic (sync_functions.go:1196-1203):
+#: counter/money-ish names default to numeric when no assignment
+#: reveals a better type
+_NUMERIC_NAME_HINTS = (
+    "count", "sum", "total", "amount", "price", "num", "qty", "id",
+)
+
+
+#: prefix marking a type the builder's ``_pg_type`` must pass through
+#: VERBATIM instead of running through the MySQL type matrix — used for
+#: the unconstrained ``NUMERIC`` of synthesized @var locals (MySQL's
+#: bare NUMERIC column type means DECIMAL(10,0), but an @var is
+#: dynamically typed: PG's unconstrained numeric keeps exact values at
+#: their natural scale, so 0 + 1 prints '1' and 0 + 12.50 keeps cents)
+_VERBATIM = "\x01"
+
+
+def _classify_assign_expr(expr: str) -> str | None:
+    """Best-effort type class of one assigned expression (masked text);
+    None = unrecognized shape."""
+    if not expr or expr.upper() == "NULL":
+        return None
+    if re.fullmatch(r"[-+]?\d+", expr):
+        return "BIGINT"
+    if re.fullmatch(r"[-+]?(?:\d+\.\d*|\.\d+)(?:[eE][-+]?\d+)?", expr):
+        return "NUMERIC"
+    if re.fullmatch(r"\x00L\d+\x00", expr):
+        return "TEXT"
+    if re.search(r"(?i)\bCONCAT\w*\s*\(", expr):
+        return "TEXT"
+    if re.search(r"(?i)\b(?:NOW|SYSDATE|CURRENT_TIMESTAMP)\b", expr):
+        return "DATETIME"
+    if re.search(r"(?i)\b(?:CURDATE|CURRENT_DATE)\b", expr):
+        return "DATE"
+    if re.search(
+        r"(?i)\b(?:COUNT|SUM|AVG|ROW_COUNT)\s*\(", expr
+    ) or re.search(r"[+*/]", expr):
+        return "NUMERIC"
+    return None
+
+
+def _infer_user_var_type(fname: str, var: str, body: str) -> str:
+    """MySQL-or-verbatim type for the local synthesized in place of
+    ``@var``. EVERY ``@var = expr`` assignment is classified (a money
+    accumulator typically seeds ``SET @t = 0`` — integer — then adds
+    DECIMAL values, so first-assignment-wins would truncate cents) and
+    the classes are widened: all-integer → BIGINT; integer+numeric →
+    unconstrained NUMERIC (exact, natural scale); date+datetime →
+    DATETIME. Incompatible evidence (numeric AND text assignments)
+    REFUSES — MySQL @vars are dynamically typed and no single plpgsql
+    type preserves both arms. With no recognizable assignment the
+    reference's name heuristic applies (sync_functions.go:1196-1203:
+    count/sum/total/amount/price/id/num substrings → numeric), then
+    TEXT — the reference's own default. Runs on MASKED text (string
+    literals are ``\\x00L<n>\\x00`` placeholders)."""
+    classes: set[str] = set()
+    for mo in re.finditer(
+        rf"(?i)(?<![@\w])@{re.escape(var)}\s*:?=\s*", body
+    ):
+        # the assigned expression, up to the statement/list boundary
+        # (masked literals carry no , or ; so the split is safe; a
+        # truncated multi-arg call still carries its shape tokens)
+        c = _classify_assign_expr(
+            re.split(r"[;,]", body[mo.end():], 1)[0].strip()
+        )
+        if c:
+            classes.add(c)
+    if classes:
+        if classes == {"BIGINT"}:
+            return "BIGINT"
+        if classes <= {"BIGINT", "NUMERIC"}:
+            return _VERBATIM + "NUMERIC"
+        if classes == {"DATE"}:
+            return "DATE"
+        if classes <= {"DATE", "DATETIME"}:
+            return "DATETIME"
+        if classes == {"TEXT"}:
+            return "TEXT"
+        raise UnsupportedFunctionError(
+            f"function {fname}: @{var} is assigned incompatible type "
+            f"classes {sorted(classes)} — MySQL user variables are "
+            "dynamically typed and no single plpgsql local preserves "
+            "both"
+        )
+    low = var.lower()
+    if any(h in low for h in _NUMERIC_NAME_HINTS) or low in ("i", "j", "n"):
+        return _VERBATIM + "NUMERIC"
+    return "TEXT"
+
+
+def _rewrite_user_vars(name: str, body: str) -> str:
+    """MySQL ``@user`` variables → synthesized function-scope locals
+    ``uv_<name>`` with inferred types, DECLAREd at the top of the body
+    (the injected lines parse through the normal DECLARE machinery of
+    whichever path the body takes). The reference name-rewrites to
+    heuristic-typed ``v_`` locals (sync_functions.go:1180-1224); this
+    adds first-assignment type inference and refuses the shapes a
+    name-rewrite would mistranslate.
+
+    Documented divergence (same as the reference's): MySQL user
+    variables are SESSION-scoped — they survive the routine call. A
+    function-scope local starts NULL each call, exactly like an unSET
+    MySQL @var in a fresh session. Within-routine accumulator /
+    temporary use — the overwhelmingly common pattern — translates
+    exactly; routines that COMMUNICATE through @vars across calls
+    would need session (GUC) state and refuse via the inline-:= check
+    below or migrate with this per-call-reset caveat.
+    """
+    order: list[str] = []
+    for mo in _RE_USER_VAR.finditer(body):
+        v = mo.group(1).lower()
+        if v not in order:
+            order.append(v)
+    if not order:
+        return body
+    # Inline `@v := expr` INSIDE a query (`SELECT @t := @t + x FROM …`,
+    # MySQL's per-row read-modify idiom) has no plpgsql analog — a
+    # rewritten `uv_t := …` inside SQL is a syntax error, and silently
+    # hoisting it would drop the per-row accumulation. Refuse unless
+    # the assignment sits in a SET statement (where := is plain
+    # assignment).
+    for mo in re.finditer(r"(?<![@\w])@\w+\s*:=", body):
+        stmt = body[body.rfind(";", 0, mo.start()) + 1 : mo.start()]
+        if re.search(
+            r"(?i)\b(?:SELECT|INSERT|UPDATE|DELETE)\b", stmt
+        ) or not re.search(r"(?i)\bSET\b", stmt):
+            raise UnsupportedFunctionError(
+                f"function {name}: inline @var := assignment inside a "
+                "query statement has per-row read-modify semantics "
+                "with no plpgsql analog (rewrite as a set-based "
+                "aggregate or a cursor loop)"
+            )
+    decl_lines: list[str] = []
+    for v in order:
+        local = f"uv_{v}"
+        if re.search(rf"(?i)\b{re.escape(local)}\b", body):
+            raise UnsupportedFunctionError(
+                f"function {name}: synthesized local {local!r} for "
+                f"@{v} collides with an existing identifier"
+            )
+        decl_lines.append(
+            f"DECLARE {local} {_infer_user_var_type(name, v, body)} "
+            "DEFAULT NULL;"
+        )
+    body = _RE_USER_VAR.sub(lambda m: "uv_" + m.group(1).lower(), body)
+    return "\n".join(decl_lines) + "\n" + body
 
 #: Control flow routed to the procedural parser (sinks.plpgsql_proc):
 #: cursors, loops, handlers, statement-level IF, nested BEGIN blocks
@@ -137,7 +298,11 @@ def _pg_type(mysql_type: str) -> str:
     """Parameter/return/declare type via the shared C86 matrix. MySQL
     function signatures use bare column types, so the table mapper
     applies directly (reference maps only datetime/tinyint inline at
-    :248-249 and leans on PG's tolerance for the rest)."""
+    :248-249 and leans on PG's tolerance for the rest). A
+    ``_VERBATIM``-prefixed type (synthesized @var locals) bypasses the
+    matrix — it is already a PG type."""
+    if mysql_type.startswith(_VERBATIM):
+        return mysql_type[len(_VERBATIM):]
     return map_mysql_type(mysql_type).pg_type
 
 
@@ -310,6 +475,7 @@ def _build_procedure_spec(masked: str, lits, head) -> PlpgsqlFunctionSpec:
 
     from mysql2pg_spark.sinks.plpgsql_proc import (
         ProcParseError,
+        count_resultsets,
         parse_procedural,
     )
 
@@ -321,6 +487,32 @@ def _build_procedure_spec(masked: str, lits, head) -> PlpgsqlFunctionSpec:
                                 kind="procedure")
     except ProcParseError as e:
         raise UnsupportedFunctionError(str(e)) from e
+    # Result-set procedure (round 9): a bare SELECT in the body streams
+    # a result set to MySQL clients; plpgsql's idiom is an appended
+    # ``INOUT p_resultset refcursor`` + ``OPEN p_resultset FOR <select>``
+    # (caller: ``CALL proc(…, 'c'); FETCH ALL FROM c;``). Exactly one
+    # translates; multiple result sets refuse — one refcursor cannot
+    # carry two open cursors and inventing p_resultset2… would silently
+    # grow the caller-visible signature. The reference drops ALL
+    # procedures (sync_functions.go scans ROUTINE_TYPE='FUNCTION'), so
+    # any support here is beyond-reference.
+    n_rs = count_resultsets(proc.statements) + sum(
+        count_resultsets(action) for _, action in proc.exc_clauses
+    )
+    if n_rs > 1:
+        raise UnsupportedFunctionError(
+            f"procedure {name}: {n_rs} result-set SELECTs (or one "
+            "inside a loop) — only a single result set maps to the "
+            "INOUT refcursor idiom"
+        )
+    if n_rs == 1:
+        if any(p == "p_resultset" for p, _t in params):
+            raise UnsupportedFunctionError(
+                f"procedure {name}: parameter name p_resultset "
+                "collides with the synthesized refcursor parameter"
+            )
+        params = params + [("p_resultset", "refcursor")]
+        modes = modes + ["INOUT"]
     return PlpgsqlFunctionSpec(
         name=name,
         params=params,
@@ -354,7 +546,10 @@ def _clean_body(name: str, body: str) -> str:
                 "subset (the reference handles these only via "
                 "per-function hardcoded patches)"
             )
-    return body
+    # plain @user variables (round 9): synthesized typed locals — the
+    # injected DECLARE lines parse through whichever path (declarative
+    # / procedural / trigger) the body routes to
+    return _rewrite_user_vars(name, body)
 
 
 def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:

@@ -90,8 +90,14 @@ error matches MySQL's "Case not found"), and these handler shapes:
 * ``RESIGNAL;`` (bare form, round 8) inside a handler action →
   plpgsql ``RAISE;`` — re-raise the condition being handled, which is
   exactly MySQL's bare RESIGNAL.  The attribute-modifying forms
-  (``RESIGNAL SQLSTATE …``, ``RESIGNAL SET …``) still refuse, as does
-  RESIGNAL outside a handler (illegal in MySQL too).
+  (round 9): ``RESIGNAL SET MESSAGE_TEXT = …`` re-raises the SAME
+  condition with a new message (``RAISE EXCEPTION USING ERRCODE =
+  SQLSTATE, MESSAGE = …`` — plpgsql's handler-scope SQLSTATE variable
+  keeps the condition identity), and ``RESIGNAL SQLSTATE 'xxxxx'
+  [SET …]`` raises the NEW condition, defaulting the message to
+  ``SQLERRM`` (MySQL's diagnostics-area rule: attributes not SET are
+  inherited from the condition being handled).  RESIGNAL outside a
+  handler still refuses (illegal in MySQL too).
 * ``DECLARE CONTINUE HANDLER FOR SQLEXCEPTION <action>``
   (resume-after-error) — every raise-capable statement in the
   declaring block (and its nested blocks) is wrapped in its own
@@ -233,6 +239,22 @@ class CloseCursor:
 
 
 @dataclass
+class ResultSetSelect:
+    """A bare ``SELECT`` (no INTO) in a PROCEDURE body — MySQL streams
+    it to the client as a result set. plpgsql's native idiom (round 9):
+    the builder appends an ``INOUT p_resultset refcursor`` parameter
+    and this node emits ``OPEN p_resultset FOR <select>;`` — the caller
+    does ``CALL proc(…, 'curname'); FETCH ALL FROM curname;``. One
+    result set per procedure translates; genuinely-multiple result
+    sets refuse (builder-side count — a single refcursor cannot carry
+    two cursors, and inventing p_resultset2… would silently change the
+    call signature contract)."""
+
+    select_sql: str                  # PG dialect
+    param: str = "p_resultset"
+
+
+@dataclass
 class Block:
     """Nested ``BEGIN…END`` compound with its OWN plpgsql DECLARE
     section and EXCEPTION clauses (round 8) — block-entry DEFAULT
@@ -278,7 +300,11 @@ class Signal:
 class Resignal:
     """Bare ``RESIGNAL;`` inside a handler action → plpgsql ``RAISE;``
     (re-raise the condition being handled — the exact MySQL semantics;
-    round 8).  Attribute-modifying RESIGNAL forms refuse."""
+    round 8).  The attribute-modifying forms (round 9) build
+    :class:`Signal` nodes instead: ``RESIGNAL SET …`` with ``ERRCODE =
+    SQLSTATE`` (same condition, new attributes), ``RESIGNAL SQLSTATE
+    'xxxxx' [SET …]`` with the new code and ``SQLERRM`` as the
+    inherited default message."""
 
 
 @dataclass
@@ -305,6 +331,40 @@ class ProceduralBody:
     #: (cond, action statements) with cond ``others`` or
     #: ``SQLSTATE 'xxxxx'``.
     exc_clauses: list = field(default_factory=list)
+
+
+def count_resultsets(stmts: list) -> int:
+    """Number of :class:`ResultSetSelect` nodes anywhere in a statement
+    tree — the builder appends ONE ``INOUT p_resultset refcursor``
+    parameter when this is 1 and refuses when it is >1 (each bare
+    SELECT MySQL executes streams a SEPARATE result set; one refcursor
+    cannot carry two open cursors, so a count of 2+ would need a
+    caller-visible signature invention — refuse, don't surprise).
+    Branch arms of IF/CASE count too: both arms OPEN the same cursor
+    at most once per call, but a loop re-OPENing it would silently
+    drop all but the last result set, so any nested occurrence beyond
+    the first refuses conservatively."""
+    n = 0
+    for st in stmts:
+        if isinstance(st, ResultSetSelect):
+            n += 1
+        elif isinstance(st, (Loop, RepeatUntil, While, Block, TryWrap)):
+            inner = count_resultsets(st.body)
+            if inner and isinstance(st, (Loop, RepeatUntil, While)):
+                # a bare SELECT inside a loop streams one result set
+                # PER ITERATION in MySQL; a refcursor OPENs once —
+                # count as multiple so it refuses
+                inner *= 2
+            n += inner
+            for _, action in getattr(st, "clauses", []) or []:
+                n += count_resultsets(action)
+            for _, action in getattr(st, "exc_clauses", []) or []:
+                n += count_resultsets(action)
+        elif isinstance(st, (If, CaseStmt)):
+            n += sum(count_resultsets(b) for _, b in st.branches)
+        elif isinstance(st, Fetch) and st.on_empty:
+            n += count_resultsets(st.on_empty)
+    return n
 
 
 # --------------------------------------------------------------------------
@@ -382,6 +442,8 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
                     out.append(f"{pad}END IF;")
         elif isinstance(st, CloseCursor):
             out.append(f"{pad}CLOSE {st.name};")
+        elif isinstance(st, ResultSetSelect):
+            out.append(f"{pad}OPEN {st.param} FOR {st.select_sql};")
         elif isinstance(st, Block):
             if st.label:
                 out.append(f"{pad}<<{st.label}>>")
@@ -1183,6 +1245,12 @@ class _Parser:
         if up.startswith("SELECT"):
             into = re.search(r"\s+INTO\s+([\w\s,]+?)(?=\s+FROM\b|$)", raw, re.I)
             if not into:
+                if self.kind == "procedure":
+                    # MySQL procedures stream a bare SELECT to the
+                    # client as a result set; plpgsql's idiom is an
+                    # INOUT refcursor the builder appends (round 9) —
+                    # the caller FETCHes from it after CALL
+                    return ResultSetSelect(self._rewrite(raw))
                 raise ProcParseError(
                     f"function {self.fname}: SELECT without INTO in a "
                     "procedural body"
@@ -1260,21 +1328,46 @@ class _Parser:
             return self._parse_signal(mo.group(1), mo.group(2))
         mo = re.match(r"RESIGNAL\s*(.*)$", raw, re.I | re.S)
         if mo:
-            if mo.group(1).strip():
-                raise ProcParseError(
-                    f"function {self.fname}: only the bare `RESIGNAL;` "
-                    "re-raise translates (→ plpgsql RAISE;); the "
-                    "attribute-modifying RESIGNAL forms have no "
-                    "plpgsql analog — got SIGNAL-like "
-                    f"{raw[:60]!r}"
-                )
             if not self.in_handler:
                 raise ProcParseError(
                     f"function {self.fname}: RESIGNAL outside a handler "
                     "action (illegal in MySQL too; SIGNAL-like "
                     "statements elsewhere are not translatable)"
                 )
-            return Resignal()
+            rest = mo.group(1).strip()
+            if not rest:
+                return Resignal()
+            # RESIGNAL SQLSTATE 'xxxxx' [SET …] (round 9): raise the
+            # NEW condition; attributes not SET are taken from the
+            # condition being handled (MySQL's diagnostics-area rule),
+            # so the message defaults to plpgsql's SQLERRM — the
+            # handler-scope variable holding the original message.
+            sm = re.match(
+                r"SQLSTATE\s+(?:VALUE\s+)?(\x00L\d+\x00|'[^'\n]*')"
+                r"\s*(?:SET\s+(.+))?$",
+                rest, re.I | re.S,
+            )
+            if sm:
+                sig = self._parse_signal(sm.group(1), sm.group(2))
+                if sig.message is None:
+                    sig.message = "SQLERRM"
+                return sig
+            # RESIGNAL SET MESSAGE_TEXT = … [, MYSQL_ERRNO = …]
+            # (round 9): re-raise the SAME condition with modified
+            # attributes — ERRCODE = SQLSTATE (the handler-scope
+            # variable carrying the code being handled) keeps the
+            # condition identity while the message/hint change.
+            sm = re.match(r"SET\s+(.+)$", rest, re.I | re.S)
+            if sm:
+                message, errno = self._parse_signal_items(sm.group(1))
+                if message is None:
+                    message = "SQLERRM"
+                return Signal("SQLSTATE", message, errno)
+            raise ProcParseError(
+                f"function {self.fname}: unparseable RESIGNAL form "
+                f"{raw[:60]!r} (bare, `RESIGNAL SQLSTATE 'xxxxx' "
+                "[SET …]` and `RESIGNAL SET …` translate)"
+            )
         mo = re.match(r"SIGNAL\s+(\w+)\s*(?:SET\s+(.+))?$", raw, re.I | re.S)
         if mo:
             cond = self._lookup_condition(mo.group(1).lower())
@@ -1325,6 +1418,14 @@ class _Parser:
                 f"{errcode[1:3]!r} (success/warning/not-found) cannot "
                 "be raised as a plpgsql exception"
             )
+        message, errno = self._parse_signal_items(items_raw)
+        return Signal(errcode, message, errno)
+
+    def _parse_signal_items(
+        self, items_raw: str | None
+    ) -> tuple[str | None, str | None]:
+        """The ``SET item = expr, …`` list shared by SIGNAL and
+        RESIGNAL → (message, errno), either None when absent."""
         message: str | None = None
         errno: str | None = None
         if items_raw:
@@ -1346,7 +1447,7 @@ class _Parser:
                         "no plpgsql analog (only MESSAGE_TEXT / "
                         "MYSQL_ERRNO translate)"
                     )
-        return Signal(errcode, message, errno)
+        return message, errno
 
 
 def _split_top_level(text: str) -> list[str]:

@@ -429,3 +429,48 @@ def test_nested_block_owns_declares_and_handlers(tree):
     out = P.emit_statements(parsed.statements)
     assert out.index("DECLARE") < out.index("nb1 INTEGER := 7;")
     assert out.index("EXCEPTION WHEN others THEN") < out.rindex("END;")
+
+
+# round 9: @user variables — whatever mix of @var assignments and reads
+# the body carries, the builder either translates (no '@' survives into
+# the emitted plpgsql; every distinct var gets exactly one uv_ DECLARE)
+# or refuses loudly — never emits plpgsql containing a MySQL @var.
+_UV_NAMES = st.sampled_from(["t1", "total", "msg", "n2"])
+_UV_EXPRS = st.sampled_from(
+    ["1", "42", "2.5", "'tag'", "@t1 + 1", "@total * 2",
+     "CONCAT(@msg, 'x')", "v1 + @n2", "NULL"]
+)
+
+
+@given(
+    st.lists(st.tuples(_UV_NAMES, _UV_EXPRS), min_size=1, max_size=5),
+    st.sampled_from(["@t1", "@total", "v1", "42"]),
+)
+@settings(max_examples=120, deadline=None)
+def test_uservar_rewrite_total(assigns, ret):
+    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        UnsupportedFunctionError,
+        build_spec_from_mysql,
+    )
+
+    body = "DECLARE v1 INT DEFAULT 0;\n" + "\n".join(
+        f"SET {v_} = {e};" for v_, e in ((f"@{v}", e) for v, e in assigns)
+    ) + f"\nRETURN {ret};"
+    ddl = ("CREATE FUNCTION fz(x INT) RETURNS INT NO SQL BEGIN\n"
+           + body + "\nEND")
+    try:
+        out = emit_plpgsql(build_spec_from_mysql(ddl))
+    except UnsupportedFunctionError:
+        return  # loud refusal is always acceptable
+    assert "@" not in out
+    seen = {v for v, _ in assigns} | (
+        {ret[1:]} if ret.startswith("@") else set()
+    )
+    import re as _re
+
+    for v in seen:
+        # exactly one synthesized DECLARE per distinct @var
+        assert len(
+            _re.findall(rf"uv_{v} \S+ := NULL;", out)
+        ) == 1, out
