@@ -6,6 +6,34 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully executed (collected) so the number covers scan +
 shuffle + aggregation, not just plan construction.
+
+Self-attribution (round 9) — how to read the two new signal families:
+
+- ``canary`` / ``canary_median`` / ``canary_ratio``: a CONSTANT tiny
+  aggregate (spark.range groupBy, no repo code, no disk) timed once
+  before every headline query's rep block, temporally interleaved with
+  the whole suite. Its drift IS the container noise floor: if this
+  round's canary_median moved 1.5x vs last round's, a 1.5x move on any
+  untouched query is machine load, not an engine regression.
+  ``canary_ratio`` (max/min within this run) bounds the within-run
+  dispersion the per-query spreads should be read against.
+- ``vs_prev``: interleaved A/B against the PREVIOUS round's code in
+  the SAME session and process — each headline rep alternates HEAD vs
+  the prior round's git snapshot (checked out into a temp worktree,
+  imported under the same Spark session), so machine load cancels.
+  Which side runs first flips every rep (the pair's first execution
+  warms codegen/footer/page caches for the second — a fixed order
+  would bias the ratio against the first side), and the median over
+  reps absorbs each side's one cold sample: read vs_prev at the
+  official reps>=3; a reps=2 smoke still carries first-run bias.
+  vs_prev[name] = median(head) / median(prev): ~1.0 means unchanged,
+  >1 means HEAD is slower ON THIS MACHINE AT THIS MOMENT — the number
+  that distinguishes "container was busier" from "round N regressed
+  the engine" without anyone diffing plans by hand. Queries new in
+  HEAD have no entry; import/exec failures surface as
+  ``vs_prev_error`` and never break the emit. Disable with
+  SPARK_GRAFT_VS_PREV=0; override the baseline ref with
+  SPARK_GRAFT_PREV_REF.
 """
 
 from __future__ import annotations
@@ -91,6 +119,125 @@ EXTRA = [
     "sf03_cursor_loop_twin",
     "sf04_case_block_twin",
 ]
+
+
+def _canary_once(spark) -> float:
+    """One rep of the CONSTANT canary workload: a fixed-size range →
+    modular keys → grouped sum, noop-written. No repo code, no repo
+    data, no disk reads — the same work every round forever, so its
+    wall time measures ONLY the machine (JVM scheduling, CPU
+    contention, GC). ~0.1-0.4 s on an idle container."""
+    from pyspark.sql import functions as F
+
+    t = time.perf_counter()
+    (
+        spark.range(0, 2_000_000, 1, 8)
+        .select(
+            (F.col("id") % 97).alias("k"),
+            ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t
+
+
+def _resolve_prev_ref() -> str | None:
+    """The previous round's code snapshot: $SPARK_GRAFT_PREV_REF wins;
+    otherwise the most recent `round N: end-of-round snapshot` commit
+    (the driver's per-round boundary marker). None = no baseline (first
+    round, or not a git checkout)."""
+    import re
+    import subprocess
+
+    ref = os.environ.get("SPARK_GRAFT_PREV_REF")
+    if ref:
+        return ref
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO_DIR, "log", "--format=%H%x09%s", "-n", "300"],
+            capture_output=True, text=True, timeout=30,
+        )
+        for line in out.stdout.splitlines():
+            h, _, subject = line.partition("\t")
+            if re.match(r"round \d+: end-of-round snapshot", subject):
+                return h
+    except Exception:
+        pass
+    return None
+
+
+def _load_queries_from(path: str) -> dict:
+    """Import the QUERIES registry from another checkout of this repo
+    (the prev-round worktree) inside the CURRENT process and Spark
+    session: purge this repo's modules, import from `path`, snapshot
+    the registry dict, restore. The returned callables keep working
+    after restore — they hold references to their own module objects.
+    """
+    saved = {
+        k: v for k, v in sys.modules.items()
+        if k == "mysql2pg_spark" or k.startswith("mysql2pg_spark.")
+    }
+    for k in saved:
+        sys.modules.pop(k)
+    sys.path.insert(0, path)
+    try:
+        import mysql2pg_spark.plans as prev_plans
+
+        return dict(prev_plans.QUERIES)
+    finally:
+        sys.path.remove(path)
+        for k in [
+            k for k in sys.modules
+            if k == "mysql2pg_spark" or k.startswith("mysql2pg_spark.")
+        ]:
+            sys.modules.pop(k)
+        sys.modules.update(saved)
+
+
+def _setup_prev_queries(tmpdir: str) -> tuple[dict | None, str | None]:
+    """(prev QUERIES registry, worktree path) for the interleaved A/B —
+    (None, None) when disabled or unavailable."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_VS_PREV", "1") == "0":
+        return None, None
+    ref = _resolve_prev_ref()
+    if not ref:
+        return None, None
+    path = os.path.join(tmpdir, "prev_head")
+    try:
+        # drop stale worktree records from watchdog-truncated past runs
+        subprocess.run(
+            ["git", "-C", REPO_DIR, "worktree", "prune"],
+            capture_output=True, timeout=60,
+        )
+        subprocess.run(
+            ["git", "-C", REPO_DIR, "worktree", "add", "--detach",
+             path, ref],
+            check=True, capture_output=True, timeout=60,
+        )
+        return _load_queries_from(path), path
+    except Exception:
+        _teardown_prev_worktree(path)
+        return None, path
+
+
+def _teardown_prev_worktree(path: str | None) -> None:
+    import subprocess
+
+    if not path:
+        return
+    try:
+        subprocess.run(
+            ["git", "-C", REPO_DIR, "worktree", "remove", "--force", path],
+            capture_output=True, timeout=60,
+        )
+    except Exception:
+        pass
 
 
 def _bench_dump_parse(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
@@ -244,6 +391,7 @@ def _bench_migration(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
     pipe = MigrationPipeline(load_config(cfgp), snap)
 
     times, rows = [], 0
+    stage_secs: list[dict] = []
     for i in range(reps):
         sink = os.path.join(tmpdir, f"sink{i}")
         t = time.perf_counter()
@@ -253,16 +401,23 @@ def _bench_migration(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
             sink_dir=sink,
         )
         times.append(time.perf_counter() - t)
+        stage_secs.append(result.get("stage_sec", {}))
         rows = sum(result["synced"].values())
         assert all(
             v.get("consistent") for v in result["validation"].values()
         ), result["validation"]
         shutil.rmtree(sink, ignore_errors=True)
-    med = sorted(times)[len(times) // 2]
+    order = sorted(range(len(times)), key=times.__getitem__)
+    med_i = order[len(times) // 2]
+    med = times[med_i]
     res = {
         "migration_pipeline_sec": round(med, 3),
         "migration_rows": rows,
         "migration_rows_per_sec": round(rows / med, 1),
+        # per-phase seconds of the MEDIAN-wall rep (round 9): a planner
+        # or validation regression shows up in its own number instead
+        # of hiding inside the pipeline total
+        "migration_stage_sec": stage_secs[med_i],
     }
     if reps > 1:
         res["migration_pipeline_spread"] = _spread(times)
@@ -689,6 +844,8 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
     scale_step: dict = {}
+    canary: dict = {"times": []}
+    vs_prev: dict = {}
     result = {
         "metric": "headline_suite_total",
         "value": 0.0,
@@ -699,6 +856,8 @@ def main() -> None:
         "queries_spread": spread,
         "extra_queries": extras,
         "scale_step": scale_step,
+        "canary": canary,
+        "vs_prev": vs_prev,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -737,6 +896,16 @@ def main() -> None:
                 "sf": result["sf"],
                 "detail": "BENCH_DETAIL.json",
             }
+            # self-attribution (round 9): the noise floor + the
+            # machine-load-cancelling HEAD/prev ratios ride the line
+            # itself so drift is attributable without the detail file
+            if canary.get("median") is not None:
+                compact["canary_median"] = canary["median"]
+                compact["canary_ratio"] = canary["ratio"]
+            if vs_prev:
+                compact["vs_prev"] = vs_prev
+            if "vs_prev_error" in result:
+                compact["vs_prev_error"] = result["vs_prev_error"]
             if "truncated" in result:
                 compact["truncated"] = result["truncated"]
             for k in (
@@ -778,20 +947,80 @@ def main() -> None:
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    # Interleaved A/B baseline (round 9, self-attribution): the prior
+    # round's registry imported from a detached worktree — each rep of
+    # every headline query alternates HEAD / prev in the same session
+    # so machine load cancels out of the vs_prev ratio.
+    import tempfile as _tempfile
+
+    _prev_tmp = _tempfile.mkdtemp(prefix="bench_prev_")
+    prev_queries: dict | None = None
+    prev_wt: str | None = None
+    try:
+        prev_queries, prev_wt = _setup_prev_queries(_prev_tmp)
+    except Exception as e:
+        result["vs_prev_error"] = str(e)[:160]
+    if prev_queries is not None:
+        result["vs_prev_ref"] = os.environ.get(
+            "SPARK_GRAFT_PREV_REF", _resolve_prev_ref()
+        )
+    prev_spread: dict[str, list[float]] = {}
+    result["vs_prev_spread"] = prev_spread
+
+    def _run_noop(fn) -> float:
+        t = time.perf_counter()
+        # Full materialization of every column JVM-side via the noop
+        # sink — measures the query, not Python row serialization
+        # (collect() on a 100k-row result costs ~10s of pure pickling).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t
+
+    # one untimed canary rep: its codegen/JVM path must be warm before
+    # the first TIMED sample, or the series always starts with a
+    # cold-start outlier that masquerades as noise
+    _canary_once(spark)
+
     for name in names:
+        # one canary rep per headline query: interleaved through the
+        # whole suite, its spread IS the run's noise floor
+        canary["times"].append(round(_canary_once(spark), 3))
         times: list[float] = []
-        for _ in range(reps):
-            t = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            # Full materialization of every column JVM-side via the noop
-            # sink — measures the query, not Python row serialization
-            # (collect() on a 100k-row result costs ~10s of pure pickling).
-            df.write.format("noop").mode("overwrite").save()
-            times.append(time.perf_counter() - t)
+        ptimes: list[float] = []
+        for rep in range(reps):
+            # alternate which side runs first each rep: the first
+            # execution of a pair warms shared caches (codegen, parquet
+            # footers, OS page cache) for the second, so a fixed order
+            # systematically biases the ratio against the first side
+            head_first = rep % 2 == 0
+            pair = ["head", "prev"] if head_first else ["prev", "head"]
+            for side in pair:
+                if side == "head":
+                    times.append(_run_noop(QUERIES[name]))
+                elif prev_queries is not None and name in prev_queries:
+                    try:
+                        ptimes.append(_run_noop(prev_queries[name]))
+                    except Exception as e:
+                        # a prev-side failure disables A/B for this
+                        # query only; HEAD's series is untouched
+                        ptimes = []
+                        prev_queries.pop(name, None)
+                        result.setdefault("vs_prev_errors", {})[name] = (
+                            str(e)[:120]
+                        )
         times.sort()
         timings[name] = round(times[len(times) // 2], 3)  # median
         spread[name] = [round(x, 3) for x in times]
+        if ptimes:
+            ptimes.sort()
+            pmed = ptimes[len(ptimes) // 2]
+            vs_prev[name] = round(timings[name] / max(pmed, 1e-9), 3)
+            prev_spread[name] = [round(x, 3) for x in ptimes]
         result["value"] = round(sum(timings.values()), 3)
+    _teardown_prev_worktree(prev_wt)
+    ct = sorted(canary["times"])
+    if ct:
+        canary["median"] = ct[len(ct) // 2]
+        canary["ratio"] = round(ct[-1] / max(ct[0], 1e-9), 2)
     total = round(sum(timings.values()), 3)
 
     # trend-bearing extras (migration / curation / streaming / the

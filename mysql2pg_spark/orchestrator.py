@@ -18,6 +18,8 @@ truncate mode (B2), and keyset-partitioned extract planning (A13/A14).
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 from mysql2pg_spark.config import EngineConfig
@@ -69,6 +71,9 @@ class CatalogSnapshot:
     views: dict[str, str] = field(default_factory=dict)       # name → MySQL SQL
     functions: list = field(default_factory=list)  # PlpgsqlFunctionSpec (C95)
     triggers: list = field(default_factory=list)   # raw MySQL CREATE TRIGGER (r8)
+    events: list = field(default_factory=list)     # raw MySQL CREATE EVENT (r9,
+    # inventory-only: PG has no scheduler — plan() surfaces each as a
+    # documented skip naming pg_cron/pgAgent, never a silent drop)
     users: dict[str, list[str]] = field(default_factory=dict)  # user → grants
     table_privileges: list[tuple[str, str, str]] = field(default_factory=list)
     # (user, table, "Select,Insert")
@@ -92,6 +97,7 @@ STAGE_ORDER = (
     "fkeys",
     "functions",
     "triggers",
+    "events",
     "users",
     "table_privileges",
     "validate",
@@ -111,6 +117,33 @@ def _rollback_quietly(conn) -> None:
             rb()
     except Exception:
         pass
+
+
+def _resolve_trigger_order(group: list) -> tuple[list, list]:
+    """MySQL action order for one (table, event, timing) trigger group.
+    mysqldump emits triggers in action order, so the base order is the
+    declaration order; each FOLLOWS/PRECEDES clause re-inserts its
+    trigger relative to its target, processed in declaration order —
+    the same incremental placement MySQL performs at CREATE TRIGGER
+    time. Returns (ordered specs, [(spec, missing_target), …]) — a
+    clause whose target is not in the group cannot be enforced and is
+    returned for a visible skip."""
+    ordered = [s for s in group if not s.ordering]
+    missing: list[tuple] = []
+    for s in group:
+        if not s.ordering:
+            continue
+        kind, target = s.ordering
+        idx = next(
+            (i for i, o in enumerate(ordered)
+             if o.name.lower() == target),
+            None,
+        )
+        if idx is None:
+            missing.append((s, target))
+            continue
+        ordered.insert(idx + 1 if kind == "FOLLOWS" else idx, s)
+    return ordered, missing
 
 
 def _rollback_to_savepoint_quietly(conn) -> None:
@@ -358,22 +391,50 @@ class MigrationPipeline:
                 build_trigger_from_mysql,
             )
 
+            specs = []
             for raw in self.snapshot.triggers:
                 try:
-                    tspec = build_trigger_from_mysql(raw)
+                    specs.append(build_trigger_from_mysql(raw))
                 except UnsupportedFunctionError as e:
                     actions.append(
                         Action("triggers", "skip", "trigger", str(e))
                     )
-                    continue
-                actions.append(
-                    Action(
-                        "triggers",
-                        "ddl",
-                        tspec.name.lower(),
-                        emit_trigger(tspec),
+            # FOLLOWS/PRECEDES (round 9): PostgreSQL fires same-event
+            # same-timing triggers ALPHABETICALLY — resolve each
+            # (table, event, timing) group's MySQL action order and,
+            # when any member carries an ordering clause, rename the
+            # WHOLE group with sortable tNN_ prefixes (the emitted DDL
+            # carries the old→new mapping as a comment; a silent clause
+            # drop could reorder effects, a refusal migrated nothing).
+            groups: dict[tuple, list] = {}
+            for s in specs:
+                groups.setdefault(
+                    (s.table, s.event, s.timing), []
+                ).append(s)
+            for group in groups.values():
+                ordered, missing = _resolve_trigger_order(group)
+                if missing:
+                    for s, target in missing:
+                        actions.append(Action(
+                            "triggers", "skip", s.name.lower(),
+                            f"trigger {s.name}: "
+                            f"{s.ordering[0]} {target} references a "
+                            "trigger not in this migration — ordering "
+                            "cannot be enforced, not migrated",
+                        ))
+                rename = any(s.ordering for s in ordered)
+                for i, s in enumerate(ordered, 1):
+                    pg_name = (
+                        f"t{i:02d}_{s.name.lower()}" if rename else None
                     )
-                )
+                    actions.append(
+                        Action(
+                            "triggers",
+                            "ddl",
+                            s.name.lower(),
+                            emit_trigger(s, pg_name=pg_name),
+                        )
+                    )
         elif self.snapshot.triggers:
             # triggers parsed from the source (mysqldump includes them
             # by DEFAULT) but the sync option is off — surface a visible
@@ -388,6 +449,30 @@ class MigrationPipeline:
                     f"{len(self.snapshot.triggers)} trigger(s) present in "
                     "source but conversion.options.triggers is false — "
                     "not migrated",
+                )
+            )
+
+        # CREATE EVENT inventory (round 9): MySQL's scheduler has no
+        # PostgreSQL analog (pg_cron / pgAgent are extensions with a
+        # different DDL surface) — translating would invent semantics,
+        # but a real `mysqldump --events` artifact carries them, so
+        # each surfaces as a named skip instead of vanishing.
+        for raw in self.snapshot.events:
+            mo = re.search(
+                r"(?is)\bEVENT\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"(?:`([^`]+)`|(\w+))",
+                raw,
+            )
+            ev_name = (mo.group(1) or mo.group(2)) if mo else "?"
+            actions.append(
+                Action(
+                    "events",
+                    "skip",
+                    ev_name.lower(),
+                    f"CREATE EVENT {ev_name}: MySQL's event scheduler "
+                    "has no PostgreSQL analog — recreate the schedule "
+                    "in pg_cron or pgAgent (body DDL preserved in the "
+                    "source dump); not migrated",
                 )
             )
 

@@ -216,18 +216,31 @@ class PlpgsqlTriggerSpec:
     timing: str                      # BEFORE | AFTER
     event: str                       # INSERT | UPDATE | DELETE
     procedural: object               # plpgsql_proc.ProceduralBody
+    #: MySQL firing-order clause: ("FOLLOWS"|"PRECEDES", other_trigger)
+    #: or None. PostgreSQL fires same-event same-timing triggers
+    #: alphabetically, so the orchestrator resolves the group order and
+    #: passes a sortable ``pg_name`` to :func:`emit_trigger` (round 9).
+    ordering: tuple | None = None
 
 
-def emit_trigger(spec: PlpgsqlTriggerSpec) -> str:
+def emit_trigger(spec: PlpgsqlTriggerSpec, pg_name: str | None = None) -> str:
     """Trigger function + DROP IF EXISTS + CREATE TRIGGER, one payload
     (executes as one DB-API batch, like function+COMMENT). Row triggers
     must RETURN a row: NEW for INSERT/UPDATE (so BEFORE triggers keep
     their NEW.col mutations), OLD for DELETE; every EXCEPTION clause
     gets its own trailing RETURN so a handled error still returns a
-    row instead of 'control reached end of trigger procedure'."""
+    row instead of 'control reached end of trigger procedure'.
+
+    ``pg_name`` (round 9): PG-side trigger name when the orchestrator
+    enforces MySQL FOLLOWS/PRECEDES ordering via sortable prefixes —
+    PostgreSQL fires same-event same-timing triggers alphabetically,
+    so ``t01_a``/``t02_b`` reproduces MySQL's action order exactly.
+    The rename is caveated in an emitted comment (DROP TRIGGER by the
+    old MySQL name would miss; the comment carries the mapping)."""
     from mysql2pg_spark.sinks.plpgsql_proc import emit_statements
 
-    fn = f"trg_{spec.name.lower()}"
+    trig_name = (pg_name or spec.name).lower()
+    fn = f"trg_{trig_name}"
     ret = "OLD" if spec.event.upper() == "DELETE" else "NEW"
     declare_block = "".join(
         f"    {n} {t};\n" for n, t in spec.procedural.declares
@@ -242,16 +255,25 @@ def emit_trigger(spec: PlpgsqlTriggerSpec) -> str:
             + f"\n    RETURN {ret};\n"
         )
     tbl = spec.table.lower()
+    rename_note = ""
+    if trig_name != spec.name.lower():
+        rename_note = (
+            f"-- MySQL trigger `{spec.name}` renamed to `{trig_name}`: "
+            "PostgreSQL fires same-event triggers alphabetically, so "
+            "the sortable prefix enforces the MySQL FOLLOWS/PRECEDES "
+            "action order\n"
+        )
     return (
-        f"CREATE OR REPLACE FUNCTION {fn}() RETURNS trigger AS $$\n"
+        rename_note
+        + f"CREATE OR REPLACE FUNCTION {fn}() RETURNS trigger AS $$\n"
         f"DECLARE\n{declare_block}"
         f"BEGIN\n"
         + emit_statements(spec.procedural.statements)
         + f"\n    RETURN {ret};\n"
         + exc
         + "END;\n$$ LANGUAGE plpgsql;\n"
-        f"DROP TRIGGER IF EXISTS {spec.name.lower()} ON {tbl};\n"
-        f"CREATE TRIGGER {spec.name.lower()} "
+        f"DROP TRIGGER IF EXISTS {trig_name} ON {tbl};\n"
+        f"CREATE TRIGGER {trig_name} "
         f"{spec.timing.upper()} {spec.event.upper()} ON {tbl}\n"
         f"FOR EACH ROW EXECUTE FUNCTION {fn}();"
     )

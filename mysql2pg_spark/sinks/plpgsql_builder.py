@@ -743,9 +743,11 @@ def build_trigger_from_mysql(ddl: str):
     them). NEW/OLD row images spell identically in plpgsql, so the body
     reuses the statement-tree parser with kind="trigger" (RETURN
     refuses — MySQL trigger bodies have none; the emitter appends the
-    plpgsql RETURN NEW/OLD). ``FOLLOWS``/``PRECEDES`` ordering refuses:
-    PostgreSQL fires same-event triggers alphabetically, so silently
-    dropping the clause could reorder effects."""
+    plpgsql RETURN NEW/OLD). ``FOLLOWS``/``PRECEDES`` ordering is
+    captured on the spec (round 9): PostgreSQL fires same-event
+    same-timing triggers alphabetically, so the orchestrator enforces
+    MySQL's order by renaming the whole group with sortable ``tNN_``
+    prefixes — a documented rename, never a silent drop."""
     from mysql2pg_spark.sinks.plpgsql import PlpgsqlTriggerSpec
 
     masked, lits = mask_literals(ddl)
@@ -756,13 +758,21 @@ def build_trigger_from_mysql(ddl: str):
     table = (head.group("tq") or head.group("tn")).lower()
 
     body = masked[head.end():].strip()
-    fp = re.match(r"(?:FOLLOWS|PRECEDES)\s+\S+\s*", body, re.I)
+    # FOLLOWS/PRECEDES (round 9): captured on the spec — PostgreSQL
+    # fires same-event same-timing triggers ALPHABETICALLY, so the
+    # orchestrator enforces the order by renaming every trigger in the
+    # affected (table, event, timing) group with a sortable tNN_
+    # prefix (documented caveat: the PG-side names differ from MySQL's)
+    ordering = None
+    fp = re.match(
+        r"(FOLLOWS|PRECEDES)\s+(?:`([^`]+)`|(\w+))\s*", body, re.I
+    )
     if fp:
-        raise UnsupportedFunctionError(
-            f"trigger {name}: FOLLOWS/PRECEDES ordering has no "
-            "PostgreSQL analog (same-event triggers fire "
-            "alphabetically) — dropping it could reorder effects"
+        ordering = (
+            fp.group(1).upper(),
+            (fp.group(2) or fp.group(3)).lower(),
         )
+        body = body[fp.end():].strip()
     if not body:
         raise UnsupportedFunctionError(f"trigger {name}: no body found")
     if re.match(r"\bBEGIN\b", body, re.I):
@@ -790,4 +800,5 @@ def build_trigger_from_mysql(ddl: str):
         timing=head.group("timing").upper(),
         event=head.group("event").upper(),
         procedural=proc,
+        ordering=ordering,
     )

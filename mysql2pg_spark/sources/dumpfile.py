@@ -1210,4 +1210,10 @@ def full_snapshot_from_dump(spark: SparkSession, path: str):
     snap.triggers = list(
         functions_from_text(schema_text, kinds=("TRIGGER",))
     )
+    # `mysqldump --events` sections (round 9): inventoried so the plan
+    # can surface each as a documented skip (PG has no event scheduler)
+    # instead of silently dropping scheduled jobs.
+    snap.events = list(
+        functions_from_text(schema_text, kinds=("EVENT",))
+    )
     return snap

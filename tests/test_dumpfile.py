@@ -818,3 +818,28 @@ def test_unparseable_fk_logs_visible_skip(spark, tmp_path, caplog):
         and "child" in r.getMessage()
         for r in caplog.records
     )
+
+
+def test_event_sections_scan_from_dump_text():
+    """Round 9: `mysqldump --events` sections (/*!50106*/ wrap +
+    DELIMITER switch) are inventoried by the statement scan — PG has no
+    event scheduler, so the plan surfaces each as a documented skip and
+    the scan must not lose them first."""
+    from mysql2pg_spark.sources.dumpfile import functions_from_text
+
+    text = (
+        "--\n-- Dumping events for database 'db'\n--\n"
+        "/*!50106 SET @save_time_zone= @@TIME_ZONE */ ;\n"
+        "DELIMITER ;;\n"
+        "/*!50106 CREATE*/ /*!50117 DEFINER=`root`@`localhost`*/"
+        " /*!50106 EVENT `nightly_purge` ON SCHEDULE EVERY 1 DAY"
+        " STARTS '2024-01-01 00:00:00' ON COMPLETION NOT PRESERVE"
+        " ENABLE DO DELETE FROM sessions WHERE stale = 1 */ ;;\n"
+        "DELIMITER ;\n"
+        "/*!50106 SET TIME_ZONE= @save_time_zone */ ;\n"
+    )
+    (ev,) = functions_from_text(text, kinds=("EVENT",))
+    assert ev.startswith("CREATE DEFINER=`root`@`localhost` EVENT")
+    assert "nightly_purge" in ev and "EVERY 1 DAY" in ev
+    # and the routine scan does NOT confuse events for functions
+    assert functions_from_text(text) == []

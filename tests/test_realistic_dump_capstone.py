@@ -55,7 +55,10 @@ def test_dump_is_byte_realistic(dump_path):
     text = open(dump_path).read()
     assert text.startswith("-- MySQL dump 10.13")
     assert "/*!40101 SET @OLD_CHARACTER_SET_CLIENT" in text
-    assert text.count("DELIMITER ;;") == 4  # 3 routines + 1 trigger
+    # 3 routines + 1 trigger + 1 event (round 9: --events section)
+    assert text.count("DELIMITER ;;") == 5
+    assert "-- Dumping events for database 'testdb'" in text
+    assert "/*!50106 CREATE*/" in text
     assert "/*!50003 CREATE*/ /*!50020 DEFINER=`root`@`localhost`*/" in text
     # the audit trigger's body INSERT sits on its own line inside the
     # DELIMITER-switched region — the ADVICE-r8 data-filter repro
@@ -99,6 +102,34 @@ def test_full_snapshot_carries_every_section(snapshot):
     assert len(snapshot.triggers) == 1
     assert "INSERT INTO case_41_foreign_key" in snapshot.triggers[0]
     assert "SET NEW.name = UPPER(NEW.name)" in snapshot.triggers[0]
+    # the --events section is INVENTORIED (round 9): PG has no event
+    # scheduler, so the plan must surface each as a documented skip —
+    # first it has to survive the scan
+    assert len(snapshot.events) == 1
+    assert "purge_stale_sessions" in snapshot.events[0]
+    assert "ON SCHEDULE EVERY 1 DAY" in snapshot.events[0]
+
+
+def test_events_surface_as_documented_skips(snapshot, tmp_path):
+    """plan(): each dump-carried CREATE EVENT becomes a named skip
+    action pointing at pg_cron/pgAgent — never a silent drop."""
+    import yaml
+
+    from mysql2pg_spark.config import load_config
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump({
+        "mysql": {"host": "h", "database": "d"},
+        "postgresql": {"host": "p", "database": "d"},
+        "conversion": {"options": {}, "limits": {}},
+    }))
+    actions = MigrationPipeline(load_config(str(p)), snapshot).plan()
+    evs = [a for a in actions if a.stage == "events"]
+    assert len(evs) == 1
+    assert evs[0].kind == "skip"
+    assert evs[0].target == "purge_stale_sessions"
+    assert "pg_cron" in evs[0].payload and "not migrated" in evs[0].payload
 
 
 def test_trigger_translates_with_body_dml(snapshot):

@@ -79,6 +79,15 @@ TRIGGERS: dict[str, list[str]] = {
     ],
 }
 
+#: Event corpus (round 9): `mysqldump --events` sections ride real
+#: dumps; the pipeline inventories each as a documented skip (PG has
+#: no event scheduler — pg_cron/pgAgent are the named alternatives).
+EVENTS: list[str] = [
+    "CREATE EVENT `purge_stale_sessions` ON SCHEDULE EVERY 1 DAY "
+    "STARTS '2024-01-01 00:00:00' ON COMPLETION NOT PRESERVE ENABLE "
+    "DO DELETE FROM case_41_parent WHERE name = 'stale'",
+]
+
 _TRG_SAVE = """\
 /*!50003 SET @saved_cs_client      = @@character_set_client */ ;
 /*!50003 SET @saved_cs_results     = @@character_set_results */ ;
@@ -342,6 +351,31 @@ DELIMITER ;
 /*!50003 SET character_set_results = @saved_cs_results */ ;
 /*!50003 SET collation_connection  = @saved_col_connection */ ;
 """
+        )
+
+    # --events section (mysqldump 8.0 layout: after routines, before
+    # the final views; /*!50106*/ wrap + DELIMITER switch). PG has no
+    # event scheduler, so the pipeline must INVENTORY these as
+    # documented skips (round 9) — a real `mysqldump --events` artifact
+    # carries them and silence would drop scheduled jobs invisibly.
+    parts.append(
+        "\n--\n-- Dumping events for database 'testdb'\n--\n"
+    )
+    for ev in EVENTS:
+        wrapped = re.sub(
+            r"(?is)^\s*CREATE\s+EVENT",
+            "/*!50106 CREATE*/ /*!50117 DEFINER=`root`@`localhost`*/"
+            " /*!50106 EVENT",
+            ev.rstrip().rstrip(";"),
+            count=1,
+        )
+        parts.append(
+            "/*!50106 SET @save_time_zone= @@TIME_ZONE */ ;\n"
+            "DELIMITER ;;\n"
+            + wrapped
+            + " */ ;;\n"
+            "DELIMITER ;\n"
+            "/*!50106 SET TIME_ZONE= @save_time_zone */ ;\n"
         )
 
     # final view definitions (mysqldump emits them after all data)
