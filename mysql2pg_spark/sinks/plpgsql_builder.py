@@ -193,6 +193,15 @@ def _infer_user_var_type(fname: str, var: str, body: str) -> str:
             "dynamically typed and no single plpgsql local preserves "
             "both"
         )
+    # No classifiable ASSIGNMENT (e.g. the var is only a SELECT…INTO /
+    # FETCH…INTO target): usage context is the next-best evidence — a
+    # var read inside arithmetic must be numeric or the emitted plpgsql
+    # would fail at runtime on TEXT operands.
+    esc = re.escape(var)
+    if re.search(
+        rf"(?i)(?<![@\w])@{esc}\s*[-+*/]|[-+*/]\s*@{esc}\b", body
+    ):
+        return _VERBATIM + "NUMERIC"
     low = var.lower()
     if any(h in low for h in _NUMERIC_NAME_HINTS) or low in ("i", "j", "n"):
         return _VERBATIM + "NUMERIC"
@@ -627,102 +636,140 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
             procedural=proc,
         )
 
-    declares: list[tuple[str, str]] = []
+    def _declarative() -> PlpgsqlFunctionSpec:
+        declares: list[tuple[str, str]] = []
 
-    def _take_declare(mo: re.Match) -> str:
-        # MySQL comma lists (`DECLARE a, b INT DEFAULT 0`) share one
-        # type/default → one plpgsql declaration per name
-        rest = mo.group(2).strip()
-        dflt = re.search(r"\bDEFAULT\s+(.+)$", rest, re.I | re.S)
-        pg_t = _pg_type(rest[: dflt.start()].strip() if dflt else rest)
-        if dflt:
-            pg_t += " := " + rewrite_mysql_expr_to_pg(
-                unmask_literals(dflt.group(1).strip(), lits)
+        def _take_declare(mo: re.Match) -> str:
+            # MySQL comma lists (`DECLARE a, b INT DEFAULT 0`) share one
+            # type/default → one plpgsql declaration per name
+            rest = mo.group(2).strip()
+            dflt = re.search(r"\bDEFAULT\s+(.+)$", rest, re.I | re.S)
+            pg_t = _pg_type(rest[: dflt.start()].strip() if dflt else rest)
+            if dflt:
+                pg_t += " := " + rewrite_mysql_expr_to_pg(
+                    unmask_literals(dflt.group(1).strip(), lits)
+                )
+            for var in (v.strip().lower() for v in mo.group(1).split(",")):
+                declares.append((var, pg_t))
+            return ""
+
+        dbody = re.sub(r"\bDECLARE\s+(\w+(?:\s*,\s*\w+)*)\s+([^;]+);",
+                       _take_declare, body, flags=re.I)
+
+        stmts = [t.strip() for t in dbody.split(";") if t.strip()]
+        selects = [t for t in stmts if re.match(r"SELECT\b", t, re.I)]
+        returns_stmts = [t for t in stmts if re.match(r"RETURN\b", t, re.I)]
+        # MySQL `SET v = expr;` (local variable) → plpgsql `v := expr`
+        pre_statements: list[str] = []
+        sets = [t for t in stmts if re.match(r"SET\b", t, re.I)]
+        for st in sets:
+            # MySQL multi-assignment (`SET a = 1, b = a`) → sequential
+            # assignments; split on top-level commas only (literals are
+            # masked, parens guard call arguments)
+            from mysql2pg_spark.sinks.plpgsql_proc import _split_top_level
+
+            for piece in _split_top_level(st[3:]):
+                mo = re.match(r"\s*(\w+)\s*:?=\s*(.+)$", piece, re.S)
+                if not mo:
+                    raise UnsupportedFunctionError(
+                        f"function {name}: cannot parse SET statement {st!r}"
+                    )
+                pre_statements.append(
+                    f"{mo.group(1).lower()} := "
+                    + rewrite_mysql_expr_to_pg(
+                        unmask_literals(mo.group(2).strip(), lits)
+                    )
+                )
+        if len(stmts) != len(selects) + len(returns_stmts) + len(sets):
+            raise UnsupportedFunctionError(
+                f"function {name}: only SET, SELECT…INTO and RETURN "
+                f"statements are supported, got {len(stmts)} statements"
             )
-        for var in (v.strip().lower() for v in mo.group(1).split(",")):
-            declares.append((var, pg_t))
-        return ""
+        # The emitted shape is SETs → SELECT INTO → RETURN; bodies
+        # ordered differently fall back to the statement-tree path.
+        kinds = ["set" if re.match(r"SET\b", t, re.I)
+                 else "select" if re.match(r"SELECT\b", t, re.I)
+                 else "return"
+                 for t in stmts]
+        if kinds != (["set"] * len(sets) + ["select"] * len(selects)
+                     + ["return"]):
+            raise UnsupportedFunctionError(
+                f"function {name}: statement order {kinds} is not "
+                "SET* → SELECT? → RETURN"
+            )
+        if len(selects) > 1 or len(returns_stmts) != 1:
+            raise UnsupportedFunctionError(
+                f"function {name}: expected one optional SELECT…INTO plus "
+                f"one RETURN, got {len(selects)} SELECTs / "
+                f"{len(returns_stmts)} RETURNs"
+            )
+        ret_expr = re.sub(
+            r"^RETURN\s+", "", returns_stmts[0], flags=re.I
+        ).strip()
 
-    body = re.sub(r"\bDECLARE\s+(\w+(?:\s*,\s*\w+)*)\s+([^;]+);",
-                  _take_declare, body, flags=re.I)
-
-    stmts = [t.strip() for t in body.split(";") if t.strip()]
-    selects = [t for t in stmts if re.match(r"SELECT\b", t, re.I)]
-    returns_stmts = [t for t in stmts if re.match(r"RETURN\b", t, re.I)]
-    # MySQL `SET v = expr;` (local variable) → plpgsql `v := expr`
-    pre_statements: list[str] = []
-    sets = [t for t in stmts if re.match(r"SET\b", t, re.I)]
-    for st in sets:
-        # MySQL multi-assignment (`SET a = 1, b = a`) → sequential
-        # assignments; split on top-level commas only (literals are
-        # masked, parens guard call arguments)
-        from mysql2pg_spark.sinks.plpgsql_proc import _split_top_level
-
-        for piece in _split_top_level(st[3:]):
-            mo = re.match(r"\s*(\w+)\s*:?=\s*(.+)$", piece, re.S)
-            if not mo:
+        if selects:
+            into = re.search(r"\s+INTO\s+(\w+)", selects[0], re.I)
+            if not into:
                 raise UnsupportedFunctionError(
-                    f"function {name}: cannot parse SET statement {st!r}"
+                    f"function {name}: SELECT without INTO in a scalar "
+                    "function"
                 )
-            pre_statements.append(
-                f"{mo.group(1).lower()} := "
-                + rewrite_mysql_expr_to_pg(
-                    unmask_literals(mo.group(2).strip(), lits)
+            into_var = into.group(1).lower()
+            if ret_expr.lower() != into_var:
+                raise UnsupportedFunctionError(
+                    f"function {name}: RETURN {ret_expr!r} does not return "
+                    f"the INTO variable {into_var!r}"
                 )
-            )
-    if len(stmts) != len(selects) + len(returns_stmts) + len(sets):
-        raise UnsupportedFunctionError(
-            f"function {name}: only SET, SELECT…INTO and RETURN statements "
-            f"are supported, got {len(stmts)} statements"
-        )
-    # The emitted shape is SETs → SELECT INTO → RETURN; reject bodies
-    # ordered differently rather than silently reordering them.
-    kinds = ["set" if re.match(r"SET\b", t, re.I)
-             else "select" if re.match(r"SELECT\b", t, re.I) else "return"
-             for t in stmts]
-    if kinds != ["set"] * len(sets) + ["select"] * len(selects) + ["return"]:
-        raise UnsupportedFunctionError(
-            f"function {name}: statement order {kinds} is not "
-            "SET* → SELECT? → RETURN"
-        )
-    if len(selects) > 1 or len(returns_stmts) != 1:
-        raise UnsupportedFunctionError(
-            f"function {name}: expected one optional SELECT…INTO plus one "
-            f"RETURN, got {len(selects)} SELECTs / {len(returns_stmts)} RETURNs"
-        )
-    ret_expr = re.sub(r"^RETURN\s+", "", returns_stmts[0], flags=re.I).strip()
+            body_select = selects[0][: into.start()] + selects[0][into.end():]
+        else:
+            into_var = "result"
+            body_select = "SELECT " + ret_expr
 
-    if selects:
-        into = re.search(r"\s+INTO\s+(\w+)", selects[0], re.I)
-        if not into:
-            raise UnsupportedFunctionError(
-                f"function {name}: SELECT without INTO in a scalar function"
-            )
-        into_var = into.group(1).lower()
-        if ret_expr.lower() != into_var:
-            raise UnsupportedFunctionError(
-                f"function {name}: RETURN {ret_expr!r} does not return the "
-                f"INTO variable {into_var!r}"
-            )
-        body_select = selects[0][: into.start()] + selects[0][into.end() :]
-    else:
-        into_var = "result"
-        body_select = "SELECT " + ret_expr
+        return PlpgsqlFunctionSpec(
+            name=name,
+            params=params,
+            returns=returns,
+            body_select=rewrite_mysql_expr_to_pg(
+                unmask_literals(body_select.strip(), lits)
+            ),
+            into_var=into_var,
+            declares=declares,
+            volatility=volatility,
+            comment=comment,
+            pre_statements=pre_statements,
+        )
 
-    body_select = rewrite_mysql_expr_to_pg(
-        unmask_literals(body_select.strip(), lits)
-    )
-    return PlpgsqlFunctionSpec(
-        name=name,
-        params=params,
-        returns=returns,
-        body_select=body_select,
-        into_var=into_var,
-        declares=declares,
-        volatility=volatility,
-        comment=comment,
-        pre_statements=pre_statements,
-    )
+    try:
+        return _declarative()
+    except UnsupportedFunctionError:
+        # Round 9: a straight-line body OUTSIDE the declarative shape
+        # (SELECT INTO before a SET, several SELECT…INTOs, RETURN of a
+        # computed expression) is still a legal MySQL function — the
+        # statement-tree parser expresses those natively, so fall back
+        # to it instead of refusing. A body neither path can express
+        # surfaces the procedural parser's (more general) refusal.
+        from mysql2pg_spark.sinks.plpgsql_proc import (
+            ProcParseError,
+            parse_procedural,
+        )
+
+        def _rw(masked: str) -> str:
+            return rewrite_mysql_expr_to_pg(unmask_literals(masked, lits))
+
+        try:
+            proc = parse_procedural(body, name, _rw, _pg_type)
+        except ProcParseError as e:
+            raise UnsupportedFunctionError(str(e)) from e
+        return PlpgsqlFunctionSpec(
+            name=name,
+            params=params,
+            returns=returns,
+            body_select="",
+            into_var="",
+            volatility=volatility,
+            comment=comment,
+            procedural=proc,
+        )
 
 
 _RE_TRIGGER_HEAD = re.compile(

@@ -558,9 +558,15 @@ MYSQL_ERRNO_SQLSTATE = {
     1292: "22007",  # ER_TRUNCATED_WRONG_VALUE (bad datetime literal)
     1365: "22012",  # ER_DIVISION_BY_ZERO
     1406: "22001",  # ER_DATA_TOO_LONG
+    1305: "42883",  # ER_SP_DOES_NOT_EXIST (undefined function/proc)
+    1318: "42883",  # ER_SP_WRONG_NO_OF_ARGS
+    1329: "02000",  # ER_SP_FETCH_NO_DATA (routes to NOT FOUND class)
     1451: "23503",  # ER_ROW_IS_REFERENCED_2
     1452: "23503",  # ER_NO_REFERENCED_ROW_2
+    1526: "23514",  # ER_NO_PARTITION_FOR_GIVEN_VALUE → check_violation
     1690: "22003",  # ER_DATA_OUT_OF_RANGE
+    1859: "23505",  # ER_DUP_UNKNOWN_IN_INDEX
+    3105: "428C9",  # ER_NON_DEFAULT_VALUE_FOR_GENERATED_COLUMN
     3819: "23514",  # ER_CHECK_CONSTRAINT_VIOLATED
 }
 
@@ -895,7 +901,13 @@ class _Parser:
                         "SQLSTATE table (declare a CONDITION FOR "
                         "SQLSTATE instead)"
                     )
-                atoms.append(f"SQLSTATE '{code}'")
+                # through the same validator as literal SQLSTATEs so a
+                # class-02 errno (1329 ER_SP_FETCH_NO_DATA) routes to
+                # the NOT FOUND machinery — plpgsql EXCEPTION clauses
+                # never fire for FETCH-past-end, so a raw SQLSTATE
+                # '02000' clause would be a dead arm (silent
+                # mistranslation)
+                atoms.append(self._sqlstate_cond(f"SQLSTATE '{code}'"))
             else:
                 cond = self._lookup_condition(c.strip().lower())
                 if cond is None:
