@@ -579,7 +579,7 @@ class MigrationPipeline:
         dest_reader=None,
         logger=None,
         target_dialect: str = "postgres",
-        ddl_commit: str = "statement",
+        ddl_commit: str | None = None,
     ) -> dict:
         """Run the plan against live endpoints, stage order and
         keep-going error semantics per the reference's manager
@@ -712,7 +712,14 @@ class MigrationPipeline:
         # the breakdown so a commit-granularity or new-stage regression
         # is attributable instead of one opaque pipeline number)
         stage_sec: dict[str, float] = {}
-        use_savepoint = ddl_commit == "savepoint"
+        # param overrides config (conversion.options.ddl_commit)
+        mode = ddl_commit or self.cfg.options.ddl_commit
+        if mode not in ("statement", "savepoint"):
+            raise ValueError(
+                f"ddl_commit must be 'statement' or 'savepoint', "
+                f"got {mode!r}"
+            )
+        use_savepoint = mode == "savepoint"
 
         import time as _time
 

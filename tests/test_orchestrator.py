@@ -1199,3 +1199,28 @@ def test_execute_local_emits_stage_seconds(tmp_path, spark):
     assert set(result["stage_sec"]) == {"plan", "data", "validate"}
     assert all(v >= 0 for v in result["stage_sec"].values())
     assert result["validation"]["region"]["consistent"]
+
+
+def test_ddl_commit_config_plumbing(tmp_path):
+    """conversion.options.ddl_commit reaches execute(); invalid values
+    fail fast instead of silently running in statement mode."""
+    import pytest
+    import yaml
+
+    from mysql2pg_spark.config import load_config
+
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump({
+        "mysql": {"host": "h", "database": "d"},
+        "postgresql": {"host": "p", "database": "d"},
+        "conversion": {"options": {"ddl_commit": "savepoint"},
+                       "limits": {}},
+    }))
+    cfg = load_config(str(p))
+    assert cfg.options.ddl_commit == "savepoint"
+
+    bad = load_config(str(p))
+    bad.options.ddl_commit = "autocommit"
+    pipe = MigrationPipeline(bad, CatalogSnapshot(tables=[]))
+    with pytest.raises(ValueError, match="ddl_commit"):
+        pipe.execute(None, _FakeConn())
