@@ -956,7 +956,12 @@ class MigrationPipeline:
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
-        from mysql2pg_spark.operators.validate import checksum_validation
+        from mysql2pg_spark.operators.validate import (
+            checksum_validation,
+            get_observation,
+            observe_checksum,
+            table_checksum,
+        )
 
         stage_sec: dict[str, float] = {}
         _t0 = _time.perf_counter()
@@ -967,12 +972,33 @@ class MigrationPipeline:
         stage_sec["plan"] = round(_time.perf_counter() - _t0, 3)
 
         synced: dict[str, int] = {}
+        # target → (source checksum row, observed cols): captured via
+        # df.observe() DURING the sink write (round 9, same pattern as
+        # the live execute() path) — the source is scanned exactly once;
+        # at 100 TB the validate stage never pays a second source pass.
+        src_sums: dict[str, tuple[dict, list[str]]] = {}
 
         def sync_one(action: Action) -> tuple[str, int]:
             src_table = action.payload["table"]
             df = source_loader(src_table)
+            # checksum string/int columns only (cross-source float text
+            # rendering is the caller's concern; see operators/validate)
+            cols = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.simpleString() in ("bigint", "int", "string")
+            ]
+            observed, obs, cols = observe_checksum(
+                df, f"src_{action.target}", cols
+            )
             dest = os.path.join(sink_dir, action.target)
-            df.write.mode("overwrite").parquet(dest)
+            observed.write.mode("overwrite").parquet(dest)
+            row = get_observation(obs)
+            if row is not None:
+                src_sums[action.target] = (row, cols)
+                return action.target, int(row["n_rows"])
+            # observation lost (fake sink in tests): fall back to a
+            # read-back count; the validate stage re-scans the source
             return action.target, spark.read.parquet(dest).count()
 
         _t0 = _time.perf_counter()
@@ -990,16 +1016,22 @@ class MigrationPipeline:
             )
             if src_name is None:
                 continue
-            src = source_loader(src_name)
             dst = spark.read.parquet(os.path.join(sink_dir, chk.target))
-            # checksum string/int columns only (cross-source float text
-            # rendering is the caller's concern; see operators/validate)
-            cols = [
-                f.name
-                for f in src.schema.fields
-                if f.dataType.simpleString() in ("bigint", "int", "string")
-            ]
-            validation[chk.target] = checksum_validation(src, dst, cols)
+            if chk.target in src_sums:
+                ca, cols = src_sums[chk.target]
+                cb = table_checksum(dst, cols).collect()[0].asDict()
+                validation[chk.target] = {
+                    "src": ca, "dst": cb, "consistent": ca == cb,
+                }
+            else:
+                src = source_loader(src_name)
+                cols = [
+                    f.name
+                    for f in src.schema.fields
+                    if f.dataType.simpleString()
+                    in ("bigint", "int", "string")
+                ]
+                validation[chk.target] = checksum_validation(src, dst, cols)
         stage_sec["validate"] = round(_time.perf_counter() - _t0, 3)
         return {
             "ddl": ddl,
