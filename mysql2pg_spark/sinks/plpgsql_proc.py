@@ -294,6 +294,25 @@ class Signal:
     #: MYSQL_ERRNO has no PG analog; it is preserved losslessly in the
     #: error's HINT field instead of being silently dropped
     errno: str | None = None         # PG expression
+    #: RAISE level (round 9): MySQL ``SIGNAL SQLSTATE '01xxx'`` adds a
+    #: WARNING to the diagnostics area and execution CONTINUES — which
+    #: is exactly plpgsql's ``RAISE WARNING``; every other class is an
+    #: EXCEPTION in both engines
+    level: str = "EXCEPTION"
+
+
+@dataclass
+class DiagnosticsInto:
+    """``GET [CURRENT|STACKED] DIAGNOSTICS CONDITION 1 var = item, …``
+    inside a handler action (round 9) → plpgsql ``GET STACKED
+    DIAGNOSTICS var = item, …`` — the handler-introspection idiom real
+    error-logging handlers use. Items limited to the ones both engines
+    expose (MESSAGE_TEXT, RETURNED_SQLSTATE); MYSQL_ERRNO has no PG
+    analog and refuses. Outside a handler the stacked area is empty in
+    both engines but PG ERRORS where MySQL returns blanks — refuse
+    rather than emit a statement that cannot run."""
+
+    items: list                      # [(var, pg diagnostics item)]
 
 
 @dataclass
@@ -475,8 +494,11 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
                     f"HINT = 'MYSQL_ERRNO ' || ({st.errno})::text"
                 )
             out.append(
-                f"{pad}RAISE EXCEPTION USING " + ", ".join(using) + ";"
+                f"{pad}RAISE {st.level} USING " + ", ".join(using) + ";"
             )
+        elif isinstance(st, DiagnosticsInto):
+            items = ", ".join(f"{v} = {item}" for v, item in st.items)
+            out.append(f"{pad}GET STACKED DIAGNOSTICS {items};")
         elif isinstance(st, Resignal):
             out.append(f"{pad}RAISE;")
         elif isinstance(st, CaseStmt):
@@ -1332,6 +1354,12 @@ class _Parser:
         if mo:
             return CloseCursor(mo.group(1).lower())
         mo = re.match(
+            r"GET\s+(?:CURRENT\s+|STACKED\s+)?DIAGNOSTICS\s+(.+)$",
+            raw, re.I | re.S,
+        )
+        if mo:
+            return self._parse_get_diagnostics(mo.group(1).strip())
+        mo = re.match(
             r"SIGNAL\s+SQLSTATE\s+(?:VALUE\s+)?(\x00L\d+\x00|'[^'\n]*')"
             r"\s*(?:SET\s+(.+))?$",
             raw, re.I | re.S,
@@ -1424,14 +1452,71 @@ class _Parser:
                 f"function {self.fname}: SIGNAL SQLSTATE value "
                 f"{errcode!r} is not a 5-character SQLSTATE literal"
             )
-        if errcode[1:3] in ("00", "01", "02"):
+        if errcode[1:3] in ("00", "02"):
             raise ProcParseError(
                 f"function {self.fname}: SIGNAL SQLSTATE class "
-                f"{errcode[1:3]!r} (success/warning/not-found) cannot "
+                f"{errcode[1:3]!r} (success/not-found) cannot "
                 "be raised as a plpgsql exception"
             )
         message, errno = self._parse_signal_items(items_raw)
+        if errcode[1:3] == "01":
+            # MySQL: class-01 SIGNAL adds a warning and execution
+            # CONTINUES — plpgsql RAISE WARNING has exactly those
+            # semantics (round 9; class-01 used to refuse)
+            return Signal(errcode, message, errno, level="WARNING")
         return Signal(errcode, message, errno)
+
+    def _parse_get_diagnostics(self, rest: str):
+        """``GET DIAGNOSTICS`` statement forms (round 9):
+
+        * statement area — ``GET DIAGNOSTICS v = ROW_COUNT`` → the same
+          :class:`RowCountInto` the ``SET v = ROW_COUNT()`` path builds;
+        * condition area — ``GET DIAGNOSTICS CONDITION 1 v =
+          MESSAGE_TEXT, w = RETURNED_SQLSTATE`` inside a handler →
+          ``GET STACKED DIAGNOSTICS`` (plpgsql's handler
+          introspection). Condition numbers other than 1 refuse (PG
+          exposes only the condition being handled), MYSQL_ERRNO
+          refuses (no PG analog), and the condition form outside a
+          handler refuses (PG errors there; MySQL returns blanks)."""
+        cm = re.match(r"CONDITION\s+(\S+)\s+(.+)$", rest, re.I | re.S)
+        if cm:
+            if cm.group(1).strip() != "1":
+                raise ProcParseError(
+                    f"function {self.fname}: GET DIAGNOSTICS CONDITION "
+                    f"{cm.group(1)} — plpgsql exposes only the "
+                    "condition being handled (CONDITION 1)"
+                )
+            if not self.in_handler:
+                raise ProcParseError(
+                    f"function {self.fname}: GET DIAGNOSTICS CONDITION "
+                    "outside a handler action — plpgsql's stacked "
+                    "diagnostics area exists only inside a handler"
+                )
+            items: list[tuple[str, str]] = []
+            for piece in _split_top_level(cm.group(2)):
+                im = re.match(r"\s*(\w+)\s*=\s*(\w+)\s*$", piece)
+                if not im:
+                    raise ProcParseError(
+                        f"function {self.fname}: cannot parse "
+                        f"diagnostics item {piece.strip()!r}"
+                    )
+                var, item = im.group(1).lower(), im.group(2).upper()
+                if item not in ("MESSAGE_TEXT", "RETURNED_SQLSTATE"):
+                    raise ProcParseError(
+                        f"function {self.fname}: diagnostics item "
+                        f"{item} has no plpgsql analog (MESSAGE_TEXT "
+                        "and RETURNED_SQLSTATE translate)"
+                    )
+                items.append((var, item))
+            return DiagnosticsInto(items)
+        im = re.match(r"(\w+)\s*=\s*ROW_COUNT\s*$", rest, re.I)
+        if im:
+            return RowCountInto(im.group(1).lower())
+        raise ProcParseError(
+            f"function {self.fname}: unsupported GET DIAGNOSTICS form "
+            f"{rest[:50]!r} (v = ROW_COUNT and CONDITION 1 "
+            "MESSAGE_TEXT / RETURNED_SQLSTATE translate)"
+        )
 
     def _parse_signal_items(
         self, items_raw: str | None
@@ -1551,7 +1636,7 @@ def _wrap_continue(stmts: list, clauses: list) -> list:
     MySQL's innermost-scope-first rule."""
     out: list = []
     for st in stmts:
-        if isinstance(st, (Leave, Iterate, RowCountInto)):
+        if isinstance(st, (Leave, Iterate, RowCountInto, DiagnosticsInto)):
             out.append(st)
         elif isinstance(st, Block):
             out.append(
