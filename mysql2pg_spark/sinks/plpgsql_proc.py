@@ -161,6 +161,15 @@ class RowCountInto:
 class SelectInto:
     select_sql: str                  # PG dialect, INTO removed
     into_vars: list[str]
+    #: round 9: MySQL's NOT FOUND handler fires on a ZERO-ROW SELECT
+    #: INTO too (not just FETCH past-end); plpgsql's SELECT INTO sets
+    #: FOUND instead of raising, so the in-scope handler action emits
+    #: in an ``IF NOT FOUND THEN … END IF;`` arm — same shape as Fetch.
+    #: Known divergence: on zero rows MySQL leaves the INTO variables
+    #: UNCHANGED while plpgsql nulls them — handler bodies that set a
+    #: flag (the universal idiom) behave identically; bodies relying on
+    #: the stale value would need a temp-var rewrite.
+    on_empty: list | None = None
 
 
 @dataclass
@@ -402,6 +411,19 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
                 f"{pad}{st.select_sql}\n{pad}INTO "
                 + ", ".join(st.into_vars) + ";"
             )
+            if st.on_empty is not None:
+                if len(st.on_empty) == 1 and isinstance(
+                    st.on_empty[0], Assign
+                ):
+                    a = st.on_empty[0]
+                    out.append(
+                        f"{pad}IF NOT FOUND THEN "
+                        f"{a.var} := {a.expr}; END IF;"
+                    )
+                else:
+                    out.append(f"{pad}IF NOT FOUND THEN")
+                    out.append(emit_statements(st.on_empty, indent + 1))
+                    out.append(f"{pad}END IF;")
         elif isinstance(st, Dml):
             out.append(f"{pad}{st.sql};")
         elif isinstance(st, Return):
@@ -976,24 +998,27 @@ class _Parser:
                 f"function {self.fname}: multiple handlers for the same "
                 "condition (NOT FOUND) in one block"
             )
-        if len(action) != 1 or not isinstance(action[0], Assign):
-            raise ProcParseError(
-                f"function {self.fname}: NOT FOUND handler action must "
-                "be a single `SET var = expr` statement"
-            )
-        a = action[0]
-        lit = _flag_literal(a.expr)
-        if lit in ("true", "false"):
-            # canonical done-flag: force the variable BOOLEAN
-            # (reference :1116-1119) and normalize integer comparisons
-            # against it throughout the flag's scope
-            self.scope.flag = a.var
-            self.scope.not_found_action = [Assign(a.var, lit)]
-            self._force_flag_boolean(a.var)
-        else:
-            # general action (`SET n = n + 1`): emitted verbatim in the
-            # FETCH arm; the variable keeps its declared type
-            self.scope.not_found_action = [a]
+        if len(action) == 1 and isinstance(action[0], Assign):
+            a = action[0]
+            lit = _flag_literal(a.expr)
+            if lit in ("true", "false"):
+                # canonical done-flag: force the variable BOOLEAN
+                # (reference :1116-1119) and normalize integer
+                # comparisons against it throughout the flag's scope
+                self.scope.flag = a.var
+                self.scope.not_found_action = [Assign(a.var, lit)]
+                self._force_flag_boolean(a.var)
+            else:
+                # general action (`SET n = n + 1`): emitted verbatim in
+                # the FETCH arm; the variable keeps its declared type
+                self.scope.not_found_action = [a]
+            return
+        # round 9: ANY statement list (multi-assignment SET, a
+        # BEGIN…END group, LEAVE) — emitted verbatim inside the FETCH's
+        # IF NOT FOUND arm. No flag forcing: every assigned variable
+        # keeps its declared type, so conditions comparing against it
+        # stay consistent.
+        self.scope.not_found_action = list(action)
 
     def _force_flag_boolean(self, var: str) -> None:
         for s in self._scopes():
@@ -1294,7 +1319,7 @@ class _Parser:
             (sql,), prelude = self._hoist_row_count(
                 [self._rewrite(sel.strip())]
             )
-            node = SelectInto(sql, vars_)
+            node = SelectInto(sql, vars_, self._not_found_action())
             return prelude + [node] if prelude else node
         if up.startswith("RETURN"):
             if self.kind == "trigger":
