@@ -156,3 +156,22 @@ def test_source_mixing_window_on_aggregate_only(spark):
     # groupBy (hash exchange) + SinglePartition window exchange; the
     # document scan itself must not be globally re-partitioned
     assert _n_exchanges(plan) <= 3, plan
+
+
+def test_uservar_twin_single_shuffle(spark):
+    """sf07: the @var accumulator's set-based twin is one partial-agg
+    shuffle on the group key (plus at most the presentation sort) —
+    never a second data exchange."""
+    plan = _plan(spark, "sf07_uservar_accum_twin")
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+    # one hashpartitioning exchange for the groupBy; the orderBy adds a
+    # rangepartitioning exchange at most
+    assert plan.count("hashpartitioning") <= 1
+
+
+def test_resultset_twin_is_top_k(spark):
+    """sf08: a global ORDER BY ... LIMIT 10 must compile to
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    full global sort — the plan that survives 100 TB."""
+    plan = _plan(spark, "sf08_resultset_proc_twin")
+    assert "TakeOrderedAndProject" in plan, plan
