@@ -484,7 +484,8 @@ def _build_procedure_spec(masked: str, lits, head) -> PlpgsqlFunctionSpec:
 
     from mysql2pg_spark.sinks.plpgsql_proc import (
         ProcParseError,
-        count_resultsets,
+        ResultSetSelect,
+        collect_resultsets,
         parse_procedural,
     )
 
@@ -496,31 +497,46 @@ def _build_procedure_spec(masked: str, lits, head) -> PlpgsqlFunctionSpec:
                                 kind="procedure")
     except ProcParseError as e:
         raise UnsupportedFunctionError(str(e)) from e
-    # Result-set procedure (round 9): a bare SELECT in the body streams
-    # a result set to MySQL clients; plpgsql's idiom is an appended
-    # ``INOUT p_resultset refcursor`` + ``OPEN p_resultset FOR <select>``
-    # (caller: ``CALL proc(…, 'c'); FETCH ALL FROM c;``). Exactly one
-    # translates; multiple result sets refuse — one refcursor cannot
-    # carry two open cursors and inventing p_resultset2… would silently
-    # grow the caller-visible signature. The reference drops ALL
-    # procedures (sync_functions.go scans ROUTINE_TYPE='FUNCTION'), so
-    # any support here is beyond-reference.
-    n_rs = count_resultsets(proc.statements) + sum(
-        count_resultsets(action) for _, action in proc.exc_clauses
-    )
-    if n_rs > 1:
+    # Result-set procedures (round 9): each bare SELECT in the body
+    # streams a result set to MySQL clients; plpgsql's idiom is one
+    # appended ``INOUT refcursor`` per result set + ``OPEN <cursor> FOR
+    # <select>`` (caller: ``CALL proc(…, 'c1', 'c2'); FETCH ALL FROM
+    # c1; …``). Refusals: a SELECT inside a LOOP (one result set per
+    # iteration — a refcursor OPENs once), and MULTIPLE result sets
+    # not all at the body's top level (fixed parameter positions
+    # cannot express an arm-dependent result-set sequence). The
+    # reference drops ALL procedures (sync_functions.go scans
+    # ROUTINE_TYPE='FUNCTION'), so any support here is
+    # beyond-reference.
+    nodes, in_loop = collect_resultsets(proc.statements)
+    for _, action in proc.exc_clauses:
+        o, f = collect_resultsets(action)
+        nodes += o
+        in_loop = in_loop or f
+    if in_loop:
         raise UnsupportedFunctionError(
-            f"procedure {name}: {n_rs} result-set SELECTs (or one "
-            "inside a loop) — only a single result set maps to the "
-            "INOUT refcursor idiom"
+            f"procedure {name}: a result-set SELECT inside a loop "
+            "streams one result set per iteration — a refcursor OPENs "
+            "once, so the shape has no plpgsql analog"
         )
-    if n_rs == 1:
-        if any(p == "p_resultset" for p, _t in params):
+    if len(nodes) > 1 and sum(
+        isinstance(s, ResultSetSelect) for s in proc.statements
+    ) != len(nodes):
+        raise UnsupportedFunctionError(
+            f"procedure {name}: {len(nodes)} result-set SELECTs with "
+            "at least one inside a branch — fixed refcursor parameter "
+            "positions cannot express an arm-dependent result-set "
+            "sequence"
+        )
+    for i, node in enumerate(nodes):
+        cursor = "p_resultset" if i == 0 else f"p_resultset{i + 1}"
+        if any(p == cursor for p, _t in params):
             raise UnsupportedFunctionError(
-                f"procedure {name}: parameter name p_resultset "
-                "collides with the synthesized refcursor parameter"
+                f"procedure {name}: parameter name {cursor} collides "
+                "with the synthesized refcursor parameter"
             )
-        params = params + [("p_resultset", "refcursor")]
+        node.param = cursor
+        params = params + [(cursor, "refcursor")]
         modes = modes + ["INOUT"]
     return PlpgsqlFunctionSpec(
         name=name,

@@ -251,13 +251,14 @@ class CloseCursor:
 class ResultSetSelect:
     """A bare ``SELECT`` (no INTO) in a PROCEDURE body — MySQL streams
     it to the client as a result set. plpgsql's native idiom (round 9):
-    the builder appends an ``INOUT p_resultset refcursor`` parameter
-    and this node emits ``OPEN p_resultset FOR <select>;`` — the caller
-    does ``CALL proc(…, 'curname'); FETCH ALL FROM curname;``. One
-    result set per procedure translates; genuinely-multiple result
-    sets refuse (builder-side count — a single refcursor cannot carry
-    two cursors, and inventing p_resultset2… would silently change the
-    call signature contract)."""
+    the builder appends one ``INOUT refcursor`` parameter per result
+    set in document order (``p_resultset``, ``p_resultset2``, …) and
+    this node emits ``OPEN <param> FOR <select>;`` — the caller does
+    ``CALL proc(…, 'c1', 'c2'); FETCH ALL FROM c1; …``. Refusals
+    (builder-side, via :func:`collect_resultsets`): a result-set SELECT
+    inside a LOOP (one per iteration; a refcursor OPENs once) and
+    multiple result sets not all at the body's top level (fixed
+    parameter positions cannot express an arm-dependent sequence)."""
 
     select_sql: str                  # PG dialect
     param: str = "p_resultset"
@@ -361,38 +362,50 @@ class ProceduralBody:
     exc_clauses: list = field(default_factory=list)
 
 
-def count_resultsets(stmts: list) -> int:
-    """Number of :class:`ResultSetSelect` nodes anywhere in a statement
-    tree — the builder appends ONE ``INOUT p_resultset refcursor``
-    parameter when this is 1 and refuses when it is >1 (each bare
-    SELECT MySQL executes streams a SEPARATE result set; one refcursor
-    cannot carry two open cursors, so a count of 2+ would need a
-    caller-visible signature invention — refuse, don't surprise).
-    Branch arms of IF/CASE count too: both arms OPEN the same cursor
-    at most once per call, but a loop re-OPENing it would silently
-    drop all but the last result set, so any nested occurrence beyond
-    the first refuses conservatively."""
-    n = 0
+def collect_resultsets(stmts: list, in_loop: bool = False) -> tuple:
+    """(:class:`ResultSetSelect` nodes in document order, any-in-loop
+    flag) for a statement tree. The builder assigns one ``INOUT
+    refcursor`` parameter per node in this order (``p_resultset``,
+    ``p_resultset2``, …) — the plpgsql idiom for MySQL procedures that
+    stream several result sets. A node inside a LOOP flags True: MySQL
+    streams one result set PER ITERATION there, while a refcursor OPENs
+    once (the second OPEN raises) — the builder refuses those. Branch
+    arms of IF/CASE are collected too; with a SINGLE node that is fine
+    (zero-or-one result set, like MySQL), but the builder refuses
+    MULTIPLE nodes unless all sit at the body's top level — fixed
+    parameter positions cannot express arm-dependent result-set
+    sequences."""
+    out: list = []
+    flag = False
     for st in stmts:
         if isinstance(st, ResultSetSelect):
-            n += 1
+            out.append(st)
+            flag = flag or in_loop
         elif isinstance(st, (Loop, RepeatUntil, While, Block, TryWrap)):
-            inner = count_resultsets(st.body)
-            if inner and isinstance(st, (Loop, RepeatUntil, While)):
-                # a bare SELECT inside a loop streams one result set
-                # PER ITERATION in MySQL; a refcursor OPENs once —
-                # count as multiple so it refuses
-                inner *= 2
-            n += inner
+            inner_loop = in_loop or isinstance(
+                st, (Loop, RepeatUntil, While)
+            )
+            o, f = collect_resultsets(st.body, inner_loop)
+            out += o
+            flag = flag or f
             for _, action in getattr(st, "clauses", []) or []:
-                n += count_resultsets(action)
+                o, f = collect_resultsets(action, inner_loop)
+                out += o
+                flag = flag or f
             for _, action in getattr(st, "exc_clauses", []) or []:
-                n += count_resultsets(action)
+                o, f = collect_resultsets(action, inner_loop)
+                out += o
+                flag = flag or f
         elif isinstance(st, (If, CaseStmt)):
-            n += sum(count_resultsets(b) for _, b in st.branches)
+            for _, b in st.branches:
+                o, f = collect_resultsets(b, in_loop)
+                out += o
+                flag = flag or f
         elif isinstance(st, Fetch) and st.on_empty:
-            n += count_resultsets(st.on_empty)
-    return n
+            o, f = collect_resultsets(st.on_empty, in_loop)
+            out += o
+            flag = flag or f
+    return out, flag
 
 
 # --------------------------------------------------------------------------
