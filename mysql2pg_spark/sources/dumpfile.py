@@ -1187,6 +1187,121 @@ def dump_schema_text(path: str, spark: SparkSession | None = None) -> str:
     return "\n".join(keep)
 
 
+#: phpMyAdmin-style exports define tables BARE and attach keys later:
+#: ``ALTER TABLE `t` ADD PRIMARY KEY (…), ADD KEY `i` (…);`` then
+#: ``ALTER TABLE `t` MODIFY `id` int NOT NULL AUTO_INCREMENT, …;`` and
+#: ``ALTER TABLE `t` ADD CONSTRAINT … FOREIGN KEY …;`` (round 9 —
+#: without this pass a phpMyAdmin dump migrates with NO primary keys,
+#: NO indexes, NO identity columns and NO FKs, silently).
+_ALTER_RE = _re.compile(r"(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(.+)$")
+_ALTER_ADD_PK = _re.compile(r"(?is)^ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)$")
+_ALTER_ADD_KEY = _re.compile(
+    r"(?is)^ADD\s+(UNIQUE\s+)?(?:KEY|INDEX)\s+`?(\w+)`?\s*\(([^)]*)\)$"
+)
+_ALTER_MODIFY = _re.compile(r"(?is)^MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(.+)$")
+_ALTER_TBLOPT = _re.compile(r"(?is)^AUTO_INCREMENT\s*=\s*\d+$")
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    """Comma split outside parentheses (literals already masked)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def apply_alter_statements(snap, schema_text: str) -> None:
+    """Merge trailing ``ALTER TABLE`` statements into the parsed table
+    corpus: ADD PRIMARY KEY → ``primary_key``, ADD [UNIQUE] KEY/INDEX →
+    ``indexes``, ADD CONSTRAINT … FOREIGN KEY → ``foreign_keys`` (the
+    same ``_parse_fk`` shapes as inline constraints), MODIFY … with
+    AUTO_INCREMENT → marks the column (BIGSERIAL/identity emission +
+    the post-load sequence resync). Table options (``AUTO_INCREMENT=n``
+    counters — superseded by the MAX-based resync) are recognized and
+    dropped; everything else logs a VISIBLE skip, never a silent one.
+    """
+    from mysql2pg_spark.dialect.transpile import mask_literals
+
+    by_name = {t.name: t for t in snap.tables}
+    by_lower = {t.name.lower(): t for t in snap.tables}
+    for stmt in iter_sql_statements(schema_text):
+        masked, _lits = mask_literals(stmt)
+        am = _ALTER_RE.match(masked.strip())
+        if not am:
+            continue
+        t = by_name.get(am.group(1)) or by_lower.get(am.group(1).lower())
+        if t is None:
+            _log.warning(
+                "ALTER TABLE %s: table not in the dump's corpus — "
+                "statement skipped", am.group(1),
+            )
+            continue
+        for clause in _split_top_level_commas(am.group(2).rstrip(";")):
+            pk = _ALTER_ADD_PK.match(clause)
+            if pk:
+                t.primary_key = _key_cols(pk.group(1))
+                continue
+            key = _ALTER_ADD_KEY.match(clause)
+            if key:
+                kcols = _key_cols(key.group(3))
+                if kcols:
+                    from mysql2pg_spark.sinks.ddl import IndexSpec
+
+                    t.indexes.append(IndexSpec(
+                        name=key.group(2),
+                        columns=kcols,
+                        unique=bool(key.group(1)),
+                    ))
+                else:
+                    _log.warning(
+                        "ALTER TABLE %s: functional index %s skipped",
+                        t.name, key.group(2),
+                    )
+                continue
+            if _FK_START_RE.match(clause.replace("ADD ", "", 1)) or \
+                    _re.match(r"(?is)^ADD\s+(?:CONSTRAINT\b|FOREIGN\s+KEY\b)",
+                              clause):
+                fk = _parse_fk(_re.sub(r"(?is)^ADD\s+", "", clause))
+                if fk is not None:
+                    t.foreign_keys.append(fk)
+                else:
+                    _log.warning(
+                        "ALTER TABLE %s: skipping unparseable FOREIGN "
+                        "KEY clause: %s", t.name, clause[:120],
+                    )
+                continue
+            mod = _ALTER_MODIFY.match(clause)
+            if mod:
+                col = next(
+                    (c for c in t.columns
+                     if c.name.lower() == mod.group(1).lower()),
+                    None,
+                )
+                if col is None:
+                    _log.warning(
+                        "ALTER TABLE %s: MODIFY of unknown column %s "
+                        "skipped", t.name, mod.group(1),
+                    )
+                elif _re.search(r"(?i)\bAUTO_INCREMENT\b", mod.group(2)):
+                    col.auto_increment = True
+                # a MODIFY without AUTO_INCREMENT restates the CREATE's
+                # type — nothing to merge
+                continue
+            if _ALTER_TBLOPT.match(clause):
+                continue  # counter superseded by the MAX-based resync
+            _log.warning(
+                "ALTER TABLE %s: unsupported clause skipped: %s",
+                t.name, clause[:120],
+            )
+
+
 def full_snapshot_from_dump(spark: SparkSession, path: str):
     """CatalogSnapshot from a COMPLETE mysqldump artifact: the table
     corpus (``snapshot_from_dump``) plus everything else a real
@@ -1216,4 +1331,8 @@ def full_snapshot_from_dump(spark: SparkSession, path: str):
     snap.events = list(
         functions_from_text(schema_text, kinds=("EVENT",))
     )
+    # phpMyAdmin-style trailing ALTER TABLE sections (round 9): keys /
+    # identity / FKs attached after the bare CREATEs merge into the
+    # corpus instead of silently vanishing.
+    apply_alter_statements(snap, schema_text)
     return snap

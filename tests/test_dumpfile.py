@@ -843,3 +843,55 @@ def test_event_sections_scan_from_dump_text():
     assert "nightly_purge" in ev and "EVERY 1 DAY" in ev
     # and the routine scan does NOT confuse events for functions
     assert functions_from_text(text) == []
+
+
+def test_phpmyadmin_style_alter_sections_merge(spark, tmp_path, caplog):
+    """Round 9: phpMyAdmin exports define tables BARE and attach keys /
+    identity / FKs in trailing ALTER TABLE statements. Those must merge
+    into the corpus — without this pass such a dump migrated with no
+    primary keys, no indexes, no identity columns and no FKs, silently.
+    Unknown clauses log a visible skip."""
+    import logging
+
+    from mysql2pg_spark.sources.dumpfile import full_snapshot_from_dump
+
+    p = tmp_path / "pma.sql"
+    p.write_text(
+        "-- phpMyAdmin SQL Dump\n"
+        "CREATE TABLE `users` (\n"
+        "  `id` int(11) NOT NULL,\n"
+        "  `email` varchar(255) NOT NULL,\n"
+        "  `ref` int(11) DEFAULT NULL\n"
+        ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;\n\n"
+        "INSERT INTO `users` (`id`, `email`, `ref`) "
+        "VALUES (1, 'a@x.com', NULL);\n\n"
+        "ALTER TABLE `users`\n"
+        "  ADD PRIMARY KEY (`id`),\n"
+        "  ADD UNIQUE KEY `email` (`email`),\n"
+        "  ADD KEY `idx_ref` (`ref`);\n\n"
+        "ALTER TABLE `users`\n"
+        "  MODIFY `id` int(11) NOT NULL AUTO_INCREMENT, "
+        "AUTO_INCREMENT=57;\n\n"
+        "ALTER TABLE `users`\n"
+        "  ADD CONSTRAINT `users_ibfk_1` FOREIGN KEY (`ref`) "
+        "REFERENCES `users` (`id`) ON DELETE SET NULL;\n\n"
+        "ALTER TABLE `users` ENGINE=MyISAM;\n"
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="mysql2pg_spark.sources.dumpfile"
+    ):
+        snap = full_snapshot_from_dump(spark, str(p))
+    (t,) = snap.tables
+    assert t.primary_key == ["id"]
+    assert [(i.name, i.columns, i.unique) for i in t.indexes] == [
+        ("email", ["email"], True),
+        ("idx_ref", ["ref"], False),
+    ]
+    assert [c.name for c in t.columns if c.auto_increment] == ["id"]
+    (fk,) = t.foreign_keys
+    assert fk.ref_table == "users" and fk.on_delete == "SET NULL"
+    # the unknown ENGINE clause surfaced as a visible skip
+    assert any(
+        "unsupported clause" in r.getMessage() and "ENGINE" in r.getMessage()
+        for r in caplog.records
+    )
