@@ -729,6 +729,18 @@ def _key_cols(raw: str) -> list[str]:
     return out
 
 
+def _open_text(path: str):
+    """Text handle for a dump that may be gzip-compressed (round 9 —
+    real dumps usually travel as ``.gz``; the Spark readers decompress
+    via the JVM codec already, this gives the local/driver-side paths
+    the same transparency)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt", encoding="utf-8", errors="replace")
+    return open(path, encoding="utf-8", errors="replace")
+
+
 def _ddl_lines(spark: SparkSession, path: str) -> list[str]:
     """DDL-ish lines of the dump in original order, collected driver-side.
 
@@ -1044,7 +1056,7 @@ def functions_from_sql(path: str) -> list[str]:
     ready for ``sinks.plpgsql_builder.build_spec_from_mysql``; the
     reference scans ROUTINE_TYPE='FUNCTION' only and silently drops
     procedures)."""
-    with open(path, encoding="utf-8", errors="replace") as fh:
+    with _open_text(path) as fh:
         return functions_from_text(fh.read())
 
 
@@ -1052,7 +1064,7 @@ def triggers_from_sql(path: str) -> list[str]:
     """CREATE TRIGGER statements from a DELIMITER-switched script or
     the mysqldump ``/*!50003 … TRIGGER`` form (round 8 — mysqldump
     includes triggers by DEFAULT, and the reference drops them)."""
-    with open(path, encoding="utf-8", errors="replace") as fh:
+    with _open_text(path) as fh:
         return functions_from_text(fh.read(), kinds=("TRIGGER",))
 
 
@@ -1176,7 +1188,7 @@ def dump_schema_text(path: str, spark: SparkSession | None = None) -> str:
         return "\n".join(r.value for r in keep_df.sort("mid").collect())
     keep: list[str] = []
     delim = ";"
-    with open(path, encoding="utf-8", errors="replace") as fh:
+    with _open_text(path) as fh:
         for line in fh:
             mo = _DELIM_DIRECTIVE_RE.match(line)
             if mo:

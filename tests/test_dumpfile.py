@@ -895,3 +895,53 @@ def test_phpmyadmin_style_alter_sections_merge(spark, tmp_path, caplog):
         "unsupported clause" in r.getMessage() and "ENGINE" in r.getMessage()
         for r in caplog.records
     )
+
+
+def test_gzip_dump_all_paths(spark, tmp_path):
+    """Round 9: real dumps travel gzipped. The Spark readers decompress
+    via the JVM codec; the local/driver-side paths (dump_schema_text
+    streaming, functions_from_sql) must be equally transparent."""
+    import gzip
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mysql2pg_spark.sources.dumpfile import (
+        dump_schema_text,
+        full_snapshot_from_dump,
+        functions_from_sql,
+        read_dump_inserts,
+    )
+
+    p = tmp_path / "d.sql.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(
+            "CREATE TABLE `t` (\n"
+            "  `id` int NOT NULL,\n"
+            "  `v` varchar(10),\n"
+            "  PRIMARY KEY (`id`)\n"
+            ");\n"
+            "INSERT INTO `t` VALUES (1,'a'),(2,'b');\n"
+            "DELIMITER ;;\n"
+            "CREATE FUNCTION f1(x INT) RETURNS INT DETERMINISTIC\n"
+            "BEGIN\n  RETURN x * 2;\nEND ;;\n"
+            "DELIMITER ;\n"
+        )
+    snap = full_snapshot_from_dump(spark, str(p))
+    assert [t.name for t in snap.tables] == ["t"]
+    assert snap.tables[0].primary_key == ["id"]
+    assert len(snap.functions) == 1
+    txt = dump_schema_text(str(p))  # local streaming path
+    assert "CREATE TABLE `t`" in txt and "VALUES (1,'a')" not in txt
+    (fn,) = functions_from_sql(str(p))
+    assert "RETURN x * 2" in fn
+    sch = StructType([
+        StructField("id", IntegerType()),
+        StructField("v", StringType()),
+    ])
+    rows = read_dump_inserts(spark, str(p), "t", sch).collect()
+    assert sorted((r.id, r.v) for r in rows) == [(1, "a"), (2, "b")]
