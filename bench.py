@@ -148,8 +148,12 @@ def _canary_once(spark) -> float:
 def _resolve_prev_ref() -> str | None:
     """The previous round's code snapshot: $SPARK_GRAFT_PREV_REF wins;
     otherwise the most recent `round N: end-of-round snapshot` commit
-    (the driver's per-round boundary marker). None = no baseline (first
-    round, or not a git checkout)."""
+    (the driver's per-round boundary marker) whose TREE differs from
+    HEAD's — the driver commits the CURRENT round's snapshot right
+    before running this bench, so the newest marker is usually this
+    very code and an A/B against it would be a useless self-comparison
+    (vs_prev ≡ 1.0). None = no baseline (first round, or not a git
+    checkout)."""
     import re
     import subprocess
 
@@ -157,13 +161,22 @@ def _resolve_prev_ref() -> str | None:
     if ref:
         return ref
     try:
+        head_tree = subprocess.run(
+            ["git", "-C", REPO_DIR, "rev-parse", "HEAD^{tree}"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
         out = subprocess.run(
-            ["git", "-C", REPO_DIR, "log", "--format=%H%x09%s", "-n", "300"],
+            ["git", "-C", REPO_DIR, "log",
+             "--format=%H%x09%T%x09%s", "-n", "300"],
             capture_output=True, text=True, timeout=30,
         )
         for line in out.stdout.splitlines():
-            h, _, subject = line.partition("\t")
-            if re.match(r"round \d+: end-of-round snapshot", subject):
+            parts = line.split("\t", 2)
+            if len(parts) != 3:
+                continue
+            h, tree, subject = parts
+            if re.match(r"round \d+: end-of-round snapshot", subject) \
+                    and tree != head_tree:
                 return h
     except Exception:
         pass

@@ -62,3 +62,34 @@ def test_vs_prev_disabled_by_env(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_VS_PREV", "0")
     q, wt = bench._setup_prev_queries(str(tmp_path))
     assert q is None and wt is None
+
+
+def test_resolve_prev_ref_skips_self_snapshot(tmp_path, monkeypatch):
+    """The driver commits the CURRENT round's `end-of-round snapshot`
+    right before running bench — the resolver must skip any snapshot
+    commit whose tree equals HEAD's (an A/B against identical code is
+    a useless self-comparison) and land on the PREVIOUS round's."""
+    import bench
+
+    clone = tmp_path / "clone"
+    subprocess.run(
+        ["git", "clone", "-q", "--no-hardlinks", REPO, str(clone)],
+        check=True,
+    )
+    subprocess.run(
+        ["git", "-C", str(clone), "-c", "user.email=t@t",
+         "-c", "user.name=t", "commit", "-q", "--allow-empty",
+         "-m", "round 99: end-of-round snapshot (simulated)"],
+        check=True,
+    )
+    monkeypatch.delenv("SPARK_GRAFT_PREV_REF", raising=False)
+    monkeypatch.setattr(bench, "REPO_DIR", str(clone))
+    ref = bench._resolve_prev_ref()
+    assert ref is not None
+    subject = subprocess.run(
+        ["git", "-C", str(clone), "log", "-1", "--format=%s", ref],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    # NOT the simulated same-tree snapshot: the previous round's marker
+    assert "round 99" not in subject
+    assert "end-of-round snapshot" in subject
