@@ -130,6 +130,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--source-dir", help="parquet source dir (local mode)")
     ap.add_argument("--sink-dir", help="parquet sink dir (local/dump mode)")
     ap.add_argument("--dump-file", help="mysqldump .sql file (dump mode)")
+    ap.add_argument(
+        "--tab-dir",
+        help="mysqldump --tab directory: per-table <t>.sql schema + "
+        "<t>.txt escaped-TSV data (dump/duckdb modes)",
+    )
     ap.add_argument("--duckdb-file", help="target database (duckdb mode)")
     ap.add_argument(
         "--check",
@@ -143,9 +148,9 @@ def main(argv: list[str] | None = None) -> int:
     cfg = load_config(args.config)
 
     if args.mode == "dump":
-        if not (args.dump_file and args.sink_dir):
-            print("dump mode needs --dump-file and --sink-dir",
-                  file=sys.stderr)
+        if not ((args.dump_file or args.tab_dir) and args.sink_dir):
+            print("dump mode needs --dump-file or --tab-dir, and "
+                  "--sink-dir", file=sys.stderr)
             return 2
         from mysql2pg_spark.session import get_spark
         from mysql2pg_spark.sources.dumpfile import (
@@ -155,14 +160,26 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         spark = get_spark(app_name="mysql2pg_spark-cli")
-        snap = full_snapshot_from_dump(spark, args.dump_file)
-        schemas = dump_read_schemas(snap)
+        if args.tab_dir:
+            from mysql2pg_spark.sources.tabdump import (
+                snapshot_from_tab_dir,
+                tab_source_reader,
+            )
+
+            snap = snapshot_from_tab_dir(spark, args.tab_dir)
+            schemas = dump_read_schemas(snap)
+            _tab = tab_source_reader(args.tab_dir, schemas)
+            source_loader = lambda t: _tab(spark, {"table": t})  # noqa: E731
+        else:
+            snap = full_snapshot_from_dump(spark, args.dump_file)
+            schemas = dump_read_schemas(snap)
+            source_loader = lambda t: read_dump_inserts(  # noqa: E731
+                spark, args.dump_file, t, schemas[t]
+            )
         pipe = MigrationPipeline(cfg, snap)
         result = pipe.execute_local(
             spark,
-            source_loader=lambda t: read_dump_inserts(
-                spark, args.dump_file, t, schemas[t]
-            ),
+            source_loader=source_loader,
             sink_dir=args.sink_dir,
         )
         print(json.dumps({
@@ -176,10 +193,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.mode == "duckdb":
-        if not args.duckdb_file or not (args.source_dir or args.dump_file):
+        if not args.duckdb_file or not (
+            args.source_dir or args.dump_file or args.tab_dir
+        ):
             print(
                 "duckdb mode needs --duckdb-file plus --source-dir "
-                "(with --snapshot) or --dump-file",
+                "(with --snapshot), --dump-file or --tab-dir",
                 file=sys.stderr,
             )
             return 2
@@ -190,7 +209,18 @@ def main(argv: list[str] | None = None) -> int:
         from mysql2pg_spark.tables import load_table
 
         spark = get_spark(app_name="mysql2pg_spark-cli")
-        if args.dump_file:
+        if args.tab_dir:
+            from mysql2pg_spark.sources.dumpfile import dump_read_schemas
+            from mysql2pg_spark.sources.tabdump import (
+                snapshot_from_tab_dir,
+                tab_source_reader,
+            )
+
+            snap = snapshot_from_tab_dir(spark, args.tab_dir)
+            source_reader = tab_source_reader(
+                args.tab_dir, dump_read_schemas(snap)
+            )
+        elif args.dump_file:
             from mysql2pg_spark.sources.dumpfile import (
                 dump_read_schemas,
                 read_dump_inserts,
