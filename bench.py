@@ -298,6 +298,54 @@ def _bench_dump_parse(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
     return out
 
 
+def _bench_tab_parse(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
+    """Time the --tab TSV decode over a file synthesized from the sf's
+    orders table (round 9 — the bulk-export format's ingest path).
+    Generation is untimed; the timed span is the distributed escape
+    decode + typed cast + full materialization. Reports rows/sec so
+    the number is scale-comparable."""
+    import pyarrow.parquet as pq
+
+    from mysql2pg_spark.sources.tabdump import encode_tab_field, read_tab_dump
+
+    tb = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority"],
+    )
+    path = os.path.join(tmpdir, "orders.txt")
+    rows = tb.to_pylist()
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(
+                "\t".join(
+                    encode_tab_field(r[c])
+                    for c in (
+                        "o_orderkey", "o_custkey", "o_totalprice",
+                        "o_orderpriority",
+                    )
+                )
+                + "\n"
+            )
+    schema = ("o_orderkey bigint, o_custkey bigint, "
+              "o_totalprice double, o_orderpriority string")
+    times: list[float] = []
+    for _ in range(reps):
+        t = time.perf_counter()
+        read_tab_dump(spark, path, schema).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times.append(time.perf_counter() - t)
+    med = sorted(times)[len(times) // 2]
+    out = {
+        "tab_parse_orders": round(med, 3),
+        "tab_parse_rows_per_sec": round(len(rows) / max(med, 1e-9), 1),
+    }
+    if reps > 1:
+        out["tab_parse_orders_spread"] = _spread(times)
+    return out
+
+
 def _spread(times: list[float]) -> list[float]:
     """[min, median, max] of raw rep seconds (round-7 extras hygiene)."""
     s = sorted(times)
@@ -1061,6 +1109,10 @@ def main() -> None:
             extras.update(_bench_dump_parse(spark, sf_dir, ereps, td))
         except Exception as e:  # extras never break the headline emit
             extras["dump_parse_orders_error"] = str(e)[:120]
+        try:
+            extras.update(_bench_tab_parse(spark, sf_dir, ereps, td))
+        except Exception as e:
+            extras["tab_parse_orders_error"] = str(e)[:120]
         try:
             extras.update(_bench_migration(spark, sf_dir, ereps, td))
         except Exception as e:
