@@ -47,6 +47,8 @@ _TAB_UNESCAPES = {
     "n": "\n",
     "r": "\r",
     "0": "\x00",
+    "b": "\b",
+    "Z": "\x1a",
     "\\": "\\",
 }
 
@@ -79,62 +81,59 @@ def encode_tab_field(v) -> str:
     return s
 
 
+def _decode_field_col(x):
+    """JVM-side decode of one escaped field column: the ``\\N`` NULL
+    marker compares on the RAW field (so the 3-char ``\\\\N`` — an
+    escaped backslash before a literal N — correctly decodes to the
+    string ``\\N``); escape pairs decode with a sentinel so the chain
+    is single-pass-correct (``\\\\`` first → \\x01, then the ``\\t``/
+    ``\\n``/``\\r``/``\\0`` pairs, then sentinel → backslash). Every
+    step is a literal ``replace`` inside whole-stage codegen — the
+    100 TB path stays entirely JVM-side."""
+    dec = F.replace(x, F.lit("\\\\"), F.lit("\x01"))
+    for pair, ch in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"),
+                     ("\\0", "\x00"), ("\\b", "\b"), ("\\Z", "\x1a")):
+        dec = F.replace(dec, F.lit(pair), F.lit(ch))
+    # LOAD DATA's rule for any OTHER escaped character: strip the
+    # backslash, keep the character (escaped backslashes are already
+    # sentineled away, so this regex only sees the leftovers)
+    dec = F.regexp_replace(dec, r"\\(.)", r"$1")
+    dec = F.replace(dec, F.lit("\x01"), F.lit("\\"))
+    return F.when(x == F.lit("\\N"), F.lit(None)).otherwise(dec)
+
+
 def read_tab_dump(
     spark: SparkSession, txt_path: str, schema: StructType | str
 ) -> DataFrame:
     """One ``<table>.txt`` (or a glob/directory of them) → typed
     DataFrame. Splitting on the RAW tab is exact (escaped tabs in data
-    are the two-character sequence ``\\t``); rows with a column-count
-    mismatch raise rather than silently misalign."""
-    from pyspark.sql.types import BinaryType
-
+    are the two-character sequence ``\\t``); the escape decode is a
+    literal-``replace`` chain + one leftover-pair regexp, all JVM-side
+    expressions — no Python worker, no Arrow transfer in the hot path,
+    so at 100 TB the decode rides the scan. Rows with a column-count
+    mismatch raise (``raise_error``) rather than silently misalign."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    cols = [f.name for f in schema.fields]
-    is_binary = [isinstance(f.dataType, BinaryType) for f in schema.fields]
-    mid_schema = ", ".join(
-        f"`{c}` {'binary' if b else 'string'}"
-        for c, b in zip(cols, is_binary)
-    )
-    n_cols = len(cols)
+    n_cols = len(schema.fields)
 
-    def parse(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for pdf in it:
-            rows: list[list] = []
-            for line in pdf["value"]:
-                if line == "":
-                    continue
-                fields = line.split("\t")
-                if len(fields) != n_cols:
-                    raise ValueError(
-                        f"--tab row has {len(fields)} fields, schema "
-                        f"has {n_cols}: {line[:120]!r}"
-                    )
-                rows.append([decode_tab_field(f) for f in fields])
-            yield pd.DataFrame(
-                {
-                    c: pd.Series(
-                        [
-                            (
-                                None
-                                if r[j] is None
-                                else r[j].encode("utf-8")
-                                if is_binary[j]
-                                else r[j]
-                            )
-                            for r in rows
-                        ],
-                        dtype="object",
-                    )
-                    for j, c in enumerate(cols)
-                }
+    lines = spark.read.text(txt_path).filter(F.col("value") != "")
+    fields = F.split(F.col("value"), "\t", -1)
+    guarded = F.when(F.size(fields) == n_cols, fields).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"--tab row does not have {n_cols} fields: "),
+                F.substring(F.col("value"), 1, 120),
             )
-
-    parsed = spark.read.text(txt_path).mapInPandas(parse, mid_schema)
-    return parsed.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    )
+    split = lines.select(guarded.alias("f"))
+    return split.select(
+        *[
+            _decode_field_col(F.element_at(F.col("f"), j + 1))
+            .cast(fld.dataType)
+            .alias(fld.name)
+            for j, fld in enumerate(schema.fields)
+        ]
     )
 
 
