@@ -533,6 +533,17 @@ def _bench_streaming(spark, sf_dir: str, reps: int = 1) -> dict:
             out[f"streaming_{tag}_avg_trigger_sec"] = round(
                 sum(trig_ms) / len(trig_ms) / 1000.0, 3
             )
+            # processing-time throughput (round 9): rows ÷ the time the
+            # engine spent EXECUTING triggers. The wall-based number
+            # above includes streaming-query startup/teardown (seconds
+            # per rep, and the dominant noise term on a shared
+            # container: r9 measured the same code at 3.2k and 15.0k
+            # wall-rows/s hours apart); at 100 TB startup amortizes to
+            # zero, so this is the scale-relevant series.
+            proc_sec = sum(trig_ms) / 1000.0
+            out[f"streaming_{tag}_proc_rows_per_sec"] = round(
+                rows / max(proc_sec, 1e-9), 1
+            )
         if reps > 1:
             out[f"streaming_{tag}_spread"] = _spread(walls)
     return out
@@ -974,6 +985,9 @@ def main() -> None:
                 "curation_docs_per_sec",
                 "streaming_windowed_rows_per_sec",
                 "streaming_stateful_rows_per_sec",
+                "streaming_windowed_proc_rows_per_sec",
+                "streaming_stateful_proc_rows_per_sec",
+                "tab_parse_rows_per_sec",
             ):
                 if k in extras:
                     compact[k] = extras[k]
