@@ -82,23 +82,33 @@ def encode_tab_field(v) -> str:
 
 
 def _decode_field_col(x):
-    """JVM-side decode of one escaped field column: the ``\\N`` NULL
-    marker compares on the RAW field (so the 3-char ``\\\\N`` — an
-    escaped backslash before a literal N — correctly decodes to the
-    string ``\\N``); escape pairs decode with a sentinel so the chain
-    is single-pass-correct (``\\\\`` first → \\x01, then the ``\\t``/
-    ``\\n``/``\\r``/``\\0`` pairs, then sentinel → backslash). Every
-    step is a literal ``replace`` inside whole-stage codegen — the
-    100 TB path stays entirely JVM-side."""
-    dec = F.replace(x, F.lit("\\\\"), F.lit("\x01"))
-    for pair, ch in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"),
-                     ("\\0", "\x00"), ("\\b", "\b"), ("\\Z", "\x1a")):
-        dec = F.replace(dec, F.lit(pair), F.lit(ch))
-    # LOAD DATA's rule for any OTHER escaped character: strip the
-    # backslash, keep the character (escaped backslashes are already
-    # sentineled away, so this regex only sees the leftovers)
-    dec = F.regexp_replace(dec, r"\\(.)", r"$1")
-    dec = F.replace(dec, F.lit("\x01"), F.lit("\\"))
+    """JVM-side decode of one escaped field column, sentinel-free (a
+    sentinel byte could also occur RAW in real data — OUTFILE only
+    escapes its special set — and would decode corrupted):
+
+    1. the ``\\N`` NULL marker compares on the RAW field, so the 3-char
+       ``\\\\N`` (escaped backslash + literal N) correctly decodes to
+       the string ``\\N``;
+    2. split on the ESCAPED-BACKSLASH pair ``\\\\`` — inside each
+       segment every remaining backslash starts a single escape pair,
+       so the ordered literal replaces (``\\t \\n \\r \\0 \\b \\Z``)
+       plus one leftover-pair regexp (LOAD DATA's strip-the-backslash
+       rule for unrecognized escapes) are unambiguous;
+    3. re-join the segments with a literal backslash — exactly what
+       each consumed ``\\\\`` pair means.
+
+    Every step is a Catalyst expression (split / transform / replace /
+    array_join) — the 100 TB path stays entirely JVM-side."""
+
+    def _seg(s):
+        dec = s
+        for pair, ch in (("\\t", "\t"), ("\\n", "\n"), ("\\r", "\r"),
+                         ("\\0", "\x00"), ("\\b", "\b"), ("\\Z", "\x1a")):
+            dec = F.replace(dec, F.lit(pair), F.lit(ch))
+        return F.regexp_replace(dec, r"\\(.)", r"$1")
+
+    segs = F.split(x, r"\\\\")
+    dec = F.array_join(F.transform(segs, _seg), "\\")
     return F.when(x == F.lit("\\N"), F.lit(None)).otherwise(dec)
 
 

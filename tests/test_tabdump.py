@@ -177,3 +177,38 @@ def test_cli_duckdb_mode_from_tab_dir(spark, tmp_path, capsys):
     assert rows == [(0, "ALGERIA"), (1, "ARGEN\tTINA"), (2, None)]
     payload = json.loads(out.strip().splitlines()[-1])
     assert payload["validation"] == {"nation": True}
+
+
+def test_jvm_and_driver_decoders_agree(spark):
+    """The JVM expression decoder (read path at scale) and the
+    driver-side decode_tab_field must agree on EVERY input, including
+    adversarial ones that are not valid OUTFILE output (stray
+    backslashes, mid-field \\N, sentinel bytes, chained escapes)."""
+    import random
+
+    from mysql2pg_spark.sources.tabdump import _decode_field_col
+
+    rng = random.Random(90210)
+    atoms = [
+        "\\N", "\\\\", "\\t", "\\n", "\\r", "\\0", "\\b", "\\Z",
+        "\\x", "\\", "a", "Z", "N", "\x01", "tab\there", "q",
+        "\\\\N", "\\\\t", "", " ",
+    ]
+    corpus = ["\\N", "", "\\", "\x01\\t"]
+    corpus += [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(1, 6)))
+        for _ in range(300)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in corpus], "raw string")
+    got = {
+        r.raw: r.dec
+        for r in df.select(
+            "raw", _decode_field_col(F.col("raw")).alias("dec")
+        ).collect()
+    }
+    for s in corpus:
+        assert got[s] == decode_tab_field(s), (
+            repr(s), repr(got[s]), repr(decode_tab_field(s))
+        )
