@@ -31,6 +31,8 @@ Merge map (merged name ← folded originals):
   sf01_stored_function_battery ← sf01_stored_functions
                               + sf02_stored_function_udf
                               + sf03_cursor_loop_twin (round 6)
+                              + sf07_uservar_accum_twin (round 9)
+                              + sf08_resultset_proc_twin (round 9)
   w06_streaming_battery     ← w06_streaming_dedup
                               + w07_stream_stream_join (round 3)
   d01_dedup_pipeline        ← d01_exact_dedup + d09_dedup_apply (round 3)
