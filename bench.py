@@ -1065,12 +1065,19 @@ def main() -> None:
             # alternate which side runs first each rep: the first
             # execution of a pair warms shared caches (codegen, parquet
             # footers, OS page cache) for the second, so a fixed order
-            # systematically biases the ratio against the first side
+            # systematically biases the ratio against the first side.
+            # The prev side caps at 3 reps (median-of-3 is already
+            # dispersion-robust) so the A/B costs ~3/5 of a second
+            # headline pass instead of a full one — the saved wall goes
+            # to the scale step, whose budget squeeze otherwise skips
+            # the candidate-trio rate gates on a slow container.
             head_first = rep % 2 == 0
             pair = ["head", "prev"] if head_first else ["prev", "head"]
             for side in pair:
                 if side == "head":
                     times.append(_run_noop(QUERIES[name]))
+                elif rep >= 3:
+                    pass  # prev side capped at 3 reps
                 elif prev_queries is not None and name in prev_queries:
                     try:
                         ptimes.append(_run_noop(prev_queries[name]))
