@@ -494,7 +494,8 @@ def _build_procedure_spec(masked: str, lits, head) -> PlpgsqlFunctionSpec:
 
     try:
         proc = parse_procedural(body, name, _rw, _pg_type,
-                                kind="procedure")
+                                kind="procedure",
+                                unmask=lambda m: unmask_literals(m, lits))
     except ProcParseError as e:
         raise UnsupportedFunctionError(str(e)) from e
     # Result-set procedures (round 9): each bare SELECT in the body
@@ -638,7 +639,10 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
             return rewrite_mysql_expr_to_pg(unmask_literals(masked, lits))
 
         try:
-            proc = parse_procedural(body, name, _rw, _pg_type)
+            proc = parse_procedural(
+                body, name, _rw, _pg_type,
+                unmask=lambda m: unmask_literals(m, lits),
+            )
         except ProcParseError as e:
             raise UnsupportedFunctionError(str(e)) from e
         return PlpgsqlFunctionSpec(
@@ -773,7 +777,10 @@ def build_spec_from_mysql(ddl: str) -> PlpgsqlFunctionSpec:
             return rewrite_mysql_expr_to_pg(unmask_literals(masked, lits))
 
         try:
-            proc = parse_procedural(body, name, _rw, _pg_type)
+            proc = parse_procedural(
+                body, name, _rw, _pg_type,
+                unmask=lambda m: unmask_literals(m, lits),
+            )
         except ProcParseError as e:
             raise UnsupportedFunctionError(str(e)) from e
         return PlpgsqlFunctionSpec(
@@ -854,7 +861,8 @@ def build_trigger_from_mysql(ddl: str):
         return rewrite_mysql_expr_to_pg(unmask_literals(m, lits))
 
     try:
-        proc = parse_procedural(body, name, _rw, _pg_type, kind="trigger")
+        proc = parse_procedural(body, name, _rw, _pg_type, kind="trigger",
+                                unmask=lambda m: unmask_literals(m, lits))
     except ProcParseError as e:
         raise UnsupportedFunctionError(str(e)) from e
     return PlpgsqlTriggerSpec(

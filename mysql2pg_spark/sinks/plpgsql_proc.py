@@ -658,12 +658,14 @@ class _Parser:
     cannot confuse statement boundaries)."""
 
     def __init__(self, text: str, fname: str, rewrite, pg_type,
-                 kind: str = "function"):
+                 kind: str = "function", unmask=None):
         self.s = text
         self.i = 0
         self.fname = fname
         self.rewrite_user = rewrite  # MySQL expr (masked) → PG expr
         self.pg_type = pg_type       # MySQL type string → PG type
+        self.unmask = unmask         # masked text → raw MySQL (round 9,
+        # for statements converted as DDL rather than expressions)
         self.kind = kind             # "function" | "procedure"
         self.scope: _Scope | None = None
         self.in_handler = False      # RESIGNAL legality context
@@ -1307,6 +1309,8 @@ class _Parser:
         if up.startswith(("INSERT ", "UPDATE ", "DELETE ")):
             (sql,), prelude = self._hoist_row_count([self._rewrite(raw)])
             return prelude + [Dml(sql)] if prelude else Dml(sql)
+        if up.startswith(("CREATE TEMPORARY TABLE", "DROP TEMPORARY TABLE")):
+            return self._temp_table(raw, up)
         if up.startswith("REPLACE "):
             raise ProcParseError(
                 f"function {self.fname}: REPLACE INTO has "
@@ -1504,6 +1508,42 @@ class _Parser:
             return Signal(errcode, message, errno, level="WARNING")
         return Signal(errcode, message, errno)
 
+    def _temp_table(self, raw: str, up: str):
+        """``CREATE TEMPORARY TABLE`` / ``DROP TEMPORARY TABLE`` inside
+        a routine body (round 9) — the staging idiom real MySQL
+        procedures use constantly. PG temp tables are session-scoped
+        like MySQL's, so the statements pass through as body DML after
+        the column types run the C86 matrix (one Dml per emitted
+        statement: CREATE TEMP TABLE + any per-KEY CREATE INDEX).
+        Shapes the converter cannot express (FKs on temp tables,
+        unparseable clauses) refuse visibly."""
+        if up.startswith("DROP"):
+            dm = re.match(
+                r"DROP\s+TEMPORARY\s+TABLE\s+(IF\s+EXISTS\s+)?"
+                r"`?(\w+)`?\s*$",
+                raw, re.I,
+            )
+            if not dm:
+                raise ProcParseError(
+                    f"function {self.fname}: unparseable DROP TEMPORARY "
+                    f"TABLE {raw[:60]!r} (one table per statement)"
+                )
+            ine = "IF EXISTS " if dm.group(1) else ""
+            return Dml(f"DROP TABLE {ine}{dm.group(2).lower()}")
+        if self.unmask is None:
+            raise ProcParseError(
+                f"function {self.fname}: CREATE TEMPORARY TABLE needs "
+                "the literal-unmask seam (builder-driven parses only)"
+            )
+        from mysql2pg_spark.sources.dumpfile import convert_temp_table_stmt
+
+        try:
+            stmts = convert_temp_table_stmt(self.unmask(raw))
+        except ValueError as e:
+            raise ProcParseError(f"function {self.fname}: {e}") from e
+        nodes = [Dml(s) for s in stmts]
+        return nodes if len(nodes) > 1 else nodes[0]
+
     def _parse_get_diagnostics(self, rest: str):
         """``GET DIAGNOSTICS`` statement forms (round 9):
 
@@ -1636,6 +1676,7 @@ def parse_procedural(
     rewrite_expr,
     pg_type,
     kind: str = "function",
+    unmask=None,
 ) -> ProceduralBody:
     """Masked MySQL body (BEGIN/END stripped) → :class:`ProceduralBody`.
 
@@ -1649,7 +1690,8 @@ def parse_procedural(
     DECLARE sections (block-entry DEFAULT re-initialization, legal
     shadowing) and their own EXCEPTION clauses (block-scoped handlers).
     """
-    p = _Parser(body, fname, rewrite_expr, pg_type, kind=kind)
+    p = _Parser(body, fname, rewrite_expr, pg_type, kind=kind,
+                unmask=unmask)
     declares, stmts, exit_clauses = p.parse_root()
     if kind == "function" and not any(_has_return(s) for s in stmts):
         raise ProcParseError(f"function {fname}: body has no RETURN")

@@ -1199,6 +1199,109 @@ def dump_schema_text(path: str, spark: SparkSession | None = None) -> str:
     return "\n".join(keep)
 
 
+#: CREATE TEMPORARY TABLE inside a stored-routine body (round 9): very
+#: common in real MySQL procedures (staging results between steps).
+#: PostgreSQL temp tables are session-scoped like MySQL's, so the
+#: statement passes through the plpgsql body as plain SQL — after the
+#: MySQL column types run through the C86 matrix.
+_TEMP_CREATE_RE = _re.compile(
+    r"(?is)^\s*CREATE\s+TEMPORARY\s+TABLE\s+"
+    r"(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"`?(?P<name>\w+)`?\s*\((?P<body>.*)\)\s*"
+    r"(?P<opts>[^()]*)$"
+)
+
+
+def convert_temp_table_stmt(stmt: str) -> list[str]:
+    """One MySQL ``CREATE TEMPORARY TABLE name (…)`` statement → the PG
+    statements that reproduce it (CREATE TEMP TABLE + one CREATE INDEX
+    per KEY clause), types through the C86 matrix. Raises ``ValueError``
+    on shapes that cannot be expressed (FOREIGN KEY on a temp table,
+    unparseable clauses) — the procedural translator converts that to
+    a visible refusal instead of emitting wrong DDL."""
+    from mysql2pg_spark.schema.schema_map import struct_field_for
+    from mysql2pg_spark.sinks.ddl import (
+        IndexSpec,
+        create_index_ddl,
+        create_table_ddl,
+    )
+    from pyspark.sql.types import StructType
+
+    m = _TEMP_CREATE_RE.match(stmt.strip().rstrip(";"))
+    if not m:
+        raise ValueError(
+            "unparseable CREATE TEMPORARY TABLE statement "
+            f"{stmt[:80]!r}"
+        )
+    name = m.group("name")
+    fields = []
+    pk: list[str] = []
+    indexes: list[IndexSpec] = []
+    for clause in _split_top_level_commas(m.group("body")):
+        pkm = _PK_RE.match(clause)
+        if pkm:
+            pk = _key_cols(pkm.group(1))
+            continue
+        km = _KEY_RE.match(clause)
+        if km:
+            kcols = _key_cols(km.group(3))
+            if kcols:
+                indexes.append(IndexSpec(
+                    name=km.group(2), columns=kcols,
+                    unique=bool(km.group(1)),
+                ))
+            continue
+        if _FK_START_RE.match(clause):
+            raise ValueError(
+                f"temporary table {name}: FOREIGN KEY on a temp table "
+                "has no reliable PG analog (PG allows it only against "
+                "other temp tables)"
+            )
+        cm = _COL_RE.match(clause)
+        if cm:
+            cname = cm.group(1) or cm.group(2)
+            if cm.group(1) is None and cname.upper() in _NOT_COLUMNS:
+                raise ValueError(
+                    f"temporary table {name}: unsupported constraint "
+                    f"clause {clause.strip()[:60]!r}"
+                )
+            rest_nc = _strip_line_comment(_COMMENT_RE.sub("", cm.group(4)))
+            dm = _DEFAULT_RE.search(rest_nc)
+            dflt = None
+            if dm:
+                raw_d = dm.group(1)
+                dflt = (
+                    raw_d[1:-1].replace("''", "'")
+                    if raw_d.startswith("'") and raw_d.endswith("'")
+                    else raw_d
+                )
+                if dflt.upper() == "NULL":
+                    dflt = None
+            fields.append(struct_field_for(
+                cname,
+                cm.group(3).lower(),
+                nullable="NOT NULL" not in rest_nc.upper(),
+                default=dflt,
+                auto_increment="AUTO_INCREMENT" in rest_nc.upper(),
+            ))
+            continue
+        raise ValueError(
+            f"temporary table {name}: unparseable clause "
+            f"{clause.strip()[:60]!r}"
+        )
+    if not fields:
+        raise ValueError(f"temporary table {name}: no columns parsed")
+    out = [create_table_ddl(
+        name,
+        StructType(fields),
+        primary_key=pk or None,
+        if_not_exists=bool(m.group("ine")),
+        temporary=True,
+    )]
+    out += [create_index_ddl(name, ix) for ix in indexes]
+    return out
+
+
 #: phpMyAdmin-style exports define tables BARE and attach keys later:
 #: ``ALTER TABLE `t` ADD PRIMARY KEY (…), ADD KEY `i` (…);`` then
 #: ``ALTER TABLE `t` MODIFY `id` int NOT NULL AUTO_INCREMENT, …;`` and
