@@ -211,16 +211,22 @@ def _load_queries_from(path: str) -> dict:
         sys.modules.update(saved)
 
 
-def _setup_prev_queries(tmpdir: str) -> tuple[dict | None, str | None]:
-    """(prev QUERIES registry, worktree path) for the interleaved A/B —
-    (None, None) when disabled or unavailable."""
+def _setup_prev_queries(
+    tmpdir: str,
+) -> tuple[dict | None, str | None, str | None]:
+    """(prev QUERIES registry, worktree path, error) for the interleaved
+    A/B — (None, None, None) when deliberately disabled or no baseline
+    ref exists (first round / not a git checkout); a setup FAILURE
+    (worktree add or import blew up) returns the error string so
+    ``main()`` can emit ``vs_prev_error`` — the module docstring
+    promises the A/B never silently disappears."""
     import subprocess
 
     if os.environ.get("SPARK_GRAFT_VS_PREV", "1") == "0":
-        return None, None
+        return None, None, None
     ref = _resolve_prev_ref()
     if not ref:
-        return None, None
+        return None, None, None
     path = os.path.join(tmpdir, "prev_head")
     try:
         # drop stale worktree records from watchdog-truncated past runs
@@ -233,10 +239,10 @@ def _setup_prev_queries(tmpdir: str) -> tuple[dict | None, str | None]:
              path, ref],
             check=True, capture_output=True, timeout=60,
         )
-        return _load_queries_from(path), path
-    except Exception:
+        return _load_queries_from(path), path, None
+    except Exception as e:
         _teardown_prev_worktree(path)
-        return None, path
+        return None, path, f"{type(e).__name__}: {e}"
 
 
 def _teardown_prev_worktree(path: str | None) -> None:
@@ -1032,7 +1038,9 @@ def main() -> None:
     prev_queries: dict | None = None
     prev_wt: str | None = None
     try:
-        prev_queries, prev_wt = _setup_prev_queries(_prev_tmp)
+        prev_queries, prev_wt, _prev_err = _setup_prev_queries(_prev_tmp)
+        if _prev_err:
+            result["vs_prev_error"] = _prev_err[:160]
     except Exception as e:
         result["vs_prev_error"] = str(e)[:160]
     if prev_queries is not None:

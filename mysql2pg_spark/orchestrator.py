@@ -129,20 +129,33 @@ def _resolve_trigger_order(group: list) -> tuple[list, list]:
     clause whose target is not in the group cannot be enforced and is
     returned for a visible skip."""
     ordered = [s for s in group if not s.ordering]
-    missing: list[tuple] = []
-    for s in group:
-        if not s.ordering:
-            continue
-        kind, target = s.ordering
-        idx = next(
-            (i for i, o in enumerate(ordered)
-             if o.name.lower() == target),
-            None,
-        )
-        if idx is None:
-            missing.append((s, target))
-            continue
-        ordered.insert(idx + 1 if kind == "FOLLOWS" else idx, s)
+    pending = [s for s in group if s.ordering]
+    # Iterate to a fixpoint: a clause's target may itself carry an
+    # ordering clause and appear LATER in declaration order (C PRECEDES
+    # B where B PRECEDES A) — one pass would find B unplaced and
+    # wrongly report it missing. Each sweep places every spec whose
+    # target is already in `ordered`; repeat until a sweep places
+    # nothing, then whatever is left genuinely references a trigger
+    # outside this migration.
+    while pending:
+        placed_any = False
+        still: list = []
+        for s in pending:
+            kind, target = s.ordering
+            idx = next(
+                (i for i, o in enumerate(ordered)
+                 if o.name.lower() == target),
+                None,
+            )
+            if idx is None:
+                still.append(s)
+                continue
+            ordered.insert(idx + 1 if kind == "FOLLOWS" else idx, s)
+            placed_any = True
+        pending = still
+        if not placed_any:
+            break
+    missing = [(s, s.ordering[1]) for s in pending]
     return ordered, missing
 
 

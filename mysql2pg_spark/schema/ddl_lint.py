@@ -128,4 +128,10 @@ def lint_ddl(text: str) -> list[str]:
                     f"MySQL-ism {bad!r} survived into PG DDL: "
                     f"{stmt[:80]!r}"
                 )
+    # plpgsql bodies get the deeper structural grammar check (r10):
+    # DECLARE/BEGIN/EXCEPTION/END nesting, IF/LOOP/CASE pairing,
+    # per-statement ';' termination — see schema/plpgsql_check.py
+    from mysql2pg_spark.schema.plpgsql_check import check_script
+
+    problems.extend(check_script(text))
     return problems

@@ -165,14 +165,29 @@ def _infer_user_var_type(fname: str, var: str, body: str) -> str:
     TEXT — the reference's own default. Runs on MASKED text (string
     literals are ``\\x00L<n>\\x00`` placeholders)."""
     classes: set[str] = set()
-    for mo in re.finditer(
-        rf"(?i)(?<![@\w])@{re.escape(var)}\s*:?=\s*", body
-    ):
+    esc0 = re.escape(var)
+    # Only ACTUAL assignments feed the type classes — a bare `@v =`
+    # is MySQL's equality comparison in every non-SET context
+    # (IF @v = CONCAT(a,b) THEN…, WHERE @v = x+1), and treating the
+    # comparison operand as an assigned value caused spurious
+    # incompatible-class refusals (ADVICE r9). Assignment contexts:
+    #   1. the inline `:=` operator, anywhere;
+    #   2. `@v = expr` pieces of a SET statement (SET @a = 1, @b = 2)
+    #      — the target must START the statement or follow a comma.
+    assign_starts = [
+        mo.end()
+        for mo in re.finditer(rf"(?i)(?<![@\w])@{esc0}\s*:=\s*", body)
+    ]
+    for st in re.finditer(r"(?is)(?<![\w.@'\"`])SET\s+(.*?)(?=;|\Z)", body):
+        seg, base = st.group(1), st.start(1)
+        for mo in re.finditer(rf"(?i)(?:^|,)\s*@{esc0}\s*:?=\s*", seg):
+            assign_starts.append(base + mo.end())
+    for pos in assign_starts:
         # the assigned expression, up to the statement/list boundary
         # (masked literals carry no , or ; so the split is safe; a
         # truncated multi-arg call still carries its shape tokens)
         c = _classify_assign_expr(
-            re.split(r"[;,]", body[mo.end():], 1)[0].strip()
+            re.split(r"[;,]", body[pos:], 1)[0].strip()
         )
         if c:
             classes.add(c)

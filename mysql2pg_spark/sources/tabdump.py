@@ -12,9 +12,12 @@ Spark-first shape (mirrors ``sources.dumpfile``):
   sequences ``\\t``/``\\n``, so splitting on raw bytes is exact and a
   multi-TB table parallelizes for free.
 - Field decode (``\\N`` → NULL; ``\\t \\n \\r \\0 \\\\`` escape pairs →
-  their characters) is a single vectorized regex pass inside an
-  Arrow-batched ``mapInPandas`` — one escape-pair substitution, no
-  per-character Python loop.
+  their characters) is pure Catalyst expressions — ``split`` on the
+  escaped-backslash pair, per-segment literal ``replace`` chain plus
+  one leftover-pair ``regexp_replace``, ``array_join`` back with a
+  literal backslash (see ``_decode_field_col``). No Python worker, no
+  Arrow transfer: the decode rides the scan inside whole-stage
+  codegen.
 - Typed output: decoded string cells cast through the declared schema
   JVM-side (one ``select``), like the INSERT-dump reader.
 
@@ -126,7 +129,16 @@ def read_tab_dump(
         schema = StructType.fromDDL(schema)
     n_cols = len(schema.fields)
 
-    lines = spark.read.text(txt_path).filter(F.col("value") != "")
+    lines = spark.read.text(txt_path)
+    if n_cols > 1:
+        # an empty line cannot be a valid multi-column row (it would
+        # carry n_cols-1 raw tabs), so dropping it here is the benign
+        # trailing-newline case and keeps the raise_error guard quiet
+        lines = lines.filter(F.col("value") != "")
+    # n_cols == 1: SELECT … INTO OUTFILE emits a single-column row
+    # whose value is the empty string as an EMPTY LINE — dropping those
+    # would silently lose rows (and validation checksums the source
+    # through this same reader, so the loss would be invisible)
     fields = F.split(F.col("value"), "\t", -1)
     guarded = F.when(F.size(fields) == n_cols, fields).otherwise(
         F.raise_error(
@@ -151,8 +163,21 @@ def snapshot_from_tab_dir(spark: SparkSession, dir_path: str):
     """CatalogSnapshot from a ``mysqldump --tab`` directory: every
     ``*.sql`` file (one CREATE TABLE each, plus whatever comments
     mysqldump wrapped it in) through the same block parser as a
-    single-file dump — columns, PK, inline indexes and FKs all land."""
-    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+    single-file dump — columns, PK, inline indexes and FKs all land.
+
+    Real ``--tab`` runs also write each table's TRIGGERS (and, with
+    ``--routines``/``--events``, the routine/event bodies) into the
+    per-table ``.sql`` as DELIMITER-switched ``/*!50003 CREATE*/``
+    sections, and ``/*!50001*/`` view shells get their own ``.sql`` —
+    so the same routine/view scans a single-file dump gets run over
+    the concatenated texts here too (skip-don't-drop: a trigger in the
+    file must at least reach the plan's skip note, never vanish)."""
+    from mysql2pg_spark.sources.dumpfile import (
+        _VIEW_STMT_RE,
+        functions_from_text,
+        iter_sql_statements,
+        snapshot_from_dump,
+    )
 
     sqls = sorted(
         os.path.join(dir_path, f)
@@ -163,7 +188,22 @@ def snapshot_from_tab_dir(spark: SparkSession, dir_path: str):
         raise FileNotFoundError(
             f"--tab directory {dir_path!r} has no .sql schema files"
         )
-    return snapshot_from_dump(spark, sqls)
+    snap = snapshot_from_dump(spark, sqls)
+    # per-table schema files are small (DDL only, data lives in the
+    # .txt halves) — a driver-side read is the right tool here
+    text = "\n".join(
+        open(p, encoding="utf-8", errors="replace").read() for p in sqls
+    )
+    views: dict[str, str] = {}
+    for stmt in iter_sql_statements(text):
+        mo = _VIEW_STMT_RE.match(stmt)
+        if mo:
+            views[mo.group(1)] = mo.group(2).strip()
+    snap.views = views
+    snap.functions = list(functions_from_text(text))
+    snap.triggers = list(functions_from_text(text, kinds=("TRIGGER",)))
+    snap.events = list(functions_from_text(text, kinds=("EVENT",)))
+    return snap
 
 
 def tab_source_reader(dir_path: str, schemas: dict[str, StructType | str]):

@@ -33,8 +33,9 @@ def test_load_queries_from_prev_worktree_and_restore(tmp_path):
     registries stay independently callable."""
     import bench
 
-    prev_q, wt = bench._setup_prev_queries(str(tmp_path))
+    prev_q, wt, err = bench._setup_prev_queries(str(tmp_path))
     try:
+        assert err is None
         assert prev_q is not None and wt is not None
         assert "q01_pricing_summary" in prev_q
         # HEAD modules restored: the registry importable again and is
@@ -60,8 +61,22 @@ def test_vs_prev_disabled_by_env(tmp_path, monkeypatch):
     import bench
 
     monkeypatch.setenv("SPARK_GRAFT_VS_PREV", "0")
-    q, wt = bench._setup_prev_queries(str(tmp_path))
-    assert q is None and wt is None
+    q, wt, err = bench._setup_prev_queries(str(tmp_path))
+    assert q is None and wt is None and err is None
+
+
+def test_setup_prev_surfaces_failure_as_error(tmp_path, monkeypatch):
+    """A setup FAILURE (e.g. the baseline ref cannot be checked out)
+    must come back as an error string — main() emits it as
+    vs_prev_error; the A/B never silently disappears (ADVICE r9)."""
+    import bench
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_PREV_REF", "no-such-ref-anywhere-xyz"
+    )
+    q, wt, err = bench._setup_prev_queries(str(tmp_path))
+    assert q is None
+    assert err is not None and "Error" in err
 
 
 def test_resolve_prev_ref_skips_self_snapshot(tmp_path, monkeypatch):

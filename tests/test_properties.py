@@ -330,6 +330,12 @@ def test_procedural_parser_roundtrip(tree):
     out = P.emit_statements(parsed.statements)
     assert out.count("IF ") + out.count("IF\n") >= out.count("END IF;")
     assert out.count("LOOP") % 2 == 0 or "WHILE" in out
+    # round 10: the structural plpgsql grammar accepts every emission
+    from mysql2pg_spark.schema.plpgsql_check import check_plpgsql_body
+
+    assert check_plpgsql_body("BEGIN\n" + out + "\nEND") == [], (
+        f"\nEMITTED:\n{out}"
+    )
 
 
 # round 7: multi-assignment SET — `SET a = e1, b = e2, …;` must parse to
@@ -474,3 +480,7 @@ def test_uservar_rewrite_total(assigns, ret):
         assert len(
             _re.findall(rf"uv_{v} \S+ := NULL;", out)
         ) == 1, out
+    # round 10: every emitted function passes the structural grammar
+    from mysql2pg_spark.schema.plpgsql_check import check_script
+
+    assert check_script(out) == [], out

@@ -212,3 +212,66 @@ def test_jvm_and_driver_decoders_agree(spark):
         assert got[s] == decode_tab_field(s), (
             repr(s), repr(got[s]), repr(decode_tab_field(s))
         )
+
+
+def test_single_column_empty_string_rows_survive(spark, tmp_path):
+    """SELECT … INTO OUTFILE emits a 1-column row whose value is the
+    empty string as an EMPTY LINE — the reader must keep those as
+    empty-string fields (ADVICE r9: dropping them silently loses rows,
+    and validation checksums the source through this same reader so
+    the loss would be invisible). Multi-column tables still drop empty
+    lines, where they are genuinely invalid."""
+    # 1-column: "", "a", NULL, "" → four rows
+    (tmp_path / "one.txt").write_text("\na\n\\N\n\n")
+    got = read_tab_dump(
+        spark, str(tmp_path / "one.txt"), "v string"
+    ).collect()
+    assert [r.v for r in got] == ["", "a", None, ""]
+
+    # 2-column file with a stray blank line: the blank is dropped (a
+    # valid 2-col row always carries a raw tab), real rows are kept
+    (tmp_path / "two.txt").write_text("1\tx\n\n2\t\\N\n")
+    got2 = read_tab_dump(
+        spark, str(tmp_path / "two.txt"), "a int, b string"
+    )
+    assert sorted((r.a, r.b) for r in got2.collect()) == [
+        (1, "x"), (2, None)
+    ]
+
+
+def test_tab_dir_scans_triggers_routines_views(spark, tmp_path):
+    """Real mysqldump --tab writes each table's TRIGGERS into its .sql
+    file (DELIMITER-switched /*!50003*/ sections) and view shells into
+    their own .sql — the snapshot must inventory them (skip-don't-drop,
+    ADVICE r9) exactly like the single-file scan does."""
+    (tmp_path / "t.sql").write_text(
+        "CREATE TABLE `t` (\n"
+        "  `id` bigint NOT NULL,\n"
+        "  `note` varchar(40),\n"
+        "  PRIMARY KEY (`id`)\n"
+        ");\n"
+        "/*!50003 SET @saved_sql_mode = @@sql_mode */ ;\n"
+        "DELIMITER ;;\n"
+        "/*!50003 CREATE*/ /*!50017 DEFINER=`root`@`%`*/ /*!50003 "
+        "TRIGGER `t_bi` BEFORE INSERT ON `t` FOR EACH ROW "
+        "SET NEW.note = 'x' */;;\n"
+        "DELIMITER ;\n"
+    )
+    (tmp_path / "t.txt").write_text("1\thello\n")
+    (tmp_path / "v_notes.sql").write_text(
+        "/*!50001 CREATE ALGORITHM=UNDEFINED VIEW `v_notes` AS "
+        "SELECT `id`, `note` FROM `t` */;\n"
+    )
+    (tmp_path / "fn.sql").write_text(
+        "DELIMITER ;;\n"
+        "CREATE FUNCTION `double_it`(x INT) RETURNS INT DETERMINISTIC\n"
+        "BEGIN\n"
+        "  RETURN x * 2;\n"
+        "END ;;\n"
+        "DELIMITER ;\n"
+    )
+    snap = snapshot_from_tab_dir(spark, str(tmp_path))
+    assert [t.name for t in snap.tables] == ["t"]
+    assert len(snap.triggers) == 1 and "t_bi" in snap.triggers[0]
+    assert "v_notes" in snap.views
+    assert len(snap.functions) == 1 and "double_it" in snap.functions[0]
