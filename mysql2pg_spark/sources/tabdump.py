@@ -84,24 +84,137 @@ def encode_tab_field(v) -> str:
     return s
 
 
-def _decode_field_col(x):
+def encode_load_field(
+    v,
+    field_term: str = "\t",
+    line_term: str = "\n",
+    enclosed_by: str | None = None,
+) -> str:
+    """General OUTFILE-format encoder (test/tooling side), mirroring
+    MySQL's escape rule: backslash/tab/newline/CR/NUL always as their
+    readable pairs, plus a backslash prefix on the enclosure char and
+    the first char of each terminator; the whole field wrapped in the
+    enclosure when one is configured. NULL is ``\\N``, never
+    enclosed."""
+    if v is None:
+        return "\\N"
+    s = encode_tab_field(v)
+    extra = {field_term[0], line_term[0]}
+    if enclosed_by:
+        extra.add(enclosed_by)
+    for ch in sorted(extra):
+        if ch in "\\\t\n\r\x00":
+            continue  # already pair-encoded above
+        s = s.replace(ch, "\\" + ch)
+    if enclosed_by:
+        s = enclosed_by + s + enclosed_by
+    return s
+
+
+def _encode_field_col(
+    c,
+    field_term: str = "\t",
+    line_term: str = "\n",
+    enclosed_by: str | None = None,
+):
+    """JVM twin of :func:`encode_load_field` — pure ``replace`` chain
+    so an export rides the scan like the read path."""
+    s = c.cast("string")
+    enc = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    for ch, pair in (("\t", "\\t"), ("\n", "\\n"), ("\r", "\\r"),
+                     ("\x00", "\\0")):
+        enc = F.replace(enc, F.lit(ch), F.lit(pair))
+    extra = {field_term[0], line_term[0]}
+    if enclosed_by:
+        extra.add(enclosed_by)
+    for ch in sorted(extra):
+        if ch in "\\\t\n\r\x00":
+            continue
+        enc = F.replace(enc, F.lit(ch), F.lit("\\" + ch))
+    if enclosed_by:
+        enc = F.concat(F.lit(enclosed_by), enc, F.lit(enclosed_by))
+    return F.when(c.isNull(), F.lit("\\N")).otherwise(enc)
+
+
+def write_outfile(
+    df: DataFrame,
+    path: str,
+    *,
+    field_term: str = "\t",
+    line_term: str = "\n",
+    enclosed_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """``SELECT … INTO OUTFILE`` as a Spark sink: every column encoded
+    by the JVM ``replace`` chain (:func:`_encode_field_col`), joined
+    with the field terminator, written with ``write.text`` — the bulk
+    EXPORT mirror of :func:`read_tab_dump`, entirely JVM-side and
+    partition-parallel (a 100 TB table exports as one map-only job).
+    Output is a directory of part files, which :func:`read_tab_dump`
+    and MySQL's ``LOAD DATA`` both accept file-by-file.
+
+    Reference: the reference tool has no export path at all
+    (internal/db is read-only on the MySQL side); this is the
+    round-trip half that makes the LOAD DATA battery self-checking."""
+    cols = [
+        _encode_field_col(
+            F.col(f.name),
+            field_term=field_term,
+            line_term=line_term,
+            enclosed_by=enclosed_by,
+        )
+        for f in df.schema.fields
+    ]
+    out = df.select(F.concat_ws(field_term, *cols).alias("value"))
+    w = out.write.mode(mode)
+    if line_term != "\n":
+        w = w.option("lineSep", line_term)
+    w.text(path)
+
+
+def _strip_enclosure(c, q: str):
+    """Remove a surrounding ENCLOSED BY pair from one raw field. Exact
+    on well-formed OUTFILE output: the enclosure char INSIDE a field
+    is always escape-prefixed and the escape char itself is doubled,
+    so an unescaped enclosure char in the last position is always the
+    real closer."""
+    return F.when(
+        (F.length(c) >= 2) & c.startswith(q) & c.endswith(q),
+        c.substr(F.lit(2), F.length(c) - 2),
+    ).otherwise(c)
+
+
+def _decode_field_col(x, enclosed_by: str | None = None,
+                      escaped_by: str = "\\"):
     """JVM-side decode of one escaped field column, sentinel-free (a
     sentinel byte could also occur RAW in real data — OUTFILE only
     escapes its special set — and would decode corrupted):
 
     1. the ``\\N`` NULL marker compares on the RAW field, so the 3-char
        ``\\\\N`` (escaped backslash + literal N) correctly decodes to
-       the string ``\\N``;
-    2. split on the ESCAPED-BACKSLASH pair ``\\\\`` — inside each
+       the string ``\\N`` (an ENCLOSED field is never the NULL marker —
+       OUTFILE writes ``\\N`` unenclosed);
+    2. an ENCLOSED BY pair, when configured, is stripped from the raw
+       field (never from the NULL marker);
+    3. split on the ESCAPED-BACKSLASH pair ``\\\\`` — inside each
        segment every remaining backslash starts a single escape pair,
        so the ordered literal replaces (``\\t \\n \\r \\0 \\b \\Z``)
        plus one leftover-pair regexp (LOAD DATA's strip-the-backslash
        rule for unrecognized escapes) are unambiguous;
-    3. re-join the segments with a literal backslash — exactly what
+    4. re-join the segments with a literal backslash — exactly what
        each consumed ``\\\\`` pair means.
+
+    With ``escaped_by=''`` (LOAD DATA … ESCAPED BY ``''``) there are no
+    escape pairs at all; MySQL's documented rule applies instead: the
+    unenclosed literal word ``NULL`` reads as NULL.
 
     Every step is a Catalyst expression (split / transform / replace /
     array_join) — the 100 TB path stays entirely JVM-side."""
+    if escaped_by == "":
+        base = _strip_enclosure(x, enclosed_by) if enclosed_by else x
+        return F.when(x == F.lit("NULL"), F.lit(None)).otherwise(base)
+
+    inner = _strip_enclosure(x, enclosed_by) if enclosed_by else x
 
     def _seg(s):
         dec = s
@@ -110,36 +223,160 @@ def _decode_field_col(x):
             dec = F.replace(dec, F.lit(pair), F.lit(ch))
         return F.regexp_replace(dec, r"\\(.)", r"$1")
 
-    segs = F.split(x, r"\\\\")
+    segs = F.split(inner, r"\\\\")
     dec = F.array_join(F.transform(segs, _seg), "\\")
     return F.when(x == F.lit("\\N"), F.lit(None)).otherwise(dec)
 
 
+#: characters whose MySQL escape form is backslash + LETTER (two chars,
+#: neither of which is the raw character) — a separator drawn from this
+#: set can never appear raw inside an escaped field, so a raw split is
+#: exact with no repair pass
+_PAIR_ENCODED = {"\t", "\n", "\r", "\x00", "\b", "\x1a"}
+
+#: rlike pattern: the string ends in an ODD run of backslashes — i.e.
+#: its last character is escape-prefixed, so a raw-split boundary right
+#: after it actually split an escaped separator pair in half
+_ODD_BACKSLASH_TAIL = r"(^|[^\\])(\\\\)*\\$"
+
+
+def _split_fields(value, field_term: str):
+    """One raw line → array of raw (still-escaped) fields, all JVM-side.
+
+    For a control-character separator (``\\t`` — the mysqldump --tab
+    default) the split on the raw byte is exact: the escaped form is
+    backslash + LETTER, so the raw byte never occurs inside a field.
+
+    For any other separator (``,``, ``|``, …) MySQL escapes in-data
+    occurrences as backslash + THE RAW CHARACTER — the escape pair
+    contains the separator itself, so the raw split cuts those pairs
+    in half. Every such spurious cut leaves the left part ending in an
+    ODD run of backslashes, so one ``aggregate`` fold re-merges parts
+    (re-inserting the separator) until tails are even — still pure
+    Catalyst, O(n_fields²) array work bounded by the schema width."""
+    quoted = "\\Q" + field_term + "\\E"
+    parts = F.split(value, quoted, -1)  # -1: keep trailing empties
+    if all(ch in _PAIR_ENCODED for ch in field_term):
+        return parts
+    return F.aggregate(
+        parts,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & F.element_at(acc, -1).rlike(_ODD_BACKSLASH_TAIL),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.concat(
+                        F.element_at(acc, -1), F.lit(field_term), p
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(p))),
+    )
+
+
 def read_tab_dump(
-    spark: SparkSession, txt_path: str, schema: StructType | str
+    spark: SparkSession,
+    txt_path: str,
+    schema: StructType | str,
+    *,
+    field_term: str = "\t",
+    line_term: str = "\n",
+    enclosed_by: str | None = None,
+    escaped_by: str = "\\",
+    line_start: str = "",
+    ignore_lines: int = 0,
 ) -> DataFrame:
     """One ``<table>.txt`` (or a glob/directory of them) → typed
-    DataFrame. Splitting on the RAW tab is exact (escaped tabs in data
-    are the two-character sequence ``\\t``); the escape decode is a
+    DataFrame. The defaults are the ``mysqldump --tab`` / ``SELECT …
+    INTO OUTFILE`` format; the keyword options are the LOAD DATA
+    INFILE clause space (FIELDS TERMINATED/ENCLOSED/ESCAPED BY, LINES
+    STARTING/TERMINATED BY, IGNORE n LINES — see ``sources.loaddata``).
+
+    Splitting on the RAW separator is exact for control-char
+    separators (escaped tabs in data are the two-character sequence
+    ``\\t``); for other separators one ``aggregate`` fold repairs the
+    escaped-pair cuts (``_split_fields``). The escape decode is a
     literal-``replace`` chain + one leftover-pair regexp, all JVM-side
     expressions — no Python worker, no Arrow transfer in the hot path,
     so at 100 TB the decode rides the scan. Rows with a column-count
-    mismatch raise (``raise_error``) rather than silently misalign."""
+    mismatch raise (``raise_error``) rather than silently misalign.
+
+    ``ESCAPED BY ''`` + an enclosure delegates to Spark's native CSV
+    parser (Univocity, JVM-side): with escaping off the enclosure char
+    cannot occur inside a field, so CSV quote handling is exact, and
+    MySQL's documented word-NULL rule maps to ``nullValue``."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     n_cols = len(schema.fields)
+    if escaped_by not in ("\\", ""):
+        raise ValueError(
+            f"unsupported ESCAPED BY {escaped_by!r}: only the default "
+            "backslash or '' (escaping disabled) are implemented"
+        )
+    if len(line_term) > 1 and line_term != "\r\n":
+        raise ValueError(
+            f"unsupported LINES TERMINATED BY {line_term!r}"
+        )
 
-    lines = spark.read.text(txt_path)
+    if escaped_by == "" and enclosed_by:
+        reader = (
+            spark.read.schema(schema)
+            .option("sep", field_term)
+            .option("quote", enclosed_by)
+            .option("escape", enclosed_by)
+            .option("nullValue", "NULL")
+            .option("emptyValue", "")
+            .option("header", "false")
+            .option("mode", "FAILFAST")
+        )
+        if line_term != "\n":
+            reader = reader.option("lineSep", line_term)
+        if line_start or ignore_lines:
+            raise ValueError(
+                "LINES STARTING BY / IGNORE n LINES are not supported "
+                "together with ESCAPED BY '' + ENCLOSED BY"
+            )
+        return reader.csv(txt_path)
+
+    tr = spark.read
+    if line_term != "\n":
+        tr = tr.option("lineSep", line_term)
+    lines = tr.text(txt_path)
+    if ignore_lines:
+        # text-source partitions are ordered by file offset and ids
+        # within partition 0 start at 0, so the first `ignore_lines`
+        # lines of the file carry the smallest ids — valid whenever
+        # the skipped header fits in the first split (always, for any
+        # sane header at any file size)
+        lines = (
+            lines.withColumn("_mid", F.monotonically_increasing_id())
+            .filter(F.col("_mid") >= ignore_lines)
+            .drop("_mid")
+        )
+    if line_start:
+        # LOAD DATA rule: skip everything before the prefix; lines
+        # NOT containing it are skipped entirely
+        pos = F.locate(line_start, F.col("value"))
+        lines = lines.filter(pos > 0).select(
+            F.col("value")
+            .substr(
+                pos + len(line_start),
+                F.length(F.col("value")),
+            )
+            .alias("value")
+        )
     if n_cols > 1:
         # an empty line cannot be a valid multi-column row (it would
-        # carry n_cols-1 raw tabs), so dropping it here is the benign
-        # trailing-newline case and keeps the raise_error guard quiet
+        # carry n_cols-1 raw separators), so dropping it here is the
+        # benign trailing-newline case, keeping the raise_error quiet
         lines = lines.filter(F.col("value") != "")
     # n_cols == 1: SELECT … INTO OUTFILE emits a single-column row
     # whose value is the empty string as an EMPTY LINE — dropping those
     # would silently lose rows (and validation checksums the source
     # through this same reader, so the loss would be invisible)
-    fields = F.split(F.col("value"), "\t", -1)
+    fields = _split_fields(F.col("value"), field_term)
     guarded = F.when(F.size(fields) == n_cols, fields).otherwise(
         F.raise_error(
             F.concat(
@@ -151,7 +388,11 @@ def read_tab_dump(
     split = lines.select(guarded.alias("f"))
     return split.select(
         *[
-            _decode_field_col(F.element_at(F.col("f"), j + 1))
+            _decode_field_col(
+                F.element_at(F.col("f"), j + 1),
+                enclosed_by=enclosed_by,
+                escaped_by=escaped_by,
+            )
             .cast(fld.dataType)
             .alias(fld.name)
             for j, fld in enumerate(schema.fields)
