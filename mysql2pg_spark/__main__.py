@@ -155,7 +155,6 @@ def main(argv: list[str] | None = None) -> int:
         from mysql2pg_spark.session import get_spark
         from mysql2pg_spark.sources.dumpfile import (
             dump_read_schemas,
-            read_dump_inserts,
             full_snapshot_from_dump,
         )
 
@@ -171,11 +170,16 @@ def main(argv: list[str] | None = None) -> int:
             _tab = tab_source_reader(args.tab_dir, schemas)
             source_loader = lambda t: _tab(spark, {"table": t})  # noqa: E731
         else:
+            from mysql2pg_spark.sources.loaddata import (
+                load_data_source_reader,
+            )
+
             snap = full_snapshot_from_dump(spark, args.dump_file)
             schemas = dump_read_schemas(snap)
-            source_loader = lambda t: read_dump_inserts(  # noqa: E731
-                spark, args.dump_file, t, schemas[t]
-            )
+            # reads LOAD DATA INFILE statements' files AND classic
+            # INSERT bulk; pure-INSERT dumps pay nothing extra
+            _ld = load_data_source_reader(args.dump_file, schemas)
+            source_loader = lambda t: _ld(spark, {"table": t})  # noqa: E731
         pipe = MigrationPipeline(cfg, snap)
         result = pipe.execute_local(
             spark,
@@ -223,15 +227,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.dump_file:
             from mysql2pg_spark.sources.dumpfile import (
                 dump_read_schemas,
-                read_dump_inserts,
                 full_snapshot_from_dump,
+            )
+            from mysql2pg_spark.sources.loaddata import (
+                load_data_source_reader,
             )
 
             snap = full_snapshot_from_dump(spark, args.dump_file)
             schemas = dump_read_schemas(snap)
-            source_reader = lambda sp, plan: read_dump_inserts(  # noqa: E731
-                sp, args.dump_file, plan["table"], schemas[plan["table"]]
-            )
+            source_reader = load_data_source_reader(args.dump_file, schemas)
         else:
             if not args.snapshot:
                 print("--source-dir needs --snapshot", file=sys.stderr)

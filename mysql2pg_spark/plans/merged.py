@@ -114,6 +114,7 @@ FOLDED = (
     "mm03_resize_thumbnail",
     "b01_zero_dates",
     "b02_wkb_points",
+    "b03_load_data_roundtrip",  # round 11
     "val01_table_checksum",
     "val02_row_counts",
     "m01_type_map",
@@ -596,12 +597,18 @@ def q11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b01_value_fixes",
     oracle=f"""
 SELECT 'zero_dates' AS fix, event_id AS id, dt_fixed, was_zero,
-       CAST(NULL AS VARCHAR) AS pt
+       CAST(NULL AS VARCHAR) AS pt,
+       CAST(NULL AS VARCHAR) AS txt, CAST(NULL AS DOUBLE) AS num
 FROM {_sub("b01_zero_dates")}
 UNION ALL
 SELECT 'wkb_point', CAST(id AS BIGINT), CAST(NULL AS VARCHAR),
-       CAST(NULL AS BOOLEAN), pt
+       CAST(NULL AS BOOLEAN), pt,
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
 FROM {_sub("b02_wkb_points")}
+UNION ALL
+SELECT 'load_' || part, id, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR), txt, num
+FROM {_sub("b03_load_data_roundtrip")}
 """,
 )
 def b01_value_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,8 +618,18 @@ def b01_value_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = QUERIES["b02_wkb_points"](spark, sf_dir).withColumn(
         "id", F.col("id").cast("long")
     )
+    # round 11: + the LOAD DATA INFILE round-trip (statement parser →
+    # read_tab_dump across the clause space; oracle = identity)
+    ld = QUERIES["b03_load_data_roundtrip"](spark, sf_dir)
+    ld_parts = [
+        (
+            f"load_{p}",
+            ld.filter(F.col("part") == p).drop("part"),
+        )
+        for p in ("tab", "enclosed", "noescape")
+    ]
     return _tagged_union(
-        "fix", [("zero_dates", dates), ("wkb_point", points)]
+        "fix", [("zero_dates", dates), ("wkb_point", points), *ld_parts]
     )
 
 

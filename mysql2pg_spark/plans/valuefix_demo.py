@@ -81,3 +81,104 @@ def b02_wkb_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         decode_mysql_point(F.unhex("wkb_hex")).alias("pt"),
     )
+
+
+# --------------------------------------------------------------------------
+# b03 — LOAD DATA INFILE round-trip (round 11): the statement parser
+# (sources.loaddata) routing real files through read_tab_dump across
+# three points of the clause space. Each part EXPORTS adversarial
+# supplier-derived rows (write_outfile / CSV), authors the LOAD DATA
+# statement text, parses it, and reads the file back through the parsed
+# spec — so the oracle is simply the injection expression itself: any
+# encode/decode/parse defect breaks the identity.
+# --------------------------------------------------------------------------
+_LD_ORACLE = """
+SELECT 'tab' AS part, s_suppkey AS id,
+       s_name || chr(9) || '\\' || chr(10) || ',' || s_name AS txt,
+       s_acctbal AS num
+FROM supplier
+UNION ALL
+SELECT 'enclosed', s_suppkey, ',' || s_name || '",\\', -s_acctbal
+FROM supplier
+UNION ALL
+SELECT 'noescape', s_suppkey,
+       CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_name END,
+       CASE WHEN s_nationkey % 7 = 0 THEN NULL ELSE s_acctbal END
+FROM supplier
+"""
+
+
+@query("b03_load_data_roundtrip", oracle=_LD_ORACLE)
+def b03_load_data_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from mysql2pg_spark.sources.loaddata import (
+        parse_load_data,
+        read_load_data,
+    )
+    from mysql2pg_spark.sources.tabdump import write_outfile
+
+    sup = load_table(spark, sf_dir, "supplier")
+    shape = "id BIGINT, txt STRING, num DOUBLE"
+    base = tempfile.mkdtemp(prefix="ld_roundtrip_")
+
+    # part 1 — default format (raw tab/newline escaped as pairs, \N
+    # marker distinct from in-data backslashes)
+    tab_src = sup.select(
+        F.col("s_suppkey").alias("id"),
+        F.concat(
+            F.col("s_name"), F.lit("\t\\\n,"), F.col("s_name")
+        ).alias("txt"),
+        F.col("s_acctbal").alias("num"),
+    )
+    tab_path = os.path.join(base, "tab")
+    write_outfile(tab_src, tab_path)
+    tab_spec = parse_load_data(
+        f"LOAD DATA INFILE '{tab_path}' INTO TABLE supplier_ld"
+    )
+    tab = read_load_data(spark, tab_spec, shape)
+
+    # part 2 — comma separator + enclosure + backslash TAIL (the
+    # escaped-pair repair fold and enclosure strip in one file)
+    enc_src = sup.select(
+        F.col("s_suppkey").alias("id"),
+        F.concat(F.lit(","), F.col("s_name"), F.lit('",\\')).alias("txt"),
+        (-F.col("s_acctbal")).alias("num"),
+    )
+    enc_path = os.path.join(base, "enc")
+    write_outfile(enc_src, enc_path, field_term=",", enclosed_by='"')
+    enc_spec = parse_load_data(
+        f"LOAD DATA INFILE '{enc_path}' INTO TABLE supplier_ld "
+        "FIELDS TERMINATED BY ',' ENCLOSED BY '\"'"
+    )
+    enc = read_load_data(spark, enc_spec, shape)
+
+    # part 3 — ESCAPED BY '' + enclosure: the CSV delegate, word-NULL
+    # rule for SQL NULLs (file written by Spark's CSV sink)
+    no_src = sup.select(
+        F.col("s_suppkey").alias("id"),
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_name"))
+        .alias("txt"),
+        F.when(F.col("s_nationkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("s_acctbal"))
+        .alias("num"),
+    )
+    no_path = os.path.join(base, "noesc")
+    no_src.write.option("nullValue", "NULL").mode("overwrite").csv(no_path)
+    no_spec = parse_load_data(
+        f"LOAD DATA INFILE '{no_path}' INTO TABLE supplier_ld "
+        "FIELDS TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY ''"
+    )
+    noesc = read_load_data(spark, no_spec, shape)
+
+    parts = [
+        tab.select(F.lit("tab").alias("part"), "*"),
+        enc.select(F.lit("enclosed").alias("part"), "*"),
+        noesc.select(F.lit("noescape").alias("part"), "*"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -137,7 +137,11 @@ def split_tuples(blob: str) -> list[list[str | bytes | None]]:
             # literal. Anything else before a quote stays a parse
             # artifact rather than silently vanishing.
             pending = "".join(buf).strip()
-            if pending and _INTRODUCER.fullmatch(pending):
+            if not pending:
+                # whitespace between the comma and the quote (human-
+                # authored `VALUES (3, 'x')`) is not part of the value
+                buf.clear()
+            elif _INTRODUCER.fullmatch(pending):
                 low = pending.lower()
                 quoted_mode = (
                     "hex" if low == "x" else "bit" if low == "b" else ""

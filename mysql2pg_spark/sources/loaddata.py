@@ -1,0 +1,476 @@
+"""``LOAD DATA INFILE`` statement support: parse the statement's full
+clause space and route it to the ``--tab`` bulk reader
+(:func:`mysql2pg_spark.sources.tabdump.read_tab_dump`), which already
+implements the format options (FIELDS TERMINATED/ENCLOSED/ESCAPED BY,
+LINES STARTING/TERMINATED BY, IGNORE n LINES) as pure Catalyst
+expressions.
+
+Why this exists: hand-written migration scripts and ``mysqldump --tab``
+restore scripts carry their bulk data as ``LOAD DATA [LOCAL] INFILE``
+statements, not INSERTs. A dump-file migration that silently ignores
+them loses the data invisibly — so this module makes the statement a
+first-class source: parsed driver-side (the statement text is tiny),
+executed JVM-side (the referenced file reads through the distributed
+escaped-text decode, so a multi-TB data file parallelizes exactly like
+a ``--tab`` directory).
+
+Refuse-don't-mistranslate (same contract as the C95 routine
+translator): clauses whose semantics this engine cannot reproduce
+(@user-variable column targets, SET transformations, PARTITION lists,
+non-default CHARACTER SET) raise with the offending clause named —
+never a silent drop of a transformation the user wrote.
+
+Reference: the reference tool reads only a live server
+(internal/db/mysql/connection.go, sync_tables.go); file-based sources —
+single-file dump, ``--tab`` directory, and this statement — are
+deliberate beyond-reference surface for decommissioned-server
+migrations.
+"""
+
+from __future__ import annotations
+
+import os
+import re as _re
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: MySQL single-quoted-literal escapes (string-literals table of the
+#: MySQL manual). ``\%`` / ``\_`` keep their backslash (they are LIKE
+#: pattern escapes, only meaningful there); any other unknown pair
+#: decodes to its second character.
+_LITERAL_UNESCAPES = {
+    "0": "\x00",
+    "b": "\b",
+    "n": "\n",
+    "r": "\r",
+    "t": "\t",
+    "Z": "\x1a",
+    "\\": "\\",
+    "'": "'",
+    '"': '"',
+    "%": "\\%",
+    "_": "\\_",
+}
+
+_ESCAPE_PAIR = _re.compile(r"\\(.)|''", _re.S)
+
+
+def unquote_mysql_literal(body: str) -> str:
+    """Decode the BODY of a MySQL ``'…'`` string literal: backslash
+    escape pairs and the doubled-quote ``''`` → their characters."""
+    return _ESCAPE_PAIR.sub(
+        lambda m: "'"
+        if m.group(0) == "''"
+        else _LITERAL_UNESCAPES.get(m.group(1), m.group(1)),
+        body,
+    )
+
+
+@dataclass
+class LoadDataSpec:
+    """One parsed ``LOAD DATA INFILE`` statement. The format fields
+    default to the statement's documented defaults — which are exactly
+    the ``mysqldump --tab`` / ``SELECT … INTO OUTFILE`` defaults."""
+
+    table: str
+    infile: str
+    local: bool = False
+    duplicates: str | None = None  # REPLACE | IGNORE | None
+    field_term: str = "\t"
+    enclosed_by: str | None = None
+    optionally_enclosed: bool = False
+    escaped_by: str = "\\"
+    line_start: str = ""
+    line_term: str = "\n"
+    ignore_lines: int = 0
+    columns: list[str] = field(default_factory=list)
+
+
+class _Cursor:
+    """Tiny case-insensitive token scanner over one statement."""
+
+    _STR = _re.compile(r"'((?:[^'\\]|\\.|'')*)'", _re.S)
+    _IDENT = _re.compile(r"`([^`]+)`|([A-Za-z0-9_$]+)")
+    _NUM = _re.compile(r"\d+")
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    def _skip_ws(self) -> None:
+        while self.pos < len(self.text) and self.text[self.pos].isspace():
+            self.pos += 1
+
+    def kw(self, *words: str) -> bool:
+        """Consume the keyword sequence if present (word-boundary,
+        case-insensitive); no partial consumption on failure."""
+        save = self.pos
+        for w in words:
+            self._skip_ws()
+            end = self.pos + len(w)
+            if self.text[self.pos : end].upper() != w.upper() or (
+                end < len(self.text)
+                and (self.text[end].isalnum() or self.text[end] == "_")
+            ):
+                self.pos = save
+                return False
+            self.pos = end
+        return True
+
+    def string(self) -> str | None:
+        self._skip_ws()
+        mo = self._STR.match(self.text, self.pos)
+        if not mo:
+            return None
+        self.pos = mo.end()
+        return unquote_mysql_literal(mo.group(1))
+
+    def ident(self) -> str | None:
+        self._skip_ws()
+        mo = self._IDENT.match(self.text, self.pos)
+        if not mo:
+            return None
+        self.pos = mo.end()
+        return mo.group(1) or mo.group(2)
+
+    def number(self) -> int | None:
+        self._skip_ws()
+        mo = self._NUM.match(self.text, self.pos)
+        if not mo:
+            return None
+        self.pos = mo.end()
+        return int(mo.group(0))
+
+    def lit(self, ch: str) -> bool:
+        self._skip_ws()
+        if self.text.startswith(ch, self.pos):
+            self.pos += len(ch)
+            return True
+        return False
+
+    def rest(self) -> str:
+        return self.text[self.pos :].strip().rstrip(";").strip()
+
+
+_LOAD_START = _re.compile(r"(?is)^\s*LOAD\s+DATA\b")
+
+
+def parse_load_data(stmt: str) -> LoadDataSpec | None:
+    """Parse one ``LOAD DATA [LOW_PRIORITY|CONCURRENT] [LOCAL] INFILE
+    '…' [REPLACE|IGNORE] INTO TABLE t [{FIELDS|COLUMNS} …] [LINES …]
+    [IGNORE n LINES] [(col, …)]`` statement.
+
+    Returns ``None`` for a statement that is not LOAD DATA at all;
+    raises ``ValueError`` (naming the clause) for LOAD DATA statements
+    carrying semantics this engine refuses to guess at: PARTITION
+    lists, non-default CHARACTER SET, ``SET col=expr`` transformations
+    and ``@user_variable`` column targets."""
+    if not _LOAD_START.match(stmt):
+        return None
+    cur = _Cursor(stmt)
+    cur.kw("LOAD", "DATA")
+    cur.kw("LOW_PRIORITY") or cur.kw("CONCURRENT")
+    local = cur.kw("LOCAL")
+    if not cur.kw("INFILE"):
+        raise ValueError("LOAD DATA: expected INFILE 'path'")
+    infile = cur.string()
+    if infile is None:
+        raise ValueError("LOAD DATA: INFILE requires a quoted file path")
+    duplicates = None
+    if cur.kw("REPLACE"):
+        duplicates = "REPLACE"
+    elif cur.kw("IGNORE"):
+        duplicates = "IGNORE"
+    if not cur.kw("INTO", "TABLE"):
+        raise ValueError("LOAD DATA: expected INTO TABLE")
+    table = cur.ident()
+    if table is None:
+        raise ValueError("LOAD DATA: expected table name after INTO TABLE")
+    if cur.lit("."):  # schema-qualified `db`.`tbl` — keep the table part
+        table = cur.ident() or table
+    if cur.kw("PARTITION"):
+        raise ValueError(
+            "LOAD DATA: PARTITION clause is not supported (partition "
+            "routing is a server-side concern; load the whole table)"
+        )
+    if cur.kw("CHARACTER", "SET"):
+        cs = cur.ident()
+        if cs is None or cs.lower().replace("-", "") not in (
+            "utf8",
+            "utf8mb4",
+            "ascii",
+            "binary",
+        ):
+            raise ValueError(
+                f"LOAD DATA: CHARACTER SET {cs!r} is not supported "
+                "(only utf8/utf8mb4/ascii/binary inputs)"
+            )
+    spec = LoadDataSpec(
+        table=table, infile=infile, local=local, duplicates=duplicates
+    )
+    if cur.kw("FIELDS") or cur.kw("COLUMNS"):
+        saw = False
+        while True:
+            if cur.kw("TERMINATED", "BY"):
+                v = cur.string()
+                if v is None:
+                    raise ValueError(
+                        "LOAD DATA: FIELDS TERMINATED BY needs a string"
+                    )
+                spec.field_term = v
+                saw = True
+                continue
+            opt = cur.kw("OPTIONALLY")
+            if cur.kw("ENCLOSED", "BY"):
+                v = cur.string()
+                if v is None:
+                    raise ValueError(
+                        "LOAD DATA: ENCLOSED BY needs a string"
+                    )
+                spec.enclosed_by = v or None
+                spec.optionally_enclosed = opt
+                saw = True
+                continue
+            if opt:
+                raise ValueError(
+                    "LOAD DATA: OPTIONALLY must be followed by "
+                    "ENCLOSED BY"
+                )
+            if cur.kw("ESCAPED", "BY"):
+                v = cur.string()
+                if v is None:
+                    raise ValueError(
+                        "LOAD DATA: ESCAPED BY needs a string"
+                    )
+                spec.escaped_by = v
+                saw = True
+                continue
+            break
+        if not saw:
+            raise ValueError(
+                "LOAD DATA: FIELDS must carry at least one sub-clause"
+            )
+    if cur.kw("LINES"):
+        saw = False
+        while True:
+            if cur.kw("STARTING", "BY"):
+                v = cur.string()
+                if v is None:
+                    raise ValueError(
+                        "LOAD DATA: LINES STARTING BY needs a string"
+                    )
+                spec.line_start = v
+                saw = True
+                continue
+            if cur.kw("TERMINATED", "BY"):
+                v = cur.string()
+                if v is None:
+                    raise ValueError(
+                        "LOAD DATA: LINES TERMINATED BY needs a string"
+                    )
+                spec.line_term = v
+                saw = True
+                continue
+            break
+        if not saw:
+            raise ValueError(
+                "LOAD DATA: LINES must carry at least one sub-clause"
+            )
+    if cur.kw("IGNORE"):
+        n = cur.number()
+        if n is None or not (cur.kw("LINES") or cur.kw("ROWS")):
+            raise ValueError("LOAD DATA: expected IGNORE n LINES")
+        spec.ignore_lines = n
+    if cur.lit("("):
+        while True:
+            cur._skip_ws()
+            if cur.text.startswith("@", cur.pos):
+                raise ValueError(
+                    "LOAD DATA: @user-variable column targets are not "
+                    "supported (they feed SET transformations this "
+                    "engine refuses to guess at)"
+                )
+            col = cur.ident()
+            if col is None:
+                raise ValueError(
+                    "LOAD DATA: expected column name in column list"
+                )
+            spec.columns.append(col)
+            if cur.lit(","):
+                continue
+            if cur.lit(")"):
+                break
+            raise ValueError(
+                "LOAD DATA: malformed column list (expected , or ))"
+            )
+    if cur.kw("SET"):
+        raise ValueError(
+            "LOAD DATA: SET column transformations are not supported — "
+            "apply the expression after the load instead"
+        )
+    tail = cur.rest()
+    if tail:
+        raise ValueError(
+            f"LOAD DATA: unrecognized trailing clause: {tail[:80]!r}"
+        )
+    return spec
+
+
+def load_data_specs(
+    path: str, spark: SparkSession | None = None
+) -> list[LoadDataSpec]:
+    """Every LOAD DATA statement of a ``.sql`` script/dump, in file
+    order. With a SparkSession the statement text extraction runs
+    through ``dump_schema_text``'s distributed INSERT-drop filter (a
+    multi-TB dump never funnels through the driver); LOAD DATA lines
+    survive that filter because only INSERT/REPLACE bulk is dropped."""
+    from mysql2pg_spark.sources.dumpfile import (
+        dump_schema_text,
+        iter_sql_statements,
+    )
+
+    specs: list[LoadDataSpec] = []
+    for stmt in iter_sql_statements(dump_schema_text(path, spark)):
+        spec = parse_load_data(stmt)
+        if spec is not None:
+            specs.append(spec)
+    return specs
+
+
+def read_load_data(
+    spark: SparkSession,
+    spec: LoadDataSpec,
+    schema: StructType | str,
+    base_dir: str | None = None,
+) -> DataFrame:
+    """Execute one parsed LOAD DATA statement as a Spark read: the
+    referenced file through :func:`read_tab_dump` with the statement's
+    format options, cast through the table schema. A relative INFILE
+    path resolves against ``base_dir`` (typically the script's
+    directory — the LOCAL client-side rule; server-side MySQL resolves
+    against its datadir, which a file migration doesn't have).
+
+    A column list ``(a, b)`` reads the file with those columns' types
+    (a listed name not in the table reads as a string and is dropped)
+    and NULL-fills the table columns the file doesn't carry — MySQL
+    fills those from column defaults; the DDL stage owns defaults here,
+    so the sink sees NULL exactly like an INSERT without the column.
+
+    ``REPLACE``/``IGNORE`` duplicate handling is key-based server
+    behavior; this reader surfaces the rows and leaves conflict policy
+    to the sink (``spec.duplicates`` is preserved for sinks that
+    implement upsert)."""
+    from mysql2pg_spark.sources.tabdump import read_tab_dump
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    path = spec.infile
+    if not os.path.isabs(path) and base_dir:
+        path = os.path.join(base_dir, path)
+    if spec.columns:
+        by_lower = {f.name.lower(): f for f in schema.fields}
+        read_schema = StructType(
+            [
+                StructField(
+                    c,
+                    by_lower[c.lower()].dataType
+                    if c.lower() in by_lower
+                    else StringType(),
+                )
+                for c in spec.columns
+            ]
+        )
+    else:
+        read_schema = schema
+    df = read_tab_dump(
+        spark,
+        path,
+        read_schema,
+        field_term=spec.field_term,
+        line_term=spec.line_term,
+        enclosed_by=spec.enclosed_by,
+        escaped_by=spec.escaped_by,
+        line_start=spec.line_start,
+        ignore_lines=spec.ignore_lines,
+    )
+    if spec.columns:
+        listed = {c.lower() for c in spec.columns}
+        by_listed = {c.lower(): c for c in spec.columns}
+        return df.select(
+            *[
+                (
+                    F.col(by_listed[f.name.lower()])
+                    if f.name.lower() in listed
+                    else F.lit(None)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    return df
+
+
+def load_data_source_reader(
+    script_path: str,
+    schemas: dict[str, StructType | str],
+    base_dir: str | None = None,
+):
+    """Factory for ``MigrationPipeline.execute``'s ``source_reader``
+    seam over a script that may carry BOTH bulk forms: per table, every
+    LOAD DATA statement's file (unioned, in statement order) plus any
+    INSERT statements (``read_dump_inserts``) — a restore script
+    commonly LOADs the big tables and INSERTs the small ones. Tables
+    with neither read as empty through the INSERT reader, matching the
+    plain dump reader's behavior.
+
+    One distributed pass (``scan_dump_tables``) decides which tables
+    have INSERT bulk, so tables fed purely by LOAD DATA never pay a
+    full-dump text scan per table."""
+    from mysql2pg_spark.sources.dumpfile import (
+        read_dump_inserts,
+        scan_dump_tables,
+    )
+
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.abspath(script_path))
+    state: dict = {}
+
+    def reader(spark: SparkSession, plan: dict) -> DataFrame:
+        if "specs" not in state:
+            by_table: dict[str, list[LoadDataSpec]] = {}
+            for spec in load_data_specs(script_path, spark):
+                by_table.setdefault(spec.table.lower(), []).append(spec)
+            state["specs"] = by_table
+            state["insert_tables"] = (
+                {
+                    r.table.lower()
+                    for r in scan_dump_tables(spark, script_path).collect()
+                }
+                if by_table
+                else None  # no LOAD DATA anywhere: skip the scan,
+                # every table goes through the INSERT reader
+            )
+        table = plan["table"]
+        schema = schemas[table]
+        parts: list[DataFrame] = []
+        for spec in state["specs"].get(table.lower(), ()):
+            parts.append(read_load_data(spark, spec, schema, base_dir))
+        if (
+            not parts
+            or state["insert_tables"] is None
+            or table.lower() in state["insert_tables"]
+        ):
+            parts.append(
+                read_dump_inserts(spark, script_path, table, schema)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return reader

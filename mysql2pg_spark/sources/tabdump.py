@@ -345,11 +345,34 @@ def read_tab_dump(
         tr = tr.option("lineSep", line_term)
     lines = tr.text(txt_path)
     if ignore_lines:
-        # text-source partitions are ordered by file offset and ids
-        # within partition 0 start at 0, so the first `ignore_lines`
-        # lines of the file carry the smallest ids — valid whenever
+        # IGNORE n LINES is a per-FILE header skip; Spark orders file
+        # splits by size (not path), so with multiple input files the
+        # smallest ids would land in an arbitrary file and the skip
+        # would hit the wrong rows while other files' headers survive.
+        # Refuse multi-file input outright rather than corrupt quietly.
+        import glob as _glob
+
+        files: list[str] = []
+        for m in _glob.glob(txt_path) or [txt_path]:
+            if os.path.isdir(m):
+                files += [
+                    os.path.join(m, f)
+                    for f in sorted(os.listdir(m))
+                    if not f.startswith((".", "_"))
+                ]
+            else:
+                files.append(m)
+        if len(files) != 1:
+            raise ValueError(
+                f"IGNORE {ignore_lines} LINES needs exactly one input "
+                f"file; {txt_path!r} resolves to {len(files)} — skip "
+                "headers per file before globbing them together"
+            )
+        # single file: text-source splits are ordered by file offset
+        # and ids within partition 0 start at 0, so the first
+        # `ignore_lines` lines carry the smallest ids — valid whenever
         # the skipped header fits in the first split (always, for any
-        # sane header at any file size)
+        # sane header in a single file)
         lines = (
             lines.withColumn("_mid", F.monotonically_increasing_id())
             .filter(F.col("_mid") >= ignore_lines)
