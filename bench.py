@@ -145,21 +145,26 @@ def _canary_once(spark) -> float:
     return time.perf_counter() - t
 
 
-def _resolve_prev_ref() -> str | None:
-    """The previous round's code snapshot: $SPARK_GRAFT_PREV_REF wins;
-    otherwise the most recent `round N: end-of-round snapshot` commit
-    (the driver's per-round boundary marker) whose TREE differs from
-    HEAD's — the driver commits the CURRENT round's snapshot right
-    before running this bench, so the newest marker is usually this
-    very code and an A/B against it would be a useless self-comparison
-    (vs_prev ≡ 1.0). None = no baseline (first round, or not a git
-    checkout)."""
+def _resolve_prev_ref() -> tuple[str | None, int | None]:
+    """(commit, round_number) of the previous round's code snapshot:
+    $SPARK_GRAFT_PREV_REF wins (round unknown → None); otherwise the
+    most recent DRIVER BOUNDARY commit whose TREE differs from HEAD's.
+    Boundary commits come in two subject formats — `round N:
+    end-of-round snapshot` AND `round N: verdict/advice/correctness/
+    bench` — and a round that ends without uncommitted work gets only
+    the second (round 10 measured itself against round EIGHT because
+    this function matched only the first; the artifact now records the
+    resolved round number so a widened window can never be silent).
+    The tree check skips the CURRENT round's snapshot, which the driver
+    commits right before running this bench (an A/B against it would
+    self-compare at ≡ 1.0). (None, None) = no baseline (first round,
+    or not a git checkout)."""
     import re
     import subprocess
 
     ref = os.environ.get("SPARK_GRAFT_PREV_REF")
     if ref:
-        return ref
+        return ref, None
     try:
         head_tree = subprocess.run(
             ["git", "-C", REPO_DIR, "rev-parse", "HEAD^{tree}"],
@@ -175,12 +180,16 @@ def _resolve_prev_ref() -> str | None:
             if len(parts) != 3:
                 continue
             h, tree, subject = parts
-            if re.match(r"round \d+: end-of-round snapshot", subject) \
-                    and tree != head_tree:
-                return h
+            mo = re.match(
+                r"round (\d+): (?:end-of-round snapshot"
+                r"|verdict/advice/correctness/bench)",
+                subject,
+            )
+            if mo and tree != head_tree:
+                return h, int(mo.group(1))
     except Exception:
         pass
-    return None
+    return None, None
 
 
 def _load_queries_from(path: str) -> dict:
@@ -224,7 +233,7 @@ def _setup_prev_queries(
 
     if os.environ.get("SPARK_GRAFT_VS_PREV", "1") == "0":
         return None, None, None
-    ref = _resolve_prev_ref()
+    ref, _round = _resolve_prev_ref()
     if not ref:
         return None, None, None
     path = os.path.join(tmpdir, "prev_head")
@@ -489,6 +498,131 @@ def _bench_migration(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
     if reps > 1:
         res["migration_pipeline_spread"] = _spread(times)
     return res
+
+
+def _bench_corpus_migration(spark, tmpdir: str) -> dict:
+    """Time the FULL-CORPUS migration (round-9 ask #1): the realistic
+    mysqldump artifact (the reference's own fixture corpus — ~61
+    tables, 100+ indexes, 10 views, 3 routines, 1 trigger, 1 event)
+    through ``execute()`` into a real DuckDB engine, with the COMPLETE
+    per-stage second split (tableddl/view/data/sequences/indexes/fkeys/
+    functions/triggers/events/users/validate) and an objects-per-second
+    figure comparable to the reference's published 9.63 s / 232-object
+    demo (/root/reference README "Conversion Summary" table). Two
+    passes mirror the capstone test (object stages first, then
+    data+validate restricted to the seeded tables — unseeded tables
+    have no bulk in the dump); the stage splits are disjoint and merge
+    into one breakdown."""
+    import re
+
+    import duckdb
+    import yaml
+
+    from mysql2pg_spark.config import load_config
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.runlog import RunLogger
+    from mysql2pg_spark.sinks.dbapi_sink import make_dbapi_writer
+    from mysql2pg_spark.sources.dumpfile import (
+        dump_read_schemas,
+        full_snapshot_from_dump,
+    )
+    from mysql2pg_spark.sources.loaddata import load_data_source_reader
+    from tools.make_mysqldump import render_corpus_dump
+
+    dump_path = render_corpus_dump(os.path.join(tmpdir, "corpus_dump.sql"))
+
+    def _cfg(name: str, options: dict):
+        p = os.path.join(tmpdir, name)
+        with open(p, "w") as fh:
+            yaml.safe_dump(
+                {
+                    "mysql": {"host": "h", "database": "d"},
+                    "postgresql": {"host": "p", "database": "d"},
+                    "conversion": {
+                        "options": options,
+                        "limits": {"concurrency": 4,
+                                   "max_rows_per_batch": 10000},
+                    },
+                },
+                fh,
+            )
+        return load_config(p)
+
+    t0 = time.perf_counter()
+    snap = full_snapshot_from_dump(spark, dump_path)
+    parse_sec = time.perf_counter() - t0
+    schemas = dump_read_schemas(snap)
+    seeded = sorted(
+        {
+            mo.group(1).lower()
+            for line in open(dump_path)
+            if (mo := re.match(r"(?i)^\s*INSERT\s+INTO\s+`?(\w+)`?", line))
+        }
+    )
+
+    con = duckdb.connect()
+    reader = load_data_source_reader(dump_path, schemas)
+    dest_reader = lambda sp, table: sp.createDataFrame(  # noqa: E731
+        con.cursor()
+        .execute(f'SELECT * FROM "{table}"')
+        .fetch_arrow_table()
+    )
+
+    obj_cfg = _cfg("corpus_ddl.yml", {
+        "data": False, "validate_data": False,
+        "view": True, "functions": True, "triggers": True,
+    })
+    t0 = time.perf_counter()
+    r1 = MigrationPipeline(obj_cfg, snap).execute(
+        spark,
+        con,
+        source_reader=reader,
+        sink_writer=lambda df, t: None,
+        dest_reader=dest_reader,
+        logger=RunLogger(os.path.join(tmpdir, "corpus_logs_ddl"),
+                         echo=False),
+        target_dialect="duckdb",
+    )
+    obj_sec = time.perf_counter() - t0
+
+    data_cfg = _cfg("corpus_data.yml", {"tableddl": False,
+                                        "indexes": False})
+    data_cfg.options.table_list = seeded
+    data_cfg.options.use_table_list = True
+    t0 = time.perf_counter()
+    r2 = MigrationPipeline(data_cfg, snap).execute(
+        spark,
+        con,
+        source_reader=reader,
+        sink_writer=make_dbapi_writer(
+            con.cursor, paramstyle="qmark", via="driver"
+        ),
+        dest_reader=dest_reader,
+        logger=RunLogger(os.path.join(tmpdir, "corpus_logs_data"),
+                         echo=False),
+        target_dialect="duckdb",
+    )
+    data_sec = time.perf_counter() - t0
+    bad = {
+        t: v for t, v in r2["validation"].items()
+        if not v.get("consistent")
+    }
+    assert not bad, bad
+
+    stage_sec = {**r1["stage_sec"], **r2["stage_sec"]}
+    total = parse_sec + obj_sec + data_sec
+    objects = r1["ddl"] + r2["ddl"]
+    rows = sum(r2["synced"].values())
+    return {
+        "corpus_migration_sec": round(total, 3),
+        "corpus_parse_sec": round(parse_sec, 3),
+        "corpus_stage_sec": {k: round(v, 3) for k, v in stage_sec.items()},
+        "corpus_objects": objects,
+        "corpus_objects_per_sec": round(objects / max(obj_sec, 1e-9), 1),
+        "corpus_tables": len(snap.tables),
+        "corpus_rows": rows,
+        "corpus_seeded_tables": len(seeded),
+    }
 
 
 def _bench_streaming(spark, sf_dir: str, reps: int = 1) -> dict:
@@ -982,12 +1116,17 @@ def main() -> None:
                 compact["canary_ratio"] = canary["ratio"]
             if vs_prev:
                 compact["vs_prev"] = vs_prev
+                if result.get("vs_prev_round") is not None:
+                    compact["vs_prev_round"] = result["vs_prev_round"]
             if "vs_prev_error" in result:
                 compact["vs_prev_error"] = result["vs_prev_error"]
             if "truncated" in result:
                 compact["truncated"] = result["truncated"]
             for k in (
                 "migration_rows_per_sec",
+                "corpus_migration_sec",
+                "corpus_objects",
+                "corpus_objects_per_sec",
                 "curation_docs_per_sec",
                 "streaming_windowed_rows_per_sec",
                 "streaming_stateful_rows_per_sec",
@@ -1044,9 +1183,11 @@ def main() -> None:
     except Exception as e:
         result["vs_prev_error"] = str(e)[:160]
     if prev_queries is not None:
-        result["vs_prev_ref"] = os.environ.get(
-            "SPARK_GRAFT_PREV_REF", _resolve_prev_ref()
-        )
+        _ref, _round = _resolve_prev_ref()
+        result["vs_prev_ref"] = os.environ.get("SPARK_GRAFT_PREV_REF", _ref)
+        # the resolved ROUND NUMBER rides the artifact so "vs previous
+        # round" can never silently mean "vs two rounds back" again
+        result["vs_prev_round"] = _round
     prev_spread: dict[str, list[float]] = {}
     result["vs_prev_spread"] = prev_spread
 
@@ -1133,27 +1274,63 @@ def main() -> None:
             extras[f"{name}_spread"] = _spread(times)
     import tempfile
 
+    def _section_canary(section: str) -> None:
+        # drift attribution for the EXTRAS block (round 11): the
+        # headline A/B doesn't cover these, so each section records
+        # the machine's speed AT ITS OWN MOMENT (median-of-3 constant
+        # canary). Cross-round, rate × canary_sec is machine-
+        # normalized throughput: if streaming halves while its canary
+        # doubles, that's the container; if the product moves, it's
+        # code.
+        cs = sorted(_canary_once(spark) for _ in range(3))
+        extras[f"canary_at_{section}"] = round(cs[1], 3)
+
     with tempfile.TemporaryDirectory() as td:
         try:
+            _section_canary("dump_parse")
             extras.update(_bench_dump_parse(spark, sf_dir, ereps, td))
         except Exception as e:  # extras never break the headline emit
             extras["dump_parse_orders_error"] = str(e)[:120]
         try:
+            _section_canary("tab_parse")
             extras.update(_bench_tab_parse(spark, sf_dir, ereps, td))
         except Exception as e:
             extras["tab_parse_orders_error"] = str(e)[:120]
         try:
+            _section_canary("migration")
             extras.update(_bench_migration(spark, sf_dir, ereps, td))
         except Exception as e:
             extras["migration_pipeline_error"] = str(e)[:120]
         try:
+            _section_canary("corpus")
+            extras.update(_bench_corpus_migration(spark, td))
+        except Exception as e:
+            extras["corpus_migration_error"] = str(e)[:160]
+        try:
+            _section_canary("curation")
             extras.update(_bench_curation(spark, sf_dir, td, ereps))
         except Exception as e:
             extras["curation_pipeline_error"] = str(e)[:120]
         try:
+            _section_canary("streaming")
             extras.update(_bench_streaming(spark, sf_dir, ereps))
         except Exception as e:
             extras["streaming_error"] = str(e)[:120]
+        # machine-normalized throughput: rate × same-moment canary
+        # seconds — the cross-round comparable series for the extras
+        for metric, section in (
+            ("tab_parse_rows_per_sec", "tab_parse"),
+            ("migration_rows_per_sec", "migration"),
+            ("corpus_objects_per_sec", "corpus"),
+            ("curation_docs_per_sec", "curation"),
+            ("streaming_windowed_rows_per_sec", "streaming"),
+            ("streaming_stateful_rows_per_sec", "streaming"),
+            ("streaming_windowed_proc_rows_per_sec", "streaming"),
+            ("streaming_stateful_proc_rows_per_sec", "streaming"),
+        ):
+            c = extras.get(f"canary_at_{section}")
+            if metric in extras and c:
+                extras[f"{metric}_x_canary"] = round(extras[metric] * c, 1)
         # ~10× scale step (skippable: SPARK_GRAFT_SCALE=0; hard wall
         # budget keeps the bench emit safe on a slow machine)
         if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":

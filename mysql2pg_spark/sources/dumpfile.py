@@ -235,6 +235,24 @@ def read_dump_inserts(
         schema = StructType.fromDDL(schema)
 
     lines = spark.read.text(path)  # .gz dumps decompress via JVM codec
+    # An INSERT line INSIDE a DELIMITER-switched routine/trigger body is
+    # body text, not bulk data (the audit-trigger repro: its body
+    # `INSERT INTO t VALUES (NEW.id, …)` would otherwise parse as a row
+    # whose cells are the literal strings 'NEW.id'). Same section
+    # awareness as dump_schema_text, pushed into the distributed filter;
+    # the directive rows are collected once per file and cached.
+    delim_rows = _delim_directive_rows(spark, path)
+    if delim_rows:
+        mid = F.monotonically_increasing_id()
+        protected = F.lit(False)
+        for start, end in _protected_intervals(delim_rows):
+            c = mid >= F.lit(start)
+            if end != float("inf"):
+                c = c & (mid < F.lit(end))
+            protected = protected | c
+        lines = lines.withColumn("_prot", protected).filter(
+            ~F.col("_prot")
+        ).drop("_prot")
     # JVM-side pre-filter: only this table's INSERT/REPLACE lines reach
     # Python.
     prefix = F.lower(F.ltrim(F.col("value")))
@@ -1117,6 +1135,44 @@ def functions_from_text(
 
 _DELIM_DIRECTIVE_RE = _re.compile(r"(?i)^\s*DELIMITER\s+(\S+)\s*$")
 
+#: (abspath, size, mtime_ns) → ordered DELIMITER directive rows. A
+#: 61-table migration calls read_dump_inserts once per table over the
+#: SAME file; the directive scan is one cheap job, cached so it runs
+#: once per artifact instead of once per table.
+_DELIM_ROWS_CACHE: dict[tuple, list] = {}
+
+
+def _delim_directive_rows(spark: "SparkSession", path: str) -> list:
+    """Ordered ``(line_id, token)`` DELIMITER directives of a dump,
+    collected distributed (O(#routines) rows come back). line_ids are
+    ``monotonically_increasing_id`` values over ``spark.read.text``,
+    which are stable across reads of the same input (same splits →
+    same partition ids and in-partition offsets) — the same contract
+    ``dump_schema_text`` already relies on."""
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        key = (_os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None  # glob/dir inputs: skip the cache, not the scan
+    if key is not None and key in _DELIM_ROWS_CACHE:
+        return _DELIM_ROWS_CACHE[key]
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("mid"), "value"
+    )
+    rows = [
+        (r.mid, _DELIM_DIRECTIVE_RE.match(r.value).group(1))
+        for r in lines.filter(
+            F.col("value").rlike(r"(?i)^\s*DELIMITER\s+\S+\s*$")
+        )
+        .sort("mid")
+        .collect()
+    ]
+    if key is not None:
+        _DELIM_ROWS_CACHE[key] = rows
+    return rows
+
 
 def _protected_intervals(
     delim_rows: list,
@@ -1168,14 +1224,7 @@ def dump_schema_text(path: str, spark: SparkSession | None = None) -> str:
         lines = spark.read.text(path).select(
             F.monotonically_increasing_id().alias("mid"), "value"
         )
-        delim_rows = [
-            (r.mid, _DELIM_DIRECTIVE_RE.match(r.value).group(1))
-            for r in lines.filter(
-                F.col("value").rlike(r"(?i)^\s*DELIMITER\s+\S+\s*$")
-            )
-            .sort("mid")
-            .collect()
-        ]
+        delim_rows = _delim_directive_rows(spark, path)
         low = F.lower(F.ltrim(F.col("value")))
         is_insert = (
             low.startswith(drop[0])

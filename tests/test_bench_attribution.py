@@ -15,16 +15,20 @@ def test_resolve_prev_ref_finds_round_snapshot(monkeypatch):
     import bench
 
     monkeypatch.delenv("SPARK_GRAFT_PREV_REF", raising=False)
-    ref = bench._resolve_prev_ref()
-    assert ref is not None
+    ref, rnd = bench._resolve_prev_ref()
+    assert ref is not None and isinstance(rnd, int)
     subject = subprocess.run(
         ["git", "-C", REPO, "log", "-1", "--format=%s", ref],
         capture_output=True, text=True,
     ).stdout.strip()
-    assert subject.startswith("round ") and "end-of-round snapshot" in subject
-    # env override wins
+    assert subject.startswith(f"round {rnd}: ")
+    assert (
+        "end-of-round snapshot" in subject
+        or "verdict/advice/correctness/bench" in subject
+    )
+    # env override wins (round unknown for an arbitrary ref)
     monkeypatch.setenv("SPARK_GRAFT_PREV_REF", "HEAD~1")
-    assert bench._resolve_prev_ref() == "HEAD~1"
+    assert bench._resolve_prev_ref() == ("HEAD~1", None)
 
 
 def test_load_queries_from_prev_worktree_and_restore(tmp_path):
@@ -99,12 +103,60 @@ def test_resolve_prev_ref_skips_self_snapshot(tmp_path, monkeypatch):
     )
     monkeypatch.delenv("SPARK_GRAFT_PREV_REF", raising=False)
     monkeypatch.setattr(bench, "REPO_DIR", str(clone))
-    ref = bench._resolve_prev_ref()
+    ref, rnd = bench._resolve_prev_ref()
     assert ref is not None
     subject = subprocess.run(
         ["git", "-C", str(clone), "log", "-1", "--format=%s", ref],
         capture_output=True, text=True,
     ).stdout.strip()
     # NOT the simulated same-tree snapshot: the previous round's marker
-    assert "round 99" not in subject
-    assert "end-of-round snapshot" in subject
+    assert "round 99" not in subject and rnd != 99
+    assert subject.startswith(f"round {rnd}: ")
+
+
+def test_resolve_prev_ref_matches_both_boundary_formats(tmp_path):
+    """Round 10's A/B silently measured against round EIGHT because a
+    round that ends with no uncommitted work gets only a `round N:
+    verdict/advice/correctness/bench` boundary (no `end-of-round
+    snapshot`) and the resolver matched only the snapshot format. A
+    synthetic history carrying BOTH formats must resolve to the newest
+    differing-tree boundary of EITHER format, with its round number."""
+    import bench
+
+    repo = tmp_path / "hist"
+    repo.mkdir()
+    env_git = ["git", "-C", str(repo), "-c", "user.email=t@t",
+               "-c", "user.name=t"]
+    subprocess.run(["git", "-C", str(repo), "init", "-q"], check=True)
+
+    def commit(subject: str, content: str) -> None:
+        (repo / "f.txt").write_text(content)
+        subprocess.run(env_git + ["add", "f.txt"], check=True)
+        subprocess.run(
+            env_git + ["commit", "-q", "-m", subject], check=True
+        )
+
+    commit("round 7: end-of-round snapshot (90 turns)", "seven")
+    commit("round 8: verdict/advice/correctness/bench", "eight")
+    commit("work commit", "nine-work")
+    commit("round 9: verdict/advice/correctness/bench", "nine")
+    # the driver's current-round snapshot: same tree as HEAD
+    commit("head work", "head")
+    subprocess.run(
+        env_git + ["commit", "-q", "--allow-empty",
+                   "-m", "round 10: end-of-round snapshot (1 turn)"],
+        check=True,
+    )
+    old = bench.REPO_DIR
+    bench.REPO_DIR = str(repo)
+    try:
+        os.environ.pop("SPARK_GRAFT_PREV_REF", None)
+        ref, rnd = bench._resolve_prev_ref()
+    finally:
+        bench.REPO_DIR = old
+    assert rnd == 9  # the verdict-format boundary, not round 7's
+    subject = subprocess.run(
+        ["git", "-C", str(repo), "log", "-1", "--format=%s", ref],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    assert subject == "round 9: verdict/advice/correctness/bench"
