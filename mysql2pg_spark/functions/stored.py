@@ -36,10 +36,46 @@ class StoredFunction:
     return_type: str = "string"
 
     def register_udf(self, spark: SparkSession) -> None:
-        """Compatibility path: spark.sql can call the function by name."""
+        """Compatibility path: spark.sql can call the function by name.
+        Registered as an Arrow-batched ``pandas_udf`` (round 11): the
+        scalar impl is mapped over each batch, so even the compat path
+        avoids per-row pickling."""
         if self.scalar is None:
             raise ValueError(f"{self.name} has no scalar implementation")
-        spark.udf.register(self.name, self.scalar, self.return_type)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        import inspect
+
+        py = self.scalar
+        n_args = len(inspect.signature(py).parameters)
+        if n_args == 1:
+            def batched(s):
+                return pd.Series([py(v) for v in s], dtype="object")
+
+            # real class objects, not strings: this module's
+            # `from __future__ import annotations` would otherwise feed
+            # pyspark's hint inference 'pd.Series' literals it rejects
+            batched.__annotations__ = {"s": pd.Series, "return": pd.Series}
+            udf = pandas_udf(batched, self.return_type)
+        else:
+            # multi-arg scalars use the explicit-functionType form (the
+            # hint-based API needs a fixed arity in the annotations)
+            import warnings
+
+            from pyspark.sql.functions import PandasUDFType
+
+            def batched(*cols):
+                return pd.Series(
+                    [py(*vals) for vals in zip(*cols)], dtype="object"
+                )
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)
+                udf = pandas_udf(
+                    batched, self.return_type, PandasUDFType.SCALAR
+                )
+        spark.udf.register(self.name, udf)
 
 
 # ---- fixture-function analogs on the TPC-H corpus -------------------------
