@@ -55,10 +55,15 @@ MYSQL_ISMS = (
 )
 
 
+_DOLLAR_TAG = re.compile(r"\$\w*\$")
+
+
 def split_statements(text: str) -> list[str]:
     """Script text → statements: strip ``--`` comment lines, split on
     ``;`` at quote depth 0 (dollar-quoted plpgsql bodies counted as
-    quoted)."""
+    quoted — ANY ``$tag$`` form, not just ``$$``: the current emitter
+    always writes ``$$``, but the splitter must not silently cut a
+    future ``$fn$…$fn$`` body in half)."""
     body = "\n".join(
         ln for ln in text.splitlines() if not ln.startswith("--")
     )
@@ -66,22 +71,22 @@ def split_statements(text: str) -> list[str]:
     buf: list[str] = []
     i, n = 0, len(body)
     in_q = False
-    in_dollar = False
+    dollar_tag: str | None = None
     while i < n:
         ch = body[i]
-        if in_dollar:
-            if body.startswith("$$", i):
-                in_dollar = False
-                buf.append("$$")
-                i += 2
+        if dollar_tag is not None:
+            if body.startswith(dollar_tag, i):
+                buf.append(dollar_tag)
+                i += len(dollar_tag)
+                dollar_tag = None
                 continue
         elif in_q:
             if ch == "'":
                 in_q = False
-        elif body.startswith("$$", i):
-            in_dollar = True
-            buf.append("$$")
-            i += 2
+        elif ch == "$" and (mo := _DOLLAR_TAG.match(body, i)):
+            dollar_tag = mo.group(0)
+            buf.append(dollar_tag)
+            i += len(dollar_tag)
             continue
         elif ch == "'":
             in_q = True

@@ -478,10 +478,23 @@ def check_script(text: str) -> list[str]:
         if not re.search(r"(?i)LANGUAGE\s+plpgsql", stmt):
             continue
         name = mo.group(1)
-        bmo = re.search(r"(?s)\$\$(.*)\$\$", stmt)
+        # tag-matched, non-greedy, anchored on AS (ADVICE r10): the
+        # body is THE dollar-quoted string after AS with its own
+        # closing tag — a second dollar string elsewhere in the
+        # statement or a tagged quote ($fn$…$fn$) extracts correctly
+        # instead of greedy-first-$$-to-last-$$ swallowing both
+        bmo = re.search(r"(?is)\bAS\s+\$(\w*)\$(.*?)\$\1\$", stmt)
         if not bmo:
-            problems.append(f"{name}: no $$ body on a plpgsql routine")
+            if re.search(r"\$\w*\$", stmt):
+                problems.append(
+                    f"{name}: unterminated or non-AS-anchored "
+                    "dollar-quoted body on a plpgsql routine"
+                )
+            else:
+                problems.append(
+                    f"{name}: no dollar-quoted body on a plpgsql routine"
+                )
             continue
-        for p in check_plpgsql_body(bmo.group(1)):
+        for p in check_plpgsql_body(bmo.group(2)):
             problems.append(f"{name}: {p}")
     return problems

@@ -180,8 +180,27 @@ def _infer_user_var_type(fname: str, var: str, body: str) -> str:
     ]
     for st in re.finditer(r"(?is)(?<![\w.@'\"`])SET\s+(.*?)(?=;|\Z)", body):
         seg, base = st.group(1), st.start(1)
-        for mo in re.finditer(rf"(?i)(?:^|,)\s*@{esc0}\s*:?=\s*", seg):
-            assign_starts.append(base + mo.end())
+        # only DEPTH-0 commas separate the SET assignment list — a
+        # comma inside a function call's argument list does not start
+        # a new target, so `SET @a = IF(x, @v = 1, 0)` must not
+        # classify `@v = 1` as an assignment (ADVICE r10; it is the
+        # same comparison-as-assignment class the r9 fix removed)
+        pieces: list[tuple[int, str]] = []
+        depth = 0
+        piece_start = 0
+        for i, ch in enumerate(seg):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                pieces.append((piece_start, seg[piece_start:i]))
+                piece_start = i + 1
+        pieces.append((piece_start, seg[piece_start:]))
+        for off, piece in pieces:
+            mo = re.match(rf"(?i)\s*@{esc0}\s*:?=\s*", piece)
+            if mo:
+                assign_starts.append(base + off + mo.end())
     for pos in assign_starts:
         # the assigned expression, up to the statement/list boundary
         # (masked literals carry no , or ; so the split is safe; a

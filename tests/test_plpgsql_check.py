@@ -182,3 +182,59 @@ def test_sql_language_functions_skipped():
         "AS $$ SELECT x + 1 $$ LANGUAGE sql"
     )
     assert check_script(txt) == []
+
+
+def test_tagged_dollar_quote_body_checked():
+    """ADVICE r10: a tagged-quote emission ($fn$…$fn$) must extract and
+    check the body instead of reporting 'no $$ body'."""
+    good = (
+        "CREATE OR REPLACE FUNCTION f(x integer) RETURNS integer\n"
+        "AS $fn$\nBEGIN\n    RETURN x + 1;\nEND;\n$fn$ LANGUAGE plpgsql"
+    )
+    assert check_script(good) == []
+    bad = good.replace("END;", "", 1)
+    assert any("f" in p for p in check_script(bad))
+
+
+def test_second_dollar_string_does_not_swallow_body():
+    """Tag-matched non-greedy extraction anchored on AS: a second
+    dollar-quoted string AFTER the body (e.g. in a COMMENT statement
+    sharing the script) must not merge into the body via a greedy
+    first-$$-to-last-$$ match."""
+    txt = (
+        "CREATE OR REPLACE FUNCTION f(x integer) RETURNS integer\n"
+        "AS $$\nBEGIN\n    RETURN x + 1;\nEND;\n$$ LANGUAGE plpgsql;\n"
+        "COMMENT ON FUNCTION f(integer) IS 'adds one';\n"
+        "CREATE OR REPLACE FUNCTION g(y integer) RETURNS integer\n"
+        "AS $$\nBEGIN\n    RETURN y - 1;\nEND;\n$$ LANGUAGE plpgsql;\n"
+    )
+    assert check_script(txt) == []
+    # break only g: the problem names g, and f stays green — proof the
+    # two bodies were extracted independently
+    broken = txt.replace("RETURN y - 1;", "RETURN y - 1", 1)
+    probs = check_script(broken)
+    assert probs and all("g" in p for p in probs)
+
+
+def test_unterminated_dollar_body_reported_explicitly():
+    txt = (
+        "CREATE OR REPLACE FUNCTION f(x integer) RETURNS integer\n"
+        "AS $fn$\nBEGIN\n    RETURN x + 1;\nEND;\n$$ LANGUAGE plpgsql"
+    )
+    probs = check_script(txt)
+    assert probs and "unterminated" in probs[0]
+
+
+def test_split_statements_respects_tagged_quotes():
+    """The ddl_lint splitter must not cut a $tag$ body at its inner
+    semicolons (it previously recognized only bare $$)."""
+    from mysql2pg_spark.schema.ddl_lint import split_statements
+
+    txt = (
+        "CREATE FUNCTION f() RETURNS integer AS $fn$\n"
+        "BEGIN\n    RETURN 1;\nEND;\n$fn$ LANGUAGE plpgsql;\n"
+        "SELECT 2;\n"
+    )
+    stmts = split_statements(txt)
+    assert len(stmts) == 2
+    assert "RETURN 1;" in stmts[0] and stmts[1] == "SELECT 2"
