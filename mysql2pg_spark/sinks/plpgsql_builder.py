@@ -150,6 +150,24 @@ def _classify_assign_expr(expr: str) -> str | None:
     return None
 
 
+def _split_depth0(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (masked text: literals carry no
+    commas). Shared by the SET-list and SELECT-INTO scans."""
+    out: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
 def _infer_user_var_type(fname: str, var: str, body: str) -> str:
     """MySQL-or-verbatim type for the local synthesized in place of
     ``@var``. EVERY ``@var = expr`` assignment is classified (a money
@@ -173,7 +191,11 @@ def _infer_user_var_type(fname: str, var: str, body: str) -> str:
     # incompatible-class refusals (ADVICE r9). Assignment contexts:
     #   1. the inline `:=` operator, anywhere;
     #   2. `@v = expr` pieces of a SET statement (SET @a = 1, @b = 2)
-    #      — the target must START the statement or follow a comma.
+    #      — the target must START the statement or follow a comma;
+    #   3. `SELECT expr, … INTO @v, …` — the positionally matching
+    #      select expression (round 11: the one assignment form the r10
+    #      tests exposed as unfed; a COUNT(*) INTO a text-seeded var is
+    #      real incompatible evidence and must refuse like SET would).
     assign_starts = [
         mo.end()
         for mo in re.finditer(rf"(?i)(?<![@\w])@{esc0}\s*:=\s*", body)
@@ -185,9 +207,9 @@ def _infer_user_var_type(fname: str, var: str, body: str) -> str:
         # a new target, so `SET @a = IF(x, @v = 1, 0)` must not
         # classify `@v = 1` as an assignment (ADVICE r10; it is the
         # same comparison-as-assignment class the r9 fix removed)
-        pieces: list[tuple[int, str]] = []
-        depth = 0
         piece_start = 0
+        depth = 0
+        pieces: list[tuple[int, str]] = []
         for i, ch in enumerate(seg):
             if ch == "(":
                 depth += 1
@@ -201,6 +223,20 @@ def _infer_user_var_type(fname: str, var: str, body: str) -> str:
             mo = re.match(rf"(?i)\s*@{esc0}\s*:?=\s*", piece)
             if mo:
                 assign_starts.append(base + off + mo.end())
+    for st in re.finditer(
+        # [^;]*? : the expression list never crosses a statement
+        # boundary (a following INSERT INTO must not lend its INTO)
+        r"(?is)(?<![\w.@'\"`])SELECT\s+([^;]*?)\s+INTO\s+"
+        r"((?:@?\w+\s*,\s*)*@?\w+)",
+        body,
+    ):
+        exprs = _split_depth0(st.group(1))
+        targets = _split_depth0(st.group(2))
+        for j, tgt in enumerate(targets):
+            if tgt.strip().lower() == f"@{var.lower()}" and j < len(exprs):
+                c = _classify_assign_expr(exprs[j].strip())
+                if c:
+                    classes.add(c)
     for pos in assign_starts:
         # the assigned expression, up to the statement/list boundary
         # (masked literals carry no , or ; so the split is safe; a
