@@ -34,8 +34,10 @@ body streams ONE result set gains an ``INOUT p_resultset refcursor``
 parameter (round 9; the reference drops all procedures). What remains
 outside both paths (@@system variables, quoted/@-inline-:=-in-query
 variable uses, SQLWARNING handlers, multiple result sets, REPLACE
-INTO, errnos outside the table, ROW_COUNT() in loop conditions)
-raises :class:`UnsupportedFunctionError` instead of producing
+INTO, errnos outside the table, ROW_COUNT() in WHILE conditions or in
+an UNTIL whose body doesn't end in the observed DML — the batch-purge
+``REPEAT … UNTIL ROW_COUNT() = 0`` shape lifts, round 11) raises
+:class:`UnsupportedFunctionError` instead of producing
 silently-wrong plpgsql.
 
 Builtin-expression mapping mirrors the reference's table

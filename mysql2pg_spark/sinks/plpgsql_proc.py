@@ -777,9 +777,10 @@ class _Parser:
         statement: the observation point is identical, because both
         engines report the statement BEFORE this one and nothing runs
         in between. Loop conditions must NOT use this (they re-observe
-        each iteration after body DML) — their parse sites refuse
-        instead. Returns (exprs with the call replaced, prelude
-        statements to emit first)."""
+        each iteration after body DML) — WHILE refuses; UNTIL lifts via
+        a per-iteration GET DIAGNOSTICS when the body ends in the
+        observed DML (see the REPEAT parse site). Returns (exprs with
+        the call replaced, prelude statements to emit first)."""
         if not any(e and _RC_EXPR.search(e) for e in exprs):
             return exprs, []
         var = f"__rc{self._rc_n}" if self._rc_n else "__rc"
@@ -1174,11 +1175,34 @@ class _Parser:
             body, term = self.parse_block(_T_UNTIL)
             cond = self._until_kw(_T_END_REPEAT, "END REPEAT")
             self._finish_compound()
-            return RepeatUntil(
-                body,
-                self._refuse_loop_row_count(self._rewrite(cond), "UNTIL"),
-                label,
-            )
+            cond_pg = self._rewrite(cond)
+            if cond_pg and _RC_EXPR.search(cond_pg):
+                # round 11 lift of the batch-purge idiom (`REPEAT
+                # DELETE … LIMIT n; UNTIL ROW_COUNT() = 0`): UNTIL
+                # evaluates AFTER the body every iteration, so when the
+                # body's LAST statement is the DML the condition
+                # observes, a per-iteration GET DIAGNOSTICS right after
+                # it re-observes at the identical point. Any other
+                # last-statement shape keeps the refusal — MySQL's
+                # ROW_COUNT() after non-DML is engine-defined noise no
+                # single hoist reproduces.
+                if body and isinstance(body[-1], Dml):
+                    var = f"__rc{self._rc_n}" if self._rc_n else "__rc"
+                    self._rc_n += 1
+                    self._declare(var, "BIGINT", None)
+                    body = body + [RowCountInto(var)]
+                    cond_pg = _RC_EXPR.sub(var, cond_pg)
+                else:
+                    raise ProcParseError(
+                        f"function {self.fname}: ROW_COUNT() in an "
+                        "UNTIL condition translates only when the loop "
+                        "body's last statement is the INSERT/UPDATE/"
+                        "DELETE it observes (got "
+                        f"{type(body[-1]).__name__ if body else 'empty'}"
+                        ") — move the DML last or assign ROW_COUNT() "
+                        "inside the body"
+                    )
+            return RepeatUntil(body, cond_pg, label)
         if self._at(_kw("WHILE")):
             self._eat(_kw("WHILE"), "WHILE")
             cond = self._until_kw(_T_DO, "DO after WHILE condition")
