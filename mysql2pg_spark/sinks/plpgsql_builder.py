@@ -637,6 +637,13 @@ def _clean_body(name: str, body: str) -> str:
     # every "--" regardless of what follows, so re-space the dashes to
     # keep the emitted plpgsql semantically identical.
     body = re.sub(r"-(?=-)", "- ", body)
+    # @`word`-quoted user variables (round 11): backtick quoting is
+    # MySQL spelling, not a different variable — @`total` IS @total —
+    # so plain-word quoted names normalize to the bare form here.
+    # Names that NEED quoting to exist (spaces, punctuation, or the
+    # @'…'/@"…" forms whose content the literal mask hides) still hit
+    # the refusal below.
+    body = re.sub(r"@`(\w+)`", r"@\1", body)
     for pat, what in _UNSUPPORTED:
         if pat.search(body):
             raise UnsupportedFunctionError(
