@@ -791,6 +791,92 @@ class _Parser:
             [RowCountInto(var)],
         )
 
+    def _rewrite_dml_limit(self, raw: str, up: str) -> str:
+        """MySQL ``DELETE``/``UPDATE`` bodies may carry ``[ORDER BY …]
+        LIMIT n`` (the batch-purge idiom); PostgreSQL DML has neither
+        clause, so a verbatim pass-through emits plpgsql that FAILS at
+        first execution — exactly the silent mistranslation the C95
+        contract forbids. Single-table statements rewrite to the
+        standard PG spelling, a ``ctid IN (SELECT ctid … LIMIT n)``
+        subquery (row identity by physical id — no PK assumption, same
+        rows MySQL would pick under the same ORDER BY). Multi-table /
+        JOIN forms refuse rather than guess at PG's different
+        USING/FROM semantics."""
+        if up.startswith("INSERT "):
+            return raw  # INSERT has no LIMIT in either engine
+        mo = re.match(
+            r"(?is)^(DELETE\s+FROM|UPDATE)\s+(`?\w+`?)"
+            r"(.*?)\s+LIMIT\s+(\d+)\s*$",
+            raw.strip(),
+        )
+        if mo is None:
+            if re.search(r"(?is)\bLIMIT\s+\d+\s*$", raw):
+                raise ProcParseError(
+                    f"function {self.fname}: only single-table "
+                    "DELETE/UPDATE … [ORDER BY …] LIMIT n translates "
+                    f"(PostgreSQL DML has no LIMIT): {raw[:80]!r}"
+                )
+            return raw
+        verb, table, mid, n = mo.groups()
+        # peel a trailing top-level ORDER BY off the middle (a depth-0
+        # scan — an ORDER BY inside a WHERE subquery is not the DML's)
+        order = None
+        depth = 0
+        opos = -1
+        low = mid.lower()
+        for i, ch in enumerate(mid):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and ch in " \t\n"
+                and re.match(r"\s+order\s+by\s", low[i:])
+            ):
+                opos = i
+        if opos >= 0:
+            order = re.sub(
+                r"(?is)^\s*order\s+by\s+", "", mid[opos:]
+            ).strip()
+            mid = mid[:opos]
+        is_delete = verb.upper().startswith("DELETE")
+        where = ""
+        set_clause = ""
+        if is_delete:
+            where = mid.strip()
+        else:
+            sm = re.match(r"(?is)^SET\s+(.*?)(?:\s+(WHERE\s+.*))?$",
+                          mid.strip())
+            if not sm:
+                raise ProcParseError(
+                    f"function {self.fname}: cannot parse UPDATE … "
+                    f"LIMIT statement: {raw[:80]!r}"
+                )
+            set_clause, where = sm.group(1), (sm.group(2) or "").strip()
+        if re.search(r"(?i)\b(JOIN|USING)\b", mid):
+            raise ProcParseError(
+                f"function {self.fname}: multi-table DML with LIMIT "
+                "has no direct PostgreSQL analog — rewrite explicitly"
+            )
+        if where and not where.upper().startswith("WHERE"):
+            raise ProcParseError(
+                f"function {self.fname}: unrecognized clause between "
+                f"the table and LIMIT in: {raw[:80]!r}"
+            )
+        inner = f"SELECT ctid FROM {table}"
+        if where:
+            inner += f" {where}"
+        if order:
+            inner += f" ORDER BY {order.strip()}"
+        inner += f" LIMIT {n}"
+        if is_delete:
+            return f"DELETE FROM {table} WHERE ctid IN ({inner})"
+        return (
+            f"UPDATE {table} SET {set_clause} "
+            f"WHERE ctid IN ({inner})"
+        )
+
     def _refuse_loop_row_count(self, cond: str, kind: str) -> str:
         if cond and _RC_EXPR.search(cond):
             raise ProcParseError(
@@ -1331,6 +1417,7 @@ class _Parser:
                 out.append(Assign(var, expr))
             return out if len(out) > 1 else out[0]
         if up.startswith(("INSERT ", "UPDATE ", "DELETE ")):
+            raw = self._rewrite_dml_limit(raw, up)
             (sql,), prelude = self._hoist_row_count([self._rewrite(raw)])
             return prelude + [Dml(sql)] if prelude else Dml(sql)
         if up.startswith(("CREATE TEMPORARY TABLE", "DROP TEMPORARY TABLE")):
