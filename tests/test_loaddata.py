@@ -428,3 +428,63 @@ def test_source_reader_end_to_end_migration(spark, tmp_path):
     )
     assert result["synced"] == {"t": 200}
     assert result["validation"]["t"]["consistent"]
+
+
+def test_cli_duckdb_mode_with_load_data_dump(spark, tmp_path, capsys):
+    """The top-level CLI --mode duckdb path over a dump whose bulk is a
+    LOAD DATA statement: schema from the dump, data through the parsed
+    statement's file, cross-engine validation green in a real engine."""
+    import json
+
+    import duckdb
+    import yaml
+
+    from mysql2pg_spark.__main__ import main
+
+    src = spark.createDataFrame(
+        [(i, f"u{i}", float(i) * 1.5) for i in range(1, 51)],
+        "id INT, name STRING, score DOUBLE",
+    ).coalesce(1)
+    write_outfile(
+        src, str(tmp_path / "users.csv"), field_term=",", enclosed_by='"'
+    )
+    dump = tmp_path / "dump.sql"
+    dump.write_text(
+        "CREATE TABLE `users` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `name` varchar(30) DEFAULT NULL,\n"
+        "  `score` double DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ");\n"
+        "LOAD DATA INFILE 'users.csv' INTO TABLE users "
+        "FIELDS TERMINATED BY ',' ENCLOSED BY '\"';\n"
+        "INSERT INTO `users` VALUES (99,'manual',0.5);\n"
+    )
+    cfgp = tmp_path / "cfg.yml"
+    cfgp.write_text(yaml.safe_dump({
+        "mysql": {"host": "h", "database": "d"},
+        "postgresql": {"host": "p", "database": "d"},
+        "conversion": {
+            "options": {},
+            "limits": {"concurrency": 1, "max_rows_per_batch": 100},
+        },
+    }))
+    db = tmp_path / "target.duckdb"
+    rc = main([
+        "-c", str(cfgp),
+        "--mode", "duckdb",
+        "--dump-file", str(dump),
+        "--duckdb-file", str(db),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["synced"] == {"users": 51}  # 50 loaded + 1 inserted
+    assert out["validation"] == {"users": True}
+    con = duckdb.connect(str(db))
+    assert con.execute(
+        "SELECT name FROM users WHERE id = 7"
+    ).fetchone()[0] == "u7"
+    assert con.execute(
+        "SELECT name FROM users WHERE id = 99"
+    ).fetchone()[0] == "manual"
+    con.close()
