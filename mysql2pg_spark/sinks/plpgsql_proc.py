@@ -1417,6 +1417,30 @@ class _Parser:
                 out.append(Assign(var, expr))
             return out if len(out) > 1 else out[0]
         if up.startswith(("INSERT ", "UPDATE ", "DELETE ")):
+            if re.search(r"(?i)\bON\s+DUPLICATE\s+KEY\s+UPDATE\b", raw):
+                # PG's ON CONFLICT DO UPDATE needs an explicit conflict
+                # target (the unique key), which the routine builder has
+                # no catalog access to — and MySQL fires on ANY unique
+                # key. A guessed target would mistranslate; refuse with
+                # the rewrite named (same contract as REPLACE INTO).
+                raise ProcParseError(
+                    f"function {self.fname}: INSERT … ON DUPLICATE KEY "
+                    "UPDATE has no catalog-free PostgreSQL analog — "
+                    "rewrite as INSERT … ON CONFLICT (<unique cols>) "
+                    "DO UPDATE SET … (EXCLUDED.* replaces VALUES())"
+                )
+            if up.startswith("INSERT IGNORE"):
+                # MySQL INSERT IGNORE downgrades EVERY error to a
+                # warning (dup keys, but also NOT NULL and FK
+                # violations, with value adjustment) — PG's ON CONFLICT
+                # DO NOTHING covers only the dup-key class, so a silent
+                # swap would change error behavior.
+                raise ProcParseError(
+                    f"function {self.fname}: INSERT IGNORE ignores all "
+                    "error classes (not just duplicate keys) — rewrite "
+                    "as INSERT … ON CONFLICT DO NOTHING if dup-key "
+                    "skip is the intent"
+                )
             raw = self._rewrite_dml_limit(raw, up)
             (sql,), prelude = self._hoist_row_count([self._rewrite(raw)])
             return prelude + [Dml(sql)] if prelude else Dml(sql)
