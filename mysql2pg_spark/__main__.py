@@ -25,6 +25,10 @@ Three modes, least- to most-connected:
   pgddl      schema-only: print the complete PostgreSQL DDL script
              (tables, indexes, comments, views, plpgsql functions,
              roles, grants) for a snapshot or dump — pipe to psql.
+  tabexport  the EXPORT mirror: write a mysqldump --tab-style directory
+             (per-table MySQL-dialect .sql + escaped .txt data via the
+             JVM OUTFILE encoder, plus a restore.sql of LOAD DATA
+             statements) from a dump file or a parquet dir + snapshot.
 
 The catalog snapshot comes from a YAML file (``--snapshot``): offline
 parity with what sources/catalog.py reads from information_schema, so
@@ -114,7 +118,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--mode",
         choices=("plan", "local", "live", "dump", "duckdb", "diff",
-                 "pgddl"),
+                 "pgddl", "tabexport"),
         default="plan",
     )
     ap.add_argument("--snapshot", help="catalog snapshot YAML (plan/local)")
@@ -136,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
         "<t>.txt escaped-TSV data (dump/duckdb modes)",
     )
     ap.add_argument("--duckdb-file", help="target database (duckdb mode)")
+    ap.add_argument(
+        "--tab-out",
+        help="tabexport mode: output directory for the --tab-style "
+        "export (per-table .sql + .txt, plus restore.sql)",
+    )
     ap.add_argument(
         "--check",
         action="store_true",
@@ -267,6 +276,45 @@ def main(argv: list[str] | None = None) -> int:
             },
             "ddl": result["ddl"],
         }))
+        return 0
+
+    if args.mode == "tabexport":
+        if not args.tab_out or not (
+            args.dump_file or (args.source_dir and args.snapshot)
+        ):
+            print(
+                "tabexport mode needs --tab-out plus --dump-file or "
+                "--source-dir with --snapshot",
+                file=sys.stderr,
+            )
+            return 2
+        from mysql2pg_spark.session import get_spark
+        from mysql2pg_spark.sinks.tabexport import export_tab_dir
+
+        spark = get_spark(app_name="mysql2pg_spark-cli")
+        if args.dump_file:
+            from mysql2pg_spark.sources.dumpfile import (
+                dump_read_schemas,
+                full_snapshot_from_dump,
+            )
+            from mysql2pg_spark.sources.loaddata import (
+                load_data_source_reader,
+            )
+
+            snap = full_snapshot_from_dump(spark, args.dump_file)
+            _rdr = load_data_source_reader(
+                args.dump_file, dump_read_schemas(snap)
+            )
+            loader = lambda t: _rdr(spark, {"table": t})  # noqa: E731
+        else:
+            from mysql2pg_spark.tables import load_table
+
+            snap = load_snapshot(args.snapshot)
+            loader = lambda t: load_table(  # noqa: E731
+                spark, args.source_dir, t
+            )
+        result = export_tab_dir(spark, snap, args.tab_out, loader)
+        print(json.dumps(result))
         return 0
 
     if args.mode == "diff":

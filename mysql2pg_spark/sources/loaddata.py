@@ -474,3 +474,64 @@ def load_data_source_reader(
         return out
 
     return reader
+
+
+#: inverse of the unescape table for the characters a rendered literal
+#: must encode (quote/backslash + the control chars MySQL prints as
+#: readable pairs)
+_LITERAL_ESCAPES = {
+    "\\": "\\\\",
+    "'": "\\'",
+    "\x00": "\\0",
+    "\b": "\\b",
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+    "\x1a": "\\Z",
+}
+
+
+def quote_mysql_literal(s: str) -> str:
+    """Render ``s`` as a MySQL single-quoted string literal (the exact
+    inverse of :func:`unquote_mysql_literal` over its output)."""
+    return "'" + "".join(_LITERAL_ESCAPES.get(ch, ch) for ch in s) + "'"
+
+
+def render_load_data(spec: LoadDataSpec) -> str:
+    """Canonical MySQL statement text for a spec —
+    ``parse_load_data(render_load_data(spec)) == spec`` (property-
+    tested). Used by the ``--tab`` EXPORT path to author the restore
+    script next to the data files."""
+    q = quote_mysql_literal
+    parts = ["LOAD DATA"]
+    if spec.local:
+        parts.append("LOCAL")
+    parts.append(f"INFILE {q(spec.infile)}")
+    if spec.duplicates:
+        parts.append(spec.duplicates)
+    parts.append(f"INTO TABLE `{spec.table}`")
+    fields = []
+    if spec.field_term != "\t":
+        fields.append(f"TERMINATED BY {q(spec.field_term)}")
+    if spec.enclosed_by:
+        fields.append(
+            ("OPTIONALLY " if spec.optionally_enclosed else "")
+            + f"ENCLOSED BY {q(spec.enclosed_by)}"
+        )
+    if spec.escaped_by != "\\":
+        fields.append(f"ESCAPED BY {q(spec.escaped_by)}")
+    if fields:
+        parts.append("FIELDS " + " ".join(fields))
+    lines = []
+    if spec.line_start:
+        lines.append(f"STARTING BY {q(spec.line_start)}")
+    if spec.line_term != "\n":
+        lines.append(f"TERMINATED BY {q(spec.line_term)}")
+    if lines:
+        parts.append("LINES " + " ".join(lines))
+    if spec.ignore_lines:
+        parts.append(f"IGNORE {spec.ignore_lines} LINES")
+    stmt = " ".join(parts)
+    if spec.columns:
+        stmt += " (" + ", ".join(f"`{c}`" for c in spec.columns) + ")"
+    return stmt + ";"

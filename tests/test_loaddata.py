@@ -488,3 +488,59 @@ def test_cli_duckdb_mode_with_load_data_dump(spark, tmp_path, capsys):
         "SELECT name FROM users WHERE id = 99"
     ).fetchone()[0] == "manual"
     con.close()
+
+
+# --------------------------------------------------------------------------
+# render ↔ parse property (round 11: the renderer authors the --tab
+# export's restore script, so the parser must invert it exactly)
+# --------------------------------------------------------------------------
+_SAFE_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1,
+    max_size=8,
+)
+
+
+@st.composite
+def _specs(draw):
+    field_term = draw(st.sampled_from(["\t", ",", "|", ";", "~", "\x01"]))
+    escaped_by = draw(st.sampled_from(["\\", ""]))
+    enclosed_by = draw(st.sampled_from([None, '"', "'"]))
+    line_start = draw(st.sampled_from(["", ">>>", "x "]))
+    line_term = draw(st.sampled_from(["\n", "\r\n"]))
+    cols = draw(
+        st.lists(
+            st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,6}", fullmatch=True),
+            max_size=3,
+        )
+    )
+    return LoadDataSpec(
+        table=draw(st.from_regex(r"[A-Za-z_]\w{0,8}", fullmatch=True)),
+        infile=draw(_SAFE_TEXT),
+        local=draw(st.booleans()),
+        duplicates=draw(st.sampled_from([None, "REPLACE", "IGNORE"])),
+        field_term=field_term,
+        enclosed_by=enclosed_by,
+        optionally_enclosed=draw(st.booleans()) if enclosed_by else False,
+        escaped_by=escaped_by,
+        line_start=line_start,
+        line_term=line_term,
+        ignore_lines=draw(st.integers(0, 5)),
+        columns=cols,
+    )
+
+
+@given(_specs())
+@settings(max_examples=300, deadline=None)
+def test_render_parse_roundtrip(spec):
+    from mysql2pg_spark.sources.loaddata import render_load_data
+
+    assert parse_load_data(render_load_data(spec)) == spec
+
+
+@given(_SAFE_TEXT)
+@settings(max_examples=300, deadline=None)
+def test_literal_quote_unquote_roundtrip(s):
+    from mysql2pg_spark.sources.loaddata import quote_mysql_literal
+
+    lit = quote_mysql_literal(s)
+    assert unquote_mysql_literal(lit[1:-1]) == s
