@@ -513,8 +513,6 @@ def _bench_corpus_migration(spark, tmpdir: str) -> dict:
     data+validate restricted to the seeded tables — unseeded tables
     have no bulk in the dump); the stage splits are disjoint and merge
     into one breakdown."""
-    import re
-
     import duckdb
     import yaml
 
@@ -552,12 +550,16 @@ def _bench_corpus_migration(spark, tmpdir: str) -> dict:
     snap = full_snapshot_from_dump(spark, dump_path)
     parse_sec = time.perf_counter() - t0
     schemas = dump_read_schemas(snap)
+    # DELIMITER-aware inventory (a trigger-body INSERT is not bulk) ∩
+    # the snapshot's tables (a body INSERT naming a non-corpus table
+    # must not KeyError the schemas lookup)
+    from mysql2pg_spark.sources.dumpfile import scan_dump_tables  # noqa: E501
+
+    known = {t.name.lower() for t in snap.tables}
     seeded = sorted(
-        {
-            mo.group(1).lower()
-            for line in open(dump_path)
-            if (mo := re.match(r"(?i)^\s*INSERT\s+INTO\s+`?(\w+)`?", line))
-        }
+        r.table.lower()
+        for r in scan_dump_tables(spark, dump_path).collect()
+        if r.table.lower() in known
     )
 
     con = duckdb.connect()
@@ -585,8 +587,14 @@ def _bench_corpus_migration(spark, tmpdir: str) -> dict:
     )
     obj_sec = time.perf_counter() - t0
 
-    data_cfg = _cfg("corpus_data.yml", {"tableddl": False,
-                                        "indexes": False})
+    # the data pass must disable EVERY object stage the first pass ran
+    # (defaults leave fkeys/users/table_privileges True) — otherwise
+    # they execute twice, the merged stage_sec silently overwrites the
+    # real timings, and corpus_objects double-counts
+    data_cfg = _cfg("corpus_data.yml", {
+        "tableddl": False, "indexes": False, "foreign_keys": False,
+        "users": False, "table_privileges": False,
+    })
     data_cfg.options.table_list = seeded
     data_cfg.options.use_table_list = True
     t0 = time.perf_counter()

@@ -107,8 +107,11 @@ def split_statements(text: str) -> list[str]:
 
 def mask_bodies(stmt: str) -> str:
     """Dollar-quoted bodies and string literals → placeholders, so
-    balance checks and MySQL-ism scans see only structural text."""
-    stmt = re.sub(r"\$\$.*?\$\$", "$$x$$", stmt, flags=re.S)
+    balance checks and MySQL-ism scans see only structural text. Any
+    ``$tag$`` quote form masks (tag-matched, like the splitter above) —
+    masking only bare ``$$`` would leave a tagged body's apostrophes
+    and keywords visible to the balance/ism scans."""
+    stmt = re.sub(r"\$(\w*)\$.*?\$\1\$", "$$x$$", stmt, flags=re.S)
     return re.sub(r"'(?:[^']|'')*'", "'x'", stmt)
 
 
@@ -125,7 +128,7 @@ def lint_ddl(text: str) -> list[str]:
             problems.append(f"unbalanced parentheses: {stmt[:80]!r}")
         if m.count("'") % 2:
             problems.append(f"unbalanced quotes: {stmt[:80]!r}")
-        if stmt.count("$$") % 2:
+        if len(re.findall(r"\$\w*\$", stmt)) % 2:
             problems.append(f"unbalanced dollar tags: {stmt[:80]!r}")
         for bad in MYSQL_ISMS:
             if bad in m.upper():

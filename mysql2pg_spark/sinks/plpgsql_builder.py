@@ -153,21 +153,13 @@ def _classify_assign_expr(expr: str) -> str | None:
 
 
 def _split_depth0(s: str) -> list[str]:
-    """Split on commas at paren depth 0 (masked text: literals carry no
-    commas). Shared by the SET-list and SELECT-INTO scans."""
-    out: list[str] = []
-    depth = 0
-    start = 0
-    for i, ch in enumerate(s):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            out.append(s[start:i])
-            start = i + 1
-    out.append(s[start:])
-    return out
+    """Depth-0 comma split for the SELECT-INTO scans — delegates to the
+    transpiler's shared splitter (one implementation to fix, not
+    three; the SET-list scan keeps its own inline walk because it
+    needs byte OFFSETS, which this API doesn't return)."""
+    from mysql2pg_spark.dialect.transpile import split_top_level
+
+    return split_top_level(s)
 
 
 def _infer_user_var_type(fname: str, var: str, body: str) -> str:
@@ -232,7 +224,25 @@ def _infer_user_var_type(fname: str, var: str, body: str) -> str:
         r"((?:@?\w+\s*,\s*)*@?\w+)",
         body,
     ):
-        exprs = _split_depth0(st.group(1))
+        # MySQL also allows the TRAILING form (SELECT exprs FROM t …
+        # INTO @a, @b) — cut the captured text at the first depth-0
+        # FROM so FROM/GROUP BY text never pairs with a target
+        expr_text = st.group(1)
+        depth = 0
+        low = expr_text.lower()
+        for i, ch in enumerate(expr_text):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and ch in " \t\n"
+                and re.match(r"\s+from\s", low[i:])
+            ):
+                expr_text = expr_text[:i]
+                break
+        exprs = _split_depth0(expr_text)
         targets = _split_depth0(st.group(2))
         for j, tgt in enumerate(targets):
             if tgt.strip().lower() == f"@{var.lower()}" and j < len(exprs):

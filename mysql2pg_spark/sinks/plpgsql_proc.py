@@ -818,43 +818,58 @@ class _Parser:
                 )
             return raw
         verb, table, mid, n = mo.groups()
-        # peel a trailing top-level ORDER BY off the middle (a depth-0
-        # scan — an ORDER BY inside a WHERE subquery is not the DML's)
+
+        def _depth0_kw(text: str, pattern: str) -> list[int]:
+            """Positions of whitespace-preceded top-level keyword
+            matches — a keyword inside a parenthesized subquery is not
+            the outer statement's clause."""
+            out: list[int] = []
+            depth = 0
+            low = text.lower()
+            for i, ch in enumerate(text):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and ch in " \t\n" and re.match(
+                    pattern, low[i:]
+                ):
+                    out.append(i)
+            return out
+
+        # peel a trailing top-level ORDER BY off the middle (an ORDER
+        # BY inside a WHERE subquery is not the DML's)
         order = None
-        depth = 0
-        opos = -1
-        low = mid.lower()
-        for i, ch in enumerate(mid):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif (
-                depth == 0
-                and ch in " \t\n"
-                and re.match(r"\s+order\s+by\s", low[i:])
-            ):
-                opos = i
-        if opos >= 0:
+        opos = _depth0_kw(mid, r"\s+order\s+by\s")
+        if opos:
             order = re.sub(
-                r"(?is)^\s*order\s+by\s+", "", mid[opos:]
+                r"(?is)^\s*order\s+by\s+", "", mid[opos[-1]:]
             ).strip()
-            mid = mid[:opos]
+            mid = mid[:opos[-1]]
         is_delete = verb.upper().startswith("DELETE")
         where = ""
         set_clause = ""
         if is_delete:
             where = mid.strip()
         else:
-            sm = re.match(r"(?is)^SET\s+(.*?)(?:\s+(WHERE\s+.*))?$",
-                          mid.strip())
-            if not sm:
+            stripped = mid.strip()
+            if not re.match(r"(?is)^SET\s", stripped):
                 raise ProcParseError(
                     f"function {self.fname}: cannot parse UPDATE … "
                     f"LIMIT statement: {raw[:80]!r}"
                 )
-            set_clause, where = sm.group(1), (sm.group(2) or "").strip()
-        if re.search(r"(?i)\b(JOIN|USING)\b", mid):
+            # split SET list from WHERE at the first TOP-LEVEL WHERE —
+            # a WHERE inside a parenthesized SET subexpression
+            # (SET x = (SELECT … WHERE …)) must stay in the SET clause
+            wpos = _depth0_kw(stripped, r"\s+where\s")
+            if wpos:
+                set_clause = stripped[3:wpos[0]].strip()
+                where = stripped[wpos[0]:].strip()
+            else:
+                set_clause = stripped[3:].strip()
+        if _depth0_kw(mid, r"\s+(join|using)\s"):
+            # top-level only: a JOIN inside a WHERE/SET subquery is
+            # still a single-table DML and rewrites fine
             raise ProcParseError(
                 f"function {self.fname}: multi-table DML with LIMIT "
                 "has no direct PostgreSQL analog — rewrite explicitly"

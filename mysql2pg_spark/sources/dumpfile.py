@@ -427,8 +427,23 @@ def dump_source_reader(path: str, schemas: dict[str, StructType | str]):
 def scan_dump_tables(spark: SparkSession, path: str) -> DataFrame:
     """Table inventory of a dump: (table, n_insert_lines). The A1-style
     catalog scan for file-based sources — one distributed pass over the
-    text, aggregate map-side combined."""
+    text, aggregate map-side combined. DELIMITER-section-aware (round
+    11): an ``INSERT INTO audit_log …`` line inside a routine/trigger
+    body is body text, not bulk — counting it would report a table as
+    seeded that has no data."""
     lines = spark.read.text(path)
+    delim_rows = _delim_directive_rows(spark, path)
+    if delim_rows:
+        mid = F.monotonically_increasing_id()
+        protected = F.lit(False)
+        for start, end in _protected_intervals(delim_rows):
+            c = mid >= F.lit(start)
+            if end != float("inf"):
+                c = c & (mid < F.lit(end))
+            protected = protected | c
+        lines = lines.withColumn("_prot", protected).filter(
+            ~F.col("_prot")
+        ).drop("_prot")
     tbl = F.regexp_extract(
         F.col("value"),
         r"(?i)^\s*(?:INSERT(?:\s+IGNORE)?|REPLACE)\s+INTO"
@@ -1152,8 +1167,20 @@ def _delim_directive_rows(spark: "SparkSession", path: str) -> list:
     import os as _os
 
     try:
-        st = _os.stat(path)
-        key = (_os.path.abspath(path), st.st_size, st.st_mtime_ns)
+        # plain files only: a directory's mtime doesn't change when a
+        # member is edited in place, so dir inputs skip the cache. The
+        # applicationId scopes entries to ONE session — the cached mids
+        # depend on that session's input-split planning.
+        if _os.path.isfile(path):
+            st = _os.stat(path)
+            key = (
+                spark.sparkContext.applicationId,
+                _os.path.abspath(path),
+                st.st_size,
+                st.st_mtime_ns,
+            )
+        else:
+            key = None
     except OSError:
         key = None  # glob/dir inputs: skip the cache, not the scan
     if key is not None and key in _DELIM_ROWS_CACHE:

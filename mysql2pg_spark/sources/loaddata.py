@@ -442,10 +442,14 @@ def load_data_source_reader(
 
     def reader(spark: SparkSession, plan: dict) -> DataFrame:
         if "specs" not in state:
+            # the orchestrator calls this reader from a thread pool:
+            # "specs" is the init sentinel, so it must be assigned LAST
+            # (a racing thread that sees it present must also see
+            # insert_tables; worst case both threads run the same
+            # idempotent init)
             by_table: dict[str, list[LoadDataSpec]] = {}
             for spec in load_data_specs(script_path, spark):
                 by_table.setdefault(spec.table.lower(), []).append(spec)
-            state["specs"] = by_table
             state["insert_tables"] = (
                 {
                     r.table.lower()
@@ -455,6 +459,7 @@ def load_data_source_reader(
                 else None  # no LOAD DATA anywhere: skip the scan,
                 # every table goes through the INSERT reader
             )
+            state["specs"] = by_table
         table = plan["table"]
         schema = schemas[table]
         parts: list[DataFrame] = []

@@ -340,10 +340,6 @@ def read_tab_dump(
             )
         return reader.csv(txt_path)
 
-    tr = spark.read
-    if line_term != "\n":
-        tr = tr.option("lineSep", line_term)
-    lines = tr.text(txt_path)
     if ignore_lines:
         # IGNORE n LINES is a per-FILE header skip; Spark orders file
         # splits by size (not path), so with multiple input files the
@@ -352,8 +348,19 @@ def read_tab_dump(
         # Refuse multi-file input outright rather than corrupt quietly.
         import glob as _glob
 
+        local = _re.sub(r"^file:(//)?", "", txt_path)
+        if _re.match(r"^[A-Za-z][\w+.-]*://", local):
+            # s3a:// / hdfs:// etc: this guard can only verify LOCAL
+            # paths, and an unverified multi-file input would skip
+            # lines from an arbitrary split — refuse rather than guess
+            raise ValueError(
+                f"IGNORE {ignore_lines} LINES needs a verifiable "
+                f"single LOCAL file; cannot inspect {txt_path!r} — "
+                "strip the header when staging, or read without "
+                "ignore_lines"
+            )
         files: list[str] = []
-        for m in _glob.glob(txt_path) or [txt_path]:
+        for m in _glob.glob(local):
             if os.path.isdir(m):
                 files += [
                     os.path.join(m, f)
@@ -368,6 +375,11 @@ def read_tab_dump(
                 f"file; {txt_path!r} resolves to {len(files)} — skip "
                 "headers per file before globbing them together"
             )
+    tr = spark.read
+    if line_term != "\n":
+        tr = tr.option("lineSep", line_term)
+    lines = tr.text(txt_path)
+    if ignore_lines:
         # single file: text-source splits are ordered by file offset
         # and ids within partition 0 start at 0, so the first
         # `ignore_lines` lines carry the smallest ids — valid whenever

@@ -544,3 +544,20 @@ def test_literal_quote_unquote_roundtrip(s):
 
     lit = quote_mysql_literal(s)
     assert unquote_mysql_literal(lit[1:-1]) == s
+
+
+def test_ignore_lines_refuses_remote_uri(spark):
+    """The single-file guard can only verify LOCAL paths — a remote
+    URI (s3a://, hdfs://) with IGNORE n LINES refuses instead of
+    silently trusting an unverifiable input (review r11)."""
+    with pytest.raises(ValueError, match="LOCAL"):
+        read_tab_dump(
+            spark, "s3a://bucket/t.txt", SCHEMA, ignore_lines=1
+        )
+
+
+def test_ignore_lines_refuses_missing_path(spark, tmp_path):
+    with pytest.raises(ValueError, match="resolves to 0"):
+        read_tab_dump(
+            spark, str(tmp_path / "nope.txt"), SCHEMA, ignore_lines=1
+        )

@@ -238,3 +238,19 @@ def test_split_statements_respects_tagged_quotes():
     stmts = split_statements(txt)
     assert len(stmts) == 2
     assert "RETURN 1;" in stmts[0] and stmts[1] == "SELECT 2"
+
+
+def test_mask_bodies_handles_tagged_quotes():
+    """review r11: the lint's mask must cover $tag$ bodies like the
+    splitter does — an unmasked tagged body's apostrophes and keywords
+    would false-flag the balance/MySQL-ism scans."""
+    from mysql2pg_spark.schema.ddl_lint import lint_ddl
+
+    txt = (
+        "CREATE OR REPLACE FUNCTION f(x integer)\nRETURNS integer\n"
+        "STABLE AS $fn$\nBEGIN\n    RETURN IFNULL_LEN(x);\nEND;\n"
+        "$fn$ LANGUAGE plpgsql"
+    )
+    # IFNULL_LEN is a (fake) identifier containing the MySQL-ism token
+    # IFNULL; with the body masked the scan must not see it
+    assert lint_ddl(txt) == []
