@@ -61,6 +61,11 @@ class TableMeta:
     foreign_keys: list = field(default_factory=list)  # FkSpec (r8)
     row_count: int = 0
     pk_bounds: tuple | None = None  # (lo, hi) for the leading numeric PK
+    # MySQL partition scheme header, e.g. "RANGE (year(`sold_on`))"
+    # (round 11): carried so the plan surfaces a named skip — PG
+    # declarative partitioning needs explicit per-partition DDL and a
+    # silent unpartition would change the operational profile
+    partition_clause: str | None = None
 
 
 @dataclass
@@ -259,6 +264,23 @@ class MigrationPipeline:
                 )
                 for c_ddl in comment_ddl(name, schema, t.comment):
                     actions.append(Action("tableddl", "ddl", name, c_ddl))
+                if getattr(t, "partition_clause", None):
+                    # round 11: MySQL partitioning surfaces as a named
+                    # skip — PG declarative partitioning requires the
+                    # parent to be CREATEd PARTITION BY plus explicit
+                    # per-partition DDL, and inventing partition bounds
+                    # would change pruning/maintenance behavior
+                    actions.append(Action(
+                        "tableddl",
+                        "skip",
+                        name,
+                        f"table {name} is partitioned in MySQL "
+                        f"(PARTITION BY {t.partition_clause}); created "
+                        "UNPARTITIONED here — data migrates fully, but "
+                        "recreate the partitioning with PostgreSQL "
+                        "declarative partition DDL if the operational "
+                        "profile needs it",
+                    ))
 
         if o.view:
             from mysql2pg_spark.dialect.transpile import transpile_mysql_ansi
@@ -742,6 +764,15 @@ class MigrationPipeline:
                 continue
             logger.stage_start(stage)
             _stage_t0 = _time.perf_counter()
+
+            # named skips (events, partition schemes, refused routines)
+            # reach the run log — a skip that only exists in plan()
+            # output is invisible on an execute()-driven migration
+            for a in stage_actions:
+                if a.kind == "skip":
+                    logger.info(
+                        f"skip [{stage}] {a.target}: {a.payload[:200]}"
+                    )
 
             ddls = [a for a in stage_actions if a.kind == "ddl"]
             for a in ddls:

@@ -719,12 +719,33 @@ def _parse_fk(text: str):
 #: standalone CREATE INDEX statements (the reference ships them in a
 #: separate create_index.sql; mysqldump can too via --no-data sections)
 _STANDALONE_IDX_RE = _re.compile(
-    r"(?i)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+`?([A-Za-z0-9_]+)`?\s+"
+    r"(?i)^\s*CREATE\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX\s+"
+    r"`?([A-Za-z0-9_]+)`?\s+"
     r"ON\s+`?([A-Za-z0-9_]+)`?\s*\(([^)]*)\)"
 )
 _KEY_RE = _re.compile(
-    r"(?i)^\s*(UNIQUE\s+)?KEY\s+`?([A-Za-z0-9_]+)`?\s+\(([^)]*)\)"
+    r"(?i)^\s*(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?KEY\s+"
+    r"`?([A-Za-z0-9_]+)`?\s+\(([^)]*)\)"
 )
+#: mysqldump emits partitioning as a /*!50100 …*/ conditional comment
+#: AFTER the closing paren; the header names the scheme + expression
+_PARTITION_RE = _re.compile(
+    # one nesting level inside the scheme's parens covers the common
+    # expressions (year(col), to_days(col), unix_timestamp(col))
+    r"(?i)\bPARTITION\s+BY\s+"
+    r"((?:LINEAR\s+)?\w+\s*(?:COLUMNS)?\s*"
+    r"\((?:[^()]|\([^()]*\))*\))"
+)
+
+
+def _key_kind(prefix: str | None) -> tuple[bool, str]:
+    """(unique, kind) from the captured UNIQUE/FULLTEXT/SPATIAL token."""
+    p = (prefix or "").strip().lower()
+    if p == "unique":
+        return True, "btree"
+    if p in ("fulltext", "spatial"):
+        return False, p
+    return False, "btree"
 _COMMENT_RE = _re.compile(r"(?i)COMMENT\s+'((?:[^']|'')*)'")
 _DEFAULT_RE = _re.compile(r"(?i)DEFAULT\s+('(?:[^']|'')*'|[A-Za-z0-9_.+-]+)")
 
@@ -795,7 +816,11 @@ def _ddl_lines(spark: SparkSession, path: str) -> list[str]:
         & ~low.startswith("insert ignore into")
         & ~low.startswith("replace into")
         & ~low.startswith("--")
-        & ~low.startswith("/*")
+        # /*!NNNNN …*/ header directives drop — EXCEPT the partition
+        # scheme, which mysqldump emits ONLY inside such a comment
+        # (round 11: it must reach the parser to surface as a named
+        # skip instead of vanishing)
+        & (~low.startswith("/*") | low.contains("partition by"))
         & (F.trim(F.col("value")) != "")
     )
     return [r.value for r in ddl.sort("mid").collect()]
@@ -849,13 +874,15 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
         if idx:
             kcols = _key_cols(idx.group(4))
             if kcols:
+                uq, kind = _key_kind(idx.group(1))
                 standalone.append(
                     (
                         idx.group(3),
                         IndexSpec(
                             name=idx.group(2),
                             columns=kcols,
-                            unique=bool(idx.group(1)),
+                            unique=uq,
+                            kind=kind,
                         ),
                     )
                 )
@@ -865,6 +892,13 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             cur = TableMeta(name=m.group(1), columns=[])
             continue
         if cur is None:
+            # mysqldump emits PARTITION BY inside a /*!50100 …*/
+            # comment AFTER the table's closing paren — attach the
+            # scheme to the just-closed table so the planner can
+            # surface it (never silently unpartition a table)
+            pm = _PARTITION_RE.search(line)
+            if pm and tables:
+                tables[-1].partition_clause = pm.group(1).strip()
             continue
         if line.lstrip().startswith(")"):
             tables.append(cur)
@@ -881,11 +915,13 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
         if key:
             kcols = _key_cols(key.group(3))
             if kcols:  # functional-index expressions degrade to a skip
+                uq, kind = _key_kind(key.group(1))
                 cur.indexes.append(
                     IndexSpec(
                         name=key.group(2),
                         columns=kcols,
-                        unique=bool(key.group(1)),
+                        unique=uq,
+                        kind=kind,
                     )
                 )
             continue
@@ -1391,7 +1427,8 @@ def convert_temp_table_stmt(stmt: str) -> list[str]:
 _ALTER_RE = _re.compile(r"(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(.+)$")
 _ALTER_ADD_PK = _re.compile(r"(?is)^ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)$")
 _ALTER_ADD_KEY = _re.compile(
-    r"(?is)^ADD\s+(UNIQUE\s+)?(?:KEY|INDEX)\s+`?(\w+)`?\s*\(([^)]*)\)$"
+    r"(?is)^ADD\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:KEY|INDEX)\s+"
+    r"`?(\w+)`?\s*\(([^)]*)\)$"
 )
 _ALTER_MODIFY = _re.compile(r"(?is)^MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(.+)$")
 _ALTER_TBLOPT = _re.compile(r"(?is)^AUTO_INCREMENT\s*=\s*\d+$")
@@ -1449,10 +1486,12 @@ def apply_alter_statements(snap, schema_text: str) -> None:
                 if kcols:
                     from mysql2pg_spark.sinks.ddl import IndexSpec
 
+                    uq, kind = _key_kind(key.group(1))
                     t.indexes.append(IndexSpec(
                         name=key.group(2),
                         columns=kcols,
-                        unique=bool(key.group(1)),
+                        unique=uq,
+                        kind=kind,
                     ))
                 else:
                     _log.warning(

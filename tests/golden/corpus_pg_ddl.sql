@@ -1322,6 +1322,8 @@ CREATE INDEX IF NOT EXISTS case_40_default_idx_case40_email ON case_40_default (
 
 CREATE INDEX IF NOT EXISTS case_40_default_idx_case40_id_name ON case_40_default (id, name);
 
+CREATE INDEX IF NOT EXISTS case_42_fulltext_ft_title_content ON case_42_fulltext USING GIN (to_tsvector('simple', coalesce(title::text, '') || ' ' || coalesce(content::text, '')));
+
 CREATE INDEX IF NOT EXISTS case_48_index_types_idx_name_btree ON case_48_index_types (name);
 
 CREATE INDEX IF NOT EXISTS case_48_index_types_idx_value_hash ON case_48_index_types (value);

@@ -945,3 +945,68 @@ def test_gzip_dump_all_paths(spark, tmp_path):
     ])
     rows = read_dump_inserts(spark, str(p), "t", sch).collect()
     assert sorted((r.id, r.v) for r in rows) == [(1, "a"), (2, "b")]
+
+
+def test_fulltext_spatial_partition_surface(spark, tmp_path):
+    """FULLTEXT/SPATIAL keys and the /*!50100 PARTITION BY clause were
+    silently dropped from dump snapshots (round 11): keys now carry
+    their kind and emit the standard PG access methods (GIN tsvector /
+    GiST); the partition scheme attaches to its table and the plan
+    surfaces it as a named skip."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.sinks.ddl import create_index_ddl
+    from mysql2pg_spark.sources.dumpfile import full_snapshot_from_dump
+
+    p = tmp_path / "d.sql"
+    p.write_text(
+        "CREATE TABLE `articles` (\n"
+        "  `id` int NOT NULL AUTO_INCREMENT,\n"
+        "  `title` varchar(200) DEFAULT NULL,\n"
+        "  `body` text,\n"
+        "  `loc` point NOT NULL,\n"
+        "  PRIMARY KEY (`id`),\n"
+        "  FULLTEXT KEY `ft_body` (`title`,`body`),\n"
+        "  SPATIAL KEY `sp_loc` (`loc`)\n"
+        ") ENGINE=InnoDB;\n"
+        "CREATE TABLE `sales` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `sold_on` date NOT NULL,\n"
+        "  PRIMARY KEY (`id`,`sold_on`)\n"
+        ") ENGINE=InnoDB\n"
+        "/*!50100 PARTITION BY RANGE (year(`sold_on`))\n"
+        "(PARTITION p2023 VALUES LESS THAN (2024) ENGINE = InnoDB,\n"
+        " PARTITION p2024 VALUES LESS THAN (2025) ENGINE = InnoDB) */;\n"
+        "ALTER TABLE `articles` ADD FULLTEXT KEY `ft_title` (`title`);\n"
+    )
+    snap = full_snapshot_from_dump(spark, str(p))
+    arts = next(t for t in snap.tables if t.name == "articles")
+    kinds = {i.name: i.kind for i in arts.indexes}
+    assert kinds == {
+        "ft_body": "fulltext", "sp_loc": "spatial", "ft_title": "fulltext"
+    }
+    sales = next(t for t in snap.tables if t.name == "sales")
+    assert sales.partition_clause == "RANGE (year(`sold_on`))"
+    assert arts.partition_clause is None
+
+    ft = create_index_ddl("articles", arts.indexes[0])
+    assert 'USING GIN (to_tsvector(\'simple\', ' in ft
+    assert "coalesce(title::text, '')" in ft
+    sp = create_index_ddl(
+        "articles", next(i for i in arts.indexes if i.kind == "spatial")
+    )
+    assert "USING GIST (loc)" in sp
+
+    actions = MigrationPipeline(EngineConfig(), snap).plan()
+    part_skips = [
+        a for a in actions
+        if a.stage == "tableddl" and a.kind == "skip"
+    ]
+    assert len(part_skips) == 1 and part_skips[0].target == "sales"
+    assert "PARTITION BY RANGE" in part_skips[0].payload
+    idx_ddl = [
+        a.payload for a in actions
+        if a.stage == "indexes" and "articles" in a.payload
+    ]
+    assert any("USING GIN" in d for d in idx_ddl)
+    assert any("USING GIST" in d for d in idx_ddl)
