@@ -51,10 +51,13 @@ def columns_query(database: str) -> str:
 
 
 def indexes_query(database: str) -> str:
-    """A6: index columns ordered by seq_in_index (metadata.go:295-344)."""
+    """A6: index columns ordered by seq_in_index (metadata.go:295-344).
+    ``index_type`` (BTREE/FULLTEXT/SPATIAL/HASH) rides along so the
+    emitter can map non-btree classes to GIN/GiST (round 11) instead of
+    flattening everything to btree."""
     return (
         "(SELECT table_name, index_name, column_name, seq_in_index, "
-        "non_unique FROM information_schema.statistics "
+        "non_unique, index_type FROM information_schema.statistics "
         f"WHERE table_schema = '{database}' "
         "ORDER BY table_name, index_name, seq_in_index) i"
     )
@@ -132,7 +135,16 @@ def group_indexes(rows: list[dict]) -> dict[str, list[IndexSpec]]:
             continue
         key = (r["table_name"], r["index_name"])
         if key not in current:
-            spec = IndexSpec(r["index_name"], [], not r["non_unique"])
+            itype = str(r.get("index_type") or "BTREE").lower()
+            spec = IndexSpec(
+                r["index_name"],
+                [],
+                not r["non_unique"],
+                # HASH (MEMORY engine) has no PG hash-worthy semantics
+                # worth preserving — btree covers it; FULLTEXT/SPATIAL
+                # map to GIN/GiST in create_index_ddl (round 11)
+                kind=itype if itype in ("fulltext", "spatial") else "btree",
+            )
             current[key] = spec
             out.setdefault(r["table_name"], []).append(spec)
         current[key].columns.append(r["column_name"])

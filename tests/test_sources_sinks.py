@@ -339,3 +339,23 @@ def test_write_dbapi_foreachpartition_executor_side(spark, tmp_path):
         max_batch = max(max_batch, len(d["rows"]))
     assert sorted(rows) == sorted((i, f"v{i}") for i in range(100))
     assert max_batch <= 30
+
+
+def test_group_indexes_carries_index_type():
+    """A6 (round 11): information_schema.statistics' index_type rides
+    into IndexSpec.kind so live-catalog FULLTEXT/SPATIAL indexes map to
+    GIN/GiST like dump-parsed ones."""
+    from mysql2pg_spark.sources.catalog import group_indexes
+
+    rows = [
+        {"table_name": "t", "index_name": "ft", "column_name": "body",
+         "seq_in_index": 1, "non_unique": 1, "index_type": "FULLTEXT"},
+        {"table_name": "t", "index_name": "sp", "column_name": "loc",
+         "seq_in_index": 1, "non_unique": 1, "index_type": "SPATIAL"},
+        {"table_name": "t", "index_name": "h", "column_name": "k",
+         "seq_in_index": 1, "non_unique": 1, "index_type": "HASH"},
+    ]
+    specs = {i.name: i for i in group_indexes(rows)["t"]}
+    assert specs["ft"].kind == "fulltext"
+    assert specs["sp"].kind == "spatial"
+    assert specs["h"].kind == "btree"  # MEMORY-engine HASH → btree
