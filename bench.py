@@ -593,6 +593,7 @@ def _bench_corpus_migration(spark, tmpdir: str) -> dict:
     # real timings, and corpus_objects double-counts
     data_cfg = _cfg("corpus_data.yml", {
         "tableddl": False, "indexes": False, "foreign_keys": False,
+        "check_constraints": False,
         "users": False, "table_privileges": False,
     })
     data_cfg.options.table_list = seeded

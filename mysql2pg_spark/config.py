@@ -65,6 +65,7 @@ class ConversionOptions:
     functions: bool = False
     triggers: bool = False
     foreign_keys: bool = True  # r8: reference drops FKs; we keep them
+    check_constraints: bool = True  # r11: MySQL 8 CHECKs, post-data
     users: bool = True
     table_privileges: bool = True
     lowercase_columns: bool = True

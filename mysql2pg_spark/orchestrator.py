@@ -66,6 +66,8 @@ class TableMeta:
     # declarative partitioning needs explicit per-partition DDL and a
     # silent unpartition would change the operational profile
     partition_clause: str | None = None
+    # MySQL 8 CHECK constraints (round 11): (name|None, expr, enforced)
+    checks: list = field(default_factory=list)
 
 
 @dataclass
@@ -100,6 +102,7 @@ STAGE_ORDER = (
     "sequences",
     "indexes",
     "fkeys",
+    "checks",
     "functions",
     "triggers",
     "events",
@@ -383,6 +386,44 @@ class MigrationPipeline:
                     actions.append(
                         Action("fkeys", "ddl", name, add_fk_ddl(name, nfk))
                     )
+
+        if getattr(o, "check_constraints", True):
+            # round 11, beyond-reference: MySQL 8 CHECK constraints
+            # (the reference has no CHECK pass at all). ENFORCED →
+            # post-data ALTER … ADD CONSTRAINT (FK pattern: one
+            # set-based validation; data MySQL would have rejected
+            # fails VISIBLY). NOT ENFORCED → named skip: PG's closest
+            # form, NOT VALID, still enforces new rows — emitting it
+            # would reject writes MySQL accepts.
+            from mysql2pg_spark.sinks.ddl import add_check_ddl
+            from mysql2pg_spark.sinks.plpgsql_builder import (
+                rewrite_mysql_expr_to_pg,
+            )
+
+            for t in tables:
+                name = self._norm(t.name)
+                for cname, expr, enforced in getattr(t, "checks", []):
+                    if not enforced:
+                        actions.append(Action(
+                            "checks",
+                            "skip",
+                            name,
+                            f"CHECK {cname or expr[:40]!r} is NOT "
+                            "ENFORCED in MySQL (documentation-only); "
+                            "PostgreSQL's NOT VALID still enforces new "
+                            "rows — not migrated",
+                        ))
+                        continue
+                    actions.append(Action(
+                        "checks",
+                        "ddl",
+                        name,
+                        add_check_ddl(
+                            name,
+                            cname.lower() if cname else None,
+                            rewrite_mysql_expr_to_pg(expr),
+                        ),
+                    ))
 
         if o.functions:
             from mysql2pg_spark.sinks.plpgsql import emit_plpgsql

@@ -679,6 +679,13 @@ _PK_RE = _re.compile(r"(?i)^\s*PRIMARY\s+KEY\s+\(([^)]*)\)")
 _FK_START_RE = _re.compile(
     r"(?i)^\s*(?:CONSTRAINT\s+`?\w+`?\s+)?FOREIGN\s+KEY\b"
 )
+#: MySQL 8 CHECK constraint line (round 11): optional CONSTRAINT name,
+#: greedy expr to the LAST closing paren before the optional
+#: [NOT] ENFORCED suffix and trailing comma
+_CHECK_RE = _re.compile(
+    r"(?i)^\s*(?:CONSTRAINT\s+`?(\w+)`?\s+)?CHECK\s*\((.*)\)"
+    r"\s*(NOT\s+ENFORCED|ENFORCED)?\s*,?\s*$"
+)
 _FK_RE = _re.compile(
     r"(?is)^\s*(?:CONSTRAINT\s+`?(\w+)`?\s+)?FOREIGN\s+KEY\s*"
     r"\(([^)]*)\)\s*REFERENCES\s+`?(\w+)`?\s*\(([^)]*)\)\s*(.*)$"
@@ -910,6 +917,19 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             continue
         if _FK_START_RE.match(line):
             fk_buf.append(line.rstrip().rstrip(","))
+            continue
+        chk = _CHECK_RE.match(line)
+        if chk:
+            # (name, expr, enforced): MySQL 8 CHECK constraints were
+            # silently dropped before round 11 — the reference has no
+            # CHECK pass at all; the planner emits ENFORCED ones as
+            # post-data ALTER … ADD CONSTRAINT (FK pattern) and
+            # surfaces NOT ENFORCED as named skips
+            cur.checks.append((
+                chk.group(1),
+                chk.group(2).strip(),
+                "NOT" not in (chk.group(3) or "").upper(),
+            ))
             continue
         key = _KEY_RE.match(line)
         if key:

@@ -1332,6 +1332,12 @@ CREATE INDEX IF NOT EXISTS case_48_index_types_idx_value_hash ON case_48_index_t
 
 ALTER TABLE case_41_foreign_key ADD CONSTRAINT case_41_foreign_key_ibfk_parent_id FOREIGN KEY (parent_id) REFERENCES case_41_parent (id) ON DELETE CASCADE ON UPDATE SET NULL;
 
+-- ==== stage: checks ====
+
+ALTER TABLE case_27_mysql8_check ADD CONSTRAINT chk_age CHECK (age > 18);
+
+-- SKIP [case_27_mysql8_check]: CHECK 'age < 150' is NOT ENFORCED in MySQL (documentation-only); PostgreSQL's NOT VALID still enforc
+
 -- ==== stage: functions ====
 
 CREATE OR REPLACE FUNCTION get_joined_data(p_id INTEGER)

@@ -1010,3 +1010,39 @@ def test_fulltext_spatial_partition_surface(spark, tmp_path):
     ]
     assert any("USING GIN" in d for d in idx_ddl)
     assert any("USING GIST" in d for d in idx_ddl)
+
+
+def test_check_constraints_surface(spark, tmp_path):
+    """MySQL 8 CHECK constraints (round 11): ENFORCED ones emit as
+    post-data ALTER ... ADD CONSTRAINT CHECK in their own stage; NOT
+    ENFORCED ones surface as named skips (PG NOT VALID still enforces
+    new rows). Previously both vanished."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.sources.dumpfile import full_snapshot_from_dump
+
+    p = tmp_path / "c.sql"
+    p.write_text(
+        "CREATE TABLE `people` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `age` int DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`),\n"
+        "  CONSTRAINT `chk_age` CHECK ((`age` > 18)) ENFORCED,\n"
+        "  CHECK ((`age` < 150)) NOT ENFORCED\n"
+        ");\n"
+    )
+    snap = full_snapshot_from_dump(spark, str(p))
+    (t,) = snap.tables
+    assert t.checks == [
+        ("chk_age", "(`age` > 18)", True),
+        (None, "(`age` < 150)", False),
+    ]
+    actions = MigrationPipeline(EngineConfig(), snap).plan()
+    chk = [a for a in actions if a.stage == "checks"]
+    assert len(chk) == 2
+    ddl = next(a for a in chk if a.kind == "ddl")
+    assert ddl.payload == (
+        'ALTER TABLE people ADD CONSTRAINT chk_age CHECK (("age" > 18))'
+    )
+    skip = next(a for a in chk if a.kind == "skip")
+    assert "NOT" in skip.payload and "not migrated" in skip.payload
