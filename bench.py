@@ -1312,7 +1312,17 @@ def main() -> None:
             extras["migration_pipeline_error"] = str(e)[:120]
         try:
             _section_canary("corpus")
-            extras.update(_bench_corpus_migration(spark, td))
+            # the corpus bench costs ~30-60 s; on a loaded container it
+            # must not starve the scale step (whose gates the artifact
+            # contract promises) into a watchdog truncation — skip with
+            # a visible marker when the wall is already tight
+            _left = wall_budget - (time.perf_counter() - wall_start)
+            if _left < 500:
+                extras["corpus_migration_skipped"] = (
+                    f"wall pressure ({_left:.0f}s left)"
+                )
+            else:
+                extras.update(_bench_corpus_migration(spark, td))
         except Exception as e:
             extras["corpus_migration_error"] = str(e)[:160]
         try:
@@ -1345,8 +1355,12 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
             # the scale section gets at most its own budget AND at most
             # the wall time still left (minus a margin for the emit), so
-            # the normal path always finishes ahead of the watchdog
-            remaining = wall_budget - (time.perf_counter() - wall_start) - 60
+            # the normal path always finishes ahead of the watchdog.
+            # Margin 120 s (round 11, was 60): the budget check runs
+            # BETWEEN sub-steps, so one long sub-step can overshoot —
+            # a 60 s margin let the watchdog fire mid-scale on a loaded
+            # container and the artifact lost its scale gates entirely
+            remaining = wall_budget - (time.perf_counter() - wall_start) - 120
             budget = min(
                 float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "900")),
                 max(0.0, remaining),
