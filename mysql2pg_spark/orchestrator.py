@@ -49,6 +49,12 @@ class ColumnMeta:
     default: str | None = None
     comment: str | None = None
     auto_increment: bool = False
+    # GENERATED ALWAYS AS (expr) [STORED|VIRTUAL] (round 11): the raw
+    # MySQL expression; None = a plain column. mysqldump excludes
+    # generated columns from INSERT bulk, so dropping the clause used
+    # to leave a permanently-NULL plain column in the target.
+    generated_expr: str | None = None
+    generated_stored: bool = False
 
 
 @dataclass
@@ -235,6 +241,7 @@ class MigrationPipeline:
                     c.default,
                     c.comment,
                     c.auto_increment,
+                    getattr(c, "generated_expr", None),
                 )
                 for c in t.columns
             ]
@@ -924,6 +931,18 @@ class MigrationPipeline:
                     meta = meta_by_name.get(a.target)
                     if meta is not None:
                         df = self._value_fix_transform(meta)(df)
+                        # generated columns never reach the sink
+                        # (round 11): the target computes them, and PG
+                        # rejects INSERTs that name them. mysqldump
+                        # omits their values anyway (the reader yields
+                        # NULLs); tab/OUTFILE sources carry values but
+                        # the recomputation is definitionally identical.
+                        gen = [
+                            c.name for c in meta.columns
+                            if getattr(c, "generated_expr", None)
+                        ]
+                        if gen:
+                            df = df.drop(*[self._norm(g) for g in gen])
                     # D3 source checksum rides the write action itself via
                     # df.observe() — the source is scanned exactly ONCE.
                     from mysql2pg_spark.operators.validate import (
@@ -998,6 +1017,14 @@ class MigrationPipeline:
                     meta = meta_by_name.get(a.target)
                     if meta is not None:
                         src = self._value_fix_transform(meta)(src)
+                        gen = [
+                            self._norm(c.name) for c in meta.columns
+                            if getattr(c, "generated_expr", None)
+                        ]
+                        if gen:
+                            # the target computed these; the source
+                            # reader yields NULLs for them (round 11)
+                            src = src.drop(*gen)
                     shared = [c for c in src.columns if c in set(dst.columns)]
                     validation[a.target] = checksum_validation(
                         src.select(*shared), dst.select(*shared)
@@ -1063,9 +1090,21 @@ class MigrationPipeline:
         # at 100 TB the validate stage never pays a second source pass.
         src_sums: dict[str, tuple[dict, list[str]]] = {}
 
+        meta_by_target = {
+            self._norm(t.name): t for t in self.snapshot.tables
+        }
+
         def sync_one(action: Action) -> tuple[str, int]:
             src_table = action.payload["table"]
             df = source_loader(src_table)
+            meta = meta_by_target.get(action.target)
+            if meta is not None:
+                gen = [
+                    self._norm(c.name) for c in meta.columns
+                    if getattr(c, "generated_expr", None)
+                ]
+                if gen:  # the target computes these (round 11)
+                    df = df.drop(*gen)
             # checksum string/int columns only (cross-source float text
             # rendering is the caller's concern; see operators/validate)
             cols = [

@@ -200,9 +200,13 @@ def struct_field_for(
     default: str | None = None,
     comment: str | None = None,
     auto_increment: bool = False,
+    generated_expr: str | None = None,
 ) -> StructField:
     """Build the engine-side StructField carrying sink metadata (the Spark
-    analog of ColumnInfo, metadata.go:21-27)."""
+    analog of ColumnInfo, metadata.go:21-27). ``generated_expr`` is the
+    raw MySQL GENERATED ALWAYS AS expression (round 11); the DDL
+    emitter rewrites it to PG and the data stage excludes the column
+    from the sink write (PG computes it)."""
     mapping = map_mysql_type(mysql_type, auto_increment)
     metadata: dict = {"mysql_type": mysql_type, "pg_type": mapping.pg_type}
     if default is not None:
@@ -211,4 +215,6 @@ def struct_field_for(
         metadata["comment"] = comment
     if mapping.notes:
         metadata["notes"] = mapping.notes
+    if generated_expr:
+        metadata["generated_mysql"] = generated_expr
     return StructField(name, mapping.spark_type, nullable, metadata)

@@ -105,6 +105,43 @@ def create_table_ddl(
     """CREATE TABLE from engine schema. Column PG types come from
     StructField.metadata['pg_type'] (set by schema_map.struct_field_for);
     defaults and NOT NULL are carried from metadata."""
+    # PG generated expressions, chained references expanded: PG (and
+    # DuckDB) forbid a generated column referencing ANOTHER generated
+    # column (MySQL allows it, e.g. c3 AS (c1 + c2) where c2 is itself
+    # generated), so references substitute the referenced expression
+    # inline — same semantics, legal everywhere (round 11)
+    import re as _re
+
+    gen_pg: dict[str, str] = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get("generated_mysql")
+        if expr:
+            from mysql2pg_spark.sinks.plpgsql_builder import (
+                rewrite_mysql_expr_to_pg,
+            )
+
+            gen_pg[f.name] = rewrite_mysql_expr_to_pg(expr)
+
+    def _inline_refs(expr: str, skip: str) -> str:
+        for other, oexpr in gen_pg.items():
+            if other == skip:
+                continue
+            # both spellings a rewritten expression can carry: the
+            # quoted form ("c2", from backticks) and the bare word
+            expr = expr.replace(f'"{other}"', f"({oexpr})")
+            expr = _re.sub(
+                rf"(?i)(?<![\w.\"]){_re.escape(other)}(?![\w\"])",
+                f"({oexpr})",
+                expr,
+            )
+        return expr
+
+    for _ in range(len(gen_pg)):
+        new_map = {n: _inline_refs(e, n) for n, e in gen_pg.items()}
+        if new_map == gen_pg:
+            break
+        gen_pg = new_map
+
     cols = []
     for f in schema.fields:
         md = f.metadata or {}
@@ -118,9 +155,14 @@ def create_table_ddl(
                     "BIGSERIAL": "BIGINT"}[pg_type]
             pg_type = f"{base} GENERATED BY DEFAULT AS IDENTITY"
         parts = [quote_pg(f.name), pg_type]
+        if f.name in gen_pg:
+            # MySQL VIRTUAL maps to STORED too: PG has no virtual
+            # generated columns (v17); the expression — and therefore
+            # every read — is identical, only storage differs
+            parts.append(f"GENERATED ALWAYS AS ({gen_pg[f.name]}) STORED")
         if not f.nullable:
             parts.append("NOT NULL")
-        if "default" in md:
+        if "default" in md and f.name not in gen_pg:
             parts.append(f"DEFAULT {default_sql(md['default'])}")
         cols.append("  " + " ".join(parts))
     if primary_key:
@@ -283,6 +325,11 @@ def adapt_ddl(sql: str, dialect: str = "postgres") -> str | None:
         r"\b(DECIMAL|NUMERIC)\s*\((\d+)(?:,\s*\d+)?\)", _clamp_decimal, out
     )
     out = out.replace(" GENERATED BY DEFAULT AS IDENTITY", "")
+    # DuckDB generated columns are VIRTUAL-only: drop the STORED
+    # keyword (the expression — and every read — is identical). In the
+    # emitted PG DDL the token ") STORED" occurs only after a generated
+    # expression (literals are masked here), so a flat sub is exact.
+    out = _re.sub(r"\)\s+STORED\b", ")", out)
     return unmask_literals(out, _lits)
 
 

@@ -404,6 +404,10 @@ def rewrite_mysql_expr_to_pg(expr: str) -> str:
     surgery inside nested calls."""
     s, lits = mask_literals(expr)
     s = s.replace("`", '"')
+    # charset introducers (_utf8mb3'…', _binary'…', N'…') are MySQL
+    # spelling with no PG analog — the literal itself is the value
+    # (round 11: generated-column expressions in real dumps carry them)
+    s = re.sub(r"(?:\b[Nn]|_\w+)\s*(?=\x00L\d+\x00)", "", s)
     s = rewrite_call(
         s, "IFNULL", lambda a: f"COALESCE({a[0]}, {a[1]})"
     )

@@ -55,6 +55,9 @@ def render_mysql_create(table) -> str:
     lines: list[str] = []
     for c in table.columns:
         piece = f"  `{c.name}` {c.column_type}"
+        if getattr(c, "generated_expr", None):
+            kind = "STORED" if c.generated_stored else "VIRTUAL"
+            piece += f" GENERATED ALWAYS AS ({c.generated_expr}) {kind}"
         if not c.nullable:
             piece += " NOT NULL"
         if c.default is not None:

@@ -757,6 +757,33 @@ _COMMENT_RE = _re.compile(r"(?i)COMMENT\s+'((?:[^']|'')*)'")
 _DEFAULT_RE = _re.compile(r"(?i)DEFAULT\s+('(?:[^']|'')*'|[A-Za-z0-9_.+-]+)")
 
 
+def _extract_generated(rest: str) -> tuple[str | None, bool, str]:
+    """Pull a ``[GENERATED ALWAYS] AS (expr) [STORED|VIRTUAL]`` clause
+    out of a column-definition tail (balanced-paren scan — generated
+    expressions nest freely). Returns (expr, stored, remainder); the
+    clause is REMOVED from the remainder so NOT NULL / DEFAULT
+    detection can't false-match text inside the expression."""
+    gm = _re.search(r"(?i)\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", rest)
+    if not gm:
+        return None, False, rest
+    depth = 0
+    start = rest.index("(", gm.start())
+    for k in range(start, len(rest)):
+        if rest[k] == "(":
+            depth += 1
+        elif rest[k] == ")":
+            depth -= 1
+            if depth == 0:
+                expr = rest[start + 1 : k]
+                tail = rest[k + 1 :]
+                sm = _re.match(r"(?i)\s*(STORED|VIRTUAL)\b", tail)
+                stored = bool(sm and sm.group(1).upper() == "STORED")
+                if sm:
+                    tail = tail[sm.end():]
+                return expr.strip(), stored, rest[: gm.start()] + " " + tail
+    return None, False, rest  # unbalanced — leave untouched
+
+
 def _strip_line_comment(s: str) -> str:
     """Drop a trailing ``--`` / ``#`` line comment, quote-aware (a
     ``--`` inside a quoted default literal is data, not a comment).
@@ -959,6 +986,9 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             # fabricate a default / serial column (caught by the golden
             # corpus DDL: case_11's commented columns emitted SERIAL)
             rest_nc = _strip_line_comment(_COMMENT_RE.sub("", rest))
+            # generated clause first: its expression could contain text
+            # that NOT NULL / DEFAULT detection would false-match
+            gen_expr, gen_stored, rest_nc = _extract_generated(rest_nc)
             default = _DEFAULT_RE.search(rest_nc)
             dflt = None
             if default:
@@ -980,6 +1010,8 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                     if comment
                     else None,
                     auto_increment="AUTO_INCREMENT" in rest_nc.upper(),
+                    generated_expr=gen_expr,
+                    generated_stored=gen_stored,
                 )
             )
     by_name = {t.name: t for t in tables}
@@ -1084,6 +1116,7 @@ def dump_read_schemas(snapshot) -> dict[str, StructType]:
                     c.default,
                     c.comment,
                     c.auto_increment,
+                    getattr(c, "generated_expr", None),
                 )
                 for c in t.columns
             ]

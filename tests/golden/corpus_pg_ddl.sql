@@ -150,7 +150,7 @@ CREATE TABLE IF NOT EXISTS case_20_constraints (
 CREATE TABLE IF NOT EXISTS case_21_virtual (
   id INTEGER,
   c1 INTEGER,
-  c2 INTEGER
+  c2 INTEGER GENERATED ALWAYS AS (c1 + 1) STORED
 );
 
 CREATE TABLE IF NOT EXISTS case_22_spatial (
@@ -228,7 +228,7 @@ CREATE TABLE IF NOT EXISTS case_31_sys_utf8mb3 (
 
 CREATE TABLE IF NOT EXISTS case_32_complex_generated (
   cost_name VARCHAR(64) NOT NULL,
-  default_value REAL
+  default_value REAL GENERATED ALWAYS AS ((case cost_name when 'io_block_read_cost' then 1.0 else NULL end)) STORED
 );
 
 CREATE TABLE IF NOT EXISTS case_33_desc_index (
@@ -321,8 +321,8 @@ CREATE TABLE IF NOT EXISTS case_44_composite_pk (
 CREATE TABLE IF NOT EXISTS case_45_stored_generated (
   id INTEGER,
   c1 INTEGER,
-  c2 INTEGER,
-  c3 INTEGER
+  c2 INTEGER GENERATED ALWAYS AS (c1 * 2) STORED,
+  c3 INTEGER GENERATED ALWAYS AS (c1 + (c1 * 2)) STORED
 );
 
 CREATE TABLE IF NOT EXISTS case_46_myisam (
@@ -388,8 +388,8 @@ CREATE TABLE IF NOT EXISTS case_59_complex_generated (
   price DECIMAL(10,2),
   quantity INTEGER,
   discount DECIMAL(5,2),
-  subtotal DECIMAL(12,2),
-  total DECIMAL(12,2),
+  subtotal DECIMAL(12,2) GENERATED ALWAYS AS ((price * quantity)) STORED,
+  total DECIMAL(12,2) GENERATED ALWAYS AS ((price * quantity) * (1 - discount / 100)) STORED,
   formatted_total VARCHAR(50)
 );
 

@@ -1046,3 +1046,90 @@ def test_check_constraints_surface(spark, tmp_path):
     )
     skip = next(a for a in chk if a.kind == "skip")
     assert "NOT" in skip.payload and "not migrated" in skip.payload
+
+
+def test_generated_columns_surface(spark, tmp_path):
+    """GENERATED ALWAYS AS columns (round 11): previously the clause
+    was silently dropped — the migrated table got a plain column that
+    stayed NULL forever (mysqldump omits generated values from INSERT
+    bulk). Now: the parser captures expression + STORED/VIRTUAL, the
+    PG DDL emits GENERATED ALWAYS AS … STORED with chained references
+    inlined (PG forbids generated-on-generated), the data stage never
+    writes them, and a real DuckDB migration computes them."""
+    import duckdb
+
+    from mysql2pg_spark.config import load_config
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.runlog import RunLogger
+    from mysql2pg_spark.sinks.dbapi_sink import make_dbapi_writer
+    from mysql2pg_spark.sources.dumpfile import (
+        dump_read_schemas,
+        full_snapshot_from_dump,
+        read_dump_inserts,
+    )
+    import yaml
+
+    p = tmp_path / "g.sql"
+    p.write_text(
+        "CREATE TABLE `items` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `c1` int DEFAULT NULL,\n"
+        "  `c2` int GENERATED ALWAYS AS (`c1` * 2) STORED,\n"
+        "  `c3` int GENERATED ALWAYS AS (`c1` + `c2`) VIRTUAL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ");\n"
+        "INSERT INTO `items` (`id`, `c1`) VALUES (1,10),(2,7);\n"
+    )
+    snap = full_snapshot_from_dump(spark, str(p))
+    (t,) = snap.tables
+    by = {c.name: c for c in t.columns}
+    assert by["c2"].generated_expr == "`c1` * 2" and by["c2"].generated_stored
+    assert by["c3"].generated_expr == "`c1` + `c2`"
+    assert not by["c3"].generated_stored
+    assert by["c1"].generated_expr is None
+
+    cfgp = tmp_path / "cfg.yml"
+    cfgp.write_text(yaml.safe_dump({
+        "mysql": {"host": "h", "database": "d"},
+        "postgresql": {"host": "p", "database": "d"},
+        "conversion": {"options": {}, "limits": {"concurrency": 1}},
+    }))
+    pipe = MigrationPipeline(load_config(str(cfgp)), snap)
+    actions = pipe.plan()
+    create = next(
+        a.payload for a in actions
+        if a.stage == "tableddl" and "CREATE TABLE" in a.payload
+    )
+    assert 'GENERATED ALWAYS AS ("c1" * 2) STORED' in create
+    # chained reference inlined: c3 references the GENERATED c2, which
+    # PG forbids — the emitted expression substitutes c2's definition
+    assert 'GENERATED ALWAYS AS ("c1" + ("c1" * 2)) STORED' in create
+
+    schemas = dump_read_schemas(snap)
+    con = duckdb.connect()
+    result = pipe.execute(
+        spark,
+        con,
+        source_reader=lambda sp, plan: read_dump_inserts(
+            sp, str(p), plan["table"], schemas[plan["table"]]
+        ),
+        sink_writer=make_dbapi_writer(
+            con.cursor, paramstyle="qmark", via="driver"
+        ),
+        dest_reader=lambda sp, table: sp.createDataFrame(
+            con.cursor()
+            .execute(f'SELECT * FROM "{table}"')
+            .fetch_arrow_table()
+        ),
+        logger=RunLogger(str(tmp_path / "logs"), echo=False),
+        target_dialect="duckdb",
+    )
+    assert result["synced"] == {"items": 2}
+    assert result["validation"]["items"]["consistent"]
+    rows = {r[0]: r for r in con.execute(
+        "SELECT id, c1, c2, c3 FROM items ORDER BY id"
+    ).fetchall()}
+    # the TARGET computed the generated values
+    assert rows[1][1:] == (10, 20, 30)
+    assert rows[2][1:] == (7, 14, 21)
+    con.close()
