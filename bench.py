@@ -1317,7 +1317,12 @@ def main() -> None:
             # contract promises) into a watchdog truncation — skip with
             # a visible marker when the wall is already tight
             _left = wall_budget - (time.perf_counter() - wall_start)
-            if _left < 500:
+            if _left < 500 and os.environ.get(
+                "SPARK_GRAFT_SCALE", "1"
+            ) != "0":
+                # only defer to the scale step when it will actually
+                # run — with SPARK_GRAFT_SCALE=0 there is nothing to
+                # protect and the corpus numbers should land
                 extras["corpus_migration_skipped"] = (
                     f"wall pressure ({_left:.0f}s left)"
                 )

@@ -72,13 +72,20 @@ def load_snapshot(path: str) -> CatalogSnapshot:
                         default=c.get("default"),
                         comment=c.get("comment"),
                         auto_increment=c.get("auto_increment", False),
+                        generated_expr=c.get("generated_expr"),
+                        generated_stored=c.get("generated_stored", False),
                     )
                     for c in t.get("columns", [])
                 ],
                 comment=t.get("comment"),
                 primary_key=t.get("primary_key", []),
                 indexes=[
-                    IndexSpec(i["name"], i["columns"], i.get("unique", False))
+                    IndexSpec(
+                        i["name"],
+                        i["columns"],
+                        i.get("unique", False),
+                        kind=i.get("kind", "btree"),
+                    )
                     for i in t.get("indexes", [])
                 ],
                 foreign_keys=[
@@ -94,6 +101,11 @@ def load_snapshot(path: str) -> CatalogSnapshot:
                 ],
                 row_count=t.get("row_count", 0),
                 pk_bounds=tuple(t["pk_bounds"]) if t.get("pk_bounds") else None,
+                partition_clause=t.get("partition_clause"),
+                checks=[
+                    (c.get("name"), c["expr"], c.get("enforced", True))
+                    for c in t.get("checks", [])
+                ],
             )
         )
     return CatalogSnapshot(

@@ -241,10 +241,25 @@ class MigrationPipeline:
                     c.default,
                     c.comment,
                     c.auto_increment,
-                    getattr(c, "generated_expr", None),
+                    self._norm_expr_idents(
+                        getattr(c, "generated_expr", None)
+                    ),
                 )
                 for c in t.columns
             ]
+        )
+
+    def _norm_expr_idents(self, expr: str | None) -> str | None:
+        """Backticked identifiers inside a carried MySQL expression
+        (generated columns, CHECK constraints) normalize the same way
+        column names do — `Price` must become the same spelling as the
+        lowercased column or the emitted quoted reference ("Price")
+        names a column that doesn't exist. Bare identifiers need no
+        help: PG folds them to lowercase, matching _norm."""
+        if not expr:
+            return expr
+        return re.sub(
+            r"`([^`]+)`", lambda m: f"`{self._norm(m.group(1))}`", expr
         )
 
     # ---- the plan --------------------------------------------------------
@@ -362,7 +377,28 @@ class MigrationPipeline:
         if o.indexes:
             for t in tables:
                 name = self._norm(t.name)
+                coltype = {
+                    self._norm(c.name): c.column_type.lower().split("(")[0]
+                    for c in t.columns
+                }
                 for idx in t.indexes:
+                    if getattr(idx, "kind", "btree") == "spatial" and any(
+                        coltype.get(self._norm(c)) != "point"
+                        for c in idx.columns
+                    ):
+                        # GiST works natively only on PG's point (the
+                        # MySQL point mapping); geometry/polygon/etc
+                        # map to BYTEA here, which has no GiST operator
+                        # class — emitting would fail every run
+                        actions.append(Action(
+                            "indexes",
+                            "skip",
+                            name,
+                            f"SPATIAL KEY {idx.name} on non-point "
+                            "geometry: needs PostGIS (geometry type + "
+                            "GiST operator class) — not migrated",
+                        ))
+                        continue
                     actions.append(
                         Action(
                             "indexes", "ddl", name, create_index_ddl(name, idx)
@@ -409,6 +445,7 @@ class MigrationPipeline:
 
             for t in tables:
                 name = self._norm(t.name)
+                n_anon = 0
                 for cname, expr, enforced in getattr(t, "checks", []):
                     if not enforced:
                         actions.append(Action(
@@ -421,14 +458,22 @@ class MigrationPipeline:
                             "rows — not migrated",
                         ))
                         continue
+                    if cname is None:
+                        # anonymous checks need DISTINCT names (the
+                        # MySQL convention is t_chk_N) or the second
+                        # ALTER collides and the constraint is lost
+                        n_anon += 1
+                        cname = f"{name}_chk_{n_anon}"
                     actions.append(Action(
                         "checks",
                         "ddl",
                         name,
                         add_check_ddl(
                             name,
-                            cname.lower() if cname else None,
-                            rewrite_mysql_expr_to_pg(expr),
+                            cname.lower(),
+                            rewrite_mysql_expr_to_pg(
+                                self._norm_expr_idents(expr)
+                            ),
                         ),
                     ))
 

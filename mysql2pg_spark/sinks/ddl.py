@@ -123,18 +123,27 @@ def create_table_ddl(
             gen_pg[f.name] = rewrite_mysql_expr_to_pg(expr)
 
     def _inline_refs(expr: str, skip: str) -> str:
+        # literal-masked so a column name inside a string can't be
+        # rewritten; the (?!\s*\() lookahead keeps a same-named
+        # FUNCTION call untouched (a column ref is never called)
+        from mysql2pg_spark.dialect.transpile import (
+            mask_literals,
+            unmask_literals,
+        )
+
+        masked, lits = mask_literals(expr)
         for other, oexpr in gen_pg.items():
             if other == skip:
                 continue
             # both spellings a rewritten expression can carry: the
             # quoted form ("c2", from backticks) and the bare word
-            expr = expr.replace(f'"{other}"', f"({oexpr})")
-            expr = _re.sub(
-                rf"(?i)(?<![\w.\"]){_re.escape(other)}(?![\w\"])",
+            masked = masked.replace(f'"{other}"', f"({oexpr})")
+            masked = _re.sub(
+                rf"(?i)(?<![\w.\"]){_re.escape(other)}(?![\w\"])(?!\s*\()",
                 f"({oexpr})",
-                expr,
+                masked,
             )
-        return expr
+        return unmask_literals(masked, lits)
 
     for _ in range(len(gen_pg)):
         new_map = {n: _inline_refs(e, n) for n, e in gen_pg.items()}

@@ -929,10 +929,25 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             # mysqldump emits PARTITION BY inside a /*!50100 …*/
             # comment AFTER the table's closing paren — attach the
             # scheme to the just-closed table so the planner can
-            # surface it (never silently unpartition a table)
+            # surface it (never silently unpartition a table). A
+            # standalone `ALTER TABLE x PARTITION BY …` names its OWN
+            # table — attach there, not to whichever table parsed last.
             pm = _PARTITION_RE.search(line)
-            if pm and tables:
-                tables[-1].partition_clause = pm.group(1).strip()
+            if pm:
+                am = _re.match(
+                    r"(?i)\s*ALTER\s+TABLE\s+`?(\w+)`?", line
+                )
+                owner = None
+                if am:
+                    want = am.group(1).lower()
+                    owner = next(
+                        (x for x in tables if x.name.lower() == want),
+                        None,
+                    )
+                elif tables:
+                    owner = tables[-1]
+                if owner is not None:
+                    owner.partition_clause = pm.group(1).strip()
             continue
         if line.lstrip().startswith(")"):
             tables.append(cur)
@@ -987,8 +1002,20 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             # corpus DDL: case_11's commented columns emitted SERIAL)
             rest_nc = _strip_line_comment(_COMMENT_RE.sub("", rest))
             # generated clause first: its expression could contain text
-            # that NOT NULL / DEFAULT detection would false-match
-            gen_expr, gen_stored, rest_nc = _extract_generated(rest_nc)
+            # that NOT NULL / DEFAULT detection would false-match. The
+            # search runs on LITERAL-MASKED text so a DEFAULT string
+            # containing "AS (" cannot fabricate a generated column.
+            from mysql2pg_spark.dialect.transpile import (
+                mask_literals as _mask,
+                unmask_literals as _unmask,
+            )
+
+            _masked, _lits = _mask(rest_nc)
+            gen_expr_m, gen_stored, _rem_m = _extract_generated(_masked)
+            gen_expr = None
+            if gen_expr_m is not None:
+                gen_expr = _unmask(gen_expr_m, _lits)
+                rest_nc = _unmask(_rem_m, _lits)
             default = _DEFAULT_RE.search(rest_nc)
             dflt = None
             if default:

@@ -1133,3 +1133,85 @@ def test_generated_columns_surface(spark, tmp_path):
     assert rows[1][1:] == (10, 20, 30)
     assert rows[2][1:] == (7, 14, 21)
     con.close()
+
+
+def test_generated_and_check_mixed_case_and_literals(spark, tmp_path):
+    """Review r11 round 2: mixed-case identifiers in generated/CHECK
+    expressions normalize like column names (the emitted quoted ref
+    must name the lowercased column); a DEFAULT string containing
+    'AS (' cannot fabricate a generated column; anonymous checks get
+    distinct names; ALTER TABLE ... PARTITION BY attaches to ITS table."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.sources.dumpfile import full_snapshot_from_dump
+
+    p = tmp_path / "mc.sql"
+    p.write_text(
+        "CREATE TABLE `Orders` (\n"
+        "  `Id` int NOT NULL,\n"
+        "  `Price` decimal(10,2) DEFAULT NULL,\n"
+        "  `Qty` int DEFAULT NULL,\n"
+        "  `status` varchar(32) DEFAULT 'Save As (draft)',\n"
+        "  `Total` decimal(12,2) GENERATED ALWAYS AS "
+        "((`Price` * `Qty`)) STORED,\n"
+        "  PRIMARY KEY (`Id`),\n"
+        "  CHECK ((`Qty` > 0)) ENFORCED,\n"
+        "  CHECK ((`Price` >= 0)) ENFORCED\n"
+        ");\n"
+        "CREATE TABLE `other` (\n"
+        "  `k` int NOT NULL\n"
+        ");\n"
+        "ALTER TABLE `Orders` PARTITION BY HASH (`Id`) PARTITIONS 4;\n"
+    )
+    snap = full_snapshot_from_dump(spark, str(p))
+    orders = next(t for t in snap.tables if t.name == "Orders")
+    other = next(t for t in snap.tables if t.name == "other")
+    # the DEFAULT literal did not fabricate a generated column
+    st = next(c for c in orders.columns if c.name == "status")
+    assert st.generated_expr is None
+    assert st.default == "Save As (draft)"
+    # ALTER TABLE partitioning attached to Orders, not the last table
+    assert orders.partition_clause == "HASH (`Id`)"
+    assert other.partition_clause is None
+
+    actions = MigrationPipeline(EngineConfig(), snap).plan()
+    create = next(
+        a.payload for a in actions
+        if a.stage == "tableddl" and "CREATE TABLE" in a.payload
+        and "orders" in a.payload
+    )
+    # identifiers inside the expression lowercased with the columns
+    assert 'GENERATED ALWAYS AS (("price" * "qty")) STORED' in create
+    chk = [a.payload for a in actions if a.stage == "checks"]
+    assert any('("qty" > 0)' in c for c in chk)
+    # anonymous checks got DISTINCT names
+    names = [c.split("ADD CONSTRAINT ")[1].split(" ")[0] for c in chk]
+    assert len(set(names)) == 2
+
+
+def test_spatial_index_on_non_point_geometry_skips(spark, tmp_path):
+    """Review r11 round 2: GiST works natively only on point (the
+    BYTEA-mapped geometry types have no operator class) — non-point
+    SPATIAL keys surface as named skips naming PostGIS."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.sources.dumpfile import full_snapshot_from_dump
+
+    p = tmp_path / "sp.sql"
+    p.write_text(
+        "CREATE TABLE `areas` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `shape` geometry NOT NULL,\n"
+        "  `loc` point NOT NULL,\n"
+        "  SPATIAL KEY `sp_shape` (`shape`),\n"
+        "  SPATIAL KEY `sp_loc` (`loc`)\n"
+        ");\n"
+    )
+    snap = full_snapshot_from_dump(spark, str(p))
+    actions = MigrationPipeline(EngineConfig(), snap).plan()
+    idx = [a for a in actions if a.stage == "indexes"]
+    skips = [a for a in idx if a.kind == "skip"]
+    ddls = [a.payload for a in idx if a.kind == "ddl"]
+    assert len(skips) == 1 and "PostGIS" in skips[0].payload
+    assert any("USING GIST (loc)" in d for d in ddls)
+    assert not any("shape" in d for d in ddls)
