@@ -72,6 +72,11 @@ class TableMeta:
     # declarative partitioning needs explicit per-partition DDL and a
     # silent unpartition would change the operational profile
     partition_clause: str | None = None
+    # FULL partition definition text including the per-partition list
+    # (round 12): parsed by schema.partitioning into PG declarative
+    # partitioning (parent PARTITION BY + PARTITION OF children) —
+    # partition_clause above stays the header for skip messages
+    partition_def: str | None = None
     # MySQL 8 CHECK constraints (round 11): (name|None, expr, enforced)
     checks: list = field(default_factory=list)
 
@@ -262,6 +267,49 @@ class MigrationPipeline:
             r"`([^`]+)`", lambda m: f"`{self._norm(m.group(1))}`", expr
         )
 
+    def _plan_partitioning(self, t: TableMeta, name: str):
+        """PartitionPlan for a table carrying a partition clause, or
+        None for unpartitioned tables. Header-only captures (live
+        catalog, mysqldump truncation) synthesize a def from the
+        clause; an unparseable def degrades to the round-11 named
+        skip — never a silent unpartition."""
+        raw = getattr(t, "partition_def", None)
+        if not raw and getattr(t, "partition_clause", None):
+            raw = f"PARTITION BY {t.partition_clause}"
+        if not raw:
+            return None
+        from mysql2pg_spark.schema.partitioning import (
+            PartitionPlan,
+            parse_partition_def,
+            plan_partitioned_table,
+        )
+
+        pd = parse_partition_def(raw)
+        if pd is None:
+            plan = PartitionPlan()
+            plan.skip = (
+                f"table {name} is partitioned in MySQL "
+                f"(PARTITION BY {t.partition_clause}); the clause did "
+                "not parse — created UNPARTITIONED, data migrates "
+                "fully; recreate the partitioning with PostgreSQL "
+                "declarative partition DDL if the operational profile "
+                "needs it"
+            )
+            return plan
+        from mysql2pg_spark.sinks.ddl import _cap_identifier
+        from mysql2pg_spark.sinks.plpgsql_builder import (
+            rewrite_mysql_expr_to_pg,
+        )
+
+        return plan_partitioned_table(
+            name,
+            pd,
+            t.primary_key,
+            self._norm,
+            lambda e: rewrite_mysql_expr_to_pg(self._norm_expr_idents(e)),
+            _cap_identifier,
+        )
+
     # ---- the plan --------------------------------------------------------
 
     def plan(self, target_dialect: str = "postgres") -> list[Action]:
@@ -275,6 +323,13 @@ class MigrationPipeline:
                 if o.skip_existing_tables and name in self.existing:
                     continue
                 schema = self._schema_of(t)
+                # round 12: RANGE/LIST/HASH partitioning migrates to PG
+                # declarative partitioning (parent PARTITION BY + child
+                # PARTITION OF DDL — schema/partitioning.py); KEY/LINEAR,
+                # subpartitions and PG-illegal PK/key combinations stay
+                # named skips (the reference strips the clause entirely,
+                # sync_tableddl.go:268-302)
+                pplan = self._plan_partitioning(t, name)
                 actions.append(
                     Action(
                         "tableddl",
@@ -284,28 +339,27 @@ class MigrationPipeline:
                             name,
                             schema,
                             [self._norm(c) for c in t.primary_key] or None,
+                            partition_by=pplan.parent_clause
+                            if pplan
+                            else None,
                         ),
                     )
                 )
+                if pplan:
+                    for child_ddl in pplan.children:
+                        actions.append(
+                            Action("tableddl", "ddl", name, child_ddl)
+                        )
+                    for note in pplan.notes:
+                        actions.append(
+                            Action("tableddl", "note", name, note)
+                        )
+                    if pplan.skip:
+                        actions.append(
+                            Action("tableddl", "skip", name, pplan.skip)
+                        )
                 for c_ddl in comment_ddl(name, schema, t.comment):
                     actions.append(Action("tableddl", "ddl", name, c_ddl))
-                if getattr(t, "partition_clause", None):
-                    # round 11: MySQL partitioning surfaces as a named
-                    # skip — PG declarative partitioning requires the
-                    # parent to be CREATEd PARTITION BY plus explicit
-                    # per-partition DDL, and inventing partition bounds
-                    # would change pruning/maintenance behavior
-                    actions.append(Action(
-                        "tableddl",
-                        "skip",
-                        name,
-                        f"table {name} is partitioned in MySQL "
-                        f"(PARTITION BY {t.partition_clause}); created "
-                        "UNPARTITIONED here — data migrates fully, but "
-                        "recreate the partitioning with PostgreSQL "
-                        "declarative partition DDL if the operational "
-                        "profile needs it",
-                    ))
 
         if o.view:
             from mysql2pg_spark.dialect.transpile import transpile_mysql_ansi
@@ -866,6 +920,12 @@ class MigrationPipeline:
                     logger.info(
                         f"skip [{stage}] {a.target}: {a.payload[:200]}"
                     )
+                elif a.kind == "note":
+                    # migrated WITH a documented divergence (e.g. HASH
+                    # partition row placement) — logged, not a skip
+                    logger.info(
+                        f"note [{stage}] {a.target}: {a.payload[:200]}"
+                    )
 
             ddls = [a for a in stage_actions if a.kind == "ddl"]
             for a in ddls:
@@ -1002,13 +1062,21 @@ class MigrationPipeline:
                     row = get_observation(obs)
                     if row is not None:
                         src_checksums[a.target] = (row, obs_cols)
-                    # else: the sink never ran an action on df (some test
-                    # fakes); the check stage falls back to a source
-                    # re-scan for this table.
-                    # Row count from the DESTINATION, not a second source
-                    # scan: df.count() here would re-run the whole JDBC
-                    # read (doubling source load) and could disagree with
-                    # what was written if the source moved between scans.
+                        # synced count = the observation that RODE the
+                        # write (rows actually pushed through the sink,
+                        # zero extra jobs — round 12: the per-table
+                        # dest_reader().count() here was ~0.4 s of pure
+                        # fixed cost on tiny tables). Destination
+                        # divergence is still caught: the validate
+                        # stage compares n_rows + checksum against the
+                        # dest read-back.
+                        return a.target, int(row["n_rows"])
+                    # the sink never ran an action on df (some test
+                    # fakes): count from the DESTINATION, not a second
+                    # source scan — df.count() would re-run the whole
+                    # JDBC read (doubling source load) and could
+                    # disagree with what was written if the source
+                    # moved between scans.
                     return a.target, dest_reader(spark, a.target).count()
 
                 with ThreadPoolExecutor(self.cfg.limits.concurrency) as pool:
@@ -1024,6 +1092,16 @@ class MigrationPipeline:
                         except Exception as e:
                             logger.table_error(stage, a.target, e)
 
+            # Observed-path destination checksums BATCH into one union
+            # job (round 12): the per-table collect() was ~0.7 s of
+            # fixed Spark-job cost per table — a 1,000-small-table
+            # migration paid ~12 min of pure scheduling. One job still
+            # scans each table once (the work is identical); only the
+            # N-1 extra job launches disappear. A batch failure falls
+            # back to the per-table loop so keep-going error semantics
+            # are preserved.
+            observed_checks: list[tuple[Action, object]] = []
+            fallback_checks: list[Action] = []
             for a in (x for x in stage_actions if x.kind == "check"):
                 try:
                     dst = dest_reader(spark, a.target)
@@ -1031,25 +1109,72 @@ class MigrationPipeline:
                     if observed is not None and set(observed[1]) <= set(
                         dst.columns
                     ):
-                        # Source side came from the observe() that rode
-                        # the sink write — only the destination is
-                        # scanned here (one source scan per table total).
-                        from mysql2pg_spark.operators.validate import (
-                            table_checksum,
-                        )
+                        observed_checks.append((a, dst))
+                    else:
+                        fallback_checks.append(a)
+                except Exception as e:
+                    logger.table_error(stage, a.target, e)
+            if observed_checks:
+                from pyspark.sql import functions as F
 
-                        src_row, obs_cols = observed
-                        dst_row = (
-                            table_checksum(dst.select(*obs_cols))
-                            .collect()[0]
-                            .asDict()
-                        )
+                from mysql2pg_spark.operators.validate import table_checksum
+
+                def _check_one(a: Action, dst) -> None:
+                    src_row, obs_cols = src_checksums[a.target]
+                    dst_row = (
+                        table_checksum(dst.select(*obs_cols))
+                        .collect()[0]
+                        .asDict()
+                    )
+                    validation[a.target] = {
+                        "src": src_row,
+                        "dst": dst_row,
+                        "consistent": src_row == dst_row,
+                    }
+
+                try:
+                    from functools import reduce
+
+                    tagged = [
+                        table_checksum(
+                            dst.select(*src_checksums[a.target][1])
+                        ).withColumn("_table", F.lit(a.target))
+                        for a, dst in observed_checks
+                    ]
+                    got = {
+                        r["_table"]: {
+                            k: r[k]
+                            for k in (
+                                "n_rows",
+                                "hash_sum",
+                                "min_digest",
+                                "max_digest",
+                            )
+                        }
+                        for r in reduce(
+                            lambda x, y: x.unionByName(y), tagged
+                        ).collect()
+                    }
+                    for a, _dst in observed_checks:
+                        src_row, _cols = src_checksums[a.target]
+                        dst_row = got[a.target]
                         validation[a.target] = {
                             "src": src_row,
                             "dst": dst_row,
                             "consistent": src_row == dst_row,
                         }
-                        continue
+                except Exception:
+                    # batched job failed (one bad table fails the whole
+                    # union): re-run per table so every OTHER table
+                    # still validates and only the bad one errors
+                    for a, dst in observed_checks:
+                        try:
+                            _check_one(a, dst)
+                        except Exception as e:
+                            logger.table_error(stage, a.target, e)
+            for a in fallback_checks:
+                try:
+                    dst = dest_reader(spark, a.target)
                     # Fallback (table skipped this run / fake sink): full
                     # re-read. The destination holds VALUE-FIXED data (B7
                     # zero dates, B8 points, boolean casts) plus any C90

@@ -1,0 +1,345 @@
+"""MySQL table partitioning → PostgreSQL declarative partitioning (C92
+closure, round 12).
+
+The reference STRIPS the partition clause entirely
+(sync_tableddl.go:268-302 deletes the ``/*!50100 PARTITION BY …*/``
+block), silently unpartitioning every migrated table. Round 11 stopped
+the silent drop (named skip); this module finishes the job for the
+schemes PostgreSQL can express natively:
+
+- ``RANGE [COLUMNS]``  → parent ``PARTITION BY RANGE`` + per-partition
+  ``FOR VALUES FROM (…) TO (…)`` — MySQL's ``VALUES LESS THAN`` bounds
+  chain (each partition's upper bound is the next one's lower), first
+  partition from ``MINVALUE``, ``MAXVALUE`` passes through.
+- ``LIST [COLUMNS]``   → ``PARTITION BY LIST`` + ``FOR VALUES IN (…)``
+  (single-column only: PG list partitioning takes one key column).
+- ``HASH``             → ``PARTITION BY HASH`` + ``FOR VALUES WITH
+  (MODULUS m, REMAINDER i)``. Row→partition PLACEMENT differs (MySQL
+  hashes with ``MOD(expr, n)``, PG with its own hash function) but the
+  table-level row set is identical; the planner surfaces the
+  divergence as a note instead of hiding it.
+
+Deliberately NOT migrated (named skips, never silent):
+- ``KEY`` / ``LINEAR`` — InnoDB's internal hash; no PG analog.
+- ``SUBPARTITION BY`` — PG subpartitions by declaring each child
+  ``PARTITION BY`` in turn; inventing per-child bounds would fabricate
+  operational behavior.
+- a PRIMARY KEY that does not contain every partition-key column
+  (PG hard requirement), or any PK combined with an *expression*
+  partition key (PG forbids unique constraints on expression keys).
+
+Corpus coverage: reference fixtures
+``scripts/mysql/create_table.sql:216-222`` (RANGE over YEAR(expr)),
+``523-537`` (LIST, HASH PARTITIONS n), ``588-598`` (subpartition →
+skip).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from mysql2pg_spark.schema.identifiers import quote_pg
+
+
+@dataclass
+class PartitionPart:
+    """One ``PARTITION pN [VALUES …]`` entry."""
+
+    name: str
+    op: str | None = None  # 'less_than' | 'in' | None (HASH/KEY lists)
+    values: str = ""       # raw text inside the VALUES parens, or MAXVALUE
+
+
+@dataclass
+class PartitionDef:
+    method: str                 # range | list | hash | key
+    columns_form: bool          # RANGE/LIST COLUMNS (…) — plain columns
+    linear: bool
+    expr: str                   # raw MySQL key expression / column list
+    parts: list[PartitionPart] = field(default_factory=list)
+    num_partitions: int | None = None   # HASH/KEY … PARTITIONS n
+    subpartition: str | None = None     # raw SUBPARTITION BY … text
+
+
+_HEADER_RE = re.compile(
+    r"(?is)\bPARTITION\s+BY\s+(LINEAR\s+)?(RANGE|LIST|HASH|KEY)\s*"
+    r"(COLUMNS)?\s*\("
+)
+_PARTITIONS_N_RE = re.compile(r"(?i)\bPARTITIONS\s+(\d+)")
+_SUBPART_RE = re.compile(r"(?is)\bSUBPARTITION\s+BY\s+.*?(?=\(\s*PARTITION|$)")
+_PART_ENTRY_RE = re.compile(
+    r"(?is)\bPARTITION\s+`?(\w+)`?\s*"
+    r"(?:VALUES\s+(LESS\s+THAN|IN)\s*"
+    r"(MAXVALUE|\()\s*)?"
+)
+
+
+def _mask(text: str):
+    from mysql2pg_spark.dialect.transpile import mask_literals
+
+    return mask_literals(text)
+
+
+def _unmask(text: str, lits):
+    from mysql2pg_spark.dialect.transpile import unmask_literals
+
+    return unmask_literals(text, lits)
+
+
+def _balanced_span(s: str, open_idx: int) -> int:
+    """Index just past the paren that closes s[open_idx] == '('."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(s)
+
+
+def parse_partition_def(text: str) -> PartitionDef | None:
+    """Parse a full MySQL partition clause (everything from
+    ``PARTITION BY`` to the end of the statement — mysqldump
+    ``/*!50100 …*/`` wrappers and trailing ``;`` tolerated) into a
+    PartitionDef. Returns None when the text has no parseable header;
+    callers then fall back to the round-11 named skip."""
+    masked, lits = _mask(text)
+    masked = masked.replace("/*!50100", " ").replace("*/", " ")
+    hm = _HEADER_RE.search(masked)
+    if hm is None:
+        return None
+    open_idx = masked.index("(", hm.end() - 1)
+    key_end = _balanced_span(masked, open_idx)
+    expr = _unmask(masked[open_idx + 1 : key_end - 1], lits).strip()
+    pd = PartitionDef(
+        method=hm.group(2).lower(),
+        columns_form=bool(hm.group(3)),
+        linear=bool(hm.group(1)),
+        expr=expr,
+    )
+    tail = masked[key_end:]
+    nm = _PARTITIONS_N_RE.search(tail)
+    if nm:
+        pd.num_partitions = int(nm.group(1))
+    sm = _SUBPART_RE.search(tail)
+    if sm and sm.group(0).strip():
+        pd.subpartition = _unmask(sm.group(0), lits).strip()
+    for em in _PART_ENTRY_RE.finditer(tail):
+        # skip the SUBPARTITION BY region's own tokens
+        if sm and sm.start() <= em.start() < sm.end():
+            continue
+        name, op_kw, bracket = em.group(1), em.group(2), em.group(3)
+        if op_kw is None:
+            pd.parts.append(PartitionPart(name=name))
+            continue
+        op = "less_than" if op_kw.upper().startswith("LESS") else "in"
+        if bracket == "(":
+            vend = _balanced_span(tail, em.end() - 1)
+            values = _unmask(tail[em.end() : vend - 1], lits).strip()
+        else:  # MAXVALUE, no parens
+            values = "MAXVALUE"
+        pd.parts.append(PartitionPart(name=name, op=op, values=values))
+    return pd
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _split_depth0(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (input already literal-masked
+    by callers that need it; partition key lists carry no commas inside
+    literals in practice)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def key_columns(pd: PartitionDef) -> list[str] | None:
+    """The partition key as a plain column list, or None when the key
+    is a computed expression (RANGE (YEAR(col)) etc.)."""
+    cols = []
+    for tok in _split_depth0(pd.expr):
+        tok = tok.strip().strip("`")
+        if not _IDENT_RE.match(tok):
+            return None
+        cols.append(tok)
+    return cols or None
+
+
+@dataclass
+class PartitionPlan:
+    """What the DDL planner should do for one partitioned table."""
+
+    parent_clause: str | None = None   # "PARTITION BY RANGE (…)" or None
+    children: list[str] = field(default_factory=list)  # CREATE … PARTITION OF
+    notes: list[str] = field(default_factory=list)     # surfaced divergences
+    skip: str | None = None            # reason the table stays unpartitioned
+
+
+def _pg_key(pd: PartitionDef, norm, rewrite_expr) -> tuple[str, list[str] | None]:
+    """(PG key text, plain column list or None). Bare columns quote
+    directly; expressions run through the MySQL→PG rewriter and get the
+    extra parens PG's grammar requires around non-column key elements."""
+    cols = key_columns(pd)
+    if cols is not None:
+        return ", ".join(quote_pg(norm(c)) for c in cols), [norm(c) for c in cols]
+    return "(" + rewrite_expr(pd.expr) + ")", None
+
+
+def plan_partitioned_table(
+    table: str,
+    pd: PartitionDef,
+    primary_key: list[str],
+    norm,
+    rewrite_expr,
+    cap_identifier,
+) -> PartitionPlan:
+    """Decide parent PARTITION BY + child DDL for one table, or a named
+    skip. ``norm`` is the pipeline's identifier normalizer, ``rewrite_expr``
+    the MySQL→PG expression rewriter, ``cap_identifier`` the 63-byte
+    name cap (all injected so this module stays side-effect-free)."""
+    plan = PartitionPlan()
+    if pd.linear:
+        plan.skip = (
+            f"table {table} uses LINEAR {pd.method.upper()} partitioning "
+            "(InnoDB powers-of-two hash) — no PostgreSQL analog; created "
+            "UNPARTITIONED, data migrates fully"
+        )
+        return plan
+    if pd.method == "key":
+        plan.skip = (
+            f"table {table} uses KEY partitioning (InnoDB's internal "
+            "hash function) — no PostgreSQL analog; created "
+            "UNPARTITIONED, data migrates fully"
+        )
+        return plan
+    if pd.subpartition:
+        plan.skip = (
+            f"table {table} is subpartitioned ({pd.subpartition.split('(')[0].strip()}) "
+            "— PostgreSQL expresses this by declaring each child PARTITION "
+            "BY in turn; not auto-migrated, created UNPARTITIONED"
+        )
+        return plan
+
+    key_sql, key_cols = _pg_key(pd, norm, rewrite_expr)
+    pk = [norm(c) for c in primary_key or []]
+    if pk:
+        if key_cols is None:
+            plan.skip = (
+                f"table {table} partitions on an expression "
+                f"({pd.expr}) AND has a PRIMARY KEY — PostgreSQL forbids "
+                "unique constraints on expression partition keys; created "
+                "UNPARTITIONED with the PK intact"
+            )
+            return plan
+        missing = [c for c in key_cols if c not in pk]
+        if missing:
+            plan.skip = (
+                f"table {table}: PRIMARY KEY ({', '.join(pk)}) does not "
+                f"include partition key column(s) {', '.join(missing)} — "
+                "PostgreSQL requires it; created UNPARTITIONED with the "
+                "PK intact"
+            )
+            return plan
+
+    qt = quote_pg(table)
+
+    def child(pname: str, bound: str) -> str:
+        cname = quote_pg(cap_identifier(f"{table}_{norm(pname)}"))
+        return (
+            f"CREATE TABLE IF NOT EXISTS {cname} "
+            f"PARTITION OF {qt} FOR VALUES {bound}"
+        )
+
+    if pd.method == "range":
+        parts = [p for p in pd.parts if p.op == "less_than"]
+        if not parts:
+            plan.skip = (
+                f"table {table}: RANGE partition list missing or "
+                "unparseable — created UNPARTITIONED"
+            )
+            return plan
+        ncols = len(_split_depth0(pd.expr))
+        lower = ", ".join(["MINVALUE"] * ncols)
+        for p in parts:
+            upper = _bound_values(p.values, rewrite_expr)
+            plan.children.append(
+                child(p.name, f"FROM ({lower}) TO ({upper})")
+            )
+            lower = upper
+        plan.parent_clause = f"PARTITION BY RANGE ({key_sql})"
+        return plan
+
+    if pd.method == "list":
+        if len(_split_depth0(pd.expr)) > 1:
+            plan.skip = (
+                f"table {table}: LIST COLUMNS over multiple columns — "
+                "PostgreSQL list partitioning takes one key column; "
+                "created UNPARTITIONED"
+            )
+            return plan
+        parts = [p for p in pd.parts if p.op == "in"]
+        if not parts:
+            plan.skip = (
+                f"table {table}: LIST partition list missing or "
+                "unparseable — created UNPARTITIONED"
+            )
+            return plan
+        for p in parts:
+            plan.children.append(
+                child(p.name, f"IN ({_bound_values(p.values, rewrite_expr)})")
+            )
+        plan.parent_clause = f"PARTITION BY LIST ({key_sql})"
+        return plan
+
+    # hash
+    names = [p.name for p in pd.parts]
+    modulus = pd.num_partitions or len(names)
+    if modulus < 1:
+        plan.skip = (
+            f"table {table}: HASH partitioning with no PARTITIONS count "
+            "or partition list — created UNPARTITIONED"
+        )
+        return plan
+    if not names:
+        names = [f"p{i}" for i in range(modulus)]
+    for i, pname in enumerate(names[:modulus]):
+        plan.children.append(
+            child(pname, f"WITH (MODULUS {modulus}, REMAINDER {i})")
+        )
+    plan.parent_clause = f"PARTITION BY HASH ({key_sql})"
+    plan.notes.append(
+        f"table {table}: HASH partitioning migrated with modulus "
+        f"{modulus}, but row→partition placement differs (MySQL hashes "
+        "with MOD(expr, n), PostgreSQL with its own hash function) — "
+        "the table-level row set is identical"
+    )
+    return plan
+
+
+def _bound_values(values: str, rewrite_expr) -> str:
+    """Partition bound values → PG spelling. MAXVALUE and plain
+    literals pass through; backticks / MySQL function calls
+    (TO_DAYS('…'), UNIX_TIMESTAMP('…')) go through the expression
+    rewriter — PG accepts any DDL-time-evaluable expression as a
+    bound (v12+)."""
+    out = []
+    for tok in _split_depth0(values):
+        if tok.upper() == "MAXVALUE" or re.fullmatch(
+            r"[-+]?\d+(\.\d+)?", tok
+        ):
+            out.append(tok)
+        else:
+            out.append(rewrite_expr(tok))
+    return ", ".join(out)

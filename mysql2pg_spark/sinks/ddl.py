@@ -101,6 +101,7 @@ def create_table_ddl(
     if_not_exists: bool = True,
     identity_style: str = "serial",
     temporary: bool = False,
+    partition_by: str | None = None,
 ) -> str:
     """CREATE TABLE from engine schema. Column PG types come from
     StructField.metadata['pg_type'] (set by schema_map.struct_field_for);
@@ -138,9 +139,20 @@ def create_table_ddl(
             # both spellings a rewritten expression can carry: the
             # quoted form ("c2", from backticks) and the bare word
             masked = masked.replace(f'"{other}"', f"({oexpr})")
+
+            def _bare(mo: _re.Match, _e=oexpr, _s=masked) -> str:
+                # cast-position guard (ADVICE r11): a generated column
+                # named like a type keyword (`date`) must NOT be
+                # rewritten where the word is a TYPE — after `AS` in
+                # CAST(x AS date) or after a `::` cast
+                pre = _s[: mo.start()].rstrip()
+                if pre.endswith("::") or _re.search(r"(?i)\bAS$", pre):
+                    return mo.group(0)
+                return f"({_e})"
+
             masked = _re.sub(
                 rf"(?i)(?<![\w.\"]){_re.escape(other)}(?![\w\"])(?!\s*\()",
-                f"({oexpr})",
+                _bare,
                 masked,
             )
         return unmask_literals(masked, lits)
@@ -182,7 +194,12 @@ def create_table_ddl(
     ine = "IF NOT EXISTS " if if_not_exists else ""
     body = ",\n".join(cols)
     kw = "CREATE TEMP TABLE" if temporary else "CREATE TABLE"
-    return f"{kw} {ine}{quote_pg(table)} (\n{body}\n)"
+    ddl = f"{kw} {ine}{quote_pg(table)} (\n{body}\n)"
+    if partition_by:
+        # PG declarative partitioning (round 12): caller supplies the
+        # full "PARTITION BY RANGE (…)" clause from schema/partitioning
+        ddl += f" {partition_by}"
+    return ddl
 
 
 def create_index_ddl(table: str, index: IndexSpec) -> str:
@@ -307,6 +324,11 @@ def adapt_ddl(sql: str, dialect: str = "postgres") -> str | None:
         return None  # GIN/GiST access methods: no DuckDB analog
     if head.startswith("--"):
         return None  # comment-only payload (e.g. a *.* grant note)
+    if head.startswith("CREATE TABLE") and " PARTITION OF " in head:
+        # DuckDB has no declarative partitioning: children skip VISIBLY
+        # and data lands through the (unpartitioned) parent — the PG
+        # spelling stays golden-pinned
+        return None
     # mask string literals first: a comment/default containing POINT or
     # TIMESTAMP(3) must not be rewritten as a type
     from mysql2pg_spark.dialect.transpile import (
@@ -334,6 +356,11 @@ def adapt_ddl(sql: str, dialect: str = "postgres") -> str | None:
         r"\b(DECIMAL|NUMERIC)\s*\((\d+)(?:,\s*\d+)?\)", _clamp_decimal, out
     )
     out = out.replace(" GENERATED BY DEFAULT AS IDENTITY", "")
+    # declarative-partitioning parent clause (statement-final on the
+    # emitted CREATE TABLE; literals are masked): DuckDB creates the
+    # parent unpartitioned — the PARTITION OF children were skipped
+    # above, so every row routes through the parent anyway
+    out = _re.sub(r"(?is)\)\s*PARTITION\s+BY\s.*$", ")", out)
     # DuckDB generated columns are VIRTUAL-only: drop the STORED
     # keyword (the expression — and every read — is identical). In the
     # emitted PG DDL the token ") STORED" occurs only after a generated

@@ -77,8 +77,22 @@ def render_mysql_create(table) -> str:
         lines.append(f"  PRIMARY KEY ({cols})")
     for ix in table.indexes:
         cols = ",".join(f"`{k}`" for k in ix.columns)
+        # index class round-trips (ADVICE r11: FULLTEXT/SPATIAL keys
+        # exported as plain KEY, losing what round 11 taught the
+        # parser to keep)
         kind = "UNIQUE KEY" if ix.unique else "KEY"
+        ixkind = getattr(ix, "kind", "btree")
+        if ixkind in ("fulltext", "spatial") and not ix.unique:
+            kind = f"{ixkind.upper()} KEY"
         lines.append(f"  {kind} `{ix.name}` ({cols})")
+    for cname, cexpr, enforced in getattr(table, "checks", []):
+        piece = (
+            (f"  CONSTRAINT `{cname}` " if cname else "  ")
+            + f"CHECK ({cexpr})"
+        )
+        if not enforced:
+            piece += " NOT ENFORCED"
+        lines.append(piece)
     for fk in getattr(table, "foreign_keys", []):
         cols = ",".join(f"`{k}`" for k in fk.columns)
         refs = ",".join(f"`{k}`" for k in fk.ref_columns)
@@ -92,9 +106,15 @@ def render_mysql_create(table) -> str:
             piece += f" ON UPDATE {fk.on_update}"
         lines.append(piece)
     body = ",\n".join(lines)
+    # the partition scheme rides the closing-paren line, the plain-DDL
+    # spelling the engine's own parser captures (ADVICE r11: the clause
+    # was dropped from exports despite round 11 teaching the parser to
+    # keep it)
+    part = getattr(table, "partition_def", None)
+    tail = f" {part}" if part else ""
     return (
         f"DROP TABLE IF EXISTS `{table.name}`;\n"
-        f"CREATE TABLE `{table.name}` (\n{body}\n);\n"
+        f"CREATE TABLE `{table.name}` (\n{body}\n){tail};\n"
     )
 
 
@@ -131,8 +151,27 @@ def export_tab_dir(
         ) as fh:
             fh.write(render_mysql_create(t))
         data_path = os.path.join(out_dir, f"{t.name}.txt")
+        df = source_loader(t.name)
+        # generated columns are EXCLUDED from the data files and the
+        # LOAD DATA names the remaining columns explicitly (ADVICE
+        # r11): MySQL rejects explicit values — even NULL — for
+        # generated columns (ERROR 3105), so a restore.sql carrying
+        # them would fail; the target recomputes them instead (the
+        # same contract as the migration data stage)
+        gen = {
+            c.name.lower()
+            for c in t.columns
+            if getattr(c, "generated_expr", None)
+        }
+        load_cols: list[str] = []
+        if gen:
+            keep = [c for c in df.columns if c.lower() not in gen]
+            df = df.select(*keep)
+            # the column list mirrors the FILE's field order, which is
+            # the projected DataFrame's column order
+            load_cols = keep
         write_outfile(
-            source_loader(t.name),
+            df,
             data_path,
             field_term=field_term,
             line_term=line_term,
@@ -144,6 +183,7 @@ def export_tab_dir(
             field_term=field_term,
             enclosed_by=enclosed_by,
             line_term=line_term,
+            columns=load_cols,
         )))
         done.append(t.name)
     restore = os.path.join(out_dir, "restore.sql")

@@ -410,6 +410,66 @@ def read_sql_inserts(
     return _parse_blob_frame(matched, schema)
 
 
+def small_dump_insert_pairs(
+    path: str | list[str], max_bytes: int | None = None
+) -> dict[str, list[tuple[str, str]]] | None:
+    """Driver-side (collist, blob) pairs per table for a SMALL local
+    dump, or ``None`` when the dump is too big / not plain local files
+    (→ callers use the distributed readers). Round 12: a many-small-
+    table migration paid one full-dump Spark text scan PER TABLE
+    (~0.5 s each of pure job fixed cost for 20-row tables); below the
+    size gate the same extraction is one ~ms driver pass, and the
+    VALUES tokenizing still fans out through ``_parse_blob_frame``.
+
+    Semantics mirror the distributed path exactly: DELIMITER-switched
+    sections are dropped whole (a trigger-body INSERT is body text,
+    not bulk — the round-11 rule), splitting is the quote/comment-aware
+    ``iter_sql_statements``, and the statement regex is the one
+    ``read_sql_inserts`` uses (multi-line INSERTs included)."""
+    import os as _os
+
+    if max_bytes is None:
+        max_bytes = int(
+            _os.environ.get("SPARK_GRAFT_SMALL_DUMP_BYTES", 16 << 20)
+        )
+    paths = [path] if isinstance(path, str) else list(path)
+    files: list[str] = []
+    for p in paths:
+        if _os.path.isdir(p):
+            files.extend(
+                _os.path.join(p, f) for f in sorted(_os.listdir(p))
+            )
+        elif _os.path.isfile(p):
+            files.append(p)
+        else:  # glob / remote URI: the distributed readers own those
+            return None
+    try:
+        if sum(_os.path.getsize(f) for f in files) > max_bytes:
+            return None
+    except OSError:
+        return None
+    out: dict[str, list[tuple[str, str]]] = {}
+    for f in files:
+        with _open_text(f) as fh:
+            text = fh.read()
+        kept: list[str] = []
+        protected = False
+        for line in text.splitlines(keepends=True):
+            mo = _DELIM_DIRECTIVE_RE.match(line)
+            if mo:
+                protected = mo.group(1) != ";"
+                continue
+            if not protected:
+                kept.append(line)
+        for stmt in iter_sql_statements("".join(kept)):
+            mo = _STMT_INSERT_RE.match(stmt)
+            if mo:
+                out.setdefault(mo.group(1).lower(), []).append(
+                    (mo.group(2) or "", mo.group(3))
+                )
+    return out
+
+
 def dump_source_reader(path: str, schemas: dict[str, StructType | str]):
     """Factory adapting the dump source to ``MigrationPipeline.execute``'s
     ``source_reader`` seam: a dump-file migration runs the SAME plan/DDL/
@@ -897,7 +957,57 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                 )
         fk_buf.clear()
 
+    # full partition-clause capture (round 12): the clause may span
+    # lines in all three source spellings — mysqldump's /*!50100
+    # PARTITION BY …\n(PARTITION p0 …)*/;, the plain-DDL
+    # `) PARTITION BY … (\nPARTITION p0 …\n);` closing-line form, and
+    # ALTER TABLE … PARTITION BY …; — so buffer from the trigger until
+    # a statement terminator (`;` or `*/` outside literals) and store
+    # the whole text for schema.partitioning.parse_partition_def.
+    part_buf: list[str] = []
+    part_owner: list[TableMeta] = []  # 1-elem box (closure write)
+
+    def _part_done_chunk(s: str) -> bool:
+        from mysql2pg_spark.dialect.transpile import mask_literals
+
+        masked, _ = mask_literals(s)
+        return ";" in masked or "*/" in masked
+
+    def _finish_partition() -> None:
+        if part_buf and part_owner:
+            text = " ".join(part_buf)
+            cut = min(
+                (i for i in (text.find("*/"), text.find(";")) if i >= 0),
+                default=len(text),
+            )
+            text = text[:cut].strip()
+            owner = part_owner[0]
+            owner.partition_def = text
+            hm = _PARTITION_RE.search(text)
+            if hm:
+                owner.partition_clause = hm.group(1).strip()
+            else:  # header spans past the regex's nesting budget —
+                # keep the raw text so the skip path still names it
+                owner.partition_clause = text[: text.find("(")].replace(
+                    "PARTITION BY", "", 1
+                ).strip() or text
+        part_buf.clear()
+        part_owner.clear()
+
+    def _start_partition(line: str, owner: TableMeta) -> None:
+        at = _re.search(r"(?i)\bPARTITION\s+BY\b", line)
+        chunk = line[at.start():]
+        part_buf.append(chunk)
+        part_owner.append(owner)
+        if _part_done_chunk(chunk):
+            _finish_partition()
+
     for line in _ddl_lines(spark, path):
+        if part_buf:
+            part_buf.append(line)
+            if _part_done_chunk(line):
+                _finish_partition()
+            continue
         if fk_buf:
             # referential actions may continue on their own lines
             if _FK_CONT_RE.match(line):
@@ -932,8 +1042,7 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             # surface it (never silently unpartition a table). A
             # standalone `ALTER TABLE x PARTITION BY …` names its OWN
             # table — attach there, not to whichever table parsed last.
-            pm = _PARTITION_RE.search(line)
-            if pm:
+            if _re.search(r"(?i)\bPARTITION\s+BY\b", line):
                 am = _re.match(
                     r"(?i)\s*ALTER\s+TABLE\s+`?(\w+)`?", line
                 )
@@ -947,11 +1056,16 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                 elif tables:
                     owner = tables[-1]
                 if owner is not None:
-                    owner.partition_clause = pm.group(1).strip()
+                    _start_partition(line, owner)
             continue
         if line.lstrip().startswith(")"):
             tables.append(cur)
             cur = None
+            # plain-DDL partitioning rides the closing-paren line:
+            # `) PARTITION BY RANGE (YEAR(created_at)) (` — the list
+            # continues on following lines until `;`
+            if _re.search(r"(?i)\bPARTITION\s+BY\b", line):
+                _start_partition(line, tables[-1])
             continue
         pk = _PK_RE.match(line)
         if pk:
@@ -1041,6 +1155,7 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                     generated_stored=gen_stored,
                 )
             )
+    _finish_partition()  # EOF with an unterminated clause: keep what we saw
     by_name = {t.name: t for t in tables}
     for tname, spec in standalone:
         owner = by_name.get(tname)

@@ -34,9 +34,13 @@ import re as _re
 
 from dataclasses import dataclass, field
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
+
+_log = logging.getLogger(__name__)
 
 #: MySQL single-quoted-literal escapes (string-literals table of the
 #: MySQL manual). ``\%`` / ``\_`` keep their backslash (they are LIKE
@@ -356,18 +360,35 @@ def read_load_data(
 
     A column list ``(a, b)`` reads the file with those columns' types
     (a listed name not in the table reads as a string and is dropped)
-    and NULL-fills the table columns the file doesn't carry — MySQL
-    fills those from column defaults; the DDL stage owns defaults here,
-    so the sink sees NULL exactly like an INSERT without the column.
+    and fills the table columns the file doesn't carry the way MySQL
+    does — from the column DEFAULT when the schema carries one
+    (``StructField.metadata['default']``, set by
+    ``schema_map.struct_field_for``; ``CURRENT_*`` defaults evaluate at
+    load time), NULL otherwise. Divergence when the schema carries no
+    default metadata (plain DDL-string schemas): the column loads NULL
+    where MySQL would apply the server-side default — logged as a named
+    warning, never silent (ADVICE r11).
 
     ``REPLACE``/``IGNORE`` duplicate handling is key-based server
     behavior; this reader surfaces the rows and leaves conflict policy
     to the sink (``spec.duplicates`` is preserved for sinks that
-    implement upsert)."""
+    implement upsert) — and WARNS by name, because on an append-only
+    sink a LOAD DATA REPLACE loads as plain appends (ADVICE r11)."""
     from mysql2pg_spark.sources.tabdump import read_tab_dump
 
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
+    if spec.duplicates:
+        _log.warning(
+            "LOAD DATA %s INTO `%s`: key-based %s is server behavior — "
+            "rows load as-is here; a sink without upsert/PK enforcement "
+            "appends them (use the upsert operator downstream if the "
+            "target needs MySQL's conflict policy)",
+            spec.duplicates,
+            spec.table,
+            "replace-on-duplicate" if spec.duplicates == "REPLACE"
+            else "skip-on-duplicate",
+        )
     path = spec.infile
     if not os.path.isabs(path) and base_dir:
         path = os.path.join(base_dir, path)
@@ -400,12 +421,33 @@ def read_load_data(
     if spec.columns:
         listed = {c.lower() for c in spec.columns}
         by_listed = {c.lower(): c for c in spec.columns}
+
+        def _omitted(f: StructField):
+            md = f.metadata or {}
+            if "default" in md:
+                d = str(md["default"])
+                if d.upper().startswith("CURRENT_"):
+                    return F.current_timestamp()
+                if d.upper() == "NULL":
+                    return F.lit(None)
+                return F.lit(d)
+            if not f.nullable:
+                _log.warning(
+                    "LOAD DATA INTO `%s`: column `%s` is absent from "
+                    "the column list and the schema carries no default "
+                    "metadata — loading NULL where MySQL would apply "
+                    "the server-side DEFAULT",
+                    spec.table,
+                    f.name,
+                )
+            return F.lit(None)
+
         return df.select(
             *[
                 (
                     F.col(by_listed[f.name.lower()])
                     if f.name.lower() in listed
-                    else F.lit(None)
+                    else _omitted(f)
                 )
                 .cast(f.dataType)
                 .alias(f.name)
@@ -434,6 +476,7 @@ def load_data_source_reader(
     from mysql2pg_spark.sources.dumpfile import (
         read_dump_inserts,
         scan_dump_tables,
+        small_dump_insert_pairs,
     )
 
     if base_dir is None:
@@ -450,18 +493,31 @@ def load_data_source_reader(
             by_table: dict[str, list[LoadDataSpec]] = {}
             for spec in load_data_specs(script_path, spark):
                 by_table.setdefault(spec.table.lower(), []).append(spec)
-            state["insert_tables"] = (
-                {
-                    r.table.lower()
-                    for r in scan_dump_tables(spark, script_path).collect()
-                }
-                if by_table
-                else None  # no LOAD DATA anywhere: skip the scan,
-                # every table goes through the INSERT reader
-            )
+            # small local scripts (round 12): ONE driver pass extracts
+            # every table's INSERT payloads — the per-table full-dump
+            # Spark text scan was ~0.5 s of fixed cost per tiny table;
+            # big/remote dumps keep the distributed readers
+            small = small_dump_insert_pairs(script_path)
+            state["small"] = small
+            if small is not None:
+                state["insert_tables"] = set(small)
+            else:
+                state["insert_tables"] = (
+                    {
+                        r.table.lower()
+                        for r in scan_dump_tables(
+                            spark, script_path
+                        ).collect()
+                    }
+                    if by_table
+                    else None  # no LOAD DATA anywhere: skip the scan,
+                    # every table goes through the INSERT reader
+                )
             state["specs"] = by_table
         table = plan["table"]
         schema = schemas[table]
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
         parts: list[DataFrame] = []
         for spec in state["specs"].get(table.lower(), ()):
             parts.append(read_load_data(spark, spec, schema, base_dir))
@@ -470,9 +526,20 @@ def load_data_source_reader(
             or state["insert_tables"] is None
             or table.lower() in state["insert_tables"]
         ):
-            parts.append(
-                read_dump_inserts(spark, script_path, table, schema)
-            )
+            if state["small"] is not None:
+                from mysql2pg_spark.sources.dumpfile import (
+                    _parse_blob_frame,
+                )
+
+                pairs = state["small"].get(table.lower(), [])
+                matched = spark.createDataFrame(
+                    pairs, "collist string, blob string"
+                )
+                parts.append(_parse_blob_frame(matched, schema))
+            else:
+                parts.append(
+                    read_dump_inserts(spark, script_path, table, schema)
+                )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

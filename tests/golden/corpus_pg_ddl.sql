@@ -122,7 +122,11 @@ CREATE TABLE IF NOT EXISTS case_15_options (
 CREATE TABLE IF NOT EXISTS case_16_partition (
   id INTEGER,
   created_at TIMESTAMP
-);
+) PARTITION BY RANGE ((EXTRACT(YEAR FROM created_at)));
+
+CREATE TABLE IF NOT EXISTS case_16_partition_p0 PARTITION OF case_16_partition FOR VALUES FROM (MINVALUE) TO (2020);
+
+CREATE TABLE IF NOT EXISTS case_16_partition_p1 PARTITION OF case_16_partition FOR VALUES FROM (2020) TO (2021);
 
 CREATE TABLE IF NOT EXISTS case_18_quotes (
   id INTEGER,
@@ -344,12 +348,26 @@ CREATE TABLE IF NOT EXISTS case_48_index_types (
 CREATE TABLE IF NOT EXISTS case_49_list_partition (
   id INTEGER,
   category INTEGER
-);
+) PARTITION BY LIST (category);
+
+CREATE TABLE IF NOT EXISTS case_49_list_partition_p0 PARTITION OF case_49_list_partition FOR VALUES IN (1, 2, 3);
+
+CREATE TABLE IF NOT EXISTS case_49_list_partition_p1 PARTITION OF case_49_list_partition FOR VALUES IN (4, 5, 6);
 
 CREATE TABLE IF NOT EXISTS case_50_hash_partition (
   id INTEGER,
   name VARCHAR(50)
-);
+) PARTITION BY HASH (id);
+
+CREATE TABLE IF NOT EXISTS case_50_hash_partition_p0 PARTITION OF case_50_hash_partition FOR VALUES WITH (MODULUS 4, REMAINDER 0);
+
+CREATE TABLE IF NOT EXISTS case_50_hash_partition_p1 PARTITION OF case_50_hash_partition FOR VALUES WITH (MODULUS 4, REMAINDER 1);
+
+CREATE TABLE IF NOT EXISTS case_50_hash_partition_p2 PARTITION OF case_50_hash_partition FOR VALUES WITH (MODULUS 4, REMAINDER 2);
+
+CREATE TABLE IF NOT EXISTS case_50_hash_partition_p3 PARTITION OF case_50_hash_partition FOR VALUES WITH (MODULUS 4, REMAINDER 3);
+
+-- NOTE [case_50_hash_partition]: table case_50_hash_partition: HASH partitioning migrated with modulus 4, but row→partition placement
 
 CREATE TABLE IF NOT EXISTS case_53_deferred_constraint (
   id INTEGER,
@@ -382,6 +400,8 @@ CREATE TABLE IF NOT EXISTS case_58_subpartition (
   year INTEGER,
   month INTEGER
 );
+
+-- SKIP [case_58_subpartition]: table case_58_subpartition is subpartitioned (SUBPARTITION BY HASH) — PostgreSQL expresses this by d
 
 CREATE TABLE IF NOT EXISTS case_59_complex_generated (
   id INTEGER,

@@ -1003,7 +1003,13 @@ def test_fulltext_spatial_partition_surface(spark, tmp_path):
         if a.stage == "tableddl" and a.kind == "skip"
     ]
     assert len(part_skips) == 1 and part_skips[0].target == "sales"
-    assert "PARTITION BY RANGE" in part_skips[0].payload
+    # round 12: sales RANGE-partitions on an EXPRESSION while carrying
+    # a PRIMARY KEY — PG forbids that combination, so the skip names
+    # the precise limitation instead of the generic round-11 wording
+    assert "expression" in part_skips[0].payload
+    assert "year(`sold_on`)" in part_skips[0].payload
+    # the full definition (with per-partition bounds) was captured
+    assert "p2023" in sales.partition_def and "p2024" in sales.partition_def
     idx_ddl = [
         a.payload for a in actions
         if a.stage == "indexes" and "articles" in a.payload
@@ -1215,3 +1221,34 @@ def test_spatial_index_on_non_point_geometry_skips(spark, tmp_path):
     assert len(skips) == 1 and "PostGIS" in skips[0].payload
     assert any("USING GIST (loc)" in d for d in ddls)
     assert not any("shape" in d for d in ddls)
+
+
+def test_generated_column_named_like_type_keyword(spark, tmp_path):
+    """ADVICE r11: a generated column named like a type keyword (`date`)
+    referenced in a sibling generated expression's CAST must NOT have
+    the type token rewritten into the expression — only genuine column
+    references inline."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+    p = tmp_path / "d.sql"
+    p.write_text(
+        "CREATE TABLE `kw` (\n"
+        "  `x` varchar(20),\n"
+        "  `date` date GENERATED ALWAYS AS (CAST(`x` AS date)) STORED,\n"
+        "  `y` int GENERATED ALWAYS AS (YEAR(CAST(`x` AS date))) STORED,\n"
+        "  `z` int GENERATED ALWAYS AS (`date` + 1) STORED\n"
+        ");\n"
+    )
+    snap = snapshot_from_dump(spark, str(p))
+    actions = MigrationPipeline(EngineConfig(), snap).plan()
+    create = next(
+        a.payload for a in actions
+        if a.stage == "tableddl" and a.kind == "ddl"
+        and a.payload.startswith("CREATE TABLE")
+    )
+    # the CAST target type survives in both siblings…
+    assert 'GENERATED ALWAYS AS (EXTRACT(YEAR FROM CAST("x" AS date))) STORED' in create
+    # …while the genuine backticked reference still inlines
+    assert 'GENERATED ALWAYS AS ((CAST("x" AS date)) + 1) STORED' in create

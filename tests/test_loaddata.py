@@ -561,3 +561,36 @@ def test_ignore_lines_refuses_missing_path(spark, tmp_path):
         read_tab_dump(
             spark, str(tmp_path / "nope.txt"), SCHEMA, ignore_lines=1
         )
+
+
+def test_omitted_columns_fill_from_default_metadata(spark, tmp_path):
+    """ADVICE r11: MySQL fills columns absent from a LOAD DATA column
+    list from their DEFAULTs, not with NULL — when the schema carries
+    default metadata (struct_field_for), the reader now does too;
+    CURRENT_* defaults evaluate at load time; columns without metadata
+    still read NULL (named-warning divergence)."""
+    from pyspark.sql.types import StructType
+
+    from mysql2pg_spark.schema.schema_map import struct_field_for
+    from mysql2pg_spark.sources.loaddata import (
+        parse_load_data,
+        read_load_data,
+    )
+
+    f = tmp_path / "rows.txt"
+    f.write_text("1\n2\n")
+    spec = parse_load_data(
+        f"LOAD DATA INFILE '{f}' INTO TABLE t (`id`)"
+    )
+    schema = StructType([
+        struct_field_for("id", "bigint", nullable=False),
+        struct_field_for("qty", "int", nullable=False, default="7"),
+        struct_field_for("label", "varchar(10)", default="none"),
+        struct_field_for("ts", "datetime", default="CURRENT_TIMESTAMP"),
+        struct_field_for("note", "text"),  # no default → NULL
+    ])
+    rows = {r.id: r for r in read_load_data(spark, spec, schema).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].qty == 7 and rows[1].label == "none"
+    assert rows[1].ts is not None  # CURRENT_TIMESTAMP evaluated
+    assert rows[1].note is None

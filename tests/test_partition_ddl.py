@@ -1,0 +1,306 @@
+"""MySQL partitioning → PG declarative partitioning (round 12, C92
+closure). The reference strips the clause (sync_tableddl.go:268-302);
+this engine migrates RANGE/LIST/HASH for real — parent PARTITION BY +
+PARTITION OF children — and names every shape it refuses (KEY, LINEAR,
+subpartitions, PG-illegal PK combinations). Corpus fixtures:
+reference scripts/mysql/create_table.sql cases 16/49/50/58."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql2pg_spark.schema.partitioning import (
+    PartitionDef,
+    parse_partition_def,
+    plan_partitioned_table,
+)
+
+
+def _ident(x):
+    return x
+
+
+def _cap(x):
+    return x
+
+
+def _rewrite(e):
+    from mysql2pg_spark.sinks.plpgsql_builder import rewrite_mysql_expr_to_pg
+
+    return rewrite_mysql_expr_to_pg(e)
+
+
+def _plan(text, pk=()):
+    pd = parse_partition_def(text)
+    assert pd is not None, text
+    return plan_partitioned_table(
+        "t", pd, list(pk), _ident, _rewrite, _cap
+    )
+
+
+# ---- parsing ---------------------------------------------------------------
+
+
+def test_parse_range_expression_and_bounds():
+    pd = parse_partition_def(
+        "PARTITION BY RANGE (YEAR(created_at)) ("
+        "PARTITION p0 VALUES LESS THAN (2020),"
+        "PARTITION p1 VALUES LESS THAN (2021),"
+        "PARTITION pmax VALUES LESS THAN MAXVALUE)"
+    )
+    assert pd.method == "range" and not pd.columns_form
+    assert pd.expr == "YEAR(created_at)"
+    assert [(p.name, p.values) for p in pd.parts] == [
+        ("p0", "2020"), ("p1", "2021"), ("pmax", "MAXVALUE")
+    ]
+
+
+def test_parse_mysqldump_comment_wrapper_and_literals():
+    pd = parse_partition_def(
+        "/*!50100 PARTITION BY LIST COLUMNS(`region`) "
+        "(PARTITION pa VALUES IN ('east,1', 'west'), "
+        "PARTITION pb VALUES IN ('north')) */"
+    )
+    assert pd.method == "list" and pd.columns_form
+    # the comma inside the quoted value must not split it
+    assert pd.parts[0].values == "'east,1', 'west'"
+    assert pd.parts[1].values == "'north'"
+
+
+def test_parse_hash_partitions_n_and_key():
+    pd = parse_partition_def("PARTITION BY HASH (id) PARTITIONS 4;")
+    assert pd.method == "hash" and pd.num_partitions == 4 and not pd.parts
+    pd = parse_partition_def("PARTITION BY KEY (id) PARTITIONS 2")
+    assert pd.method == "key"
+    pd = parse_partition_def("PARTITION BY LINEAR HASH (id) PARTITIONS 2")
+    assert pd.linear
+
+
+def test_parse_subpartition_detected():
+    pd = parse_partition_def(
+        "PARTITION BY RANGE (year) SUBPARTITION BY HASH (month) "
+        "SUBPARTITIONS 12 (PARTITION p2020 VALUES LESS THAN (2021))"
+    )
+    assert pd.subpartition and "HASH" in pd.subpartition
+    # the subpartition scheme's tokens don't pollute the partition list
+    assert [p.name for p in pd.parts] == ["p2020"]
+
+
+# ---- PG plan ---------------------------------------------------------------
+
+
+def test_range_chained_bounds_minvalue_maxvalue():
+    plan = _plan(
+        "PARTITION BY RANGE (id) ("
+        "PARTITION p0 VALUES LESS THAN (10),"
+        "PARTITION p1 VALUES LESS THAN (20),"
+        "PARTITION pmax VALUES LESS THAN MAXVALUE)"
+    )
+    assert plan.parent_clause == "PARTITION BY RANGE (id)"
+    assert plan.children == [
+        "CREATE TABLE IF NOT EXISTS t_p0 PARTITION OF t "
+        "FOR VALUES FROM (MINVALUE) TO (10)",
+        "CREATE TABLE IF NOT EXISTS t_p1 PARTITION OF t "
+        "FOR VALUES FROM (10) TO (20)",
+        "CREATE TABLE IF NOT EXISTS t_pmax PARTITION OF t "
+        "FOR VALUES FROM (20) TO (MAXVALUE)",
+    ]
+    assert plan.skip is None and not plan.notes
+
+
+def test_range_expression_key_rewritten():
+    plan = _plan(
+        "PARTITION BY RANGE (YEAR(`created_at`)) ("
+        "PARTITION p0 VALUES LESS THAN (2020))"
+    )
+    assert plan.parent_clause == (
+        'PARTITION BY RANGE ((EXTRACT(YEAR FROM "created_at")))'
+    )
+
+
+def test_range_columns_multi_column_tuple_bounds():
+    plan = _plan(
+        "PARTITION BY RANGE COLUMNS(a, b) ("
+        "PARTITION p0 VALUES LESS THAN (10, 'm'),"
+        "PARTITION p1 VALUES LESS THAN (MAXVALUE, MAXVALUE))"
+    )
+    assert plan.parent_clause == 'PARTITION BY RANGE (a, b)'
+    assert plan.children[0].endswith(
+        "FOR VALUES FROM (MINVALUE, MINVALUE) TO (10, 'm')"
+    )
+    assert plan.children[1].endswith(
+        "FOR VALUES FROM (10, 'm') TO (MAXVALUE, MAXVALUE)"
+    )
+
+
+def test_range_bound_function_values_rewritten():
+    plan = _plan(
+        "PARTITION BY RANGE (TO_SECONDS(ts)) ("
+        "PARTITION p0 VALUES LESS THAN (UNIX_TIMESTAMP('2020-01-01')))"
+    )
+    # the bound expression goes through the MySQL→PG rewriter
+    assert "EXTRACT(EPOCH FROM '2020-01-01')" in plan.children[0]
+
+
+def test_list_partitioning():
+    plan = _plan(
+        "PARTITION BY LIST (category) ("
+        "PARTITION p0 VALUES IN (1, 2, 3),"
+        "PARTITION p1 VALUES IN (NULL, 4))"
+    )
+    assert plan.parent_clause == 'PARTITION BY LIST (category)'
+    assert plan.children[0].endswith("FOR VALUES IN (1, 2, 3)")
+    assert plan.children[1].endswith("FOR VALUES IN (NULL, 4)")
+
+
+def test_hash_partitioning_modulus_and_note():
+    plan = _plan("PARTITION BY HASH (id) PARTITIONS 3")
+    assert plan.parent_clause == 'PARTITION BY HASH (id)'
+    assert [c.split("FOR VALUES ")[1] for c in plan.children] == [
+        "WITH (MODULUS 3, REMAINDER 0)",
+        "WITH (MODULUS 3, REMAINDER 1)",
+        "WITH (MODULUS 3, REMAINDER 2)",
+    ]
+    # placement divergence is surfaced, not hidden
+    assert plan.notes and "placement differs" in plan.notes[0]
+
+
+def test_hash_with_named_partition_list():
+    plan = _plan(
+        "PARTITION BY HASH (id) (PARTITION alpha, PARTITION beta)"
+    )
+    assert len(plan.children) == 2
+    assert 't_alpha' in plan.children[0]
+    assert "MODULUS 2, REMAINDER 1" in plan.children[1]
+
+
+# ---- named skips -----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,frag",
+    [
+        ("PARTITION BY KEY (id) PARTITIONS 2", "KEY partitioning"),
+        ("PARTITION BY LINEAR HASH (id) PARTITIONS 2", "LINEAR"),
+        (
+            "PARTITION BY RANGE (y) SUBPARTITION BY HASH (m) "
+            "SUBPARTITIONS 2 (PARTITION p0 VALUES LESS THAN (1))",
+            "subpartition",
+        ),
+        ("PARTITION BY RANGE (id)", "missing"),
+        (
+            "PARTITION BY LIST COLUMNS(a, b) "
+            "(PARTITION p0 VALUES IN ((1, 2)))",
+            "one key column",
+        ),
+    ],
+)
+def test_named_skips(text, frag):
+    plan = _plan(text)
+    assert plan.skip and frag.lower() in plan.skip.lower()
+    assert not plan.children and plan.parent_clause is None
+
+
+def test_pk_must_cover_partition_key():
+    plan = _plan(
+        "PARTITION BY RANGE (sold_on) "
+        "(PARTITION p0 VALUES LESS THAN ('2021-01-01'))",
+        pk=["id"],
+    )
+    assert plan.skip and "PRIMARY KEY" in plan.skip
+    # PK that includes the key column migrates fine
+    plan = _plan(
+        "PARTITION BY RANGE (sold_on) "
+        "(PARTITION p0 VALUES LESS THAN ('2021-01-01'))",
+        pk=["id", "sold_on"],
+    )
+    assert plan.skip is None and plan.parent_clause
+
+
+def test_pk_with_expression_key_refused():
+    plan = _plan(
+        "PARTITION BY RANGE (YEAR(sold_on)) "
+        "(PARTITION p0 VALUES LESS THAN (2021))",
+        pk=["id", "sold_on"],
+    )
+    assert plan.skip and "expression" in plan.skip
+
+
+# ---- pipeline + dialect seam ----------------------------------------------
+
+
+def test_orchestrator_emits_parent_and_children(spark, tmp_path):
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+    p = tmp_path / "d.sql"
+    p.write_text(
+        "CREATE TABLE `m` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `created_at` datetime\n"
+        ") ENGINE=InnoDB\n"
+        "/*!50100 PARTITION BY RANGE (year(`created_at`))\n"
+        "(PARTITION p0 VALUES LESS THAN (2020) ENGINE = InnoDB,\n"
+        " PARTITION p1 VALUES LESS THAN MAXVALUE ENGINE = InnoDB) */;\n"
+    )
+    snap = snapshot_from_dump(spark, str(p))
+    actions = MigrationPipeline(EngineConfig(), snap).plan()
+    ddls = [a.payload for a in actions if a.stage == "tableddl" and a.kind == "ddl"]
+    parent = next(d for d in ddls if d.startswith("CREATE TABLE IF NOT EXISTS m"))
+    assert parent.rstrip().endswith(
+        'PARTITION BY RANGE ((EXTRACT(YEAR FROM "created_at")))'
+    )
+    children = [d for d in ddls if "PARTITION OF" in d]
+    assert len(children) == 2
+    assert "FROM (MINVALUE) TO (2020)" in children[0]
+    assert "FROM (2020) TO (MAXVALUE)" in children[1]
+    # no skip for a migrated scheme
+    assert not [a for a in actions if a.stage == "tableddl" and a.kind == "skip"]
+
+
+def test_adapt_ddl_duckdb_strips_partitioning():
+    from mysql2pg_spark.sinks.ddl import adapt_ddl
+
+    parent = (
+        'CREATE TABLE IF NOT EXISTS "m" (\n  "id" INTEGER\n) '
+        'PARTITION BY RANGE ((EXTRACT(YEAR FROM "created_at")))'
+    )
+    adapted = adapt_ddl(parent, "duckdb")
+    assert adapted is not None and "PARTITION BY" not in adapted
+    assert adapted.rstrip().endswith(")")
+    child = (
+        'CREATE TABLE IF NOT EXISTS "m_p0" PARTITION OF "m" '
+        "FOR VALUES FROM (MINVALUE) TO (2020)"
+    )
+    assert adapt_ddl(child, "duckdb") is None
+    # a literal containing ") PARTITION BY" must survive
+    safe = "CREATE TABLE \"x\" (\n  \"c\" TEXT DEFAULT ') PARTITION BY y'\n)"
+    assert adapt_ddl(safe, "duckdb") == safe
+
+
+def test_duckdb_endtoend_partitioned_parent_loads(spark, tmp_path):
+    """The capstone contract in miniature: a partitioned table's DDL
+    executes in DuckDB (parent unpartitioned, children visibly
+    skipped) and its data lands through the parent."""
+    import duckdb
+
+    from mysql2pg_spark.sinks.ddl import adapt_ddl
+
+    con = duckdb.connect()
+    stmts = [
+        'CREATE TABLE IF NOT EXISTS "m" (\n  "id" INTEGER,\n'
+        '  "created_at" TIMESTAMP\n) '
+        'PARTITION BY RANGE ((EXTRACT(YEAR FROM "created_at")))',
+        'CREATE TABLE IF NOT EXISTS "m_p0" PARTITION OF "m" '
+        "FOR VALUES FROM (MINVALUE) TO (2020)",
+    ]
+    executed = 0
+    for s in stmts:
+        a = adapt_ddl(s, "duckdb")
+        if a is not None:
+            con.execute(a)
+            executed += 1
+    assert executed == 1
+    con.execute("INSERT INTO m VALUES (1, TIMESTAMP '2019-06-01')")
+    assert con.execute("SELECT count(*) FROM m").fetchone()[0] == 1

@@ -188,3 +188,80 @@ def test_cli_tabexport_from_dump_roundtrip(spark, tmp_path, capsys):
         ).collect()
     }
     assert got == {(1, "a\tb"), (2, None), (3, "c,d")}
+
+
+def test_render_create_keeps_index_kind_checks_partition(spark, tmp_path):
+    """ADVICE r11: FULLTEXT/SPATIAL keys, CHECK constraints and the
+    partition clause must survive a dump→export→re-ingest loop —
+    round 11 taught the PARSER to keep them, round 12 the renderer."""
+    t = TableMeta(
+        name="rich",
+        columns=[
+            ColumnMeta("id", "int", nullable=False),
+            ColumnMeta("body", "text"),
+            ColumnMeta("loc", "point", nullable=False),
+            ColumnMeta("yr", "int"),
+        ],
+        indexes=[
+            IndexSpec("ft_body", ["body"], kind="fulltext"),
+            IndexSpec("sp_loc", ["loc"], kind="spatial"),
+        ],
+    )
+    t.checks = [("chk_pos", "`id` > 0", True), (None, "`yr` > 1900", False)]
+    t.partition_def = (
+        "PARTITION BY RANGE (yr) "
+        "(PARTITION p0 VALUES LESS THAN (2000), "
+        "PARTITION p1 VALUES LESS THAN MAXVALUE)"
+    )
+    text = render_mysql_create(t)
+    assert "FULLTEXT KEY `ft_body` (`body`)" in text
+    assert "SPATIAL KEY `sp_loc` (`loc`)" in text
+    assert "CONSTRAINT `chk_pos` CHECK (`id` > 0)" in text
+    assert "CHECK (`yr` > 1900) NOT ENFORCED" in text
+    assert ") PARTITION BY RANGE (yr)" in text
+
+    p = tmp_path / "rich.sql"
+    p.write_text(text)
+    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+    (back,) = snapshot_from_dump(spark, str(p)).tables
+    assert {i.name: i.kind for i in back.indexes} == {
+        "ft_body": "fulltext", "sp_loc": "spatial"
+    }
+    assert [(n, e) for n, e, _ in back.checks] == [
+        ("chk_pos", "`id` > 0"), (None, "`yr` > 1900")
+    ]
+    assert [enf for _, _, enf in back.checks] == [True, False]
+    assert "p0" in back.partition_def and "MAXVALUE" in back.partition_def
+
+
+def test_export_excludes_generated_columns(spark, tmp_path):
+    """ADVICE r11: real MySQL rejects explicit values for generated
+    columns (ERROR 3105) — the export writes only the plain columns and
+    the restore LOAD DATA names them explicitly."""
+    from mysql2pg_spark.orchestrator import CatalogSnapshot
+    from mysql2pg_spark.sources.loaddata import load_data_specs
+
+    t = TableMeta(
+        name="gen_t",
+        columns=[
+            ColumnMeta("a", "int", nullable=False),
+            ColumnMeta("b", "int", generated_expr="`a` * 2",
+                       generated_stored=True),
+            ColumnMeta("c", "varchar(10)"),
+        ],
+    )
+    snap = CatalogSnapshot(tables=[t])
+    df = spark.createDataFrame([(1, 2, "x"), (3, 6, "y")], "a int, b int, c string")
+    out = tmp_path / "tab"
+    export_tab_dir(spark, snap, str(out), lambda name: df)
+    specs = load_data_specs(str(out / "restore.sql"))
+    (spec,) = specs
+    assert spec.columns == ["a", "c"]
+    # the data files carry two fields per row, not three
+    import glob
+
+    parts = glob.glob(str(out / "gen_t.txt" / "part-*"))
+    assert parts
+    line = open(parts[0]).readline().rstrip("\n")
+    assert line.count("\t") == 1

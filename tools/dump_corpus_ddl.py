@@ -87,14 +87,14 @@ def corpus_pg_ddl_text(spark) -> str:
     ]
     stage = None
     for a in actions:
-        if a.kind not in ("ddl", "skip"):
+        if a.kind not in ("ddl", "skip", "note"):
             continue
         if a.stage != stage:
             stage = a.stage
             lines += [f"-- ==== stage: {stage} ====", ""]
-        if a.kind == "skip":
+        if a.kind in ("skip", "note"):
             first = str(a.payload).splitlines()[0][:100]
-            lines.append(f"-- SKIP [{a.target}]: {first}")
+            lines.append(f"-- {a.kind.upper()} [{a.target}]: {first}")
         else:
             lines.append(a.payload.rstrip(";") + ";")
         lines.append("")
