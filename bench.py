@@ -631,6 +631,13 @@ def _bench_corpus_migration(spark, tmpdir: str) -> dict:
         "corpus_tables": len(snap.tables),
         "corpus_rows": rows,
         "corpus_seeded_tables": len(seeded),
+        # per-table fixed cost of the data+validate pass (round 12 ask:
+        # 20 seed rows over N tiny tables is ~pure overhead — the
+        # observation-count + batched-checksum fix is proven by this
+        # series falling, not by the noisy total)
+        "corpus_table_overhead_sec": round(
+            data_sec / max(len(seeded), 1), 3
+        ),
     }
 
 

@@ -106,8 +106,19 @@ def write_dbapi(
 
         df.foreachPartition(run)
     elif via == "driver":
+        # collect(), not toLocalIterator() (round 12): the driver mode
+        # exists for EMBEDDED in-process engines (DuckDB/SQLite in
+        # tests and the corpus bench), where the rows funnel through
+        # the driver either way — and toLocalIterator never completes
+        # a df.observe() Observation (its partition-at-a-time jobs
+        # don't fire the listener), so every table paid the full
+        # get_observation timeout (~10 s/table of pure wait in the
+        # corpus data stage) and validation fell back to a second
+        # source scan. collect() is one action: the checksum
+        # observation riding the sink write materializes instantly.
+        # The 100 TB path is via="executors" (foreachPartition).
         insert_batches(
-            df.toLocalIterator(),
+            iter(df.collect()),
             table,
             columns,
             conn_factory,
