@@ -634,29 +634,51 @@ class MigrationPipeline:
                 )
             )
 
-        # CREATE EVENT inventory (round 9): MySQL's scheduler has no
-        # PostgreSQL analog (pg_cron / pgAgent are extensions with a
-        # different DDL surface) — translating would invent semantics,
-        # but a real `mysqldump --events` artifact carries them, so
-        # each surfaces as a named skip instead of vanishing.
+        # CREATE EVENT (round 12; inventoried-as-skip since round 9):
+        # the cron-expressible subset — EVERY-n cadence that divides its
+        # parent unit, single-statement DML body — translates to a
+        # pg_cron `SELECT cron.schedule(…)` DDL (the reference never
+        # scans events at all); everything else stays a NAMED skip
+        # carrying the parsed schedule, per the refuse-don't-
+        # mistranslate convention of the routine plane.
         for raw in self.snapshot.events:
-            mo = re.search(
-                r"(?is)\bEVENT\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-                r"(?:`([^`]+)`|(\w+))",
-                raw,
+            from mysql2pg_spark.schema.events import (
+                event_to_pg_cron,
+                parse_event,
             )
-            ev_name = (mo.group(1) or mo.group(2)) if mo else "?"
-            actions.append(
-                Action(
-                    "events",
-                    "skip",
-                    ev_name.lower(),
-                    f"CREATE EVENT {ev_name}: MySQL's event scheduler "
-                    "has no PostgreSQL analog — recreate the schedule "
-                    "in pg_cron or pgAgent (body DDL preserved in the "
-                    "source dump); not migrated",
+
+            spec = parse_event(raw)
+            if spec is None:
+                mo = re.search(
+                    r"(?is)\bEVENT\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                    r"(?:`([^`]+)`|(\w+))",
+                    raw,
                 )
-            )
+                ev_name = (mo.group(1) or mo.group(2)) if mo else "?"
+                actions.append(
+                    Action(
+                        "events",
+                        "skip",
+                        ev_name.lower(),
+                        f"CREATE EVENT {ev_name}: unparseable schedule/"
+                        "body — recreate in pg_cron or pgAgent (source "
+                        "DDL preserved in the dump); not migrated",
+                    )
+                )
+                continue
+            ddl, skip_reason, note = event_to_pg_cron(spec)
+            if ddl is not None:
+                actions.append(
+                    Action("events", "ddl", spec.name.lower(), ddl)
+                )
+                if note:
+                    actions.append(
+                        Action("events", "skip", spec.name.lower(), note)
+                    )
+            else:
+                actions.append(
+                    Action("events", "skip", spec.name.lower(), skip_reason)
+                )
 
         if o.users:
             for user, grants in self.snapshot.users.items():

@@ -64,6 +64,15 @@ round it is born):
                               CASE-statement / EXIT-handler twin)
   sf01_stored_function_battery += sf05_signal_guard_twin (SIGNAL /
                               named-condition / specific-SQLSTATE twin)
+
+Round 12 rotation (VERDICT r11 ask #3 — families so far exercised only as
+battery parts get their own named driver row; an equal number of rows
+driver-green and byte-identical since round ≤5 rotate out, staying in
+QUERIES for bench + the pytest oracle suite):
+  IN : u02_scd2_history, cc03_pagerank_canonical, ts05_seasonality,
+       qa03_drift_profile, s11_ann_recall, t21_novelty, mm05_phash_neardup
+  OUT: q06_group_concat, q08_set_ops, q09_semi_anti, q10_subqueries,
+       f04_math, f05_date, q16_lateral_topn
 """
 
 from __future__ import annotations
@@ -1047,3 +1056,33 @@ def s07_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 for _name in FOLDED:
     DRIVER_QUERIES.pop(_name, None)
     DRIVER_ORACLES.pop(_name, None)
+
+# --------------------------------------------------------------------------
+# Round-12 driver-window rotation (see module docstring): promote
+# battery-part-only families to named driver rows; retire an equal number
+# of rows that have been driver-green since round ≤5 (still in QUERIES).
+# --------------------------------------------------------------------------
+ROTATED_IN = (
+    "u02_scd2_history",
+    "cc03_pagerank_canonical",
+    "ts05_seasonality",
+    "qa03_drift_profile",
+    "s11_ann_recall",
+    "t21_novelty",
+    "mm05_phash_neardup",
+)
+ROTATED_OUT = (
+    "q06_group_concat",
+    "q08_set_ops",
+    "q09_semi_anti",
+    "q10_subqueries",
+    "f04_math",
+    "f05_date",
+    "q16_lateral_topn",
+)
+for _name in ROTATED_OUT:
+    DRIVER_QUERIES.pop(_name, None)
+    DRIVER_ORACLES.pop(_name, None)
+for _name in ROTATED_IN:
+    DRIVER_QUERIES[_name] = QUERIES[_name]
+    DRIVER_ORACLES[_name] = ORACLES[_name]

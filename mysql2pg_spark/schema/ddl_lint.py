@@ -40,6 +40,8 @@ STATEMENT_HEADS = (
     "DROP TRIGGER IF EXISTS",
     "CREATE TRIGGER",
     "ALTER TABLE",
+    # round 12: translated CREATE EVENT schedules (schema/events.py)
+    "SELECT CRON.SCHEDULE(",
 )
 
 #: Text that must NEVER survive into PostgreSQL DDL: MySQL spellings

@@ -1,0 +1,265 @@
+"""MySQL ``CREATE EVENT`` → pg_cron schedule translation (C-plane
+closure, round 12).
+
+The reference ignores events entirely (its scan loop never reads
+``information_schema.EVENTS``; a migrated database silently loses every
+scheduled job). Round 9 taught this engine to *inventory* dump-carried
+events as named skips; this module closes the gap for the translatable
+subset: an event whose cadence is exactly expressible as a cron entry
+(or a pg_cron seconds interval) and whose body is a single DML/CALL
+statement becomes
+
+    SELECT cron.schedule('<name>', '<schedule>', $evt$<pg body>$evt$);
+
+ready to execute on a PostgreSQL with the pg_cron extension. Everything
+else stays a *named* skip carrying the parsed schedule — the
+refuse-don't-mistranslate convention used across the routine plane.
+
+Cron-expressibility rules (MySQL fires on a fixed cadence anchored at
+STARTS; cron fires on wall-clock field matches — the two only coincide
+when the period divides its parent unit):
+
+- ``EVERY n SECOND``  → pg_cron interval syntax ``'n seconds'`` (1-59).
+- ``EVERY n MINUTE``  → ``*/n * * * *`` only when 60 % n == 0 (else the
+  hour boundary introduces a short tick: */7 fires 56→0).
+- ``EVERY n HOUR``    → ``m */n * * *`` only when 24 % n == 0.
+- ``EVERY 1 DAY``     → ``m h * * *``; n>1 is not cron-expressible
+  (``*/n`` on day-of-month resets every month).
+- ``EVERY 1 WEEK``    → ``m h * * dow``.
+- ``EVERY n MONTH``   → ``m h dom */n *`` when 12 % n == 0 (QUARTER =
+  3 months rides the same rule).
+- ``EVERY 1 YEAR``    → ``m h dom mon *``.
+- ``AT ts``           → refused: a one-shot job has no pg_cron analog
+  (cron entries recur); run the body manually or via an ad-hoc job.
+
+Phase: cron's anchor is the unit boundary; a literal ``STARTS`` fills
+the sub-period fields (minute/hour/dom/dow) so the PG job fires at the
+same wall-clock offset. A non-literal STARTS (``CURRENT_TIMESTAMP +
+INTERVAL …``) keeps the boundary anchor and the divergence is noted.
+
+Reference parity: net-new surface (no counterpart —
+``sync_functions.go`` handles only FUNCTION; events never scanned).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from mysql2pg_spark.sinks.plpgsql_builder import rewrite_mysql_expr_to_pg
+
+__all__ = ["EventSpec", "parse_event", "event_to_pg_cron"]
+
+
+@dataclass
+class EventSpec:
+    name: str
+    schedule_kind: str           # "every" | "at"
+    interval_n: int | None       # EVERY n …
+    interval_unit: str | None    # second|minute|hour|day|week|month|
+                                 # quarter|year
+    at_ts: str | None            # AT '…' raw text
+    starts: str | None           # STARTS raw text (literal or expr)
+    ends: str | None             # ENDS raw text
+    body: str                    # raw MySQL DO-body
+    enabled: bool                # ENABLE (default) vs DISABLE[..]
+    comment: str | None
+
+
+_EVENT_RE = re.compile(
+    r"""(?isx)
+    \bCREATE\s+
+    (?:DEFINER\s*=\s*\S+\s+)?
+    EVENT\s+ (?:IF\s+NOT\s+EXISTS\s+)?
+    (?:`(?P<q>[^`]+)`|(?P<b>\w+)) \s+
+    ON\s+SCHEDULE\s+
+    (?:
+        AT\s+(?P<at>.+?)
+      | EVERY\s+(?P<n>\d+)\s+(?P<unit>\w+)
+        (?:\s+STARTS\s+(?P<starts>.+?))?
+        (?:\s+ENDS\s+(?P<ends>.+?))?
+    )
+    (?=\s+(?:ON\s+COMPLETION|ENABLE|DISABLE|COMMENT|DO)\b)
+    (?P<tail>.*)
+    """,
+)
+
+_TS_LIT_RE = re.compile(
+    r"^'(\d{4})-(\d{2})-(\d{2})(?:[ T](\d{2}):(\d{2})(?::(\d{2}))?)?'$"
+)
+
+#: units whose EVERY-n cadence can be exact in cron (see module doc)
+_UNITS = (
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+)
+
+
+def _strip_cc(text: str) -> str:
+    """Unwrap mysqldump /*!NNNNN … */ conditional comments."""
+    return re.sub(r"/\*!\d{5}\s?(.*?)\*/", r"\1", text, flags=re.S)
+
+
+def parse_event(raw: str) -> EventSpec | None:
+    """Parse one CREATE EVENT statement (dump spelling tolerated:
+    conditional-comment wraps, DEFINER, IF NOT EXISTS, backticks).
+    Returns None when the text is not a recognizable CREATE EVENT."""
+    text = _strip_cc(raw).strip().rstrip(";").strip()
+    mo = _EVENT_RE.search(text)
+    if not mo:
+        return None
+    tail = mo.group("tail") or ""
+    do = re.search(r"(?is)\bDO\b\s+(.*)$", tail)
+    if not do:
+        return None
+    body = do.group(1).strip().rstrip(";").strip()
+    head = tail[: do.start()]
+    enabled = not re.search(r"(?i)\bDISABLE\b", head)
+    cmt = re.search(r"(?is)\bCOMMENT\s+'((?:[^']|'')*)'", head)
+    unit = (mo.group("unit") or "").lower().rstrip("s") or None
+    if mo.group("n") is not None and unit not in _UNITS:
+        return None  # EVERY n <unknown unit>
+    return EventSpec(
+        name=mo.group("q") or mo.group("b"),
+        schedule_kind="at" if mo.group("at") else "every",
+        interval_n=int(mo.group("n")) if mo.group("n") else None,
+        interval_unit=unit,
+        at_ts=(mo.group("at") or "").strip() or None,
+        starts=(mo.group("starts") or "").strip() or None,
+        ends=(mo.group("ends") or "").strip() or None,
+        body=body,
+        enabled=enabled,
+        comment=cmt.group(1).replace("''", "'") if cmt else None,
+    )
+
+
+def _starts_fields(starts: str | None):
+    """(minute, hour, dom, mon, dow, literal?) from a STARTS literal;
+    boundary defaults (0 0 1 1) when absent or non-literal."""
+    if starts:
+        mo = _TS_LIT_RE.match(starts.strip())
+        if mo:
+            import datetime
+
+            y, m, d = int(mo.group(1)), int(mo.group(2)), int(mo.group(3))
+            hh = int(mo.group(4) or 0)
+            mi = int(mo.group(5) or 0)
+            dow = datetime.date(y, m, d).isoweekday() % 7  # cron: 0=Sun
+            return mi, hh, d, m, dow, True
+        return 0, 0, 1, 1, 0, False
+    return 0, 0, 1, 1, 0, True  # no STARTS: boundary anchor is exact
+
+
+def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
+    """(schedule_string, refusal_reason, phase_exact) for an EVERY
+    spec. ``schedule_string`` is a 5-field cron entry or a pg_cron
+    ``'n seconds'`` interval."""
+    n, unit = spec.interval_n, spec.interval_unit
+    mi, hh, dom, mon, dow, lit = _starts_fields(spec.starts)
+    if unit == "quarter":
+        n, unit = n * 3, "month"
+    if unit == "second":
+        if 1 <= n <= 59:
+            return f"{n} seconds", None, True  # interval: no phase
+        return None, f"EVERY {n} SECOND exceeds pg_cron's 59 s interval", lit
+    if unit == "minute":
+        if n == 1:
+            return "* * * * *", None, True
+        if 60 % n == 0:
+            return f"*/{n} * * * *", None, lit and mi % n == 0
+        return None, (
+            f"EVERY {n} MINUTE: 60 % {n} != 0 — cron's hour boundary "
+            "would break the cadence"
+        ), lit
+    if unit == "hour":
+        if n == 1:
+            return f"{mi} * * * *", None, lit
+        if 24 % n == 0:
+            return f"{mi} */{n} * * *", None, lit and hh % n == 0
+        return None, (
+            f"EVERY {n} HOUR: 24 % {n} != 0 — cron's day boundary "
+            "would break the cadence"
+        ), lit
+    if unit == "day":
+        if n == 1:
+            return f"{mi} {hh} * * *", None, lit
+        return None, (
+            f"EVERY {n} DAY is not cron-expressible (day-of-month */"
+            f"{n} resets at each month boundary)"
+        ), lit
+    if unit == "week":
+        if n == 1:
+            return f"{mi} {hh} * * {dow}", None, lit
+        return None, f"EVERY {n} WEEK is not cron-expressible", lit
+    if unit == "month":
+        if n == 1:
+            return f"{mi} {hh} {dom} * *", None, lit
+        if 12 % n == 0:
+            return f"{mi} {hh} {dom} */{n} *", None, lit and (mon - 1) % n == 0
+        return None, (
+            f"EVERY {n} MONTH: 12 % {n} != 0 — cron's year boundary "
+            "would break the cadence"
+        ), lit
+    if unit == "year":
+        if n == 1:
+            return f"{mi} {hh} {dom} {mon} *", None, lit
+        return None, f"EVERY {n} YEAR is not cron-expressible", lit
+    return None, f"unsupported interval unit {unit!r}", lit
+
+
+#: single-statement body heads the rewriter handles faithfully
+_BODY_HEAD_RE = re.compile(
+    r"(?is)^\s*(INSERT|UPDATE|DELETE|REPLACE|TRUNCATE|CALL|SELECT)\b"
+)
+
+
+def event_to_pg_cron(spec: EventSpec) -> tuple[str | None, str | None, str | None]:
+    """(ddl, skip_reason, note): exactly one of ddl/skip_reason is
+    non-None. ``note`` rides along with an emitted ddl when the
+    translation carries a bounded, documented divergence (phase)."""
+    if not spec.enabled:
+        return None, (
+            f"CREATE EVENT {spec.name} is DISABLE'd at the source — "
+            "scheduling it in pg_cron would enable it; recreate with "
+            "cron.schedule + UPDATE cron.job SET active = false if "
+            "wanted"
+        ), None
+    if spec.schedule_kind == "at":
+        return None, (
+            f"CREATE EVENT {spec.name}: one-shot AT {spec.at_ts} has no "
+            "pg_cron analog (cron entries recur) — run the body once "
+            "manually"
+        ), None
+    if spec.ends:
+        return None, (
+            f"CREATE EVENT {spec.name}: ENDS {spec.ends} has no cron "
+            "analog — schedule without it and cron.unschedule at the "
+            "end time"
+        ), None
+    sched, why, phase_exact = _cron_schedule(spec)
+    if sched is None:
+        return None, f"CREATE EVENT {spec.name}: {why} — not migrated", None
+    if re.match(r"(?is)^\s*BEGIN\b", spec.body):
+        return None, (
+            f"CREATE EVENT {spec.name}: compound BEGIN…END body — "
+            "migrate it as a procedure (functions stage) and schedule "
+            "cron.schedule('…', 'CALL …'); not auto-migrated"
+        ), None
+    if not _BODY_HEAD_RE.match(spec.body):
+        return None, (
+            f"CREATE EVENT {spec.name}: body statement "
+            f"{spec.body.split(None, 1)[0] if spec.body else '?'!r} is "
+            "outside the translatable DML subset — not migrated"
+        ), None
+    pg_body = rewrite_mysql_expr_to_pg(spec.body).rstrip(";").strip()
+    ddl = (
+        f"SELECT cron.schedule('{spec.name.lower()}', '{sched}', "
+        f"$evt${pg_body}$evt$)"
+    )
+    note = None
+    if not phase_exact:
+        note = (
+            f"event {spec.name}: cron anchors at the unit boundary; the "
+            f"source STARTS {spec.starts} phase is not representable — "
+            "first firing may shift by less than one period"
+        )
+    return ddl, None, note

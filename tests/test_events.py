@@ -1,0 +1,220 @@
+"""CREATE EVENT → pg_cron translation (schema/events.py, round 12).
+
+The reference never scans events (a migrated database silently loses
+every scheduled job); this engine translates the cron-expressible
+subset and NAMES every refusal with the parsed schedule.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql2pg_spark.schema.events import (
+    EventSpec,
+    event_to_pg_cron,
+    parse_event,
+)
+
+
+def _ev(sql: str) -> EventSpec:
+    spec = parse_event(sql)
+    assert spec is not None, sql
+    return spec
+
+
+# ---------------------------------------------------------------- parse
+
+
+def test_parse_full_clause_space():
+    spec = _ev(
+        "CREATE DEFINER=`root`@`localhost` EVENT IF NOT EXISTS `purge` "
+        "ON SCHEDULE EVERY 1 DAY STARTS '2024-01-01 03:30:00' "
+        "ON COMPLETION NOT PRESERVE ENABLE COMMENT 'it''s nightly' "
+        "DO DELETE FROM t WHERE d < NOW()"
+    )
+    assert spec.name == "purge"
+    assert spec.schedule_kind == "every"
+    assert (spec.interval_n, spec.interval_unit) == (1, "day")
+    assert spec.starts == "'2024-01-01 03:30:00'"
+    assert spec.ends is None
+    assert spec.enabled
+    assert spec.comment == "it's nightly"
+    assert spec.body == "DELETE FROM t WHERE d < NOW()"
+
+
+def test_parse_at_and_disable_and_conditional_comments():
+    spec = _ev(
+        "/*!50106 CREATE*/ /*!50117 DEFINER=`root`@`localhost`*/ "
+        "/*!50106 EVENT `once` ON SCHEDULE AT '2030-06-01 12:00:00' "
+        "DISABLE DO UPDATE t SET x = 1 */"
+    )
+    assert spec.schedule_kind == "at"
+    assert spec.at_ts == "'2030-06-01 12:00:00'"
+    assert not spec.enabled
+
+
+def test_parse_ends_clause():
+    spec = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 HOUR "
+        "STARTS '2024-01-01 00:00:00' ENDS '2025-01-01 00:00:00' "
+        "DO DELETE FROM t"
+    )
+    assert spec.ends == "'2025-01-01 00:00:00'"
+
+
+def test_parse_rejects_non_event():
+    assert parse_event("CREATE TABLE t (a INT)") is None
+    assert parse_event("CREATE EVENT broken ON SCHEDULE DO x") is None
+
+
+# ------------------------------------------------------- cron schedules
+
+
+@pytest.mark.parametrize(
+    "every,starts,expect",
+    [
+        ("1 MINUTE", None, "* * * * *"),
+        ("15 MINUTE", None, "*/15 * * * *"),
+        ("1 HOUR", "'2024-01-01 00:45:00'", "45 * * * *"),
+        ("6 HOUR", None, "0 */6 * * *"),
+        ("1 DAY", "'2024-01-01 03:30:00'", "30 3 * * *"),
+        ("1 WEEK", "'2024-01-01 08:00:00'", "0 8 * * 1"),  # Mon
+        ("1 MONTH", "'2024-03-15 00:00:00'", "0 0 15 * *"),
+        ("1 QUARTER", None, "0 0 1 */3 *"),
+        ("1 YEAR", "'2024-07-04 09:00:00'", "0 9 4 7 *"),
+        ("30 SECOND", None, "30 seconds"),
+    ],
+)
+def test_cron_expressible_cadences(every, starts, expect):
+    sql = f"CREATE EVENT e ON SCHEDULE EVERY {every} "
+    if starts:
+        sql += f"STARTS {starts} "
+    sql += "DO DELETE FROM t"
+    ddl, skip, _note = event_to_pg_cron(_ev(sql))
+    assert skip is None
+    assert f"'{expect}'" in ddl
+
+
+@pytest.mark.parametrize(
+    "every,frag",
+    [
+        ("7 MINUTE", "60 % 7"),          # hour boundary breaks cadence
+        ("5 HOUR", "24 % 5"),            # day boundary
+        ("2 DAY", "not cron-expressible"),
+        ("2 WEEK", "not cron-expressible"),
+        ("5 MONTH", "12 % 5"),
+        ("90 SECOND", "59 s"),
+        ("3 YEAR", "not cron-expressible"),
+    ],
+)
+def test_non_divisor_cadences_refuse_with_reason(every, frag):
+    ddl, skip, _ = event_to_pg_cron(
+        _ev(f"CREATE EVENT e ON SCHEDULE EVERY {every} DO DELETE FROM t")
+    )
+    assert ddl is None
+    assert frag in skip
+
+
+def test_at_disable_ends_and_compound_refuse():
+    at = _ev(
+        "CREATE EVENT e ON SCHEDULE AT '2030-01-01 00:00:00' DO DELETE FROM t"
+    )
+    assert event_to_pg_cron(at)[0] is None
+    dis = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DISABLE DO DELETE FROM t"
+    )
+    ddl, skip, _ = event_to_pg_cron(dis)
+    assert ddl is None and "DISABLE" in skip
+    ends = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 HOUR "
+        "ENDS '2030-01-01 00:00:00' DO DELETE FROM t"
+    )
+    ddl, skip, _ = event_to_pg_cron(ends)
+    assert ddl is None and "cron.unschedule" in skip
+    comp = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "DO BEGIN DELETE FROM a; DELETE FROM b; END"
+    )
+    ddl, skip, _ = event_to_pg_cron(comp)
+    assert ddl is None and "BEGIN" in skip
+
+
+def test_non_dml_body_refuses():
+    spec = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO ALTER TABLE t ADD c INT"
+    )
+    ddl, skip, _ = event_to_pg_cron(spec)
+    assert ddl is None and "translatable DML subset" in skip
+
+
+# ------------------------------------------------------ body + phase
+
+
+def test_body_rewritten_to_pg_dialect():
+    spec = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO "
+        "INSERT INTO log (msg, at) VALUES (IFNULL(@m, 'x'), NOW())"
+    )
+    ddl, skip, _ = event_to_pg_cron(spec)
+    assert skip is None
+    assert "COALESCE(" in ddl and "CURRENT_TIMESTAMP" in ddl
+    assert ddl.startswith("SELECT cron.schedule('e', '0 0 * * *', $evt$")
+    assert ddl.endswith("$evt$)")
+
+
+def test_nonliteral_starts_emits_phase_note():
+    spec = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "STARTS CURRENT_TIMESTAMP + INTERVAL 1 HOUR DO DELETE FROM t"
+    )
+    ddl, skip, note = event_to_pg_cron(spec)
+    assert skip is None
+    assert "'0 0 * * *'" in ddl  # boundary anchor
+    assert note is not None and "phase" in note
+
+
+def test_literal_starts_no_note():
+    spec = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "STARTS '2024-01-01 02:00:00' DO DELETE FROM t"
+    )
+    ddl, skip, note = event_to_pg_cron(spec)
+    assert skip is None and note is None
+    assert "'0 2 * * *'" in ddl
+
+
+def test_duckdb_seam_skips_cron_ddl_visibly():
+    from mysql2pg_spark.sinks.ddl import adapt_ddl
+
+    ddl, _, _ = event_to_pg_cron(
+        _ev("CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO DELETE FROM t")
+    )
+    assert adapt_ddl(ddl, "postgres") == ddl
+    assert adapt_ddl(ddl, "duckdb") is None
+
+
+def test_event_plan_golden_pinned():
+    """Byte-diff the fixture corpus' five events against the reviewed
+    golden (tests/golden/events_pg.sql) — any change to the emitted
+    pg_cron DDL or refusal text shows up as a reviewable diff.
+    Regenerate: see the golden's sibling generator in this test."""
+    import os
+
+    from tools.make_mysqldump import EVENTS
+
+    lines = []
+    for raw in EVENTS:
+        spec = parse_event(raw)
+        assert spec is not None, raw
+        ddl, skip, note = event_to_pg_cron(spec)
+        if ddl is not None:
+            lines.append(ddl.rstrip(";") + ";")
+            if note:
+                lines.append(f"-- NOTE [{spec.name.lower()}]: {note}")
+        else:
+            lines.append(f"-- SKIP [{spec.name.lower()}]: {skip}")
+    text = "\n".join(lines) + "\n"
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden", "events_pg.sql"
+    )
+    assert text == open(golden).read()

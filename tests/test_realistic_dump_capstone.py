@@ -55,8 +55,8 @@ def test_dump_is_byte_realistic(dump_path):
     text = open(dump_path).read()
     assert text.startswith("-- MySQL dump 10.13")
     assert "/*!40101 SET @OLD_CHARACTER_SET_CLIENT" in text
-    # 3 routines + 1 trigger + 1 event (round 9: --events section)
-    assert text.count("DELIMITER ;;") == 5
+    # 3 routines + 1 trigger + 5 events (round 12: event clause space)
+    assert text.count("DELIMITER ;;") == 9
     assert "-- Dumping events for database 'testdb'" in text
     assert "/*!50106 CREATE*/" in text
     assert "/*!50003 CREATE*/ /*!50020 DEFINER=`root`@`localhost`*/" in text
@@ -102,17 +102,22 @@ def test_full_snapshot_carries_every_section(snapshot):
     assert len(snapshot.triggers) == 1
     assert "INSERT INTO case_41_foreign_key" in snapshot.triggers[0]
     assert "SET NEW.name = UPPER(NEW.name)" in snapshot.triggers[0]
-    # the --events section is INVENTORIED (round 9): PG has no event
-    # scheduler, so the plan must surface each as a documented skip —
-    # first it has to survive the scan
-    assert len(snapshot.events) == 1
-    assert "purge_stale_sessions" in snapshot.events[0]
-    assert "ON SCHEDULE EVERY 1 DAY" in snapshot.events[0]
+    # the --events section survives the scan (round 9; round 12 widens
+    # the corpus to the full clause space: translatable EVERY cadences,
+    # one-shot AT, non-divisor cadence, compound body)
+    assert len(snapshot.events) == 5
+    joined = "\n".join(snapshot.events)
+    assert "purge_stale_sessions" in joined
+    assert "ON SCHEDULE EVERY 1 DAY" in joined
+    assert "one_shot_cleanup" in joined
+    assert "nightly_compound" in joined
 
 
-def test_events_surface_as_documented_skips(snapshot, tmp_path):
-    """plan(): each dump-carried CREATE EVENT becomes a named skip
-    action pointing at pg_cron/pgAgent — never a silent drop."""
+def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
+    """plan() (round 12): the cron-expressible events become pg_cron
+    ``SELECT cron.schedule(…)`` DDL actions; the untranslatable ones
+    stay NAMED skips carrying the parsed schedule — never a silent
+    drop."""
     import yaml
 
     from mysql2pg_spark.config import load_config
@@ -125,11 +130,31 @@ def test_events_surface_as_documented_skips(snapshot, tmp_path):
         "conversion": {"options": {}, "limits": {}},
     }))
     actions = MigrationPipeline(load_config(str(p)), snapshot).plan()
-    evs = [a for a in actions if a.stage == "events"]
-    assert len(evs) == 1
-    assert evs[0].kind == "skip"
-    assert evs[0].target == "purge_stale_sessions"
-    assert "pg_cron" in evs[0].payload and "not migrated" in evs[0].payload
+    evs = {a.target: a for a in actions if a.stage == "events"}
+    assert set(evs) == {
+        "purge_stale_sessions", "hourly_rollup", "one_shot_cleanup",
+        "odd_cadence", "nightly_compound",
+    }
+    # EVERY 1 DAY STARTS '… 00:00:00' → midnight cron entry
+    daily = evs["purge_stale_sessions"]
+    assert daily.kind == "ddl"
+    assert daily.payload.startswith(
+        "SELECT cron.schedule('purge_stale_sessions', '0 0 * * *', $evt$"
+    )
+    assert "DELETE FROM case_41_parent" in daily.payload
+    # EVERY 1 HOUR, MySQL-dialect body → PG dialect inside the job
+    hourly = evs["hourly_rollup"]
+    assert hourly.kind == "ddl"
+    assert "'0 * * * *'" in hourly.payload
+    assert "COALESCE(" in hourly.payload          # IFNULL rewritten
+    assert "TO_CHAR(CURRENT_TIMESTAMP" in hourly.payload  # DATE_FORMAT(NOW())
+    # refusals are NAMED and carry the reason
+    assert evs["one_shot_cleanup"].kind == "skip"
+    assert "AT" in evs["one_shot_cleanup"].payload
+    assert evs["odd_cadence"].kind == "skip"
+    assert "60 % 7" in evs["odd_cadence"].payload
+    assert evs["nightly_compound"].kind == "skip"
+    assert "BEGIN" in evs["nightly_compound"].payload
 
 
 def test_trigger_translates_with_body_dml(snapshot):

@@ -79,13 +79,32 @@ TRIGGERS: dict[str, list[str]] = {
     ],
 }
 
-#: Event corpus (round 9): `mysqldump --events` sections ride real
-#: dumps; the pipeline inventories each as a documented skip (PG has
-#: no event scheduler — pg_cron/pgAgent are the named alternatives).
+#: Event corpus (round 9; widened round 12): `mysqldump --events`
+#: sections ride real dumps. The cron-expressible subset translates to
+#: pg_cron `SELECT cron.schedule(…)` DDL; one-shot AT, compound bodies
+#: and non-divisor cadences stay NAMED skips carrying the parsed
+#: schedule (refuse-don't-mistranslate).
 EVENTS: list[str] = [
+    # translates: EVERY 1 DAY + literal STARTS → '0 0 * * *'
     "CREATE EVENT `purge_stale_sessions` ON SCHEDULE EVERY 1 DAY "
     "STARTS '2024-01-01 00:00:00' ON COMPLETION NOT PRESERVE ENABLE "
     "DO DELETE FROM case_41_parent WHERE name = 'stale'",
+    # translates: EVERY 1 HOUR, MySQL-dialect body (IFNULL + NOW())
+    "CREATE EVENT `hourly_rollup` ON SCHEDULE EVERY 1 HOUR "
+    "COMMENT 'hourly activity rollup' "
+    "DO INSERT INTO case_41_parent (name) "
+    "SELECT IFNULL(CONCAT('roll-', DATE_FORMAT(NOW(), '%Y-%m-%d')), 'x')",
+    # refused: one-shot AT has no pg_cron analog
+    "CREATE EVENT `one_shot_cleanup` ON SCHEDULE "
+    "AT '2030-01-01 00:00:00' "
+    "DO DELETE FROM case_41_parent WHERE name = 'tmp'",
+    # refused: 60 % 7 != 0 — cron's hour boundary breaks the cadence
+    "CREATE EVENT `odd_cadence` ON SCHEDULE EVERY 7 MINUTE "
+    "DO DELETE FROM case_41_parent WHERE name = 'odd'",
+    # refused: compound BEGIN…END body (migrate as procedure + CALL)
+    "CREATE EVENT `nightly_compound` ON SCHEDULE EVERY 1 DAY DO BEGIN "
+    "DELETE FROM case_41_parent WHERE name = 'a'; "
+    "DELETE FROM case_41_parent WHERE name = 'b'; END",
 ]
 
 _TRG_SAVE = """\
