@@ -367,6 +367,61 @@ def _spread(times: list[float]) -> list[float]:
     return [round(s[0], 3), round(s[len(s) // 2], 3), round(s[-1], 3)]
 
 
+def compute_vs_prev_verdicts(
+    vs_prev: dict[str, float],
+    spread: dict[str, list[float]],
+    prev_spread: dict[str, list[float]],
+    canary_times: list[float],
+    flag_band: float = 0.10,
+) -> dict[str, dict]:
+    """Machine noise-vs-regression verdict for every A/B query whose
+    ratio leaves the ±``flag_band`` window (round-11 ask #5: r11's
+    q11_rollup 1.19 ran code byte-identical to r10 — the adjudication
+    "inside the order-alternated noise band, don't act" is now encoded
+    instead of hand-made each round).
+
+    A flagged ratio is only code-attributable when the median shift
+    exceeds BOTH run-noise instruments:
+
+    - the canary band: p75/p25 of the interleaved constant workload's
+      times (quartiles, not max/min — one slow canary rep must not
+      inflate the band to where everything reads as noise);
+    - the query's own rep spread: max/min of the head and prev rep
+      series (each sorted), whichever is wider.
+
+    verdict ∈ {noise, regression, improvement}; only flagged queries
+    appear, so an empty dict means "no ratio left the window".
+    """
+    out: dict[str, dict] = {}
+    ct = sorted(canary_times)
+    if len(ct) >= 4:
+        canary_band = ct[(3 * len(ct)) // 4] / max(ct[len(ct) // 4], 1e-9)
+    elif ct:
+        canary_band = ct[-1] / max(ct[0], 1e-9)
+    else:
+        canary_band = 1.0
+    for name, ratio in vs_prev.items():
+        if (1 - flag_band) <= ratio <= (1 + flag_band):
+            continue
+        bands = {"canary": round(canary_band, 3)}
+        for key, series in (("head", spread.get(name)),
+                            ("prev", prev_spread.get(name))):
+            if series:
+                bands[key] = round(series[-1] / max(series[0], 1e-9), 3)
+        noise_band = max(bands.values())
+        move = max(ratio, 1 / max(ratio, 1e-9))
+        out[name] = {
+            "ratio": ratio,
+            "noise_band": round(noise_band, 3),
+            "bands": bands,
+            "verdict": (
+                "noise" if move <= noise_band
+                else ("regression" if ratio > 1 else "improvement")
+            ),
+        }
+    return out
+
+
 def _bench_curation(spark, sf_dir: str, tmpdir: str, reps: int = 1) -> dict:
     """Time the FULL text-curation pipeline at the sf: quality gate
     (t15: length + quality + dedup-survival) → survivor selection →
@@ -1134,6 +1189,8 @@ def main() -> None:
                 compact["vs_prev"] = vs_prev
                 if result.get("vs_prev_round") is not None:
                     compact["vs_prev_round"] = result["vs_prev_round"]
+                if result.get("vs_prev_verdicts"):
+                    compact["vs_prev_verdicts"] = result["vs_prev_verdicts"]
             if "vs_prev_error" in result:
                 compact["vs_prev_error"] = result["vs_prev_error"]
             if "truncated" in result:
@@ -1268,6 +1325,12 @@ def main() -> None:
     if ct:
         canary["median"] = ct[len(ct) // 2]
         canary["ratio"] = round(ct[-1] / max(ct[0], 1e-9), 2)
+    # per-flagged-query machine verdict: noise vs regression (r11 #5)
+    _verdicts = compute_vs_prev_verdicts(
+        vs_prev, spread, prev_spread, canary["times"]
+    )
+    if _verdicts:
+        result["vs_prev_verdicts"] = _verdicts
     total = round(sum(timings.values()), 3)
 
     # trend-bearing extras (migration / curation / streaming / the

@@ -73,6 +73,10 @@ QUERIES for bench + the pytest oracle suite):
        qa03_drift_profile, s11_ann_recall, t21_novelty, mm05_phash_neardup
   OUT: q06_group_concat, q08_set_ops, q09_semi_anti, q10_subqueries,
        f04_math, f05_date, q16_lateral_topn
+  sf01_stored_function_battery += sf09_loop_resultset_twin (the
+       cursor-accumulate loop-result-set shape, born this round)
+  sf01_stored_function_battery += sf10_sysvar_twin (@@system-variable
+       read mapping, born this round)
 """
 
 from __future__ import annotations
@@ -400,6 +404,11 @@ SELECT 'resultset_twin', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
        h.rs_custkey, h.rs_name, h.rs_acctbal
 FROM {_sub("sf08_resultset_proc_twin")} h
+UNION ALL BY NAME
+SELECT 'loop_resultset_twin' AS part, *
+FROM {_sub("sf09_loop_resultset_twin")}
+UNION ALL BY NAME
+SELECT 'sysvar_twin' AS part, * FROM {_sub("sf10_sysvar_twin")}
 ORDER BY part, c_custkey, om, tier, flag, status, a_custkey, rs_custkey
 """,
 )
@@ -426,6 +435,11 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twins join the battery the round those shapes landed
     uservar_twin = QUERIES["sf07_uservar_accum_twin"](spark, sf_dir)
     resultset_twin = QUERIES["sf08_resultset_proc_twin"](spark, sf_dir)
+    # round 12: the loop-result-set (cursor-accumulate) and
+    # @@system-variable twins join the battery the round those shapes
+    # became translatable
+    loop_rs_twin = QUERIES["sf09_loop_resultset_twin"](spark, sf_dir)
+    sysvar_twin = QUERIES["sf10_sysvar_twin"](spark, sf_dir)
     return _tagged_union(
         "part",
         [
@@ -436,6 +450,8 @@ def sf01_stored_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("nested_twin", nested_twin),
             ("uservar_twin", uservar_twin),
             ("resultset_twin", resultset_twin),
+            ("loop_resultset_twin", loop_rs_twin),
+            ("sysvar_twin", sysvar_twin),
         ],
     )
 

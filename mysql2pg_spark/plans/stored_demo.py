@@ -616,3 +616,105 @@ def sf08_resultset_proc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rs_acctbal"), "rs_custkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# sf09 — the loop-result-set procedure's set-based twin (round 12: the
+# cursor-accumulate shape — FETCH into variables, per-iteration
+# ``SELECT v_a, v_b`` — now translates via a statically-typed temp-table
+# accumulator + one final ``OPEN p_resultset FOR SELECT * FROM <tmp>``
+# instead of refusing; MySQL's N one-row result sets arrive as ONE
+# result set with the same rows). LOOP_RESULTSET_PROC_DDL is the
+# canonical shape (golden-pinned in tests/test_schema.py); the twin
+# runs the accumulated set itself — top-20 suppliers by acctbal with
+# the in-loop IF filter applied.
+# --------------------------------------------------------------------------
+LOOP_RESULTSET_PROC_DDL = """
+CREATE PROCEDURE emit_top_suppliers()
+READS SQL DATA
+BEGIN
+  DECLARE done INT DEFAULT 0;
+  DECLARE v_suppkey INT;
+  DECLARE v_name VARCHAR(25);
+  DECLARE v_acctbal DECIMAL(15,2);
+  DECLARE c CURSOR FOR
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    ORDER BY s_acctbal DESC, s_suppkey LIMIT 20;
+  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1;
+  OPEN c;
+  emit_loop: LOOP
+    FETCH c INTO v_suppkey, v_name, v_acctbal;
+    IF done = 1 THEN LEAVE emit_loop; END IF;
+    IF v_acctbal > 0 THEN
+      SELECT v_suppkey, v_name, v_acctbal;
+    END IF;
+  END LOOP;
+  CLOSE c;
+END
+"""
+
+
+@query(
+    "sf09_loop_resultset_twin",
+    oracle="""
+SELECT s_suppkey AS lr_suppkey, s_name AS lr_name,
+       CAST(s_acctbal AS DOUBLE) AS lr_acctbal
+FROM (
+  SELECT * FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 20
+) WHERE s_acctbal > 0
+ORDER BY lr_acctbal DESC, lr_suppkey
+""",
+    driver=False,
+)
+def sf09_loop_resultset_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.orderBy(F.desc("s_acctbal"), "s_suppkey")
+        .limit(20)
+        .filter(F.col("s_acctbal") > 0)
+        .select(
+            F.col("s_suppkey").alias("lr_suppkey"),
+            F.col("s_name").alias("lr_name"),
+            F.col("s_acctbal").cast("double").alias("lr_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sf10 — the @@system-variable mapping surface as data (round 12: the
+# read-only subset with a faithful PG analog maps to current_setting();
+# writes refuse by name). Like m01_type_map, the query pins the mapping
+# MATRIX itself — the runtime value of @@version differs per engine, so
+# the translation table is the hash-stable observable. SYSVAR_FN_DDL is
+# the canonical read shape (golden-pinned in tests/test_schema.py).
+# --------------------------------------------------------------------------
+SYSVAR_FN_DDL = """
+CREATE FUNCTION server_tag() RETURNS VARCHAR(128)
+READS SQL DATA
+BEGIN
+  RETURN CONCAT(@@version, ' tz=', @@session.time_zone);
+END
+"""
+
+
+def _sysvar_oracle() -> str:
+    from mysql2pg_spark.sinks.plpgsql_builder import _SYSVAR_READS
+
+    rows = ", ".join(
+        "('{}', '{}', 'refused')".format(k, v.replace("'", "''"))
+        for k, v in sorted(_SYSVAR_READS.items())
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(sv_name, sv_reader, sv_write) ORDER BY sv_name"
+    )
+
+
+@query("sf10_sysvar_twin", oracle=_sysvar_oracle(), driver=False)
+def sf10_sysvar_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.sinks.plpgsql_builder import _SYSVAR_READS
+
+    rows = [(k, v, "refused") for k, v in sorted(_SYSVAR_READS.items())]
+    return spark.createDataFrame(
+        rows, "sv_name string, sv_reader string, sv_write string"
+    )

@@ -96,11 +96,31 @@ _RE_CHAR_END = re.compile(
     r"\bBEGIN\b|\bRETURN\b",
     re.I,
 )
+#: @@system-variable READS with a faithful PG ``current_setting``
+#: analog (round 12 — the r11 C95 tail). Only variables whose PG
+#: counterpart reports the same quantity map; everything else (e.g.
+#: @@sql_mode, whose PG spelling has DIFFERENT names and units) still
+#: refuses below. MySQL's @@x defaults to session scope and
+#: ``current_setting`` reads the session-effective value, so
+#: @@x / @@session.x map exactly; @@global.x maps to the same read
+#: (PG exposes no per-function global-scope reader — the
+#: session-effective value is the faithful runtime observable).
+_SYSVAR_READS = {
+    "version": "current_setting('server_version')",
+    "time_zone": "current_setting('TimeZone')",
+    "max_connections": "current_setting('max_connections')",
+    "port": "current_setting('port')",
+    "datadir": "current_setting('data_directory')",
+    "character_set_client": "current_setting('client_encoding')",
+    "character_set_database": "current_setting('server_encoding')",
+}
+
 #: Body constructs no path covers.
 _UNSUPPORTED = (
     # @@sql_mode etc. are server-session state with no per-function
     # plpgsql analog (PG spells them current_setting('…') with
-    # DIFFERENT names and units — a name-rewrite would mistranslate)
+    # DIFFERENT names and units — a name-rewrite would mistranslate);
+    # the _SYSVAR_READS subset is mapped before this scan runs
     (re.compile(r"@@\w+"), "@@system/session variables"),
     # @`quoted` / @'quoted' user-variable names (the quoted literal is
     # masked by the time this runs, so \x00 catches @'…' / @"…")
@@ -534,6 +554,67 @@ def _parse_proc_params(
     return params, modes, i
 
 
+def _loop_resultset_accumulate(proc, node, name: str, params):
+    """Translate the cursor-accumulate shape (round 12 — the r11 C95
+    tail): ONE result-set SELECT inside a loop whose select list is
+    exclusively declared variables / parameters (``FETCH c INTO v_a,
+    v_b; … SELECT v_a, v_b;`` — the common per-row-emit idiom).
+
+    plpgsql cannot stream one result set per iteration (a refcursor
+    OPENs once), so the rewrite accumulates: a statically-typed temp
+    table is created up front (types come from the DECLARE section —
+    plpgsql does NOT substitute variables into utility statements, so
+    a ``CREATE … AS <select> WITH NO DATA`` would not compile; the
+    explicit column list sidesteps that), each iteration INSERTs the
+    variables' current values, and one ``OPEN p_resultset FOR SELECT *
+    FROM <temp>`` is appended at the body's end. The caller sees ONE
+    result set carrying the same rows in the same order — the standard
+    migration rewrite for this shape.
+
+    Returns the appended final :class:`ResultSetSelect` (so the caller
+    assigns the refcursor parameter to it), or ``None`` when the shape
+    does not conform (expressions / FROM / undeclared or nested-block
+    names / duplicate output columns / a RETURN anywhere in the body —
+    an early RETURN would skip the final OPEN, changing behavior)."""
+    from mysql2pg_spark.sinks.plpgsql_proc import (
+        Dml,
+        ResultSetSelect,
+        _has_return,
+    )
+
+    if any(_has_return(s) for s in proc.statements):
+        return None
+    mo = re.match(r"(?is)^\s*SELECT\s+(.*)$", node.select_sql)
+    if not mo or re.search(r"(?i)\bFROM\b", node.select_sql):
+        return None
+    types: dict[str, str] = {}
+    for pname, ptype in params:
+        types[pname.lower()] = ptype
+    for dname, decl in proc.declares:
+        types[dname.lower()] = decl.split(" := ")[0].strip()
+    cols: list[tuple[str, str]] = []
+    for item in split_top_level(mo.group(1)):
+        m = re.match(r"(?is)^\s*(\w+)(?:\s+AS\s+(\w+))?\s*$", item)
+        if not m or m.group(1).lower() not in types:
+            return None
+        var = m.group(1).lower()
+        if types[var].lower() in ("refcursor", "cursor"):
+            return None
+        cols.append(((m.group(2) or m.group(1)).lower(), types[var]))
+    if len({c for c, _ in cols}) != len(cols):
+        return None  # duplicate output columns cannot form a table
+    tmp = f"tmp_rs_{name.lower()}"[:63]
+    node.accumulate_into = tmp
+    col_ddl = ", ".join(f"{c} {t}" for c, t in cols)
+    proc.statements.insert(0, Dml(f"DROP TABLE IF EXISTS {tmp}"))
+    proc.statements.insert(
+        1, Dml(f"CREATE TEMP TABLE {tmp} ({col_ddl}) ON COMMIT DROP")
+    )
+    final = ResultSetSelect(f"SELECT * FROM {tmp}")
+    proc.statements.append(final)
+    return final
+
+
 def _build_procedure_spec(masked: str, lits, head) -> PlpgsqlFunctionSpec:
     """MySQL ``CREATE PROCEDURE`` → spec with kind="procedure" (round
     8, beyond-reference: sync_functions.go scans ROUTINE_TYPE=
@@ -596,15 +677,29 @@ def _build_procedure_spec(masked: str, lits, head) -> PlpgsqlFunctionSpec:
     # ROUTINE_TYPE='FUNCTION'), so any support here is
     # beyond-reference.
     nodes, in_loop = collect_resultsets(proc.statements)
+    exc_nodes: list = []
+    exc_in_loop = False
     for _, action in proc.exc_clauses:
         o, f = collect_resultsets(action)
-        nodes += o
-        in_loop = in_loop or f
+        exc_nodes += o
+        exc_in_loop = exc_in_loop or f
+    # Round 12: the cursor-accumulate shape (ONE variables-only SELECT
+    # inside a loop — the FETCH-then-SELECT idiom) translates via a
+    # typed temp table instead of refusing; see
+    # :func:`_loop_resultset_accumulate`.
+    if in_loop and not exc_nodes and len(nodes) == 1:
+        final = _loop_resultset_accumulate(proc, nodes[0], name, params)
+        if final is not None:
+            nodes, in_loop = [final], False
+    nodes += exc_nodes
+    in_loop = in_loop or exc_in_loop
     if in_loop:
         raise UnsupportedFunctionError(
             f"procedure {name}: a result-set SELECT inside a loop "
             "streams one result set per iteration — a refcursor OPENs "
-            "once, so the shape has no plpgsql analog"
+            "once; only the cursor-accumulate shape (a single SELECT "
+            "over declared variables, no RETURN in the body) "
+            "translates, via a temp-table accumulator"
         )
     if len(nodes) > 1 and sum(
         isinstance(s, ResultSetSelect) for s in proc.statements
@@ -658,6 +753,33 @@ def _clean_body(name: str, body: str) -> str:
     # @'…'/@"…" forms whose content the literal mask hides) still hit
     # the refusal below.
     body = re.sub(r"@`(\w+)`", r"@\1", body)
+    # @@system variables (round 12): WRITES refuse by name first — PG
+    # spells session state with different names and units, so a write
+    # rewrite would mistranslate (and a mapped read inside a SET target
+    # would silently turn the write into nonsense). Covers SET @@x,
+    # SET @@SESSION.x / @@GLOBAL.x, SET SESSION x / GLOBAL x, in any
+    # position of a comma-joined SET list.
+    wr = re.search(
+        r"(?i)(?:\bSET\s+|,\s*)@@(?:SESSION\.|GLOBAL\.)?(\w+)\s*:?=",
+        body,
+    ) or re.search(
+        r"(?i)\bSET\s+(?:SESSION|GLOBAL)\s+(\w+)\s*:?=", body
+    )
+    if wr:
+        raise UnsupportedFunctionError(
+            f"function {name}: SET of system variable "
+            f"{wr.group(1).lower()} — server/session state writes "
+            "have no faithful plpgsql analog (PG names and units "
+            "differ); not translated"
+        )
+    # …then the read-only subset with a faithful PG analog maps to
+    # current_setting(...); any @@name left after the map hits the
+    # refusal scan below
+    body = re.sub(
+        r"(?i)@@(?:SESSION\.|GLOBAL\.)?(\w+)",
+        lambda m: _SYSVAR_READS.get(m.group(1).lower(), m.group(0)),
+        body,
+    )
     for pat, what in _UNSUPPORTED:
         if pat.search(body):
             raise UnsupportedFunctionError(

@@ -254,14 +254,27 @@ class ResultSetSelect:
     the builder appends one ``INOUT refcursor`` parameter per result
     set in document order (``p_resultset``, ``p_resultset2``, …) and
     this node emits ``OPEN <param> FOR <select>;`` — the caller does
-    ``CALL proc(…, 'c1', 'c2'); FETCH ALL FROM c1; …``. Refusals
-    (builder-side, via :func:`collect_resultsets`): a result-set SELECT
-    inside a LOOP (one per iteration; a refcursor OPENs once) and
-    multiple result sets not all at the body's top level (fixed
-    parameter positions cannot express an arm-dependent sequence)."""
+    ``CALL proc(…, 'c1', 'c2'); FETCH ALL FROM c1; …``.
+
+    Round 12: the cursor-accumulate shape — ONE variables-only SELECT
+    inside a loop (``SELECT v_a, v_b;`` after a FETCH) — translates
+    instead of refusing: the builder sets ``accumulate_into`` and the
+    node emits ``INSERT INTO <temp> <select>;`` per iteration, with a
+    single ``OPEN p_resultset FOR SELECT * FROM <temp>`` appended at
+    the body's end (MySQL's N one-row result sets arrive as ONE
+    result set with the same rows in the same order — the standard
+    migration rewrite; the per-iteration framing itself has no
+    plpgsql analog). Remaining refusals (builder-side, via
+    :func:`collect_resultsets`): a non-conforming in-loop SELECT
+    (expressions / FROM / undeclared names), and multiple result sets
+    not all at the body's top level (fixed parameter positions cannot
+    express an arm-dependent sequence)."""
 
     select_sql: str                  # PG dialect
     param: str = "p_resultset"
+    #: set by the builder's cursor-accumulate translation: emit
+    #: ``INSERT INTO <this> <select>`` instead of an OPEN
+    accumulate_into: str | None = None
 
 
 @dataclass
@@ -497,7 +510,13 @@ def emit_statements(stmts: list, indent: int = 1) -> str:
         elif isinstance(st, CloseCursor):
             out.append(f"{pad}CLOSE {st.name};")
         elif isinstance(st, ResultSetSelect):
-            out.append(f"{pad}OPEN {st.param} FOR {st.select_sql};")
+            if st.accumulate_into:
+                out.append(
+                    f"{pad}INSERT INTO {st.accumulate_into} "
+                    f"{st.select_sql};"
+                )
+            else:
+                out.append(f"{pad}OPEN {st.param} FOR {st.select_sql};")
         elif isinstance(st, Block):
             if st.label:
                 out.append(f"{pad}<<{st.label}>>")

@@ -160,3 +160,56 @@ def test_resolve_prev_ref_matches_both_boundary_formats(tmp_path):
         capture_output=True, text=True,
     ).stdout.strip()
     assert subject == "round 9: verdict/advice/correctness/bench"
+
+
+def test_vs_prev_verdicts_noise_vs_regression():
+    """r11 ask #5: a flagged ratio (outside ±10%) is adjudicated by
+    machine — noise when the median shift sits inside the wider of the
+    canary quartile band and the per-side rep spreads, regression/
+    improvement only when it exceeds BOTH."""
+    import bench
+
+    canary = [1.0, 1.0, 1.02, 1.25, 1.01, 1.0, 1.03, 1.0]  # p75/p25≈1.02
+    out = bench.compute_vs_prev_verdicts(
+        vs_prev={
+            "q_flat": 1.05,        # inside ±10% — never flagged
+            "q_noise": 1.19,       # flagged, but rep spread covers it
+            "q_regress": 1.30,     # flagged, tight spreads: real
+            "q_improve": 0.70,     # flagged on the fast side: real
+        },
+        spread={
+            "q_noise": [1.0, 1.1, 1.25],     # max/min = 1.25 ≥ 1.19
+            "q_regress": [1.29, 1.30, 1.31],
+            "q_improve": [0.70, 0.70, 0.71],
+        },
+        prev_spread={
+            "q_noise": [1.0, 1.0, 1.05],
+            "q_regress": [1.0, 1.0, 1.01],
+            "q_improve": [1.0, 1.0, 1.01],
+        },
+        canary_times=canary,
+    )
+    assert "q_flat" not in out
+    assert out["q_noise"]["verdict"] == "noise"
+    assert out["q_noise"]["noise_band"] >= 1.19
+    assert out["q_regress"]["verdict"] == "regression"
+    assert out["q_improve"]["verdict"] == "improvement"
+    # the bands that backed each verdict ride the artifact
+    assert set(out["q_regress"]["bands"]) == {"canary", "head", "prev"}
+
+
+def test_vs_prev_verdicts_canary_band_is_quartile_based():
+    """One slow canary rep must not inflate the band to where every
+    flagged ratio reads as noise (r11's canary max/min hit 3.54 on a
+    machine blip while p75/p25 stayed tight)."""
+    import bench
+
+    canary = [1.0] * 7 + [3.5]  # max/min = 3.5, p75/p25 = 1.0
+    out = bench.compute_vs_prev_verdicts(
+        vs_prev={"q": 1.30},
+        spread={"q": [1.30, 1.30, 1.31]},
+        prev_spread={"q": [1.0, 1.0, 1.01]},
+        canary_times=canary,
+    )
+    assert out["q"]["verdict"] == "regression"
+    assert out["q"]["bands"]["canary"] < 1.1

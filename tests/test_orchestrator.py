@@ -619,10 +619,11 @@ def test_cli_pgddl_mode(tmp_path, capsys):
             "DECLARE n INT DEFAULT 0; WHILE x > 0 DO SET n = n + x; "
             "SET x = x - 1; END WHILE; RETURN n; END",
             # outside the translatable subset → must surface as a skip
-            # (plain @vars translate since round 9; @@server state
-            # still refuses)
+            # (plain @vars translate since round 9; the read-only
+            # @@subset maps since round 12 — @@sql_mode, whose PG
+            # spelling has different names/units, still refuses)
             "CREATE FUNCTION g1(x INT) RETURNS INT BEGIN "
-            "SET @a = @@max_connections; RETURN x; END",
+            "SET @a = @@sql_mode; RETURN x; END",
             # round 8: procedures ride the same snapshot key (the A9
             # scan returns both; the reference drops procedures)
             "CREATE PROCEDURE p1(IN a INT, OUT b INT) "
