@@ -18,9 +18,14 @@ schemes PostgreSQL can express natively:
   hashes with ``MOD(expr, n)``, PG with its own hash function) but the
   table-level row set is identical; the planner surfaces the
   divergence as a note instead of hiding it.
+- ``KEY``              → ``PARTITION BY HASH`` over the named columns
+  (the PRIMARY KEY when the list is empty) under the same
+  placement-divergence note — MySQL's KEY placement (internal hash)
+  already has no PG analog, exactly like migrated HASH's MOD placement.
 
 Deliberately NOT migrated (named skips, never silent):
-- ``KEY`` / ``LINEAR`` — InnoDB's internal hash; no PG analog.
+- ``LINEAR HASH/KEY`` — powers-of-two bucketing; the partition COUNT
+  itself diverges from the declared n, not just placement.
 - ``SUBPARTITION BY`` — PG subpartitions by declaring each child
   ``PARTITION BY`` in turn; inventing per-child bounds would fabricate
   operational behavior.
@@ -217,13 +222,36 @@ def plan_partitioned_table(
             "UNPARTITIONED, data migrates fully"
         )
         return plan
+    via_key = False
     if pd.method == "key":
-        plan.skip = (
-            f"table {table} uses KEY partitioning (InnoDB's internal "
-            "hash function) — no PostgreSQL analog; created "
-            "UNPARTITIONED, data migrates fully"
-        )
-        return plan
+        # Round 12: KEY is MySQL's internal hash over the named columns
+        # (the PRIMARY KEY when the list is empty). Row→partition
+        # placement already diverges for migrated HASH tables (PG hashes
+        # with its own function), so KEY rides the same translation —
+        # PARTITION BY HASH with the declared partition count — under
+        # the same divergence note, instead of the round-11 named skip.
+        from dataclasses import replace as _dc_replace
+
+        if not pd.expr.strip():
+            if not primary_key:
+                plan.skip = (
+                    f"table {table} uses KEY () partitioning with no "
+                    "PRIMARY KEY to default to — created UNPARTITIONED, "
+                    "data migrates fully"
+                )
+                return plan
+            pd = _dc_replace(
+                pd, expr=", ".join(primary_key), method="hash"
+            )
+        elif key_columns(pd) is None:
+            plan.skip = (
+                f"table {table}: KEY partitioning over a non-column "
+                "key list — created UNPARTITIONED, data migrates fully"
+            )
+            return plan
+        else:
+            pd = _dc_replace(pd, method="hash")
+        via_key = True
     if pd.subpartition:
         plan.skip = (
             f"table {table} is subpartitioned ({pd.subpartition.split('(')[0].strip()}) "
@@ -319,10 +347,18 @@ def plan_partitioned_table(
             child(pname, f"WITH (MODULUS {modulus}, REMAINDER {i})")
         )
     plan.parent_clause = f"PARTITION BY HASH ({key_sql})"
+    src = (
+        "KEY partitioning (InnoDB's internal hash)" if via_key
+        else "HASH partitioning"
+    )
+    how = (
+        "MySQL hashes with its internal KEY function" if via_key
+        else "MySQL hashes with MOD(expr, n)"
+    )
     plan.notes.append(
-        f"table {table}: HASH partitioning migrated with modulus "
-        f"{modulus}, but row→partition placement differs (MySQL hashes "
-        "with MOD(expr, n), PostgreSQL with its own hash function) — "
+        f"table {table}: {src} migrated with modulus "
+        f"{modulus}, but row→partition placement differs ({how}, "
+        "PostgreSQL with its own hash function) — "
         "the table-level row set is identical"
     )
     return plan

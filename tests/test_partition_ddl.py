@@ -1,9 +1,10 @@
 """MySQL partitioning → PG declarative partitioning (round 12, C92
 closure). The reference strips the clause (sync_tableddl.go:268-302);
-this engine migrates RANGE/LIST/HASH for real — parent PARTITION BY +
-PARTITION OF children — and names every shape it refuses (KEY, LINEAR,
-subpartitions, PG-illegal PK combinations). Corpus fixtures:
-reference scripts/mysql/create_table.sql cases 16/49/50/58."""
+this engine migrates RANGE/LIST/HASH — and, round 12, KEY via the HASH
+translation — for real: parent PARTITION BY + PARTITION OF children,
+naming every shape it refuses (LINEAR, subpartitions, PG-illegal PK
+combinations). Corpus fixtures: reference
+scripts/mysql/create_table.sql cases 16/49/50/58."""
 
 from __future__ import annotations
 
@@ -180,8 +181,9 @@ def test_hash_with_named_partition_list():
 @pytest.mark.parametrize(
     "text,frag",
     [
-        ("PARTITION BY KEY (id) PARTITIONS 2", "KEY partitioning"),
+        ("PARTITION BY KEY () PARTITIONS 2", "no PRIMARY KEY"),
         ("PARTITION BY LINEAR HASH (id) PARTITIONS 2", "LINEAR"),
+        ("PARTITION BY LINEAR KEY (id) PARTITIONS 2", "LINEAR"),
         (
             "PARTITION BY RANGE (y) SUBPARTITION BY HASH (m) "
             "SUBPARTITIONS 2 (PARTITION p0 VALUES LESS THAN (1))",
@@ -304,3 +306,32 @@ def test_duckdb_endtoend_partitioned_parent_loads(spark, tmp_path):
     assert executed == 1
     con.execute("INSERT INTO m VALUES (1, TIMESTAMP '2019-06-01')")
     assert con.execute("SELECT count(*) FROM m").fetchone()[0] == 1
+
+
+# ---- KEY → HASH (round 12) -------------------------------------------------
+
+
+def test_key_partitioning_migrates_as_hash():
+    """Round 12: KEY rides the HASH translation (PG places rows with
+    its own hash either way — the same divergence note), instead of
+    the round-11 named skip."""
+    plan = _plan("PARTITION BY KEY (id) PARTITIONS 2", pk=["id"])
+    assert plan.skip is None
+    assert plan.parent_clause == "PARTITION BY HASH (id)"
+    assert len(plan.children) == 2
+    assert "MODULUS 2, REMAINDER 1" in plan.children[1]
+    assert plan.notes and "KEY partitioning" in plan.notes[0]
+    assert "placement differs" in plan.notes[0]
+
+
+def test_key_empty_list_defaults_to_primary_key():
+    plan = _plan("PARTITION BY KEY () PARTITIONS 3", pk=["id", "k"])
+    assert plan.skip is None
+    assert plan.parent_clause == "PARTITION BY HASH (id, k)"
+    assert len(plan.children) == 3
+
+
+def test_key_partition_pk_containment_still_enforced():
+    # KEY over a column outside the PK: PG's hard requirement applies
+    plan = _plan("PARTITION BY KEY (name) PARTITIONS 2", pk=["id"])
+    assert plan.skip and "does not include" in plan.skip
