@@ -118,6 +118,8 @@ EXTRA = [
     "t24_source_mixing",
     "sf03_cursor_loop_twin",
     "sf04_case_block_twin",
+    "sf09_loop_resultset_twin",
+    "sf10_sysvar_twin",
 ]
 
 

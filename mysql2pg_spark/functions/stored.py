@@ -39,7 +39,12 @@ class StoredFunction:
         """Compatibility path: spark.sql can call the function by name.
         Registered as an Arrow-batched ``pandas_udf`` (round 11): the
         scalar impl is mapped over each batch, so even the compat path
-        avoids per-row pickling."""
+        avoids per-row pickling. The per-ELEMENT Python call inside the
+        batch remains by design — the scalar impl is arbitrary Python,
+        so it cannot be vectorized generically; this compat path exists
+        for parity testing, and the scale path is the inline Column
+        expression (``CUSTOMER_LEVEL``/``CUSTOMER_LABEL``), which stays
+        entirely JVM-side."""
         if self.scalar is None:
             raise ValueError(f"{self.name} has no scalar implementation")
         import pandas as pd

@@ -323,12 +323,13 @@ class MigrationPipeline:
                 if o.skip_existing_tables and name in self.existing:
                     continue
                 schema = self._schema_of(t)
-                # round 12: RANGE/LIST/HASH partitioning migrates to PG
-                # declarative partitioning (parent PARTITION BY + child
-                # PARTITION OF DDL — schema/partitioning.py); KEY/LINEAR,
-                # subpartitions and PG-illegal PK/key combinations stay
-                # named skips (the reference strips the clause entirely,
-                # sync_tableddl.go:268-302)
+                # round 12: RANGE/LIST/HASH/KEY partitioning — and
+                # HASH/KEY subpartitioning — migrates to PG declarative
+                # partitioning (parent PARTITION BY + child PARTITION
+                # OF DDL, nested for sub-schemes —
+                # schema/partitioning.py); LINEAR and PG-illegal PK/key
+                # combinations stay named skips (the reference strips
+                # the clause entirely, sync_tableddl.go:268-302)
                 pplan = self._plan_partitioning(t, name)
                 actions.append(
                     Action(

@@ -22,21 +22,26 @@ schemes PostgreSQL can express natively:
   (the PRIMARY KEY when the list is empty) under the same
   placement-divergence note — MySQL's KEY placement (internal hash)
   already has no PG analog, exactly like migrated HASH's MOD placement.
+- ``SUBPARTITION BY HASH|KEY … SUBPARTITIONS n`` → each child is itself
+  ``PARTITION BY HASH`` with MODULUS/REMAINDER grandchildren (MySQL
+  restricts sub-schemes to HASH/KEY — exactly the pair PG nests
+  natively); same placement note at the sub level.
 
 Deliberately NOT migrated (named skips, never silent):
-- ``LINEAR HASH/KEY`` — powers-of-two bucketing; the partition COUNT
-  itself diverges from the declared n, not just placement.
-- ``SUBPARTITION BY`` — PG subpartitions by declaring each child
-  ``PARTITION BY`` in turn; inventing per-child bounds would fabricate
-  operational behavior.
-- a PRIMARY KEY that does not contain every partition-key column
-  (PG hard requirement), or any PK combined with an *expression*
-  partition key (PG forbids unique constraints on expression keys).
+- ``LINEAR HASH/KEY`` (either level) — powers-of-two bucketing; the
+  partition COUNT itself diverges from the declared n, not just
+  placement.
+- subpartitioning without a ``SUBPARTITIONS`` count (named
+  ``SUBPARTITION`` lists define the count implicitly per partition).
+- a PRIMARY KEY that does not contain every partition-key column at
+  EVERY level (PG hard requirement), or any PK combined with an
+  *expression* key at either level (PG forbids unique constraints on
+  expression keys).
 
 Corpus coverage: reference fixtures
 ``scripts/mysql/create_table.sql:216-222`` (RANGE over YEAR(expr)),
-``523-537`` (LIST, HASH PARTITIONS n), ``588-598`` (subpartition →
-skip).
+``523-537`` (LIST, HASH PARTITIONS n), ``588-598`` (RANGE +
+SUBPARTITION BY HASH × 12 → nested declarative partitioning).
 """
 
 from __future__ import annotations
@@ -71,6 +76,11 @@ _HEADER_RE = re.compile(
     r"(?is)\bPARTITION\s+BY\s+(LINEAR\s+)?(RANGE|LIST|HASH|KEY)\s*"
     r"(COLUMNS)?\s*\("
 )
+#: the sub-scheme grammar — MySQL restricts subpartitioning to HASH/KEY
+_SUBHEADER_RE = re.compile(
+    r"(?is)\bSUBPARTITION\s+BY\s+(LINEAR\s+)?(HASH|KEY)\s*\("
+)
+_SUBPARTITIONS_N_RE = re.compile(r"(?i)\bSUBPARTITIONS\s+(\d+)")
 _PARTITIONS_N_RE = re.compile(r"(?i)\bPARTITIONS\s+(\d+)")
 _SUBPART_RE = re.compile(r"(?is)\bSUBPARTITION\s+BY\s+.*?(?=\(\s*PARTITION|$)")
 _PART_ENTRY_RE = re.compile(
@@ -150,6 +160,39 @@ def parse_partition_def(text: str) -> PartitionDef | None:
     return pd
 
 
+@dataclass
+class SubpartitionScheme:
+    """Parsed ``SUBPARTITION BY [LINEAR] HASH|KEY (expr) [SUBPARTITIONS
+    n]`` — MySQL restricts sub-schemes to HASH/KEY, which is exactly
+    the pair PostgreSQL can nest under any parent scheme (each child is
+    itself ``PARTITION BY HASH`` with MODULUS/REMAINDER grandchildren)."""
+
+    method: str                 # hash | key
+    linear: bool
+    expr: str                   # raw MySQL key expression / column list
+    count: int | None           # SUBPARTITIONS n
+
+
+def parse_subpartition_scheme(text: str) -> SubpartitionScheme | None:
+    """Parse the raw SUBPARTITION BY region captured on a
+    :class:`PartitionDef`. Returns None when the text doesn't carry a
+    recognizable sub-scheme header (callers keep the named skip)."""
+    masked, lits = _mask(text)
+    hm = _SUBHEADER_RE.search(masked)
+    if hm is None:
+        return None
+    open_idx = masked.index("(", hm.end() - 1)
+    key_end = _balanced_span(masked, open_idx)
+    expr = _unmask(masked[open_idx + 1 : key_end - 1], lits).strip()
+    nm = _SUBPARTITIONS_N_RE.search(masked, key_end)
+    return SubpartitionScheme(
+        method=hm.group(2).lower(),
+        linear=bool(hm.group(1)),
+        expr=expr,
+        count=int(nm.group(1)) if nm else None,
+    )
+
+
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -170,16 +213,22 @@ def _split_depth0(s: str) -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
-def key_columns(pd: PartitionDef) -> list[str] | None:
-    """The partition key as a plain column list, or None when the key
-    is a computed expression (RANGE (YEAR(col)) etc.)."""
+def _cols_of(expr: str) -> list[str] | None:
+    """A key expression as a plain column list, or None when it is a
+    computed expression (YEAR(col) etc.)."""
     cols = []
-    for tok in _split_depth0(pd.expr):
+    for tok in _split_depth0(expr):
         tok = tok.strip().strip("`")
         if not _IDENT_RE.match(tok):
             return None
         cols.append(tok)
     return cols or None
+
+
+def key_columns(pd: PartitionDef) -> list[str] | None:
+    """The partition key as a plain column list, or None when the key
+    is a computed expression (RANGE (YEAR(col)) etc.)."""
+    return _cols_of(pd.expr)
 
 
 @dataclass
@@ -252,26 +301,83 @@ def plan_partitioned_table(
         else:
             pd = _dc_replace(pd, method="hash")
         via_key = True
+    sub_key_sql: str | None = None
+    sub_cols: list[str] | None = None
+    sub_count = 0
     if pd.subpartition:
-        plan.skip = (
-            f"table {table} is subpartitioned ({pd.subpartition.split('(')[0].strip()}) "
-            "— PostgreSQL expresses this by declaring each child PARTITION "
-            "BY in turn; not auto-migrated, created UNPARTITIONED"
+        # Round 12: MySQL restricts sub-schemes to HASH/KEY — exactly
+        # what PG nests natively (each child is itself PARTITION BY
+        # HASH with MODULUS/REMAINDER grandchildren). LINEAR and
+        # count-less named-subpartition forms stay named skips.
+        scheme = parse_subpartition_scheme(pd.subpartition)
+        if scheme is None:
+            plan.skip = (
+                f"table {table} is subpartitioned "
+                f"({pd.subpartition.split('(')[0].strip()}) but the "
+                "sub-scheme did not parse — created UNPARTITIONED"
+            )
+            return plan
+        if scheme.linear:
+            plan.skip = (
+                f"table {table} uses LINEAR {scheme.method.upper()} "
+                "subpartitioning (powers-of-two bucketing — the "
+                "sub-partition COUNT itself diverges); created "
+                "UNPARTITIONED, data migrates fully"
+            )
+            return plan
+        if not scheme.count or scheme.count < 1:
+            plan.skip = (
+                f"table {table}: subpartitioned without a SUBPARTITIONS "
+                "count (named SUBPARTITION lists define the count "
+                "implicitly per partition) — not auto-migrated, created "
+                "UNPARTITIONED"
+            )
+            return plan
+        sub_expr = scheme.expr
+        if scheme.method == "key" and not sub_expr.strip():
+            if not primary_key:
+                plan.skip = (
+                    f"table {table}: SUBPARTITION BY KEY () with no "
+                    "PRIMARY KEY to default to — created UNPARTITIONED"
+                )
+                return plan
+            sub_expr = ", ".join(primary_key)
+        sub_cols = _cols_of(sub_expr)
+        if sub_cols is not None:
+            sub_cols = [norm(c) for c in sub_cols]
+            sub_key_sql = ", ".join(quote_pg(c) for c in sub_cols)
+        elif scheme.method == "key":
+            plan.skip = (
+                f"table {table}: SUBPARTITION BY KEY over a non-column "
+                "key list — created UNPARTITIONED"
+            )
+            return plan
+        else:
+            sub_key_sql = "(" + rewrite_expr(sub_expr) + ")"
+        sub_count = scheme.count
+        plan.notes.append(
+            f"table {table}: {scheme.method.upper()} subpartitioning "
+            f"migrated as nested PARTITION BY HASH × {sub_count}, but "
+            "row→sub-partition placement differs (MySQL's internal "
+            "hash vs PostgreSQL's) — each partition's row set is "
+            "identical"
         )
-        return plan
 
     key_sql, key_cols = _pg_key(pd, norm, rewrite_expr)
     pk = [norm(c) for c in primary_key or []]
     if pk:
-        if key_cols is None:
+        if key_cols is None or (pd.subpartition and sub_cols is None):
             plan.skip = (
                 f"table {table} partitions on an expression "
-                f"({pd.expr}) AND has a PRIMARY KEY — PostgreSQL forbids "
-                "unique constraints on expression partition keys; created "
+                f"({pd.expr if key_cols is None else sub_key_sql}) AND "
+                "has a PRIMARY KEY — PostgreSQL forbids unique "
+                "constraints on expression partition keys; created "
                 "UNPARTITIONED with the PK intact"
             )
             return plan
-        missing = [c for c in key_cols if c not in pk]
+        missing = [
+            c for c in key_cols + (sub_cols or []) if c not in pk
+        ]
         if missing:
             plan.skip = (
                 f"table {table}: PRIMARY KEY ({', '.join(pk)}) does not "
@@ -283,12 +389,27 @@ def plan_partitioned_table(
 
     qt = quote_pg(table)
 
-    def child(pname: str, bound: str) -> str:
-        cname = quote_pg(cap_identifier(f"{table}_{norm(pname)}"))
-        return (
+    def child(pname: str, bound: str) -> None:
+        """Append one child CREATE to ``plan.children``; a
+        subpartitioned child is itself PARTITION BY HASH, with its
+        MODULUS/REMAINDER grandchildren appended right after it
+        (execution order: parent before child)."""
+        cbase = cap_identifier(f"{table}_{norm(pname)}")
+        cname = quote_pg(cbase)
+        ddl = (
             f"CREATE TABLE IF NOT EXISTS {cname} "
             f"PARTITION OF {qt} FOR VALUES {bound}"
         )
+        if sub_count:
+            ddl += f" PARTITION BY HASH ({sub_key_sql})"
+        plan.children.append(ddl)
+        for i in range(sub_count):
+            gname = quote_pg(cap_identifier(f"{cbase}_s{i}"))
+            plan.children.append(
+                f"CREATE TABLE IF NOT EXISTS {gname} "
+                f"PARTITION OF {cname} FOR VALUES "
+                f"WITH (MODULUS {sub_count}, REMAINDER {i})"
+            )
 
     if pd.method == "range":
         parts = [p for p in pd.parts if p.op == "less_than"]
@@ -302,9 +423,7 @@ def plan_partitioned_table(
         lower = ", ".join(["MINVALUE"] * ncols)
         for p in parts:
             upper = _bound_values(p.values, rewrite_expr)
-            plan.children.append(
-                child(p.name, f"FROM ({lower}) TO ({upper})")
-            )
+            child(p.name, f"FROM ({lower}) TO ({upper})")
             lower = upper
         plan.parent_clause = f"PARTITION BY RANGE ({key_sql})"
         return plan
@@ -325,9 +444,7 @@ def plan_partitioned_table(
             )
             return plan
         for p in parts:
-            plan.children.append(
-                child(p.name, f"IN ({_bound_values(p.values, rewrite_expr)})")
-            )
+            child(p.name, f"IN ({_bound_values(p.values, rewrite_expr)})")
         plan.parent_clause = f"PARTITION BY LIST ({key_sql})"
         return plan
 
@@ -343,9 +460,7 @@ def plan_partitioned_table(
     if not names:
         names = [f"p{i}" for i in range(modulus)]
     for i, pname in enumerate(names[:modulus]):
-        plan.children.append(
-            child(pname, f"WITH (MODULUS {modulus}, REMAINDER {i})")
-        )
+        child(pname, f"WITH (MODULUS {modulus}, REMAINDER {i})")
     plan.parent_clause = f"PARTITION BY HASH ({key_sql})"
     src = (
         "KEY partitioning (InnoDB's internal hash)" if via_key

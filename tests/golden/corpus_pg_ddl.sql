@@ -399,9 +399,61 @@ CREATE TABLE IF NOT EXISTS case_58_subpartition (
   id INTEGER,
   year INTEGER,
   month INTEGER
-);
+) PARTITION BY RANGE (year);
 
--- SKIP [case_58_subpartition]: table case_58_subpartition is subpartitioned (SUBPARTITION BY HASH) — PostgreSQL expresses this by d
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020 PARTITION OF case_58_subpartition FOR VALUES FROM (MINVALUE) TO (2021) PARTITION BY HASH (month);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s0 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 0);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s1 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 1);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s2 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 2);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s3 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 3);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s4 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 4);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s5 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 5);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s6 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 6);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s7 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 7);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s8 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 8);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s9 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 9);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s10 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 10);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2020_s11 PARTITION OF case_58_subpartition_p2020 FOR VALUES WITH (MODULUS 12, REMAINDER 11);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021 PARTITION OF case_58_subpartition FOR VALUES FROM (2021) TO (2022) PARTITION BY HASH (month);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s0 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 0);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s1 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 1);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s2 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 2);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s3 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 3);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s4 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 4);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s5 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 5);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s6 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 6);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s7 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 7);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s8 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 8);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s9 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 9);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s10 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 10);
+
+CREATE TABLE IF NOT EXISTS case_58_subpartition_p2021_s11 PARTITION OF case_58_subpartition_p2021 FOR VALUES WITH (MODULUS 12, REMAINDER 11);
+
+-- NOTE [case_58_subpartition]: table case_58_subpartition: HASH subpartitioning migrated as nested PARTITION BY HASH × 12, but row→
 
 CREATE TABLE IF NOT EXISTS case_59_complex_generated (
   id INTEGER,

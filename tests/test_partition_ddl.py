@@ -1,9 +1,10 @@
 """MySQL partitioning → PG declarative partitioning (round 12, C92
 closure). The reference strips the clause (sync_tableddl.go:268-302);
 this engine migrates RANGE/LIST/HASH — and, round 12, KEY via the HASH
-translation — for real: parent PARTITION BY + PARTITION OF children,
-naming every shape it refuses (LINEAR, subpartitions, PG-illegal PK
-combinations). Corpus fixtures: reference
+translation plus HASH/KEY subpartitions as nested PARTITION BY — for
+real: parent PARTITION BY + PARTITION OF children (+ grandchildren),
+naming every shape it refuses (LINEAR, count-less subpartition lists,
+PG-illegal PK combinations). Corpus fixtures: reference
 scripts/mysql/create_table.sql cases 16/49/50/58."""
 
 from __future__ import annotations
@@ -185,9 +186,17 @@ def test_hash_with_named_partition_list():
         ("PARTITION BY LINEAR HASH (id) PARTITIONS 2", "LINEAR"),
         ("PARTITION BY LINEAR KEY (id) PARTITIONS 2", "LINEAR"),
         (
-            "PARTITION BY RANGE (y) SUBPARTITION BY HASH (m) "
+            "PARTITION BY RANGE (y) SUBPARTITION BY LINEAR HASH (m) "
             "SUBPARTITIONS 2 (PARTITION p0 VALUES LESS THAN (1))",
-            "subpartition",
+            "LINEAR",
+        ),
+        (
+            # a named SUBPARTITION list defines the count implicitly —
+            # not auto-migrated
+            "PARTITION BY RANGE (y) SUBPARTITION BY HASH (m) "
+            "(PARTITION p0 VALUES LESS THAN (1) "
+            "(SUBPARTITION s0, SUBPARTITION s1))",
+            "SUBPARTITIONS count",
         ),
         ("PARTITION BY RANGE (id)", "missing"),
         (
@@ -335,3 +344,56 @@ def test_key_partition_pk_containment_still_enforced():
     # KEY over a column outside the PK: PG's hard requirement applies
     plan = _plan("PARTITION BY KEY (name) PARTITIONS 2", pk=["id"])
     assert plan.skip and "does not include" in plan.skip
+
+
+# ---- subpartitions → nested declarative partitioning (round 12) ------------
+
+
+def test_subpartition_hash_migrates_nested():
+    """Corpus case 58's shape: RANGE parent, each child PARTITION BY
+    HASH with MODULUS/REMAINDER grandchildren, child-before-grandchild
+    execution order, sub-level placement note."""
+    plan = _plan(
+        "PARTITION BY RANGE (year) SUBPARTITION BY HASH (month) "
+        "SUBPARTITIONS 3 ("
+        "PARTITION p2020 VALUES LESS THAN (2021),"
+        "PARTITION p2021 VALUES LESS THAN (2022))"
+    )
+    assert plan.skip is None
+    assert plan.parent_clause == "PARTITION BY RANGE (year)"
+    assert len(plan.children) == 8  # 2 children + 2×3 grandchildren
+    assert plan.children[0].endswith(
+        "FOR VALUES FROM (MINVALUE) TO (2021) PARTITION BY HASH (month)"
+    )
+    # grandchildren follow their own parent, not the table parent
+    assert plan.children[1] == (
+        "CREATE TABLE IF NOT EXISTS t_p2020_s0 PARTITION OF t_p2020 "
+        "FOR VALUES WITH (MODULUS 3, REMAINDER 0)"
+    )
+    assert plan.children[4].endswith(
+        "FOR VALUES FROM (2021) TO (2022) PARTITION BY HASH (month)"
+    )
+    assert plan.children[7].endswith(
+        "PARTITION OF t_p2021 FOR VALUES WITH (MODULUS 3, REMAINDER 2)"
+    )
+    assert any("subpartitioning" in n for n in plan.notes)
+
+
+def test_subpartition_key_empty_defaults_to_pk():
+    plan = _plan(
+        "PARTITION BY RANGE (y) SUBPARTITION BY KEY () SUBPARTITIONS 2 "
+        "(PARTITION p0 VALUES LESS THAN (10))",
+        pk=["y", "k"],
+    )
+    assert plan.skip is None
+    assert plan.children[0].endswith("PARTITION BY HASH (y, k)")
+
+
+def test_subpartition_pk_containment_covers_sub_key():
+    # PK lacks the SUB-partition key column → PG refuses the hierarchy
+    plan = _plan(
+        "PARTITION BY RANGE (y) SUBPARTITION BY HASH (m) "
+        "SUBPARTITIONS 2 (PARTITION p0 VALUES LESS THAN (10))",
+        pk=["id", "y"],
+    )
+    assert plan.skip and "does not include" in plan.skip and "m" in plan.skip
