@@ -29,6 +29,10 @@ when the period divides its parent unit):
 - ``EVERY n MONTH``   → ``m h dom */n *`` when 12 % n == 0 (QUARTER =
   3 months rides the same rule).
 - ``EVERY 1 YEAR``    → ``m h dom mon *``.
+- Full-period cadences promote to the parent unit first (EVERY 60
+  MINUTE is hourly — ``*/60`` is not a valid cron step; 24 HOUR → 1
+  DAY, 7 DAY → 1 WEEK, 12 MONTH → 1 YEAR, 60 SECOND → 1 MINUTE), so
+  e.g. EVERY 48 HOUR refuses as the 2-day cadence it is.
 - ``AT ts``           → refused: a one-shot job has no pg_cron analog
   (cron entries recur); run the body manually or via an ad-hoc job.
 
@@ -155,19 +159,41 @@ def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
     ``'n seconds'`` interval."""
     n, unit = spec.interval_n, spec.interval_unit
     mi, hh, dom, mon, dow, lit = _starts_fields(spec.starts)
+    orig = f"EVERY {n} {unit.upper()}"
+    if n < 1:
+        return None, f"{orig}: interval must be positive", lit
     if unit == "quarter":
         n, unit = n * 3, "month"
+    # promote full-period cadences to the parent unit: EVERY 60 MINUTE
+    # is hourly — '*/60' is not a valid cron step (field max 59), and
+    # EVERY 24 HOUR / 12 MONTH / 3600 SECOND ride the same ladder
+    while True:
+        if unit == "second" and n % 60 == 0:
+            n, unit = n // 60, "minute"
+        elif unit == "minute" and n % 60 == 0:
+            n, unit = n // 60, "hour"
+        elif unit == "hour" and n % 24 == 0:
+            n, unit = n // 24, "day"
+        elif unit == "day" and n % 7 == 0:
+            n, unit = n // 7, "week"
+        elif unit == "month" and n % 12 == 0:
+            n, unit = n // 12, "year"
+        else:
+            break
+    if f"EVERY {n} {unit.upper()}" != orig:
+        orig = f"{orig} (= EVERY {n} {unit.upper()})"
+
     if unit == "second":
         if 1 <= n <= 59:
             return f"{n} seconds", None, True  # interval: no phase
-        return None, f"EVERY {n} SECOND exceeds pg_cron's 59 s interval", lit
+        return None, f"{orig} exceeds pg_cron's 59 s interval", lit
     if unit == "minute":
         if n == 1:
             return "* * * * *", None, True
         if 60 % n == 0:
             return f"*/{n} * * * *", None, lit and mi % n == 0
         return None, (
-            f"EVERY {n} MINUTE: 60 % {n} != 0 — cron's hour boundary "
+            f"{orig}: 60 % {n} != 0 — cron's hour boundary "
             "would break the cadence"
         ), lit
     if unit == "hour":
@@ -176,33 +202,33 @@ def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
         if 24 % n == 0:
             return f"{mi} */{n} * * *", None, lit and hh % n == 0
         return None, (
-            f"EVERY {n} HOUR: 24 % {n} != 0 — cron's day boundary "
+            f"{orig}: 24 % {n} != 0 — cron's day boundary "
             "would break the cadence"
         ), lit
     if unit == "day":
         if n == 1:
             return f"{mi} {hh} * * *", None, lit
         return None, (
-            f"EVERY {n} DAY is not cron-expressible (day-of-month */"
+            f"{orig} is not cron-expressible (day-of-month */"
             f"{n} resets at each month boundary)"
         ), lit
     if unit == "week":
         if n == 1:
             return f"{mi} {hh} * * {dow}", None, lit
-        return None, f"EVERY {n} WEEK is not cron-expressible", lit
+        return None, f"{orig} is not cron-expressible", lit
     if unit == "month":
         if n == 1:
             return f"{mi} {hh} {dom} * *", None, lit
         if 12 % n == 0:
             return f"{mi} {hh} {dom} */{n} *", None, lit and (mon - 1) % n == 0
         return None, (
-            f"EVERY {n} MONTH: 12 % {n} != 0 — cron's year boundary "
+            f"{orig}: 12 % {n} != 0 — cron's year boundary "
             "would break the cadence"
         ), lit
     if unit == "year":
         if n == 1:
             return f"{mi} {hh} {dom} {mon} *", None, lit
-        return None, f"EVERY {n} YEAR is not cron-expressible", lit
+        return None, f"{orig} is not cron-expressible", lit
     return None, f"unsupported interval unit {unit!r}", lit
 
 

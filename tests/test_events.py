@@ -218,3 +218,99 @@ def test_event_plan_golden_pinned():
         os.path.dirname(__file__), "golden", "events_pg.sql"
     )
     assert text == open(golden).read()
+
+
+def test_every_cadence_property():
+    """Property: for EVERY n unit over the whole supported grid, the
+    translator either emits a structurally valid pg_cron schedule (5
+    in-range cron fields, or an 'n seconds' interval) or a named skip —
+    never an out-of-range field, never both, never neither."""
+    import re as _re
+
+    units = ["SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+             "QUARTER", "YEAR"]
+    ranges = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 6)]
+    for unit in units:
+        for n in list(range(1, 26)) + [30, 45, 59, 60, 90]:
+            spec = _ev(
+                f"CREATE EVENT e ON SCHEDULE EVERY {n} {unit} "
+                "DO DELETE FROM t"
+            )
+            ddl, skip, _ = event_to_pg_cron(spec)
+            assert (ddl is None) != (skip is None), (n, unit)
+            if ddl is None:
+                assert "e" in skip and str(n) in skip
+                continue
+            m = _re.search(r"cron\.schedule\('e', '([^']+)'", ddl)
+            sched = m.group(1)
+            if sched.endswith(" seconds"):
+                assert unit == "SECOND" and 1 <= n <= 59
+                continue
+            fields = sched.split()
+            assert len(fields) == 5, sched
+            for f, (lo, hi) in zip(fields, ranges):
+                if f == "*":
+                    continue
+                if f.startswith("*/"):
+                    step = int(f[2:])
+                    assert lo <= step <= hi, sched
+                else:
+                    assert lo <= int(f) <= hi, sched
+
+
+def test_literal_starts_phase_property():
+    """Property: a literal STARTS timestamp always lands its sub-period
+    fields in range for every unit that consumes them."""
+    import re as _re
+
+    for unit, starts in [
+        ("HOUR", "'2024-12-31 23:59:59'"),
+        ("DAY", "'2024-02-29 00:00:00'"),
+        ("WEEK", "'2024-01-07 12:30:00'"),   # a Sunday
+        ("MONTH", "'2024-01-31 06:15:00'"),
+        ("YEAR", "'2024-12-31 23:59:00'"),
+    ]:
+        spec = _ev(
+            f"CREATE EVENT e ON SCHEDULE EVERY 1 {unit} STARTS {starts} "
+            "DO DELETE FROM t"
+        )
+        ddl, skip, note = event_to_pg_cron(spec)
+        assert skip is None and note is None
+        sched = _re.search(r"'([\d* /]+)'", ddl).group(1)
+        mi, hh, dom, mon, dow = sched.split()
+        for f, lo, hi in [(mi, 0, 59), (hh, 0, 23)]:
+            if f != "*":
+                assert lo <= int(f) <= hi
+        if dom != "*":
+            assert 1 <= int(dom) <= 31
+        if mon != "*":
+            assert 1 <= int(mon) <= 12
+        if dow != "*":
+            assert 0 <= int(dow) <= 6
+
+
+def test_full_period_cadences_promote():
+    """EVERY 60 MINUTE is hourly ('*/60' is not a valid cron step),
+    EVERY 24 HOUR daily, EVERY 7 DAY weekly, EVERY 12 MONTH yearly,
+    EVERY 3600 SECOND hourly — promotion preserves the STARTS phase of
+    the promoted unit and names both spellings in refusals."""
+    for every, starts, expect in [
+        ("60 MINUTE", "'2024-01-01 00:45:00'", "45 * * * *"),
+        ("24 HOUR", "'2024-01-01 06:30:00'", "30 6 * * *"),
+        ("7 DAY", "'2024-01-01 08:00:00'", "0 8 * * 1"),
+        ("12 MONTH", "'2024-03-15 00:00:00'", "0 0 15 3 *"),
+        ("3600 SECOND", None, "0 * * * *"),
+        ("120 SECOND", None, "*/2 * * * *"),
+    ]:
+        sql = f"CREATE EVENT e ON SCHEDULE EVERY {every} "
+        if starts:
+            sql += f"STARTS {starts} "
+        ddl, skip, _ = event_to_pg_cron(_ev(sql + "DO DELETE FROM t"))
+        assert skip is None, (every, skip)
+        assert f"'{expect}'" in ddl, (every, ddl)
+    # promoted refusals carry BOTH spellings
+    ddl, skip, _ = event_to_pg_cron(
+        _ev("CREATE EVENT e ON SCHEDULE EVERY 48 HOUR DO DELETE FROM t")
+    )
+    assert ddl is None
+    assert "EVERY 48 HOUR" in skip and "EVERY 2 DAY" in skip
