@@ -443,8 +443,9 @@ class MigrationPipeline:
                     ):
                         # GiST works natively only on PG's point (the
                         # MySQL point mapping); geometry/polygon/etc
-                        # map to BYTEA here, which has no GiST operator
-                        # class — emitting would fail every run
+                        # map to WKT TEXT here (round 12), which has no
+                        # GiST operator class — emitting would fail
+                        # every run
                         actions.append(Action(
                             "indexes",
                             "skip",
@@ -707,7 +708,14 @@ class MigrationPipeline:
 
     # Value-fix column-type triggers (B7/B8). MySQL column_type strings.
     _ZERO_DATE_TYPES = ("date", "datetime", "timestamp")
-    _POINT_TYPES = ("point", "geometry")
+    _POINT_TYPES = ("point",)
+    # round 12: the full geometry family decodes to WKT/EWKT text (the
+    # POINT-only decoder previously NULLed every non-point geometry
+    # routed through it via the old ("point", "geometry") trigger)
+    _GEOM_TYPES = (
+        "geometry", "linestring", "polygon", "multipoint",
+        "multilinestring", "multipolygon", "geometrycollection",
+    )
 
     def _value_fix_transform(self, t: TableMeta):
         """Default per-table transform: B7 zero-date → NULL on temporal
@@ -715,6 +723,7 @@ class MigrationPipeline:
         columns (ordered specs may chain). Returns df → df."""
         from mysql2pg_spark.operators.generated import apply_generated_columns
         from mysql2pg_spark.sinks.jdbc_sink import (
+            decode_mysql_geometry,
             decode_mysql_point,
             normalize_zero_dates,
         )
@@ -730,6 +739,10 @@ class MigrationPipeline:
                     df = df.withColumn(name, normalize_zero_dates(name))
                 elif base in self._POINT_TYPES:
                     df = df.withColumn(name, decode_mysql_point(df[name]))
+                elif base in self._GEOM_TYPES:
+                    df = df.withColumn(
+                        name, decode_mysql_geometry(df[name])
+                    )
                 elif ct.startswith("tinyint(1)"):
                     # engine carries smallint (MySQL-numeric semantics);
                     # the PG sink column is BOOLEAN

@@ -634,6 +634,9 @@ UNION ALL
 SELECT 'load_' || part, id, CAST(NULL AS VARCHAR),
        CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR), txt, num
 FROM {_sub("b03_load_data_roundtrip")}
+UNION ALL BY NAME
+SELECT 'wkb_geometry' AS fix, CAST(id AS BIGINT) AS id, wkt
+FROM {_sub("b04_wkb_geometry")}
 """,
 )
 def b01_value_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,8 +656,18 @@ def b01_value_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in ("tab", "enclosed", "noescape")
     ]
+    # round 12: + the full-geometry WKB decode (B8 widened)
+    geoms = QUERIES["b04_wkb_geometry"](spark, sf_dir).withColumn(
+        "id", F.col("id").cast("long")
+    )
     return _tagged_union(
-        "fix", [("zero_dates", dates), ("wkb_point", points), *ld_parts]
+        "fix",
+        [
+            ("zero_dates", dates),
+            ("wkb_point", points),
+            *ld_parts,
+            ("wkb_geometry", geoms),
+        ],
     )
 
 

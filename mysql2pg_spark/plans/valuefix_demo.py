@@ -201,3 +201,81 @@ def b03_load_data_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# b04 — full WKB geometry decode (B8 widened, round 12): SRID+WKB of any
+# geometry type → WKT (EWKT when SRID != 0). The vectors below are
+# struct-packed in-module (deterministic, no randomness) and cover the
+# non-point family the reference ships as opaque bytes: LINESTRING,
+# POLYGON, big-endian MULTIPOINT, an SRID-tagged GEOMETRYCOLLECTION,
+# and a malformed payload (→ NULL, never a throw).
+# --------------------------------------------------------------------------
+def _wkb_vectors() -> list[tuple[int, str, str | None]]:
+    import struct as _s
+
+    def pt_body(x, y, little=True):
+        f = "<" if little else ">"
+        bo = b"\x01" if little else b"\x00"
+        return bo + _s.pack(f + "I", 1) + _s.pack(f + "dd", x, y)
+
+    def u32(v, little=True):
+        return _s.pack(("<" if little else ">") + "I", v)
+
+    def dbls(vals, little=True):
+        return _s.pack(("<" if little else ">") + f"{len(vals)}d", *vals)
+
+    srid0 = u32(0)
+    line = (
+        b"\x01" + u32(2) + u32(3)
+        + dbls([0, 0, 1.5, 2, -3, 4])
+    )
+    poly = (
+        b"\x01" + u32(3) + u32(1) + u32(5)
+        + dbls([0, 0, 4, 0, 4, 4, 0, 4, 0, 0])
+    )
+    # big-endian container with big-endian inner points
+    mpt = (
+        b"\x00" + u32(4, False) + u32(2, False)
+        + pt_body(1, 2, False) + pt_body(3, 4, False)
+    )
+    coll = (
+        b"\x01" + u32(7) + u32(2)
+        + pt_body(1, 2)
+        + (b"\x01" + u32(2) + u32(2) + dbls([0, 0, 1, 1]))
+    )
+    return [
+        (1, (srid0 + line).hex(), "LINESTRING(0 0, 1.5 2, -3 4)"),
+        (2, (srid0 + poly).hex(),
+         "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (3, (srid0 + mpt).hex(), "MULTIPOINT((1 2), (3 4))"),
+        (4, (u32(4326) + coll).hex(),
+         "SRID=4326;GEOMETRYCOLLECTION(POINT(1 2), "
+         "LINESTRING(0 0, 1 1))"),
+        (5, "0000000001020000000300", None),  # truncated → NULL
+    ]
+
+
+WKB_GEOMS = _wkb_vectors()
+
+
+@query(
+    "b04_wkb_geometry",
+    oracle=" UNION ALL ".join(
+        f"SELECT {k} AS id, "
+        + ("'" + wkt + "'" if wkt is not None else "CAST(NULL AS VARCHAR)")
+        + " AS wkt"
+        for k, _hex, wkt in WKB_GEOMS
+    )
+    + " ORDER BY id",
+    driver=False,
+)
+def b04_wkb_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.sinks.jdbc_sink import decode_mysql_geometry
+
+    df = spark.createDataFrame(
+        [(k, h) for k, h, _ in WKB_GEOMS], "id int, wkb_hex string"
+    )
+    return df.select(
+        "id", decode_mysql_geometry(F.unhex("wkb_hex")).alias("wkt")
+    )

@@ -183,7 +183,12 @@ def map_mysql_type(mysql_type: str, auto_increment: bool = False) -> TypeMapping
         "multipolygon",
         "geometrycollection",
     ):
-        return m(BinaryType(), "BYTEA")
+        # round 12: WKB-decoded to WKT/EWKT text at extract (B8
+        # widened) — loads into PostGIS via ST_GeomFromEWKT, readable
+        # without it; previously opaque BYTEA (and the POINT-only
+        # decoder NULLed every non-point geometry)
+        notes = "WKB-decoded to WKT/EWKT text at extract (SURVEY B8)"
+        return m(StringType(), "TEXT")
     if base == "bit":
         return m(BinaryType(), "BIT VARYING")
     if base == "bool" or base == "boolean":

@@ -105,3 +105,93 @@ def decode_mysql_point(payload: pd.Series) -> pd.Series:
         return f"({x:g},{y:g})"
 
     return payload.map(one)
+
+
+# WKB geometry type codes → WKT tag (round 12: the full geometry
+# family; previously every non-POINT geometry column ran through the
+# point decoder and silently became NULL)
+_WKT_TAGS = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+    5: "MULTILINESTRING", 6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION",
+}
+
+
+def _wkt_num(v: float) -> str:
+    return f"{v:g}"
+
+
+def _parse_wkb(b: bytes, off: int) -> tuple[str, int]:
+    """(WKT text, next offset) for one WKB geometry at ``off``.
+    Raises struct.error / ValueError on malformed input (caller maps
+    to NULL). Each nested geometry carries its own byte-order flag,
+    per the WKB spec — mixed-endian collections decode correctly."""
+    little = b[off] == 1
+    fmt = "<" if little else ">"
+    (gtype,) = struct.unpack_from(f"{fmt}I", b, off + 1)
+    off += 5
+    tag = _WKT_TAGS.get(gtype)
+    if tag is None:
+        raise ValueError(f"unknown WKB geometry type {gtype}")
+
+    def points(n: int, o: int) -> tuple[str, int]:
+        coords = struct.unpack_from(f"{fmt}{2 * n}d", b, o)
+        txt = ", ".join(
+            f"{_wkt_num(coords[i])} {_wkt_num(coords[i + 1])}"
+            for i in range(0, 2 * n, 2)
+        )
+        return txt, o + 16 * n
+
+    if gtype == 1:  # POINT
+        txt, off = points(1, off)
+        return f"POINT({txt})", off
+    if gtype == 2:  # LINESTRING
+        (n,) = struct.unpack_from(f"{fmt}I", b, off)
+        txt, off = points(n, off + 4)
+        return f"LINESTRING({txt})", off
+    if gtype == 3:  # POLYGON: rings of points
+        (nrings,) = struct.unpack_from(f"{fmt}I", b, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(f"{fmt}I", b, off)
+            txt, off = points(n, off + 4)
+            rings.append(f"({txt})")
+        return f"POLYGON({', '.join(rings)})", off
+    # MULTI* / GEOMETRYCOLLECTION: n nested full WKB geometries
+    (n,) = struct.unpack_from(f"{fmt}I", b, off)
+    off += 4
+    parts = []
+    for _ in range(n):
+        wkt, off = _parse_wkb(b, off)
+        if gtype == 4:      # MULTIPOINT((x y), …)
+            parts.append("(" + wkt[len("POINT("):-1] + ")")
+        elif gtype == 5:    # MULTILINESTRING((…), …)
+            parts.append("(" + wkt[len("LINESTRING("):-1] + ")")
+        elif gtype == 6:    # MULTIPOLYGON(((…)), …)
+            parts.append("(" + wkt[len("POLYGON("):-1] + ")")
+        else:               # GEOMETRYCOLLECTION(POINT(…), …)
+            parts.append(wkt)
+    return f"{tag}({', '.join(parts)})", off
+
+
+@F.pandas_udf(StringType())
+def decode_mysql_geometry(payload: pd.Series) -> pd.Series:
+    """Round 12 (B8 widened): MySQL internal geometry (4-byte SRID +
+    WKB, any type, either endianness — nested geometries carry their
+    own byte order) → WKT text, or PostGIS EWKT ``SRID=n;…`` when the
+    SRID is nonzero. NULL on malformed input. The reference decodes
+    POINT only (postgres/connection.go:596-633) and ships every other
+    geometry as opaque bytes; WKT loads into PostGIS via
+    ST_GeomFromEWKT and stays human-readable without it."""
+
+    def one(b):
+        if b is None or len(b) < 9:
+            return None
+        try:
+            (srid,) = struct.unpack_from("<I", b, 0)
+            wkt, _ = _parse_wkb(b, 4)
+        except (struct.error, ValueError, IndexError):
+            return None
+        return f"SRID={srid};{wkt}" if srid else wkt
+
+    return payload.map(one)

@@ -158,14 +158,14 @@ CREATE TABLE IF NOT EXISTS case_21_virtual (
 );
 
 CREATE TABLE IF NOT EXISTS case_22_spatial (
-  g BYTEA,
+  g TEXT,
   p POINT,
-  ls BYTEA,
-  poly BYTEA,
-  mp BYTEA,
-  mls BYTEA,
-  mpoly BYTEA,
-  gc BYTEA
+  ls TEXT,
+  poly TEXT,
+  mp TEXT,
+  mls TEXT,
+  mpoly TEXT,
+  gc TEXT
 );
 
 CREATE TABLE IF NOT EXISTS case_23_weird_syntax (

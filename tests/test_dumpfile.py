@@ -1197,7 +1197,7 @@ def test_generated_and_check_mixed_case_and_literals(spark, tmp_path):
 
 def test_spatial_index_on_non_point_geometry_skips(spark, tmp_path):
     """Review r11 round 2: GiST works natively only on point (the
-    BYTEA-mapped geometry types have no operator class) — non-point
+    WKT-TEXT-mapped geometry types have no operator class) — non-point
     SPATIAL keys surface as named skips naming PostGIS."""
     from mysql2pg_spark.config import EngineConfig
     from mysql2pg_spark.orchestrator import MigrationPipeline

@@ -359,3 +359,65 @@ def test_group_indexes_carries_index_type():
     assert specs["ft"].kind == "fulltext"
     assert specs["sp"].kind == "spatial"
     assert specs["h"].kind == "btree"  # MEMORY-engine HASH → btree
+
+
+def test_wkb_geometry_decode_full_family(spark):
+    """Round 12 (B8 widened): the full geometry family decodes to
+    WKT/EWKT — the reference decodes POINT only and ships the rest as
+    opaque bytes (and this engine's old ("point","geometry") trigger
+    NULLed non-point geometries)."""
+    from mysql2pg_spark.plans.valuefix_demo import WKB_GEOMS
+    from mysql2pg_spark.sinks.jdbc_sink import decode_mysql_geometry
+
+    df = spark.createDataFrame(
+        [(k, bytes.fromhex(h)) for k, h, _ in WKB_GEOMS] + [(9, None)],
+        "id int, g binary",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", decode_mysql_geometry("g").alias("v")
+        ).collect()
+    }
+    want = {k: wkt for k, _h, wkt in WKB_GEOMS}
+    want[9] = None
+    assert got == want
+
+
+def test_wkb_geometry_multilinestring_and_multipolygon(spark):
+    import struct as _s
+
+    from mysql2pg_spark.sinks.jdbc_sink import decode_mysql_geometry
+
+    def u32(v):
+        return _s.pack("<I", v)
+
+    def dbls(vals):
+        return _s.pack(f"<{len(vals)}d", *vals)
+
+    line = lambda pts: b"\x01" + u32(2) + u32(len(pts) // 2) + dbls(pts)  # noqa: E731
+    mls = u32(0) + b"\x01" + u32(5) + u32(2) + line([0, 0, 1, 1]) + line([2, 2, 3, 3])
+    ring = u32(4) + dbls([0, 0, 1, 0, 1, 1, 0, 0])
+    poly = b"\x01" + u32(3) + u32(1) + ring
+    mpoly = u32(0) + b"\x01" + u32(6) + u32(1) + poly
+    df = spark.createDataFrame([(1, mls), (2, mpoly)], "id int, g binary")
+    got = [
+        r["v"]
+        for r in df.select(decode_mysql_geometry("g").alias("v"))
+        .orderBy("id").collect()
+    ]
+    assert got == [
+        "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)))",
+    ]
+
+
+def test_geometry_family_maps_to_text():
+    from mysql2pg_spark.schema.schema_map import map_mysql_type
+
+    for t in ("geometry", "linestring", "polygon", "multipolygon"):
+        m = map_mysql_type(t)
+        assert m.pg_type == "TEXT"
+        assert "WKB-decoded" in (m.notes or "")
+    # POINT keeps the reference-parity "(x,y)" → PG point mapping
+    assert map_mysql_type("point").pg_type == "POINT"
