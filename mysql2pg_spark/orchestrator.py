@@ -532,6 +532,40 @@ class MigrationPipeline:
                             ),
                         ),
                     ))
+                # round 12, beyond-reference: ENUM value lists become
+                # post-data CHECK constraints. The reference flattens
+                # enum to VARCHAR(255) and DISCARDS the list
+                # (sync_tableddl.go:601-603) — values outside the
+                # domain then load silently; SET stays a documented
+                # discard (its domain is the powerset of the list).
+                from mysql2pg_spark.schema.schema_map import enum_values
+
+                for c in t.columns:
+                    vals = enum_values(c.column_type)
+                    if vals is None:
+                        continue
+                    col = self._norm(c.name)
+                    if not vals:
+                        actions.append(Action(
+                            "checks",
+                            "skip",
+                            name,
+                            f"enum column {col}: value list carries "
+                            "escapes PG would read differently — "
+                            "domain CHECK not emitted (column loads "
+                            "as plain VARCHAR)",
+                        ))
+                        continue
+                    actions.append(Action(
+                        "checks",
+                        "ddl",
+                        name,
+                        add_check_ddl(
+                            name,
+                            f"{col}_enum_chk",
+                            f"{quote_pg(col)} IN ({', '.join(vals)})",
+                        ),
+                    ))
 
         if o.functions:
             from mysql2pg_spark.sinks.plpgsql import emit_plpgsql

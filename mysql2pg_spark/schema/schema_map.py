@@ -71,6 +71,37 @@ def _strip_attrs(t: str) -> tuple[str, bool]:
     return low.strip(), unsigned
 
 
+_RE_ENUM = re.compile(r"(?is)^enum\s*\((.*)\)\s*$")
+#: one PG-safe quoted literal: '' doubling only, no backslash escapes
+_RE_SQL_LIT = re.compile(r"^'(?:[^'\\]|'')*'$")
+
+
+def enum_values(column_type: str) -> list[str] | None:
+    """The quoted value literals of an ``enum('a','b',…)`` column type.
+    None for non-enum types; ``[]`` for an enum whose value list is not
+    PG-safe ('' doubling only — a token carrying backslash escapes or
+    anything PG would read differently makes the whole list
+    untranslatable, and the caller surfaces a named skip instead of
+    mistranslating)."""
+    mo = _RE_ENUM.match(column_type.strip())
+    if not mo:
+        return None
+    from mysql2pg_spark.dialect.transpile import (
+        mask_literals,
+        split_top_level,
+        unmask_literals,
+    )
+
+    masked, lits = mask_literals(mo.group(1))
+    vals = []
+    for tok in split_top_level(masked):
+        lit = unmask_literals(tok.strip(), lits)
+        if not _RE_SQL_LIT.match(lit):
+            return []
+        vals.append(lit)
+    return vals
+
+
 def map_mysql_type(mysql_type: str, auto_increment: bool = False) -> TypeMapping:
     """Map one MySQL column type string (priority order mirrors the
     reference's convertDataType, sync_tableddl.go:78-97)."""
@@ -168,8 +199,18 @@ def map_mysql_type(mysql_type: str, auto_increment: bool = False) -> TypeMapping
         return m(StringType(), "JSON")
     if base == "jsonb":
         return m(StringType(), "JSONB")
-    if base in ("enum", "set") or t.startswith(("enum(", "set(")):
-        notes = "value list discarded (reference :601-603)"
+    if base == "enum" or t.startswith("enum("):
+        # round 12: the value list is ENFORCED via a post-data CHECK
+        # constraint (orchestrator checks stage); the reference
+        # discards it entirely (sync_tableddl.go:601-603)
+        notes = "value list enforced via post-data CHECK (round 12)"
+        return m(StringType(), "VARCHAR(255)")
+    if base == "set" or t.startswith("set("):
+        notes = (
+            "value list discarded (reference :601-603; the SET domain "
+            "is the powerset of the list — not CHECK-expressible "
+            "faithfully)"
+        )
         return m(StringType(), "VARCHAR(255)")
     if base == "point":
         notes = 'WKB-decoded to "(x,y)" text at extract (SURVEY B8)'

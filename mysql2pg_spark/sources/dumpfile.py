@@ -920,6 +920,21 @@ def _ddl_lines(spark: SparkSession, path: str) -> list[str]:
     return [r.value for r in ddl.sort("mid").collect()]
 
 
+def _lower_outside_quotes(s: str) -> str:
+    """Lowercase SQL tokens, preserving quoted-literal case — an
+    enum('S','M') column type keeps its value spelling ('' doubling
+    toggles the flag twice, correctly)."""
+    out = []
+    in_q = False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+            out.append(ch)
+        else:
+            out.append(ch if in_q else ch.lower())
+    return "".join(out)
+
+
 def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
     """Parse every CREATE TABLE block of a mysqldump (or a list of DDL
     scripts — e.g. separate create_table.sql + create_index.sql) into a
@@ -1144,7 +1159,11 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             cur.columns.append(
                 ColumnMeta(
                     name=name,
-                    column_type=col.group(3).lower(),
+                    # lowercase the TYPE tokens but keep quoted literal
+                    # case — enum('S','M') values feed the round-12
+                    # domain CHECK, and a lowercased list would REJECT
+                    # the real data
+                    column_type=_lower_outside_quotes(col.group(3)),
                     nullable="NOT NULL" not in rest_nc.upper(),
                     default=None if (dflt or "").upper() == "NULL" else dflt,
                     comment=comment.group(1).replace("''", "'")

@@ -1406,9 +1406,17 @@ ALTER TABLE case_41_foreign_key ADD CONSTRAINT case_41_foreign_key_ibfk_parent_i
 
 -- ==== stage: checks ====
 
+ALTER TABLE case_13_enum_set ADD CONSTRAINT e1_enum_chk CHECK (e1 IN ('a', 'b', 'c'));
+
 ALTER TABLE case_27_mysql8_check ADD CONSTRAINT chk_age CHECK (age > 18);
 
 -- SKIP [case_27_mysql8_check]: CHECK 'age < 150' is NOT ENFORCED in MySQL (documentation-only); PostgreSQL's NOT VALID still enforc
+
+ALTER TABLE case_35_enum_charset ADD CONSTRAINT col_enum_enum_chk CHECK (col_enum IN ('N', 'Y'));
+
+ALTER TABLE case_61_many_columns ADD CONSTRAINT enum_min_enum_chk CHECK (enum_min IN ('a'));
+
+ALTER TABLE case_61_many_columns ADD CONSTRAINT enum_max_enum_chk CHECK (enum_max IN ('a', 'b', 'c', 'd', 'e'));
 
 -- ==== stage: functions ====
 
