@@ -111,6 +111,51 @@ def routines_query(database: str) -> str:
     )
 
 
+def events_query(database: str) -> str:
+    """A9+ (round 12): scheduler events — the reference never scans
+    ``information_schema.events`` at all, silently losing every
+    scheduled job. Rows feed :func:`render_event_ddl`, which
+    reconstructs the canonical CREATE EVENT text the dump path sees,
+    so ``schema/events.py`` translates both paths identically."""
+    return (
+        "(SELECT event_name, event_definition, event_type, execute_at, "
+        "interval_value, interval_field, starts, ends, status, "
+        "event_comment FROM information_schema.events "
+        f"WHERE event_schema = '{database}') e"
+    )
+
+
+def render_event_ddl(row: dict) -> str:
+    """One canonical ``CREATE EVENT`` statement from an
+    ``information_schema.events`` row (pure; tested without a server).
+    MySQL's catalog stores the schedule decomposed — ONE TIME rows
+    carry ``execute_at``, RECURRING rows ``interval_value/field`` +
+    optional ``starts``/``ends`` — and the DO body in
+    ``event_definition``; ``status`` 'ENABLED' / 'DISABLED' /
+    'SLAVESIDE_DISABLED' maps to ENABLE / DISABLE."""
+    if (row.get("event_type") or "").upper() == "ONE TIME":
+        sched = f"AT '{row['execute_at']}'"
+    else:
+        sched = f"EVERY {row['interval_value']} {row['interval_field']}"
+        if row.get("starts"):
+            sched += f" STARTS '{row['starts']}'"
+        if row.get("ends"):
+            sched += f" ENDS '{row['ends']}'"
+    status = (
+        "ENABLE"
+        if (row.get("status") or "").upper() == "ENABLED"
+        else "DISABLE"
+    )
+    cmt = ""
+    if row.get("event_comment"):
+        c = str(row["event_comment"]).replace("'", "''")
+        cmt = f" COMMENT '{c}'"
+    return (
+        f"CREATE EVENT `{row['event_name']}` ON SCHEDULE {sched} "
+        f"{status}{cmt} DO {row['event_definition']}"
+    )
+
+
 def table_privileges_query(database: str) -> str:
     """A11: per-table grants (mysql.tables_priv, metadata.go:601-625)."""
     return (

@@ -421,3 +421,41 @@ def test_geometry_family_maps_to_text():
         assert "WKB-decoded" in (m.notes or "")
     # POINT keeps the reference-parity "(x,y)" → PG point mapping
     assert map_mysql_type("point").pg_type == "POINT"
+
+
+def test_live_events_scan_renders_canonical_ddl():
+    """A9+ (round 12): information_schema.events rows reconstruct the
+    canonical CREATE EVENT text the dump path sees, so schema/events.py
+    translates live-scanned events identically (the reference never
+    scans events at all)."""
+    from mysql2pg_spark.schema.events import event_to_pg_cron, parse_event
+    from mysql2pg_spark.sources.catalog import (
+        events_query,
+        render_event_ddl,
+    )
+
+    assert "information_schema.events" in events_query("db")
+    assert "event_schema = 'db'" in events_query("db")
+
+    rec = render_event_ddl({
+        "event_name": "purge", "event_type": "RECURRING",
+        "event_definition": "DELETE FROM t WHERE d < NOW()",
+        "interval_value": 1, "interval_field": "DAY",
+        "starts": "2024-01-01 02:00:00", "ends": None,
+        "status": "ENABLED", "event_comment": "it's nightly",
+    })
+    spec = parse_event(rec)
+    assert spec is not None and spec.name == "purge"
+    assert spec.comment == "it's nightly"
+    ddl, skip, note = event_to_pg_cron(spec)
+    assert skip is None and note is None
+    assert "'0 2 * * *'" in ddl and "CURRENT_TIMESTAMP" in ddl
+
+    once = render_event_ddl({
+        "event_name": "one", "event_type": "ONE TIME",
+        "event_definition": "UPDATE t SET x = 1",
+        "execute_at": "2030-01-01 00:00:00",
+        "status": "DISABLED", "event_comment": None,
+    })
+    spec = parse_event(once)
+    assert spec.schedule_kind == "at" and not spec.enabled
