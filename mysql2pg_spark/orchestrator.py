@@ -671,50 +671,36 @@ class MigrationPipeline:
             )
 
         # CREATE EVENT (round 12; inventoried-as-skip since round 9):
-        # the cron-expressible subset — EVERY-n cadence that divides its
-        # parent unit, single-statement DML body — translates to a
-        # pg_cron `SELECT cron.schedule(…)` DDL (the reference never
-        # scans events at all); everything else stays a NAMED skip
-        # carrying the parsed schedule, per the refuse-don't-
-        # mistranslate convention of the routine plane.
+        # the cron-expressible subset — EVERY-n cadence that divides
+        # its parent unit — translates to pg_cron `SELECT
+        # cron.schedule(…)` DDL; compound BEGIN…END bodies migrate via
+        # a synthesized plpgsql procedure + scheduled CALL (the
+        # reference never scans events at all). Everything else stays
+        # a NAMED skip carrying the parsed schedule, per the
+        # refuse-don't-mistranslate convention of the routine plane.
         for raw in self.snapshot.events:
             from mysql2pg_spark.schema.events import (
-                event_to_pg_cron,
+                event_actions,
                 parse_event,
             )
 
             spec = parse_event(raw)
+            ev_name = spec.name.lower() if spec else "?"
             if spec is None:
                 mo = re.search(
                     r"(?is)\bEVENT\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                     r"(?:`([^`]+)`|(\w+))",
                     raw,
                 )
-                ev_name = (mo.group(1) or mo.group(2)) if mo else "?"
-                actions.append(
-                    Action(
-                        "events",
-                        "skip",
-                        ev_name.lower(),
-                        f"CREATE EVENT {ev_name}: unparseable schedule/"
-                        "body — recreate in pg_cron or pgAgent (source "
-                        "DDL preserved in the dump); not migrated",
-                    )
-                )
-                continue
-            ddl, skip_reason, note = event_to_pg_cron(spec)
-            if ddl is not None:
-                actions.append(
-                    Action("events", "ddl", spec.name.lower(), ddl)
-                )
-                if note:
-                    actions.append(
-                        Action("events", "skip", spec.name.lower(), note)
-                    )
-            else:
-                actions.append(
-                    Action("events", "skip", spec.name.lower(), skip_reason)
-                )
+                if mo:
+                    ev_name = (mo.group(1) or mo.group(2)).lower()
+            for kind, payload in event_actions(raw):
+                actions.append(Action(
+                    "events",
+                    "ddl" if kind == "ddl" else "skip",
+                    ev_name,
+                    payload,
+                ))
 
         if o.users:
             for user, grants in self.snapshot.users.items():

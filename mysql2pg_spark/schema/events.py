@@ -52,7 +52,12 @@ from dataclasses import dataclass
 
 from mysql2pg_spark.sinks.plpgsql_builder import rewrite_mysql_expr_to_pg
 
-__all__ = ["EventSpec", "parse_event", "event_to_pg_cron"]
+__all__ = [
+    "EventSpec",
+    "event_actions",
+    "event_to_pg_cron",
+    "parse_event",
+]
 
 
 @dataclass
@@ -289,3 +294,75 @@ def event_to_pg_cron(spec: EventSpec) -> tuple[str | None, str | None, str | Non
             "first firing may shift by less than one period"
         )
     return ddl, None, note
+
+
+def event_actions(raw: str) -> list[tuple[str, str]]:
+    """The complete migration plan for one raw ``CREATE EVENT``
+    statement: ``[(kind, payload)]`` with kind ``'ddl'`` (payload =
+    one executable PG statement) / ``'skip'`` / ``'note'``. This is
+    the single decision point both the orchestrator's events stage and
+    the golden test consume.
+
+    Beyond :func:`event_to_pg_cron`, a compound ``BEGIN…END`` body
+    whose cadence is cron-expressible migrates via a SYNTHESIZED
+    procedure (round 12b — the refusal message's own suggestion, now
+    automated): the body translates through the full plpgsql
+    machinery as ``CREATE OR REPLACE PROCEDURE <event>_evt_job()``,
+    and the schedule becomes ``cron.schedule('<event>', '<sched>',
+    $evt$CALL <event>_evt_job()$evt$)``. Bodies the plpgsql builder
+    refuses keep a named skip carrying the inner reason."""
+    from dataclasses import replace as _dc_replace
+
+    spec = parse_event(raw)
+    if spec is None:
+        mo = re.search(
+            r"(?is)\bEVENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`([^`]+)`|(\w+))",
+            raw,
+        )
+        ev_name = (mo.group(1) or mo.group(2)) if mo else "?"
+        return [(
+            "skip",
+            f"CREATE EVENT {ev_name}: unparseable schedule/body — "
+            "recreate in pg_cron or pgAgent (source DDL preserved in "
+            "the dump); not migrated",
+        )]
+    ddl, skip_reason, note = event_to_pg_cron(spec)
+    out: list[tuple[str, str]] = []
+    if (
+        ddl is None
+        and spec.enabled
+        and spec.schedule_kind == "every"
+        and not spec.ends
+        and re.match(r"(?is)^\s*BEGIN\b", spec.body)
+    ):
+        from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+        from mysql2pg_spark.sinks.plpgsql_builder import (
+            UnsupportedFunctionError,
+            build_spec_from_mysql,
+        )
+
+        job = f"{spec.name.lower()}_evt_job"
+        probe, probe_skip, note = event_to_pg_cron(
+            _dc_replace(spec, body=f"CALL {job}()")
+        )
+        if probe is None:
+            skip_reason = probe_skip  # cadence itself is the blocker
+        else:
+            try:
+                pspec = build_spec_from_mysql(
+                    f"CREATE PROCEDURE {job}() {spec.body}"
+                )
+                out.append(("ddl", emit_plpgsql(pspec)))
+                ddl, skip_reason = probe, None
+            except UnsupportedFunctionError as e:
+                skip_reason = (
+                    f"CREATE EVENT {spec.name}: compound body does not "
+                    f"translate to plpgsql ({e}) — not migrated"
+                )
+    if ddl is not None:
+        out.append(("ddl", ddl))
+        if note:
+            out.append(("note", note))
+    else:
+        out.append(("skip", skip_reason))
+    return out

@@ -196,28 +196,67 @@ def test_duckdb_seam_skips_cron_ddl_visibly():
 def test_event_plan_golden_pinned():
     """Byte-diff the fixture corpus' five events against the reviewed
     golden (tests/golden/events_pg.sql) — any change to the emitted
-    pg_cron DDL or refusal text shows up as a reviewable diff.
-    Regenerate: see the golden's sibling generator in this test."""
+    pg_cron / synthesized-procedure DDL or refusal text shows up as a
+    reviewable diff. Regenerate with the same loop below."""
     import os
 
+    from mysql2pg_spark.schema.events import event_actions
     from tools.make_mysqldump import EVENTS
 
     lines = []
     for raw in EVENTS:
-        spec = parse_event(raw)
-        assert spec is not None, raw
-        ddl, skip, note = event_to_pg_cron(spec)
-        if ddl is not None:
-            lines.append(ddl.rstrip(";") + ";")
-            if note:
-                lines.append(f"-- NOTE [{spec.name.lower()}]: {note}")
-        else:
-            lines.append(f"-- SKIP [{spec.name.lower()}]: {skip}")
+        name = parse_event(raw).name.lower()
+        for kind, payload in event_actions(raw):
+            if kind == "ddl":
+                lines.append(payload.rstrip(";") + ";")
+            else:
+                lines.append(f"-- {kind.upper()} [{name}]: {payload}")
     text = "\n".join(lines) + "\n"
     golden = os.path.join(
         os.path.dirname(__file__), "golden", "events_pg.sql"
     )
     assert text == open(golden).read()
+    # every emitted statement passes the structural plpgsql gate
+    from mysql2pg_spark.schema.plpgsql_check import check_script
+
+    assert check_script(text) == []
+
+
+def test_compound_body_migrates_via_synthesized_procedure():
+    """Round 12b: a cron-expressible compound event becomes TWO DDLs —
+    the plpgsql procedure (full routine machinery: @vars, handlers, …)
+    and the scheduled CALL; untranslatable bodies keep a named skip
+    carrying the inner plpgsql reason."""
+    from mysql2pg_spark.schema.events import event_actions
+
+    acts = event_actions(
+        "CREATE EVENT n ON SCHEDULE EVERY 1 DAY DO BEGIN "
+        "DELETE FROM a WHERE x < NOW(); "
+        "SET @m = IFNULL(@m, 0) + 1; END"
+    )
+    kinds = [k for k, _ in acts]
+    assert kinds == ["ddl", "ddl"]
+    assert "CREATE OR REPLACE PROCEDURE n_evt_job()" in acts[0][1]
+    assert "CURRENT_TIMESTAMP" in acts[0][1]
+    assert acts[1][1] == (
+        "SELECT cron.schedule('n', '0 0 * * *', "
+        "$evt$CALL n_evt_job()$evt$)"
+    )
+    # cadence blocker wins: no procedure is synthesized for it
+    acts = event_actions(
+        "CREATE EVENT n ON SCHEDULE EVERY 7 MINUTE DO BEGIN "
+        "DELETE FROM a; END"
+    )
+    assert [k for k, _ in acts] == ["skip"]
+    assert "60 % 7" in acts[0][1]
+    # untranslatable body: named skip carrying the inner reason
+    acts = event_actions(
+        "CREATE EVENT n ON SCHEDULE EVERY 1 DAY DO BEGIN "
+        "SET @x = @@sql_mode; END"
+    )
+    assert [k for k, _ in acts] == ["skip"]
+    assert "does not translate to plpgsql" in acts[0][1]
+    assert "@@system" in acts[0][1]
 
 
 def test_every_cadence_property():

@@ -130,31 +130,39 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
         "conversion": {"options": {}, "limits": {}},
     }))
     actions = MigrationPipeline(load_config(str(p)), snapshot).plan()
-    evs = {a.target: a for a in actions if a.stage == "events"}
+    evs: dict[str, list] = {}
+    for a in actions:
+        if a.stage == "events":
+            evs.setdefault(a.target, []).append(a)
     assert set(evs) == {
         "purge_stale_sessions", "hourly_rollup", "one_shot_cleanup",
         "odd_cadence", "nightly_compound",
     }
     # EVERY 1 DAY STARTS '… 00:00:00' → midnight cron entry
-    daily = evs["purge_stale_sessions"]
+    (daily,) = evs["purge_stale_sessions"]
     assert daily.kind == "ddl"
     assert daily.payload.startswith(
         "SELECT cron.schedule('purge_stale_sessions', '0 0 * * *', $evt$"
     )
     assert "DELETE FROM case_41_parent" in daily.payload
     # EVERY 1 HOUR, MySQL-dialect body → PG dialect inside the job
-    hourly = evs["hourly_rollup"]
+    (hourly,) = evs["hourly_rollup"]
     assert hourly.kind == "ddl"
     assert "'0 * * * *'" in hourly.payload
     assert "COALESCE(" in hourly.payload          # IFNULL rewritten
     assert "TO_CHAR(CURRENT_TIMESTAMP" in hourly.payload  # DATE_FORMAT(NOW())
     # refusals are NAMED and carry the reason
-    assert evs["one_shot_cleanup"].kind == "skip"
-    assert "AT" in evs["one_shot_cleanup"].payload
-    assert evs["odd_cadence"].kind == "skip"
-    assert "60 % 7" in evs["odd_cadence"].payload
-    assert evs["nightly_compound"].kind == "skip"
-    assert "BEGIN" in evs["nightly_compound"].payload
+    assert [a.kind for a in evs["one_shot_cleanup"]] == ["skip"]
+    assert "AT" in evs["one_shot_cleanup"][0].payload
+    assert [a.kind for a in evs["odd_cadence"]] == ["skip"]
+    assert "60 % 7" in evs["odd_cadence"][0].payload
+    # round 12b: the compound body migrates via a synthesized plpgsql
+    # procedure + scheduled CALL (previously a named skip)
+    proc, sched = evs["nightly_compound"]
+    assert proc.kind == "ddl"
+    assert "CREATE OR REPLACE PROCEDURE nightly_compound_evt_job()" in proc.payload
+    assert sched.kind == "ddl"
+    assert "$evt$CALL nightly_compound_evt_job()$evt$" in sched.payload
 
 
 def test_trigger_translates_with_body_dml(snapshot):
