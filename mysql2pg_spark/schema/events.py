@@ -335,12 +335,6 @@ def event_actions(raw: str) -> list[tuple[str, str]]:
         and not spec.ends
         and re.match(r"(?is)^\s*BEGIN\b", spec.body)
     ):
-        from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
-        from mysql2pg_spark.sinks.plpgsql_builder import (
-            UnsupportedFunctionError,
-            build_spec_from_mysql,
-        )
-
         job = f"{spec.name.lower()}_evt_job"
         probe, probe_skip, note = event_to_pg_cron(
             _dc_replace(spec, body=f"CALL {job}()")
@@ -348,17 +342,18 @@ def event_actions(raw: str) -> list[tuple[str, str]]:
         if probe is None:
             skip_reason = probe_skip  # cadence itself is the blocker
         else:
-            try:
-                pspec = build_spec_from_mysql(
-                    f"CREATE PROCEDURE {job}() {spec.body}"
-                )
-                out.append(("ddl", emit_plpgsql(pspec)))
+            proc_ddl, body_skip = _synth_procedure(spec, job)
+            if proc_ddl is None:
+                skip_reason = body_skip
+            else:
+                out.append(("ddl", proc_ddl))
                 ddl, skip_reason = probe, None
-            except UnsupportedFunctionError as e:
-                skip_reason = (
-                    f"CREATE EVENT {spec.name}: compound body does not "
-                    f"translate to plpgsql ({e}) — not migrated"
-                )
+    if ddl is None and spec.enabled and spec.schedule_kind == "at":
+        at_plan = _one_shot_plan(spec)
+        if at_plan is not None:
+            preludes, ddl, note = at_plan
+            out.extend(("ddl", p) for p in preludes)
+            skip_reason = None
     if ddl is not None:
         out.append(("ddl", ddl))
         if note:
@@ -366,3 +361,64 @@ def event_actions(raw: str) -> list[tuple[str, str]]:
     else:
         out.append(("skip", skip_reason))
     return out
+
+
+def _synth_procedure(spec: EventSpec, job: str):
+    """(procedure DDL, None) for a compound BEGIN…END event body run
+    through the full plpgsql routine machinery, or (None, named skip)
+    when the builder refuses it."""
+    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        UnsupportedFunctionError,
+        build_spec_from_mysql,
+    )
+
+    try:
+        pspec = build_spec_from_mysql(
+            f"CREATE PROCEDURE {job}() {spec.body}"
+        )
+    except UnsupportedFunctionError as e:
+        return None, (
+            f"CREATE EVENT {spec.name}: compound body does not "
+            f"translate to plpgsql ({e}) — not migrated"
+        )
+    return emit_plpgsql(pspec), None
+
+
+def _one_shot_plan(spec: EventSpec):
+    """pg_cron's self-unschedule idiom for ``AT '<literal ts>'``
+    (round 12b): an exact-timestamp cron entry whose command runs the
+    body and then ``cron.unschedule``s itself — the documented pg_cron
+    pattern for one-shot jobs. Returns (prelude DDLs, schedule DDL,
+    divergence note), or None when the shape doesn't conform
+    (non-literal AT expression, untranslatable body) — the caller
+    keeps the named skip."""
+    if not spec.at_ts or not _TS_LIT_RE.match(spec.at_ts.strip()):
+        return None
+    mi, hh, dom, mon, _dow, _lit = _starts_fields(spec.at_ts)
+    name = spec.name.lower()
+    preludes: list[str] = []
+    if re.match(r"(?is)^\s*BEGIN\b", spec.body):
+        job = f"{name}_evt_job"
+        proc_ddl, _skip = _synth_procedure(spec, job)
+        if proc_ddl is None:
+            return None
+        preludes.append(proc_ddl)
+        pg_body = f"CALL {job}()"
+    elif _BODY_HEAD_RE.match(spec.body):
+        pg_body = rewrite_mysql_expr_to_pg(spec.body).rstrip(";").strip()
+    else:
+        return None
+    cmd = f"{pg_body}; SELECT cron.unschedule('{name}')"
+    ddl = (
+        f"SELECT cron.schedule('{name}', "
+        f"'{mi} {hh} {dom} {mon} *', $evt${cmd}$evt$)"
+    )
+    note = (
+        f"event {spec.name}: one-shot AT {spec.at_ts} emulated via "
+        "pg_cron's self-unschedule idiom — the job fires at the "
+        "wall-clock match and removes itself; if the server is down "
+        "at that minute it fires at the NEXT match (up to a year "
+        "later), where MySQL would have dropped a missed one-shot"
+    )
+    return preludes, ddl, note

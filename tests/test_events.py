@@ -353,3 +353,43 @@ def test_full_period_cadences_promote():
     )
     assert ddl is None
     assert "EVERY 48 HOUR" in skip and "EVERY 2 DAY" in skip
+
+
+def test_one_shot_at_emulates_via_self_unschedule():
+    """Round 12b: a literal AT one-shot becomes an exact-timestamp cron
+    entry whose command self-unschedules after firing (pg_cron's
+    documented one-shot idiom), with the missed-fire divergence
+    surfaced as a note; non-literal AT expressions keep the skip."""
+    from mysql2pg_spark.schema.events import event_actions
+
+    acts = event_actions(
+        "CREATE EVENT once ON SCHEDULE AT '2030-06-01 12:30:00' "
+        "DO DELETE FROM t WHERE x = 1"
+    )
+    assert [k for k, _ in acts] == ["ddl", "note"]
+    assert acts[0][1] == (
+        "SELECT cron.schedule('once', '30 12 1 6 *', "
+        "$evt$DELETE FROM t WHERE x = 1; "
+        "SELECT cron.unschedule('once')$evt$)"
+    )
+    assert "self-unschedule" in acts[1][1]
+    # compound one-shot: synthesized procedure + CALL-and-unschedule
+    acts = event_actions(
+        "CREATE EVENT oc ON SCHEDULE AT '2030-06-01 12:30:00' "
+        "DO BEGIN DELETE FROM a; DELETE FROM b; END"
+    )
+    assert [k for k, _ in acts] == ["ddl", "ddl", "note"]
+    assert "CREATE OR REPLACE PROCEDURE oc_evt_job()" in acts[0][1]
+    assert "CALL oc_evt_job(); SELECT cron.unschedule('oc')" in acts[1][1]
+    # non-literal AT expression: still a named skip
+    acts = event_actions(
+        "CREATE EVENT ox ON SCHEDULE AT CURRENT_TIMESTAMP + "
+        "INTERVAL 1 DAY DO DELETE FROM t"
+    )
+    assert [k for k, _ in acts] == ["skip"]
+    # DISABLE'd one-shot: never scheduled
+    acts = event_actions(
+        "CREATE EVENT od ON SCHEDULE AT '2030-06-01 12:30:00' DISABLE "
+        "DO DELETE FROM t"
+    )
+    assert [k for k, _ in acts] == ["skip"] and "DISABLE" in acts[0][1]

@@ -151,9 +151,14 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
     assert "'0 * * * *'" in hourly.payload
     assert "COALESCE(" in hourly.payload          # IFNULL rewritten
     assert "TO_CHAR(CURRENT_TIMESTAMP" in hourly.payload  # DATE_FORMAT(NOW())
+    # round 12b: literal AT one-shots emulate via pg_cron's
+    # self-unschedule idiom, divergence surfaced as a note
+    once, once_note = evs["one_shot_cleanup"]
+    assert once.kind == "ddl"
+    assert "'0 0 1 1 *'" in once.payload
+    assert "cron.unschedule('one_shot_cleanup')" in once.payload
+    assert once_note.kind == "skip" and "self-unschedule" in once_note.payload
     # refusals are NAMED and carry the reason
-    assert [a.kind for a in evs["one_shot_cleanup"]] == ["skip"]
-    assert "AT" in evs["one_shot_cleanup"][0].payload
     assert [a.kind for a in evs["odd_cadence"]] == ["skip"]
     assert "60 % 7" in evs["odd_cadence"][0].payload
     # round 12b: the compound body migrates via a synthesized plpgsql
