@@ -309,10 +309,11 @@ def event_actions(raw: str) -> list[tuple[str, str]]:
     automated): the body translates through the full plpgsql
     machinery as ``CREATE OR REPLACE PROCEDURE <event>_evt_job()``,
     and the schedule becomes ``cron.schedule('<event>', '<sched>',
-    $evt$CALL <event>_evt_job()$evt$)``. Bodies the plpgsql builder
-    refuses keep a named skip carrying the inner reason."""
-    from dataclasses import replace as _dc_replace
-
+    $evt$CALL <event>_evt_job()$evt$)``. Literal ``AT`` one-shots and
+    literal ``ENDS`` clauses emulate via pg_cron's self-unschedule
+    idiom (see :func:`_one_shot_plan` / the ENDS block). Bodies the
+    plpgsql builder refuses keep a named skip carrying the inner
+    reason."""
     spec = parse_event(raw)
     if spec is None:
         mo = re.search(
@@ -326,6 +327,43 @@ def event_actions(raw: str) -> list[tuple[str, str]]:
             "recreate in pg_cron or pgAgent (source DDL preserved in "
             "the dump); not migrated",
         )]
+    return _spec_actions(spec)
+
+
+def _spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
+    from dataclasses import replace as _dc_replace
+
+    # literal ENDS (round 12b): plan the event WITHOUT its ENDS, then
+    # append a self-unscheduling one-shot that removes the job at the
+    # ENDS wall-clock match — the same pg_cron idiom as AT one-shots
+    if (
+        spec.enabled
+        and spec.schedule_kind == "every"
+        and spec.ends
+        and _TS_LIT_RE.match(spec.ends.strip())
+    ):
+        inner = _spec_actions(_dc_replace(spec, ends=None))
+        if any(k == "ddl" for k, _ in inner):
+            name = spec.name.lower()
+            mi, hh, dom, mon, _dow, _lit = _starts_fields(spec.ends)
+            cmd = (
+                f"SELECT cron.unschedule('{name}'); "
+                f"SELECT cron.unschedule('{name}_ends')"
+            )
+            inner.append((
+                "ddl",
+                f"SELECT cron.schedule('{name}_ends', "
+                f"'{mi} {hh} {dom} {mon} *', $evt${cmd}$evt$)",
+            ))
+            inner.append((
+                "note",
+                f"event {spec.name}: ENDS {spec.ends} emulated via a "
+                "second self-unscheduling one-shot that removes the "
+                "job at the wall-clock match; a server down at that "
+                "minute delays the removal to the next match",
+            ))
+        return inner
+
     ddl, skip_reason, note = event_to_pg_cron(spec)
     out: list[tuple[str, str]] = []
     if (

@@ -393,3 +393,41 @@ def test_one_shot_at_emulates_via_self_unschedule():
         "DO DELETE FROM t"
     )
     assert [k for k, _ in acts] == ["skip"] and "DISABLE" in acts[0][1]
+
+
+def test_literal_ends_emulates_via_second_one_shot():
+    """Round 12b: EVERY … ENDS '<literal ts>' plans the event without
+    its ENDS, then appends a self-unscheduling one-shot that removes
+    BOTH jobs at the ENDS wall-clock match; non-literal ENDS keeps the
+    named skip."""
+    from mysql2pg_spark.schema.events import event_actions
+
+    acts = event_actions(
+        "CREATE EVENT win ON SCHEDULE EVERY 1 HOUR "
+        "STARTS '2026-01-01 00:15:00' ENDS '2026-06-01 00:00:00' "
+        "DO DELETE FROM t WHERE stale = 1"
+    )
+    assert [k for k, _ in acts] == ["ddl", "ddl", "note"]
+    assert "'15 * * * *'" in acts[0][1]
+    assert acts[1][1] == (
+        "SELECT cron.schedule('win_ends', '0 0 1 6 *', "
+        "$evt$SELECT cron.unschedule('win'); "
+        "SELECT cron.unschedule('win_ends')$evt$)"
+    )
+    assert "ENDS" in acts[2][1]
+    # compound body + ENDS composes with the procedure synthesis
+    acts = event_actions(
+        "CREATE EVENT wc ON SCHEDULE EVERY 1 DAY "
+        "ENDS '2027-01-01 00:00:00' "
+        "DO BEGIN DELETE FROM a; DELETE FROM b; END"
+    )
+    assert [k for k, _ in acts] == ["ddl", "ddl", "ddl", "note"]
+    assert "CREATE OR REPLACE PROCEDURE wc_evt_job()" in acts[0][1]
+    assert "cron.unschedule('wc_ends')" in acts[2][1]
+    # non-literal ENDS: named skip unchanged
+    acts = event_actions(
+        "CREATE EVENT w2 ON SCHEDULE EVERY 1 HOUR "
+        "ENDS CURRENT_TIMESTAMP + INTERVAL 1 DAY DO DELETE FROM t"
+    )
+    assert [k for k, _ in acts] == ["skip"]
+    assert "cron.unschedule" in acts[0][1]
