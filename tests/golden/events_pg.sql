@@ -12,3 +12,6 @@ BEGIN
 END;
 $$ LANGUAGE plpgsql;
 SELECT cron.schedule('nightly_compound', '0 0 * * *', $evt$CALL nightly_compound_evt_job()$evt$);
+SELECT cron.schedule('bounded_window', '15 * * * *', $evt$DELETE FROM case_41_parent WHERE name = 'window'$evt$);
+SELECT cron.schedule('bounded_window_ends', '0 0 1 6 *', $evt$SELECT cron.unschedule('bounded_window'); SELECT cron.unschedule('bounded_window_ends')$evt$);
+-- NOTE [bounded_window]: event bounded_window: ENDS '2026-06-01 00:00:00' emulated via a second self-unscheduling one-shot that removes the job at the wall-clock match; a server down at that minute delays the removal to the next match

@@ -55,8 +55,8 @@ def test_dump_is_byte_realistic(dump_path):
     text = open(dump_path).read()
     assert text.startswith("-- MySQL dump 10.13")
     assert "/*!40101 SET @OLD_CHARACTER_SET_CLIENT" in text
-    # 3 routines + 1 trigger + 5 events (round 12: event clause space)
-    assert text.count("DELIMITER ;;") == 9
+    # 3 routines + 1 trigger + 6 events (round 12: event clause space)
+    assert text.count("DELIMITER ;;") == 10
     assert "-- Dumping events for database 'testdb'" in text
     assert "/*!50106 CREATE*/" in text
     assert "/*!50003 CREATE*/ /*!50020 DEFINER=`root`@`localhost`*/" in text
@@ -105,7 +105,7 @@ def test_full_snapshot_carries_every_section(snapshot):
     # the --events section survives the scan (round 9; round 12 widens
     # the corpus to the full clause space: translatable EVERY cadences,
     # one-shot AT, non-divisor cadence, compound body)
-    assert len(snapshot.events) == 5
+    assert len(snapshot.events) == 6
     joined = "\n".join(snapshot.events)
     assert "purge_stale_sessions" in joined
     assert "ON SCHEDULE EVERY 1 DAY" in joined
@@ -136,7 +136,7 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
             evs.setdefault(a.target, []).append(a)
     assert set(evs) == {
         "purge_stale_sessions", "hourly_rollup", "one_shot_cleanup",
-        "odd_cadence", "nightly_compound",
+        "odd_cadence", "nightly_compound", "bounded_window",
     }
     # EVERY 1 DAY STARTS '… 00:00:00' → midnight cron entry
     (daily,) = evs["purge_stale_sessions"]
@@ -168,6 +168,14 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
     assert "CREATE OR REPLACE PROCEDURE nightly_compound_evt_job()" in proc.payload
     assert sched.kind == "ddl"
     assert "$evt$CALL nightly_compound_evt_job()$evt$" in sched.payload
+    # round 12b: literal ENDS → main schedule + a second
+    # self-unscheduling one-shot that stops the job at the ENDS match
+    win, win_ends, win_note = evs["bounded_window"]
+    assert win.kind == "ddl" and "'15 * * * *'" in win.payload
+    assert win_ends.kind == "ddl"
+    assert "cron.unschedule('bounded_window')" in win_ends.payload
+    assert "'0 0 1 6 *'" in win_ends.payload
+    assert win_note.kind == "skip" and "ENDS" in win_note.payload
 
 
 def test_trigger_translates_with_body_dml(snapshot):

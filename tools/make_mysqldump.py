@@ -101,10 +101,14 @@ EVENTS: list[str] = [
     # refused: 60 % 7 != 0 — cron's hour boundary breaks the cadence
     "CREATE EVENT `odd_cadence` ON SCHEDULE EVERY 7 MINUTE "
     "DO DELETE FROM case_41_parent WHERE name = 'odd'",
-    # refused: compound BEGIN…END body (migrate as procedure + CALL)
+    # migrates as procedure + scheduled CALL (round 12b)
     "CREATE EVENT `nightly_compound` ON SCHEDULE EVERY 1 DAY DO BEGIN "
     "DELETE FROM case_41_parent WHERE name = 'a'; "
     "DELETE FROM case_41_parent WHERE name = 'b'; END",
+    # migrates + a second self-unscheduling one-shot at the ENDS match
+    "CREATE EVENT `bounded_window` ON SCHEDULE EVERY 1 HOUR "
+    "STARTS '2026-01-01 00:15:00' ENDS '2026-06-01 00:00:00' "
+    "DO DELETE FROM case_41_parent WHERE name = 'window'",
 ]
 
 _TRG_SAVE = """\
