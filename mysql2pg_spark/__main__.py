@@ -376,9 +376,9 @@ def main(argv: list[str] | None = None) -> int:
         for a in MigrationPipeline(cfg, snap).plan():
             if a.kind == "ddl":
                 lines.append(a.payload.rstrip(";") + ";")
-            elif a.kind == "skip":
+            elif a.kind in ("skip", "note"):
                 first = str(a.payload).splitlines()[0]
-                lines.append(f"-- SKIP [{a.target}]: {first}")
+                lines.append(f"-- {a.kind.upper()} [{a.target}]: {first}")
         script = "\n".join(lines)
         print(script)
         if args.check:

@@ -695,12 +695,7 @@ class MigrationPipeline:
                 if mo:
                     ev_name = (mo.group(1) or mo.group(2)).lower()
             for kind, payload in event_actions(raw):
-                actions.append(Action(
-                    "events",
-                    "ddl" if kind == "ddl" else "skip",
-                    ev_name,
-                    payload,
-                ))
+                actions.append(Action("events", kind, ev_name, payload))
 
         if o.users:
             for user, grants in self.snapshot.users.items():

@@ -111,19 +111,39 @@ def _strip_cc(text: str) -> str:
 def parse_event(raw: str) -> EventSpec | None:
     """Parse one CREATE EVENT statement (dump spelling tolerated:
     conditional-comment wraps, DEFINER, IF NOT EXISTS, backticks).
-    Returns None when the text is not a recognizable CREATE EVENT."""
+    Returns None when the text is not a recognizable CREATE EVENT.
+
+    The clause scan runs on LITERAL-MASKED text (review r12): a
+    COMMENT like ``'do not disable'`` must not satisfy the ``DO`` body
+    split or the ``DISABLE`` status scan — every captured region
+    unmasks before it lands on the spec."""
+    from mysql2pg_spark.dialect.transpile import (
+        mask_literals,
+        unmask_literals,
+    )
+
     text = _strip_cc(raw).strip().rstrip(";").strip()
-    mo = _EVENT_RE.search(text)
+    masked, lits = mask_literals(text)
+
+    def um(s: str | None) -> str | None:
+        return unmask_literals(s, lits) if s is not None else None
+
+    mo = _EVENT_RE.search(masked)
     if not mo:
         return None
     tail = mo.group("tail") or ""
     do = re.search(r"(?is)\bDO\b\s+(.*)$", tail)
     if not do:
         return None
-    body = do.group(1).strip().rstrip(";").strip()
+    body = um(do.group(1).strip().rstrip(";").strip())
     head = tail[: do.start()]
     enabled = not re.search(r"(?i)\bDISABLE\b", head)
-    cmt = re.search(r"(?is)\bCOMMENT\s+'((?:[^']|'')*)'", head)
+    cmt = re.search(r"(?is)\bCOMMENT\s+(\x00L\d+\x00)", head)
+    comment = None
+    if cmt:
+        lit = um(cmt.group(1))
+        if lit and lit.startswith("'") and lit.endswith("'"):
+            comment = lit[1:-1].replace("''", "'")
     unit = (mo.group("unit") or "").lower().rstrip("s") or None
     if mo.group("n") is not None and unit not in _UNITS:
         return None  # EVERY n <unknown unit>
@@ -132,12 +152,12 @@ def parse_event(raw: str) -> EventSpec | None:
         schedule_kind="at" if mo.group("at") else "every",
         interval_n=int(mo.group("n")) if mo.group("n") else None,
         interval_unit=unit,
-        at_ts=(mo.group("at") or "").strip() or None,
-        starts=(mo.group("starts") or "").strip() or None,
-        ends=(mo.group("ends") or "").strip() or None,
+        at_ts=um((mo.group("at") or "").strip()) or None,
+        starts=um((mo.group("starts") or "").strip()) or None,
+        ends=um((mo.group("ends") or "").strip()) or None,
         body=body,
         enabled=enabled,
-        comment=cmt.group(1).replace("''", "'") if cmt else None,
+        comment=comment,
     )
 
 
@@ -346,9 +366,15 @@ def _spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         if any(k == "ddl" for k, _ in inner):
             name = spec.name.lower()
             mi, hh, dom, mon, _dow, _lit = _starts_fields(spec.ends)
+            # cron has no year field: the remover's month/day entry
+            # matches once a YEAR, so the command is year-guarded
+            # (review r12 — without it an ENDS in 2028 migrated in
+            # 2026 would kill the job two years early)
             cmd = (
-                f"SELECT cron.unschedule('{name}'); "
-                f"SELECT cron.unschedule('{name}_ends')"
+                f"DO $do$ BEGIN IF now() >= TIMESTAMP {spec.ends} "
+                f"THEN PERFORM cron.unschedule('{name}'); "
+                f"PERFORM cron.unschedule('{name}_ends'); "
+                f"END IF; END $do$"
             )
             inner.append((
                 "ddl",
@@ -358,9 +384,11 @@ def _spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
             inner.append((
                 "note",
                 f"event {spec.name}: ENDS {spec.ends} emulated via a "
-                "second self-unscheduling one-shot that removes the "
-                "job at the wall-clock match; a server down at that "
-                "minute delays the removal to the next match",
+                "second self-unscheduling one-shot (year-guarded DO "
+                "block — cron has no year field) that removes the job "
+                "at the first wall-clock match at-or-after the ENDS "
+                "time; a server down at that minute delays the "
+                "removal to the next yearly match",
             ))
         return inner
 
@@ -427,10 +455,14 @@ def _one_shot_plan(spec: EventSpec):
     """pg_cron's self-unschedule idiom for ``AT '<literal ts>'``
     (round 12b): an exact-timestamp cron entry whose command runs the
     body and then ``cron.unschedule``s itself — the documented pg_cron
-    pattern for one-shot jobs. Returns (prelude DDLs, schedule DDL,
-    divergence note), or None when the shape doesn't conform
-    (non-literal AT expression, untranslatable body) — the caller
-    keeps the named skip."""
+    pattern for one-shot jobs. cron has NO YEAR FIELD, so the command
+    is a plpgsql DO block guarded by ``now() >= TIMESTAMP '<ts>'``
+    (review r12): the month/day/time entry matches once a YEAR, and
+    without the guard a 2030 one-shot migrated in 2026 would fire
+    three years early, run once, and never run at the intended
+    moment. Returns (prelude DDLs, schedule DDL, divergence note), or
+    None when the shape doesn't conform (non-literal AT expression,
+    untranslatable body) — the caller keeps the named skip."""
     if not spec.at_ts or not _TS_LIT_RE.match(spec.at_ts.strip()):
         return None
     mi, hh, dom, mon, _dow, _lit = _starts_fields(spec.at_ts)
@@ -447,16 +479,22 @@ def _one_shot_plan(spec: EventSpec):
         pg_body = rewrite_mysql_expr_to_pg(spec.body).rstrip(";").strip()
     else:
         return None
-    cmd = f"{pg_body}; SELECT cron.unschedule('{name}')"
+    cmd = (
+        f"DO $do$ BEGIN IF now() >= TIMESTAMP {spec.at_ts} THEN "
+        f"{pg_body}; PERFORM cron.unschedule('{name}'); "
+        f"END IF; END $do$"
+    )
     ddl = (
         f"SELECT cron.schedule('{name}', "
         f"'{mi} {hh} {dom} {mon} *', $evt${cmd}$evt$)"
     )
     note = (
         f"event {spec.name}: one-shot AT {spec.at_ts} emulated via "
-        "pg_cron's self-unschedule idiom — the job fires at the "
-        "wall-clock match and removes itself; if the server is down "
-        "at that minute it fires at the NEXT match (up to a year "
-        "later), where MySQL would have dropped a missed one-shot"
+        "pg_cron's self-unschedule idiom (year-guarded DO block — "
+        "cron has no year field) — the job fires at the first "
+        "wall-clock match at-or-after the timestamp and removes "
+        "itself; if the server is down at that minute it fires at "
+        "the NEXT yearly match, where MySQL would have dropped a "
+        "missed one-shot"
     )
     return preludes, ddl, note

@@ -355,7 +355,10 @@ def plan_partitioned_table(
         else:
             sub_key_sql = "(" + rewrite_expr(sub_expr) + ")"
         sub_count = scheme.count
-        plan.notes.append(
+        # note appended AFTER the PK validations below pass (review
+        # r12): a table the PK check then skips must not also carry a
+        # note claiming it migrated partitioned
+        sub_note = (
             f"table {table}: {scheme.method.upper()} subpartitioning "
             f"migrated as nested PARTITION BY HASH × {sub_count}, but "
             "row→sub-partition placement differs (MySQL's internal "
@@ -386,6 +389,8 @@ def plan_partitioned_table(
                 "PK intact"
             )
             return plan
+    if sub_count:
+        plan.notes.append(sub_note)
 
     qt = quote_pg(table)
 
@@ -411,14 +416,22 @@ def plan_partitioned_table(
                 f"WITH (MODULUS {sub_count}, REMAINDER {i})"
             )
 
+    def skipped(msg: str) -> PartitionPlan:
+        # a refused table carries ONLY its skip — no leftover
+        # migrated-notes from the sub-scheme parse (review r12)
+        plan.skip = msg
+        plan.notes.clear()
+        plan.children.clear()
+        plan.parent_clause = None
+        return plan
+
     if pd.method == "range":
         parts = [p for p in pd.parts if p.op == "less_than"]
         if not parts:
-            plan.skip = (
+            return skipped(
                 f"table {table}: RANGE partition list missing or "
                 "unparseable — created UNPARTITIONED"
             )
-            return plan
         ncols = len(_split_depth0(pd.expr))
         lower = ", ".join(["MINVALUE"] * ncols)
         for p in parts:
@@ -430,19 +443,17 @@ def plan_partitioned_table(
 
     if pd.method == "list":
         if len(_split_depth0(pd.expr)) > 1:
-            plan.skip = (
+            return skipped(
                 f"table {table}: LIST COLUMNS over multiple columns — "
                 "PostgreSQL list partitioning takes one key column; "
                 "created UNPARTITIONED"
             )
-            return plan
         parts = [p for p in pd.parts if p.op == "in"]
         if not parts:
-            plan.skip = (
+            return skipped(
                 f"table {table}: LIST partition list missing or "
                 "unparseable — created UNPARTITIONED"
             )
-            return plan
         for p in parts:
             child(p.name, f"IN ({_bound_values(p.values, rewrite_expr)})")
         plan.parent_clause = f"PARTITION BY LIST ({key_sql})"
@@ -452,11 +463,10 @@ def plan_partitioned_table(
     names = [p.name for p in pd.parts]
     modulus = pd.num_partitions or len(names)
     if modulus < 1:
-        plan.skip = (
+        return skipped(
             f"table {table}: HASH partitioning with no PARTITIONS count "
             "or partition list — created UNPARTITIONED"
         )
-        return plan
     if not names:
         names = [f"p{i}" for i in range(modulus)]
     for i, pname in enumerate(names[:modulus]):

@@ -146,11 +146,15 @@ def _parse_wkb(b: bytes, off: int) -> tuple[str, int]:
         return f"POINT({txt})", off
     if gtype == 2:  # LINESTRING
         (n,) = struct.unpack_from(f"{fmt}I", b, off)
+        if n == 0:
+            return "LINESTRING EMPTY", off + 4  # WKT spells empties so
         txt, off = points(n, off + 4)
         return f"LINESTRING({txt})", off
     if gtype == 3:  # POLYGON: rings of points
         (nrings,) = struct.unpack_from(f"{fmt}I", b, off)
         off += 4
+        if nrings == 0:
+            return "POLYGON EMPTY", off
         rings = []
         for _ in range(nrings):
             (n,) = struct.unpack_from(f"{fmt}I", b, off)
@@ -160,17 +164,23 @@ def _parse_wkb(b: bytes, off: int) -> tuple[str, int]:
     # MULTI* / GEOMETRYCOLLECTION: n nested full WKB geometries
     (n,) = struct.unpack_from(f"{fmt}I", b, off)
     off += 4
+    if n == 0:
+        return f"{tag} EMPTY", off
+    #: MULTI* members must be the matching single type — a mismatched
+    #: nested type is malformed input and maps to NULL, not garbled WKT
+    inner_tag = {4: "POINT(", 5: "LINESTRING(", 6: "POLYGON("}.get(gtype)
     parts = []
     for _ in range(n):
         wkt, off = _parse_wkb(b, off)
-        if gtype == 4:      # MULTIPOINT((x y), …)
-            parts.append("(" + wkt[len("POINT("):-1] + ")")
-        elif gtype == 5:    # MULTILINESTRING((…), …)
-            parts.append("(" + wkt[len("LINESTRING("):-1] + ")")
-        elif gtype == 6:    # MULTIPOLYGON(((…)), …)
-            parts.append("(" + wkt[len("POLYGON("):-1] + ")")
-        else:               # GEOMETRYCOLLECTION(POINT(…), …)
+        if inner_tag is None:   # GEOMETRYCOLLECTION(POINT(…), …)
             parts.append(wkt)
+            continue
+        if not wkt.startswith(inner_tag):
+            raise ValueError(
+                f"{tag} member is {wkt.split('(')[0]}, not "
+                f"{inner_tag[:-1]}"
+            )
+        parts.append("(" + wkt[len(inner_tag):-1] + ")")
     return f"{tag}({', '.join(parts)})", off
 
 

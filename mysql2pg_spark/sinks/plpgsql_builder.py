@@ -108,8 +108,10 @@ _RE_CHAR_END = re.compile(
 _SYSVAR_READS = {
     "version": "current_setting('server_version')",
     "time_zone": "current_setting('TimeZone')",
-    "max_connections": "current_setting('max_connections')",
-    "port": "current_setting('port')",
+    # numeric in MySQL: current_setting returns TEXT, so these cast —
+    # `@@max_connections - 1` must stay arithmetic (review r12)
+    "max_connections": "current_setting('max_connections')::int",
+    "port": "current_setting('port')::int",
     "datadir": "current_setting('data_directory')",
     "character_set_client": "current_setting('client_encoding')",
     "character_set_database": "current_setting('server_encoding')",

@@ -436,8 +436,15 @@ def small_dump_insert_pairs(
     files: list[str] = []
     for p in paths:
         if _os.path.isdir(p):
+            # match the Spark text reader's directory semantics
+            # (review r12): regular files only, hidden/_-prefixed
+            # entries (.part-*.crc, _SUCCESS) ignored — a subdirectory
+            # here previously crashed the open() below
             files.extend(
-                _os.path.join(p, f) for f in sorted(_os.listdir(p))
+                fp
+                for f in sorted(_os.listdir(p))
+                if not f.startswith((".", "_"))
+                and _os.path.isfile(fp := _os.path.join(p, f))
             )
         elif _os.path.isfile(p):
             files.append(p)
@@ -990,12 +997,22 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
 
     def _finish_partition() -> None:
         if part_buf and part_owner:
-            text = " ".join(part_buf)
-            cut = min(
-                (i for i in (text.find("*/"), text.find(";")) if i >= 0),
-                default=len(text),
+            from mysql2pg_spark.dialect.transpile import (
+                mask_literals,
+                unmask_literals,
             )
-            text = text[:cut].strip()
+
+            # cut at the terminator OUTSIDE literals (review r12: a
+            # LIST bound like 'us;east' or a partition COMMENT holding
+            # '*/' must not truncate the clause — _part_done_chunk
+            # already masks, this cut has to match it)
+            masked, lits = mask_literals(" ".join(part_buf))
+            cut = min(
+                (i for i in (masked.find("*/"), masked.find(";"))
+                 if i >= 0),
+                default=len(masked),
+            )
+            text = unmask_literals(masked[:cut], lits).strip()
             owner = part_owner[0]
             owner.partition_def = text
             hm = _PARTITION_RE.search(text)

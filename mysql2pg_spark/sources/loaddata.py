@@ -430,6 +430,21 @@ def read_load_data(
                     return F.current_timestamp()
                 if d.upper() == "NULL":
                     return F.lit(None)
+                if d.startswith("(") or d.endswith("()"):
+                    # MySQL 8 expression default ((uuid()) etc.):
+                    # injecting the SOURCE TEXT as data would be a
+                    # silent mistranslation (review r12) — load NULL
+                    # and say so, like the no-metadata case below
+                    _log.warning(
+                        "LOAD DATA INTO `%s`: column `%s` carries an "
+                        "expression DEFAULT %s the loader cannot "
+                        "evaluate — loading NULL where MySQL would "
+                        "evaluate it per row",
+                        spec.table,
+                        f.name,
+                        d,
+                    )
+                    return F.lit(None)
                 return F.lit(d)
             if not f.nullable:
                 _log.warning(

@@ -1252,3 +1252,24 @@ def test_generated_column_named_like_type_keyword(spark, tmp_path):
     assert 'GENERATED ALWAYS AS (EXTRACT(YEAR FROM CAST("x" AS date))) STORED' in create
     # …while the genuine backticked reference still inlines
     assert 'GENERATED ALWAYS AS ((CAST("x" AS date)) + 1) STORED' in create
+
+
+def test_partition_clause_semicolon_inside_literal(spark, tmp_path):
+    """Review r12: a LIST bound like 'us;east' must not truncate the
+    buffered partition clause at the literal's ';' — the finish cut
+    masks literals like the chunk detector does."""
+    p = tmp_path / "lit.sql"
+    p.write_text(
+        "CREATE TABLE `zones` (\n"
+        "  `region` varchar(16) NOT NULL\n"
+        ") ENGINE=InnoDB\n"
+        "/*!50100 PARTITION BY LIST COLUMNS(`region`)\n"
+        "(PARTITION p0 VALUES IN ('us;east'),\n"
+        " PARTITION p1 VALUES IN ('eu*/west')) */;\n"
+    )
+    from mysql2pg_spark.schema.partitioning import parse_partition_def
+    from mysql2pg_spark.sources.dumpfile import snapshot_from_dump
+
+    (t,) = snapshot_from_dump(spark, str(p)).tables
+    pd = parse_partition_def(t.partition_def)
+    assert [pp.values for pp in pd.parts] == ["'us;east'", "'eu*/west'"]

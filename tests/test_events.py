@@ -367,12 +367,18 @@ def test_one_shot_at_emulates_via_self_unschedule():
         "DO DELETE FROM t WHERE x = 1"
     )
     assert [k for k, _ in acts] == ["ddl", "note"]
+    # cron has no year field: the command is a DO block guarded by the
+    # full timestamp, so a 2030 one-shot migrated in 2026 does NOT
+    # fire at the 2027 month/day match (review r12)
     assert acts[0][1] == (
         "SELECT cron.schedule('once', '30 12 1 6 *', "
-        "$evt$DELETE FROM t WHERE x = 1; "
-        "SELECT cron.unschedule('once')$evt$)"
+        "$evt$DO $do$ BEGIN "
+        "IF now() >= TIMESTAMP '2030-06-01 12:30:00' THEN "
+        "DELETE FROM t WHERE x = 1; "
+        "PERFORM cron.unschedule('once'); "
+        "END IF; END $do$$evt$)"
     )
-    assert "self-unschedule" in acts[1][1]
+    assert "self-unschedule" in acts[1][1] and "year" in acts[1][1]
     # compound one-shot: synthesized procedure + CALL-and-unschedule
     acts = event_actions(
         "CREATE EVENT oc ON SCHEDULE AT '2030-06-01 12:30:00' "
@@ -380,7 +386,8 @@ def test_one_shot_at_emulates_via_self_unschedule():
     )
     assert [k for k, _ in acts] == ["ddl", "ddl", "note"]
     assert "CREATE OR REPLACE PROCEDURE oc_evt_job()" in acts[0][1]
-    assert "CALL oc_evt_job(); SELECT cron.unschedule('oc')" in acts[1][1]
+    assert "CALL oc_evt_job(); PERFORM cron.unschedule('oc')" in acts[1][1]
+    assert "TIMESTAMP '2030-06-01 12:30:00'" in acts[1][1]
     # non-literal AT expression: still a named skip
     acts = event_actions(
         "CREATE EVENT ox ON SCHEDULE AT CURRENT_TIMESTAMP + "
@@ -409,12 +416,17 @@ def test_literal_ends_emulates_via_second_one_shot():
     )
     assert [k for k, _ in acts] == ["ddl", "ddl", "note"]
     assert "'15 * * * *'" in acts[0][1]
+    # year-guarded remover (review r12: an ENDS in 2028 migrated in
+    # 2026 must not kill the job at the 2027 month/day match)
     assert acts[1][1] == (
         "SELECT cron.schedule('win_ends', '0 0 1 6 *', "
-        "$evt$SELECT cron.unschedule('win'); "
-        "SELECT cron.unschedule('win_ends')$evt$)"
+        "$evt$DO $do$ BEGIN "
+        "IF now() >= TIMESTAMP '2026-06-01 00:00:00' THEN "
+        "PERFORM cron.unschedule('win'); "
+        "PERFORM cron.unschedule('win_ends'); "
+        "END IF; END $do$$evt$)"
     )
-    assert "ENDS" in acts[2][1]
+    assert "ENDS" in acts[2][1] and "year" in acts[2][1]
     # compound body + ENDS composes with the procedure synthesis
     acts = event_actions(
         "CREATE EVENT wc ON SCHEDULE EVERY 1 DAY "
@@ -431,3 +443,28 @@ def test_literal_ends_emulates_via_second_one_shot():
     )
     assert [k for k, _ in acts] == ["skip"]
     assert "cron.unschedule" in acts[0][1]
+
+
+def test_comment_literal_does_not_corrupt_parse():
+    """Review r12: the clause scan runs on literal-masked text — a
+    COMMENT containing 'do'/'disable' must not split the body early or
+    flip the status."""
+    spec = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "COMMENT 'you should do UPDATE stats weekly, never disable' "
+        "DO UPDATE t SET n = n + 1"
+    )
+    assert spec.enabled
+    assert spec.body == "UPDATE t SET n = n + 1"
+    assert spec.comment == (
+        "you should do UPDATE stats weekly, never disable"
+    )
+    ddl, skip, _ = event_to_pg_cron(spec)
+    assert skip is None and "UPDATE t SET n = n + 1" in ddl
+    # a quoted 'DO' inside the body's own literals is also safe
+    spec = _ev(
+        "CREATE EVENT e2 ON SCHEDULE EVERY 1 DAY "
+        "DO INSERT INTO log (msg) VALUES ('to do: disable nothing')"
+    )
+    assert spec.enabled
+    assert "'to do: disable nothing'" in spec.body

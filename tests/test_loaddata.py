@@ -594,3 +594,33 @@ def test_omitted_columns_fill_from_default_metadata(spark, tmp_path):
     assert rows[1].qty == 7 and rows[1].label == "none"
     assert rows[1].ts is not None  # CURRENT_TIMESTAMP evaluated
     assert rows[1].note is None
+
+
+def test_omitted_expression_default_loads_null_not_source_text(
+    spark, tmp_path
+):
+    """Review r12: a MySQL 8 expression DEFAULT ((uuid()) etc.) cannot
+    be evaluated by the loader — the old F.lit(default) injected the
+    SOURCE TEXT as data; now it loads NULL with a named warning, like
+    the no-metadata case."""
+    from pyspark.sql.types import StructType
+
+    from mysql2pg_spark.schema.schema_map import struct_field_for
+    from mysql2pg_spark.sources.loaddata import (
+        parse_load_data,
+        read_load_data,
+    )
+
+    f = tmp_path / "rows.txt"
+    f.write_text("1\n")
+    spec = parse_load_data(
+        f"LOAD DATA INFILE '{f}' INTO TABLE t (`id`)"
+    )
+    schema = StructType([
+        struct_field_for("id", "bigint", nullable=False),
+        struct_field_for("token", "varchar(36)", default="(uuid())"),
+        struct_field_for("tag", "varchar(10)", default="uuid()"),
+    ])
+    (row,) = read_load_data(spark, spec, schema).collect()
+    assert row.token is None  # NOT the literal text '(uuid())'
+    assert row.tag is None

@@ -397,3 +397,20 @@ def test_subpartition_pk_containment_covers_sub_key():
         pk=["id", "y"],
     )
     assert plan.skip and "does not include" in plan.skip and "m" in plan.skip
+
+
+def test_skip_after_subparse_carries_no_migrated_note():
+    """Review r12: a table refused AFTER its sub-scheme parsed (PK
+    containment, missing partition list) must not also carry the
+    'subpartitioning migrated' note."""
+    plan = _plan(
+        "PARTITION BY RANGE (y) SUBPARTITION BY HASH (m) "
+        "SUBPARTITIONS 2 (PARTITION p0 VALUES LESS THAN (10))",
+        pk=["id", "y"],  # missing m → skip
+    )
+    assert plan.skip and not plan.notes and not plan.children
+    plan = _plan(
+        "PARTITION BY RANGE (y) SUBPARTITION BY HASH (m) "
+        "SUBPARTITIONS 2"  # no partition list → skip at the branch
+    )
+    assert plan.skip and not plan.notes and not plan.children

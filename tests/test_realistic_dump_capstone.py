@@ -157,7 +157,7 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
     assert once.kind == "ddl"
     assert "'0 0 1 1 *'" in once.payload
     assert "cron.unschedule('one_shot_cleanup')" in once.payload
-    assert once_note.kind == "skip" and "self-unschedule" in once_note.payload
+    assert once_note.kind == "note" and "self-unschedule" in once_note.payload
     # refusals are NAMED and carry the reason
     assert [a.kind for a in evs["odd_cadence"]] == ["skip"]
     assert "60 % 7" in evs["odd_cadence"][0].payload
@@ -175,7 +175,7 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
     assert win_ends.kind == "ddl"
     assert "cron.unschedule('bounded_window')" in win_ends.payload
     assert "'0 0 1 6 *'" in win_ends.payload
-    assert win_note.kind == "skip" and "ENDS" in win_note.payload
+    assert win_note.kind == "note" and "ENDS" in win_note.payload
 
 
 def test_trigger_translates_with_body_dml(snapshot):

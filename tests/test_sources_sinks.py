@@ -459,3 +459,38 @@ def test_live_events_scan_renders_canonical_ddl():
     })
     spec = parse_event(once)
     assert spec.schedule_kind == "at" and not spec.enabled
+
+
+def test_wkb_geometry_empty_and_mismatched_nesting(spark):
+    """Review r12: empty geometries render WKT's 'TAG EMPTY' spelling
+    (ST_GeomFromEWKT rejects 'LINESTRING()'), and a MULTI* member of
+    the wrong nested type is malformed input → NULL, never garbled
+    WKT."""
+    import struct as _s
+
+    from mysql2pg_spark.sinks.jdbc_sink import decode_mysql_geometry
+
+    def u32(v):
+        return _s.pack("<I", v)
+
+    empty_ls = u32(0) + b"\x01" + u32(2) + u32(0)
+    empty_coll = u32(0) + b"\x01" + u32(7) + u32(0)
+    empty_poly = u32(0) + b"\x01" + u32(3) + u32(0)
+    # MULTIPOINT whose single member is a LINESTRING → malformed
+    bad_mp = (
+        u32(0) + b"\x01" + u32(4) + u32(1)
+        + b"\x01" + u32(2) + u32(1) + _s.pack("<dd", 1, 2)
+    )
+    df = spark.createDataFrame(
+        [(1, empty_ls), (2, empty_coll), (3, empty_poly), (4, bad_mp)],
+        "id int, g binary",
+    )
+    got = [
+        r["v"]
+        for r in df.select(decode_mysql_geometry("g").alias("v"))
+        .orderBy("id").collect()
+    ]
+    assert got == [
+        "LINESTRING EMPTY", "GEOMETRYCOLLECTION EMPTY",
+        "POLYGON EMPTY", None,
+    ]
