@@ -62,6 +62,34 @@ def mask_literals(sql: str) -> tuple[str, list[str]]:
     return "".join(out), lits
 
 
+def normalize_backslash_quotes(sql: str) -> str:
+    """MySQL backslash escapes inside single-quoted literals → PG/''
+    doubling, so :func:`mask_literals` (which understands '' only)
+    tracks the literal correctly (review r12b: ``COMMENT 'can\\'t'``
+    previously ended the literal at ``\\`` and the runaway quote
+    swallowed the rest of the statement). Only ``\\'`` rewrites; every
+    other backslash pair passes through untouched, and ``\\\\`` is
+    consumed as a pair so ``'a\\\\'`` still ends its literal."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_q = False
+    while i < n:
+        ch = sql[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n:
+                nxt = sql[i + 1]
+                out.append("''" if nxt == "'" else ch + nxt)
+                i += 2
+                continue
+            if ch == "'":
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def unmask_literals(sql: str, lits: list[str]) -> str:
     for idx, lit in enumerate(lits):
         sql = sql.replace(_LIT_TOKEN.format(idx), lit)

@@ -119,11 +119,14 @@ def parse_event(raw: str) -> EventSpec | None:
     unmasks before it lands on the spec."""
     from mysql2pg_spark.dialect.transpile import (
         mask_literals,
+        normalize_backslash_quotes,
         unmask_literals,
     )
 
     text = _strip_cc(raw).strip().rstrip(";").strip()
-    masked, lits = mask_literals(text)
+    # MySQL \'-escapes → '' doubling first, or the mask tracks the
+    # literal wrong and a COMMENT 'can\'t' swallows the DO keyword
+    masked, lits = mask_literals(normalize_backslash_quotes(text))
 
     def um(s: str | None) -> str | None:
         return unmask_literals(s, lits) if s is not None else None
@@ -263,6 +266,32 @@ _BODY_HEAD_RE = re.compile(
 )
 
 
+def _fresh_tag(base: str, *texts: str) -> str:
+    """A dollar-quote tag not occurring in any of ``texts`` (review
+    r12b: a body literal containing ``$evt$``/``$do$`` would terminate
+    the quote early and the job would fail to parse at every match)."""
+    tag, i = f"${base}$", 0
+    while any(tag in t for t in texts):
+        i += 1
+        tag = f"${base}{i}$"
+    return tag
+
+
+def _plpgsql_stmt(pg_body: str) -> str:
+    """One translated body statement as a plpgsql statement: a bare
+    SELECT needs PERFORM inside a DO block (review r12b — plpgsql
+    rejects 'query has no destination for result data')."""
+    return re.sub(r"(?is)^\s*SELECT\b", "PERFORM", pg_body, count=1)
+
+
+#: guard tolerance for the year-guarded one-shot/ENDS commands: the
+#: cron field match happens in cron.timezone while now() compares in
+#: the session TimeZone — up to a 14 h skew when they differ. Matches
+#: are one YEAR apart, so the tolerance can never pull a firing to the
+#: previous year's match (review r12b).
+_TZ_TOLERANCE = "interval '14 hours'"
+
+
 def event_to_pg_cron(spec: EventSpec) -> tuple[str | None, str | None, str | None]:
     """(ddl, skip_reason, note): exactly one of ddl/skip_reason is
     non-None. ``note`` rides along with an emitted ddl when the
@@ -302,9 +331,10 @@ def event_to_pg_cron(spec: EventSpec) -> tuple[str | None, str | None, str | Non
             "outside the translatable DML subset — not migrated"
         ), None
     pg_body = rewrite_mysql_expr_to_pg(spec.body).rstrip(";").strip()
+    tag = _fresh_tag("evt", pg_body)
     ddl = (
         f"SELECT cron.schedule('{spec.name.lower()}', '{sched}', "
-        f"$evt${pg_body}$evt$)"
+        f"{tag}{pg_body}{tag})"
     )
     note = None
     if not phase_exact:
@@ -371,7 +401,8 @@ def _spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
             # (review r12 — without it an ENDS in 2028 migrated in
             # 2026 would kill the job two years early)
             cmd = (
-                f"DO $do$ BEGIN IF now() >= TIMESTAMP {spec.ends} "
+                f"DO $do$ BEGIN "
+                f"IF now() >= TIMESTAMP {spec.ends} - {_TZ_TOLERANCE} "
                 f"THEN PERFORM cron.unschedule('{name}'); "
                 f"PERFORM cron.unschedule('{name}_ends'); "
                 f"END IF; END $do$"
@@ -385,10 +416,12 @@ def _spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
                 "note",
                 f"event {spec.name}: ENDS {spec.ends} emulated via a "
                 "second self-unscheduling one-shot (year-guarded DO "
-                "block — cron has no year field) that removes the job "
-                "at the first wall-clock match at-or-after the ENDS "
-                "time; a server down at that minute delays the "
-                "removal to the next yearly match",
+                "block — cron has no year field; the guard carries a "
+                "14 h tolerance for cron.timezone vs session TimeZone "
+                "skew) that removes the job at the first wall-clock "
+                "match at-or-after the ENDS time; a server down at "
+                "that minute delays the removal to the next yearly "
+                "match",
             ))
         return inner
 
@@ -479,22 +512,27 @@ def _one_shot_plan(spec: EventSpec):
         pg_body = rewrite_mysql_expr_to_pg(spec.body).rstrip(";").strip()
     else:
         return None
+    body_stmt = _plpgsql_stmt(pg_body)
+    do_tag = _fresh_tag("do", body_stmt)
     cmd = (
-        f"DO $do$ BEGIN IF now() >= TIMESTAMP {spec.at_ts} THEN "
-        f"{pg_body}; PERFORM cron.unschedule('{name}'); "
-        f"END IF; END $do$"
+        f"DO {do_tag} BEGIN "
+        f"IF now() >= TIMESTAMP {spec.at_ts} - {_TZ_TOLERANCE} THEN "
+        f"{body_stmt}; PERFORM cron.unschedule('{name}'); "
+        f"END IF; END {do_tag}"
     )
+    evt_tag = _fresh_tag("evt", cmd)
     ddl = (
         f"SELECT cron.schedule('{name}', "
-        f"'{mi} {hh} {dom} {mon} *', $evt${cmd}$evt$)"
+        f"'{mi} {hh} {dom} {mon} *', {evt_tag}{cmd}{evt_tag})"
     )
     note = (
         f"event {spec.name}: one-shot AT {spec.at_ts} emulated via "
         "pg_cron's self-unschedule idiom (year-guarded DO block — "
-        "cron has no year field) — the job fires at the first "
-        "wall-clock match at-or-after the timestamp and removes "
-        "itself; if the server is down at that minute it fires at "
-        "the NEXT yearly match, where MySQL would have dropped a "
-        "missed one-shot"
+        "cron has no year field; the guard carries a 14 h tolerance "
+        "for cron.timezone vs session TimeZone skew) — the job fires "
+        "at the first wall-clock match at-or-after the timestamp and "
+        "removes itself; if the server is down at that minute it "
+        "fires at the NEXT yearly match, where MySQL would have "
+        "dropped a missed one-shot"
     )
     return preludes, ddl, note

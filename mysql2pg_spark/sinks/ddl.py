@@ -82,6 +82,10 @@ def default_sql(v) -> str:
     ends with an apostrophe (e.g. the three-quote default ``'''x'''``)
     must still be quoted, not emitted raw."""
     s = str(v)
+    if s.startswith("EXPR:"):
+        # provenance-marked MySQL 8 expression default (dump parser,
+        # review r12b) — already parenthesized; PG evaluates it
+        return s[len("EXPR:"):]
     up = s.upper()
     if (
         _NUMERIC_DEFAULT.match(s)

@@ -62,11 +62,16 @@ def render_mysql_create(table) -> str:
             piece += " NOT NULL"
         if c.default is not None:
             d = c.default
-            piece += (
-                f" DEFAULT {d}"
-                if _RAW_DEFAULT.match(d)
-                else f" DEFAULT {_q_doubled(d)}"
-            )
+            if d.startswith("EXPR:"):
+                # provenance-marked MySQL 8 expression default
+                # (review r12b): render the parenthesized source raw
+                piece += f" DEFAULT {d[len('EXPR:'):]}"
+            else:
+                piece += (
+                    f" DEFAULT {d}"
+                    if _RAW_DEFAULT.match(d)
+                    else f" DEFAULT {_q_doubled(d)}"
+                )
         if c.auto_increment:
             piece += " AUTO_INCREMENT"
         if c.comment:

@@ -999,14 +999,18 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
         if part_buf and part_owner:
             from mysql2pg_spark.dialect.transpile import (
                 mask_literals,
+                normalize_backslash_quotes,
                 unmask_literals,
             )
 
             # cut at the terminator OUTSIDE literals (review r12: a
             # LIST bound like 'us;east' or a partition COMMENT holding
             # '*/' must not truncate the clause — _part_done_chunk
-            # already masks, this cut has to match it)
-            masked, lits = mask_literals(" ".join(part_buf))
+            # already masks, this cut has to match it); \'-escapes
+            # normalize first so the mask tracks MySQL literals right
+            masked, lits = mask_literals(
+                normalize_backslash_quotes(" ".join(part_buf))
+            )
             cut = min(
                 (i for i in (masked.find("*/"), masked.find(";"))
                  if i >= 0),
@@ -1168,11 +1172,20 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                 raw_d = default.group(1)
                 # unquote + undouble: DEFAULT 'it''s' carries it's, not
                 # it''s (double-escaping corrupted apostrophe defaults)
-                dflt = (
-                    raw_d[1:-1].replace("''", "'")
-                    if raw_d.startswith("'") and raw_d.endswith("'")
-                    else raw_d
-                )
+                if raw_d.startswith("'") and raw_d.endswith("'"):
+                    dflt = raw_d[1:-1].replace("''", "'")
+                elif raw_d.startswith("("):
+                    # MySQL 8 expression default (DEFAULT (uuid())):
+                    # NON-quoted at the source, so mark the provenance
+                    # (review r12b) — after unquoting, a literal
+                    # '(none)' is otherwise indistinguishable from an
+                    # expression, and consumers must not inject
+                    # expression text as data (loaddata) or quote it
+                    # as a string (DDL). Same convention as the
+                    # GENERATED: marker.
+                    dflt = "EXPR:" + raw_d
+                else:
+                    dflt = raw_d
             cur.columns.append(
                 ColumnMeta(
                     name=name,

@@ -430,11 +430,16 @@ def read_load_data(
                     return F.current_timestamp()
                 if d.upper() == "NULL":
                     return F.lit(None)
-                if d.startswith("(") or d.endswith("()"):
-                    # MySQL 8 expression default ((uuid()) etc.):
-                    # injecting the SOURCE TEXT as data would be a
-                    # silent mistranslation (review r12) — load NULL
-                    # and say so, like the no-metadata case below
+                if d.startswith("EXPR:") or d.upper().endswith("()"):
+                    # MySQL 8 expression default: the dump parser marks
+                    # provenance with EXPR: (review r12b — after
+                    # unquoting, a literal '(none)' is otherwise
+                    # indistinguishable from an expression); bare
+                    # 'uuid()' spellings (live-catalog form) share
+                    # default_sql's endswith-'()' heuristic. Injecting
+                    # the SOURCE TEXT as data would be a silent
+                    # mistranslation — load NULL and say so, like the
+                    # no-metadata case below
                     _log.warning(
                         "LOAD DATA INTO `%s`: column `%s` carries an "
                         "expression DEFAULT %s the loader cannot "

@@ -373,7 +373,8 @@ def test_one_shot_at_emulates_via_self_unschedule():
     assert acts[0][1] == (
         "SELECT cron.schedule('once', '30 12 1 6 *', "
         "$evt$DO $do$ BEGIN "
-        "IF now() >= TIMESTAMP '2030-06-01 12:30:00' THEN "
+        "IF now() >= TIMESTAMP '2030-06-01 12:30:00' "
+        "- interval '14 hours' THEN "
         "DELETE FROM t WHERE x = 1; "
         "PERFORM cron.unschedule('once'); "
         "END IF; END $do$$evt$)"
@@ -421,7 +422,8 @@ def test_literal_ends_emulates_via_second_one_shot():
     assert acts[1][1] == (
         "SELECT cron.schedule('win_ends', '0 0 1 6 *', "
         "$evt$DO $do$ BEGIN "
-        "IF now() >= TIMESTAMP '2026-06-01 00:00:00' THEN "
+        "IF now() >= TIMESTAMP '2026-06-01 00:00:00' "
+        "- interval '14 hours' THEN "
         "PERFORM cron.unschedule('win'); "
         "PERFORM cron.unschedule('win_ends'); "
         "END IF; END $do$$evt$)"
@@ -468,3 +470,51 @@ def test_comment_literal_does_not_corrupt_parse():
     )
     assert spec.enabled
     assert "'to do: disable nothing'" in spec.body
+
+
+def test_select_body_one_shot_uses_perform():
+    """Review r12b: inside the year-guarded DO block a bare SELECT is
+    invalid plpgsql ('query has no destination') — it becomes
+    PERFORM."""
+    from mysql2pg_spark.schema.events import event_actions
+
+    acts = event_actions(
+        "CREATE EVENT s ON SCHEDULE AT '2030-06-01 12:30:00' "
+        "DO SELECT purge_fn()"
+    )
+    assert acts[0][0] == "ddl"
+    assert "THEN PERFORM purge_fn();" in acts[0][1]
+    assert "THEN SELECT" not in acts[0][1]
+
+
+def test_dollar_tag_collision_avoided():
+    """Review r12b: a body literal containing $evt$/$do$ must not
+    terminate the dollar quote early."""
+    from mysql2pg_spark.schema.events import event_actions
+
+    acts = event_actions(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "DO DELETE FROM t WHERE note = 'x$evt$y'"
+    )
+    assert acts[0][0] == "ddl"
+    assert "$evt1$" in acts[0][1] and acts[0][1].count("$evt1$") == 2
+    acts = event_actions(
+        "CREATE EVENT o ON SCHEDULE AT '2030-01-01 00:00:00' "
+        "DO DELETE FROM t WHERE note = 'a$do$b'"
+    )
+    assert acts[0][0] == "ddl"
+    assert "DO $do1$ BEGIN" in acts[0][1]
+    assert acts[0][1].rstrip(")").endswith("$do1$$evt$")
+
+
+def test_backslash_escaped_quotes_parse():
+    """Review r12b: MySQL \\'-escapes normalize to '' doubling before
+    masking — a COMMENT 'can\\'t stop' must not swallow the DO
+    keyword."""
+    spec = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "COMMENT 'can\\'t stop' DO DELETE FROM t WHERE x = 1"
+    )
+    assert spec.enabled
+    assert spec.comment == "can't stop"
+    assert spec.body == "DELETE FROM t WHERE x = 1"

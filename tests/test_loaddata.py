@@ -618,9 +618,13 @@ def test_omitted_expression_default_loads_null_not_source_text(
     )
     schema = StructType([
         struct_field_for("id", "bigint", nullable=False),
-        struct_field_for("token", "varchar(36)", default="(uuid())"),
+        struct_field_for("token", "varchar(36)", default="EXPR:(uuid())"),
         struct_field_for("tag", "varchar(10)", default="uuid()"),
+        # a LITERAL default that merely contains parens stays a value
+        # (review r12b: the broader startswith-'(' test NULLed it)
+        struct_field_for("label", "varchar(10)", default="(none)"),
     ])
     (row,) = read_load_data(spark, spec, schema).collect()
     assert row.token is None  # NOT the literal text '(uuid())'
     assert row.tag is None
+    assert row.label == "(none)"
