@@ -194,7 +194,7 @@ def test_duckdb_seam_skips_cron_ddl_visibly():
 
 
 def test_event_plan_golden_pinned():
-    """Byte-diff the fixture corpus' five events against the reviewed
+    """Byte-diff the fixture corpus' six events against the reviewed
     golden (tests/golden/events_pg.sql) — any change to the emitted
     pg_cron / synthesized-procedure DDL or refusal text shows up as a
     reviewable diff. Regenerate with the same loop below."""
