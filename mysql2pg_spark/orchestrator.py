@@ -331,6 +331,7 @@ class MigrationPipeline:
                 # combinations stay named skips (the reference strips
                 # the clause entirely, sync_tableddl.go:268-302)
                 pplan = self._plan_partitioning(t, name)
+                ddl_notes: list[str] = []
                 actions.append(
                     Action(
                         "tableddl",
@@ -343,9 +344,14 @@ class MigrationPipeline:
                             partition_by=pplan.parent_clause
                             if pplan
                             else None,
+                            notes=ddl_notes,
                         ),
                     )
                 )
+                for dn in ddl_notes:
+                    # untranslatable expression defaults dropped
+                    # VISIBLY (ADVICE r12)
+                    actions.append(Action("tableddl", "note", name, dn))
                 if pplan:
                     for child_ddl in pplan.children:
                         actions.append(

@@ -1,19 +1,30 @@
 """MySQL ``CREATE EVENT`` → pg_cron schedule translation (C-plane
-closure, round 12).
+closure, rounds 12-13).
 
 The reference ignores events entirely (its scan loop never reads
 ``information_schema.EVENTS``; a migrated database silently loses every
 scheduled job). Round 9 taught this engine to *inventory* dump-carried
-events as named skips; this module closes the gap for the translatable
-subset: an event whose cadence is exactly expressible as a cron entry
-(or a pg_cron seconds interval) and whose body is a single DML/CALL
-statement becomes
+events as named skips; rounds 12-13 close the gap for the translatable
+subset. :func:`spec_actions` is the SINGLE decision surface — the
+orchestrator's events stage, the golden suite and every test consume
+its ``[(kind, payload)]`` plan:
 
-    SELECT cron.schedule('<name>', '<schedule>', $evt$<pg body>$evt$);
-
-ready to execute on a PostgreSQL with the pg_cron extension. Everything
-else stays a *named* skip carrying the parsed schedule — the
-refuse-don't-mistranslate convention used across the routine plane.
+- cron-expressible ``EVERY`` cadence + single DML/CALL body →
+  ``SELECT cron.schedule('<name>', '<schedule>', $evt$<pg body>$evt$)``
+- compound ``BEGIN…END`` body (and single statements carrying @vars or
+  DML LIMIT — exactly the forms the plpgsql machinery owns) → a
+  synthesized ``CREATE OR REPLACE PROCEDURE <name>_evt_job()`` plus a
+  scheduled ``CALL``
+- literal ``AT`` one-shots and literal ``ENDS`` clauses → pg_cron's
+  self-unschedule idiom: a DAILY cron entry whose command is a DO
+  block guarded by ``now() >= TIMESTAMP '<ts>'`` (cron has no year
+  field; the daily match bounds a missed firing to at most a day —
+  round 13, previously a yearly match meaning a year-long catch-up)
+- everything else stays a *named* skip carrying the parsed schedule —
+  the refuse-don't-mistranslate convention used across the routine
+  plane. Upsert forms a plain rewrite would mistranslate (REPLACE
+  INTO, INSERT IGNORE, ON DUPLICATE KEY UPDATE) refuse with the same
+  wording contract as the plpgsql builder (ADVICE r12).
 
 Cron-expressibility rules (MySQL fires on a fixed cadence anchored at
 STARTS; cron fires on wall-clock field matches — the two only coincide
@@ -33,13 +44,13 @@ when the period divides its parent unit):
   MINUTE is hourly — ``*/60`` is not a valid cron step; 24 HOUR → 1
   DAY, 7 DAY → 1 WEEK, 12 MONTH → 1 YEAR, 60 SECOND → 1 MINUTE), so
   e.g. EVERY 48 HOUR refuses as the 2-day cadence it is.
-- ``AT ts``           → refused: a one-shot job has no pg_cron analog
-  (cron entries recur); run the body manually or via an ad-hoc job.
 
 Phase: cron's anchor is the unit boundary; a literal ``STARTS`` fills
 the sub-period fields (minute/hour/dom/dow) so the PG job fires at the
 same wall-clock offset. A non-literal STARTS (``CURRENT_TIMESTAMP +
-INTERVAL …``) keeps the boundary anchor and the divergence is noted.
+INTERVAL …``) — and an ABSENT one, since MySQL then anchors the cadence
+at event **creation time**, not the unit boundary (ADVICE r12) — keeps
+the boundary anchor and the divergence is noted.
 
 Reference parity: net-new surface (no counterpart —
 ``sync_functions.go`` handles only FUNCTION; events never scanned).
@@ -48,14 +59,14 @@ Reference parity: net-new surface (no counterpart —
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 
 from mysql2pg_spark.sinks.plpgsql_builder import rewrite_mysql_expr_to_pg
 
 __all__ = [
     "EventSpec",
     "event_actions",
-    "event_to_pg_cron",
+    "spec_actions",
     "parse_event",
 ]
 
@@ -108,6 +119,14 @@ def _strip_cc(text: str) -> str:
     return re.sub(r"/\*!\d{5}\s?(.*?)\*/", r"\1", text, flags=re.S)
 
 
+def _q(name: str) -> str:
+    """A job name embedded in single-quoted SQL — apostrophes double
+    (ADVICE r12: a backtick-quoted event name containing ``'`` would
+    otherwise break or inject into the cron.schedule/unschedule
+    statement)."""
+    return name.replace("'", "''")
+
+
 def parse_event(raw: str) -> EventSpec | None:
     """Parse one CREATE EVENT statement (dump spelling tolerated:
     conditional-comment wraps, DEFINER, IF NOT EXISTS, backticks).
@@ -124,9 +143,23 @@ def parse_event(raw: str) -> EventSpec | None:
     )
 
     text = _strip_cc(raw).strip().rstrip(";").strip()
+    # backtick identifiers first (round 13): an apostrophe inside a
+    # quoted name (`it's nightly`) would otherwise open a phantom
+    # string literal and corrupt the whole mask — hide the spans,
+    # literal-mask, then restore them (safe: literals are gone)
+    bts: list[str] = []
+
+    def _bt(mo: re.Match) -> str:
+        bts.append(mo.group(0))
+        return f"\x00B{len(bts) - 1}\x00"
+
+    text = re.sub(r"`(?:[^`]|``)*`", _bt, text)
     # MySQL \'-escapes → '' doubling first, or the mask tracks the
     # literal wrong and a COMMENT 'can\'t' swallows the DO keyword
     masked, lits = mask_literals(normalize_backslash_quotes(text))
+    masked = re.sub(
+        r"\x00B(\d+)\x00", lambda m: bts[int(m.group(1))], masked
+    )
 
     def um(s: str | None) -> str | None:
         return unmask_literals(s, lits) if s is not None else None
@@ -165,8 +198,11 @@ def parse_event(raw: str) -> EventSpec | None:
 
 
 def _starts_fields(starts: str | None):
-    """(minute, hour, dom, mon, dow, literal?) from a STARTS literal;
-    boundary defaults (0 0 1 1) when absent or non-literal."""
+    """(minute, hour, dom, mon, dow, phase_literal?) from a STARTS
+    literal; boundary defaults (0 0 1 1) when absent or non-literal.
+    An ABSENT starts is NOT phase-exact (ADVICE r12): MySQL anchors
+    EVERY cadences at event **creation time** — EVERY 1 HOUR created
+    at :45 fires at :45 — while cron anchors at the unit boundary."""
     if starts:
         mo = _TS_LIT_RE.match(starts.strip())
         if mo:
@@ -177,8 +213,7 @@ def _starts_fields(starts: str | None):
             mi = int(mo.group(5) or 0)
             dow = datetime.date(y, m, d).isoweekday() % 7  # cron: 0=Sun
             return mi, hh, d, m, dow, True
-        return 0, 0, 1, 1, 0, False
-    return 0, 0, 1, 1, 0, True  # no STARTS: boundary anchor is exact
+    return 0, 0, 1, 1, 0, False
 
 
 def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
@@ -260,7 +295,22 @@ def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
     return None, f"unsupported interval unit {unit!r}", lit
 
 
-#: single-statement body heads the rewriter handles faithfully
+def _phase_note(spec: EventSpec) -> str:
+    anchor = (
+        f"the source STARTS {spec.starts} phase is not representable"
+        if spec.starts
+        else "with no STARTS clause MySQL anchors the cadence at event "
+             "creation time, which is not representable"
+    )
+    return (
+        f"event {spec.name}: cron anchors at the unit boundary; "
+        f"{anchor} — first firing may shift by less than one period"
+    )
+
+
+#: single-statement body heads the translator owns. REPLACE stays in
+#: the list so its refusal can NAME the form (see _body_plan) instead
+#: of falling into the generic outside-the-subset message.
 _BODY_HEAD_RE = re.compile(
     r"(?is)^\s*(INSERT|UPDATE|DELETE|REPLACE|TRUNCATE|CALL|SELECT)\b"
 )
@@ -284,86 +334,105 @@ def _plpgsql_stmt(pg_body: str) -> str:
     return re.sub(r"(?is)^\s*SELECT\b", "PERFORM", pg_body, count=1)
 
 
-#: guard tolerance for the year-guarded one-shot/ENDS commands: the
+#: guard tolerance for the self-unschedule one-shot/ENDS commands: the
 #: cron field match happens in cron.timezone while now() compares in
-#: the session TimeZone — up to a 14 h skew when they differ. Matches
-#: are one YEAR apart, so the tolerance can never pull a firing to the
-#: previous year's match (review r12b).
+#: the session TimeZone — up to a 14 h skew when they differ. The
+#: guard job runs DAILY (round 13), so the tolerance can pull a firing
+#: at most one day-match early — the same magnitude as the tolerance
+#: itself, and MySQL-side a one-shot missed while the server is down
+#: is simply dropped.
 _TZ_TOLERANCE = "interval '14 hours'"
 
 
-def event_to_pg_cron(spec: EventSpec) -> tuple[str | None, str | None, str | None]:
-    """(ddl, skip_reason, note): exactly one of ddl/skip_reason is
-    non-None. ``note`` rides along with an emitted ddl when the
-    translation carries a bounded, documented divergence (phase)."""
-    if not spec.enabled:
-        return None, (
-            f"CREATE EVENT {spec.name} is DISABLE'd at the source — "
-            "scheduling it in pg_cron would enable it; recreate with "
-            "cron.schedule + UPDATE cron.job SET active = false if "
-            "wanted"
-        ), None
-    if spec.schedule_kind == "at":
-        return None, (
-            f"CREATE EVENT {spec.name}: one-shot AT {spec.at_ts} has no "
-            "pg_cron analog (cron entries recur) — run the body once "
-            "manually"
-        ), None
-    if spec.ends:
-        return None, (
-            f"CREATE EVENT {spec.name}: ENDS {spec.ends} has no cron "
-            "analog — schedule without it and cron.unschedule at the "
-            "end time"
-        ), None
-    sched, why, phase_exact = _cron_schedule(spec)
-    if sched is None:
-        return None, f"CREATE EVENT {spec.name}: {why} — not migrated", None
-    if re.match(r"(?is)^\s*BEGIN\b", spec.body):
-        return None, (
-            f"CREATE EVENT {spec.name}: compound BEGIN…END body — "
-            "migrate it as a procedure (functions stage) and schedule "
-            "cron.schedule('…', 'CALL …'); not auto-migrated"
-        ), None
-    if not _BODY_HEAD_RE.match(spec.body):
-        return None, (
+def _body_plan(spec: EventSpec) -> tuple[list[str], str | None, str | None]:
+    """(prelude DDLs, one PG statement, named skip) for an event body —
+    exactly one of statement/skip is non-None.
+
+    A compound ``BEGIN…END`` body — and a single statement carrying
+    @user-variables or a DML-level LIMIT, the forms a plain expression
+    rewrite cannot own (ADVICE r12) — migrates through the FULL plpgsql
+    routine machinery as a synthesized procedure plus ``CALL``. Upsert
+    forms with no catalog-free PG analog refuse with the same wording
+    contract as the plpgsql builder (REPLACE INTO / INSERT IGNORE /
+    ON DUPLICATE KEY UPDATE)."""
+    from mysql2pg_spark.dialect.transpile import mask_literals
+
+    body = spec.body
+    if re.match(r"(?is)^\s*BEGIN\b", body):
+        return _procedure_plan(spec)
+    if not _BODY_HEAD_RE.match(body):
+        return [], None, (
             f"CREATE EVENT {spec.name}: body statement "
-            f"{spec.body.split(None, 1)[0] if spec.body else '?'!r} is "
+            f"{body.split(None, 1)[0] if body else '?'!r} is "
             "outside the translatable DML subset — not migrated"
-        ), None
-    pg_body = rewrite_mysql_expr_to_pg(spec.body).rstrip(";").strip()
-    tag = _fresh_tag("evt", pg_body)
-    ddl = (
-        f"SELECT cron.schedule('{spec.name.lower()}', '{sched}', "
-        f"{tag}{pg_body}{tag})"
-    )
-    note = None
-    if not phase_exact:
-        note = (
-            f"event {spec.name}: cron anchors at the unit boundary; the "
-            f"source STARTS {spec.starts} phase is not representable — "
-            "first firing may shift by less than one period"
         )
-    return ddl, None, note
+    masked, _lits = mask_literals(body)
+    up = masked.upper().lstrip()
+    if up.startswith("REPLACE"):
+        return [], None, (
+            f"CREATE EVENT {spec.name}: REPLACE INTO has "
+            "delete-then-insert semantics (triggers, FK cascades) that "
+            "INSERT … ON CONFLICT does not reproduce — rewrite the "
+            "body against PostgreSQL upsert explicitly; not migrated"
+        )
+    if re.search(r"(?i)\bON\s+DUPLICATE\s+KEY\s+UPDATE\b", masked):
+        return [], None, (
+            f"CREATE EVENT {spec.name}: INSERT … ON DUPLICATE KEY "
+            "UPDATE has no catalog-free PostgreSQL analog — rewrite as "
+            "INSERT … ON CONFLICT (<unique cols>) DO UPDATE SET … "
+            "(EXCLUDED.* replaces VALUES()); not migrated"
+        )
+    if re.match(
+        r"(?i)\s*INSERT\s+(?:LOW_PRIORITY\s+|DELAYED\s+|"
+        r"HIGH_PRIORITY\s+)?IGNORE\b", masked,
+    ):
+        return [], None, (
+            f"CREATE EVENT {spec.name}: INSERT IGNORE ignores all "
+            "error classes (not just duplicate keys) — rewrite as "
+            "INSERT … ON CONFLICT DO NOTHING if dup-key skip is the "
+            "intent; not migrated"
+        )
+    has_user_var = re.search(r"(?<![\w])@\w", masked)
+    has_dml_limit = up.startswith(("DELETE", "UPDATE")) and re.search(
+        r"(?i)\bLIMIT\s+\d+\s*$", masked
+    )
+    if has_user_var or has_dml_limit:
+        # exactly the forms the plpgsql statement machinery owns
+        # (@vars → DECLAREd locals, DML LIMIT → ctid-subquery rewrite):
+        # wrap the lone statement as a compound body and ride the
+        # procedure path; builder refusals propagate as named skips
+        return _procedure_plan(_dc_replace(spec, body=f"BEGIN {body}; END"))
+    return [], rewrite_mysql_expr_to_pg(body).rstrip(";").strip(), None
+
+
+def _procedure_plan(spec: EventSpec) -> tuple[list[str], str | None, str | None]:
+    """Compound body → ([procedure DDL], 'CALL <job>()', None), or
+    ([], None, named skip) when the plpgsql builder refuses it."""
+    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        UnsupportedFunctionError,
+        build_spec_from_mysql,
+    )
+
+    job = f"{spec.name.lower()}_evt_job"
+    try:
+        pspec = build_spec_from_mysql(
+            f"CREATE PROCEDURE {job}() {spec.body}"
+        )
+    except UnsupportedFunctionError as e:
+        return [], None, (
+            f"CREATE EVENT {spec.name}: compound body does not "
+            f"translate to plpgsql ({e}) — not migrated"
+        )
+    return [emit_plpgsql(pspec)], f"CALL {job}()", None
 
 
 def event_actions(raw: str) -> list[tuple[str, str]]:
     """The complete migration plan for one raw ``CREATE EVENT``
     statement: ``[(kind, payload)]`` with kind ``'ddl'`` (payload =
-    one executable PG statement) / ``'skip'`` / ``'note'``. This is
-    the single decision point both the orchestrator's events stage and
-    the golden test consume.
-
-    Beyond :func:`event_to_pg_cron`, a compound ``BEGIN…END`` body
-    whose cadence is cron-expressible migrates via a SYNTHESIZED
-    procedure (round 12b — the refusal message's own suggestion, now
-    automated): the body translates through the full plpgsql
-    machinery as ``CREATE OR REPLACE PROCEDURE <event>_evt_job()``,
-    and the schedule becomes ``cron.schedule('<event>', '<sched>',
-    $evt$CALL <event>_evt_job()$evt$)``. Literal ``AT`` one-shots and
-    literal ``ENDS`` clauses emulate via pg_cron's self-unschedule
-    idiom (see :func:`_one_shot_plan` / the ENDS block). Bodies the
-    plpgsql builder refuses keep a named skip carrying the inner
-    reason."""
+    one executable PG statement) / ``'skip'`` / ``'note'``. Parse
+    failures carry a named skip; everything else delegates to
+    :func:`spec_actions`."""
     spec = parse_event(raw)
     if spec is None:
         mo = re.search(
@@ -377,143 +446,117 @@ def event_actions(raw: str) -> list[tuple[str, str]]:
             "recreate in pg_cron or pgAgent (source DDL preserved in "
             "the dump); not migrated",
         )]
-    return _spec_actions(spec)
+    return spec_actions(spec)
 
 
-def _spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
-    from dataclasses import replace as _dc_replace
+def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
+    """The single decision surface for one parsed event (round 13 —
+    previously split between a cron-only translator whose AT/ENDS
+    refusals contradicted the emulations layered above it). Order:
+    DISABLE → skip; AT → one-shot emulation or named skip; literal
+    ENDS → inner plan + self-unscheduling remover; EVERY → cadence
+    check + body plan."""
+    if not spec.enabled:
+        return [(
+            "skip",
+            f"CREATE EVENT {spec.name} is DISABLE'd at the source — "
+            "scheduling it in pg_cron would enable it; recreate with "
+            "cron.schedule + UPDATE cron.job SET active = false if "
+            "wanted",
+        )]
 
-    # literal ENDS (round 12b): plan the event WITHOUT its ENDS, then
-    # append a self-unscheduling one-shot that removes the job at the
-    # ENDS wall-clock match — the same pg_cron idiom as AT one-shots
-    if (
-        spec.enabled
-        and spec.schedule_kind == "every"
-        and spec.ends
-        and _TS_LIT_RE.match(spec.ends.strip())
-    ):
-        inner = _spec_actions(_dc_replace(spec, ends=None))
+    if spec.schedule_kind == "at":
+        if not spec.at_ts or not _TS_LIT_RE.match(spec.at_ts.strip()):
+            return [(
+                "skip",
+                f"CREATE EVENT {spec.name}: AT {spec.at_ts} is not a "
+                "literal timestamp — one-shot emulation needs an exact "
+                "guard time; run the body once manually",
+            )]
+        preludes, pg_body, body_skip = _body_plan(spec)
+        if pg_body is None:
+            return [("skip", body_skip)]
+        ddl, note = _one_shot_ddl(spec, pg_body)
+        return [*(("ddl", p) for p in preludes), ("ddl", ddl), ("note", note)]
+
+    # literal ENDS: plan the event WITHOUT its ENDS, then append a
+    # self-unscheduling remover that drops both jobs at the ENDS
+    # wall-clock match — the same pg_cron idiom as AT one-shots
+    if spec.ends:
+        if not _TS_LIT_RE.match(spec.ends.strip()):
+            return [(
+                "skip",
+                f"CREATE EVENT {spec.name}: ENDS {spec.ends} is not a "
+                "literal timestamp — schedule without it and "
+                "cron.unschedule at the end time; not migrated",
+            )]
+        inner = spec_actions(_dc_replace(spec, ends=None))
         if any(k == "ddl" for k, _ in inner):
-            name = spec.name.lower()
-            mi, hh, dom, mon, _dow, _lit = _starts_fields(spec.ends)
-            # cron has no year field: the remover's month/day entry
-            # matches once a YEAR, so the command is year-guarded
-            # (review r12 — without it an ENDS in 2028 migrated in
-            # 2026 would kill the job two years early)
+            name = _q(spec.name.lower())
+            mi, hh, _dom, _mon, _dow, _lit = _starts_fields(spec.ends)
+            # daily guard (round 13): cron has no year field — the DO
+            # block no-ops until now() reaches the ENDS timestamp, and
+            # the daily match bounds a missed removal to at most a day
+            # (a yearly month/day match would delay it a full year)
+            do_tag = _fresh_tag("do", spec.ends, name)
             cmd = (
-                f"DO $do$ BEGIN "
+                f"DO {do_tag} BEGIN "
                 f"IF now() >= TIMESTAMP {spec.ends} - {_TZ_TOLERANCE} "
                 f"THEN PERFORM cron.unschedule('{name}'); "
                 f"PERFORM cron.unschedule('{name}_ends'); "
-                f"END IF; END $do$"
+                f"END IF; END {do_tag}"
             )
+            evt_tag = _fresh_tag("evt", cmd)
             inner.append((
                 "ddl",
                 f"SELECT cron.schedule('{name}_ends', "
-                f"'{mi} {hh} {dom} {mon} *', $evt${cmd}$evt$)",
+                f"'{mi} {hh} * * *', {evt_tag}{cmd}{evt_tag})",
             ))
             inner.append((
                 "note",
                 f"event {spec.name}: ENDS {spec.ends} emulated via a "
-                "second self-unscheduling one-shot (year-guarded DO "
-                "block — cron has no year field; the guard carries a "
-                "14 h tolerance for cron.timezone vs session TimeZone "
-                "skew) that removes the job at the first wall-clock "
-                "match at-or-after the ENDS time; a server down at "
-                "that minute delays the removal to the next yearly "
-                "match",
+                "self-unscheduling remover job (daily cron entry whose "
+                "DO block no-ops until the ENDS timestamp; the guard "
+                "carries a 14 h tolerance for cron.timezone vs session "
+                "TimeZone skew) that removes both jobs at the first "
+                "daily match at-or-after the ENDS time; a server down "
+                "at that minute delays the removal by at most a day",
             ))
         return inner
 
-    ddl, skip_reason, note = event_to_pg_cron(spec)
-    out: list[tuple[str, str]] = []
-    if (
-        ddl is None
-        and spec.enabled
-        and spec.schedule_kind == "every"
-        and not spec.ends
-        and re.match(r"(?is)^\s*BEGIN\b", spec.body)
-    ):
-        job = f"{spec.name.lower()}_evt_job"
-        probe, probe_skip, note = event_to_pg_cron(
-            _dc_replace(spec, body=f"CALL {job}()")
-        )
-        if probe is None:
-            skip_reason = probe_skip  # cadence itself is the blocker
-        else:
-            proc_ddl, body_skip = _synth_procedure(spec, job)
-            if proc_ddl is None:
-                skip_reason = body_skip
-            else:
-                out.append(("ddl", proc_ddl))
-                ddl, skip_reason = probe, None
-    if ddl is None and spec.enabled and spec.schedule_kind == "at":
-        at_plan = _one_shot_plan(spec)
-        if at_plan is not None:
-            preludes, ddl, note = at_plan
-            out.extend(("ddl", p) for p in preludes)
-            skip_reason = None
-    if ddl is not None:
-        out.append(("ddl", ddl))
-        if note:
-            out.append(("note", note))
-    else:
-        out.append(("skip", skip_reason))
+    sched, why, phase_exact = _cron_schedule(spec)
+    if sched is None:
+        return [("skip", f"CREATE EVENT {spec.name}: {why} — not migrated")]
+    preludes, pg_body, body_skip = _body_plan(spec)
+    if pg_body is None:
+        return [("skip", body_skip)]
+    tag = _fresh_tag("evt", pg_body)
+    out: list[tuple[str, str]] = [("ddl", p) for p in preludes]
+    out.append((
+        "ddl",
+        f"SELECT cron.schedule('{_q(spec.name.lower())}', '{sched}', "
+        f"{tag}{pg_body}{tag})",
+    ))
+    if not phase_exact:
+        out.append(("note", _phase_note(spec)))
     return out
 
 
-def _synth_procedure(spec: EventSpec, job: str):
-    """(procedure DDL, None) for a compound BEGIN…END event body run
-    through the full plpgsql routine machinery, or (None, named skip)
-    when the builder refuses it."""
-    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
-    from mysql2pg_spark.sinks.plpgsql_builder import (
-        UnsupportedFunctionError,
-        build_spec_from_mysql,
-    )
-
-    try:
-        pspec = build_spec_from_mysql(
-            f"CREATE PROCEDURE {job}() {spec.body}"
-        )
-    except UnsupportedFunctionError as e:
-        return None, (
-            f"CREATE EVENT {spec.name}: compound body does not "
-            f"translate to plpgsql ({e}) — not migrated"
-        )
-    return emit_plpgsql(pspec), None
-
-
-def _one_shot_plan(spec: EventSpec):
-    """pg_cron's self-unschedule idiom for ``AT '<literal ts>'``
-    (round 12b): an exact-timestamp cron entry whose command runs the
-    body and then ``cron.unschedule``s itself — the documented pg_cron
-    pattern for one-shot jobs. cron has NO YEAR FIELD, so the command
-    is a plpgsql DO block guarded by ``now() >= TIMESTAMP '<ts>'``
-    (review r12): the month/day/time entry matches once a YEAR, and
-    without the guard a 2030 one-shot migrated in 2026 would fire
-    three years early, run once, and never run at the intended
-    moment. Returns (prelude DDLs, schedule DDL, divergence note), or
-    None when the shape doesn't conform (non-literal AT expression,
-    untranslatable body) — the caller keeps the named skip."""
-    if not spec.at_ts or not _TS_LIT_RE.match(spec.at_ts.strip()):
-        return None
-    mi, hh, dom, mon, _dow, _lit = _starts_fields(spec.at_ts)
-    name = spec.name.lower()
-    preludes: list[str] = []
-    if re.match(r"(?is)^\s*BEGIN\b", spec.body):
-        job = f"{name}_evt_job"
-        proc_ddl, _skip = _synth_procedure(spec, job)
-        if proc_ddl is None:
-            return None
-        preludes.append(proc_ddl)
-        pg_body = f"CALL {job}()"
-    elif _BODY_HEAD_RE.match(spec.body):
-        pg_body = rewrite_mysql_expr_to_pg(spec.body).rstrip(";").strip()
-    else:
-        return None
+def _one_shot_ddl(spec: EventSpec, pg_body: str) -> tuple[str, str]:
+    """pg_cron's self-unschedule idiom for ``AT '<literal ts>'``: a
+    DAILY cron entry at the target's minute/hour whose command is a
+    plpgsql DO block guarded by ``now() >= TIMESTAMP '<ts>'`` — it
+    no-ops until the timestamp, then runs the body once and
+    ``cron.unschedule``s itself. cron has NO YEAR FIELD; round 12 used
+    a yearly month/day match, under which a server down at the
+    matching minute delayed the one-shot a full YEAR — the daily match
+    bounds the catch-up to a day (round 13). Returns (schedule DDL,
+    divergence note); the caller has already validated the literal
+    timestamp and translated the body."""
+    mi, hh, _dom, _mon, _dow, _lit = _starts_fields(spec.at_ts)
+    name = _q(spec.name.lower())
     body_stmt = _plpgsql_stmt(pg_body)
-    do_tag = _fresh_tag("do", body_stmt)
+    do_tag = _fresh_tag("do", body_stmt, name)
     cmd = (
         f"DO {do_tag} BEGIN "
         f"IF now() >= TIMESTAMP {spec.at_ts} - {_TZ_TOLERANCE} THEN "
@@ -523,16 +566,15 @@ def _one_shot_plan(spec: EventSpec):
     evt_tag = _fresh_tag("evt", cmd)
     ddl = (
         f"SELECT cron.schedule('{name}', "
-        f"'{mi} {hh} {dom} {mon} *', {evt_tag}{cmd}{evt_tag})"
+        f"'{mi} {hh} * * *', {evt_tag}{cmd}{evt_tag})"
     )
     note = (
         f"event {spec.name}: one-shot AT {spec.at_ts} emulated via "
-        "pg_cron's self-unschedule idiom (year-guarded DO block — "
-        "cron has no year field; the guard carries a 14 h tolerance "
-        "for cron.timezone vs session TimeZone skew) — the job fires "
-        "at the first wall-clock match at-or-after the timestamp and "
-        "removes itself; if the server is down at that minute it "
-        "fires at the NEXT yearly match, where MySQL would have "
-        "dropped a missed one-shot"
+        "pg_cron's self-unschedule idiom — a daily cron entry whose "
+        "DO block no-ops until the timestamp (guarded with a 14 h "
+        "tolerance for cron.timezone vs session TimeZone skew), then "
+        "runs the body once and removes itself; if the server is down "
+        "at that minute it fires at the NEXT daily match (at most a "
+        "day late), where MySQL would have dropped a missed one-shot"
     )
-    return preludes, ddl, note
+    return ddl, note

@@ -72,26 +72,100 @@ _NUMERIC_DEFAULT = __import__("re").compile(
     r"^[-+]?\d+(\.\d+)?([eE][-+]?\d+)?$"
 )
 
+#: PostgreSQL functions legal (and common) inside a column DEFAULT —
+#: the whitelist the rewritten expression-default is scanned against.
+#: Anything outside it means the MySQL expression has no faithful PG
+#: spelling and the default must be DROPPED VISIBLY, not emitted raw
+#: (ADVICE r12: DEFAULT (uuid_short()) etc. fails CREATE TABLE on a
+#: real PostgreSQL).
+_PG_DEFAULT_FNS = frozenset({
+    "gen_random_uuid", "now", "random", "currval", "nextval",
+    "current_timestamp", "current_date", "current_time",
+    "localtimestamp", "localtime", "current_setting", "txid_current",
+    "floor", "ceil", "ceiling", "round", "trunc", "abs", "sign",
+    "mod", "power", "sqrt", "exp", "ln", "log", "pi",
+    "upper", "lower", "length", "char_length", "substr", "substring",
+    "trim", "btrim", "ltrim", "rtrim", "concat", "replace", "left",
+    "right", "lpad", "rpad", "chr", "ascii", "md5", "split_part",
+    "coalesce", "nullif", "greatest", "least", "extract",
+    "to_char", "to_date", "to_timestamp", "date_trunc", "date_part",
+    "cast",
+})
 
-def default_sql(v) -> str:
+
+def pg_expr_default(payload: str) -> tuple[str | None, str | None]:
+    """MySQL 8 expression default (the parenthesized payload behind the
+    dump parser's ``EXPR:`` provenance marker) → PG spelling, or
+    ``(None, reason)`` when a function with no PostgreSQL analog
+    remains after the rewrite (ADVICE r12: the raw MySQL text —
+    ``(uuid())``, ``(now(3))``, backticked columns — was emitted
+    verbatim and failed on a real PG; tabexport's MySQL round-trip
+    path deliberately keeps the original spelling)."""
+    import re
+
+    from mysql2pg_spark.dialect.transpile import (
+        mask_literals,
+        unmask_literals,
+    )
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        rewrite_mysql_expr_to_pg,
+    )
+
+    pg = rewrite_mysql_expr_to_pg(payload)
+    masked, lits = mask_literals(pg)
+    # default-specific spellings the general rewriter doesn't own:
+    # uuid() → gen_random_uuid() (PG 13+ core), fractional-second
+    # now(3)/sysdate(3) → CURRENT_TIMESTAMP(3), and MySQL's unquoted
+    # INTERVAL 1 DAY → PG's quoted INTERVAL '1 day'
+    masked = re.sub(
+        r"(?i)\buuid\s*\(\s*\)", "gen_random_uuid()", masked
+    )
+    masked = re.sub(
+        r"(?i)\b(?:now|sysdate)\s*\(\s*(\d+)\s*\)",
+        r"CURRENT_TIMESTAMP(\1)",
+        masked,
+    )
+    masked = re.sub(
+        r"(?i)\bINTERVAL\s+(\d+(?:\.\d+)?)\s+(\w+)",
+        r"INTERVAL '\1 \2'",
+        masked,
+    )
+    for mo in re.finditer(r"(?i)\b([a-z_][a-z0-9_]*)\s*\(", masked):
+        fn = mo.group(1).lower()
+        if fn not in _PG_DEFAULT_FNS:
+            return None, (
+                f"expression default calls {fn}(), which has no "
+                "PostgreSQL analog in a DEFAULT — default dropped "
+                "(rows migrate with their explicit values)"
+            )
+    return unmask_literals(masked, lits), None
+
+
+def default_sql(v) -> str | None:
     """Render a column default as a SQL literal: numerics, keywords and
     function calls pass through; anything else is quoted text. All
     producers (catalog scans, dump parsing) deliver defaults UNQUOTED
     ('' for an empty string default) — there is deliberately NO
     already-quoted passthrough, since a VALUE that itself starts and
     ends with an apostrophe (e.g. the three-quote default ``'''x'''``)
-    must still be quoted, not emitted raw."""
+    must still be quoted, not emitted raw. ``EXPR:``-marked MySQL 8
+    expression defaults rewrite to PG dialect; ``None`` means the
+    expression has no faithful PG spelling and the caller must DROP
+    the default visibly (see :func:`pg_expr_default`)."""
     s = str(v)
     if s.startswith("EXPR:"):
-        # provenance-marked MySQL 8 expression default (dump parser,
-        # review r12b) — already parenthesized; PG evaluates it
-        return s[len("EXPR:"):]
+        pg, _why = pg_expr_default(s[len("EXPR:"):])
+        return pg
     up = s.upper()
+    if up.endswith("()") and not up.startswith("CURRENT_"):
+        # live-catalog function defaults arrive unmarked (now(),
+        # uuid(), uuid_short()) — same PG-analog gate as EXPR:
+        pg, _why = pg_expr_default(s)
+        return pg
     if (
         _NUMERIC_DEFAULT.match(s)
         or up in ("NULL", "TRUE", "FALSE")
         or up.startswith("CURRENT_")
-        or up.endswith("()")
     ):
         return s
     return "'" + s.replace("'", "''") + "'"
@@ -106,10 +180,15 @@ def create_table_ddl(
     identity_style: str = "serial",
     temporary: bool = False,
     partition_by: str | None = None,
+    notes: list[str] | None = None,
 ) -> str:
     """CREATE TABLE from engine schema. Column PG types come from
     StructField.metadata['pg_type'] (set by schema_map.struct_field_for);
-    defaults and NOT NULL are carried from metadata."""
+    defaults and NOT NULL are carried from metadata. A default with no
+    faithful PG spelling (``default_sql`` → None) is DROPPED and the
+    reason appended to ``notes`` when the caller passes a list
+    (ADVICE r12 — previously the raw MySQL expression was emitted and
+    failed on a real PostgreSQL)."""
     # PG generated expressions, chained references expanded: PG (and
     # DuckDB) forbid a generated column referencing ANOTHER generated
     # column (MySQL allows it, e.g. c3 AS (c1 + c2) where c2 is itself
@@ -188,7 +267,17 @@ def create_table_ddl(
         if not f.nullable:
             parts.append("NOT NULL")
         if "default" in md and f.name not in gen_pg:
-            parts.append(f"DEFAULT {default_sql(md['default'])}")
+            dsql = default_sql(md["default"])
+            if dsql is not None:
+                parts.append(f"DEFAULT {dsql}")
+            elif notes is not None:
+                s = str(md["default"])
+                payload = s[len("EXPR:"):] if s.startswith("EXPR:") else s
+                _, why = pg_expr_default(payload)
+                notes.append(
+                    f"table {table} column {f.name}: MySQL default "
+                    f"{payload} — {why}"
+                )
         cols.append("  " + " ".join(parts))
     if primary_key:
         pk = ", ".join(quote_pg(c) for c in primary_key)

@@ -1,8 +1,11 @@
-"""CREATE EVENT → pg_cron translation (schema/events.py, round 12).
+"""CREATE EVENT → pg_cron translation (schema/events.py, rounds 12-13).
 
 The reference never scans events (a migrated database silently loses
 every scheduled job); this engine translates the cron-expressible
 subset and NAMES every refusal with the parsed schedule.
+``spec_actions`` is the single decision surface (round 13 — the old
+cron-only translator whose AT/ENDS refusals contradicted the
+emulations layered above it is gone).
 """
 
 from __future__ import annotations
@@ -11,8 +14,9 @@ import pytest
 
 from mysql2pg_spark.schema.events import (
     EventSpec,
-    event_to_pg_cron,
+    event_actions,
     parse_event,
+    spec_actions,
 )
 
 
@@ -20,6 +24,22 @@ def _ev(sql: str) -> EventSpec:
     spec = parse_event(sql)
     assert spec is not None, sql
     return spec
+
+
+def _plan1(spec: EventSpec):
+    """(ddl, skip, note) view of a single-job plan — for events whose
+    plan is one schedule DDL (or one skip) plus at most one note."""
+    acts = spec_actions(spec)
+    ddls = [p for k, p in acts if k == "ddl"]
+    skips = [p for k, p in acts if k == "skip"]
+    notes = [p for k, p in acts if k == "note"]
+    assert len(ddls) <= 1 and len(skips) <= 1 and len(notes) <= 1, acts
+    assert bool(ddls) != bool(skips), acts
+    return (
+        ddls[0] if ddls else None,
+        skips[0] if skips else None,
+        notes[0] if notes else None,
+    )
 
 
 # ---------------------------------------------------------------- parse
@@ -90,7 +110,7 @@ def test_cron_expressible_cadences(every, starts, expect):
     if starts:
         sql += f"STARTS {starts} "
     sql += "DO DELETE FROM t"
-    ddl, skip, _note = event_to_pg_cron(_ev(sql))
+    ddl, skip, _note = _plan1(_ev(sql))
     assert skip is None
     assert f"'{expect}'" in ddl
 
@@ -108,43 +128,97 @@ def test_cron_expressible_cadences(every, starts, expect):
     ],
 )
 def test_non_divisor_cadences_refuse_with_reason(every, frag):
-    ddl, skip, _ = event_to_pg_cron(
+    ddl, skip, _ = _plan1(
         _ev(f"CREATE EVENT e ON SCHEDULE EVERY {every} DO DELETE FROM t")
     )
     assert ddl is None
     assert frag in skip
 
 
-def test_at_disable_ends_and_compound_refuse():
-    at = _ev(
-        "CREATE EVENT e ON SCHEDULE AT '2030-01-01 00:00:00' DO DELETE FROM t"
-    )
-    assert event_to_pg_cron(at)[0] is None
+def test_disable_and_nonliteral_schedules_refuse():
     dis = _ev(
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DISABLE DO DELETE FROM t"
     )
-    ddl, skip, _ = event_to_pg_cron(dis)
+    ddl, skip, _ = _plan1(dis)
     assert ddl is None and "DISABLE" in skip
-    ends = _ev(
-        "CREATE EVENT e ON SCHEDULE EVERY 1 HOUR "
-        "ENDS '2030-01-01 00:00:00' DO DELETE FROM t"
+    # non-literal AT expression: named skip (no exact guard time)
+    acts = event_actions(
+        "CREATE EVENT ox ON SCHEDULE AT CURRENT_TIMESTAMP + "
+        "INTERVAL 1 DAY DO DELETE FROM t"
     )
-    ddl, skip, _ = event_to_pg_cron(ends)
-    assert ddl is None and "cron.unschedule" in skip
-    comp = _ev(
-        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
-        "DO BEGIN DELETE FROM a; DELETE FROM b; END"
+    assert [k for k, _ in acts] == ["skip"]
+    assert "literal timestamp" in acts[0][1]
+    # non-literal ENDS: named skip
+    acts = event_actions(
+        "CREATE EVENT w2 ON SCHEDULE EVERY 1 HOUR "
+        "ENDS CURRENT_TIMESTAMP + INTERVAL 1 DAY DO DELETE FROM t"
     )
-    ddl, skip, _ = event_to_pg_cron(comp)
-    assert ddl is None and "BEGIN" in skip
+    assert [k for k, _ in acts] == ["skip"]
+    assert "cron.unschedule" in acts[0][1]
 
 
 def test_non_dml_body_refuses():
     spec = _ev(
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO ALTER TABLE t ADD c INT"
     )
-    ddl, skip, _ = event_to_pg_cron(spec)
+    ddl, skip, _ = _plan1(spec)
     assert ddl is None and "translatable DML subset" in skip
+
+
+def test_upsert_forms_refuse_by_name():
+    """ADVICE r12: REPLACE INTO / INSERT IGNORE / ON DUPLICATE KEY
+    UPDATE have no faithful catalog-free PG analog — the event path
+    refuses them with the same wording contract as the plpgsql builder
+    instead of emitting untranslated MySQL into a pg_cron job."""
+    cases = [
+        ("DO REPLACE INTO t (a) VALUES (1)", "REPLACE INTO"),
+        ("DO INSERT IGNORE INTO t (a) VALUES (1)", "INSERT IGNORE"),
+        (
+            "DO INSERT INTO t (a) VALUES (1) ON DUPLICATE KEY UPDATE a=2",
+            "ON DUPLICATE KEY",
+        ),
+    ]
+    for body, frag in cases:
+        acts = event_actions(
+            f"CREATE EVENT e ON SCHEDULE EVERY 1 DAY {body}"
+        )
+        assert [k for k, _ in acts] == ["skip"], (body, acts)
+        assert frag in acts[0][1]
+    # …but the form inside a string literal is NOT a refusal trigger
+    acts = event_actions(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "DO INSERT INTO log (msg) VALUES ('use ON DUPLICATE KEY here')"
+    )
+    assert acts[0][0] == "ddl"
+
+
+def test_user_var_and_dml_limit_bodies_ride_the_procedure_path():
+    """ADVICE r12 follow-through: a single statement carrying @vars or
+    a DML-level LIMIT — exactly the forms the plpgsql machinery owns —
+    wraps as a compound body and migrates via a synthesized procedure
+    instead of emitting untranslated MySQL."""
+    acts = event_actions(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO "
+        "INSERT INTO log (msg, at) VALUES (IFNULL(@m, 'x'), NOW())"
+    )
+    kinds = [k for k, _ in acts]
+    assert kinds[:2] == ["ddl", "ddl"]
+    assert "CREATE OR REPLACE PROCEDURE e_evt_job()" in acts[0][1]
+    assert "COALESCE(uv_m, 'x')" in acts[0][1]
+    assert "CALL e_evt_job()" in acts[1][1]
+    acts = event_actions(
+        "CREATE EVENT d ON SCHEDULE EVERY 1 DAY DO "
+        "DELETE FROM t WHERE x < NOW() LIMIT 100"
+    )
+    assert [k for k, _ in acts][:2] == ["ddl", "ddl"]
+    assert "ctid IN (SELECT ctid FROM t" in acts[0][1]
+    assert "LIMIT 100" in acts[0][1]
+    # a LIMIT inside a subquery is valid PG — stays on the direct path
+    acts = event_actions(
+        "CREATE EVENT s ON SCHEDULE EVERY 1 DAY DO "
+        "DELETE FROM t WHERE id IN (SELECT id FROM old LIMIT 5)"
+    )
+    assert acts[0][0] == "ddl" and "cron.schedule" in acts[0][1]
 
 
 # ------------------------------------------------------ body + phase
@@ -153,9 +227,9 @@ def test_non_dml_body_refuses():
 def test_body_rewritten_to_pg_dialect():
     spec = _ev(
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO "
-        "INSERT INTO log (msg, at) VALUES (IFNULL(@m, 'x'), NOW())"
+        "INSERT INTO log (msg, at) VALUES (IFNULL(m, 'x'), NOW())"
     )
-    ddl, skip, _ = event_to_pg_cron(spec)
+    ddl, skip, _ = _plan1(spec)
     assert skip is None
     assert "COALESCE(" in ddl and "CURRENT_TIMESTAMP" in ddl
     assert ddl.startswith("SELECT cron.schedule('e', '0 0 * * *', $evt$")
@@ -167,10 +241,29 @@ def test_nonliteral_starts_emits_phase_note():
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
         "STARTS CURRENT_TIMESTAMP + INTERVAL 1 HOUR DO DELETE FROM t"
     )
-    ddl, skip, note = event_to_pg_cron(spec)
+    ddl, skip, note = _plan1(spec)
     assert skip is None
     assert "'0 0 * * *'" in ddl  # boundary anchor
     assert note is not None and "phase" in note
+
+
+def test_absent_starts_emits_phase_note():
+    """ADVICE r12: with no STARTS clause MySQL anchors EVERY cadences
+    at event CREATION time (EVERY 1 HOUR created at :45 fires at :45),
+    so the boundary-anchored cron entry carries the bounded
+    phase-shift note."""
+    spec = _ev("CREATE EVENT e ON SCHEDULE EVERY 1 HOUR DO DELETE FROM t")
+    ddl, skip, note = _plan1(spec)
+    assert skip is None and "'0 * * * *'" in ddl
+    assert note is not None and "creation time" in note
+    # EVERY 1 MINUTE has no sub-period phase: no note
+    spec = _ev("CREATE EVENT m ON SCHEDULE EVERY 1 MINUTE DO DELETE FROM t")
+    ddl, skip, note = _plan1(spec)
+    assert skip is None and note is None
+    # seconds intervals likewise
+    spec = _ev("CREATE EVENT s ON SCHEDULE EVERY 30 SECOND DO DELETE FROM t")
+    ddl, skip, note = _plan1(spec)
+    assert skip is None and note is None
 
 
 def test_literal_starts_no_note():
@@ -178,15 +271,35 @@ def test_literal_starts_no_note():
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
         "STARTS '2024-01-01 02:00:00' DO DELETE FROM t"
     )
-    ddl, skip, note = event_to_pg_cron(spec)
+    ddl, skip, note = _plan1(spec)
     assert skip is None and note is None
     assert "'0 2 * * *'" in ddl
+
+
+def test_quoted_event_name_escapes():
+    """ADVICE r12: a backtick-quoted event name containing an
+    apostrophe must not break (or inject into) the single-quoted job
+    name in cron.schedule/cron.unschedule."""
+    acts = event_actions(
+        "CREATE EVENT `it's nightly` ON SCHEDULE EVERY 1 DAY "
+        "STARTS '2024-01-01 00:00:00' DO DELETE FROM t"
+    )
+    assert acts[0][0] == "ddl"
+    assert "cron.schedule('it''s nightly'" in acts[0][1]
+    # one-shot path: the self-unschedule inside the DO block escapes too
+    acts = event_actions(
+        "CREATE EVENT `o'neil` ON SCHEDULE AT '2030-06-01 12:30:00' "
+        "DO DELETE FROM t"
+    )
+    assert acts[0][0] == "ddl"
+    assert "cron.schedule('o''neil'" in acts[0][1]
+    assert "cron.unschedule('o''neil')" in acts[0][1]
 
 
 def test_duckdb_seam_skips_cron_ddl_visibly():
     from mysql2pg_spark.sinks.ddl import adapt_ddl
 
-    ddl, _, _ = event_to_pg_cron(
+    ddl, _, _ = _plan1(
         _ev("CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO DELETE FROM t")
     )
     assert adapt_ddl(ddl, "postgres") == ddl
@@ -200,7 +313,6 @@ def test_event_plan_golden_pinned():
     reviewable diff. Regenerate with the same loop below."""
     import os
 
-    from mysql2pg_spark.schema.events import event_actions
     from tools.make_mysqldump import EVENTS
 
     lines = []
@@ -227,15 +339,13 @@ def test_compound_body_migrates_via_synthesized_procedure():
     the plpgsql procedure (full routine machinery: @vars, handlers, …)
     and the scheduled CALL; untranslatable bodies keep a named skip
     carrying the inner plpgsql reason."""
-    from mysql2pg_spark.schema.events import event_actions
-
     acts = event_actions(
         "CREATE EVENT n ON SCHEDULE EVERY 1 DAY DO BEGIN "
         "DELETE FROM a WHERE x < NOW(); "
         "SET @m = IFNULL(@m, 0) + 1; END"
     )
     kinds = [k for k, _ in acts]
-    assert kinds == ["ddl", "ddl"]
+    assert kinds[:2] == ["ddl", "ddl"]
     assert "CREATE OR REPLACE PROCEDURE n_evt_job()" in acts[0][1]
     assert "CURRENT_TIMESTAMP" in acts[0][1]
     assert acts[1][1] == (
@@ -275,7 +385,7 @@ def test_every_cadence_property():
                 f"CREATE EVENT e ON SCHEDULE EVERY {n} {unit} "
                 "DO DELETE FROM t"
             )
-            ddl, skip, _ = event_to_pg_cron(spec)
+            ddl, skip, _ = _plan1(spec)
             assert (ddl is None) != (skip is None), (n, unit)
             if ddl is None:
                 assert "e" in skip and str(n) in skip
@@ -313,7 +423,7 @@ def test_literal_starts_phase_property():
             f"CREATE EVENT e ON SCHEDULE EVERY 1 {unit} STARTS {starts} "
             "DO DELETE FROM t"
         )
-        ddl, skip, note = event_to_pg_cron(spec)
+        ddl, skip, note = _plan1(spec)
         assert skip is None and note is None
         sched = _re.search(r"'([\d* /]+)'", ddl).group(1)
         mi, hh, dom, mon, dow = sched.split()
@@ -344,11 +454,11 @@ def test_full_period_cadences_promote():
         sql = f"CREATE EVENT e ON SCHEDULE EVERY {every} "
         if starts:
             sql += f"STARTS {starts} "
-        ddl, skip, _ = event_to_pg_cron(_ev(sql + "DO DELETE FROM t"))
+        ddl, skip, _ = _plan1(_ev(sql + "DO DELETE FROM t"))
         assert skip is None, (every, skip)
         assert f"'{expect}'" in ddl, (every, ddl)
     # promoted refusals carry BOTH spellings
-    ddl, skip, _ = event_to_pg_cron(
+    ddl, skip, _ = _plan1(
         _ev("CREATE EVENT e ON SCHEDULE EVERY 48 HOUR DO DELETE FROM t")
     )
     assert ddl is None
@@ -356,22 +466,19 @@ def test_full_period_cadences_promote():
 
 
 def test_one_shot_at_emulates_via_self_unschedule():
-    """Round 12b: a literal AT one-shot becomes an exact-timestamp cron
-    entry whose command self-unschedules after firing (pg_cron's
-    documented one-shot idiom), with the missed-fire divergence
-    surfaced as a note; non-literal AT expressions keep the skip."""
-    from mysql2pg_spark.schema.events import event_actions
-
+    """A literal AT one-shot becomes a DAILY cron entry whose command
+    no-ops until the target timestamp, then runs the body once and
+    self-unschedules (pg_cron's documented one-shot idiom). Round 13:
+    the guard entry is DAILY — under the round-12 yearly month/day
+    match a server down at the matching minute delayed the one-shot a
+    full YEAR; now at most a day."""
     acts = event_actions(
         "CREATE EVENT once ON SCHEDULE AT '2030-06-01 12:30:00' "
         "DO DELETE FROM t WHERE x = 1"
     )
     assert [k for k, _ in acts] == ["ddl", "note"]
-    # cron has no year field: the command is a DO block guarded by the
-    # full timestamp, so a 2030 one-shot migrated in 2026 does NOT
-    # fire at the 2027 month/day match (review r12)
     assert acts[0][1] == (
-        "SELECT cron.schedule('once', '30 12 1 6 *', "
+        "SELECT cron.schedule('once', '30 12 * * *', "
         "$evt$DO $do$ BEGIN "
         "IF now() >= TIMESTAMP '2030-06-01 12:30:00' "
         "- interval '14 hours' THEN "
@@ -379,7 +486,7 @@ def test_one_shot_at_emulates_via_self_unschedule():
         "PERFORM cron.unschedule('once'); "
         "END IF; END $do$$evt$)"
     )
-    assert "self-unschedule" in acts[1][1] and "year" in acts[1][1]
+    assert "self-unschedule" in acts[1][1] and "daily" in acts[1][1]
     # compound one-shot: synthesized procedure + CALL-and-unschedule
     acts = event_actions(
         "CREATE EVENT oc ON SCHEDULE AT '2030-06-01 12:30:00' "
@@ -389,12 +496,6 @@ def test_one_shot_at_emulates_via_self_unschedule():
     assert "CREATE OR REPLACE PROCEDURE oc_evt_job()" in acts[0][1]
     assert "CALL oc_evt_job(); PERFORM cron.unschedule('oc')" in acts[1][1]
     assert "TIMESTAMP '2030-06-01 12:30:00'" in acts[1][1]
-    # non-literal AT expression: still a named skip
-    acts = event_actions(
-        "CREATE EVENT ox ON SCHEDULE AT CURRENT_TIMESTAMP + "
-        "INTERVAL 1 DAY DO DELETE FROM t"
-    )
-    assert [k for k, _ in acts] == ["skip"]
     # DISABLE'd one-shot: never scheduled
     acts = event_actions(
         "CREATE EVENT od ON SCHEDULE AT '2030-06-01 12:30:00' DISABLE "
@@ -403,13 +504,41 @@ def test_one_shot_at_emulates_via_self_unschedule():
     assert [k for k, _ in acts] == ["skip"] and "DISABLE" in acts[0][1]
 
 
-def test_literal_ends_emulates_via_second_one_shot():
-    """Round 12b: EVERY … ENDS '<literal ts>' plans the event without
-    its ENDS, then appends a self-unscheduling one-shot that removes
-    BOTH jobs at the ENDS wall-clock match; non-literal ENDS keeps the
-    named skip."""
-    from mysql2pg_spark.schema.events import event_actions
+def test_one_shot_catchup_bounded_to_a_day():
+    """The ask made explicit: the schedule field (daily match at the
+    target's minute/hour) and the guard inequality (now() >= ts - tol)
+    together bound a missed firing's delay to one day — the next match
+    after the target minute is exactly 24 h later and the guard stays
+    true from the target time onward."""
+    import re as _re
 
+    acts = event_actions(
+        "CREATE EVENT once ON SCHEDULE AT '2030-06-01 12:30:00' "
+        "DO DELETE FROM t"
+    )
+    ddl = acts[0][1]
+    mo = _re.search(r"cron\.schedule\('once', '([^']+)'", ddl)
+    mi, hh, dom, mon, dow = mo.group(1).split()
+    # DAILY: day-of-month / month / day-of-week all wildcards
+    assert (dom, mon, dow) == ("*", "*", "*")
+    assert (mi, hh) == ("30", "12")
+    # guard is monotone in now(): once true it stays true, so the
+    # first match at-or-after the timestamp fires
+    assert "IF now() >= TIMESTAMP '2030-06-01 12:30:00'" in ddl
+    # ENDS remover rides the same daily bound
+    acts = event_actions(
+        "CREATE EVENT w ON SCHEDULE EVERY 1 HOUR "
+        "ENDS '2026-06-01 00:00:00' DO DELETE FROM t"
+    )
+    remover = [p for k, p in acts if k == "ddl"][-1]
+    mo = _re.search(r"cron\.schedule\('w_ends', '([^']+)'", remover)
+    assert mo.group(1).split()[2:] == ["*", "*", "*"]
+
+
+def test_literal_ends_emulates_via_remover_job():
+    """EVERY … ENDS '<literal ts>' plans the event without its ENDS,
+    then appends a self-unscheduling remover that drops BOTH jobs at
+    the first daily match at-or-after the ENDS time."""
     acts = event_actions(
         "CREATE EVENT win ON SCHEDULE EVERY 1 HOUR "
         "STARTS '2026-01-01 00:15:00' ENDS '2026-06-01 00:00:00' "
@@ -417,10 +546,8 @@ def test_literal_ends_emulates_via_second_one_shot():
     )
     assert [k for k, _ in acts] == ["ddl", "ddl", "note"]
     assert "'15 * * * *'" in acts[0][1]
-    # year-guarded remover (review r12: an ENDS in 2028 migrated in
-    # 2026 must not kill the job at the 2027 month/day match)
     assert acts[1][1] == (
-        "SELECT cron.schedule('win_ends', '0 0 1 6 *', "
+        "SELECT cron.schedule('win_ends', '0 0 * * *', "
         "$evt$DO $do$ BEGIN "
         "IF now() >= TIMESTAMP '2026-06-01 00:00:00' "
         "- interval '14 hours' THEN "
@@ -428,23 +555,18 @@ def test_literal_ends_emulates_via_second_one_shot():
         "PERFORM cron.unschedule('win_ends'); "
         "END IF; END $do$$evt$)"
     )
-    assert "ENDS" in acts[2][1] and "year" in acts[2][1]
+    assert "ENDS" in acts[2][1] and "at most a day" in acts[2][1]
     # compound body + ENDS composes with the procedure synthesis
     acts = event_actions(
         "CREATE EVENT wc ON SCHEDULE EVERY 1 DAY "
         "ENDS '2027-01-01 00:00:00' "
         "DO BEGIN DELETE FROM a; DELETE FROM b; END"
     )
-    assert [k for k, _ in acts] == ["ddl", "ddl", "ddl", "note"]
-    assert "CREATE OR REPLACE PROCEDURE wc_evt_job()" in acts[0][1]
-    assert "cron.unschedule('wc_ends')" in acts[2][1]
-    # non-literal ENDS: named skip unchanged
-    acts = event_actions(
-        "CREATE EVENT w2 ON SCHEDULE EVERY 1 HOUR "
-        "ENDS CURRENT_TIMESTAMP + INTERVAL 1 DAY DO DELETE FROM t"
-    )
-    assert [k for k, _ in acts] == ["skip"]
-    assert "cron.unschedule" in acts[0][1]
+    kinds = [k for k, _ in acts]
+    assert kinds.count("ddl") == 3
+    ddls = [p for k, p in acts if k == "ddl"]
+    assert "CREATE OR REPLACE PROCEDURE wc_evt_job()" in ddls[0]
+    assert "cron.unschedule('wc_ends')" in ddls[2]
 
 
 def test_comment_literal_does_not_corrupt_parse():
@@ -461,7 +583,7 @@ def test_comment_literal_does_not_corrupt_parse():
     assert spec.comment == (
         "you should do UPDATE stats weekly, never disable"
     )
-    ddl, skip, _ = event_to_pg_cron(spec)
+    ddl, skip, _ = _plan1(spec)
     assert skip is None and "UPDATE t SET n = n + 1" in ddl
     # a quoted 'DO' inside the body's own literals is also safe
     spec = _ev(
@@ -473,11 +595,9 @@ def test_comment_literal_does_not_corrupt_parse():
 
 
 def test_select_body_one_shot_uses_perform():
-    """Review r12b: inside the year-guarded DO block a bare SELECT is
+    """Review r12b: inside the guarded DO block a bare SELECT is
     invalid plpgsql ('query has no destination') — it becomes
     PERFORM."""
-    from mysql2pg_spark.schema.events import event_actions
-
     acts = event_actions(
         "CREATE EVENT s ON SCHEDULE AT '2030-06-01 12:30:00' "
         "DO SELECT purge_fn()"
@@ -490,8 +610,6 @@ def test_select_body_one_shot_uses_perform():
 def test_dollar_tag_collision_avoided():
     """Review r12b: a body literal containing $evt$/$do$ must not
     terminate the dollar quote early."""
-    from mysql2pg_spark.schema.events import event_actions
-
     acts = event_actions(
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
         "DO DELETE FROM t WHERE note = 'x$evt$y'"

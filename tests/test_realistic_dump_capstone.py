@@ -145,36 +145,42 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
         "SELECT cron.schedule('purge_stale_sessions', '0 0 * * *', $evt$"
     )
     assert "DELETE FROM case_41_parent" in daily.payload
-    # EVERY 1 HOUR, MySQL-dialect body → PG dialect inside the job
-    (hourly,) = evs["hourly_rollup"]
+    # EVERY 1 HOUR, MySQL-dialect body → PG dialect inside the job;
+    # no STARTS clause → MySQL anchors at creation time, so the
+    # boundary-anchored entry carries the phase note (ADVICE r12)
+    hourly, hourly_note = evs["hourly_rollup"]
     assert hourly.kind == "ddl"
     assert "'0 * * * *'" in hourly.payload
     assert "COALESCE(" in hourly.payload          # IFNULL rewritten
     assert "TO_CHAR(CURRENT_TIMESTAMP" in hourly.payload  # DATE_FORMAT(NOW())
+    assert hourly_note.kind == "note" and "creation time" in hourly_note.payload
     # round 12b: literal AT one-shots emulate via pg_cron's
-    # self-unschedule idiom, divergence surfaced as a note
+    # self-unschedule idiom, divergence surfaced as a note; round 13:
+    # the guard entry is DAILY so a missed firing delays ≤ a day
     once, once_note = evs["one_shot_cleanup"]
     assert once.kind == "ddl"
-    assert "'0 0 1 1 *'" in once.payload
+    assert "'0 0 * * *'" in once.payload
     assert "cron.unschedule('one_shot_cleanup')" in once.payload
     assert once_note.kind == "note" and "self-unschedule" in once_note.payload
     # refusals are NAMED and carry the reason
     assert [a.kind for a in evs["odd_cadence"]] == ["skip"]
     assert "60 % 7" in evs["odd_cadence"][0].payload
     # round 12b: the compound body migrates via a synthesized plpgsql
-    # procedure + scheduled CALL (previously a named skip)
-    proc, sched = evs["nightly_compound"]
+    # procedure + scheduled CALL (previously a named skip); no STARTS
+    # → creation-time phase note rides along
+    proc, sched, comp_note = evs["nightly_compound"]
     assert proc.kind == "ddl"
     assert "CREATE OR REPLACE PROCEDURE nightly_compound_evt_job()" in proc.payload
     assert sched.kind == "ddl"
     assert "$evt$CALL nightly_compound_evt_job()$evt$" in sched.payload
-    # round 12b: literal ENDS → main schedule + a second
-    # self-unscheduling one-shot that stops the job at the ENDS match
+    assert comp_note.kind == "note" and "creation time" in comp_note.payload
+    # round 12b: literal ENDS → main schedule + a self-unscheduling
+    # remover that stops the job at the ENDS match (daily bound, r13)
     win, win_ends, win_note = evs["bounded_window"]
     assert win.kind == "ddl" and "'15 * * * *'" in win.payload
     assert win_ends.kind == "ddl"
     assert "cron.unschedule('bounded_window')" in win_ends.payload
-    assert "'0 0 1 6 *'" in win_ends.payload
+    assert "'0 0 * * *'" in win_ends.payload
     assert win_note.kind == "note" and "ENDS" in win_note.payload
 
 

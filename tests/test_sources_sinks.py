@@ -428,7 +428,7 @@ def test_live_events_scan_renders_canonical_ddl():
     canonical CREATE EVENT text the dump path sees, so schema/events.py
     translates live-scanned events identically (the reference never
     scans events at all)."""
-    from mysql2pg_spark.schema.events import event_to_pg_cron, parse_event
+    from mysql2pg_spark.schema.events import parse_event, spec_actions
     from mysql2pg_spark.sources.catalog import (
         events_query,
         render_event_ddl,
@@ -447,8 +447,9 @@ def test_live_events_scan_renders_canonical_ddl():
     spec = parse_event(rec)
     assert spec is not None and spec.name == "purge"
     assert spec.comment == "it's nightly"
-    ddl, skip, note = event_to_pg_cron(spec)
-    assert skip is None and note is None
+    acts = spec_actions(spec)
+    assert [k for k, _ in acts] == ["ddl"]
+    ddl = acts[0][1]
     assert "'0 2 * * *'" in ddl and "CURRENT_TIMESTAMP" in ddl
 
     once = render_event_ddl({
