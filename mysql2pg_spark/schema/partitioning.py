@@ -27,12 +27,17 @@ schemes PostgreSQL can express natively:
   restricts sub-schemes to HASH/KEY — exactly the pair PG nests
   natively); same placement note at the sub level.
 
+Named ``SUBPARTITION (s0, s1, …)`` lists migrate too (round 13): MySQL
+requires every partition to carry the SAME number of uniquely-named
+subpartitions, so the count is implicit per partition and the names
+become the PG grandchild table names (``<table>_<subname>``).
+
 Deliberately NOT migrated (named skips, never silent):
 - ``LINEAR HASH/KEY`` (either level) — powers-of-two bucketing; the
   partition COUNT itself diverges from the declared n, not just
   placement.
-- subpartitioning without a ``SUBPARTITIONS`` count (named
-  ``SUBPARTITION`` lists define the count implicitly per partition).
+- subpartitioning with NEITHER a ``SUBPARTITIONS`` count NOR named
+  lists, or named lists of unequal length (MySQL itself rejects those).
 - a PRIMARY KEY that does not contain every partition-key column at
   EVERY level (PG hard requirement), or any PK combined with an
   *expression* key at either level (PG forbids unique constraints on
@@ -54,11 +59,12 @@ from mysql2pg_spark.schema.identifiers import quote_pg
 
 @dataclass
 class PartitionPart:
-    """One ``PARTITION pN [VALUES …]`` entry."""
+    """One ``PARTITION pN [VALUES …] [(SUBPARTITION s0, …)]`` entry."""
 
     name: str
     op: str | None = None  # 'less_than' | 'in' | None (HASH/KEY lists)
     values: str = ""       # raw text inside the VALUES parens, or MAXVALUE
+    subparts: list[str] = field(default_factory=list)  # named SUBPARTITIONs
 
 
 @dataclass
@@ -148,16 +154,47 @@ def parse_partition_def(text: str) -> PartitionDef | None:
             continue
         name, op_kw, bracket = em.group(1), em.group(2), em.group(3)
         if op_kw is None:
-            pd.parts.append(PartitionPart(name=name))
+            pd.parts.append(
+                PartitionPart(
+                    name=name, subparts=_named_subparts(tail, em.end())
+                )
+            )
             continue
         op = "less_than" if op_kw.upper().startswith("LESS") else "in"
         if bracket == "(":
             vend = _balanced_span(tail, em.end() - 1)
             values = _unmask(tail[em.end() : vend - 1], lits).strip()
         else:  # MAXVALUE, no parens
+            vend = em.end()
             values = "MAXVALUE"
-        pd.parts.append(PartitionPart(name=name, op=op, values=values))
+        pd.parts.append(
+            PartitionPart(
+                name=name,
+                op=op,
+                values=values,
+                subparts=_named_subparts(tail, vend),
+            )
+        )
     return pd
+
+
+_SUBNAME_RE = re.compile(r"(?is)\bSUBPARTITION\s+`?(\w+)`?")
+
+
+def _named_subparts(tail: str, pos: int) -> list[str]:
+    """Named ``(SUBPARTITION s0 [opts], SUBPARTITION s1, …)`` list
+    attached to one partition entry at ``pos`` (round 13). Returns []
+    when the next token is not such a block — per-partition option
+    clauses (ENGINE=…) before the block are not consumed, matching the
+    mysqldump layout where the list directly follows the bound."""
+    mo = re.compile(r"\s*\(").match(tail, pos)
+    if not mo:
+        return []
+    end = _balanced_span(tail, mo.end() - 1)
+    block = tail[mo.end() : end - 1]
+    if not re.match(r"(?is)\s*SUBPARTITION\b", block):
+        return []
+    return [m.group(1) for m in _SUBNAME_RE.finditer(block)]
 
 
 @dataclass
@@ -326,13 +363,28 @@ def plan_partitioned_table(
             )
             return plan
         if not scheme.count or scheme.count < 1:
-            plan.skip = (
-                f"table {table}: subpartitioned without a SUBPARTITIONS "
-                "count (named SUBPARTITION lists define the count "
-                "implicitly per partition) — not auto-migrated, created "
-                "UNPARTITIONED"
-            )
-            return plan
+            # round 13: named SUBPARTITION lists define the count
+            # implicitly — MySQL requires every partition to carry the
+            # SAME number of (table-globally unique) subpartition
+            # names, so equal non-empty lists give both the count and
+            # the PG grandchild names
+            lens = {len(p.subparts) for p in pd.parts} or {0}
+            if len(lens) == 1 and 0 not in lens:
+                scheme = SubpartitionScheme(
+                    method=scheme.method,
+                    linear=scheme.linear,
+                    expr=scheme.expr,
+                    count=lens.pop(),
+                )
+            else:
+                plan.skip = (
+                    f"table {table}: subpartitioned without a "
+                    "SUBPARTITIONS count and without equal-length named "
+                    "SUBPARTITION lists (MySQL itself requires every "
+                    "partition to carry the same number) — not "
+                    "auto-migrated, created UNPARTITIONED"
+                )
+                return plan
         sub_expr = scheme.expr
         if scheme.method == "key" and not sub_expr.strip():
             if not primary_key:
@@ -394,11 +446,16 @@ def plan_partitioned_table(
 
     qt = quote_pg(table)
 
-    def child(pname: str, bound: str) -> None:
+    def child(
+        pname: str, bound: str, subnames: list[str] | None = None
+    ) -> None:
         """Append one child CREATE to ``plan.children``; a
         subpartitioned child is itself PARTITION BY HASH, with its
         MODULUS/REMAINDER grandchildren appended right after it
-        (execution order: parent before child)."""
+        (execution order: parent before child). Grandchildren take the
+        source's SUBPARTITION names when a full named list rode the
+        partition entry (round 13 — MySQL subpartition names are
+        table-globally unique), else synthesized ``_s{i}`` suffixes."""
         cbase = cap_identifier(f"{table}_{norm(pname)}")
         cname = quote_pg(cbase)
         ddl = (
@@ -408,8 +465,12 @@ def plan_partitioned_table(
         if sub_count:
             ddl += f" PARTITION BY HASH ({sub_key_sql})"
         plan.children.append(ddl)
+        named = subnames if subnames and len(subnames) == sub_count else None
         for i in range(sub_count):
-            gname = quote_pg(cap_identifier(f"{cbase}_s{i}"))
+            gbase = (
+                f"{table}_{norm(named[i])}" if named else f"{cbase}_s{i}"
+            )
+            gname = quote_pg(cap_identifier(gbase))
             plan.children.append(
                 f"CREATE TABLE IF NOT EXISTS {gname} "
                 f"PARTITION OF {cname} FOR VALUES "
@@ -436,7 +497,7 @@ def plan_partitioned_table(
         lower = ", ".join(["MINVALUE"] * ncols)
         for p in parts:
             upper = _bound_values(p.values, rewrite_expr)
-            child(p.name, f"FROM ({lower}) TO ({upper})")
+            child(p.name, f"FROM ({lower}) TO ({upper})", p.subparts)
             lower = upper
         plan.parent_clause = f"PARTITION BY RANGE ({key_sql})"
         return plan
@@ -455,22 +516,26 @@ def plan_partitioned_table(
                 "unparseable — created UNPARTITIONED"
             )
         for p in parts:
-            child(p.name, f"IN ({_bound_values(p.values, rewrite_expr)})")
+            child(
+                p.name,
+                f"IN ({_bound_values(p.values, rewrite_expr)})",
+                p.subparts,
+            )
         plan.parent_clause = f"PARTITION BY LIST ({key_sql})"
         return plan
 
     # hash
-    names = [p.name for p in pd.parts]
-    modulus = pd.num_partitions or len(names)
+    hparts = list(pd.parts)
+    modulus = pd.num_partitions or len(hparts)
     if modulus < 1:
         return skipped(
             f"table {table}: HASH partitioning with no PARTITIONS count "
             "or partition list — created UNPARTITIONED"
         )
-    if not names:
-        names = [f"p{i}" for i in range(modulus)]
-    for i, pname in enumerate(names[:modulus]):
-        child(pname, f"WITH (MODULUS {modulus}, REMAINDER {i})")
+    if not hparts:
+        hparts = [PartitionPart(name=f"p{i}") for i in range(modulus)]
+    for i, p in enumerate(hparts[:modulus]):
+        child(p.name, f"WITH (MODULUS {modulus}, REMAINDER {i})", p.subparts)
     plan.parent_clause = f"PARTITION BY HASH ({key_sql})"
     src = (
         "KEY partitioning (InnoDB's internal hash)" if via_key

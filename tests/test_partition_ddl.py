@@ -191,12 +191,14 @@ def test_hash_with_named_partition_list():
             "LINEAR",
         ),
         (
-            # a named SUBPARTITION list defines the count implicitly —
-            # not auto-migrated
+            # unequal named SUBPARTITION lists (MySQL itself rejects
+            # this): refuse rather than guess a count
             "PARTITION BY RANGE (y) SUBPARTITION BY HASH (m) "
             "(PARTITION p0 VALUES LESS THAN (1) "
-            "(SUBPARTITION s0, SUBPARTITION s1))",
-            "SUBPARTITIONS count",
+            "(SUBPARTITION s0, SUBPARTITION s1), "
+            "PARTITION p1 VALUES LESS THAN (2) "
+            "(SUBPARTITION s2))",
+            "equal-length",
         ),
         ("PARTITION BY RANGE (id)", "missing"),
         (
@@ -414,3 +416,55 @@ def test_skip_after_subparse_carries_no_migrated_note():
         "SUBPARTITIONS 2"  # no partition list → skip at the branch
     )
     assert plan.skip and not plan.notes and not plan.children
+
+
+def test_named_subpartition_lists_migrate():
+    """Round 13: named SUBPARTITION lists define the count implicitly
+    per partition (MySQL requires equal lengths and table-globally
+    unique names) — they now migrate as nested PARTITION BY HASH with
+    the source names as grandchild tables; only LINEAR remains a
+    refusal at the sub level."""
+    plan = _plan(
+        "PARTITION BY RANGE (YEAR(purchased)) "
+        "SUBPARTITION BY HASH (TO_DAYS(purchased)) "
+        "(PARTITION p0 VALUES LESS THAN (1990) "
+        "(SUBPARTITION s0, SUBPARTITION s1), "
+        "PARTITION p1 VALUES LESS THAN MAXVALUE "
+        "(SUBPARTITION s2, SUBPARTITION s3))"
+    )
+    assert plan.skip is None
+    assert plan.parent_clause == (
+        "PARTITION BY RANGE ((EXTRACT(YEAR FROM purchased)))"
+    )
+    assert plan.children == [
+        "CREATE TABLE IF NOT EXISTS t_p0 PARTITION OF t FOR VALUES "
+        "FROM (MINVALUE) TO (1990) "
+        "PARTITION BY HASH ((TO_DAYS(purchased)))",
+        "CREATE TABLE IF NOT EXISTS t_s0 PARTITION OF t_p0 "
+        "FOR VALUES WITH (MODULUS 2, REMAINDER 0)",
+        "CREATE TABLE IF NOT EXISTS t_s1 PARTITION OF t_p0 "
+        "FOR VALUES WITH (MODULUS 2, REMAINDER 1)",
+        "CREATE TABLE IF NOT EXISTS t_p1 PARTITION OF t FOR VALUES "
+        "FROM (1990) TO (MAXVALUE) "
+        "PARTITION BY HASH ((TO_DAYS(purchased)))",
+        "CREATE TABLE IF NOT EXISTS t_s2 PARTITION OF t_p1 "
+        "FOR VALUES WITH (MODULUS 2, REMAINDER 0)",
+        "CREATE TABLE IF NOT EXISTS t_s3 PARTITION OF t_p1 "
+        "FOR VALUES WITH (MODULUS 2, REMAINDER 1)",
+    ]
+    assert any("subpartitioning migrated" in n for n in plan.notes)
+    # a SUBPARTITIONS count + named lists: count wins, names still used
+    plan = _plan(
+        "PARTITION BY LIST (r) SUBPARTITION BY KEY (id) SUBPARTITIONS 2 "
+        "(PARTITION pa VALUES IN (1, 2) (SUBPARTITION sa0, SUBPARTITION sa1))",
+        pk=["id", "r"],
+    )
+    assert plan.skip is None
+    assert "t_sa0" in plan.children[1] and "t_sa1" in plan.children[2]
+    # LINEAR at the sub level still refuses with named lists present
+    plan = _plan(
+        "PARTITION BY RANGE (y) SUBPARTITION BY LINEAR HASH (m) "
+        "(PARTITION p0 VALUES LESS THAN (1) "
+        "(SUBPARTITION s0, SUBPARTITION s1))"
+    )
+    assert plan.skip and "LINEAR" in plan.skip
