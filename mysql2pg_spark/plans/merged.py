@@ -1115,3 +1115,40 @@ for _name in ROTATED_OUT:
 for _name in ROTATED_IN:
     DRIVER_QUERIES[_name] = QUERIES[_name]
     DRIVER_ORACLES[_name] = ORACLES[_name]
+
+# --------------------------------------------------------------------------
+# Round-13 rotation: eight standalone families that never had a driver
+# row get one (ANN IVF-refined / PQ, edit-distance verify, BPE merge
+# pairs, Gopher n-gram fractions, correlation profile, frame dedup,
+# table stats); nine rows driver-green since round ≤7 retire to
+# pytest-oracle coverage (still in QUERIES, still benched). The ninth
+# retirement makes room for the NEW m02_partition_routing row
+# (schema_demo.py) inside the 50-slot window.
+# --------------------------------------------------------------------------
+ROTATED_IN_R13 = (
+    "s04_knn_ivf_refined",
+    "s06_knn_pq",
+    "d13_editdistance_verify",
+    "t22_bpe_merge_pairs",
+    "t23_gopher_ngram_fractions",
+    "qa05_correlation_profile",
+    "mm06_frame_dedup",
+    "val03_table_stats",
+)
+ROTATED_OUT_R13 = (
+    "q02_region_revenue",
+    "q03_left_join_counts",
+    "d01_dedup_pipeline",
+    "d07_decontamination",
+    "t01_doc_profile",
+    "p01_grouped_map_sessionize",
+    "ts03_timeseries_battery",
+    "qa01_quality_battery",
+    "u01_upsert_battery",
+)
+for _name in ROTATED_OUT_R13:
+    DRIVER_QUERIES.pop(_name, None)
+    DRIVER_ORACLES.pop(_name, None)
+for _name in ROTATED_IN_R13:
+    DRIVER_QUERIES[_name] = QUERIES[_name]
+    DRIVER_ORACLES[_name] = ORACLES[_name]

@@ -106,3 +106,100 @@ def m01_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rows(),
         "mysql_type string, spark_type string, pg_type string, is_auto_increment boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# m02: partition ROUTING — row-level correctness for the C92 plane
+# --------------------------------------------------------------------------
+
+#: Three partition clauses over the TPC-H ``orders`` table, one per
+#: routable scheme (RANGE over an expression key, RANGE COLUMNS over a
+#: bare date column with a literal bound, LIST over a status column).
+#: The Spark side PARSES each clause and derives the per-row partition
+#: assignment via ``schema.partitioning.routing_sql``; the DuckDB
+#: oracle below is HAND-WRITTEN against the documented semantics
+#: (strict ``<`` bounds chain in partition order, ``<table>_<part>``
+#: child naming) — so a planner bug in bound chaining, ordering, or
+#: naming hash-mismatches instead of being self-confirmed.
+M02_PARTITION_DEFS: dict[str, str] = {
+    "range_year": (
+        "PARTITION BY RANGE (YEAR(o_orderdate)) ("
+        "PARTITION p0 VALUES LESS THAN (1994),"
+        "PARTITION p1 VALUES LESS THAN (1996),"
+        "PARTITION p2 VALUES LESS THAN (1998),"
+        "PARTITION pmax VALUES LESS THAN MAXVALUE)"
+    ),
+    "range_date": (
+        "PARTITION BY RANGE COLUMNS(o_orderdate) ("
+        "PARTITION h1 VALUES LESS THAN ('1994-06-30'),"
+        "PARTITION h2 VALUES LESS THAN (MAXVALUE))"
+    ),
+    "list_status": (
+        "PARTITION BY LIST COLUMNS(o_orderstatus) ("
+        "PARTITION pf VALUES IN ('F'),"
+        "PARTITION po VALUES IN ('O'),"
+        "PARTITION pp VALUES IN ('P'))"
+    ),
+}
+
+_M02_ORACLE = """
+SELECT 'range_year' AS scheme,
+       CASE WHEN year(o_orderdate) < 1994 THEN 'orders_p0'
+            WHEN year(o_orderdate) < 1996 THEN 'orders_p1'
+            WHEN year(o_orderdate) < 1998 THEN 'orders_p2'
+            ELSE 'orders_pmax' END AS part,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY part
+UNION ALL
+SELECT 'range_date' AS scheme,
+       CASE WHEN o_orderdate < DATE '1994-06-30' THEN 'orders_h1'
+            ELSE 'orders_h2' END AS part,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY part
+UNION ALL
+SELECT 'list_status' AS scheme,
+       CASE WHEN o_orderstatus IN ('F') THEN 'orders_pf'
+            WHEN o_orderstatus IN ('O') THEN 'orders_po'
+            WHEN o_orderstatus IN ('P') THEN 'orders_pp'
+            ELSE NULL END AS part,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY part
+"""
+
+
+@query("m02_partition_routing", oracle=_M02_ORACLE)
+def m02_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C92 row-level correctness (round 13): parse each partition
+    clause, derive the per-row partition assignment as ONE engine-
+    neutral CASE expression, and count rows per child table. The
+    routing expression is a pure per-row map (no shuffle); the count
+    is a single partial-aggregated exchange per scheme — at 100 TB
+    this is exactly the assignment expression a partitioned WRITE
+    would repartition by. The reference cannot express this check at
+    all: it strips partition clauses (sync_tableddl.go:268-302)."""
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.schema.partitioning import (
+        parse_partition_def,
+        routing_sql,
+    )
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        rewrite_mysql_expr_to_pg,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out: DataFrame | None = None
+    for scheme, text in M02_PARTITION_DEFS.items():
+        pdef = parse_partition_def(text)
+        expr, skip = routing_sql(
+            "orders", pdef, str.lower, rewrite_mysql_expr_to_pg,
+            lambda s: s,
+        )
+        assert skip is None, skip
+        g = (
+            orders.groupBy(F.expr(expr).alias("part"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(scheme).alias("scheme"), "part", "n")
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

@@ -569,3 +569,103 @@ def _bound_values(values: str, rewrite_expr) -> str:
         else:
             out.append(rewrite_expr(tok))
     return ", ".join(out)
+
+
+def routing_sql(
+    table: str,
+    pd: PartitionDef,
+    norm,
+    rewrite_expr,
+    cap_identifier,
+) -> tuple[str | None, str | None]:
+    """Per-row partition ASSIGNMENT as one SQL CASE expression returning
+    the PG child-table name each row lands in (round 13 — converts the
+    partition plan from text-equality to row-level correctness: the
+    same expression runs in Spark SQL and in the DuckDB oracle, and the
+    capstone asserts per-child row counts over seeded data).
+
+    Exactly one of (sql, skip_reason) is non-None:
+
+    - RANGE [COLUMNS] (single key) → strict ``key < bound`` chain in
+      partition order — identical to both MySQL's VALUES LESS THAN scan
+      and PG's range placement. NULL keys route to the FIRST partition
+      (MySQL semantics; PG would reject the row — the plan's divergence
+      note covers it). Rows above a non-MAXVALUE top bound get SQL NULL
+      (both engines would reject the row).
+    - LIST (single column) → ``key IN (…)`` arms, ``IS NULL`` when the
+      source listed NULL.
+    - HASH/KEY → no engine-neutral expression EXISTS (MySQL places by
+      MOD/internal hash, PG by its own hash function) — named refusal,
+      matching the plan's placement-divergence note.
+
+    The expression is engine-neutral only while identifiers need no
+    quoting (the rewriter's ``"col"`` spelling parses in DuckDB/PG but
+    not Spark) — callers pass lower-case snake columns, which is what
+    the pipeline's normalizer produces anyway."""
+    if pd.linear:
+        return None, (
+            f"table {table}: LINEAR {pd.method.upper()} placement is "
+            "powers-of-two bucketing — not reproducible"
+        )
+    if pd.method in ("hash", "key"):
+        return None, (
+            f"table {table}: {pd.method.upper()} row→partition placement "
+            "is engine-internal (MySQL MOD/internal hash vs PostgreSQL's "
+            "hash function) — no engine-neutral routing expression; the "
+            "table-level row set is identical"
+        )
+    if len(_split_depth0(pd.expr)) > 1:
+        return None, (
+            f"table {table}: multi-column tuple bounds have no "
+            "engine-neutral comparison spelling — routing not derived"
+        )
+    cols = key_columns(pd)
+    key = norm(cols[0]) if cols is not None else rewrite_expr(pd.expr)
+
+    def child(pname: str) -> str:
+        return cap_identifier(f"{table}_{norm(pname)}")
+
+    if pd.method == "range":
+        parts = [p for p in pd.parts if p.op == "less_than"]
+        if not parts:
+            return None, (
+                f"table {table}: RANGE partition list missing or "
+                "unparseable"
+            )
+        whens = [f"WHEN {key} IS NULL THEN '{child(parts[0].name)}'"]
+        else_arm = "NULL"
+        for p in parts:
+            bound = _bound_values(p.values, rewrite_expr)
+            if bound.upper() == "MAXVALUE":
+                else_arm = f"'{child(p.name)}'"
+            else:
+                whens.append(f"WHEN {key} < {bound} THEN '{child(p.name)}'")
+        return (
+            "CASE " + " ".join(whens) + f" ELSE {else_arm} END"
+        ), None
+
+    # list
+    parts = [p for p in pd.parts if p.op == "in"]
+    if not parts:
+        return None, (
+            f"table {table}: LIST partition list missing or unparseable"
+        )
+    whens = []
+    for p in parts:
+        vals = _split_depth0(p.values)
+        non_null = [v for v in vals if v.upper() != "NULL"]
+        conds = []
+        if len(non_null) < len(vals):
+            conds.append(f"{key} IS NULL")
+        if non_null:
+            conds.append(
+                f"{key} IN ("
+                + ", ".join(rewrite_expr(v) if not re.fullmatch(
+                    r"[-+]?\d+(\.\d+)?", v
+                ) else v for v in non_null)
+                + ")"
+            )
+        whens.append(
+            f"WHEN {' OR '.join(conds)} THEN '{child(p.name)}'"
+        )
+    return "CASE " + " ".join(whens) + " ELSE NULL END", None

@@ -468,3 +468,100 @@ def test_named_subpartition_lists_migrate():
         "(SUBPARTITION s0, SUBPARTITION s1))"
     )
     assert plan.skip and "LINEAR" in plan.skip
+
+
+# ---- routing (round 13): row-level correctness ------------------------------
+
+
+def _routing(text):
+    from mysql2pg_spark.schema.partitioning import routing_sql
+
+    pd = parse_partition_def(text)
+    assert pd is not None, text
+    return routing_sql("t", pd, _ident, _rewrite, _cap)
+
+
+def test_routing_range_bounds_chain_and_nulls():
+    """The assignment expression mirrors MySQL's VALUES LESS THAN scan:
+    strict < in partition order, NULL keys to the FIRST partition,
+    above-top rows to the MAXVALUE child or SQL NULL when none."""
+    import duckdb
+
+    sql, skip = _routing(
+        "PARTITION BY RANGE (id) ("
+        "PARTITION p0 VALUES LESS THAN (10),"
+        "PARTITION p1 VALUES LESS THAN (20))"
+    )
+    assert skip is None
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT id, {sql} FROM (VALUES (NULL), (5), (10), (19), (25)) "
+        "v(id) ORDER BY id NULLS FIRST"
+    ).fetchall()
+    assert [r[1] for r in rows] == ["t_p0", "t_p0", "t_p1", "t_p1", None]
+    # MAXVALUE catch-all becomes the ELSE arm
+    sql, _ = _routing(
+        "PARTITION BY RANGE (id) ("
+        "PARTITION p0 VALUES LESS THAN (10),"
+        "PARTITION pmax VALUES LESS THAN MAXVALUE)"
+    )
+    assert con.execute(
+        f"SELECT {sql} FROM (VALUES (99)) v(id)"
+    ).fetchone()[0] == "t_pmax"
+
+
+def test_routing_list_in_sets_and_null_membership():
+    import duckdb
+
+    sql, skip = _routing(
+        "PARTITION BY LIST (c) ("
+        "PARTITION pa VALUES IN (1, 2),"
+        "PARTITION pb VALUES IN (NULL, 3))"
+    )
+    assert skip is None
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {sql} FROM (VALUES (1), (2), (3), (NULL), (9)) v(c)"
+    ).fetchall()
+    assert [r[0] for r in rows] == ["t_pa", "t_pa", "t_pb", "t_pb", None]
+
+
+def test_routing_refusals_are_named():
+    for text, frag in [
+        ("PARTITION BY HASH (id) PARTITIONS 4", "engine-internal"),
+        ("PARTITION BY KEY (id) PARTITIONS 2", "engine-internal"),
+        ("PARTITION BY LINEAR HASH (id) PARTITIONS 2", "powers-of-two"),
+        (
+            "PARTITION BY RANGE COLUMNS(a, b) "
+            "(PARTITION p0 VALUES LESS THAN (1, 2))",
+            "multi-column",
+        ),
+    ]:
+        sql, skip = _routing(text)
+        assert sql is None and frag in skip, (text, skip)
+
+
+def test_routing_names_agree_with_plan_children():
+    """The names the routing expression assigns are exactly the child
+    tables the DDL plan creates — assignment and DDL cannot drift."""
+    import re as _re
+
+    from mysql2pg_spark.schema.partitioning import plan_partitioned_table
+
+    for text in [
+        "PARTITION BY RANGE (YEAR(d)) ("
+        "PARTITION p0 VALUES LESS THAN (2020),"
+        "PARTITION p1 VALUES LESS THAN MAXVALUE)",
+        "PARTITION BY LIST (c) ("
+        "PARTITION pa VALUES IN (1), PARTITION pb VALUES IN (2))",
+    ]:
+        pd = parse_partition_def(text)
+        sql, skip = _routing(text)
+        assert skip is None
+        plan = plan_partitioned_table("t", pd, [], _ident, _rewrite, _cap)
+        children = {
+            c.split(" PARTITION OF ")[0].split()[-1]
+            for c in plan.children
+        }
+        routed = set(_re.findall(r"'(t_\w+)'", sql))
+        assert routed == children, (routed, children)

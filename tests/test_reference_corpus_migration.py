@@ -231,6 +231,88 @@ def test_reference_corpus_migrates_into_duckdb(spark, tmp_path, corpus_snapshot)
         ).fetchall()
     ]
     assert str(vals[0]) == "-1.10" and len(vals) == 10
+
+    # ---- partition ROUTING, not just partition TEXT (round 13) ----
+    # DuckDB cannot execute PG declarative partitioning (children skip
+    # visibly; data lands flat), so row-level correctness is proven by
+    # evaluating the SAME per-row assignment expression the planner
+    # derives from each parsed PartitionDef over seeded rows and
+    # asserting per-child counts — reference fixture cases 16
+    # (create_table.sql:216-222, RANGE over YEAR(expr)), 49 (:523-530,
+    # LIST) and 58 (:588-598, RANGE + HASH subpartitions; the HASH sub
+    # level placement is engine-internal by documented note, so the
+    # assert covers the RANGE level).
+    from mysql2pg_spark.schema.partitioning import (
+        parse_partition_def,
+        plan_partitioned_table,
+        routing_sql,
+    )
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        rewrite_mysql_expr_to_pg,
+    )
+
+    pdefs = {
+        t.name: t.partition_def for t in snap.tables
+        if t.partition_def
+    }
+    assert {"case_16_partition", "case_49_list_partition",
+            "case_58_subpartition"} <= set(pdefs)
+
+    con.execute(
+        "INSERT INTO case_16_partition VALUES "
+        "(1, TIMESTAMP '2019-05-01 00:00:00'),"
+        "(2, TIMESTAMP '2019-11-30 23:59:59'),"
+        "(3, TIMESTAMP '2020-01-01 00:00:00'),"
+        "(4, TIMESTAMP '2020-07-04 12:00:00'),"
+        "(5, TIMESTAMP '2020-12-31 23:59:59')"
+    )
+    con.execute(
+        "INSERT INTO case_49_list_partition VALUES "
+        "(1, 1), (2, 2), (3, 3), (4, 4), (5, 6), (6, 6)"
+    )
+    con.execute(
+        "INSERT INTO case_58_subpartition VALUES "
+        "(1, 2020, 1), (2, 2020, 6), (3, 2020, 12), (4, 2020, 7),"
+        "(5, 2021, 2), (6, 2021, 11)"
+    )
+    expect_routing = {
+        "case_16_partition": {
+            "case_16_partition_p0": 2,   # YEAR < 2020
+            "case_16_partition_p1": 3,   # YEAR < 2021
+        },
+        "case_49_list_partition": {
+            "case_49_list_partition_p0": 3,  # category IN (1,2,3)
+            "case_49_list_partition_p1": 3,  # category IN (4,5,6)
+        },
+        "case_58_subpartition": {
+            "case_58_subpartition_p2020": 4,  # year < 2021
+            "case_58_subpartition_p2021": 2,  # year < 2022
+        },
+    }
+    for tname, want in expect_routing.items():
+        pdef = parse_partition_def(pdefs[tname])
+        assert pdef is not None, tname
+        expr, skip = routing_sql(
+            tname, pdef, str.lower, rewrite_mysql_expr_to_pg,
+            lambda s: s,
+        )
+        assert skip is None, (tname, skip)
+        got = dict(con.execute(
+            f"SELECT {expr} AS part, count(*) FROM {tname} GROUP BY 1"
+        ).fetchall())
+        assert got == want, (tname, expr, got)
+        # each routed name IS one of the plan's emitted children —
+        # assignment and DDL agree on naming
+        plan_ = plan_partitioned_table(
+            tname, pdef, [], str.lower, rewrite_mysql_expr_to_pg,
+            lambda s: s,
+        )
+        assert plan_.skip is None, (tname, plan_.skip)
+        child_names = {
+            c.split(" PARTITION OF ")[0].split()[-1].strip('"')
+            for c in plan_.children
+        }
+        assert set(want) <= child_names, (tname, child_names)
     con.close()
 
 
