@@ -117,6 +117,67 @@ def mask_bodies(stmt: str) -> str:
     return re.sub(r"'(?:[^']|'')*'", "'x'", stmt)
 
 
+#: canonical child-table grammar emitted by schema/partitioning.py —
+#: the round-13 grammar gate for declarative-partitioning DDL (no PG
+#: parser exists in this sandbox; this pins the exact shapes a real
+#: PostgreSQL accepts for FOR VALUES bounds)
+_PART_CHILD_RE = re.compile(
+    r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?\S+\s+"
+    r"PARTITION\s+OF\s+\S+\s+FOR\s+VALUES\s+"
+    r"(?P<bound>FROM\s*\(.+?\)\s*TO\s*\(.+?\)"
+    r"|IN\s*\(.+?\)"
+    r"|WITH\s*\(\s*MODULUS\s+(?P<mod>\d+)\s*,\s*REMAINDER\s+"
+    r"(?P<rem>\d+)\s*\))"
+    r"\s*(?:PARTITION\s+BY\s+(?:RANGE|LIST|HASH)\s*\(.+\))?\s*$"
+)
+_PART_PARENT_RE = re.compile(
+    r"(?is)\bPARTITION\s+BY\s+(RANGE|LIST|HASH)\s*\("
+)
+
+
+def _split_depth0_commas(s: str) -> int:
+    """Count of depth-0 comma-separated items in a paren payload."""
+    depth, items = 0, 1 if s.strip() else 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items += 1
+    return items
+
+
+def check_partition_child(stmt: str) -> list[str]:
+    """Grammar-shape problems in one ``… PARTITION OF …`` child
+    statement: canonical FOR VALUES bound form, REMAINDER < MODULUS,
+    and FROM/TO tuple arity agreement."""
+    m = mask_bodies(stmt)
+    mo = _PART_CHILD_RE.match(m.strip())
+    if mo is None:
+        return [
+            "PARTITION OF child does not match the canonical FOR "
+            f"VALUES grammar: {stmt[:90]!r}"
+        ]
+    problems: list[str] = []
+    if mo.group("mod") is not None:
+        if int(mo.group("rem")) >= int(mo.group("mod")):
+            problems.append(
+                f"REMAINDER >= MODULUS in: {stmt[:90]!r}"
+            )
+    bound = mo.group("bound")
+    fm = re.match(
+        r"(?is)^FROM\s*\((?P<f>.+?)\)\s*TO\s*\((?P<t>.+?)\)\s*$", bound
+    )
+    if fm and _split_depth0_commas(fm.group("f")) != _split_depth0_commas(
+        fm.group("t")
+    ):
+        problems.append(
+            f"FROM/TO bound arity mismatch in: {stmt[:90]!r}"
+        )
+    return problems
+
+
 def lint_ddl(text: str) -> list[str]:
     """Problems found in a pgddl script ([] = structurally clean)."""
     problems: list[str] = []
@@ -137,6 +198,19 @@ def lint_ddl(text: str) -> list[str]:
                 problems.append(
                     f"MySQL-ism {bad!r} survived into PG DDL: "
                     f"{stmt[:80]!r}"
+                )
+        if up.startswith("CREATE TABLE") and " PARTITION OF " in m.upper():
+            problems.extend(check_partition_child(stmt))
+        elif up.startswith("CREATE TABLE"):
+            pm = _PART_PARENT_RE.search(m)
+            if pm is not None and not re.search(
+                r"(?is)\)\s*PARTITION\s+BY\s+(RANGE|LIST|HASH)\s*"
+                r"\(.+\)\s*;?\s*$",
+                m,
+            ):
+                problems.append(
+                    "PARTITION BY parent clause is not the canonical "
+                    f"statement-final form: {stmt[:90]!r}"
                 )
     # plpgsql bodies get the deeper structural grammar check (r10):
     # DECLARE/BEGIN/EXCEPTION/END nesting, IF/LOOP/CASE pairing,

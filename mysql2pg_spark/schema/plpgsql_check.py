@@ -38,7 +38,12 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["tokenize", "check_plpgsql_body", "check_script"]
+__all__ = [
+    "tokenize",
+    "check_plpgsql_body",
+    "check_cron_schedule",
+    "check_script",
+]
 
 _WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
 _NUM = re.compile(r"\d+(?:\.\d*)?(?:[eE][-+]?\d+)?")
@@ -460,18 +465,101 @@ _FN_STMT = re.compile(
     r"(\S+?)\s*\("
 )
 
+_CRON_STMT = re.compile(
+    r"(?is)^\s*SELECT\s+cron\.(?:schedule|unschedule)\b"
+)
+_CRON_SHAPE = re.compile(
+    r"(?is)^\s*SELECT\s+cron\.schedule\s*\(\s*"
+    r"'(?P<name>(?:[^']|'')+)'\s*,\s*"
+    r"'(?P<sched>[^']+)'\s*,\s*"
+    r"\$(?P<tag>\w*)\$(?P<cmd>.*)\$(?P=tag)\$\s*\)\s*$"
+)
+_DO_BODY = re.compile(r"(?is)^DO\s+\$(\w*)\$(.*)\$\1\$\s*$")
+#: statement heads an emitted cron command may start with (the event
+#: translator's DML subset plus CALL for synthesized procedures)
+_CRON_CMD_HEAD = re.compile(
+    r"(?is)^(INSERT|UPDATE|DELETE|TRUNCATE|CALL|SELECT)\b"
+)
+#: cron field ranges: minute hour day-of-month month day-of-week
+_CRON_RANGES = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
+
+
+def check_cron_schedule(stmt: str) -> list[str]:
+    """Structural gate for one emitted ``SELECT cron.schedule(…)``
+    statement (round 13 — the pg_cron emulations were the least-
+    validated text in the repo): the canonical 3-argument shape with a
+    tag-matched dollar-quoted command, an in-range 5-field cron entry
+    (or pg_cron ``'n seconds'`` interval), and a command that is either
+    a whitelisted single statement or a ``DO`` block whose plpgsql body
+    passes the full structural grammar."""
+    mo = _CRON_SHAPE.match(stmt)
+    if mo is None:
+        return [
+            "cron.schedule statement does not match the canonical "
+            f"3-arg dollar-quoted shape: {stmt[:90]!r}"
+        ]
+    problems: list[str] = []
+    name, sched = mo.group("name"), mo.group("sched").strip()
+    smo = re.fullmatch(r"(\d+)\s+seconds", sched)
+    if smo:
+        if not 1 <= int(smo.group(1)) <= 59:
+            problems.append(
+                f"{name}: interval {sched!r} outside pg_cron's 1-59 s"
+            )
+    else:
+        fields = sched.split()
+        if len(fields) != 5:
+            problems.append(
+                f"{name}: schedule {sched!r} is neither 5 cron fields "
+                "nor an 'n seconds' interval"
+            )
+        else:
+            for f, (lo, hi) in zip(fields, _CRON_RANGES):
+                if f == "*":
+                    continue
+                if f.startswith("*/") and f[2:].isdigit():
+                    if not 1 <= int(f[2:]) <= hi:
+                        problems.append(
+                            f"{name}: step {f!r} outside 1-{hi}"
+                        )
+                elif f.isdigit():
+                    if not lo <= int(f) <= hi:
+                        problems.append(
+                            f"{name}: field {f!r} outside {lo}-{hi}"
+                        )
+                else:
+                    problems.append(
+                        f"{name}: malformed cron field {f!r}"
+                    )
+    cmd = mo.group("cmd").strip()
+    dmo = _DO_BODY.match(cmd)
+    if dmo:
+        for p in check_plpgsql_body(dmo.group(2)):
+            problems.append(f"{name} (DO block): {p}")
+    elif not _CRON_CMD_HEAD.match(cmd):
+        problems.append(
+            f"{name}: command head outside the emitted subset: "
+            f"{cmd[:60]!r}"
+        )
+    return problems
+
 
 def check_script(text: str) -> list[str]:
     """Validate every plpgsql routine in a DDL script: each
     ``CREATE [OR REPLACE] FUNCTION/PROCEDURE … AS $$ body $$`` whose
     language is plpgsql gets a full structural check; problems carry
-    the routine name. SQL-language and body-less statements pass
-    through untouched."""
+    the routine name. ``SELECT cron.schedule(…)`` statements get the
+    cron gate, including their inner DO-block bodies (round 13).
+    SQL-language and body-less statements pass through untouched."""
     problems: list[str] = []
     # split on the ddl_lint statement splitter so $$ bodies stay whole
     from mysql2pg_spark.schema.ddl_lint import split_statements
 
     for stmt in split_statements(text):
+        if _CRON_STMT.match(stmt):
+            if re.match(r"(?is)^\s*SELECT\s+cron\.schedule\b", stmt):
+                problems.extend(check_cron_schedule(stmt))
+            continue
         mo = _FN_STMT.match(stmt)
         if not mo:
             continue

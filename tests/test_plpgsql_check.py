@@ -254,3 +254,126 @@ def test_mask_bodies_handles_tagged_quotes():
     # IFNULL_LEN is a (fake) identifier containing the MySQL-ism token
     # IFNULL; with the body masked the scan must not see it
     assert lint_ddl(txt) == []
+
+
+# ---- round 13: grammar gate for the partition + pg_cron DDL families ----
+
+
+def test_cron_schedule_gate_accepts_emitted_shapes():
+    from mysql2pg_spark.schema.events import event_actions
+    from mysql2pg_spark.schema.plpgsql_check import check_cron_schedule
+
+    for sql in [
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "STARTS '2024-01-01 03:30:00' DO DELETE FROM t WHERE x < NOW()",
+        "CREATE EVENT o ON SCHEDULE AT '2030-06-01 12:30:00' "
+        "DO SELECT purge_fn()",
+        "CREATE EVENT w ON SCHEDULE EVERY 1 HOUR "
+        "ENDS '2026-06-01 00:00:00' DO DELETE FROM t",
+        "CREATE EVENT s ON SCHEDULE EVERY 30 SECOND DO DELETE FROM t",
+    ]:
+        for kind, payload in event_actions(sql):
+            if kind == "ddl" and payload.startswith("SELECT cron.schedule"):
+                assert check_cron_schedule(payload) == [], payload
+
+
+def test_cron_schedule_gate_rejects_seeded_errors():
+    from mysql2pg_spark.schema.plpgsql_check import check_cron_schedule
+
+    # out-of-range hour field
+    bad = ("SELECT cron.schedule('j', '0 25 * * *', $evt$DELETE FROM "
+           "t$evt$)")
+    assert any("outside" in p for p in check_cron_schedule(bad))
+    # four fields
+    bad = "SELECT cron.schedule('j', '0 0 * *', $evt$DELETE FROM t$evt$)"
+    assert any("5 cron fields" in p for p in check_cron_schedule(bad))
+    # interval above pg_cron's cap
+    bad = "SELECT cron.schedule('j', '90 seconds', $evt$DELETE FROM t$evt$)"
+    assert any("1-59" in p for p in check_cron_schedule(bad))
+    # mismatched dollar tags = not the canonical shape
+    bad = "SELECT cron.schedule('j', '0 0 * * *', $evt$DELETE$tve$)"
+    assert any("canonical" in p for p in check_cron_schedule(bad))
+    # command head outside the emitted subset
+    bad = ("SELECT cron.schedule('j', '0 0 * * *', "
+           "$evt$DROP TABLE t$evt$)")
+    assert any("command head" in p for p in check_cron_schedule(bad))
+    # DO block with a seeded plpgsql structure error (missing END IF)
+    bad = ("SELECT cron.schedule('j', '0 0 * * *', $evt$DO $do$ BEGIN "
+           "IF now() >= TIMESTAMP '2030-01-01' THEN PERFORM f(); "
+           "END $do$$evt$)")
+    assert any("DO block" in p for p in check_cron_schedule(bad))
+
+
+def test_check_script_digs_into_cron_do_blocks():
+    """check_script (used by the events golden) now validates the
+    year/daily-guard DO emulations' plpgsql bodies — a seeded
+    separator error inside the dollar-quoted command is caught."""
+    from mysql2pg_spark.schema.plpgsql_check import check_script
+
+    good = ("SELECT cron.schedule('once', '30 12 * * *', $evt$DO $do$ "
+            "BEGIN IF now() >= TIMESTAMP '2030-06-01 12:30:00' THEN "
+            "DELETE FROM t; PERFORM cron.unschedule('once'); "
+            "END IF; END $do$$evt$);\n")
+    assert check_script(good) == []
+    # dropped ';' after END IF — the separator class a typo'd emitter
+    # would produce
+    bad = good.replace("END IF; END", "END IF END")
+    assert any("DO block" in p for p in check_script(bad))
+    # out-of-range schedule field is caught at the script level too
+    bad = good.replace("'30 12 * * *'", "'30 12 32 * *'")
+    assert any("outside" in p for p in check_script(bad))
+
+
+def test_partition_ddl_gate():
+    from mysql2pg_spark.schema.ddl_lint import (
+        check_partition_child,
+        lint_ddl,
+    )
+
+    # emitted shapes pass
+    for ddl in [
+        "CREATE TABLE IF NOT EXISTS t_p0 PARTITION OF t "
+        "FOR VALUES FROM (MINVALUE) TO (10)",
+        "CREATE TABLE IF NOT EXISTS t_pa PARTITION OF t "
+        "FOR VALUES IN ('east', 'west')",
+        "CREATE TABLE IF NOT EXISTS t_s0 PARTITION OF t_p0 "
+        "FOR VALUES WITH (MODULUS 12, REMAINDER 0)",
+        "CREATE TABLE IF NOT EXISTS t_p1 PARTITION OF t "
+        "FOR VALUES FROM (10) TO (MAXVALUE) "
+        "PARTITION BY HASH ((TO_DAYS(purchased)))",
+    ]:
+        assert check_partition_child(ddl) == [], ddl
+    # seeded errors reject
+    assert any(
+        "REMAINDER >= MODULUS" in p
+        for p in check_partition_child(
+            "CREATE TABLE t_s9 PARTITION OF t_p0 "
+            "FOR VALUES WITH (MODULUS 4, REMAINDER 4)"
+        )
+    )
+    assert any(
+        "arity mismatch" in p
+        for p in check_partition_child(
+            "CREATE TABLE t_p0 PARTITION OF t "
+            "FOR VALUES FROM (MINVALUE, MINVALUE) TO (10)"
+        )
+    )
+    assert any(
+        "canonical" in p
+        for p in check_partition_child(
+            "CREATE TABLE t_p0 PARTITION OF t FOR VALUES LESS THAN (10)"
+        )
+    )
+    # lint_ddl routes child statements through the gate and checks
+    # the parent clause is statement-final
+    bad_script = (
+        "CREATE TABLE t (\n  id INTEGER\n) PARTITION BY RANGE (id);\n"
+        "CREATE TABLE t_p0 PARTITION OF t FOR VALUES LESS THAN (10);\n"
+    )
+    assert any("canonical" in p for p in lint_ddl(bad_script))
+    good_script = (
+        "CREATE TABLE t (\n  id INTEGER\n) PARTITION BY RANGE (id);\n"
+        "CREATE TABLE t_p0 PARTITION OF t "
+        "FOR VALUES FROM (MINVALUE) TO (10);\n"
+    )
+    assert lint_ddl(good_script) == []
