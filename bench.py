@@ -120,6 +120,7 @@ EXTRA = [
     "sf04_case_block_twin",
     "sf09_loop_resultset_twin",
     "sf10_sysvar_twin",
+    "m02_partition_routing",
 ]
 
 
