@@ -127,6 +127,50 @@ def _q(name: str) -> str:
     return name.replace("'", "''")
 
 
+def _mask_backtick_idents(text: str) -> tuple[str, list[str]]:
+    """Replace backtick-quoted identifier spans with ``\\x00Bn\\x00``
+    placeholders, tracking single-quote literal state (with MySQL's
+    ``\\'`` and ``''`` escapes) so a backtick inside a string literal
+    never opens a span. Unterminated backticks pass through."""
+    out: list[str] = []
+    bts: list[str] = []
+    i, n = 0, len(text)
+    in_q = False
+    while i < n:
+        ch = text[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n:
+                out.append(text[i : i + 2])
+                i += 2
+                continue
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    out.append("''")
+                    i += 2
+                    continue
+                in_q = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            in_q = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "`":
+            j = text.find("`", i + 1)
+            if j < 0:
+                out.append(text[i:])
+                break
+            bts.append(text[i : j + 1])
+            out.append(f"\x00B{len(bts) - 1}\x00")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), bts
+
+
 def parse_event(raw: str) -> EventSpec | None:
     """Parse one CREATE EVENT statement (dump spelling tolerated:
     conditional-comment wraps, DEFINER, IF NOT EXISTS, backticks).
@@ -146,14 +190,11 @@ def parse_event(raw: str) -> EventSpec | None:
     # backtick identifiers first (round 13): an apostrophe inside a
     # quoted name (`it's nightly`) would otherwise open a phantom
     # string literal and corrupt the whole mask — hide the spans,
-    # literal-mask, then restore them (safe: literals are gone)
-    bts: list[str] = []
-
-    def _bt(mo: re.Match) -> str:
-        bts.append(mo.group(0))
-        return f"\x00B{len(bts) - 1}\x00"
-
-    text = re.sub(r"`(?:[^`]|``)*`", _bt, text)
+    # literal-mask, then restore them (safe: literals are gone). The
+    # scan is quote-state-aware: a backtick INSIDE a string literal
+    # ('a`b') must not open an identifier span, or two such literals
+    # would fuse into one bogus identifier.
+    text, bts = _mask_backtick_idents(text)
     # MySQL \'-escapes → '' doubling first, or the mask tracks the
     # literal wrong and a COMMENT 'can\'t' swallows the DO keyword
     masked, lits = mask_literals(normalize_backslash_quotes(text))

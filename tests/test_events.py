@@ -636,3 +636,23 @@ def test_backslash_escaped_quotes_parse():
     assert spec.enabled
     assert spec.comment == "can't stop"
     assert spec.body == "DELETE FROM t WHERE x = 1"
+
+
+def test_backtick_inside_literal_does_not_open_identifier():
+    """Round 13: the backtick-identifier mask is quote-state-aware — a
+    body with TWO literals each containing a backtick must not fuse
+    them into one bogus identifier span."""
+    spec = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO "
+        "INSERT INTO log (a, b) VALUES ('x`y', 'p`q')"
+    )
+    assert spec.body == "INSERT INTO log (a, b) VALUES ('x`y', 'p`q')"
+    ddl, skip, _ = _plan1(spec)
+    assert skip is None and "'x`y', 'p`q'" in ddl
+    # …and the quoted-name case still parses alongside body literals
+    spec = _ev(
+        "CREATE EVENT `it's` ON SCHEDULE EVERY 1 DAY "
+        "DO DELETE FROM t WHERE note = 'a`b'"
+    )
+    assert spec.name == "it's"
+    assert spec.body == "DELETE FROM t WHERE note = 'a`b'"
