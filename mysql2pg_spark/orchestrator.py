@@ -542,36 +542,55 @@ class MigrationPipeline:
                 # post-data CHECK constraints. The reference flattens
                 # enum to VARCHAR(255) and DISCARDS the list
                 # (sync_tableddl.go:601-603) — values outside the
-                # domain then load silently; SET stays a documented
-                # discard (its domain is the powerset of the list).
-                from mysql2pg_spark.schema.schema_map import enum_values
+                # domain then load silently. Round 13 extends the same
+                # closure to SET: MySQL forbids commas inside SET
+                # members, so the stored comma-joined subset splits
+                # exactly and membership is CHECK-expressible as
+                # string_to_array(col, ',') <@ ARRAY[members] (the
+                # empty set '' splits to {} ⊆ anything; NULL passes a
+                # NULL check, matching MySQL). Store-time
+                # normalization (definition order, dup removal) is
+                # MySQL write behavior a CHECK cannot reproduce.
+                from mysql2pg_spark.schema.schema_map import (
+                    enum_values,
+                    set_values,
+                )
 
                 for c in t.columns:
-                    vals = enum_values(c.column_type)
-                    if vals is None:
-                        continue
                     col = self._norm(c.name)
-                    if not vals:
+                    for kind, vals in (
+                        ("enum", enum_values(c.column_type)),
+                        ("set", set_values(c.column_type)),
+                    ):
+                        if vals is None:
+                            continue
+                        if not vals:
+                            actions.append(Action(
+                                "checks",
+                                "skip",
+                                name,
+                                f"{kind} column {col}: value list "
+                                "carries escapes PG would read "
+                                "differently — domain CHECK not "
+                                "emitted (column loads as plain "
+                                "VARCHAR)",
+                            ))
+                            continue
+                        if kind == "enum":
+                            expr = f"{quote_pg(col)} IN ({', '.join(vals)})"
+                        else:
+                            expr = (
+                                f"string_to_array({quote_pg(col)}, ',') "
+                                f"<@ ARRAY[{', '.join(vals)}]::text[]"
+                            )
                         actions.append(Action(
                             "checks",
-                            "skip",
+                            "ddl",
                             name,
-                            f"enum column {col}: value list carries "
-                            "escapes PG would read differently — "
-                            "domain CHECK not emitted (column loads "
-                            "as plain VARCHAR)",
+                            add_check_ddl(
+                                name, f"{col}_{kind}_chk", expr
+                            ),
                         ))
-                        continue
-                    actions.append(Action(
-                        "checks",
-                        "ddl",
-                        name,
-                        add_check_ddl(
-                            name,
-                            f"{col}_enum_chk",
-                            f"{quote_pg(col)} IN ({', '.join(vals)})",
-                        ),
-                    ))
 
         if o.functions:
             from mysql2pg_spark.sinks.plpgsql import emit_plpgsql

@@ -72,6 +72,7 @@ def _strip_attrs(t: str) -> tuple[str, bool]:
 
 
 _RE_ENUM = re.compile(r"(?is)^enum\s*\((.*)\)\s*$")
+_RE_SET = re.compile(r"(?is)^set\s*\((.*)\)\s*$")
 #: one PG-safe quoted literal: '' doubling only, no backslash escapes
 _RE_SQL_LIT = re.compile(r"^'(?:[^'\\]|'')*'$")
 
@@ -83,7 +84,25 @@ def enum_values(column_type: str) -> list[str] | None:
     anything PG would read differently makes the whole list
     untranslatable, and the caller surfaces a named skip instead of
     mistranslating)."""
-    mo = _RE_ENUM.match(column_type.strip())
+    return _quoted_value_list(column_type, _RE_ENUM)
+
+
+def set_values(column_type: str) -> list[str] | None:
+    """The quoted member literals of a ``set('a','b',…)`` column type,
+    with the same None / ``[]`` contract as :func:`enum_values`.
+
+    The SET domain (any comma-joined subset of the members, in MySQL's
+    canonical definition order) IS CHECK-expressible in PostgreSQL —
+    ``string_to_array(col, ',') <@ ARRAY[members]`` — because MySQL
+    forbids commas inside SET members, so splitting on ',' recovers
+    the element list exactly (round 13; previously a documented
+    discard, and the reference discards the list too,
+    sync_tableddl.go:601-603)."""
+    return _quoted_value_list(column_type, _RE_SET)
+
+
+def _quoted_value_list(column_type: str, head_re) -> list[str] | None:
+    mo = head_re.match(column_type.strip())
     if not mo:
         return None
     from mysql2pg_spark.dialect.transpile import (
@@ -206,11 +225,12 @@ def map_mysql_type(mysql_type: str, auto_increment: bool = False) -> TypeMapping
         notes = "value list enforced via post-data CHECK (round 12)"
         return m(StringType(), "VARCHAR(255)")
     if base == "set" or t.startswith("set("):
-        notes = (
-            "value list discarded (reference :601-603; the SET domain "
-            "is the powerset of the list — not CHECK-expressible "
-            "faithfully)"
-        )
+        # round 13: the member list is ENFORCED via a post-data
+        # string_to_array-membership CHECK (orchestrator checks stage);
+        # the reference discards it (sync_tableddl.go:601-603). MySQL's
+        # store-time normalization (definition order, dup removal) is
+        # not reproduced — a CHECK can only validate, not rewrite.
+        notes = "member list enforced via post-data CHECK (round 13)"
         return m(StringType(), "VARCHAR(255)")
     if base == "point":
         notes = 'WKB-decoded to "(x,y)" text at extract (SURVEY B8)'

@@ -1408,15 +1408,23 @@ ALTER TABLE case_41_foreign_key ADD CONSTRAINT case_41_foreign_key_ibfk_parent_i
 
 ALTER TABLE case_13_enum_set ADD CONSTRAINT e1_enum_chk CHECK (e1 IN ('a', 'b', 'c'));
 
+ALTER TABLE case_13_enum_set ADD CONSTRAINT s1_set_chk CHECK (string_to_array(s1, ',') <@ ARRAY['x', 'y', 'z']::text[]);
+
 ALTER TABLE case_27_mysql8_check ADD CONSTRAINT chk_age CHECK (age > 18);
 
 -- SKIP [case_27_mysql8_check]: CHECK 'age < 150' is NOT ENFORCED in MySQL (documentation-only); PostgreSQL's NOT VALID still enforc
 
 ALTER TABLE case_35_enum_charset ADD CONSTRAINT col_enum_enum_chk CHECK (col_enum IN ('N', 'Y'));
 
+ALTER TABLE case_35_enum_charset ADD CONSTRAINT col_set_set_chk CHECK (string_to_array(col_set, ',') <@ ARRAY['A', 'B']::text[]);
+
 ALTER TABLE case_61_many_columns ADD CONSTRAINT enum_min_enum_chk CHECK (enum_min IN ('a'));
 
 ALTER TABLE case_61_many_columns ADD CONSTRAINT enum_max_enum_chk CHECK (enum_max IN ('a', 'b', 'c', 'd', 'e'));
+
+ALTER TABLE case_61_many_columns ADD CONSTRAINT set_min_set_chk CHECK (string_to_array(set_min, ',') <@ ARRAY['x']::text[]);
+
+ALTER TABLE case_61_many_columns ADD CONSTRAINT set_max_set_chk CHECK (string_to_array(set_max, ',') <@ ARRAY['x', 'y', 'z']::text[]);
 
 -- ==== stage: functions ====
 
