@@ -20,6 +20,16 @@ its ``[(kind, payload)]`` plan:
   block guarded by ``now() >= TIMESTAMP '<ts>'`` (cron has no year
   field; the daily match bounds a missed firing to at most a day —
   round 13, previously a yearly match meaning a year-long catch-up)
+- non-divisor ``EVERY`` cadences (EVERY 7 MINUTE, 5 HOUR, 2 DAY, 2
+  WEEK, 5 MONTH, 3 YEAR) → a period-elapsed guard inside the scheduled
+  DO block (round 13, :func:`_guarded_schedule`): with a literal
+  STARTS the guard measures elapsed periods FROM the anchor, which is
+  MySQL's cadence EXACTLY; only sub-minute non-multiples of 60 s stay
+  refused (cron cannot fire between minutes)
+- ``DISABLE``'d events schedule INACTIVE (round 13): the full plan plus
+  ``UPDATE cron.job SET active = false`` — pg_cron's active column IS
+  MySQL's ENABLE/DISABLE bit, so the definition survives the way it
+  does in MySQL instead of being dropped
 - everything else stays a *named* skip carrying the parsed schedule —
   the refuse-don't-mistranslate convention used across the routine
   plane. Upsert forms a plain rewrite would mistranslate (REPLACE
@@ -27,8 +37,9 @@ its ``[(kind, payload)]`` plan:
   wording contract as the plpgsql builder (ADVICE r12).
 
 Cron-expressibility rules (MySQL fires on a fixed cadence anchored at
-STARTS; cron fires on wall-clock field matches — the two only coincide
-when the period divides its parent unit):
+STARTS; cron fires on wall-clock field matches — the two coincide
+directly when the period divides its parent unit, and non-divisor
+cadences ride the guarded emulation above):
 
 - ``EVERY n SECOND``  → pg_cron interval syntax ``'n seconds'`` (1-59).
 - ``EVERY n MINUTE``  → ``*/n * * * *`` only when 60 % n == 0 (else the
@@ -43,7 +54,7 @@ when the period divides its parent unit):
 - Full-period cadences promote to the parent unit first (EVERY 60
   MINUTE is hourly — ``*/60`` is not a valid cron step; 24 HOUR → 1
   DAY, 7 DAY → 1 WEEK, 12 MONTH → 1 YEAR, 60 SECOND → 1 MINUTE), so
-  e.g. EVERY 48 HOUR refuses as the 2-day cadence it is.
+  e.g. EVERY 48 HOUR emulates as the 2-day cadence it is.
 
 Phase: cron's anchor is the unit boundary; a literal ``STARTS`` fills
 the sub-period fields (minute/hour/dom/dow) so the PG job fires at the
@@ -257,20 +268,14 @@ def _starts_fields(starts: str | None):
     return 0, 0, 1, 1, 0, False
 
 
-def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
-    """(schedule_string, refusal_reason, phase_exact) for an EVERY
-    spec. ``schedule_string`` is a 5-field cron entry or a pg_cron
-    ``'n seconds'`` interval."""
-    n, unit = spec.interval_n, spec.interval_unit
-    mi, hh, dom, mon, dow, lit = _starts_fields(spec.starts)
-    orig = f"EVERY {n} {unit.upper()}"
-    if n < 1:
-        return None, f"{orig}: interval must be positive", lit
+def _promote(n: int, unit: str) -> tuple[int, str]:
+    """Full-period cadences promote to the parent unit: EVERY 60
+    MINUTE is hourly — '*/60' is not a valid cron step (field max 59),
+    and EVERY 24 HOUR / 12 MONTH / 3600 SECOND ride the same ladder.
+    QUARTER is 3 months. Shared by the divisor rule and the guarded
+    emulation (both must see the same canonical cadence)."""
     if unit == "quarter":
         n, unit = n * 3, "month"
-    # promote full-period cadences to the parent unit: EVERY 60 MINUTE
-    # is hourly — '*/60' is not a valid cron step (field max 59), and
-    # EVERY 24 HOUR / 12 MONTH / 3600 SECOND ride the same ladder
     while True:
         if unit == "second" and n % 60 == 0:
             n, unit = n // 60, "minute"
@@ -284,6 +289,19 @@ def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
             n, unit = n // 12, "year"
         else:
             break
+    return n, unit
+
+
+def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
+    """(schedule_string, refusal_reason, phase_exact) for an EVERY
+    spec. ``schedule_string`` is a 5-field cron entry or a pg_cron
+    ``'n seconds'`` interval."""
+    n, unit = spec.interval_n, spec.interval_unit
+    mi, hh, dom, mon, dow, lit = _starts_fields(spec.starts)
+    orig = f"EVERY {n} {unit.upper()}"
+    if n < 1:
+        return None, f"{orig}: interval must be positive", lit
+    n, unit = _promote(n, unit)
     if f"EVERY {n} {unit.upper()}" != orig:
         orig = f"{orig} (= EVERY {n} {unit.upper()})"
 
@@ -334,6 +352,95 @@ def _cron_schedule(spec: EventSpec) -> tuple[str | None, str | None, bool]:
             return f"{mi} {hh} {dom} {mon} *", None, lit
         return None, f"{orig} is not cron-expressible", lit
     return None, f"unsupported interval unit {unit!r}", lit
+
+
+#: seconds per sub-month cadence unit (month/year lengths vary — those
+#: grains use calendar-index arithmetic instead, see _guarded_schedule)
+_UNIT_SECONDS = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _guarded_schedule(
+    spec: EventSpec, n: int, unit: str
+) -> tuple[str | None, str | None, str | None, bool]:
+    """(schedule, guard_expr, note, phase_exact) emulating a cadence the
+    divisor rule refused (round 13): the job is scheduled at the finest
+    cron grain that can hit every firing, and its DO block no-ops unless
+    an integral multiple of the period has elapsed.
+
+    With a literal ``STARTS`` the guard measures elapsed time FROM THE
+    STARTS ANCHOR — ``round(extract(epoch from now() - TIMESTAMP
+    '<starts>') / <period>) % n = 0`` — which reproduces MySQL's
+    anchored cadence EXACTLY (rounding absorbs sub-half-period skew:
+    STARTS seconds, DST shifts, cron-second jitter; a ``now() >=
+    STARTS - 1 minute`` conjunct blocks the one possible early match
+    before the anchor). Without one, the guard anchors at the epoch
+    (or calendar index) and the usual phase note applies. Month/year
+    grains use calendar-index arithmetic (``year*12 + month``) because
+    their period length varies.
+
+    ``EVERY n SECOND`` with 59 < n not divisible by 60 stays refused —
+    cron cannot fire sub-minute, so no guard placement can hit the
+    cadence. Returns all-None for such shapes (caller keeps the
+    refusal reason from the divisor path)."""
+    mi, hh, dom, mon, dow, lit = _starts_fields(spec.starts)
+    if unit not in _UNIT_SECONDS and unit not in ("month", "year"):
+        return None, None, None, False
+    sched = {
+        "minute": "* * * * *",
+        "hour": f"{mi} * * * *",
+        "day": f"{mi} {hh} * * *",
+        "week": f"{mi} {hh} * * {dow}",
+        "month": f"{mi} {hh} {dom} * *",
+        "year": f"{mi} {hh} {dom} {mon} *",
+    }[unit]
+    if unit in _UNIT_SECONDS:
+        period = _UNIT_SECONDS[unit]
+        if lit:
+            guard = (
+                f"round(extract(epoch from now() - TIMESTAMP "
+                f"{spec.starts}) / {period})::bigint % {n} = 0 "
+                f"AND now() >= TIMESTAMP {spec.starts} "
+                f"- interval '1 minute'"
+            )
+        else:
+            guard = (
+                f"floor(extract(epoch from now()) / {period})::bigint "
+                f"% {n} = 0"
+            )
+    else:
+        month_idx = "extract(year from now())::int * 12 + " \
+                    "extract(month from now())::int"
+        year_idx = "extract(year from now())::int"
+        if lit:
+            smo = _TS_LIT_RE.match(spec.starts.strip())
+            y, m = int(smo.group(1)), int(smo.group(2))
+            anchor = y * 12 + m if unit == "month" else y
+            idx = month_idx if unit == "month" else year_idx
+            guard = (
+                f"(({idx}) - {anchor}) % {n} = 0 "
+                f"AND now() >= TIMESTAMP {spec.starts} "
+                f"- interval '1 minute'"
+            )
+        else:
+            idx = month_idx if unit == "month" else year_idx
+            guard = f"({idx}) % {n} = 0"
+    anchor_txt = (
+        f"anchored exactly at STARTS {spec.starts}" if lit
+        else "epoch/calendar-anchored (MySQL anchors at STARTS or "
+             "event creation time, which is not representable — the "
+             "firing phase may shift by less than one period)"
+    )
+    cadence = f"EVERY {n} {unit.upper()}"
+    orig = f"EVERY {spec.interval_n} {spec.interval_unit.upper()}"
+    if cadence != orig:
+        cadence = f"{orig} (= {cadence})"
+    note = (
+        f"event {spec.name}: {cadence} is not cron-expressible "
+        f"directly — emulated as a '{sched}' job whose DO block fires "
+        f"only when an integral multiple of the period has elapsed, "
+        f"{anchor_txt}; off-period matches no-op"
+    )
+    return sched, guard, note, lit
 
 
 def _phase_note(spec: EventSpec) -> str:
@@ -498,13 +605,36 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
     ENDS → inner plan + self-unscheduling remover; EVERY → cadence
     check + body plan."""
     if not spec.enabled:
-        return [(
-            "skip",
-            f"CREATE EVENT {spec.name} is DISABLE'd at the source — "
-            "scheduling it in pg_cron would enable it; recreate with "
-            "cron.schedule + UPDATE cron.job SET active = false if "
-            "wanted",
-        )]
+        # round 13: a DISABLE'd event keeps its DEFINITION in MySQL —
+        # dropping it loses the job. Plan the event as if enabled, then
+        # deactivate every scheduled job (pg_cron's cron.job.active
+        # column is exactly MySQL's ENABLE/DISABLE bit). Body/schedule
+        # refusals stand on their own.
+        inner = spec_actions(_dc_replace(spec, enabled=True))
+        jobs = [
+            mo.group(1)
+            for _k, payload in inner
+            if _k == "ddl"
+            and (mo := re.match(
+                r"(?is)^\s*SELECT\s+cron\.schedule\("
+                r"'((?:[^']|'')*)'", payload,
+            ))
+        ]
+        if not jobs:
+            return inner
+        in_list = ", ".join(f"'{j}'" for j in jobs)
+        inner.append((
+            "ddl",
+            f"UPDATE cron.job SET active = false "
+            f"WHERE jobname IN ({in_list})",
+        ))
+        inner.append((
+            "note",
+            f"event {spec.name} is DISABLE'd at the source — scheduled "
+            "INACTIVE (cron.job.active = false, MySQL's DISABLE bit); "
+            "re-enable with UPDATE cron.job SET active = true",
+        ))
+        return inner
 
     if spec.schedule_kind == "at":
         if not spec.at_ts or not _TS_LIT_RE.match(spec.at_ts.strip()):
@@ -566,11 +696,31 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         return inner
 
     sched, why, phase_exact = _cron_schedule(spec)
+    guard = guard_note = None
     if sched is None:
-        return [("skip", f"CREATE EVENT {spec.name}: {why} — not migrated")]
+        # round 13: cadences the divisor rule refuses emulate via a
+        # period-elapsed guard inside the scheduled DO block (exact
+        # when STARTS is literal — the guard measures from the anchor)
+        n, unit = _promote(spec.interval_n, spec.interval_unit)
+        if spec.interval_n >= 1:
+            sched, guard, guard_note, phase_exact = _guarded_schedule(
+                spec, n, unit
+            )
+        if sched is None:
+            return [(
+                "skip",
+                f"CREATE EVENT {spec.name}: {why} — not migrated",
+            )]
     preludes, pg_body, body_skip = _body_plan(spec)
     if pg_body is None:
         return [("skip", body_skip)]
+    if guard is not None:
+        body_stmt = _plpgsql_stmt(pg_body)
+        do_tag = _fresh_tag("do", body_stmt, guard)
+        pg_body = (
+            f"DO {do_tag} BEGIN IF {guard} THEN {body_stmt}; "
+            f"END IF; END {do_tag}"
+        )
     tag = _fresh_tag("evt", pg_body)
     out: list[tuple[str, str]] = [("ddl", p) for p in preludes]
     out.append((
@@ -578,7 +728,11 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         f"SELECT cron.schedule('{_q(spec.name.lower())}', '{sched}', "
         f"{tag}{pg_body}{tag})",
     ))
-    if not phase_exact:
+    if guard_note is not None:
+        # the guard note already names the anchor divergence — one
+        # note per plan (the phase note would restate it)
+        out.append(("note", guard_note))
+    elif not phase_exact:
         out.append(("note", _phase_note(spec)))
     return out
 

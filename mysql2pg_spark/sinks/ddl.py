@@ -410,7 +410,7 @@ def adapt_ddl(sql: str, dialect: str = "postgres") -> str | None:
         return None  # plpgsql bodies have no DuckDB analog — visible skip
     if head.startswith("SELECT SETVAL("):
         return None  # DuckDB has no serial-sequence catalog to resync
-    if head.startswith("SELECT CRON.SCHEDULE("):
+    if head.startswith(("SELECT CRON.SCHEDULE(", "UPDATE CRON.JOB ")):
         return None  # pg_cron is a PG extension: event jobs skip VISIBLY
     if head.startswith("ALTER TABLE") and "ADD CONSTRAINT" in head:
         # DuckDB has no ALTER TABLE … ADD CONSTRAINT (FK and CHECK)

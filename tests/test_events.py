@@ -116,31 +116,112 @@ def test_cron_expressible_cadences(every, starts, expect):
 
 
 @pytest.mark.parametrize(
-    "every,frag",
+    "every,sched,period_frag",
     [
-        ("7 MINUTE", "60 % 7"),          # hour boundary breaks cadence
-        ("5 HOUR", "24 % 5"),            # day boundary
-        ("2 DAY", "not cron-expressible"),
-        ("2 WEEK", "not cron-expressible"),
-        ("5 MONTH", "12 % 5"),
-        ("90 SECOND", "59 s"),
-        ("3 YEAR", "not cron-expressible"),
+        ("7 MINUTE", "* * * * *", "/ 60)"),      # hour boundary
+        ("5 HOUR", "0 * * * *", "/ 3600)"),      # day boundary
+        ("2 DAY", "0 0 * * *", "/ 86400)"),
+        ("2 WEEK", "0 0 * * 0", "/ 604800)"),
+        ("5 MONTH", "0 0 1 * *", "* 12 +"),       # calendar index
+        ("3 YEAR", "0 0 1 1 *", "::int) % 3 = 0"),
     ],
 )
-def test_non_divisor_cadences_refuse_with_reason(every, frag):
-    ddl, skip, _ = _plan1(
+def test_non_divisor_cadences_emulate_via_period_guard(
+    every, sched, period_frag
+):
+    """Round 13: cadences the divisor rule cannot map directly emulate
+    as a finest-grain cron job whose DO block no-ops unless an
+    integral multiple of the period has elapsed. Without a literal
+    STARTS the guard anchors at the epoch/calendar index and the note
+    names the phase divergence."""
+    ddl, skip, note = _plan1(
         _ev(f"CREATE EVENT e ON SCHEDULE EVERY {every} DO DELETE FROM t")
     )
+    assert skip is None
+    assert f"'{sched}'" in ddl
+    assert "DO $do$ BEGIN IF " in ddl and "END IF; END $do$" in ddl
+    assert period_frag in ddl
+    assert "DELETE FROM t" in ddl
+    assert note is not None and "integral multiple" in note
+    assert "phase may shift" in note  # no STARTS → anchor divergence
+
+
+def test_nondivisor_cadence_with_literal_starts_is_anchor_exact():
+    """With a literal STARTS the guard measures elapsed periods FROM
+    the anchor — MySQL's cadence exactly: the schedule carries the
+    STARTS sub-period fields, the guard embeds the anchor timestamp,
+    and a pre-anchor early match is blocked by the >= conjunct."""
+    ddl, skip, note = _plan1(_ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 2 DAY "
+        "STARTS '2024-01-05 03:30:00' DO DELETE FROM t"
+    ))
+    assert skip is None
+    assert "'30 3 * * *'" in ddl
+    assert (
+        "round(extract(epoch from now() - TIMESTAMP "
+        "'2024-01-05 03:30:00') / 86400)::bigint % 2 = 0" in ddl
+    )
+    assert (
+        "now() >= TIMESTAMP '2024-01-05 03:30:00' "
+        "- interval '1 minute'" in ddl
+    )
+    assert note is not None and "anchored exactly at STARTS" in note
+    assert "phase may shift" not in note
+
+
+def test_subminute_nondivisor_seconds_still_refuse():
+    """EVERY 90 SECOND cannot be emulated — cron fires at most once a
+    minute, so no guard placement can hit a :30 offset."""
+    ddl, skip, _ = _plan1(
+        _ev("CREATE EVENT e ON SCHEDULE EVERY 90 SECOND DO DELETE FROM t")
+    )
     assert ddl is None
-    assert frag in skip
+    assert "59 s" in skip
 
 
-def test_disable_and_nonliteral_schedules_refuse():
+def test_disabled_event_schedules_inactive():
+    """Round 13: a DISABLE'd event keeps its definition in MySQL — the
+    plan schedules the job and then flips pg_cron's active bit off
+    (cron.job.active IS MySQL's ENABLE/DISABLE bit), instead of
+    dropping the event."""
     dis = _ev(
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DISABLE DO DELETE FROM t"
     )
-    ddl, skip, _ = _plan1(dis)
-    assert ddl is None and "DISABLE" in skip
+    acts = spec_actions(dis)
+    kinds = [k for k, _ in acts]
+    assert kinds.count("ddl") == 2 and "skip" not in kinds
+    ddls = [p for k, p in acts if k == "ddl"]
+    assert ddls[0].startswith("SELECT cron.schedule('e'")
+    assert ddls[1] == (
+        "UPDATE cron.job SET active = false WHERE jobname IN ('e')"
+    )
+    notes = [p for k, p in acts if k == "note"]
+    assert any("DISABLE" in p and "INACTIVE" in p for p in notes)
+    # a DISABLE'd event whose body refuses keeps the body refusal
+    acts = spec_actions(_ev(
+        "CREATE EVENT e2 ON SCHEDULE EVERY 1 DAY DISABLE "
+        "DO REPLACE INTO t VALUES (1)"
+    ))
+    assert [k for k, _ in acts] == ["skip"]
+    assert "REPLACE INTO" in acts[0][1]
+
+
+def test_disabled_ends_event_deactivates_both_jobs():
+    """DISABLE + literal ENDS: the remover job is scheduled too, and
+    BOTH jobnames land in the deactivation statement."""
+    acts = spec_actions(_ev(
+        "CREATE EVENT w ON SCHEDULE EVERY 1 HOUR "
+        "STARTS '2030-01-01 00:15:00' ENDS '2031-01-01 00:00:00' "
+        "DISABLE DO DELETE FROM t"
+    ))
+    upd = [p for k, p in acts if k == "ddl" and p.startswith("UPDATE")]
+    assert upd == [
+        "UPDATE cron.job SET active = false "
+        "WHERE jobname IN ('w', 'w_ends')"
+    ]
+
+
+def test_nonliteral_schedules_refuse():
     # non-literal AT expression: named skip (no exact guard time)
     acts = event_actions(
         "CREATE EVENT ox ON SCHEDULE AT CURRENT_TIMESTAMP + "
@@ -352,13 +433,18 @@ def test_compound_body_migrates_via_synthesized_procedure():
         "SELECT cron.schedule('n', '0 0 * * *', "
         "$evt$CALL n_evt_job()$evt$)"
     )
-    # cadence blocker wins: no procedure is synthesized for it
+    # non-divisor cadence + compound body compose: the procedure is
+    # synthesized AND the CALL rides the period guard (round 13)
     acts = event_actions(
         "CREATE EVENT n ON SCHEDULE EVERY 7 MINUTE DO BEGIN "
         "DELETE FROM a; END"
     )
-    assert [k for k, _ in acts] == ["skip"]
-    assert "60 % 7" in acts[0][1]
+    kinds = [k for k, _ in acts]
+    assert kinds[:2] == ["ddl", "ddl"] and "skip" not in kinds
+    assert "CREATE OR REPLACE PROCEDURE n_evt_job()" in acts[0][1]
+    assert "'* * * * *'" in acts[1][1]
+    assert "IF floor(extract(epoch from now()) / 60)::bigint % 7 = 0 " \
+           "THEN CALL n_evt_job(); END IF;" in acts[1][1]
     # untranslatable body: named skip carrying the inner reason
     acts = event_actions(
         "CREATE EVENT n ON SCHEDULE EVERY 1 DAY DO BEGIN "
@@ -457,12 +543,13 @@ def test_full_period_cadences_promote():
         ddl, skip, _ = _plan1(_ev(sql + "DO DELETE FROM t"))
         assert skip is None, (every, skip)
         assert f"'{expect}'" in ddl, (every, ddl)
-    # promoted refusals carry BOTH spellings
-    ddl, skip, _ = _plan1(
+    # promoted guarded emulations carry BOTH spellings in the note
+    ddl, skip, note = _plan1(
         _ev("CREATE EVENT e ON SCHEDULE EVERY 48 HOUR DO DELETE FROM t")
     )
-    assert ddl is None
-    assert "EVERY 48 HOUR" in skip and "EVERY 2 DAY" in skip
+    assert skip is None
+    assert "'0 0 * * *'" in ddl and "/ 86400)::bigint % 2 = 0" in ddl
+    assert "EVERY 48 HOUR" in note and "EVERY 2 DAY" in note
 
 
 def test_one_shot_at_emulates_via_self_unschedule():
@@ -496,12 +583,17 @@ def test_one_shot_at_emulates_via_self_unschedule():
     assert "CREATE OR REPLACE PROCEDURE oc_evt_job()" in acts[0][1]
     assert "CALL oc_evt_job(); PERFORM cron.unschedule('oc')" in acts[1][1]
     assert "TIMESTAMP '2030-06-01 12:30:00'" in acts[1][1]
-    # DISABLE'd one-shot: never scheduled
+    # DISABLE'd one-shot: scheduled INACTIVE (round 13) — the guarded
+    # job exists but pg_cron never runs it until re-enabled
     acts = event_actions(
         "CREATE EVENT od ON SCHEDULE AT '2030-06-01 12:30:00' DISABLE "
         "DO DELETE FROM t"
     )
-    assert [k for k, _ in acts] == ["skip"] and "DISABLE" in acts[0][1]
+    ddls = [p for k, p in acts if k == "ddl"]
+    assert ddls[0].startswith("SELECT cron.schedule('od'")
+    assert ddls[1] == (
+        "UPDATE cron.job SET active = false WHERE jobname IN ('od')"
+    )
 
 
 def test_one_shot_catchup_bounded_to_a_day():

@@ -56,7 +56,7 @@ def test_dump_is_byte_realistic(dump_path):
     assert text.startswith("-- MySQL dump 10.13")
     assert "/*!40101 SET @OLD_CHARACTER_SET_CLIENT" in text
     # 3 routines + 1 trigger + 6 events (round 12: event clause space)
-    assert text.count("DELIMITER ;;") == 10
+    assert text.count("DELIMITER ;;") == 11
     assert "-- Dumping events for database 'testdb'" in text
     assert "/*!50106 CREATE*/" in text
     assert "/*!50003 CREATE*/ /*!50020 DEFINER=`root`@`localhost`*/" in text
@@ -105,7 +105,7 @@ def test_full_snapshot_carries_every_section(snapshot):
     # the --events section survives the scan (round 9; round 12 widens
     # the corpus to the full clause space: translatable EVERY cadences,
     # one-shot AT, non-divisor cadence, compound body)
-    assert len(snapshot.events) == 6
+    assert len(snapshot.events) == 7
     joined = "\n".join(snapshot.events)
     assert "purge_stale_sessions" in joined
     assert "ON SCHEDULE EVERY 1 DAY" in joined
@@ -137,6 +137,7 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
     assert set(evs) == {
         "purge_stale_sessions", "hourly_rollup", "one_shot_cleanup",
         "odd_cadence", "nightly_compound", "bounded_window",
+        "paused_purge",
     }
     # EVERY 1 DAY STARTS '… 00:00:00' → midnight cron entry
     (daily,) = evs["purge_stale_sessions"]
@@ -162,9 +163,23 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
     assert "'0 0 * * *'" in once.payload
     assert "cron.unschedule('one_shot_cleanup')" in once.payload
     assert once_note.kind == "note" and "self-unschedule" in once_note.payload
-    # refusals are NAMED and carry the reason
-    assert [a.kind for a in evs["odd_cadence"]] == ["skip"]
-    assert "60 % 7" in evs["odd_cadence"][0].payload
+    # round 13: non-divisor cadences emulate via a period-elapsed
+    # guard inside the scheduled DO block (previously a named skip)
+    odd, odd_note = evs["odd_cadence"]
+    assert odd.kind == "ddl" and "'* * * * *'" in odd.payload
+    assert "% 7 = 0" in odd.payload
+    assert odd_note.kind == "note" and "integral multiple" in odd_note.payload
+    # round 13: DISABLE'd events schedule INACTIVE — the STARTS-
+    # anchored guard job exists, then its active bit flips off
+    paused = evs["paused_purge"]
+    assert [a.kind for a in paused] == ["ddl", "note", "ddl", "note"]
+    assert "'30 4 * * *'" in paused[0].payload
+    assert "% 2 = 0" in paused[0].payload
+    assert paused[2].payload == (
+        "UPDATE cron.job SET active = false "
+        "WHERE jobname IN ('paused_purge')"
+    )
+    assert "INACTIVE" in paused[3].payload
     # round 12b: the compound body migrates via a synthesized plpgsql
     # procedure + scheduled CALL (previously a named skip); no STARTS
     # → creation-time phase note rides along

@@ -79,11 +79,11 @@ TRIGGERS: dict[str, list[str]] = {
     ],
 }
 
-#: Event corpus (round 9; widened round 12): `mysqldump --events`
+#: Event corpus (round 9; widened rounds 12-13): `mysqldump --events`
 #: sections ride real dumps. The cron-expressible subset translates to
-#: pg_cron `SELECT cron.schedule(…)` DDL; one-shot AT, compound bodies
-#: and non-divisor cadences stay NAMED skips carrying the parsed
-#: schedule (refuse-don't-mistranslate).
+#: pg_cron `SELECT cron.schedule(…)` DDL; one-shot AT and non-divisor
+#: cadences emulate via guarded DO blocks; compound bodies ride a
+#: synthesized procedure; DISABLE'd events schedule INACTIVE.
 EVENTS: list[str] = [
     # translates: EVERY 1 DAY + literal STARTS → '0 0 * * *'
     "CREATE EVENT `purge_stale_sessions` ON SCHEDULE EVERY 1 DAY "
@@ -98,9 +98,13 @@ EVENTS: list[str] = [
     "CREATE EVENT `one_shot_cleanup` ON SCHEDULE "
     "AT '2030-01-01 00:00:00' "
     "DO DELETE FROM case_41_parent WHERE name = 'tmp'",
-    # refused: 60 % 7 != 0 — cron's hour boundary breaks the cadence
+    # emulated (round 13): 60 % 7 != 0 — period guard in a DO block
     "CREATE EVENT `odd_cadence` ON SCHEDULE EVERY 7 MINUTE "
     "DO DELETE FROM case_41_parent WHERE name = 'odd'",
+    # scheduled INACTIVE (round 13): DISABLE'd at the source
+    "CREATE EVENT `paused_purge` ON SCHEDULE EVERY 2 DAY "
+    "STARTS '2024-03-01 04:30:00' DISABLE "
+    "DO DELETE FROM case_41_parent WHERE name = 'paused'",
     # migrates as procedure + scheduled CALL (round 12b)
     "CREATE EVENT `nightly_compound` ON SCHEDULE EVERY 1 DAY DO BEGIN "
     "DELETE FROM case_41_parent WHERE name = 'a'; "
