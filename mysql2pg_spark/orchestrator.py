@@ -323,13 +323,13 @@ class MigrationPipeline:
                 if o.skip_existing_tables and name in self.existing:
                     continue
                 schema = self._schema_of(t)
-                # round 12: RANGE/LIST/HASH/KEY partitioning — and
-                # HASH/KEY subpartitioning — migrates to PG declarative
-                # partitioning (parent PARTITION BY + child PARTITION
-                # OF DDL, nested for sub-schemes —
-                # schema/partitioning.py); LINEAR and PG-illegal PK/key
-                # combinations stay named skips (the reference strips
-                # the clause entirely, sync_tableddl.go:268-302)
+                # rounds 12-13: RANGE/LIST/HASH/KEY partitioning —
+                # including LINEAR variants and HASH/KEY subpartitions
+                # — migrates to PG declarative partitioning (parent
+                # PARTITION BY + child PARTITION OF DDL, nested for
+                # sub-schemes — schema/partitioning.py); PG-illegal
+                # PK/key combinations stay named skips (the reference
+                # strips the clause entirely, sync_tableddl.go:268-302)
                 pplan = self._plan_partitioning(t, name)
                 ddl_notes: list[str] = []
                 actions.append(

@@ -32,10 +32,13 @@ requires every partition to carry the SAME number of uniquely-named
 subpartitions, so the count is implicit per partition and the names
 become the PG grandchild table names (``<table>_<subname>``).
 
+``LINEAR HASH/KEY`` (either level) rides the same HASH translation
+(round 13): MySQL's LINEAR variant still creates exactly the declared
+``n`` partitions — only the placement algorithm (powers-of-two
+masking) and its distribution evenness differ, which is the same class
+of divergence the non-linear HASH/KEY note already surfaces.
+
 Deliberately NOT migrated (named skips, never silent):
-- ``LINEAR HASH/KEY`` (either level) — powers-of-two bucketing; the
-  partition COUNT itself diverges from the declared n, not just
-  placement.
 - subpartitioning with NEITHER a ``SUBPARTITIONS`` count NOR named
   lists, or named lists of unequal length (MySQL itself rejects those).
 - a PRIMARY KEY that does not contain every partition-key column at
@@ -301,13 +304,11 @@ def plan_partitioned_table(
     the MySQL→PG expression rewriter, ``cap_identifier`` the 63-byte
     name cap (all injected so this module stays side-effect-free)."""
     plan = PartitionPlan()
-    if pd.linear:
-        plan.skip = (
-            f"table {table} uses LINEAR {pd.method.upper()} partitioning "
-            "(InnoDB powers-of-two hash) — no PostgreSQL analog; created "
-            "UNPARTITIONED, data migrates fully"
-        )
-        return plan
+    # round 13: LINEAR HASH/KEY migrates — MySQL's LINEAR variant still
+    # creates exactly the declared n partitions (the powers-of-two
+    # algorithm only changes PLACEMENT and distribution evenness),
+    # which is the divergence class the HASH note already surfaces.
+    linear = pd.linear
     via_key = False
     if pd.method == "key":
         # Round 12: KEY is MySQL's internal hash over the named columns
@@ -352,14 +353,6 @@ def plan_partitioned_table(
                 f"table {table} is subpartitioned "
                 f"({pd.subpartition.split('(')[0].strip()}) but the "
                 "sub-scheme did not parse — created UNPARTITIONED"
-            )
-            return plan
-        if scheme.linear:
-            plan.skip = (
-                f"table {table} uses LINEAR {scheme.method.upper()} "
-                "subpartitioning (powers-of-two bucketing — the "
-                "sub-partition COUNT itself diverges); created "
-                "UNPARTITIONED, data migrates fully"
             )
             return plan
         if not scheme.count or scheme.count < 1:
@@ -410,11 +403,14 @@ def plan_partitioned_table(
         # note appended AFTER the PK validations below pass (review
         # r12): a table the PK check then skips must not also carry a
         # note claiming it migrated partitioned
+        sub_src = ("LINEAR " if scheme.linear else "") + scheme.method.upper()
         sub_note = (
-            f"table {table}: {scheme.method.upper()} subpartitioning "
+            f"table {table}: {sub_src} subpartitioning "
             f"migrated as nested PARTITION BY HASH × {sub_count}, but "
-            "row→sub-partition placement differs (MySQL's internal "
-            "hash vs PostgreSQL's) — each partition's row set is "
+            "row→sub-partition placement differs (MySQL's "
+            + ("LINEAR powers-of-two placement"
+               if scheme.linear else "internal hash")
+            + " vs PostgreSQL's hash) — each partition's row set is "
             "identical"
         )
 
@@ -541,10 +537,17 @@ def plan_partitioned_table(
         "KEY partitioning (InnoDB's internal hash)" if via_key
         else "HASH partitioning"
     )
+    if linear:
+        src = f"LINEAR {src}"
     how = (
         "MySQL hashes with its internal KEY function" if via_key
         else "MySQL hashes with MOD(expr, n)"
     )
+    if linear:
+        how = (
+            "MySQL places with the LINEAR powers-of-two masking "
+            "algorithm (uneven when n is not a power of two)"
+        )
     plan.notes.append(
         f"table {table}: {src} migrated with modulus "
         f"{modulus}, but row→partition placement differs ({how}, "

@@ -3,9 +3,11 @@ closure). The reference strips the clause (sync_tableddl.go:268-302);
 this engine migrates RANGE/LIST/HASH — and, round 12, KEY via the HASH
 translation plus HASH/KEY subpartitions as nested PARTITION BY — for
 real: parent PARTITION BY + PARTITION OF children (+ grandchildren),
-naming every shape it refuses (LINEAR, count-less subpartition lists,
-PG-illegal PK combinations). Corpus fixtures: reference
-scripts/mysql/create_table.sql cases 16/49/50/58."""
+naming every shape it refuses (count-less subpartition lists,
+PG-illegal PK combinations; LINEAR migrates since round 13 — MySQL
+still creates exactly the declared n partitions, only placement
+diverges). Corpus fixtures: reference scripts/mysql/create_table.sql
+cases 16/49/50/58."""
 
 from __future__ import annotations
 
@@ -183,13 +185,6 @@ def test_hash_with_named_partition_list():
     "text,frag",
     [
         ("PARTITION BY KEY () PARTITIONS 2", "no PRIMARY KEY"),
-        ("PARTITION BY LINEAR HASH (id) PARTITIONS 2", "LINEAR"),
-        ("PARTITION BY LINEAR KEY (id) PARTITIONS 2", "LINEAR"),
-        (
-            "PARTITION BY RANGE (y) SUBPARTITION BY LINEAR HASH (m) "
-            "SUBPARTITIONS 2 (PARTITION p0 VALUES LESS THAN (1))",
-            "LINEAR",
-        ),
         (
             # unequal named SUBPARTITION lists (MySQL itself rejects
             # this): refuse rather than guess a count
@@ -461,13 +456,44 @@ def test_named_subpartition_lists_migrate():
     )
     assert plan.skip is None
     assert "t_sa0" in plan.children[1] and "t_sa1" in plan.children[2]
-    # LINEAR at the sub level still refuses with named lists present
+    # LINEAR at the sub level migrates too (round 13) — the named
+    # list defines the count and the note names the LINEAR divergence
     plan = _plan(
         "PARTITION BY RANGE (y) SUBPARTITION BY LINEAR HASH (m) "
         "(PARTITION p0 VALUES LESS THAN (1) "
         "(SUBPARTITION s0, SUBPARTITION s1))"
     )
-    assert plan.skip and "LINEAR" in plan.skip
+    assert plan.skip is None
+    assert "t_s0" in plan.children[1] and "t_s1" in plan.children[2]
+    assert any("LINEAR powers-of-two" in n for n in plan.notes)
+
+
+def test_linear_hash_and_key_migrate_with_placement_note():
+    """Round 13: LINEAR HASH/KEY still creates exactly the declared n
+    partitions in MySQL — only placement (powers-of-two masking) and
+    distribution evenness diverge, the same class the non-linear HASH
+    note already surfaces — so LINEAR rides the HASH translation
+    instead of refusing."""
+    for text, n in [
+        ("PARTITION BY LINEAR HASH (id) PARTITIONS 3", 3),
+        ("PARTITION BY LINEAR KEY (id) PARTITIONS 2", 2),
+    ]:
+        plan = _plan(text, pk=["id"])
+        assert plan.skip is None, plan.skip
+        assert plan.parent_clause == "PARTITION BY HASH (id)"
+        assert len(plan.children) == n
+        assert f"MODULUS {n}, REMAINDER 0" in plan.children[0]
+        (note,) = plan.notes
+        assert "LINEAR" in note and "powers-of-two" in note
+    # LINEAR at both levels composes
+    plan = _plan(
+        "PARTITION BY LINEAR KEY (id) PARTITIONS 2 "
+        "SUBPARTITION BY LINEAR HASH (r) SUBPARTITIONS 2",
+        pk=["id", "r"],
+    )
+    assert plan.skip is None
+    assert len(plan.children) == 6  # 2 children + 4 grandchildren
+    assert sum("LINEAR" in n for n in plan.notes) == 2
 
 
 # ---- routing (round 13): row-level correctness ------------------------------
