@@ -112,9 +112,11 @@ def m01_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # m02: partition ROUTING — row-level correctness for the C92 plane
 # --------------------------------------------------------------------------
 
-#: Three partition clauses over the TPC-H ``orders`` table, one per
+#: Four partition clauses over the TPC-H ``orders`` table, one per
 #: routable scheme (RANGE over an expression key, RANGE COLUMNS over a
-#: bare date column with a literal bound, LIST over a status column).
+#: bare date column with a literal bound, LIST over a status column,
+#: and — round 13 — multi-column RANGE COLUMNS whose lexicographic row
+#: comparison tie-breaks on the second column at the date boundary).
 #: The Spark side PARSES each clause and derives the per-row partition
 #: assignment via ``schema.partitioning.routing_sql``; the DuckDB
 #: oracle below is HAND-WRITTEN against the documented semantics
@@ -140,6 +142,13 @@ M02_PARTITION_DEFS: dict[str, str] = {
         "PARTITION po VALUES IN ('O'),"
         "PARTITION pp VALUES IN ('P'))"
     ),
+    # round 13: multi-column RANGE COLUMNS — the lexicographic row
+    # comparison, tie-broken on the second column at the date boundary
+    "range_multi": (
+        "PARTITION BY RANGE COLUMNS(o_orderdate, o_orderkey) ("
+        "PARTITION pe VALUES LESS THAN ('1995-06-17', 300000),"
+        "PARTITION pl VALUES LESS THAN (MAXVALUE, MAXVALUE))"
+    ),
 }
 
 _M02_ORACLE = """
@@ -162,6 +171,15 @@ SELECT 'list_status' AS scheme,
             WHEN o_orderstatus IN ('O') THEN 'orders_po'
             WHEN o_orderstatus IN ('P') THEN 'orders_pp'
             ELSE NULL END AS part,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY part
+UNION ALL
+SELECT 'range_multi' AS scheme,
+       CASE WHEN o_orderdate IS NULL
+              OR o_orderdate < DATE '1995-06-17'
+              OR (o_orderdate = DATE '1995-06-17'
+                  AND (o_orderkey IS NULL OR o_orderkey < 300000))
+            THEN 'orders_pe' ELSE 'orders_pl' END AS part,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders GROUP BY part
 """

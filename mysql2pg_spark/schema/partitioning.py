@@ -557,6 +557,29 @@ def plan_partitioned_table(
     return plan
 
 
+def _tuple_lt(keys: list[str], bounds: list[str], rewrite_expr) -> str:
+    """The row comparison ``(k1, k2, …) < (b1, b2, …)`` expanded to its
+    engine-neutral lexicographic form (round 13 — Spark, DuckDB and PG
+    all parse plain comparisons identically, while row-constructor
+    comparison spellings and their NULL semantics differ by engine):
+
+    ``(k1 IS NULL OR k1 < b1) OR (k1 = b1 AND <rest>)``
+
+    Per MySQL's documented RANGE COLUMNS semantics a NULL column sorts
+    below every non-NULL value (bounds themselves can never be NULL),
+    and MAXVALUE at position i makes the comparison TRUE regardless of
+    trailing columns (everything sorts below MAXVALUE)."""
+    k, b = keys[0], bounds[0]
+    if b.upper() == "MAXVALUE":
+        return "TRUE"
+    lit = b if re.fullmatch(r"[-+]?\d+(\.\d+)?", b) else rewrite_expr(b)
+    lt = f"({k} IS NULL OR {k} < {lit})"
+    if len(keys) == 1:
+        return lt
+    rest = _tuple_lt(keys[1:], bounds[1:], rewrite_expr)
+    return f"({lt} OR ({k} = {lit} AND {rest}))"
+
+
 def _bound_values(values: str, rewrite_expr) -> str:
     """Partition bound values → PG spelling. MAXVALUE and plain
     literals pass through; backticks / MySQL function calls
@@ -595,6 +618,13 @@ def routing_sql(
       (MySQL semantics; PG would reject the row — the plan's divergence
       note covers it). Rows above a non-MAXVALUE top bound get SQL NULL
       (both engines would reject the row).
+    - RANGE COLUMNS over MULTIPLE columns (round 13) → the row
+      comparison ``(c1, c2, …) < (x1, x2, …)`` expanded to its
+      engine-neutral lexicographic form ``c1 < x1 OR (c1 = x1 AND
+      (c2 < x2 OR …))`` with per-column NULL-sorts-lowest handling
+      (MySQL's documented semantics; PG's range placement is the same
+      row comparison) and MAXVALUE at position i short-circuiting to
+      TRUE (everything sorts below it, trailing columns irrelevant).
     - LIST (single column) → ``key IN (…)`` arms, ``IS NULL`` when the
       source listed NULL.
     - HASH/KEY → no engine-neutral expression EXISTS (MySQL places by
@@ -617,13 +647,19 @@ def routing_sql(
             "hash function) — no engine-neutral routing expression; the "
             "table-level row set is identical"
         )
-    if len(_split_depth0(pd.expr)) > 1:
-        return None, (
-            f"table {table}: multi-column tuple bounds have no "
-            "engine-neutral comparison spelling — routing not derived"
-        )
     cols = key_columns(pd)
-    key = norm(cols[0]) if cols is not None else rewrite_expr(pd.expr)
+    multi = len(_split_depth0(pd.expr)) > 1
+    if multi and (cols is None or pd.method != "range"):
+        return None, (
+            f"table {table}: multi-column tuple bounds are derived "
+            "only for RANGE COLUMNS over bare columns — routing not "
+            "derived"
+        )
+    key = (
+        norm(cols[0]) if cols is not None and not multi
+        else rewrite_expr(pd.expr) if cols is None
+        else None
+    )
 
     def child(pname: str) -> str:
         return cap_identifier(f"{table}_{norm(pname)}")
@@ -635,6 +671,19 @@ def routing_sql(
                 f"table {table}: RANGE partition list missing or "
                 "unparseable"
             )
+        if multi:
+            keys = [norm(c) for c in cols]
+            whens = []
+            for p in parts:
+                bounds = _split_depth0(p.values)
+                if len(bounds) != len(keys):
+                    return None, (
+                        f"table {table}: partition {p.name} bound arity "
+                        f"{len(bounds)} != key arity {len(keys)}"
+                    )
+                cond = _tuple_lt(keys, bounds, rewrite_expr)
+                whens.append(f"WHEN {cond} THEN '{child(p.name)}'")
+            return "CASE " + " ".join(whens) + " ELSE NULL END", None
         whens = [f"WHEN {key} IS NULL THEN '{child(parts[0].name)}'"]
         else_arm = "NULL"
         for p in parts:

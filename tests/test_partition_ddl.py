@@ -558,13 +558,47 @@ def test_routing_refusals_are_named():
         ("PARTITION BY KEY (id) PARTITIONS 2", "engine-internal"),
         ("PARTITION BY LINEAR HASH (id) PARTITIONS 2", "powers-of-two"),
         (
-            "PARTITION BY RANGE COLUMNS(a, b) "
+            # an EXPRESSION key list cannot ride the tuple expansion
+            "PARTITION BY RANGE (a + 1, b) "
             "(PARTITION p0 VALUES LESS THAN (1, 2))",
             "multi-column",
         ),
     ]:
         sql, skip = _routing(text)
         assert sql is None and frag in skip, (text, skip)
+
+
+def test_routing_multicolumn_range_lexicographic():
+    """Round 13: multi-column RANGE COLUMNS routing expands the row
+    comparison to its engine-neutral lexicographic form — verified by
+    evaluating the EMITTED expression in DuckDB over rows that hit
+    every branch: first-column decide, tie-broken by the second,
+    NULL-sorts-lowest at both positions, MAXVALUE short-circuit."""
+    import duckdb
+
+    sql, skip = _routing(
+        "PARTITION BY RANGE COLUMNS(a, b) ("
+        "PARTITION p0 VALUES LESS THAN (10, 5),"
+        "PARTITION p1 VALUES LESS THAN (20, MAXVALUE),"
+        "PARTITION p2 VALUES LESS THAN (MAXVALUE, MAXVALUE))"
+    )
+    assert skip is None
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT a, b, {sql} FROM (VALUES "
+        "(5, 999),"     # a < 10 → p0
+        "(10, 4),"      # a = 10, b < 5 → p0
+        "(10, 5),"      # a = 10, b = 5 → NOT < (10,5); a < 20 → p1
+        "(19, 0),"      # a < 20 → p1
+        "(20, 0),"      # (20,0) < (20,MAXVALUE) → p1
+        "(21, 0),"      # → p2
+        "(NULL, 7),"    # NULL sorts lowest → p0
+        "(10, NULL)"    # a = 10, b NULL < 5 → p0
+        ") t(a, b)"
+    ).fetchall()
+    assert [r[2] for r in rows] == [
+        "t_p0", "t_p0", "t_p1", "t_p1", "t_p1", "t_p2", "t_p0", "t_p0",
+    ]
 
 
 def test_routing_names_agree_with_plan_children():
