@@ -734,6 +734,19 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         out.append(("note", guard_note))
     elif not phase_exact:
         out.append(("note", _phase_note(spec)))
+    fields = sched.split()
+    if len(fields) == 5 and fields[2].isdigit() and int(fields[2]) > 28:
+        # month/year-grain schedules carry STARTS' day-of-month: cron
+        # SKIPS months without that day, while MySQL's interval
+        # arithmetic rolls the firing to month-end (DATE_ADD
+        # '2024-01-31' + 1 MONTH = '2024-02-29') — surfaced, not silent
+        out.append((
+            "note",
+            f"event {spec.name}: cron day-of-month {fields[2]} skips "
+            "months without that day, where MySQL rolls the firing to "
+            "month-end — reschedule on day 28 or add a month-end guard "
+            "if those months matter",
+        ))
     return out
 
 

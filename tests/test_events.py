@@ -510,7 +510,8 @@ def test_literal_starts_phase_property():
             "DO DELETE FROM t"
         )
         ddl, skip, note = _plan1(spec)
-        assert skip is None and note is None
+        # dom 29-31 schedules carry the month-end divergence note
+        assert skip is None and (note is None or "month-end" in note)
         sched = _re.search(r"'([\d* /]+)'", ddl).group(1)
         mi, hh, dom, mon, dow = sched.split()
         for f, lo, hi in [(mi, 0, 59), (hh, 0, 23)]:
@@ -748,3 +749,27 @@ def test_backtick_inside_literal_does_not_open_identifier():
     )
     assert spec.name == "it's"
     assert spec.body == "DELETE FROM t WHERE note = 'a`b'"
+
+
+def test_month_end_dom_divergence_is_noted():
+    """cron day-of-month 29-31 skips short months; MySQL's interval
+    arithmetic rolls a month-cadence firing to month-end instead — the
+    plan surfaces the divergence as a note (round 13)."""
+    acts = spec_actions(_ev(
+        "CREATE EVENT me ON SCHEDULE EVERY 1 MONTH "
+        "STARTS '2024-01-31 02:00:00' DO DELETE FROM t"
+    ))
+    assert [k for k, _ in acts] == ["ddl", "note"]
+    assert "'0 2 31 * *'" in acts[0][1]
+    assert "month-end" in acts[1][1]
+    # day 28 and wildcard dom schedules carry no such note
+    acts = spec_actions(_ev(
+        "CREATE EVENT ok ON SCHEDULE EVERY 1 MONTH "
+        "STARTS '2024-01-28 02:00:00' DO DELETE FROM t"
+    ))
+    assert [k for k, _ in acts] == ["ddl"]
+    acts = spec_actions(_ev(
+        "CREATE EVENT d ON SCHEDULE EVERY 1 DAY "
+        "STARTS '2024-01-31 02:00:00' DO DELETE FROM t"
+    ))
+    assert [k for k, _ in acts] == ["ddl"]
