@@ -95,6 +95,10 @@ class EventSpec:
     body: str                    # raw MySQL DO-body
     enabled: bool                # ENABLE (default) vs DISABLE[..]
     comment: str | None
+    preserve: bool = False       # ON COMPLETION PRESERVE (round 13):
+                                 # MySQL keeps the definition after the
+                                 # last firing (disabled) instead of
+                                 # dropping it
 
 
 _EVENT_RE = re.compile(
@@ -226,6 +230,9 @@ def parse_event(raw: str) -> EventSpec | None:
     body = um(do.group(1).strip().rstrip(";").strip())
     head = tail[: do.start()]
     enabled = not re.search(r"(?i)\bDISABLE\b", head)
+    preserve = bool(re.search(
+        r"(?i)\bON\s+COMPLETION\s+PRESERVE\b", head
+    ))
     cmt = re.search(r"(?is)\bCOMMENT\s+(\x00L\d+\x00)", head)
     comment = None
     if cmt:
@@ -246,6 +253,7 @@ def parse_event(raw: str) -> EventSpec | None:
         body=body,
         enabled=enabled,
         comment=comment,
+        preserve=preserve,
     )
 
 
@@ -668,12 +676,21 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
             # daily guard (round 13): cron has no year field — the DO
             # block no-ops until now() reaches the ENDS timestamp, and
             # the daily match bounds a missed removal to at most a day
-            # (a yearly month/day match would delay it a full year)
+            # (a yearly month/day match would delay it a full year).
+            # ON COMPLETION PRESERVE keeps the main job DEFINED but
+            # inactive after ENDS (MySQL keeps the event, disabled);
+            # the remover itself is an emulation artifact and always
+            # unschedules.
+            stop_main = (
+                f"UPDATE cron.job SET active = false "
+                f"WHERE jobname = '{name}'" if spec.preserve
+                else f"PERFORM cron.unschedule('{name}')"
+            )
             do_tag = _fresh_tag("do", spec.ends, name)
             cmd = (
                 f"DO {do_tag} BEGIN "
                 f"IF now() >= TIMESTAMP {spec.ends} - {_TZ_TOLERANCE} "
-                f"THEN PERFORM cron.unschedule('{name}'); "
+                f"THEN {stop_main}; "
                 f"PERFORM cron.unschedule('{name}_ends'); "
                 f"END IF; END {do_tag}"
             )
@@ -683,13 +700,18 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
                 f"SELECT cron.schedule('{name}_ends', "
                 f"'{mi} {hh} * * *', {evt_tag}{cmd}{evt_tag})",
             ))
+            stopped = (
+                "deactivates the main job (ON COMPLETION PRESERVE — "
+                "MySQL keeps the event disabled)" if spec.preserve
+                else "removes both jobs"
+            )
             inner.append((
                 "note",
                 f"event {spec.name}: ENDS {spec.ends} emulated via a "
                 "self-unscheduling remover job (daily cron entry whose "
                 "DO block no-ops until the ENDS timestamp; the guard "
                 "carries a 14 h tolerance for cron.timezone vs session "
-                "TimeZone skew) that removes both jobs at the first "
+                f"TimeZone skew) that {stopped} at the first "
                 "daily match at-or-after the ENDS time; a server down "
                 "at that minute delays the removal by at most a day",
             ))
@@ -764,11 +786,18 @@ def _one_shot_ddl(spec: EventSpec, pg_body: str) -> tuple[str, str]:
     mi, hh, _dom, _mon, _dow, _lit = _starts_fields(spec.at_ts)
     name = _q(spec.name.lower())
     body_stmt = _plpgsql_stmt(pg_body)
+    # ON COMPLETION PRESERVE (round 13): MySQL keeps a completed
+    # one-shot's definition, disabled — deactivate instead of removing
+    stop_self = (
+        f"UPDATE cron.job SET active = false WHERE jobname = '{name}'"
+        if spec.preserve
+        else f"PERFORM cron.unschedule('{name}')"
+    )
     do_tag = _fresh_tag("do", body_stmt, name)
     cmd = (
         f"DO {do_tag} BEGIN "
         f"IF now() >= TIMESTAMP {spec.at_ts} - {_TZ_TOLERANCE} THEN "
-        f"{body_stmt}; PERFORM cron.unschedule('{name}'); "
+        f"{body_stmt}; {stop_self}; "
         f"END IF; END {do_tag}"
     )
     evt_tag = _fresh_tag("evt", cmd)
@@ -776,12 +805,17 @@ def _one_shot_ddl(spec: EventSpec, pg_body: str) -> tuple[str, str]:
         f"SELECT cron.schedule('{name}', "
         f"'{mi} {hh} * * *', {evt_tag}{cmd}{evt_tag})"
     )
+    ending = (
+        "deactivates itself (ON COMPLETION PRESERVE — MySQL keeps the "
+        "completed event disabled)" if spec.preserve
+        else "removes itself"
+    )
     note = (
         f"event {spec.name}: one-shot AT {spec.at_ts} emulated via "
         "pg_cron's self-unschedule idiom — a daily cron entry whose "
         "DO block no-ops until the timestamp (guarded with a 14 h "
         "tolerance for cron.timezone vs session TimeZone skew), then "
-        "runs the body once and removes itself; if the server is down "
+        f"runs the body once and {ending}; if the server is down "
         "at that minute it fires at the NEXT daily match (at most a "
         "day late), where MySQL would have dropped a missed one-shot"
     )

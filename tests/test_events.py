@@ -773,3 +773,42 @@ def test_month_end_dom_divergence_is_noted():
         "STARTS '2024-01-31 02:00:00' DO DELETE FROM t"
     ))
     assert [k for k, _ in acts] == ["ddl"]
+
+
+def test_on_completion_preserve_deactivates_instead_of_unscheduling():
+    """Round 13: MySQL keeps a completed event's definition, DISABLED,
+    under ON COMPLETION PRESERVE — the emulation deactivates the job
+    (active = false) instead of cron.unschedule'ing it. NOT PRESERVE
+    (the MySQL default) keeps the removal behavior."""
+    acts = spec_actions(_ev(
+        "CREATE EVENT keepme ON SCHEDULE AT '2030-06-01 12:30:00' "
+        "ON COMPLETION PRESERVE ENABLE DO DELETE FROM t"
+    ))
+    (ddl,) = [p for k, p in acts if k == "ddl"]
+    assert (
+        "UPDATE cron.job SET active = false "
+        "WHERE jobname = 'keepme'" in ddl
+    )
+    assert "cron.unschedule" not in ddl
+    (note,) = [p for k, p in acts if k == "note"]
+    assert "PRESERVE" in note
+    # the default (NOT PRESERVE / absent): self-unschedule
+    acts = spec_actions(_ev(
+        "CREATE EVENT dropme ON SCHEDULE AT '2030-06-01 12:30:00' "
+        "ON COMPLETION NOT PRESERVE DO DELETE FROM t"
+    ))
+    (ddl,) = [p for k, p in acts if k == "ddl"]
+    assert "PERFORM cron.unschedule('dropme')" in ddl
+    # ENDS + PRESERVE: main job deactivates, the remover artifact
+    # still unschedules itself
+    acts = spec_actions(_ev(
+        "CREATE EVENT w ON SCHEDULE EVERY 1 HOUR "
+        "STARTS '2030-01-01 00:15:00' ENDS '2031-01-01 00:00:00' "
+        "ON COMPLETION PRESERVE DO DELETE FROM t"
+    ))
+    remover = [p for k, p in acts if k == "ddl" and "_ends" in p][0]
+    assert (
+        "UPDATE cron.job SET active = false WHERE jobname = 'w'"
+        in remover
+    )
+    assert "PERFORM cron.unschedule('w_ends')" in remover
