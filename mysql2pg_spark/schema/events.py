@@ -393,6 +393,24 @@ def _guarded_schedule(
     mi, hh, dom, mon, dow, lit = _starts_fields(spec.starts)
     if unit not in _UNIT_SECONDS and unit not in ("month", "year"):
         return None, None, None, False
+    # day-of-month 29-31 (review r13): a direct cron dom field SKIPS
+    # months without that day, while MySQL computes each firing as
+    # STARTS + k*interval — DATE_ADD rolls to month-end, so the firing
+    # day is LEAST(dom, last-day-of-month). Schedule daily and guard
+    # on exactly that expression (month/year grains only; dom defaults
+    # to 1 without a literal STARTS).
+    dom_roll = unit in ("month", "year") and dom > 28
+    day_guards: list[str] = []
+    if dom_roll:
+        day_guards.append(
+            f"extract(day from now())::int = least({dom}, "
+            "extract(day from (date_trunc('month', now()) "
+            "+ interval '1 month' - interval '1 day'))::int)"
+        )
+        if unit == "year":
+            day_guards.append(
+                f"extract(month from now())::int = {mon}"
+            )
     sched = {
         "minute": "* * * * *",
         "hour": f"{mi} * * * *",
@@ -400,7 +418,7 @@ def _guarded_schedule(
         "week": f"{mi} {hh} * * {dow}",
         "month": f"{mi} {hh} {dom} * *",
         "year": f"{mi} {hh} {dom} {mon} *",
-    }[unit]
+    }[unit] if not dom_roll else f"{mi} {hh} * * *"
     if unit in _UNIT_SECONDS:
         period = _UNIT_SECONDS[unit]
         if lit:
@@ -432,12 +450,20 @@ def _guarded_schedule(
         else:
             idx = month_idx if unit == "month" else year_idx
             guard = f"({idx}) % {n} = 0"
+    if day_guards:
+        guard = " AND ".join([guard, *day_guards])
     anchor_txt = (
         f"anchored exactly at STARTS {spec.starts}" if lit
         else "epoch/calendar-anchored (MySQL anchors at STARTS or "
              "event creation time, which is not representable — the "
              "firing phase may shift by less than one period)"
     )
+    if dom_roll:
+        anchor_txt += (
+            f"; fires on day LEAST({dom}, month-end) — MySQL's "
+            "DATE_ADD month-end roll for a STARTS day cron cannot "
+            "express"
+        )
     cadence = f"EVERY {n} {unit.upper()}"
     orig = f"EVERY {spec.interval_n} {spec.interval_unit.upper()}"
     if cadence != orig:
@@ -490,14 +516,14 @@ def _plpgsql_stmt(pg_body: str) -> str:
     return re.sub(r"(?is)^\s*SELECT\b", "PERFORM", pg_body, count=1)
 
 
-#: guard tolerance for the self-unschedule one-shot/ENDS commands: the
-#: cron field match happens in cron.timezone while now() compares in
-#: the session TimeZone — up to a 14 h skew when they differ. The
-#: guard job runs DAILY (round 13), so the tolerance can pull a firing
-#: at most one day-match early — the same magnitude as the tolerance
-#: itself, and MySQL-side a one-shot missed while the server is down
-#: is simply dropped.
-_TZ_TOLERANCE = "interval '14 hours'"
+# One-shot/ENDS guard timezone note (review r13): round 12's YEARLY
+# cron match carried a 14 h tolerance (now() >= ts - 14h) because a
+# missed match cost a full year. With DAILY matches (round 13) the
+# tolerance became the hazard it guarded against — under cron.timezone
+# vs session TimeZone skew it let the body fire up to a DAY EARLY,
+# which MySQL never does. The guard is now exact (now() >= ts): never
+# early; at most one daily match plus the tz skew late, where MySQL
+# drops a one-shot missed while the server is down.
 
 
 def _body_plan(spec: EventSpec) -> tuple[list[str], str | None, str | None]:
@@ -570,7 +596,15 @@ def _procedure_plan(spec: EventSpec) -> tuple[list[str], str | None, str | None]
         build_spec_from_mysql,
     )
 
-    job = f"{spec.name.lower()}_evt_job"
+    # the procedure name must be a valid UNQUOTED PG identifier
+    # (review r13: a backtick event name like `90days` or `my job`
+    # otherwise emits DDL PostgreSQL rejects): non-word characters
+    # fold to '_', a leading digit gets an 'e' prefix, and the suffix
+    # keeps distinct events distinct enough in practice
+    ident = re.sub(r"\W", "_", spec.name.lower())
+    if not re.match(r"[a-z_]", ident):
+        ident = f"e{ident}"
+    job = f"{ident}_evt_job"[:63]
     try:
         pspec = build_spec_from_mysql(
             f"CREATE PROCEDURE {job}() {spec.body}"
@@ -627,6 +661,11 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
                 r"(?is)^\s*SELECT\s+cron\.schedule\("
                 r"'((?:[^']|'')*)'", payload,
             ))
+            # the _ends remover is an emulation ARTIFACT, not the
+            # event: it stays ACTIVE so the schedule still expires at
+            # ENDS (MySQL expires disabled events too), and so a later
+            # manual re-enable of the main job keeps its ENDS bound
+            and not mo.group(1).endswith("_ends")
         ]
         if not jobs:
             return inner
@@ -640,7 +679,8 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
             "note",
             f"event {spec.name} is DISABLE'd at the source — scheduled "
             "INACTIVE (cron.job.active = false, MySQL's DISABLE bit); "
-            "re-enable with UPDATE cron.job SET active = true",
+            "re-enable with UPDATE cron.job SET active = true "
+            f"WHERE jobname IN ({in_list})",
         ))
         return inner
 
@@ -689,7 +729,7 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
             do_tag = _fresh_tag("do", spec.ends, name)
             cmd = (
                 f"DO {do_tag} BEGIN "
-                f"IF now() >= TIMESTAMP {spec.ends} - {_TZ_TOLERANCE} "
+                f"IF now() >= TIMESTAMP {spec.ends} "
                 f"THEN {stop_main}; "
                 f"PERFORM cron.unschedule('{name}_ends'); "
                 f"END IF; END {do_tag}"
@@ -709,11 +749,11 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
                 "note",
                 f"event {spec.name}: ENDS {spec.ends} emulated via a "
                 "self-unscheduling remover job (daily cron entry whose "
-                "DO block no-ops until the ENDS timestamp; the guard "
-                "carries a 14 h tolerance for cron.timezone vs session "
-                f"TimeZone skew) that {stopped} at the first "
-                "daily match at-or-after the ENDS time; a server down "
-                "at that minute delays the removal by at most a day",
+                f"DO block no-ops until the ENDS timestamp) that "
+                f"{stopped} at the first daily match at-or-after the "
+                "ENDS time — never early; a server down at that minute "
+                "or cron.timezone vs session TimeZone skew delays the "
+                "removal by at most a day plus the skew",
             ))
         return inner
 
@@ -733,6 +773,17 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
                 "skip",
                 f"CREATE EVENT {spec.name}: {why} — not migrated",
             )]
+    else:
+        fields = sched.split()
+        if len(fields) == 5 and fields[2].isdigit() and int(fields[2]) > 28:
+            # a direct cron entry on day 29-31 SKIPS months without
+            # that day, where MySQL rolls each firing to month-end —
+            # reroute through the guarded emulation, whose day guard
+            # fires on LEAST(dom, month-end) exactly (review r13)
+            n, unit = _promote(spec.interval_n, spec.interval_unit)
+            g = _guarded_schedule(spec, n, unit)
+            if g[0] is not None:
+                sched, guard, guard_note, phase_exact = g
     preludes, pg_body, body_skip = _body_plan(spec)
     if pg_body is None:
         return [("skip", body_skip)]
@@ -756,19 +807,6 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         out.append(("note", guard_note))
     elif not phase_exact:
         out.append(("note", _phase_note(spec)))
-    fields = sched.split()
-    if len(fields) == 5 and fields[2].isdigit() and int(fields[2]) > 28:
-        # month/year-grain schedules carry STARTS' day-of-month: cron
-        # SKIPS months without that day, while MySQL's interval
-        # arithmetic rolls the firing to month-end (DATE_ADD
-        # '2024-01-31' + 1 MONTH = '2024-02-29') — surfaced, not silent
-        out.append((
-            "note",
-            f"event {spec.name}: cron day-of-month {fields[2]} skips "
-            "months without that day, where MySQL rolls the firing to "
-            "month-end — reschedule on day 28 or add a month-end guard "
-            "if those months matter",
-        ))
     return out
 
 
@@ -796,7 +834,7 @@ def _one_shot_ddl(spec: EventSpec, pg_body: str) -> tuple[str, str]:
     do_tag = _fresh_tag("do", body_stmt, name)
     cmd = (
         f"DO {do_tag} BEGIN "
-        f"IF now() >= TIMESTAMP {spec.at_ts} - {_TZ_TOLERANCE} THEN "
+        f"IF now() >= TIMESTAMP {spec.at_ts} THEN "
         f"{body_stmt}; {stop_self}; "
         f"END IF; END {do_tag}"
     )
@@ -813,10 +851,10 @@ def _one_shot_ddl(spec: EventSpec, pg_body: str) -> tuple[str, str]:
     note = (
         f"event {spec.name}: one-shot AT {spec.at_ts} emulated via "
         "pg_cron's self-unschedule idiom — a daily cron entry whose "
-        "DO block no-ops until the timestamp (guarded with a 14 h "
-        "tolerance for cron.timezone vs session TimeZone skew), then "
-        f"runs the body once and {ending}; if the server is down "
-        "at that minute it fires at the NEXT daily match (at most a "
-        "day late), where MySQL would have dropped a missed one-shot"
+        "DO block no-ops until the timestamp (never early), then "
+        f"runs the body once and {ending}; a server down at that "
+        "minute or cron.timezone vs session TimeZone skew delays the "
+        "firing by at most a day plus the skew, where MySQL would "
+        "have dropped a missed one-shot"
     )
     return ddl, note

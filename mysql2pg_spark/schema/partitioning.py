@@ -237,18 +237,37 @@ _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _split_depth0(s: str) -> list[str]:
-    """Split on commas at paren depth 0 (input already literal-masked
-    by callers that need it; partition key lists carry no commas inside
-    literals in practice)."""
+    """Split on commas at paren depth 0, QUOTE-AWARE (review r13): a
+    comma or paren inside a single-quoted literal — LIST values like
+    ``'a,b'`` are legal MySQL — must neither split the token nor change
+    depth, or routing/bound emission silently corrupts the member
+    (``'a,b'`` became ``'a, b'``). Both ``''`` doubling and MySQL
+    ``\\'`` escapes are tolerated since partition clauses reach this
+    splitter in source spelling."""
     out, depth, start = [], 0, 0
-    for i, ch in enumerate(s):
-        if ch == "(":
+    in_q = False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n:
+                i += 2
+                continue
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 2
+                    continue
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
             out.append(s[start:i])
             start = i + 1
+        i += 1
     out.append(s[start:])
     return [p.strip() for p in out if p.strip()]
 

@@ -206,9 +206,13 @@ def test_disabled_event_schedules_inactive():
     assert "REPLACE INTO" in acts[0][1]
 
 
-def test_disabled_ends_event_deactivates_both_jobs():
-    """DISABLE + literal ENDS: the remover job is scheduled too, and
-    BOTH jobnames land in the deactivation statement."""
+def test_disabled_ends_event_deactivates_main_but_not_remover():
+    """DISABLE + literal ENDS: only the MAIN job deactivates — the
+    _ends remover is an emulation artifact that stays active, so the
+    schedule still expires at ENDS (MySQL expires disabled events too)
+    and a later manual re-enable keeps its ENDS bound. The re-enable
+    advice names the exact jobs (review r13: the bare statement would
+    have activated every pg_cron job on the instance)."""
     acts = spec_actions(_ev(
         "CREATE EVENT w ON SCHEDULE EVERY 1 HOUR "
         "STARTS '2030-01-01 00:15:00' ENDS '2031-01-01 00:00:00' "
@@ -216,9 +220,10 @@ def test_disabled_ends_event_deactivates_both_jobs():
     ))
     upd = [p for k, p in acts if k == "ddl" and p.startswith("UPDATE")]
     assert upd == [
-        "UPDATE cron.job SET active = false "
-        "WHERE jobname IN ('w', 'w_ends')"
+        "UPDATE cron.job SET active = false WHERE jobname IN ('w')"
     ]
+    (note,) = [p for k, p in acts if k == "note" and "INACTIVE" in p]
+    assert "WHERE jobname IN ('w')" in note
 
 
 def test_nonliteral_schedules_refuse():
@@ -568,8 +573,7 @@ def test_one_shot_at_emulates_via_self_unschedule():
     assert acts[0][1] == (
         "SELECT cron.schedule('once', '30 12 * * *', "
         "$evt$DO $do$ BEGIN "
-        "IF now() >= TIMESTAMP '2030-06-01 12:30:00' "
-        "- interval '14 hours' THEN "
+        "IF now() >= TIMESTAMP '2030-06-01 12:30:00' THEN "
         "DELETE FROM t WHERE x = 1; "
         "PERFORM cron.unschedule('once'); "
         "END IF; END $do$$evt$)"
@@ -642,8 +646,7 @@ def test_literal_ends_emulates_via_remover_job():
     assert acts[1][1] == (
         "SELECT cron.schedule('win_ends', '0 0 * * *', "
         "$evt$DO $do$ BEGIN "
-        "IF now() >= TIMESTAMP '2026-06-01 00:00:00' "
-        "- interval '14 hours' THEN "
+        "IF now() >= TIMESTAMP '2026-06-01 00:00:00' THEN "
         "PERFORM cron.unschedule('win'); "
         "PERFORM cron.unschedule('win_ends'); "
         "END IF; END $do$$evt$)"
@@ -751,23 +754,49 @@ def test_backtick_inside_literal_does_not_open_identifier():
     assert spec.body == "DELETE FROM t WHERE note = 'a`b'"
 
 
-def test_month_end_dom_divergence_is_noted():
-    """cron day-of-month 29-31 skips short months; MySQL's interval
-    arithmetic rolls a month-cadence firing to month-end instead — the
-    plan surfaces the divergence as a note (round 13)."""
+def test_month_end_dom_rolls_exactly():
+    """cron day-of-month 29-31 skips short months; MySQL computes each
+    firing as STARTS + k*interval, rolling to month-end. Review r13:
+    such schedules reroute through the guarded emulation, whose day
+    guard fires on LEAST(dom, last-day-of-month) — MySQL's roll
+    exactly, instead of losing short-month firings."""
     acts = spec_actions(_ev(
         "CREATE EVENT me ON SCHEDULE EVERY 1 MONTH "
         "STARTS '2024-01-31 02:00:00' DO DELETE FROM t"
     ))
     assert [k for k, _ in acts] == ["ddl", "note"]
-    assert "'0 2 31 * *'" in acts[0][1]
+    ddl = acts[0][1]
+    assert "'0 2 * * *'" in ddl          # daily schedule, guarded
+    assert "least(31," in ddl
+    assert "date_trunc('month', now()) + interval '1 month' "\
+           "- interval '1 day'" in ddl
     assert "month-end" in acts[1][1]
-    # day 28 and wildcard dom schedules carry no such note
+    # a non-divisor month cadence composes the month-index guard with
+    # the day guard — EVERY 5 MONTH STARTS Jan 31 must not lose the
+    # short on-cadence months (Jun/Nov/Apr/Sep/Feb)
+    acts = spec_actions(_ev(
+        "CREATE EVENT m5 ON SCHEDULE EVERY 5 MONTH "
+        "STARTS '2024-01-31 09:15:00' DO DELETE FROM t"
+    ))
+    ddl = acts[0][1]
+    assert "'15 9 * * *'" in ddl
+    assert "% 5 = 0" in ddl and "least(31," in ddl
+    # year grain adds the month equality to the day guard
+    acts = spec_actions(_ev(
+        "CREATE EVENT y ON SCHEDULE EVERY 1 YEAR "
+        "STARTS '2024-02-29 00:00:00' DO DELETE FROM t"
+    ))
+    ddl = acts[0][1]
+    assert "'0 0 * * *'" in ddl
+    assert "extract(month from now())::int = 2" in ddl
+    assert "least(29," in ddl
+    # day 28 and wildcard dom schedules stay direct cron entries
     acts = spec_actions(_ev(
         "CREATE EVENT ok ON SCHEDULE EVERY 1 MONTH "
         "STARTS '2024-01-28 02:00:00' DO DELETE FROM t"
     ))
     assert [k for k, _ in acts] == ["ddl"]
+    assert "'0 2 28 * *'" in acts[0][1]
     acts = spec_actions(_ev(
         "CREATE EVENT d ON SCHEDULE EVERY 1 DAY "
         "STARTS '2024-01-31 02:00:00' DO DELETE FROM t"

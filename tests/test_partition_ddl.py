@@ -625,3 +625,31 @@ def test_routing_names_agree_with_plan_children():
         }
         routed = set(_re.findall(r"'(t_\w+)'", sql))
         assert routed == children, (routed, children)
+
+
+def test_list_values_with_embedded_commas_survive():
+    """Review r13: a LIST member like 'a,b' is legal MySQL — the
+    depth-0 splitter must be quote-aware or the member silently
+    becomes two ('a' and 'b', re-joined as 'a, b'), misrouting rows
+    at the row level."""
+    import duckdb
+
+    sql, skip = _routing(
+        "PARTITION BY LIST COLUMNS(s) ("
+        "PARTITION p0 VALUES IN ('a,b', 'c'),"
+        "PARTITION p1 VALUES IN ('it''s', 'd'))"
+    )
+    assert skip is None
+    assert "'a,b'" in sql and "'a, b'" not in sql
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT s, {sql} FROM (VALUES ('a,b'), ('a, b'), ('c'), "
+        "('it''s'), ('a')) t(s)"
+    ).fetchall()
+    assert [r[1] for r in rows] == ["t_p0", None, "t_p0", "t_p1", None]
+    # DDL bound emission keeps the member whole too
+    plan = _plan(
+        "PARTITION BY LIST COLUMNS(s) (PARTITION p0 VALUES IN ('a,b'))"
+    )
+    assert plan.skip is None
+    assert "IN ('a,b')" in plan.children[0]
