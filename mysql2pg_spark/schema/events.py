@@ -775,11 +775,24 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
             )]
     else:
         fields = sched.split()
-        if len(fields) == 5 and fields[2].isdigit() and int(fields[2]) > 28:
-            # a direct cron entry on day 29-31 SKIPS months without
-            # that day, where MySQL rolls each firing to month-end —
-            # reroute through the guarded emulation, whose day guard
-            # fires on LEAST(dom, month-end) exactly (review r13)
+        dom_29_31 = (
+            len(fields) == 5 and fields[2].isdigit()
+            and int(fields[2]) > 28
+        )
+        lit_starts = bool(
+            spec.starts and _TS_LIT_RE.match(spec.starts.strip())
+        )
+        # reroute a direct entry through the guarded emulation when it
+        # diverges in ways the guard fixes EXACTLY (review r13):
+        # - day 29-31 SKIPS months without that day, where MySQL rolls
+        #   each firing to month-end (LEAST(dom, month-end) day guard);
+        # - a divisor cadence with a MISALIGNED literal STARTS (EVERY
+        #   6 HOUR STARTS 02:00 → cron */6 fires 0/6/12/18, MySQL
+        #   2/8/14/20) is off by the misalignment on EVERY firing —
+        #   permanently, not the sub-period first-firing shift the
+        #   phase note describes; the anchored guard reproduces
+        #   MySQL's cadence instead.
+        if dom_29_31 or (not phase_exact and lit_starts):
             n, unit = _promote(spec.interval_n, spec.interval_unit)
             g = _guarded_schedule(spec, n, unit)
             if g[0] is not None:

@@ -841,3 +841,40 @@ def test_on_completion_preserve_deactivates_instead_of_unscheduling():
         in remover
     )
     assert "PERFORM cron.unschedule('w_ends')" in remover
+
+
+def test_misaligned_literal_starts_reroutes_to_anchored_guard():
+    """Review r13: a divisor cadence whose literal STARTS is misaligned
+    with cron's boundary anchor (EVERY 6 HOUR STARTS 02:00 → cron */6
+    fires 0/6/12/18, MySQL 2/8/14/20) is off on EVERY firing — the
+    plan reroutes through the STARTS-anchored guard, which reproduces
+    MySQL's cadence exactly."""
+    ddl, skip, note = _plan1(_ev(
+        "CREATE EVENT h6 ON SCHEDULE EVERY 6 HOUR "
+        "STARTS '2024-01-01 02:00:00' DO DELETE FROM t"
+    ))
+    assert skip is None
+    assert "'0 * * * *'" in ddl       # hourly match, guard decides
+    assert "/ 3600)::bigint % 6 = 0" in ddl
+    assert "TIMESTAMP '2024-01-01 02:00:00'" in ddl
+    assert "anchored exactly at STARTS" in note
+    # an ALIGNED literal STARTS keeps the direct entry
+    ddl, skip, note = _plan1(_ev(
+        "CREATE EVENT h6a ON SCHEDULE EVERY 6 HOUR "
+        "STARTS '2024-01-01 06:30:00' DO DELETE FROM t"
+    ))
+    assert skip is None and note is None
+    assert "'30 */6 * * *'" in ddl and "DO $do$" not in ddl
+    # misaligned minute cadence reroutes too
+    ddl, skip, note = _plan1(_ev(
+        "CREATE EVENT m15 ON SCHEDULE EVERY 15 MINUTE "
+        "STARTS '2024-01-01 00:07:00' DO DELETE FROM t"
+    ))
+    assert skip is None
+    assert "'* * * * *'" in ddl and "/ 60)::bigint % 15 = 0" in ddl
+    # no STARTS: boundary-anchored direct entry + phase note unchanged
+    ddl, skip, note = _plan1(_ev(
+        "CREATE EVENT h6n ON SCHEDULE EVERY 6 HOUR DO DELETE FROM t"
+    ))
+    assert "'0 */6 * * *'" in ddl
+    assert note is not None and "creation time" in note
