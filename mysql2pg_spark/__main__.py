@@ -102,6 +102,10 @@ def load_snapshot(path: str) -> CatalogSnapshot:
                 row_count=t.get("row_count", 0),
                 pk_bounds=tuple(t["pk_bounds"]) if t.get("pk_bounds") else None,
                 partition_clause=t.get("partition_clause"),
+                # full definition text (round 13): lets YAML snapshots
+                # carry the per-partition list the C92 planner needs —
+                # partition_clause alone only names the skip
+                partition_def=t.get("partition_def"),
                 checks=[
                     (c.get("name"), c["expr"], c.get("enforced", True))
                     for c in t.get("checks", [])

@@ -156,6 +156,112 @@ def render_event_ddl(row: dict) -> str:
     )
 
 
+def partitions_query(database: str) -> str:
+    """A4+ (round 13): partition schemes — one set-based scan of
+    ``information_schema.partitions``. The dump path parses the
+    ``/*!50100 PARTITION BY …*/`` clause; without this scan a
+    LIVE-server migration silently lost partitioning the dump path
+    preserves. Rows feed :func:`group_partition_defs`, which
+    reconstructs the canonical clause text the dump parser sees, so
+    ``schema/partitioning.py`` translates both paths identically (the
+    reference strips partitioning on every path,
+    sync_tableddl.go:268-302)."""
+    return (
+        "(SELECT table_name, partition_name, subpartition_name, "
+        "partition_ordinal_position, subpartition_ordinal_position, "
+        "partition_method, subpartition_method, partition_expression, "
+        "subpartition_expression, partition_description "
+        "FROM information_schema.partitions "
+        f"WHERE table_schema = '{database}' "
+        "AND partition_name IS NOT NULL "
+        "ORDER BY table_name, partition_ordinal_position, "
+        "subpartition_ordinal_position) pt"
+    )
+
+
+def render_partition_def(rows: list[dict]) -> str | None:
+    """One table's ``information_schema.partitions`` rows → the
+    canonical ``PARTITION BY …`` clause text (pure; tested without a
+    server). MySQL stores the scheme decomposed — method + expression
+    on every row, per-partition bound text in
+    ``partition_description`` (``LESS THAN`` value or ``IN`` list;
+    NULL for HASH/KEY), sub-schemes in ``subpartition_method`` /
+    ``subpartition_expression`` with one row per (partition,
+    subpartition). The reconstruction keeps source partition AND
+    subpartition names, so the PG child/grandchild tables are named
+    exactly as the dump path would name them."""
+    rows = [r for r in rows if r.get("partition_name")]
+    if not rows:
+        return None
+    method = (rows[0].get("partition_method") or "").upper().strip()
+    if not method:
+        return None
+    expr = (rows[0].get("partition_expression") or "").strip()
+    head = f"PARTITION BY {method} ({expr})"
+    sub_method = (rows[0].get("subpartition_method") or "").upper().strip()
+    # group rows per partition in ordinal order, collecting the
+    # (table-globally unique) subpartition names
+    parts: list[dict] = []
+    by_name: dict[str, dict] = {}
+    for r in sorted(
+        rows,
+        key=lambda r: (
+            r.get("partition_ordinal_position") or 0,
+            r.get("subpartition_ordinal_position") or 0,
+        ),
+    ):
+        p = by_name.get(r["partition_name"])
+        if p is None:
+            p = {
+                "name": r["partition_name"],
+                "desc": r.get("partition_description"),
+                "subnames": [],
+            }
+            by_name[r["partition_name"]] = p
+            parts.append(p)
+        if r.get("subpartition_name"):
+            p["subnames"].append(r["subpartition_name"])
+    if sub_method:
+        sub_expr = (rows[0].get("subpartition_expression") or "").strip()
+        counts = {len(p["subnames"]) for p in parts}
+        k = counts.pop() if len(counts) == 1 else 0
+        head += f" SUBPARTITION BY {sub_method} ({sub_expr})"
+        if k:
+            head += f" SUBPARTITIONS {k}"
+    entries = []
+    for p in parts:
+        e = f"PARTITION {p['name']}"
+        desc = (p["desc"] or "").strip()
+        if method.startswith("RANGE"):
+            if desc.upper() == "MAXVALUE":
+                e += " VALUES LESS THAN MAXVALUE"
+            else:
+                e += f" VALUES LESS THAN ({desc})"
+        elif method.startswith("LIST"):
+            e += f" VALUES IN ({desc})"
+        if sub_method and p["subnames"]:
+            e += " (" + ", ".join(
+                f"SUBPARTITION {n}" for n in p["subnames"]
+            ) + ")"
+        entries.append(e)
+    return head + " (" + ", ".join(entries) + ")"
+
+
+def group_partition_defs(rows: list[dict]) -> dict[str, str]:
+    """Partition-scan rows → per-table canonical clause text (tables
+    whose rows don't reconstruct — no method — are absent, leaving the
+    table unpartitioned exactly like a dump with no clause)."""
+    by_table: dict[str, list[dict]] = {}
+    for r in rows:
+        by_table.setdefault(r["table_name"], []).append(r)
+    out: dict[str, str] = {}
+    for t, trs in by_table.items():
+        text = render_partition_def(trs)
+        if text:
+            out[t] = text
+    return out
+
+
 def table_privileges_query(database: str) -> str:
     """A11: per-table grants (mysql.tables_priv, metadata.go:601-625)."""
     return (

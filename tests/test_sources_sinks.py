@@ -495,3 +495,142 @@ def test_wkb_geometry_empty_and_mismatched_nesting(spark):
         "LINESTRING EMPTY", "GEOMETRYCOLLECTION EMPTY",
         "POLYGON EMPTY", None,
     ]
+
+
+def test_partitions_query_and_render_partition_def():
+    """Round 13: the live catalog scans information_schema.partitions
+    and reconstructs the canonical PARTITION BY clause — the SAME text
+    the dump parser sees, so both paths plan identically (previously a
+    live-server migration silently lost partitioning the dump path
+    preserves)."""
+    from mysql2pg_spark.schema.partitioning import (
+        parse_partition_def,
+        plan_partitioned_table,
+    )
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        rewrite_mysql_expr_to_pg,
+    )
+    from mysql2pg_spark.sources.catalog import (
+        group_partition_defs,
+        partitions_query,
+        render_partition_def,
+    )
+
+    q = partitions_query("db")
+    assert "information_schema.partitions" in q
+    assert "table_schema = 'db'" in q
+    assert "partition_name IS NOT NULL" in q
+
+    def plan(text, pk=()):
+        pd = parse_partition_def(text)
+        assert pd is not None, text
+        return plan_partitioned_table(
+            "t", pd, list(pk), str.lower, rewrite_mysql_expr_to_pg,
+            lambda s: s,
+        )
+
+    # RANGE over an expression, MAXVALUE top — catalog rows vs the
+    # dump clause produce the SAME plan
+    rows = [
+        {"table_name": "t", "partition_name": n,
+         "partition_ordinal_position": i + 1,
+         "partition_method": "RANGE",
+         "partition_expression": "year(`sold_on`)",
+         "partition_description": d}
+        for i, (n, d) in enumerate(
+            [("p0", "1994"), ("p1", "1996"), ("pmax", "MAXVALUE")]
+        )
+    ]
+    text = render_partition_def(rows)
+    assert text == (
+        "PARTITION BY RANGE (year(`sold_on`)) ("
+        "PARTITION p0 VALUES LESS THAN (1994), "
+        "PARTITION p1 VALUES LESS THAN (1996), "
+        "PARTITION pmax VALUES LESS THAN MAXVALUE)"
+    )
+    dump_text = (
+        "PARTITION BY RANGE (year(`sold_on`)) ("
+        "PARTITION p0 VALUES LESS THAN (1994),"
+        "PARTITION p1 VALUES LESS THAN (1996),"
+        "PARTITION pmax VALUES LESS THAN MAXVALUE)"
+    )
+    assert plan(text).children == plan(dump_text).children
+    assert plan(text).parent_clause == plan(dump_text).parent_clause
+
+    # multi-column RANGE COLUMNS + LIST + LINEAR KEY shapes
+    rows = [
+        {"table_name": "t", "partition_name": "pe",
+         "partition_ordinal_position": 1,
+         "partition_method": "RANGE COLUMNS",
+         "partition_expression": "`d`,`k`",
+         "partition_description": "'2020-01-01',500"},
+        {"table_name": "t", "partition_name": "pl",
+         "partition_ordinal_position": 2,
+         "partition_method": "RANGE COLUMNS",
+         "partition_expression": "`d`,`k`",
+         "partition_description": "MAXVALUE,MAXVALUE"},
+    ]
+    text = render_partition_def(rows)
+    p = plan(text)
+    assert p.skip is None and len(p.children) == 2
+    assert "FROM ('2020-01-01', 500) TO (MAXVALUE, MAXVALUE)" \
+        in p.children[1]
+
+    rows = [
+        {"table_name": "t", "partition_name": "pa",
+         "partition_ordinal_position": 1,
+         "partition_method": "LIST",
+         "partition_expression": "`category`",
+         "partition_description": "1,2,3"},
+    ]
+    assert render_partition_def(rows) == (
+        "PARTITION BY LIST (`category`) "
+        "(PARTITION pa VALUES IN (1,2,3))"
+    )
+
+    rows = [
+        {"table_name": "t", "partition_name": f"p{i}",
+         "partition_ordinal_position": i + 1,
+         "partition_method": "LINEAR KEY",
+         "partition_expression": "`id`",
+         "partition_description": None}
+        for i in range(2)
+    ]
+    text = render_partition_def(rows)
+    assert text == (
+        "PARTITION BY LINEAR KEY (`id`) (PARTITION p0, PARTITION p1)"
+    )
+    p = plan(text, pk=["id"])
+    assert p.skip is None and len(p.children) == 2  # LINEAR migrates
+
+    # subpartitioned RANGE x HASH with source names: one row per
+    # (partition, subpartition); grandchild tables take the names
+    rows = [
+        {"table_name": "t", "partition_name": pn,
+         "subpartition_name": sn,
+         "partition_ordinal_position": pi,
+         "subpartition_ordinal_position": si,
+         "partition_method": "RANGE",
+         "subpartition_method": "HASH",
+         "partition_expression": "`y`",
+         "subpartition_expression": "`m`",
+         "partition_description": d}
+        for pi, pn, d in [(1, "p0", "2000"), (2, "p1", "MAXVALUE")]
+        for si, sn in [(1, f"{pn}sa"), (2, f"{pn}sb")]
+    ]
+    text = render_partition_def(rows)
+    assert "SUBPARTITION BY HASH (`m`) SUBPARTITIONS 2" in text
+    assert "(SUBPARTITION p0sa, SUBPARTITION p0sb)" in text
+    p = plan(text, pk=["y", "m"])
+    assert p.skip is None
+    assert len(p.children) == 6
+    assert any("t_p0sa" in c for c in p.children)
+
+    # the grouper maps per table; method-less rows drop out
+    defs = group_partition_defs(
+        rows + [{"table_name": "u", "partition_name": "px",
+                 "partition_ordinal_position": 1,
+                 "partition_method": "", "partition_expression": "",
+                 "partition_description": None}]
+    )
+    assert set(defs) == {"t"}
