@@ -262,6 +262,75 @@ def group_partition_defs(rows: list[dict]) -> dict[str, str]:
     return out
 
 
+def check_constraints_query(database: str) -> str:
+    """A5+ (round 13): CHECK constraints — the dump path parses inline
+    CHECK clauses (corpus case 27) but a live scan never read
+    ``information_schema.check_constraints``, silently losing the
+    domain rules on live-server migrations. One set-based join with
+    ``table_constraints`` carries the table name and MySQL's ENFORCED
+    flag (NOT ENFORCED checks surface as named skips downstream — PG's
+    NOT VALID still enforces new rows)."""
+    return (
+        "(SELECT tc.table_name, cc.constraint_name, cc.check_clause, "
+        "tc.enforced "
+        "FROM information_schema.table_constraints tc "
+        "JOIN information_schema.check_constraints cc "
+        "ON cc.constraint_schema = tc.constraint_schema "
+        "AND cc.constraint_name = tc.constraint_name "
+        f"WHERE tc.table_schema = '{database}' "
+        "AND tc.constraint_type = 'CHECK' "
+        "ORDER BY tc.table_name, cc.constraint_name) ck"
+    )
+
+
+def group_check_constraints(rows: list[dict]) -> dict[str, list[tuple]]:
+    """Check-scan rows → per-table ``(name, expr, enforced)`` tuples —
+    the exact shape ``TableMeta.checks`` carries from the dump parser.
+    MySQL stores the clause parenthesized (``(`age` > 18)``); the
+    outer parens stay (the checks stage rewrites the expression as-is,
+    and PG accepts the parenthesized form)."""
+    out: dict[str, list[tuple]] = {}
+    for r in rows:
+        out.setdefault(r["table_name"], []).append((
+            r["constraint_name"],
+            r["check_clause"],
+            str(r.get("enforced") or "YES").upper() != "NO",
+        ))
+    return out
+
+
+def triggers_query(database: str) -> str:
+    """A9++ (round 13): triggers — mysqldump carries them by default
+    (the dump path translates them since round 8), but a live scan
+    never read ``information_schema.triggers``. ``action_order``
+    rides along so same-event triggers emit in MySQL's firing order."""
+    return (
+        "(SELECT trigger_name, action_timing, event_manipulation, "
+        "event_object_table, action_statement, action_order "
+        "FROM information_schema.triggers "
+        f"WHERE trigger_schema = '{database}' "
+        "ORDER BY event_object_table, event_manipulation, "
+        "action_timing, action_order) tg"
+    )
+
+
+def render_trigger_ddl(row: dict) -> str:
+    """One ``information_schema.triggers`` row → the canonical
+    ``CREATE TRIGGER`` text the dump path sees (pure; the catalog
+    stores the definition decomposed: timing + event + table on their
+    own columns, the FOR EACH ROW body in ``action_statement``), so
+    ``sinks/plpgsql_builder.build_trigger_from_mysql`` translates both
+    paths identically. Callers should keep the scan's ordering —
+    same-event triggers sorted by ``action_order`` reproduce MySQL's
+    firing sequence through the emitter's rename machinery."""
+    return (
+        f"CREATE TRIGGER `{row['trigger_name']}` "
+        f"{row['action_timing']} {row['event_manipulation']} "
+        f"ON `{row['event_object_table']}` FOR EACH ROW "
+        f"{row['action_statement']}"
+    )
+
+
 def table_privileges_query(database: str) -> str:
     """A11: per-table grants (mysql.tables_priv, metadata.go:601-625)."""
     return (

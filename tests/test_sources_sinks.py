@@ -634,3 +634,61 @@ def test_partitions_query_and_render_partition_def():
                  "partition_description": None}]
     )
     assert set(defs) == {"t"}
+
+
+def test_check_constraints_query_and_grouper():
+    """Round 13: live CHECK scan — rows group into the exact
+    (name, expr, enforced) tuples TableMeta.checks carries from the
+    dump parser, so the checks stage plans identically on both
+    paths."""
+    from mysql2pg_spark.sources.catalog import (
+        check_constraints_query,
+        group_check_constraints,
+    )
+
+    q = check_constraints_query("db")
+    assert "information_schema.check_constraints" in q
+    assert "constraint_type = 'CHECK'" in q
+    rows = [
+        {"table_name": "t", "constraint_name": "chk_age",
+         "check_clause": "(`age` > 18)", "enforced": "YES"},
+        {"table_name": "t", "constraint_name": "chk_doc",
+         "check_clause": "(`age` < 150)", "enforced": "NO"},
+    ]
+    assert group_check_constraints(rows) == {
+        "t": [("chk_age", "(`age` > 18)", True),
+              ("chk_doc", "(`age` < 150)", False)],
+    }
+
+
+def test_triggers_query_and_render_trigger_ddl():
+    """Round 13: live trigger scan — the reconstructed CREATE TRIGGER
+    text goes through the SAME builder as dump-carried triggers and
+    emits complete plpgsql."""
+    from mysql2pg_spark.sinks.plpgsql import emit_trigger
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        build_trigger_from_mysql,
+    )
+    from mysql2pg_spark.sources.catalog import (
+        render_trigger_ddl,
+        triggers_query,
+    )
+
+    q = triggers_query("db")
+    assert "information_schema.triggers" in q
+    assert "action_order" in q
+    ddl = render_trigger_ddl({
+        "trigger_name": "audit_upd",
+        "action_timing": "BEFORE",
+        "event_manipulation": "UPDATE",
+        "event_object_table": "parent",
+        "action_statement": "SET NEW.name = UPPER(NEW.name)",
+        "action_order": 1,
+    })
+    assert ddl == (
+        "CREATE TRIGGER `audit_upd` BEFORE UPDATE ON `parent` "
+        "FOR EACH ROW SET NEW.name = UPPER(NEW.name)"
+    )
+    out = emit_trigger(build_trigger_from_mysql(ddl))
+    assert "CREATE TRIGGER audit_upd BEFORE UPDATE ON parent" in out
+    assert "new.name := UPPER(NEW.name);" in out
