@@ -40,14 +40,64 @@ def tables_query(
 
 def columns_query(database: str) -> str:
     """A5: all columns of all tables in one scan (SHOW FULL COLUMNS
-    equivalent, metadata.go:259-292)."""
+    equivalent, metadata.go:259-292). ``generation_expression``
+    (round 13, MySQL 5.7+) rides along so live-scanned generated
+    columns carry their expression exactly like dump-parsed ones —
+    previously the live plane lost it."""
     return (
         "(SELECT table_name, column_name, column_type, is_nullable, "
-        "column_default, column_comment, extra, ordinal_position "
+        "column_default, column_comment, extra, ordinal_position, "
+        "generation_expression "
         "FROM information_schema.columns "
         f"WHERE table_schema = '{database}' ORDER BY table_name, "
         "ordinal_position) c"
     )
+
+
+def group_columns(rows: list[dict]) -> dict[str, list]:
+    """Column-scan rows → per-table ``ColumnMeta`` lists with the SAME
+    provenance conventions as the dump parser (round 13):
+
+    - ``extra`` carries ``auto_increment``, ``VIRTUAL|STORED
+      GENERATED`` (expression in ``generation_expression``), and
+      MySQL 8's ``DEFAULT_GENERATED`` for expression defaults;
+    - expression defaults mark as ``EXPR:(<expr>)`` — except the
+      ``CURRENT_TIMESTAMP[(n)]`` family, which ``default_sql`` passes
+      through directly on both paths;
+    - plain defaults arrive UNQUOTED from the catalog (matching the
+      producers-deliver-unquoted contract); a NULL catalog default is
+      no default."""
+    from mysql2pg_spark.orchestrator import ColumnMeta
+
+    out: dict[str, list] = {}
+    for r in sorted(
+        rows, key=lambda r: (r["table_name"], r["ordinal_position"])
+    ):
+        extra = str(r.get("extra") or "")
+        eu = extra.upper()
+        gen = "GENERATED" in eu and "DEFAULT_GENERATED" not in eu
+        dflt = r.get("column_default")
+        if dflt is not None:
+            d = str(dflt)
+            if "DEFAULT_GENERATED" in eu and not d.upper().startswith(
+                "CURRENT_TIMESTAMP"
+            ):
+                dflt = f"EXPR:({d})"
+            elif d.upper() == "NULL":
+                dflt = None
+        out.setdefault(r["table_name"], []).append(ColumnMeta(
+            name=r["column_name"],
+            column_type=r["column_type"],
+            nullable=str(r.get("is_nullable") or "YES").upper() == "YES",
+            default=dflt,
+            comment=r.get("column_comment") or None,
+            auto_increment="AUTO_INCREMENT" in eu,
+            generated_expr=(
+                r.get("generation_expression") or None if gen else None
+            ),
+            generated_stored=gen and "STORED" in eu,
+        ))
+    return out
 
 
 def indexes_query(database: str) -> str:

@@ -692,3 +692,59 @@ def test_triggers_query_and_render_trigger_ddl():
     out = emit_trigger(build_trigger_from_mysql(ddl))
     assert "CREATE TRIGGER audit_upd BEFORE UPDATE ON parent" in out
     assert "new.name := UPPER(NEW.name);" in out
+
+
+def test_group_columns_carries_dump_parser_conventions():
+    """Round 13: the live column scan groups rows into ColumnMeta with
+    the dump parser's provenance conventions — EXPR:(…) for MySQL 8
+    expression defaults (CURRENT_TIMESTAMP family passes through),
+    generated expressions from generation_expression, auto_increment
+    from extra."""
+    from mysql2pg_spark.sources.catalog import (
+        columns_query,
+        group_columns,
+    )
+
+    assert "generation_expression" in columns_query("db")
+
+    def row(**kw):
+        base = {
+            "table_name": "t", "ordinal_position": 1,
+            "column_type": "int", "is_nullable": "YES",
+            "column_default": None, "column_comment": "",
+            "extra": "", "generation_expression": "",
+        }
+        base.update(kw)
+        return base
+
+    cols = group_columns([
+        row(column_name="id", extra="auto_increment",
+            is_nullable="NO", ordinal_position=1),
+        row(column_name="u", column_type="char(36)",
+            column_default="uuid()", extra="DEFAULT_GENERATED",
+            ordinal_position=2),
+        row(column_name="ts", column_type="timestamp",
+            column_default="CURRENT_TIMESTAMP",
+            extra="DEFAULT_GENERATED on update CURRENT_TIMESTAMP",
+            ordinal_position=3),
+        row(column_name="total", column_type="int",
+            extra="STORED GENERATED",
+            generation_expression="`a` + `b`", ordinal_position=4),
+        row(column_name="plain", column_type="varchar(10)",
+            column_default="x", ordinal_position=5),
+        row(column_name="nul", column_default="NULL",
+            ordinal_position=6),
+    ])["t"]
+    by = {c.name: c for c in cols}
+    assert by["id"].auto_increment and not by["id"].nullable
+    assert by["u"].default == "EXPR:(uuid())"
+    assert by["ts"].default == "CURRENT_TIMESTAMP"
+    assert by["total"].generated_expr == "`a` + `b`"
+    assert by["total"].generated_stored
+    assert by["total"].default is None
+    assert by["plain"].default == "x"
+    assert by["nul"].default is None
+    # the EXPR: default flows through default_sql to a PG spelling
+    from mysql2pg_spark.sinks.ddl import default_sql
+
+    assert default_sql(by["u"].default) == "(gen_random_uuid())"
