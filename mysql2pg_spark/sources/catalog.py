@@ -152,13 +152,71 @@ def views_query(database: str) -> str:
 
 
 def routines_query(database: str) -> str:
-    """A9: stored functions (information_schema.routines replaces the
-    SHOW CREATE FUNCTION + paren-matching parser, metadata.go:377-531)."""
+    """A9: stored routines (information_schema.routines replaces the
+    SHOW CREATE FUNCTION + paren-matching parser, metadata.go:377-531).
+    Round 13: BOTH functions and procedures (the reference scans
+    ROUTINE_TYPE='FUNCTION' only, silently dropping every procedure),
+    with ``dtd_identifier`` for the FULL return type text
+    (``varchar(20)``, not just ``varchar``) and ``is_deterministic``
+    for the volatility marker. ``routine_definition`` is the BODY
+    only — :func:`render_routine_ddl` joins the parameter scan back
+    into the canonical CREATE text the C95 builder parses."""
     return (
-        "(SELECT routine_name, routine_definition, data_type AS return_type "
+        "(SELECT routine_name, routine_type, routine_definition, "
+        "dtd_identifier AS return_type, is_deterministic "
         "FROM information_schema.routines "
-        f"WHERE routine_schema = '{database}' AND routine_type = 'FUNCTION') r"
+        f"WHERE routine_schema = '{database}' "
+        "AND routine_type IN ('FUNCTION', 'PROCEDURE')) r"
     )
+
+
+def parameters_query(database: str) -> str:
+    """A9b (round 13): routine parameter signatures —
+    ``routine_definition`` alone is untranslatable (no parameter list,
+    no return type); ``information_schema.parameters`` carries them
+    decomposed, ordinal 0 being a function's RETURNS row."""
+    return (
+        "(SELECT specific_name, ordinal_position, parameter_mode, "
+        "parameter_name, dtd_identifier "
+        "FROM information_schema.parameters "
+        f"WHERE specific_schema = '{database}' "
+        "ORDER BY specific_name, ordinal_position) pr"
+    )
+
+
+def render_routine_ddl(row: dict, param_rows: list[dict]) -> str | None:
+    """One ``information_schema.routines`` row + its parameter rows →
+    the canonical ``CREATE FUNCTION/PROCEDURE`` text the dump path
+    sees (pure), so ``sinks/plpgsql_builder.build_spec_from_mysql``
+    translates both paths identically. None when the catalog withheld
+    the body (``routine_definition`` is NULL without SELECT privilege
+    on mysql.proc / SHOW_ROUTINE — the caller surfaces a named
+    skip)."""
+    body = row.get("routine_definition")
+    if not body or not str(body).strip():
+        return None
+    name = row["routine_name"]
+    rtype = (row.get("routine_type") or "FUNCTION").upper()
+    ps = sorted(
+        (
+            p for p in param_rows
+            if p.get("specific_name") == name
+            and (p.get("ordinal_position") or 0) > 0
+        ),
+        key=lambda p: p["ordinal_position"],
+    )
+    args = []
+    for p in ps:
+        arg = f"`{p['parameter_name']}` {p['dtd_identifier']}"
+        if rtype == "PROCEDURE":
+            arg = f"{(p.get('parameter_mode') or 'IN').upper()} {arg}"
+        args.append(arg)
+    head = f"CREATE {rtype} `{name}`({', '.join(args)})"
+    if rtype == "FUNCTION":
+        head += f" RETURNS {row.get('return_type')}"
+    if str(row.get("is_deterministic") or "").upper() == "YES":
+        head += " DETERMINISTIC"
+    return f"{head} {body}"
 
 
 def events_query(database: str) -> str:

@@ -748,3 +748,71 @@ def test_group_columns_carries_dump_parser_conventions():
     from mysql2pg_spark.sinks.ddl import default_sql
 
     assert default_sql(by["u"].default) == "(gen_random_uuid())"
+
+
+def test_render_routine_ddl_reconstructs_translatable_text():
+    """Round 13: routines + parameters scans reconstruct the canonical
+    CREATE text — the same builder path as dump-carried routines, for
+    both functions (RETURNS from ordinal 0's sibling column) and
+    procedures (IN/OUT modes); a privilege-withheld NULL body returns
+    None for the caller's named skip."""
+    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        build_spec_from_mysql,
+    )
+    from mysql2pg_spark.sources.catalog import (
+        parameters_query,
+        render_routine_ddl,
+        routines_query,
+    )
+
+    q = routines_query("db")
+    assert "IN ('FUNCTION', 'PROCEDURE')" in q
+    assert "is_deterministic" in q
+    assert "information_schema.parameters" in parameters_query("db")
+
+    params = [
+        {"specific_name": "add_tax", "ordinal_position": 0,
+         "parameter_mode": None, "parameter_name": None,
+         "dtd_identifier": "decimal(10,2)"},
+        {"specific_name": "add_tax", "ordinal_position": 1,
+         "parameter_mode": "IN", "parameter_name": "amount",
+         "dtd_identifier": "decimal(10,2)"},
+        {"specific_name": "log_it", "ordinal_position": 1,
+         "parameter_mode": "INOUT", "parameter_name": "n",
+         "dtd_identifier": "int"},
+    ]
+    fn = render_routine_ddl(
+        {"routine_name": "add_tax", "routine_type": "FUNCTION",
+         "routine_definition": "RETURN amount * 1.1",
+         "return_type": "decimal(10,2)", "is_deterministic": "YES"},
+        params,
+    )
+    assert fn == (
+        "CREATE FUNCTION `add_tax`(`amount` decimal(10,2)) "
+        "RETURNS decimal(10,2) DETERMINISTIC RETURN amount * 1.1"
+    )
+    out = emit_plpgsql(build_spec_from_mysql(fn))
+    assert "CREATE OR REPLACE FUNCTION add_tax(amount DECIMAL(10,2))" in out
+    assert "SELECT amount * 1.1" in out and "RETURN result;" in out
+    assert "IMMUTABLE" in out
+
+    proc = render_routine_ddl(
+        {"routine_name": "log_it", "routine_type": "PROCEDURE",
+         "routine_definition": "BEGIN SET n = n + 1; END",
+         "return_type": None, "is_deterministic": "NO"},
+        params,
+    )
+    assert proc == (
+        "CREATE PROCEDURE `log_it`(INOUT `n` int) "
+        "BEGIN SET n = n + 1; END"
+    )
+    out = emit_plpgsql(build_spec_from_mysql(proc))
+    assert "CREATE OR REPLACE PROCEDURE log_it(INOUT n INTEGER)" in out
+
+    # privilege-withheld body → None (named skip at the caller)
+    assert render_routine_ddl(
+        {"routine_name": "x", "routine_type": "FUNCTION",
+         "routine_definition": None, "return_type": "int"},
+        [],
+    ) is None
