@@ -816,3 +816,119 @@ def test_render_routine_ddl_reconstructs_translatable_text():
          "routine_definition": None, "return_type": "int"},
         [],
     ) is None
+
+
+def test_build_snapshot_assembles_all_planes():
+    """Round 13: the live snapshot assembler — one injected-fetch call
+    per catalog plane, producing a CatalogSnapshot that plans exactly
+    like a dump-built one (partition children, checks stage, functions,
+    triggers, events)."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import MigrationPipeline
+    from mysql2pg_spark.sources.catalog import build_snapshot
+
+    def run_query(q):
+        if "information_schema.tables" in q:
+            return [{"table_name": "sales", "table_comment": "",
+                     "table_rows": 1000}]
+        if "information_schema.columns" in q:
+            return [
+                {"table_name": "sales", "column_name": "id",
+                 "column_type": "int", "is_nullable": "NO",
+                 "column_default": None, "column_comment": "",
+                 "extra": "auto_increment", "ordinal_position": 1,
+                 "generation_expression": ""},
+                {"table_name": "sales", "column_name": "sold_on",
+                 "column_type": "date", "is_nullable": "NO",
+                 "column_default": None, "column_comment": "",
+                 "extra": "", "ordinal_position": 2,
+                 "generation_expression": ""},
+                {"table_name": "sales", "column_name": "status",
+                 "column_type": "enum('new','done')",
+                 "is_nullable": "YES", "column_default": "new",
+                 "column_comment": "", "extra": "",
+                 "ordinal_position": 3, "generation_expression": ""},
+            ]
+        if "information_schema.statistics" in q:
+            return [{"table_name": "sales", "index_name": "idx_s",
+                     "column_name": "status", "seq_in_index": 1,
+                     "non_unique": 1, "index_type": "BTREE"}]
+        if "constraint_name = 'PRIMARY'" in q:
+            return [
+                {"table_name": "sales", "column_name": "id",
+                 "ordinal_position": 1},
+                {"table_name": "sales", "column_name": "sold_on",
+                 "ordinal_position": 2},
+            ]
+        if "referential_constraints" in q:
+            return []
+        if "information_schema.partitions" in q:
+            return [
+                {"table_name": "sales", "partition_name": n,
+                 "partition_ordinal_position": i + 1,
+                 "partition_method": "RANGE COLUMNS",
+                 "partition_expression": "`sold_on`",
+                 "partition_description": d}
+                for i, (n, d) in enumerate(
+                    [("p0", "'2020-01-01'"), ("pmax", "MAXVALUE")]
+                )
+            ]
+        if "constraint_type = 'CHECK'" in q:
+            return [{"table_name": "sales", "constraint_name": "c1",
+                     "check_clause": "(`id` > 0)", "enforced": "YES"}]
+        if "information_schema.views" in q:
+            return [{"view_name": "v1",
+                     "view_definition": "select id from sales"}]
+        if "information_schema.parameters" in q:
+            return [{"specific_name": "f1", "ordinal_position": 0,
+                     "parameter_mode": None, "parameter_name": None,
+                     "dtd_identifier": "int"}]
+        if "information_schema.routines" in q:
+            return [{"routine_name": "f1", "routine_type": "FUNCTION",
+                     "routine_definition": "RETURN 1",
+                     "return_type": "int", "is_deterministic": "YES"}]
+        if "information_schema.triggers" in q:
+            return [{"trigger_name": "tg", "action_timing": "BEFORE",
+                     "event_manipulation": "INSERT",
+                     "event_object_table": "sales",
+                     "action_statement": "SET NEW.status = 'new'",
+                     "action_order": 1}]
+        if "information_schema.events" in q:
+            return [{"event_name": "ev", "event_type": "RECURRING",
+                     "interval_value": 1, "interval_field": "DAY",
+                     "starts": None, "ends": None, "status": "ENABLED",
+                     "event_comment": "",
+                     "event_definition": "DELETE FROM sales"}]
+        if "table_privileges" in q:
+            return [{"grantee": "'app'@'%'", "table_name": "sales",
+                     "privilege_type": "SELECT"}]
+        raise AssertionError(f"unexpected query: {q}")
+
+    snap = build_snapshot("db", run_query)
+    (t,) = snap.tables
+    assert t.row_count == 1000
+    assert t.primary_key == ["id", "sold_on"]
+    assert t.partition_def.startswith("PARTITION BY RANGE COLUMNS")
+    assert t.checks == [("c1", "(`id` > 0)", True)]
+    assert snap.views == {"v1": "select id from sales"}
+    assert snap.functions[0].startswith("CREATE FUNCTION `f1`()")
+    assert snap.triggers[0].startswith("CREATE TRIGGER `tg`")
+    assert snap.events[0].startswith("CREATE EVENT `ev`")
+    assert snap.table_privileges == [("'app'@'%'", "sales", "SELECT")]
+
+    # and it PLANS like a dump snapshot: partition children, the enum
+    # domain CHECK + the scanned CHECK, the event schedule
+    actions = MigrationPipeline(EngineConfig(), snap).plan()
+    stages = {}
+    for a in actions:
+        stages.setdefault(a.stage, []).append(a)
+    tddl = " ".join(
+        a.payload for a in stages["tableddl"] if a.kind == "ddl"
+    )
+    assert "PARTITION BY RANGE" in tddl
+    assert "PARTITION OF sales" in tddl
+    chk = [a.payload for a in stages["checks"] if a.kind == "ddl"]
+    assert any('"id" > 0' in c for c in chk)
+    assert any("status_enum_chk" in c for c in chk)
+    ev = [a for a in stages["events"] if a.kind == "ddl"]
+    assert ev and "cron.schedule('ev'" in ev[0].payload
