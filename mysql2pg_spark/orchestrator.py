@@ -225,6 +225,8 @@ class MigrationPipeline:
 
         for vname, vsql in self.snapshot.views.items():
             if self._norm(vname) == name:
+                if vsql is None:
+                    return None  # withheld definition: nothing to retry
                 body = transpile_mysql_ansi(
                     vsql, dialect, coalesce_text=True
                 )
@@ -373,6 +375,17 @@ class MigrationPipeline:
 
             for vname, vsql in self.snapshot.views.items():
                 name = self._norm(vname)
+                if vsql is None:
+                    # live catalog withheld the definition (missing
+                    # SHOW VIEW privilege, sources/catalog.py) — named
+                    # skip, never a silently absent view (review r13b)
+                    actions.append(Action(
+                        "view", "skip", name,
+                        f"view {name}: definition withheld by the "
+                        "source catalog (missing SHOW VIEW privilege) "
+                        "— not migrated",
+                    ))
+                    continue
                 # sink-side DDL needs the target engine's ANSI
                 # rendering (a real server parser rejects backticks/
                 # IFNULL/DATE_FORMAT that Spark-dialect output legally
@@ -602,6 +615,15 @@ class MigrationPipeline:
                 # instead of broken plpgsql (keep-going, like the
                 # reference's per-function failure logging).
                 if isinstance(spec, str):
+                    if spec.startswith("-- SKIP "):
+                        # pre-adjudicated inventory entry (live catalog
+                        # withheld the body, sources/catalog.py) — the
+                        # marker carries the full reason
+                        actions.append(Action(
+                            "functions", "skip", "function",
+                            spec[len("-- SKIP "):],
+                        ))
+                        continue
                     from mysql2pg_spark.sinks.plpgsql_builder import (
                         UnsupportedFunctionError,
                         build_spec_from_mysql,

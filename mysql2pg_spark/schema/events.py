@@ -782,6 +782,17 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         lit_starts = bool(
             spec.starts and _TS_LIT_RE.match(spec.starts.strip())
         )
+        future_starts = False
+        if lit_starts:
+            import datetime as _dt
+
+            smo = _TS_LIT_RE.match(spec.starts.strip())
+            starts_dt = _dt.datetime(
+                int(smo.group(1)), int(smo.group(2)), int(smo.group(3)),
+                int(smo.group(4) or 0), int(smo.group(5) or 0),
+                int(smo.group(6) or 0),
+            )
+            future_starts = starts_dt > _dt.datetime.now()
         # reroute a direct entry through the guarded emulation when it
         # diverges in ways the guard fixes EXACTLY (review r13):
         # - day 29-31 SKIPS months without that day, where MySQL rolls
@@ -791,8 +802,13 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         #   2/8/14/20) is off by the misalignment on EVERY firing —
         #   permanently, not the sub-period first-firing shift the
         #   phase note describes; the anchored guard reproduces
-        #   MySQL's cadence instead.
-        if dom_29_31 or (not phase_exact and lit_starts):
+        #   MySQL's cadence instead;
+        # - a FUTURE literal STARTS (review r13b): a direct entry
+        #   begins firing at migration time, years before MySQL's
+        #   first firing — the guard's now() >= STARTS conjunct is the
+        #   start gate (plan() runs at migration time, so comparing
+        #   against the wall clock here is the honest check).
+        if dom_29_31 or (not phase_exact and lit_starts) or future_starts:
             n, unit = _promote(spec.interval_n, spec.interval_unit)
             g = _guarded_schedule(spec, n, unit)
             if g[0] is not None:

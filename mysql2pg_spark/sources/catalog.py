@@ -167,7 +167,8 @@ def routines_query(database: str) -> str:
     into the canonical CREATE text the C95 builder parses."""
     return (
         "(SELECT routine_name, routine_type, routine_definition, "
-        "dtd_identifier AS return_type, is_deterministic "
+        "dtd_identifier AS return_type, is_deterministic, "
+        "sql_data_access "
         "FROM information_schema.routines "
         f"WHERE routine_schema = '{database}' "
         "AND routine_type IN ('FUNCTION', 'PROCEDURE')) r"
@@ -180,8 +181,8 @@ def parameters_query(database: str) -> str:
     no return type); ``information_schema.parameters`` carries them
     decomposed, ordinal 0 being a function's RETURNS row."""
     return (
-        "(SELECT specific_name, ordinal_position, parameter_mode, "
-        "parameter_name, dtd_identifier "
+        "(SELECT specific_name, routine_type, ordinal_position, "
+        "parameter_mode, parameter_name, dtd_identifier "
         "FROM information_schema.parameters "
         f"WHERE specific_schema = '{database}' "
         "ORDER BY specific_name, ordinal_position) pr"
@@ -206,6 +207,11 @@ def render_routine_ddl(row: dict, param_rows: list[dict]) -> str | None:
             p for p in param_rows
             if p.get("specific_name") == name
             and (p.get("ordinal_position") or 0) > 0
+            # MySQL keeps functions and procedures in SEPARATE
+            # namespaces — a same-named pair must not merge parameter
+            # lists (rows missing the key match any type, for callers
+            # with pre-r13b row shapes)
+            and str(p.get("routine_type") or rtype).upper() == rtype
         ),
         key=lambda p: p["ordinal_position"],
     )
@@ -220,6 +226,12 @@ def render_routine_ddl(row: dict, param_rows: list[dict]) -> str | None:
         head += f" RETURNS {row.get('return_type')}"
     if str(row.get("is_deterministic") or "").upper() == "YES":
         head += " DETERMINISTIC"
+    # READS SQL DATA / NO SQL drive the volatility marker exactly like
+    # dump-carried characteristics text (CONTAINS SQL is MySQL's
+    # default — volatile on both paths)
+    access = str(row.get("sql_data_access") or "").upper().strip()
+    if access in ("READS SQL DATA", "NO SQL", "MODIFIES SQL DATA"):
+        head += f" {access}"
     return f"{head} {body}"
 
 
@@ -426,21 +438,26 @@ def triggers_query(database: str) -> str:
     )
 
 
-def render_trigger_ddl(row: dict) -> str:
+def render_trigger_ddl(row: dict, follows: str | None = None) -> str:
     """One ``information_schema.triggers`` row → the canonical
     ``CREATE TRIGGER`` text the dump path sees (pure; the catalog
     stores the definition decomposed: timing + event + table on their
     own columns, the FOR EACH ROW body in ``action_statement``), so
     ``sinks/plpgsql_builder.build_trigger_from_mysql`` translates both
-    paths identically. Callers should keep the scan's ordering —
-    same-event triggers sorted by ``action_order`` reproduce MySQL's
-    firing sequence through the emitter's rename machinery."""
-    return (
+    paths identically. ``follows`` names the previous trigger of the
+    same (table, event, timing) — the catalog stores the ABSOLUTE
+    ``action_order``, which re-expresses as a FOLLOWS chain so the
+    emitter's tNN_ rename machinery reproduces MySQL's firing sequence
+    (review r13b: without the clause PostgreSQL fires same-event
+    triggers alphabetically, silently reordering side effects)."""
+    head = (
         f"CREATE TRIGGER `{row['trigger_name']}` "
         f"{row['action_timing']} {row['event_manipulation']} "
         f"ON `{row['event_object_table']}` FOR EACH ROW "
-        f"{row['action_statement']}"
     )
+    if follows:
+        head += f"FOLLOWS `{follows}` "
+    return head + str(row["action_statement"])
 
 
 def table_privileges_query(database: str) -> str:
@@ -578,10 +595,12 @@ def build_snapshot(
             partition_def=pdef,
             checks=checks.get(name, []),
         ))
+    # a NULL view_definition means the catalog WITHHELD the body
+    # (missing SHOW VIEW privilege) — carried as None so plan()
+    # surfaces a named skip instead of silently lacking the view
     views = {
-        r["view_name"]: r["view_definition"]
+        r["view_name"]: r.get("view_definition") or None
         for r in run_query(views_query(database))
-        if r.get("view_definition")
     }
     param_rows = run_query(parameters_query(database))
     functions = []
@@ -590,18 +609,24 @@ def build_snapshot(
         if ddl is not None:
             functions.append(ddl)
         else:
-            # body withheld (no SHOW_ROUTINE privilege): inventory a
-            # shape plan() surfaces as a named skip, never silence
+            # body withheld (no SHOW_ROUTINE privilege): a skip marker
+            # plan() surfaces verbatim (review r13b: a synthesized
+            # pseudo-DDL here PARSED as a broken procedure body)
             functions.append(
-                f"CREATE {r.get('routine_type', 'FUNCTION')} "
-                f"`{r['routine_name']}`() RETURNS "
-                f"{r.get('return_type') or 'int'} "
-                "/* routine_definition withheld by the source catalog "
-                "(missing SHOW_ROUTINE privilege) */"
+                f"-- SKIP {r.get('routine_type', 'FUNCTION')} "
+                f"{r['routine_name']}: routine_definition withheld by "
+                "the source catalog (missing SHOW_ROUTINE privilege) — "
+                "not migrated"
             )
-    triggers = [
-        render_trigger_ddl(r) for r in run_query(triggers_query(database))
-    ]
+    triggers = []
+    prev_by_slot: dict[tuple, str] = {}
+    for r in run_query(triggers_query(database)):
+        slot = (
+            r["event_object_table"], r["event_manipulation"],
+            r["action_timing"],
+        )
+        triggers.append(render_trigger_ddl(r, prev_by_slot.get(slot)))
+        prev_by_slot[slot] = r["trigger_name"]
     events = [
         render_event_ddl(r) for r in run_query(events_query(database))
     ]

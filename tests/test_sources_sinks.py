@@ -932,3 +932,90 @@ def test_build_snapshot_assembles_all_planes():
     assert any("status_enum_chk" in c for c in chk)
     ev = [a for a in stages["events"] if a.kind == "ddl"]
     assert ev and "cron.schedule('ev'" in ev[0].payload
+
+
+def test_catalog_withheld_and_namespace_and_order_fidelity():
+    """Review r13b closures: (a) a privilege-withheld routine body
+    becomes a -- SKIP marker plan() surfaces verbatim (the old
+    synthesized pseudo-DDL PARSED as a broken procedure); (b) a
+    withheld view definition rides as None and plans a named skip;
+    (c) same-named function+procedure keep separate parameter lists;
+    (d) same-slot triggers chain FOLLOWS so MySQL's firing order
+    survives PG's alphabetical dispatch; (e) READS SQL DATA maps to
+    STABLE exactly like the dump path."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import (
+        CatalogSnapshot,
+        MigrationPipeline,
+    )
+    from mysql2pg_spark.sinks.plpgsql import emit_plpgsql
+    from mysql2pg_spark.sinks.plpgsql_builder import (
+        build_spec_from_mysql,
+        build_trigger_from_mysql,
+    )
+    from mysql2pg_spark.sources.catalog import (
+        render_routine_ddl,
+        render_trigger_ddl,
+    )
+
+    # (c) namespace separation
+    params = [
+        {"specific_name": "foo", "routine_type": "FUNCTION",
+         "ordinal_position": 1, "parameter_mode": "IN",
+         "parameter_name": "a", "dtd_identifier": "int"},
+        {"specific_name": "foo", "routine_type": "PROCEDURE",
+         "ordinal_position": 1, "parameter_mode": "IN",
+         "parameter_name": "b", "dtd_identifier": "varchar(10)"},
+    ]
+    fn = render_routine_ddl(
+        {"routine_name": "foo", "routine_type": "FUNCTION",
+         "routine_definition": "RETURN a + 1", "return_type": "int",
+         "is_deterministic": "NO",
+         "sql_data_access": "READS SQL DATA"},
+        params,
+    )
+    assert "(`a` int)" in fn and "varchar(10)" not in fn
+    # (e) volatility parity with the dump path's characteristics text
+    assert "READS SQL DATA" in fn
+    assert "STABLE" in emit_plpgsql(build_spec_from_mysql(fn))
+    proc = render_routine_ddl(
+        {"routine_name": "foo", "routine_type": "PROCEDURE",
+         "routine_definition": "BEGIN SET b = 'x'; END",
+         "return_type": None, "is_deterministic": "NO"},
+        params,
+    )
+    assert "(IN `b` varchar(10))" in proc and "`a` int" not in proc
+
+    # (d) FOLLOWS chain activates the rename machinery
+    ddl = render_trigger_ddl(
+        {"trigger_name": "asecond", "action_timing": "BEFORE",
+         "event_manipulation": "UPDATE", "event_object_table": "t",
+         "action_statement": "SET NEW.x = 2", "action_order": 2},
+        follows="zfirst",
+    )
+    assert "FOLLOWS `zfirst`" in ddl
+    assert build_trigger_from_mysql(ddl).ordering == ("FOLLOWS", "zfirst")
+
+    # (a)+(b) withheld bodies plan as NAMED skips, never broken DDL
+    snap = CatalogSnapshot(
+        views={"v_secret": None},
+        functions=[
+            "-- SKIP PROCEDURE hidden_p: routine_definition withheld "
+            "by the source catalog (missing SHOW_ROUTINE privilege) — "
+            "not migrated",
+        ],
+    )
+    cfg = EngineConfig()
+    cfg.options.view = True
+    cfg.options.functions = True
+    actions = MigrationPipeline(cfg, snap).plan()
+    vskips = [a for a in actions if a.stage == "view" and a.kind == "skip"]
+    assert vskips and "SHOW VIEW privilege" in vskips[0].payload
+    fskips = [
+        a for a in actions if a.stage == "functions" and a.kind == "skip"
+    ]
+    assert fskips and "SHOW_ROUTINE" in fskips[0].payload
+    assert not any(
+        a.kind == "ddl" and a.stage in ("view", "functions")
+        for a in actions
+    )
