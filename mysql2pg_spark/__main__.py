@@ -134,7 +134,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--mode",
         choices=("plan", "local", "live", "dump", "duckdb", "diff",
-                 "pgddl", "tabexport"),
+                 "pgddl", "tabexport", "pgexport"),
         default="plan",
     )
     ap.add_argument("--snapshot", help="catalog snapshot YAML (plan/local)")
@@ -160,6 +160,12 @@ def main(argv: list[str] | None = None) -> int:
         "--tab-out",
         help="tabexport mode: output directory for the --tab-style "
         "export (per-table .sql + .txt, plus restore.sql)",
+    )
+    ap.add_argument(
+        "--pg-out",
+        help="pgexport mode: output directory for the offline "
+        "PostgreSQL artifact (schema_pre.sql + per-table COPY-text "
+        "data dirs + schema_post.sql + psql load.sql)",
     )
     ap.add_argument(
         "--check",
@@ -330,6 +336,54 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.source_dir, t
             )
         result = export_tab_dir(spark, snap, args.tab_out, loader)
+        print(json.dumps(result))
+        return 0
+
+    if args.mode == "pgexport":
+        # offline PostgreSQL artifact (round 13): schema_pre.sql +
+        # per-table COPY-text data directories + schema_post.sql +
+        # a psql load.sql — "convert my mysqldump without a live
+        # PostgreSQL", which the reference cannot do at all
+        if not args.pg_out or not (
+            args.dump_file or (args.source_dir and args.snapshot)
+        ):
+            print(
+                "pgexport mode needs --pg-out plus --dump-file or "
+                "--source-dir with --snapshot",
+                file=sys.stderr,
+            )
+            return 2
+        from mysql2pg_spark.session import get_spark
+        from mysql2pg_spark.sinks.copyexport import export_pg_dir
+
+        spark = get_spark(app_name="mysql2pg_spark-cli")
+        if args.dump_file:
+            from mysql2pg_spark.sources.dumpfile import (
+                dump_read_schemas,
+                full_snapshot_from_dump,
+                read_dump_inserts,
+            )
+
+            snap = full_snapshot_from_dump(spark, args.dump_file)
+            schemas = dump_read_schemas(snap)
+            loader = lambda t: read_dump_inserts(  # noqa: E731
+                spark, args.dump_file, t, schemas[t.lower()]
+            )
+        else:
+            from mysql2pg_spark.tables import load_table
+
+            snap = load_snapshot(args.snapshot)
+            loader = lambda t: load_table(  # noqa: E731
+                spark, args.source_dir, t
+            )
+        # the artifact carries ALL schema stages (same contract as
+        # pgddl mode — a partial artifact is not reviewable)
+        cfg.options.view = True
+        cfg.options.functions = True
+        cfg.options.triggers = True
+        result = export_pg_dir(
+            MigrationPipeline(cfg, snap), args.pg_out, loader
+        )
         print(json.dumps(result))
         return 0
 

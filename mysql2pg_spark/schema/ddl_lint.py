@@ -42,6 +42,9 @@ STATEMENT_HEADS = (
     "ALTER TABLE",
     # round 12: translated CREATE EVENT schedules (schema/events.py)
     "SELECT CRON.SCHEDULE(",
+    # round 13: identity-sequence resync in the offline pgexport
+    # artifact (sinks/ddl.setval_ddl — MAX computed in SQL at load)
+    "SELECT SETVAL(PG_GET_SERIAL_SEQUENCE(",
     # round 13: DISABLE'd events schedule INACTIVE — the deactivation
     # statement is scoped to pg_cron's own catalog table
     "UPDATE CRON.JOB SET ACTIVE = FALSE WHERE JOBNAME IN (",
