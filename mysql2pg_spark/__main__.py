@@ -29,11 +29,18 @@ Three modes, least- to most-connected:
              (per-table MySQL-dialect .sql + escaped .txt data via the
              JVM OUTFILE encoder, plus a restore.sql of LOAD DATA
              statements) from a dump file or a parquet dir + snapshot.
+  pgexport   the offline PostgreSQL artifact (round 13): schema_pre.sql
+             + per-table COPY-text data directories (JVM encoder,
+             partition-parallel) + schema_post.sql + a psql load.sql —
+             convert a mysqldump with NO live PostgreSQL, then load the
+             artifact later with plain psql.
 
 The catalog snapshot comes from a YAML file (``--snapshot``): offline
 parity with what sources/catalog.py reads from information_schema, so
-planning is fully testable without a MySQL. In live mode the snapshot
-would be assembled from the catalog queries instead.
+planning is fully testable without a MySQL. In live mode
+``sources.catalog.build_snapshot`` assembles it from the A1-A11
+information_schema scans through spark.read.jdbc (round 13; one
+set-based query per plane).
 """
 
 from __future__ import annotations
