@@ -361,6 +361,28 @@ def _bench_tab_parse(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
     }
     if reps > 1:
         out["tab_parse_orders_spread"] = _spread(times)
+
+    # the EXPORT mirror (round 13): PostgreSQL COPY-text encode of the
+    # same table — the pgexport artifact's data path (JVM replace
+    # chain + distributed text write)
+    from mysql2pg_spark.sinks.copyexport import write_pg_copy
+
+    df = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select("o_orderkey", "o_custkey", "o_totalprice",
+             "o_orderpriority", "o_orderdate")
+    ctimes: list[float] = []
+    for i in range(reps):
+        t = time.perf_counter()
+        write_pg_copy(df, os.path.join(tmpdir, f"orders_copy_{i}"))
+        ctimes.append(time.perf_counter() - t)
+    cmed = sorted(ctimes)[len(ctimes) // 2]
+    out["pgcopy_export_orders"] = round(cmed, 3)
+    out["pgcopy_export_rows_per_sec"] = round(
+        len(rows) / max(cmed, 1e-9), 1
+    )
+    if reps > 1:
+        out["pgcopy_export_orders_spread"] = _spread(ctimes)
     return out
 
 
@@ -1209,6 +1231,7 @@ def main() -> None:
                 "streaming_windowed_proc_rows_per_sec",
                 "streaming_stateful_proc_rows_per_sec",
                 "tab_parse_rows_per_sec",
+                "pgcopy_export_rows_per_sec",
             ):
                 if k in extras:
                     compact[k] = extras[k]
@@ -1417,6 +1440,7 @@ def main() -> None:
         # seconds — the cross-round comparable series for the extras
         for metric, section in (
             ("tab_parse_rows_per_sec", "tab_parse"),
+            ("pgcopy_export_rows_per_sec", "tab_parse"),
             ("migration_rows_per_sec", "migration"),
             ("corpus_objects_per_sec", "corpus"),
             ("curation_docs_per_sec", "curation"),
