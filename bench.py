@@ -364,25 +364,29 @@ def _bench_tab_parse(spark, sf_dir: str, reps: int, tmpdir: str) -> dict:
 
     # the EXPORT mirror (round 13): PostgreSQL COPY-text encode of the
     # same table — the pgexport artifact's data path (JVM replace
-    # chain + distributed text write)
-    from mysql2pg_spark.sinks.copyexport import write_pg_copy
+    # chain + distributed text write). Own try/except so a failure
+    # here never discards the already-measured tab_parse series.
+    try:
+        from mysql2pg_spark.sinks.copyexport import write_pg_copy
 
-    df = spark.read.parquet(
-        os.path.join(sf_dir, "orders.parquet")
-    ).select("o_orderkey", "o_custkey", "o_totalprice",
-             "o_orderpriority", "o_orderdate")
-    ctimes: list[float] = []
-    for i in range(reps):
-        t = time.perf_counter()
-        write_pg_copy(df, os.path.join(tmpdir, f"orders_copy_{i}"))
-        ctimes.append(time.perf_counter() - t)
-    cmed = sorted(ctimes)[len(ctimes) // 2]
-    out["pgcopy_export_orders"] = round(cmed, 3)
-    out["pgcopy_export_rows_per_sec"] = round(
-        len(rows) / max(cmed, 1e-9), 1
-    )
-    if reps > 1:
-        out["pgcopy_export_orders_spread"] = _spread(ctimes)
+        df = spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).select("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority", "o_orderdate")
+        ctimes: list[float] = []
+        for i in range(reps):
+            t = time.perf_counter()
+            write_pg_copy(df, os.path.join(tmpdir, f"orders_copy_{i}"))
+            ctimes.append(time.perf_counter() - t)
+        cmed = sorted(ctimes)[len(ctimes) // 2]
+        out["pgcopy_export_orders"] = round(cmed, 3)
+        out["pgcopy_export_rows_per_sec"] = round(
+            len(rows) / max(cmed, 1e-9), 1
+        )
+        if reps > 1:
+            out["pgcopy_export_orders_spread"] = _spread(ctimes)
+    except Exception as e:  # keep tab_parse results intact
+        out["pgcopy_export_error"] = str(e)[:120]
     return out
 
 

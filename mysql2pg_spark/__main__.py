@@ -372,9 +372,11 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             snap = full_snapshot_from_dump(spark, args.dump_file)
+            # dump_read_schemas keys by VERBATIM table name (review
+            # r13c: a .lower() here KeyError'd on mixed-case tables)
             schemas = dump_read_schemas(snap)
             loader = lambda t: read_dump_inserts(  # noqa: E731
-                spark, args.dump_file, t, schemas[t.lower()]
+                spark, args.dump_file, t, schemas[t]
             )
         else:
             from mysql2pg_spark.tables import load_table
@@ -388,6 +390,9 @@ def main(argv: list[str] | None = None) -> int:
         cfg.options.view = True
         cfg.options.functions = True
         cfg.options.triggers = True
+        cfg.options.users = True
+        cfg.options.table_privileges = True
+        cfg.options.validate_data = False
         result = export_pg_dir(
             MigrationPipeline(cfg, snap), args.pg_out, loader
         )
@@ -437,14 +442,9 @@ def main(argv: list[str] | None = None) -> int:
         cfg.options.table_privileges = True
         cfg.options.data = False
         cfg.options.validate_data = False
-        lines: list[str] = []
-        for a in MigrationPipeline(cfg, snap).plan():
-            if a.kind == "ddl":
-                lines.append(a.payload.rstrip(";") + ";")
-            elif a.kind in ("skip", "note"):
-                first = str(a.payload).splitlines()[0]
-                lines.append(f"-- {a.kind.upper()} [{a.target}]: {first}")
-        script = "\n".join(lines)
+        from mysql2pg_spark.sinks.ddl import render_script
+
+        script = render_script(MigrationPipeline(cfg, snap).plan())
         print(script)
         if args.check:
             # same checks the golden-corpus pytest runs — head

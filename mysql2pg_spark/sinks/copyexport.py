@@ -100,40 +100,42 @@ def export_pg_dir(
     contract identical to a live migration); ``source_loader(name) ->
     DataFrame`` supplies rows (the same seam as ``execute_local``).
     Returns ``{"tables": [...], "load_script": path}``."""
+    from mysql2pg_spark.sinks.ddl import render_script
+
     os.makedirs(out_dir, exist_ok=True)
     actions = pipeline.plan()
-
-    def render(stage_filter) -> str:
-        lines: list[str] = []
-        for a in actions:
-            if not stage_filter(a.stage):
-                continue
-            if a.kind == "ddl":
-                lines.append(str(a.payload).rstrip(";") + ";")
-            elif a.kind in ("skip", "note"):
-                first = str(a.payload).splitlines()[0]
-                lines.append(f"-- {a.kind.upper()} [{a.target}]: {first}")
-        return "\n".join(lines) + "\n"
 
     pre = os.path.join(out_dir, "schema_pre.sql")
     post = os.path.join(out_dir, "schema_post.sql")
     with open(pre, "w", encoding="utf-8") as fh:
-        fh.write(render(lambda s: s in _PRE_DATA_STAGES))
+        fh.write(render_script(
+            actions, lambda s: s in _PRE_DATA_STAGES
+        ) + "\n")
     with open(post, "w", encoding="utf-8") as fh:
-        fh.write(render(
+        fh.write(render_script(
+            actions,
             lambda s: s not in _PRE_DATA_STAGES
-            and s not in ("data", "validate")
-        ))
+            and s not in ("data", "validate"),
+        ) + "\n")
 
     wanted = set(t.lower() for t in tables) if tables is not None else None
     norm = pipeline._norm
     done: list[str] = []
     copy_lines: list[str] = []
-    for t in pipeline.snapshot.tables:
+    # the DATA loop honors the config's include/exclude selection
+    # exactly like plan() does (review r13c: an excluded table must
+    # not get a \copy line pointing at a CREATE the schema never ran)
+    for t in pipeline._selected_tables():
         if wanted is not None and t.name.lower() not in wanted:
             continue
         name = norm(t.name)
-        df = pipeline._value_fix_transform(t)(source_loader(t.name))
+        df = source_loader(t.name)
+        # normalize the DataFrame's column case FIRST (review r13c):
+        # the DDL, the value-fix matcher, the generated-column
+        # exclusion and the \copy column list all speak normalized
+        # identifiers, while a dump/parquet source may carry raw case
+        df = df.toDF(*[norm(c) for c in df.columns])
+        df = pipeline._value_fix_transform(t)(df)
         gen = {
             norm(c.name)
             for c in t.columns

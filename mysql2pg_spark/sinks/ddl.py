@@ -520,6 +520,24 @@ def setval_ddl(table: str, column: str) -> str:
     )
 
 
+def render_script(actions, stage_filter=None) -> str:
+    """Plan actions → reviewable SQL script text: one ``;``-terminated
+    statement per ddl action, skips/notes as ``--`` comment lines
+    (first payload line). Shared by the ``pgddl`` CLI mode and the
+    ``pgexport`` artifact (review r13c — the two renderers had begun
+    to drift apart)."""
+    lines: list[str] = []
+    for a in actions:
+        if stage_filter is not None and not stage_filter(a.stage):
+            continue
+        if a.kind == "ddl":
+            lines.append(str(a.payload).rstrip(";") + ";")
+        elif a.kind in ("skip", "note"):
+            first = (str(a.payload).splitlines() or [""])[0]
+            lines.append(f"-- {a.kind.upper()} [{a.target}]: {first}")
+    return "\n".join(lines)
+
+
 def drop_table_ddl(table: str, cascade: bool = True) -> str:
     """Idempotent re-create support (manager.go:1229-1278)."""
     c = " CASCADE" if cascade else ""

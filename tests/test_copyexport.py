@@ -203,3 +203,62 @@ def test_cli_pgexport_mode(spark, tmp_path, capsys):
     assert result["tables"] == ["t1"]
     rows = sorted(_read_copy_dir(str(out / "t1.copy")))
     assert rows == [["1", "x"], ["2", "y\ttab"]]
+
+
+def test_export_honors_selection_and_normalizes_case(spark, tmp_path):
+    """Review r13c: the data loop honors the config's include/exclude
+    selection (an excluded table must not get a \\copy line pointing
+    at a CREATE the schema never ran), and mixed-case source columns
+    normalize before the value-fix/generated/column-list logic."""
+    from mysql2pg_spark.config import EngineConfig
+    from mysql2pg_spark.orchestrator import (
+        CatalogSnapshot,
+        ColumnMeta,
+        MigrationPipeline,
+        TableMeta,
+    )
+    from mysql2pg_spark.sinks.copyexport import export_pg_dir
+
+    snap = CatalogSnapshot(tables=[
+        TableMeta(
+            name="Keep",
+            columns=[
+                ColumnMeta(name="Id", column_type="int", nullable=False),
+                ColumnMeta(name="Qty", column_type="int"),
+                ColumnMeta(name="Doubled", column_type="int",
+                           generated_expr="`Qty` * 2",
+                           generated_stored=True),
+            ],
+            primary_key=["Id"],
+        ),
+        TableMeta(
+            name="audit_log",
+            columns=[ColumnMeta(name="x", column_type="int")],
+        ),
+    ])
+    cfg = EngineConfig()
+    cfg.options.exclude_use_table_list = True
+    cfg.options.exclude_table_list = ["audit_log"]
+    pipe = MigrationPipeline(cfg, snap)
+
+    def loader(name):
+        assert name == "Keep"  # the excluded table is never loaded
+        return spark.createDataFrame(
+            [(1, 2, 4)], schema="Id int, Qty int, Doubled int"
+        )
+
+    out = str(tmp_path / "artifact")
+    result = export_pg_dir(pipe, out, loader)
+    assert result["tables"] == ["keep"]
+    load = open(result["load_script"]).read()
+    assert "audit_log" not in load
+    pre = open(os.path.join(out, "schema_pre.sql")).read()
+    assert "audit_log" not in pre
+    # normalized, generated-excluded column list
+    copy_lines = [l for l in load.splitlines() if l.startswith("\\copy")]
+    assert all(
+        l.startswith('\\copy "keep" ("id", "qty") from ')
+        for l in copy_lines
+    )
+    rows = sorted(_read_copy_dir(os.path.join(out, "keep.copy")))
+    assert rows == [["1", "2"]]
