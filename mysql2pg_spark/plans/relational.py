@@ -425,19 +425,21 @@ def q10_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    avg_price = (
-        orders.agg(
-            (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1)))
-            .alias("a")
-        )
-        .collect()[0]["a"]
+    # scalar subquery as a broadcast 1-row crossJoin (review r14: the
+    # previous .collect() made the registered plan two jobs and pulled
+    # the scalar through the driver; this keeps it one lazy plan —
+    # BroadcastNestedLoopJoin on a single aggregate row is free)
+    avg_price = orders.agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("_avg_price")
     )
     nkeys = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
     ckeys = cust.join(
         F.broadcast(nkeys), cust.c_nationkey == nkeys.n_nationkey, "left_semi"
     ).select("c_custkey")
     return (
-        orders.filter(F.col("o_totalprice") > avg_price)
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("_avg_price"))
         .join(ckeys, orders.o_custkey == ckeys.c_custkey, "left_semi")
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(

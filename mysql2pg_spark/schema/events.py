@@ -653,34 +653,50 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         # column is exactly MySQL's ENABLE/DISABLE bit). Body/schedule
         # refusals stand on their own.
         inner = spec_actions(_dc_replace(spec, enabled=True))
-        jobs = [
-            mo.group(1)
-            for _k, payload in inner
-            if _k == "ddl"
-            and (mo := re.match(
-                r"(?is)^\s*SELECT\s+cron\.schedule\("
-                r"'((?:[^']|'')*)'", payload,
-            ))
-            # the _ends remover is an emulation ARTIFACT, not the
-            # event: it stays ACTIVE so the schedule still expires at
-            # ENDS (MySQL expires disabled events too), and so a later
-            # manual re-enable of the main job keeps its ENDS bound
-            and not mo.group(1).endswith("_ends")
-        ]
-        if not jobs:
+        # find the MAIN-job schedule statements; the _ends remover is
+        # an emulation ARTIFACT, not the event: it stays ACTIVE so the
+        # schedule still expires at ENDS (MySQL expires disabled events
+        # too), and so a later manual re-enable of the main job keeps
+        # its ENDS bound
+        main: list[tuple[int, str, str]] = []  # (index, jobname, call)
+        for i, (k, payload) in enumerate(inner):
+            if k != "ddl":
+                continue
+            mo = re.match(
+                r"(?is)^\s*SELECT\s+(cron\.schedule\("
+                r"'((?:[^']|'')*)'.*)$", payload,
+            )
+            if mo and not mo.group(2).endswith("_ends"):
+                main.append((i, mo.group(2), mo.group(1)))
+        if not main:
             return inner
-        in_list = ", ".join(f"'{j}'" for j in jobs)
-        inner.append((
-            "ddl",
-            f"UPDATE cron.job SET active = false "
-            f"WHERE jobname IN ({in_list})",
-        ))
+        in_list = ", ".join(f"'{j}'" for _i, j, _c in main)
+        # schedule AND deactivate in ONE statement (review r14): each
+        # plan statement autocommits, so a separate UPDATE left a
+        # window in which pg_cron could observe — and fire — the
+        # active row (acute for the '* * * * *' guarded emulations).
+        # A DO block is a single transaction; pg_cron reads cron.job
+        # transactionally, so the active row is never visible.
+        body = "; ".join(f"PERFORM {c}" for _i, _j, c in main) + (
+            f"; UPDATE cron.job SET active = false "
+            f"WHERE jobname IN ({in_list});"
+        )
+        do_tag = _fresh_tag("do", body)
+        combined = f"DO {do_tag} BEGIN {body} END {do_tag}"
+        first = main[0][0]
+        drop = {i for i, _j, _c in main[1:]}
+        inner = [
+            ("ddl", combined) if i == first else (k, p)
+            for i, (k, p) in enumerate(inner)
+            if i not in drop
+        ]
         inner.append((
             "note",
             f"event {spec.name} is DISABLE'd at the source — scheduled "
-            "INACTIVE (cron.job.active = false, MySQL's DISABLE bit); "
-            "re-enable with UPDATE cron.job SET active = true "
-            f"WHERE jobname IN ({in_list})",
+            "INACTIVE (cron.job.active = false, MySQL's DISABLE bit) "
+            "atomically in one DO block so the active row is never "
+            "visible to pg_cron; re-enable with UPDATE cron.job SET "
+            f"active = true WHERE jobname IN ({in_list})",
         ))
         return inner
 
@@ -782,33 +798,42 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         lit_starts = bool(
             spec.starts and _TS_LIT_RE.match(spec.starts.strip())
         )
-        future_starts = False
-        if lit_starts:
-            import datetime as _dt
-
-            smo = _TS_LIT_RE.match(spec.starts.strip())
-            starts_dt = _dt.datetime(
-                int(smo.group(1)), int(smo.group(2)), int(smo.group(3)),
-                int(smo.group(4) or 0), int(smo.group(5) or 0),
-                int(smo.group(6) or 0),
+        # Every literal STARTS is gated DETERMINISTICALLY (review r14;
+        # round 13 compared STARTS against datetime.now() at plan time,
+        # so the same event produced different DDL depending on when
+        # the migration ran, and the 'n seconds' interval path silently
+        # skipped the gate entirely — firing years before MySQL's first
+        # firing for a future anchor). Two exact shapes:
+        # - phase-exact direct entry (aligned divisor cadence, or a
+        #   pg_cron 'n seconds' interval): the only divergence a guard
+        #   can fix is firings BEFORE the anchor — wrap the body in the
+        #   start gate alone. For past anchors the gate is trivially
+        #   true; the plan no longer depends on the wall clock.
+        # - misaligned cadence (EVERY 6 HOUR STARTS 02:00 → cron */6
+        #   fires 0/6/12/18, MySQL 2/8/14/20 — off on EVERY firing) or
+        #   day-of-month 29-31 (cron SKIPS short months, MySQL rolls to
+        #   month-end): reroute through the anchored period-elapsed
+        #   guard, which reproduces MySQL's cadence exactly and
+        #   subsumes the start gate.
+        if lit_starts and phase_exact and not dom_29_31:
+            guard = (
+                f"now() >= TIMESTAMP {spec.starts} - interval '1 minute'"
             )
-            future_starts = starts_dt > _dt.datetime.now()
-        # reroute a direct entry through the guarded emulation when it
-        # diverges in ways the guard fixes EXACTLY (review r13):
-        # - day 29-31 SKIPS months without that day, where MySQL rolls
-        #   each firing to month-end (LEAST(dom, month-end) day guard);
-        # - a divisor cadence with a MISALIGNED literal STARTS (EVERY
-        #   6 HOUR STARTS 02:00 → cron */6 fires 0/6/12/18, MySQL
-        #   2/8/14/20) is off by the misalignment on EVERY firing —
-        #   permanently, not the sub-period first-firing shift the
-        #   phase note describes; the anchored guard reproduces
-        #   MySQL's cadence instead;
-        # - a FUTURE literal STARTS (review r13b): a direct entry
-        #   begins firing at migration time, years before MySQL's
-        #   first firing — the guard's now() >= STARTS conjunct is the
-        #   start gate (plan() runs at migration time, so comparing
-        #   against the wall clock here is the honest check).
-        if dom_29_31 or (not phase_exact and lit_starts) or future_starts:
+            anchor_txt = (
+                "pg_cron's interval scheduler anchors the cadence at "
+                "registration, so firings may be offset from MySQL's "
+                "STARTS-anchored ones by less than one (sub-minute) "
+                "period" if len(fields) != 5
+                else "the cron entry already fires at MySQL's "
+                     "anchored times"
+            )
+            guard_note = (
+                f"event {spec.name}: literal STARTS {spec.starts} "
+                "enforced as a start gate inside the DO block — the "
+                "job no-ops before the anchor (a future STARTS never "
+                f"fires early); {anchor_txt}"
+            )
+        elif dom_29_31 or (lit_starts and not phase_exact):
             n, unit = _promote(spec.interval_n, spec.interval_unit)
             g = _guarded_schedule(spec, n, unit)
             if g[0] is not None:

@@ -46,6 +46,27 @@ from pyspark.sql.types import BinaryType, BooleanType
 __all__ = ["write_pg_copy", "export_pg_dir", "pg_copy_encode_col"]
 
 
+def _list_copy_parts(spark: SparkSession, data_dir: str) -> list[str]:
+    """Part-file names under a just-written COPY directory, listed via
+    the Hadoop FileSystem API resolved FROM THE PATH (review r14:
+    ``os.listdir`` assumed the Spark write landed on the driver-local
+    filesystem — against a cluster defaultFS it raised
+    FileNotFoundError, or worse, silently listed a stale local
+    directory after the data had already been exported elsewhere)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+    )
+    names = [
+        st.getPath().getName() for st in fs.listStatus(hpath)
+    ]
+    return sorted(
+        n for n in names
+        if n.startswith("part-") and not n.endswith(".crc")
+    )
+
+
 def pg_copy_encode_col(c, dtype):
     """One column → its COPY text-format field, entirely JVM-side.
     NULL → ``\\N``; binary → doubled-backslash hex (``\\\\x48…`` in
@@ -99,7 +120,16 @@ def export_pg_dir(
     DDL in stage order and its value-fix transform keeps the data
     contract identical to a live migration); ``source_loader(name) ->
     DataFrame`` supplies rows (the same seam as ``execute_local``).
-    Returns ``{"tables": [...], "load_script": path}``."""
+    Returns ``{"tables": [...], "load_script": path}``.
+
+    ``out_dir`` must be a DRIVER-LOCAL directory: the schema scripts
+    and ``load.sql`` are plain Python file writes, and psql's
+    ``\\copy`` reads the part files by relative path from that
+    directory. The Spark data write itself resolves ``out_dir``
+    through the Hadoop FileSystem API, so on a cluster whose defaultFS
+    is not ``file://`` the part files land on the defaultFS — prefix
+    ``out_dir`` with ``file:///`` (on a shared mount) or export on a
+    local-mode session when assembling a psql-runnable artifact."""
     from mysql2pg_spark.sinks.ddl import render_script
 
     os.makedirs(out_dir, exist_ok=True)
@@ -146,12 +176,11 @@ def export_pg_dir(
         data_dir = os.path.join(out_dir, f"{name}.copy")
         write_pg_copy(df, data_dir)
         col_list = ", ".join(f'"{c}"' for c in keep)
-        for part in sorted(os.listdir(data_dir)):
-            if part.startswith("part-") and not part.endswith(".crc"):
-                copy_lines.append(
-                    f"\\copy \"{name}\" ({col_list}) from "
-                    f"'{name}.copy/{part}' with (format text)"
-                )
+        for part in _list_copy_parts(df.sparkSession, data_dir):
+            copy_lines.append(
+                f"\\copy \"{name}\" ({col_list}) from "
+                f"'{name}.copy/{part}' with (format text)"
+            )
         done.append(name)
 
     load = os.path.join(out_dir, "load.sql")

@@ -180,23 +180,29 @@ def test_subminute_nondivisor_seconds_still_refuse():
 
 
 def test_disabled_event_schedules_inactive():
-    """Round 13: a DISABLE'd event keeps its definition in MySQL — the
-    plan schedules the job and then flips pg_cron's active bit off
-    (cron.job.active IS MySQL's ENABLE/DISABLE bit), instead of
-    dropping the event."""
+    """Round 14: a DISABLE'd event keeps its definition in MySQL — the
+    plan schedules the job AND flips pg_cron's active bit off
+    (cron.job.active IS MySQL's ENABLE/DISABLE bit) in ONE DO block.
+    Round 13 emitted the UPDATE as a separate autocommitted statement,
+    leaving a window in which pg_cron could observe — and fire — the
+    active row; the single-transaction DO block closes it."""
     dis = _ev(
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY DISABLE DO DELETE FROM t"
     )
     acts = spec_actions(dis)
     kinds = [k for k, _ in acts]
-    assert kinds.count("ddl") == 2 and "skip" not in kinds
-    ddls = [p for k, p in acts if k == "ddl"]
-    assert ddls[0].startswith("SELECT cron.schedule('e'")
-    assert ddls[1] == (
-        "UPDATE cron.job SET active = false WHERE jobname IN ('e')"
+    assert kinds.count("ddl") == 1 and "skip" not in kinds
+    (ddl,) = [p for k, p in acts if k == "ddl"]
+    assert ddl.startswith("DO $")
+    assert "PERFORM cron.schedule('e'" in ddl
+    assert (
+        "UPDATE cron.job SET active = false WHERE jobname IN ('e');" in ddl
     )
+    # schedule precedes the deactivation inside the same block
+    assert ddl.index("PERFORM cron.schedule") < ddl.index("UPDATE cron.job")
     notes = [p for k, p in acts if k == "note"]
     assert any("DISABLE" in p and "INACTIVE" in p for p in notes)
+    assert any("one DO block" in p for p in notes)
     # a DISABLE'd event whose body refuses keeps the body refusal
     acts = spec_actions(_ev(
         "CREATE EVENT e2 ON SCHEDULE EVERY 1 DAY DISABLE "
@@ -218,10 +224,16 @@ def test_disabled_ends_event_deactivates_main_but_not_remover():
         "STARTS '2030-01-01 00:15:00' ENDS '2031-01-01 00:00:00' "
         "DISABLE DO DELETE FROM t"
     ))
-    upd = [p for k, p in acts if k == "ddl" and p.startswith("UPDATE")]
-    assert upd == [
-        "UPDATE cron.job SET active = false WHERE jobname IN ('w')"
-    ]
+    ddls = [p for k, p in acts if k == "ddl"]
+    # main job: scheduled + deactivated atomically in one DO block
+    combined = [p for p in ddls if "UPDATE cron.job SET active" in p]
+    assert len(combined) == 1 and combined[0].startswith("DO $")
+    assert "PERFORM cron.schedule('w'" in combined[0]
+    assert "WHERE jobname IN ('w');" in combined[0]
+    # the _ends remover stays a plain ACTIVE schedule, outside the block
+    removers = [p for p in ddls if "cron.schedule('w_ends'" in p]
+    assert len(removers) == 1
+    assert removers[0].startswith("SELECT cron.schedule('w_ends'")
     (note,) = [p for k, p in acts if k == "note" and "INACTIVE" in p]
     assert "WHERE jobname IN ('w')" in note
 
@@ -352,14 +364,46 @@ def test_absent_starts_emits_phase_note():
     assert skip is None and note is None
 
 
-def test_literal_starts_no_note():
+def test_literal_starts_start_gated_deterministically():
+    """Round 14: a phase-exact direct entry with a literal STARTS keeps
+    its cron schedule but gains a start gate in the DO block — the
+    same DDL whether STARTS is past or future (round 13 compared
+    against the wall clock at plan time, so the plan depended on when
+    the migration ran and a future-STARTS 'n seconds' interval fired
+    years early with no note)."""
     spec = _ev(
         "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
         "STARTS '2024-01-01 02:00:00' DO DELETE FROM t"
     )
     ddl, skip, note = _plan1(spec)
-    assert skip is None and note is None
+    assert skip is None
     assert "'0 2 * * *'" in ddl
+    assert (
+        "IF now() >= TIMESTAMP '2024-01-01 02:00:00' "
+        "- interval '1 minute' THEN" in ddl
+    )
+    assert note is not None and "start gate" in note
+    # a FUTURE literal STARTS produces the IDENTICAL plan shape — only
+    # the embedded timestamp differs (deterministic, review r14)
+    fut = _ev(
+        "CREATE EVENT e ON SCHEDULE EVERY 1 DAY "
+        "STARTS '2099-01-01 02:00:00' DO DELETE FROM t"
+    )
+    fddl, fskip, fnote = _plan1(fut)
+    assert fskip is None
+    assert fddl == ddl.replace("2024-01-01", "2099-01-01")
+    # sub-minute interval schedule: the start gate closes the round-13
+    # silent early-start (the cadence anchor itself is registration
+    # time — pg_cron intervals can't anchor — and the note says so)
+    sec = _ev(
+        "CREATE EVENT s ON SCHEDULE EVERY 30 SECOND "
+        "STARTS '2099-01-01 02:00:00' DO DELETE FROM t"
+    )
+    sddl, sskip, snote = _plan1(sec)
+    assert sskip is None
+    assert "'30 seconds'" in sddl
+    assert "IF now() >= TIMESTAMP '2099-01-01 02:00:00'" in sddl
+    assert snote is not None and "registration" in snote
 
 
 def test_quoted_event_name_escapes():
@@ -515,8 +559,12 @@ def test_literal_starts_phase_property():
             "DO DELETE FROM t"
         )
         ddl, skip, note = _plan1(spec)
-        # dom 29-31 schedules carry the month-end divergence note
-        assert skip is None and (note is None or "month-end" in note)
+        # every literal STARTS carries a note now (start gate or
+        # month-end divergence) — round 14 determinism
+        assert skip is None
+        assert note is not None and (
+            "start gate" in note or "month-end" in note
+        )
         sched = _re.search(r"'([\d* /]+)'", ddl).group(1)
         mi, hh, dom, mon, dow = sched.split()
         for f, lo, hi in [(mi, 0, 59), (hh, 0, 23)]:
@@ -594,10 +642,12 @@ def test_one_shot_at_emulates_via_self_unschedule():
         "CREATE EVENT od ON SCHEDULE AT '2030-06-01 12:30:00' DISABLE "
         "DO DELETE FROM t"
     )
-    ddls = [p for k, p in acts if k == "ddl"]
-    assert ddls[0].startswith("SELECT cron.schedule('od'")
-    assert ddls[1] == (
-        "UPDATE cron.job SET active = false WHERE jobname IN ('od')"
+    (ddl,) = [p for k, p in acts if k == "ddl"]
+    assert ddl.startswith("DO $")
+    assert "PERFORM cron.schedule('od'" in ddl
+    assert (
+        "UPDATE cron.job SET active = false WHERE jobname IN ('od');"
+        in ddl
     )
 
 
@@ -641,9 +691,11 @@ def test_literal_ends_emulates_via_remover_job():
         "STARTS '2026-01-01 00:15:00' ENDS '2026-06-01 00:00:00' "
         "DO DELETE FROM t WHERE stale = 1"
     )
-    assert [k for k, _ in acts] == ["ddl", "ddl", "note"]
+    # r14: the literal STARTS adds a start-gate note after the main ddl
+    assert [k for k, _ in acts] == ["ddl", "note", "ddl", "note"]
     assert "'15 * * * *'" in acts[0][1]
-    assert acts[1][1] == (
+    assert "start gate" in acts[1][1]
+    assert acts[2][1] == (
         "SELECT cron.schedule('win_ends', '0 0 * * *', "
         "$evt$DO $do$ BEGIN "
         "IF now() >= TIMESTAMP '2026-06-01 00:00:00' THEN "
@@ -651,7 +703,7 @@ def test_literal_ends_emulates_via_remover_job():
         "PERFORM cron.unschedule('win_ends'); "
         "END IF; END $do$$evt$)"
     )
-    assert "ENDS" in acts[2][1] and "at most a day" in acts[2][1]
+    assert "ENDS" in acts[3][1] and "at most a day" in acts[3][1]
     # compound body + ENDS composes with the procedure synthesis
     acts = event_actions(
         "CREATE EVENT wc ON SCHEDULE EVERY 1 DAY "
@@ -791,17 +843,20 @@ def test_month_end_dom_rolls_exactly():
     assert "extract(month from now())::int = 2" in ddl
     assert "least(29," in ddl
     # day 28 and wildcard dom schedules stay direct cron entries
+    # (start-gated in the DO block since round 14, with a note)
     acts = spec_actions(_ev(
         "CREATE EVENT ok ON SCHEDULE EVERY 1 MONTH "
         "STARTS '2024-01-28 02:00:00' DO DELETE FROM t"
     ))
-    assert [k for k, _ in acts] == ["ddl"]
+    assert [k for k, _ in acts] == ["ddl", "note"]
     assert "'0 2 28 * *'" in acts[0][1]
+    assert "least(" not in acts[0][1] and "start gate" in acts[1][1]
     acts = spec_actions(_ev(
         "CREATE EVENT d ON SCHEDULE EVERY 1 DAY "
         "STARTS '2024-01-31 02:00:00' DO DELETE FROM t"
     ))
-    assert [k for k, _ in acts] == ["ddl"]
+    assert [k for k, _ in acts] == ["ddl", "note"]
+    assert "least(" not in acts[0][1]
 
 
 def test_on_completion_preserve_deactivates_instead_of_unscheduling():
@@ -858,13 +913,16 @@ def test_misaligned_literal_starts_reroutes_to_anchored_guard():
     assert "/ 3600)::bigint % 6 = 0" in ddl
     assert "TIMESTAMP '2024-01-01 02:00:00'" in ddl
     assert "anchored exactly at STARTS" in note
-    # an ALIGNED literal STARTS keeps the direct entry
+    # an ALIGNED literal STARTS keeps the direct cron entry — only the
+    # start gate wraps the body (r14: no period-elapsed arithmetic)
     ddl, skip, note = _plan1(_ev(
         "CREATE EVENT h6a ON SCHEDULE EVERY 6 HOUR "
         "STARTS '2024-01-01 06:30:00' DO DELETE FROM t"
     ))
-    assert skip is None and note is None
-    assert "'30 */6 * * *'" in ddl and "DO $do$" not in ddl
+    assert skip is None and note is not None and "start gate" in note
+    assert "'30 */6 * * *'" in ddl
+    assert "% 6 = 0" not in ddl
+    assert "IF now() >= TIMESTAMP '2024-01-01 06:30:00'" in ddl
     # misaligned minute cadence reroutes too
     ddl, skip, note = _plan1(_ev(
         "CREATE EVENT m15 ON SCHEDULE EVERY 15 MINUTE "
