@@ -1152,3 +1152,44 @@ for _name in ROTATED_OUT_R13:
 for _name in ROTATED_IN_R13:
     DRIVER_QUERIES[_name] = QUERIES[_name]
     DRIVER_ORACLES[_name] = ORACLES[_name]
+
+# --------------------------------------------------------------------------
+# Round-14 rotation (battery rule, VERDICT r13 ask #3): the nine
+# standalone families that have NEVER held a driver row get one
+# (k-center coreset, embedding dim stats, cosine histogram, token-window
+# chunking, CDC chunks, URL canonicalization, source mixing, multi-table
+# near-dup, alternating-star components); nine rows driver-green for
+# many consecutive rounds retire to pytest-oracle coverage (still in
+# QUERIES, still benched). Retirements keep at least one driver row per
+# SURVEY §2 family: dedup keeps d06/d11/d12/d13 (+ d08 in), ANN keeps
+# s04/s06/s11 (+ s08/s09/s10 in), text keeps t07/t20-t23 (+ t10/t17/
+# t19/t24 in), SQL-core keeps q01/q07/q11.
+# --------------------------------------------------------------------------
+ROTATED_IN_R14 = (
+    "s08_kcenter_coreset",
+    "s09_dim_stats",
+    "s10_cosine_histogram",
+    "t10_chunking",
+    "t17_cdc_chunks",
+    "t19_url_canonicalize",
+    "t24_source_mixing",
+    "d08_neardup_multitable",
+    "cc02_labelprop_clusters",
+)
+ROTATED_OUT_R14 = (
+    "d03_lsh_neardup",
+    "t03_sampling",
+    "t04_vocab_battery",
+    "t08_repetition_battery",
+    "s01_knn_methods",
+    "r01_range_join",
+    "a01_asof_join",
+    "q12_pivot",
+    "q15_recursive_cte",
+)
+for _name in ROTATED_OUT_R14:
+    DRIVER_QUERIES.pop(_name, None)
+    DRIVER_ORACLES.pop(_name, None)
+for _name in ROTATED_IN_R14:
+    DRIVER_QUERIES[_name] = QUERIES[_name]
+    DRIVER_ORACLES[_name] = ORACLES[_name]
