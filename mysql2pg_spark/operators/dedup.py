@@ -115,6 +115,75 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_capped(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    max_bucket: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Skew-hardened LSH candidates (round 14): real corpora have
+    power-law duplicate clusters — one template shared by 1% of docs
+    puts that cluster's ENTIRE O(n²) pair mass into one (band, key)
+    bucket, which the all-pairs self-join materializes inside a single
+    straggler task. Here buckets up to ``max_bucket`` form all pairs
+    (the verification-friendly shape, identical to
+    :func:`lsh_candidate_pairs`); LARGER buckets link each member to
+    the bucket minimum instead (a star): cluster connectivity — what
+    downstream connected-components dedup consumes — is preserved
+    exactly, while the giant bucket's candidate mass drops from
+    O(n²) to O(n) and no task ever receives a quadratic bucket.
+
+    Returns ``(pairs, stats)`` where ``stats`` is a 1-row DataFrame
+    ``(capped_buckets, truncated_pairs)`` counting the all-pairs
+    candidate FORMATIONS the cap did not perform — per (band, key),
+    BEFORE cross-band dedup, because that is the join-side work the
+    cap saves (the uncapped join materializes every band's pairs and
+    only then distincts). The repo's "no silent caps" rule: callers
+    must surface both numbers next to the pair count.
+
+    The bucket-size window is itself keyed on the skewed (band, key),
+    but count+min over a giant partition is one linear pass — O(n),
+    not the O(n²) the join would pay."""
+    keys = _band_keys(signatures, id_col, "id", num_hashes)
+    w = Window.partitionBy("band", "key")
+    sized = keys.select(
+        "id", "band", "key",
+        F.count(F.lit(1)).over(w).alias("bsz"),
+        F.min("id").over(w).alias("bmin"),
+    )
+    small = sized.filter(F.col("bsz") <= max_bucket)
+    all_pairs = (
+        small.select(F.col("id").alias("id_a"), "band", "key")
+        .join(
+            small.select(F.col("id").alias("id_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    big = sized.filter(F.col("bsz") > max_bucket)
+    star_pairs = (
+        big.filter(F.col("id") != F.col("bmin"))
+        .select(F.col("bmin").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    pairs = all_pairs.unionByName(star_pairs).distinct()
+    stats = (
+        big.groupBy("band", "key")
+        .agg(F.first("bsz").alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("capped_buckets"),
+            F.coalesce(
+                F.sum(
+                    (F.col("n") * (F.col("n") - 1) / 2 - (F.col("n") - 1))
+                    .cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("truncated_pairs"),
+        )
+    )
+    return pairs, stats
+
+
 def jaccard_verified_pairs(
     df: DataFrame,
     id_col: str,

@@ -498,8 +498,17 @@ def check_cron_schedule(stmt: str) -> list[str]:
             "cron.schedule statement does not match the canonical "
             f"3-arg dollar-quoted shape: {stmt[:90]!r}"
         ]
+    return _cron_call_problems(
+        mo.group("name"), mo.group("sched"), mo.group("cmd")
+    )
+
+
+def _cron_call_problems(name: str, sched: str, cmd: str) -> list[str]:
+    """Shared validation for one ``cron.schedule(name, sched, cmd)``
+    call — used by the standalone ``SELECT`` form and by calls found
+    inside a DISABLE'd event's atomic ``DO`` block (round 14)."""
     problems: list[str] = []
-    name, sched = mo.group("name"), mo.group("sched").strip()
+    sched = sched.strip()
     smo = re.fullmatch(r"(\d+)\s+seconds", sched)
     if smo:
         if not 1 <= int(smo.group(1)) <= 59:
@@ -531,11 +540,22 @@ def check_cron_schedule(stmt: str) -> list[str]:
                     problems.append(
                         f"{name}: malformed cron field {f!r}"
                     )
-    cmd = mo.group("cmd").strip()
+    cmd = cmd.strip()
     dmo = _DO_BODY.match(cmd)
     if dmo:
         for p in check_plpgsql_body(dmo.group(2)):
             problems.append(f"{name} (DO block): {p}")
+        # round 14: the IF guards inside the emulation DO blocks are
+        # generated EXPRESSION text (period-elapsed arithmetic, start
+        # gates, month-end rolls) — parse each with the real expression
+        # grammar, not just the statement-level structural check
+        from mysql2pg_spark.schema.ddl_lint import check_expression
+
+        for gmo in re.finditer(
+            r"(?is)\bIF\s+(.*?)\s+THEN\b", dmo.group(2)
+        ):
+            for p in check_expression(gmo.group(1)):
+                problems.append(f"{name} (DO-block guard): {p}")
     elif not _CRON_CMD_HEAD.match(cmd):
         problems.append(
             f"{name}: command head outside the emitted subset: "
@@ -559,6 +579,31 @@ def check_script(text: str) -> list[str]:
         if _CRON_STMT.match(stmt):
             if re.match(r"(?is)^\s*SELECT\s+cron\.schedule\b", stmt):
                 problems.extend(check_cron_schedule(stmt))
+            continue
+        dmo = re.match(r"(?is)^\s*DO\s+\$(\w*)\$(.*)\$\1\$\s*$", stmt)
+        if dmo:
+            # round 14: a DISABLE'd event's atomic schedule-and-
+            # deactivate block — structural body check PLUS the same
+            # cron gate on every schedule call found inside it
+            body = dmo.group(2)
+            for p in check_plpgsql_body(body):
+                problems.append(f"DO statement: {p}")
+            calls = list(re.finditer(
+                r"(?is)\bcron\.schedule\s*\(\s*"
+                r"'(?P<name>(?:[^']|'')+)'\s*,\s*"
+                r"'(?P<sched>[^']+)'\s*,\s*"
+                r"\$(?P<tag>\w*)\$(?P<cmd>.*?)\$(?P=tag)\$\s*\)",
+                body,
+            ))
+            if not calls:
+                problems.append(
+                    "DO statement without a cron.schedule call: "
+                    f"{stmt[:80]!r}"
+                )
+            for cm in calls:
+                problems.extend(_cron_call_problems(
+                    cm.group("name"), cm.group("sched"), cm.group("cmd")
+                ))
             continue
         mo = _FN_STMT.match(stmt)
         if not mo:

@@ -412,6 +412,10 @@ def adapt_ddl(sql: str, dialect: str = "postgres") -> str | None:
         return None  # DuckDB has no serial-sequence catalog to resync
     if head.startswith(("SELECT CRON.SCHEDULE(", "UPDATE CRON.JOB ")):
         return None  # pg_cron is a PG extension: event jobs skip VISIBLY
+    if head.startswith("DO $") and "CRON." in head:
+        # round 14: DISABLE'd events schedule-and-deactivate atomically
+        # in one DO block — same pg_cron skip as the plain forms
+        return None
     if head.startswith("ALTER TABLE") and "ADD CONSTRAINT" in head:
         # DuckDB has no ALTER TABLE … ADD CONSTRAINT (FK and CHECK)
         return None

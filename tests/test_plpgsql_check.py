@@ -377,3 +377,94 @@ def test_partition_ddl_gate():
         "FOR VALUES FROM (MINVALUE) TO (10);\n"
     )
     assert lint_ddl(good_script) == []
+
+
+def test_expression_grammar_accepts_emitted_shapes():
+    """Round 14 (VERDICT r13 ask #6): every CHECK-body and DO-block
+    guard shape the emitters produce parses under the real expression
+    grammar — not just paren balancing."""
+    from mysql2pg_spark.schema.ddl_lint import check_expression
+
+    for expr in [
+        "age > 18",
+        "e1 IN ('a', 'b', 'c')",
+        "string_to_array(s1, ',') <@ ARRAY['x', 'y', 'z']::text[]",
+        "now() >= TIMESTAMP '2024-01-01 00:00:00' - interval '1 minute'",
+        "floor(extract(epoch from now()) / 60)::bigint % 7 = 0",
+        "round(extract(epoch from now() - TIMESTAMP "
+        "'2024-03-01 04:30:00') / 86400)::bigint % 2 = 0 "
+        "AND now() >= TIMESTAMP '2024-03-01 04:30:00' "
+        "- interval '1 minute'",
+        "extract(day from now())::int = least(31, extract(day from "
+        "(date_trunc('month', now()) + interval '1 month' "
+        "- interval '1 day'))::int)",
+        "((extract(year from now())::int * 12 + "
+        "extract(month from now())::int) - 24289) % 5 = 0",
+        "a IS NOT NULL AND b BETWEEN 1 AND 10",
+        "CASE WHEN x > 0 THEN 'p' ELSE 'n' END = 'p'",
+        "price NOT IN (1, 2) OR name LIKE 'a%'",
+        "c IS DISTINCT FROM 0",
+        "arr[1] = 2",
+    ]:
+        assert check_expression(expr) == [], expr
+
+
+def test_expression_grammar_rejects_seeded_typos():
+    from mysql2pg_spark.schema.ddl_lint import check_expression
+
+    for expr in [
+        "age > > 18",                        # doubled operator
+        "extract(epoch now())",              # missing FROM
+        "e1 IN ('a', 'b',)",                 # trailing comma
+        "floor(extract(epoch from now() / 60",  # unclosed calls
+        "a AND AND b",                       # doubled conjunction
+        "x = 1 ORDER",                       # trailing garbage
+        "ARRAY['x' 'y']",                    # missing comma
+        "a::  = 1",                          # cast without a type
+        "CASE WHEN x THEN END",              # empty THEN branch
+        "age >< 18",                         # operator soup
+        "(a = 1))",                          # extra close paren
+        "",                                  # empty
+    ]:
+        assert check_expression(expr), expr
+
+
+def test_check_bodies_linted_by_expression_grammar():
+    from mysql2pg_spark.schema.ddl_lint import lint_ddl
+
+    good = "ALTER TABLE t ADD CONSTRAINT c CHECK (age > 18);"
+    assert lint_ddl(good) == []
+    bad = "ALTER TABLE t ADD CONSTRAINT c CHECK (age > > 18);"
+    assert any("CHECK body" in p for p in lint_ddl(bad))
+
+
+def test_atomic_disable_do_block_gated():
+    """The round-14 DISABLE'd-event DO statement gets (a) the plpgsql
+    body check, (b) the cron gate on every schedule call inside it,
+    and (c) the expression grammar on its inner DO-block guards —
+    seeded errors in each layer are rejected; the golden is clean."""
+    import os
+
+    from mysql2pg_spark.schema.ddl_lint import lint_ddl
+    from mysql2pg_spark.schema.plpgsql_check import check_script
+
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden", "events_pg.sql"
+    )
+    text = open(golden).read()
+    assert "DO $do1$ BEGIN PERFORM cron.schedule(" in text
+    assert check_script(text) == []
+    assert lint_ddl(text) == []
+    # seeded: guard typo inside the scheduled command's DO block
+    probs = check_script(text.replace("% 2 = 0", "% 2 = = 0"))
+    assert any("DO-block guard" in p for p in probs), probs[:3]
+    # seeded: out-of-range cron field inside the atomic DO block
+    probs = check_script(text.replace("'30 4 * * *'", "'30 99 * * *'"))
+    assert any("outside 0-23" in p for p in probs), probs[:3]
+    # a bare DO statement that schedules nothing is not in the grammar
+    probs = check_script("DO $x$ BEGIN PERFORM 1; END $x$;")
+    assert any("without a cron.schedule" in p for p in probs), probs
+    assert any(
+        "without a cron.schedule" in p
+        for p in lint_ddl("DO $x$ BEGIN PERFORM 1; END $x$;")
+    )

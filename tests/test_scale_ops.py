@@ -157,3 +157,109 @@ def test_semantic_dedup_cluster_cap(spark):
         .count()
     )
     assert sizes.agg(F.max("count")).first()[0] <= 100
+
+
+def test_capped_lsh_preserves_connectivity_and_surfaces_truncation(spark):
+    """Round 14 (skew hardening): on a corpus with one giant template
+    bucket, lsh_candidate_pairs_capped must (a) produce the SAME
+    connected components as the uncapped all-pairs generator — star
+    edges to the bucket minimum keep every member reachable — while
+    (b) forming O(n) instead of O(n²) pairs for the hot bucket and
+    (c) reporting the exact per-band pair-formation count it skipped
+    (the "no silent caps" rule)."""
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators.components import connected_components
+    from mysql2pg_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_capped,
+        minhash_signatures,
+    )
+
+    # 40 near-identical docs (one template + tiny salt) = one giant
+    # LSH bucket per band; 3 small distinct pairs; 4 singletons
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, tmpl + f" nd{i % 3}") for i in range(40)]
+    rows += [(100 + i, f"unique text number {i} " * 4 + f"pair{i // 2}")
+             for i in range(6)]
+    rows += [(200 + i, f"totally distinct content {i} with words "
+              f"{i * 7} {i * 13} {i * 31}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text").cache()
+
+    unc = lsh_candidate_pairs(sigs, "doc_id")
+    cap, stats = lsh_candidate_pairs_capped(sigs, "doc_id", max_bucket=8)
+    n_unc, n_cap = unc.count(), cap.count()
+    # the giant bucket alone is 40*39/2 = 780 uncapped pairs vs 39 star
+    # edges — the cap must actually bite
+    assert n_unc >= 780
+    assert n_cap < n_unc / 5
+
+    st = stats.collect()[0].asDict()
+    assert st["capped_buckets"] >= 1
+    # per-band accounting: every capped bucket of size n skipped
+    # exactly n(n-1)/2 - (n-1) formations
+    assert st["truncated_pairs"] >= 780 - 39
+
+    def comp_sets(pairs):
+        comp = connected_components(
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+            "src", "dst",
+        )
+        groups = {}
+        for r in comp.collect():
+            groups.setdefault(r[1], set()).add(r[0])
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    assert comp_sets(cap) == comp_sets(unc)
+
+
+def test_skew_corpus_shape(spark, tmp_path):
+    """generate_skew_dir keeps row counts and ids, and produces
+    Zipf-sized template clusters: the largest near-dup cluster must
+    dominate (power law), and non-members keep their original text."""
+    from tools.gen_scale import (
+        SKEW_FRACTION,
+        SKEW_TEMPLATES,
+        generate_skew_dir,
+    )
+
+    src = "/root/testdata/sf0.01"
+    out = str(tmp_path / "skew")
+    generate_skew_dir(spark, src, out)
+
+    base = spark.read.parquet(src + "/documents.parquet")
+    skew = spark.read.parquet(out + "/documents.parquet")
+    assert skew.count() == base.count()
+    # deterministic: regenerating produces the identical corpus
+    assert generate_skew_dir(spark, src, out) == out
+
+    from pyspark.sql import functions as F
+
+    # members carry the template+salt text → exact-dup groups of the
+    # same (cluster, salt); cluster 0 must be the largest (Zipf)
+    sizes = sorted(
+        (r["n"] for r in skew.groupBy("text").agg(
+            F.count(F.lit(1)).alias("n")).collect()),
+        reverse=True,
+    )
+    assert sizes[0] >= 3  # a real cluster formed even at sf0.01
+    n_members = sum(s for s in sizes if s > 1)
+    frac = n_members / skew.count()
+    # ~SKEW_FRACTION of docs are cluster members (binomial tolerance)
+    assert SKEW_FRACTION / 2 < frac < SKEW_FRACTION * 2, frac
+    # non-members are untouched
+    joined = base.select("doc_id", F.col("text").alias("orig")).join(
+        skew, "doc_id"
+    )
+    untouched = joined.filter(F.col("orig") == F.col("text")).count()
+    assert untouched >= base.count() * (1 - SKEW_FRACTION * 2)
+    # embeddings: same ids, same dimension, members nudged not replaced
+    be = spark.read.parquet(src + "/embeddings.parquet")
+    se = spark.read.parquet(out + "/embeddings.parquet")
+    assert se.count() == be.count()
+    dims = se.select(F.size("embedding").alias("d")).distinct().collect()
+    assert len(dims) == 1
+    assert SKEW_TEMPLATES >= 2  # the Zipf inverse-CDF has >1 bucket

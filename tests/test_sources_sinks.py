@@ -448,9 +448,12 @@ def test_live_events_scan_renders_canonical_ddl():
     assert spec is not None and spec.name == "purge"
     assert spec.comment == "it's nightly"
     acts = spec_actions(spec)
-    assert [k for k, _ in acts] == ["ddl"]
+    # r14: the literal STARTS adds a deterministic start-gate note
+    assert [k for k, _ in acts] == ["ddl", "note"]
+    assert "start gate" in acts[1][1]
     ddl = acts[0][1]
     assert "'0 2 * * *'" in ddl and "CURRENT_TIMESTAMP" in ddl
+    assert "IF now() >= TIMESTAMP '2024-01-01 02:00:00'" in ddl
 
     once = render_event_ddl({
         "event_name": "one", "event_type": "ONE TIME",

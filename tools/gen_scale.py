@@ -157,6 +157,124 @@ def generate_scale_dir(
     return out_dir
 
 
+#: Skew-corpus shape: SKEW_FRACTION of docs/vectors join one of
+#: SKEW_TEMPLATES near-duplicate clusters whose sizes follow Zipf(s=1)
+#: — cluster k gets weight 1/k. At sf0.1 (5000 docs) the largest
+#: cluster is ~550 members, i.e. ~150k candidate pairs in ONE (band,
+#: key) bucket — the power-law template-cluster stress the uniform
+#: replication above deliberately avoids (VERDICT r13 ask #4).
+SKEW_TEMPLATES = 8
+SKEW_FRACTION = 0.30
+
+
+def _zipf_cluster(u: F.Column, t: int = SKEW_TEMPLATES) -> F.Column:
+    """Inverse-CDF map uniform → Zipf(s=1) cluster index 0..t-1."""
+    h = [sum(1.0 / j for j in range(1, k + 1)) for k in range(1, t + 1)]
+    total = h[-1]
+    expr = F.lit(t - 1)
+    for k in range(t - 2, -1, -1):
+        expr = F.when(u < h[k] / total, F.lit(k)).otherwise(expr)
+    return expr
+
+
+def _skew_columns(id_col: str):
+    """(member?, cluster, perturbation salt) — all md5/xxhash-derived,
+    so the corpus is deterministic and regenerable."""
+    u_sel = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit("skew-sel")), F.lit(10**6))
+        / 10**6
+    )
+    u_clu = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit("skew-clu")), F.lit(10**6))
+        / 10**6
+    )
+    member = u_sel < SKEW_FRACTION
+    return member, _zipf_cluster(u_clu), F.pmod(F.col(id_col), F.lit(7))
+
+
+def generate_skew_dir(
+    spark: SparkSession, src_dir: str, out_dir: str
+) -> str:
+    """Write the SKEWED variant of the fixture: same tables and row
+    counts, but documents/embeddings carry Zipf-sized near-duplicate
+    template clusters (member text = template text + one salt token;
+    member embedding = template vector with the last dimension nudged)
+    so LSH band buckets, embedding blocks, and edit-distance candidate
+    sets all get one dominating hot key. Idempotent via marker."""
+    from pyspark.sql.window import Window
+
+    marker = os.path.join(out_dir, "_SKEW_OK")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    for t in DIMS + ("orders", "lineitem", "events"):
+        spark.read.parquet(os.path.join(src_dir, f"{t}.parquet")) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+    w = Window.orderBy("doc_id")
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    tmpl_docs = (
+        docs.orderBy("doc_id").limit(SKEW_TEMPLATES)
+        .select(
+            (F.row_number().over(w) - 1).alias("_cl"),
+            F.col("text").alias("_ttext"),
+        )
+    )
+    member, cluster, salt = _skew_columns("doc_id")
+    (
+        docs.withColumn("_cl", F.when(member, cluster))
+        .join(F.broadcast(tmpl_docs), "_cl", "left")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("_cl").isNotNull(),
+                F.concat(F.col("_ttext"), F.lit(" nd"), salt),
+            ).otherwise(F.col("text")),
+        )
+        .drop("_cl", "_ttext")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    we = Window.orderBy("vec_id")
+    tmpl_emb = (
+        emb.orderBy("vec_id").limit(SKEW_TEMPLATES)
+        .select(
+            (F.row_number().over(we) - 1).alias("_cl"),
+            F.col("embedding").alias("_temb"),
+        )
+    )
+    member_e, cluster_e, salt_e = _skew_columns("vec_id")
+    dim = F.size(F.col("_temb"))
+    nudged = F.concat(
+        F.slice(F.col("_temb"), 1, dim - 1),
+        F.array(
+            F.element_at(F.col("_temb"), -1)
+            + salt_e.cast("float") * F.lit(1e-4).cast("float")
+        ),
+    )
+    (
+        emb.withColumn("_cl", F.when(member_e, cluster_e))
+        .join(F.broadcast(tmpl_emb), "_cl", "left")
+        .withColumn(
+            "embedding",
+            F.when(F.col("_cl").isNotNull(), nudged)
+            .otherwise(F.col("embedding")),
+        )
+        .drop("_cl", "_temb")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+    with open(marker, "w") as fh:
+        fh.write(f"templates={SKEW_TEMPLATES} frac={SKEW_FRACTION} "
+                 f"src={src_dir}\n")
+    return out_dir
+
+
 if __name__ == "__main__":
     import sys
 
