@@ -345,6 +345,7 @@ def render_partition_def(rows: list[dict]) -> str | None:
             parts.append(p)
         if r.get("subpartition_name"):
             p["subnames"].append(r["subpartition_name"])
+    auto_sub = False
     if sub_method:
         sub_expr = (rows[0].get("subpartition_expression") or "").strip()
         counts = {len(p["subnames"]) for p in parts}
@@ -352,6 +353,15 @@ def render_partition_def(rows: list[dict]) -> str | None:
         head += f" SUBPARTITION BY {sub_method} ({sub_expr})"
         if k:
             head += f" SUBPARTITIONS {k}"
+            # implicit `SUBPARTITIONS k` declarations surface in the
+            # catalog under MySQL's auto-generated names
+            # `<partition>sp<n>` (round 14) — reconstruct the
+            # dump-canonical implicit form instead of a named list, so
+            # live and dump paths name the PG grandchildren identically
+            auto_sub = all(
+                p["subnames"] == [f"{p['name']}sp{j}" for j in range(k)]
+                for p in parts
+            )
     entries = []
     for p in parts:
         e = f"PARTITION {p['name']}"
@@ -363,7 +373,7 @@ def render_partition_def(rows: list[dict]) -> str | None:
                 e += f" VALUES LESS THAN ({desc})"
         elif method.startswith("LIST"):
             e += f" VALUES IN ({desc})"
-        if sub_method and p["subnames"]:
+        if sub_method and p["subnames"] and not auto_sub:
             e += " (" + ", ".join(
                 f"SUBPARTITION {n}" for n in p["subnames"]
             ) + ")"
@@ -525,13 +535,21 @@ def group_foreign_keys(rows: list[dict]) -> dict:
     ):
         key = (r["table_name"], r["constraint_name"])
         if key not in current:
+            # MySQL's catalog stores the literal 'NO ACTION' where the
+            # declared DDL omitted the clause (its default action) —
+            # normalize to None so live FKs emit the same DDL text as
+            # dump-parsed ones (round 14; semantically identical in PG)
+            def _rule(v):
+                v = (v or "").strip().upper()
+                return None if v in ("", "NO ACTION") else v
+
             spec = FkSpec(
                 name=r["constraint_name"],
                 columns=[],
                 ref_table=r["referenced_table_name"],
                 ref_columns=[],
-                on_delete=r.get("delete_rule"),
-                on_update=r.get("update_rule"),
+                on_delete=_rule(r.get("delete_rule")),
+                on_update=_rule(r.get("update_rule")),
             )
             current[key] = spec
             out.setdefault(r["table_name"], []).append(spec)

@@ -140,12 +140,15 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
         "paused_purge",
     }
     # EVERY 1 DAY STARTS '… 00:00:00' → midnight cron entry
-    (daily,) = evs["purge_stale_sessions"]
+    # r14: the literal STARTS adds a deterministic start gate + note
+    daily, daily_note = evs["purge_stale_sessions"]
     assert daily.kind == "ddl"
     assert daily.payload.startswith(
         "SELECT cron.schedule('purge_stale_sessions', '0 0 * * *', $evt$"
     )
+    assert "IF now() >= TIMESTAMP '2024-01-01 00:00:00'" in daily.payload
     assert "DELETE FROM case_41_parent" in daily.payload
+    assert daily_note.kind == "note" and "start gate" in daily_note.payload
     # EVERY 1 HOUR, MySQL-dialect body → PG dialect inside the job;
     # no STARTS clause → MySQL anchors at creation time, so the
     # boundary-anchored entry carries the phase note (ADVICE r12)
@@ -171,15 +174,19 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
     assert odd_note.kind == "note" and "integral multiple" in odd_note.payload
     # round 13: DISABLE'd events schedule INACTIVE — the STARTS-
     # anchored guard job exists, then its active bit flips off
+    # round 14: schedule + deactivate land in ONE atomic DO block so
+    # pg_cron never observes the active row
     paused = evs["paused_purge"]
-    assert [a.kind for a in paused] == ["ddl", "note", "ddl", "note"]
-    assert "'30 4 * * *'" in paused[0].payload
+    assert [a.kind for a in paused] == ["ddl", "note", "note"]
+    assert paused[0].payload.startswith("DO $")
+    assert "PERFORM cron.schedule('paused_purge', '30 4 * * *'" \
+        in paused[0].payload
     assert "% 2 = 0" in paused[0].payload
-    assert paused[2].payload == (
+    assert (
         "UPDATE cron.job SET active = false "
-        "WHERE jobname IN ('paused_purge')"
+        "WHERE jobname IN ('paused_purge');" in paused[0].payload
     )
-    assert "INACTIVE" in paused[3].payload
+    assert "INACTIVE" in paused[2].payload
     # round 12b: the compound body migrates via a synthesized plpgsql
     # procedure + scheduled CALL (previously a named skip); no STARTS
     # → creation-time phase note rides along
@@ -191,8 +198,9 @@ def test_events_translate_or_surface_as_named_skips(snapshot, tmp_path):
     assert comp_note.kind == "note" and "creation time" in comp_note.payload
     # round 12b: literal ENDS → main schedule + a self-unscheduling
     # remover that stops the job at the ENDS match (daily bound, r13)
-    win, win_ends, win_note = evs["bounded_window"]
+    win, win_gate_note, win_ends, win_note = evs["bounded_window"]
     assert win.kind == "ddl" and "'15 * * * *'" in win.payload
+    assert win_gate_note.kind == "note" and "start gate" in win_gate_note.payload
     assert win_ends.kind == "ddl"
     assert "cron.unschedule('bounded_window')" in win_ends.payload
     assert "'0 0 * * *'" in win_ends.payload
