@@ -121,6 +121,7 @@ EXTRA = [
     "sf09_loop_resultset_twin",
     "sf10_sysvar_twin",
     "m02_partition_routing",
+    "d14_capped_lsh",
 ]
 
 

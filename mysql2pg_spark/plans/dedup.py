@@ -154,6 +154,48 @@ def d03_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# d14 — skew-hardened LSH candidates (round 14): buckets over the cap
+# link members to the bucket minimum (star) instead of forming all
+# pairs — the power-law template-cluster mitigation (the skew leg of
+# bench.py stresses it on the Zipf corpus; here the oracle proves the
+# exact pair set). Cap 3 so BOTH branches exercise at sf0.01 — the
+# uniform fixture's buckets top out at 6 (26 buckets above the cap).
+# --------------------------------------------------------------------------
+CAPPED_MAX_BUCKET = 3
+
+
+@query(
+    "d14_capped_lsh",
+    oracle=f"""
+WITH {_MINHASH_CTE}, {_BANDS_CTE},
+sized AS (
+  SELECT doc_id, band, key,
+         COUNT(*) OVER (PARTITION BY band, key) AS bsz,
+         MIN(doc_id) OVER (PARTITION BY band, key) AS bmin
+  FROM bands
+),
+allp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {CAPPED_MAX_BUCKET}
+  UNION ALL
+  SELECT bmin AS id_a, doc_id AS id_b
+  FROM sized WHERE bsz > {CAPPED_MAX_BUCKET} AND doc_id <> bmin
+)
+SELECT DISTINCT id_a, id_b FROM allp ORDER BY id_a, id_b
+""",
+    driver=False,
+)
+def d14_capped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = cached_signatures(spark, sf_dir)
+    pairs, _stats = D.lsh_candidate_pairs_capped(
+        sigs, "doc_id", NUM_HASHES, max_bucket=CAPPED_MAX_BUCKET
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
 # d04 — near-duplicate pairs: LSH candidates verified by exact n-gram
 # Jaccard ≥ threshold.
 # --------------------------------------------------------------------------

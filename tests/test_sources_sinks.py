@@ -1022,3 +1022,27 @@ def test_catalog_withheld_and_namespace_and_order_fidelity():
         a.kind == "ddl" and a.stage in ("view", "functions")
         for a in actions
     )
+
+
+def test_live_fk_rules_normalize_no_action():
+    """Round 14 (replay parity): MySQL's catalog stores the literal
+    'NO ACTION' where the declared DDL omitted the referential action —
+    the live grouper normalizes it to None so live FKs emit the same
+    DDL text as dump-parsed ones; explicit CASCADE/RESTRICT/SET NULL
+    pass through."""
+    from mysql2pg_spark.sources.catalog import group_foreign_keys
+
+    rows = [
+        {"table_name": "t", "constraint_name": "fk1", "column_name": "a",
+         "ordinal_position": 1, "referenced_table_name": "p",
+         "referenced_column_name": "id",
+         "delete_rule": "NO ACTION", "update_rule": "CASCADE"},
+        {"table_name": "t", "constraint_name": "fk2", "column_name": "b",
+         "ordinal_position": 1, "referenced_table_name": "p",
+         "referenced_column_name": "id",
+         "delete_rule": "RESTRICT", "update_rule": None},
+    ]
+    out = group_foreign_keys(rows)
+    fk1, fk2 = out["t"]
+    assert fk1.on_delete is None and fk1.on_update == "CASCADE"
+    assert fk2.on_delete == "RESTRICT" and fk2.on_update is None
