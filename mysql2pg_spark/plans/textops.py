@@ -1313,3 +1313,51 @@ def t24_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# t25 — BM25-family term saliency (round 14): per-document top-3 terms
+# by tf·idf with length normalization — the lexical-importance
+# primitive of curation pipelines (seed-set relevance, keyword
+# profiling, DSIR-style importance weighting). Rational idf (no ln):
+# the engine-exactness rule admits only exactly-rounded IEEE ops, and
+# ln differs by ulps across libm implementations — see
+# operators/textops.bm25_top_terms. Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "t25_bm25_saliency",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(dfreq.df AS BIGINT) AS df,
+         ((tf.tf * 2.2e0) / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 *
+             (dl.dl / (CAST(corpus.sum_dl AS DOUBLE) / corpus.n_docs)))))
+         * ((corpus.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), corpus
+)
+SELECT doc_id, term, tf, df, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+ORDER BY doc_id, rnk
+""",
+    driver=False,
+)
+def t25_bm25_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.bm25_top_terms(d, "doc_id", "text", top_k=3)
