@@ -691,3 +691,89 @@ def bm25_top_terms(
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= top_k)
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    target_value: str,
+) -> DataFrame:
+    """DSIR-style distributional importance score per document (round
+    14): how much more a document's unigram distribution looks like the
+    TARGET slice (rows where ``target_col == target_value``) than like
+    the whole corpus — the primitive behind importance resampling of
+    pretraining data toward a seed domain (Xie et al., "Data Selection
+    for Language Models via Importance Resampling").
+
+    DSIR sums log-probability ratios; libm ``ln`` differs by ulps
+    across engines, so this operator scores with the exactly-computable
+    linear form instead: per token occurrence of term ``w`` the
+    contribution is ``p_target(w) − p_corpus(w)``, accumulated over the
+    document as ONE exact integer numerator over the common denominator
+    ``N_t·N_c``::
+
+        score = Σ_w tf(w)·(c_t(w)·N_c − c_c(w)·N_t)  /  (N_t·N_c)
+
+    where ``c_t/c_c`` are target/corpus occurrence counts and
+    ``N_t/N_c`` their totals. Every product and the sum are integer
+    DECIMAL(38,0) — exact at any partitioning — and the single final
+    double division is deterministic IEEE. Positive ⇒ the document
+    leans toward the target distribution.
+
+    Scale design: one (doc, term) TF shuffle (cached — three branches
+    derive from it); term-level target/corpus counts aggregate FROM the
+    tf frame (map-side combined); totals ride a broadcast 1-row
+    crossJoin; the scoring join is a term-keyed equi-join.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    tf = (
+        df.select(
+            F.col(id_col),
+            (F.col(target_col) == F.lit(target_value)).alias("_is_t"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "_is_t", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    term_counts = tf.groupBy("term").agg(
+        F.sum("tf").alias("c_c"),
+        F.sum(F.when(F.col("_is_t"), F.col("tf")).otherwise(0)).alias("c_t"),
+    )
+    totals = term_counts.agg(
+        F.sum("c_c").alias("n_c"), F.sum("c_t").alias("n_t")
+    )
+    dec = "decimal(38,0)"
+    num = F.sum(
+        (
+            F.col("tf").cast(dec)
+            * (
+                F.col("c_t").cast(dec) * F.col("n_c").cast(dec)
+                - F.col("c_c").cast(dec) * F.col("n_t").cast(dec)
+            )
+        )
+    )
+    return (
+        tf.join(term_counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, "_is_t")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            num.alias("_num"),
+            F.first("n_t").alias("_n_t"),
+            F.first("n_c").alias("_n_c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_is_t").alias("is_target"),
+            "n_tokens",
+            (
+                F.col("_num").cast("double")
+                / (F.col("_n_t").cast("double") * F.col("_n_c"))
+            ).alias("score"),
+        )
+    )

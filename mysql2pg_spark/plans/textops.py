@@ -1361,3 +1361,48 @@ ORDER BY doc_id, rnk
 def t25_bm25_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.bm25_top_terms(d, "doc_id", "text", top_k=3)
+
+
+# --------------------------------------------------------------------------
+# t26 — DSIR-style importance weighting toward a target slice (round
+# 14): per-document distributional lean of its unigram mass toward the
+# lang='en' slice vs the whole corpus — the importance-resampling
+# primitive (Xie et al.). No ln(): the score is one exact integer
+# numerator (DECIMAL(38,0) in Spark, HUGEINT in DuckDB) over the
+# common denominator N_t·N_c, so the single final double division is
+# deterministic IEEE on both engines. Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+@query(
+    "t26_importance_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t, unnest({_TOKENS}) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, is_t, term, count(*) AS tf FROM toks
+  WHERE term <> '' GROUP BY doc_id, is_t, term
+),
+tc AS (
+  SELECT term, sum(tf) AS c_c,
+         sum(CASE WHEN is_t THEN tf ELSE 0 END) AS c_t
+  FROM tf GROUP BY term
+),
+tot AS (SELECT sum(c_c) AS n_c, sum(c_t) AS n_t FROM tc)
+SELECT tf.doc_id, tf.is_t AS is_target,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(tf.tf AS HUGEINT)
+                * (CAST(tc.c_t AS HUGEINT) * CAST(tot.n_c AS HUGEINT)
+                   - CAST(tc.c_c AS HUGEINT) * CAST(tot.n_t AS HUGEINT)))
+            AS DOUBLE)
+         / (CAST(tot.n_t AS DOUBLE) * tot.n_c) AS score
+FROM tf JOIN tc USING (term), tot
+GROUP BY tf.doc_id, tf.is_t, tot.n_t, tot.n_c
+ORDER BY doc_id
+""",
+    driver=False,
+)
+def t26_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.importance_weights(d, "doc_id", "text", "lang", "en")
