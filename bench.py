@@ -1133,6 +1133,17 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
         spark.catalog.clearCache()
         skew_ok: dict[str, bool] = {}
         if not over_budget("skew_lsh_pairs"):
+            # warm the shared shingle/signature cache UNTIMED first
+            # (review r14): the capped-vs-uncapped A/B below must
+            # compare the candidate generators on identical warm
+            # inputs — previously the uncapped side paid the one-time
+            # signature materialization and the gate measured cache
+            # warmth, not the mitigation
+            from mysql2pg_spark.plans.dedup import (
+                cached_signatures as _warm_sigs,
+            )
+
+            _warm_sigs(spark, skew_dir).count()
             t = time.perf_counter()
             res["skew_lsh_pairs"] = QUERIES["d03_lsh_candidates"](
                 spark, skew_dir

@@ -172,13 +172,16 @@ def lsh_candidate_pairs_capped(
         .agg(F.first("bsz").alias("n"))
         .agg(
             F.count(F.lit(1)).alias("capped_buckets"),
+            # integer-exact halving (review r14): n*(n-1) is always
+            # even, and `/ 2` would route through double — lossy past
+            # 2^53, i.e. exactly the giant buckets the cap targets
             F.coalesce(
                 F.sum(
-                    (F.col("n") * (F.col("n") - 1) / 2 - (F.col("n") - 1))
-                    .cast("bigint")
+                    F.shiftright(F.col("n") * (F.col("n") - 1), 1)
+                    - (F.col("n") - 1)
                 ),
-                F.lit(0).cast("bigint"),
-            ).alias("truncated_pairs"),
+                F.lit(0),
+            ).cast("bigint").alias("truncated_pairs"),
         )
     )
     return pairs, stats

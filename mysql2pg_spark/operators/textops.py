@@ -726,9 +726,16 @@ def importance_weights(
     derive from it); term-level target/corpus counts aggregate FROM the
     tf frame (map-side combined); totals ride a broadcast 1-row
     crossJoin; the scoring join is a term-keyed equi-join.
-    """
-    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
 
+    Exactness bound: the numerator sum lives in DECIMAL(38,0) —
+    |Σ| < 10^38. A term's contribution is ≤ tf·c·N ≈ dl·N² per doc:
+    at a 2.5·10^13-token corpus (≈100 TB of text) with 10^4-token
+    documents that is ~10^35, three orders inside the bound; corpora
+    beyond that should hash terms into K buckets first (DSIR's own
+    construction), which shrinks every c·N product by K. Spark's
+    non-ANSI decimal overflow is a silent NULL, so consumers at
+    extreme scale should assert score IS NOT NULL.
+    """
     tf = (
         df.select(
             F.col(id_col),

@@ -45,12 +45,13 @@ STATEMENT_HEADS = (
     # round 13: identity-sequence resync in the offline pgexport
     # artifact (sinks/ddl.setval_ddl — MAX computed in SQL at load)
     "SELECT SETVAL(PG_GET_SERIAL_SEQUENCE(",
-    # round 13: DISABLE'd events schedule INACTIVE — the deactivation
-    # statement is scoped to pg_cron's own catalog table
-    "UPDATE CRON.JOB SET ACTIVE = FALSE WHERE JOBNAME IN (",
     # round 14: DISABLE'd events schedule AND deactivate atomically in
     # one DO block (lint_ddl additionally requires a cron.schedule call
-    # inside any bare DO statement — see the DO branch below)
+    # inside any bare DO statement — see the DO branch below); the
+    # round-13 standalone `UPDATE CRON.JOB …` head is gone with it —
+    # the only remaining deactivation text lives INSIDE dollar-quoted
+    # DO bodies, so whitelisting the bare form would re-admit the
+    # non-atomic shape the consolidation removed
     "DO $",
 )
 
@@ -212,13 +213,20 @@ _EXPR_TOKEN = re.compile(
     | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<qid>"[^"]*")
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>::|<@|@>|<=|>=|<>|!=|\|\||[-+*/%^=<>(),\[\].])
+    | (?P<op>::|<@|@>|<=|>=|<>|!=|\|\||<<|>>|!~\*|!~|~\*
+             |[-+*/%^=<>(),\[\].~&|\#])
     """
 )
 
+#: binary operator set — includes the regex-match family the REGEXP
+#: rewrite emits (``email REGEXP '…'`` → ``email ~ '…'``,
+#: plpgsql_builder) and the PG bitwise operators MySQL CHECK bodies
+#: pass through verbatim (& | # << >>) — review r14: the first grammar
+#: cut rejected CHECK bodies the pipeline itself produces.
 _BIN_OPS = {
     "+", "-", "*", "/", "%", "^", "=", "<", ">",
     "<=", ">=", "<>", "!=", "||", "<@", "@>",
+    "~", "~*", "!~", "!~*", "&", "|", "#", "<<", ">>",
 }
 _WORD_BIN = {"AND", "OR", "LIKE", "ILIKE"}
 _TYPED_LITERAL = {"INTERVAL", "TIMESTAMP", "DATE", "TIME"}
@@ -337,7 +345,7 @@ class _ExprParser:
             )
         kind, v = tok
         u = v.upper()
-        if kind == "op" and v in ("-", "+"):
+        if kind == "op" and v in ("-", "+", "~"):
             self.i += 1
             self._operand()
             return

@@ -816,9 +816,15 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         #   guard, which reproduces MySQL's cadence exactly and
         #   subsumes the start gate.
         if lit_starts and phase_exact and not dom_29_31:
-            guard = (
-                f"now() >= TIMESTAMP {spec.starts} - interval '1 minute'"
-            )
+            # tolerance policy (review r14): a 5-field cron entry fires
+            # at second 0 of the STARTS minute, possibly seconds before
+            # a mid-minute STARTS — the 1-minute slack admits exactly
+            # that firing. An 'n seconds' INTERVAL schedule fires every
+            # few seconds, so the same slack would run the body up to
+            # 60/n times before the anchor; its gate is exact (the
+            # first firing lands within n≤59 s AFTER STARTS instead).
+            tol = " - interval '1 minute'" if len(fields) == 5 else ""
+            guard = f"now() >= TIMESTAMP {spec.starts}{tol}"
             anchor_txt = (
                 "pg_cron's interval scheduler anchors the cadence at "
                 "registration, so firings may be offset from MySQL's "
