@@ -175,3 +175,36 @@ def test_resultset_twin_is_top_k(spark):
     full global sort — the plan that survives 100 TB."""
     plan = _plan(spark, "sf08_resultset_proc_twin")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_capped_lsh_no_all_pairs_and_star_branch(spark):
+    """d14: the skew mitigation must never route through a cartesian
+    product — the small-bucket side is a (band, key) equi-join and the
+    giant-bucket side is a window + projection (no join at all)."""
+    plan = _plan(spark, "d14_capped_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_plan_posture(spark):
+    """t25: one cached TF frame feeds every branch (no repeated corpus
+    scans — Catalyst's per-branch pruning defeats exchange reuse, see
+    the operator docstring), the corpus scalars ride a broadcast
+    1-row cross join, and the per-document top-k uses the
+    WindowGroupLimit pushdown instead of ranking every term."""
+    plan = _plan(spark, "t25_bm25_saliency")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan          # the TF cache pin
+    assert "WindowGroupLimit" in plan           # top-k pushdown
+    assert "BroadcastNestedLoopJoin" in plan    # 1-row corpus scalars
+
+
+def test_importance_weights_plan_posture(spark):
+    """t26: term-keyed equi-join scoring (never all-pairs), broadcast
+    1-row totals, cached TF frame, all-JVM expressions."""
+    plan = _plan(spark, "t26_importance_weights")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan
