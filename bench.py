@@ -122,6 +122,8 @@ EXTRA = [
     "sf10_sysvar_twin",
     "m02_partition_routing",
     "d14_capped_lsh",
+    "t25_bm25_saliency",
+    "t26_importance_weights",
 ]
 
 
