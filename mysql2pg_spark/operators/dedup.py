@@ -172,16 +172,22 @@ def lsh_candidate_pairs_capped(
         .agg(F.first("bsz").alias("n"))
         .agg(
             F.count(F.lit(1)).alias("capped_buckets"),
-            # integer-exact halving (review r14): n*(n-1) is always
-            # even, and `/ 2` would route through double — lossy past
-            # 2^53, i.e. exactly the giant buckets the cap targets
+            # exact at ANY bucket size (review r14b): n*(n-1) in bigint
+            # overflows past n ≈ 3.04e9 — and this session runs ANSI
+            # mode, so the stats aggregation would THROW on exactly the
+            # degenerate buckets the cap exists to report. DECIMAL(38,0)
+            # keeps every product and the sum exact; n(n-1) is even so
+            # the halving is integral, and floor() pins the type back
+            # to scale 0.
             F.coalesce(
                 F.sum(
-                    F.shiftright(F.col("n") * (F.col("n") - 1), 1)
-                    - (F.col("n") - 1)
+                    F.floor(
+                        F.col("n").cast("decimal(38,0)")
+                        * (F.col("n") - 1) / 2
+                    ) - (F.col("n") - 1)
                 ),
                 F.lit(0),
-            ).cast("bigint").alias("truncated_pairs"),
+            ).cast("decimal(38,0)").alias("truncated_pairs"),
         )
     )
     return pairs, stats

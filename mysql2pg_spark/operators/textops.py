@@ -616,6 +616,29 @@ def duplicate_spans(
     )
 
 
+def term_frequencies(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Cached (id[, extras], term) → tf frame — the shared first stage
+    of the corpus-statistics operators (bm25_top_terms,
+    importance_weights): whitespace tokens of the normalized text,
+    empty terms dropped, one count shuffle keyed on (id, term). Cached
+    because every consumer derives several differently-pruned branches
+    from it (see bm25_top_terms' scale note). ``extra_cols`` are
+    (alias, Column) pairs carried through the aggregation key —
+    per-document attributes like a target-slice flag."""
+    keys = [F.col(id_col)] + [c.alias(a) for a, c in extra_cols]
+    toks = df.select(
+        *keys, F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy(
+        id_col, *[a for a, _c in extra_cols], "term"
+    ).agg(F.count(F.lit(1)).alias("tf")).cache()
+
+
 def bm25_top_terms(
     df: DataFrame,
     id_col: str,
@@ -652,12 +675,7 @@ def bm25_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).cache()
+    tf = term_frequencies(df, id_col, text_col)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
@@ -732,20 +750,17 @@ def importance_weights(
     at a 2.5·10^13-token corpus (≈100 TB of text) with 10^4-token
     documents that is ~10^35, three orders inside the bound; corpora
     beyond that should hash terms into K buckets first (DSIR's own
-    construction), which shrinks every c·N product by K. Spark's
-    non-ANSI decimal overflow is a silent NULL, so consumers at
-    extreme scale should assert score IS NOT NULL.
+    construction), which shrinks every c·N product by K. This repo's
+    session runs ANSI mode, where a DECIMAL(38,0) overflow RAISES
+    (NUMERIC_VALUE_OUT_OF_RANGE) instead of yielding NULL — loud by
+    default; only a session that explicitly disables ANSI gets silent
+    NULL scores and would need an IS NOT NULL assertion.
     """
-    tf = (
-        df.select(
-            F.col(id_col),
-            (F.col(target_col) == F.lit(target_value)).alias("_is_t"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy(id_col, "_is_t", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
+    tf = term_frequencies(
+        df, id_col, text_col,
+        extra_cols=(
+            ("_is_t", F.col(target_col) == F.lit(target_value)),
+        ),
     )
     term_counts = tf.groupBy("term").agg(
         F.sum("tf").alias("c_c"),

@@ -380,8 +380,10 @@ def _guarded_schedule(
     '<starts>') / <period>) % n = 0`` — which reproduces MySQL's
     anchored cadence EXACTLY (rounding absorbs sub-half-period skew:
     STARTS seconds, DST shifts, cron-second jitter; a ``now() >=
-    STARTS - 1 minute`` conjunct blocks the one possible early match
-    before the anchor). Without one, the guard anchors at the epoch
+    STARTS - 59 seconds`` conjunct admits the second-0 firing of the
+    STARTS minute and nothing earlier — a full-minute slack let a
+    minute-aligned future anchor on a ``* * * * *`` entry fire one
+    whole period early, review r14b). Without one, the guard anchors at the epoch
     (or calendar index) and the usual phase note applies. Month/year
     grains use calendar-index arithmetic (``year*12 + month``) because
     their period length varies.
@@ -426,7 +428,7 @@ def _guarded_schedule(
                 f"round(extract(epoch from now() - TIMESTAMP "
                 f"{spec.starts}) / {period})::bigint % {n} = 0 "
                 f"AND now() >= TIMESTAMP {spec.starts} "
-                f"- interval '1 minute'"
+                f"- interval '59 seconds'"
             )
         else:
             guard = (
@@ -445,7 +447,7 @@ def _guarded_schedule(
             guard = (
                 f"(({idx}) - {anchor}) % {n} = 0 "
                 f"AND now() >= TIMESTAMP {spec.starts} "
-                f"- interval '1 minute'"
+                f"- interval '59 seconds'"
             )
         else:
             idx = month_idx if unit == "month" else year_idx
@@ -818,12 +820,14 @@ def spec_actions(spec: EventSpec) -> list[tuple[str, str]]:
         if lit_starts and phase_exact and not dom_29_31:
             # tolerance policy (review r14): a 5-field cron entry fires
             # at second 0 of the STARTS minute, possibly seconds before
-            # a mid-minute STARTS — the 1-minute slack admits exactly
-            # that firing. An 'n seconds' INTERVAL schedule fires every
+            # a mid-minute STARTS — the 59-second slack admits exactly
+            # that firing and nothing earlier (a full minute let a
+            # minute-aligned anchor fire one whole period early,
+            # review r14b). An 'n seconds' INTERVAL schedule fires every
             # few seconds, so the same slack would run the body up to
             # 60/n times before the anchor; its gate is exact (the
             # first firing lands within n≤59 s AFTER STARTS instead).
-            tol = " - interval '1 minute'" if len(fields) == 5 else ""
+            tol = " - interval '59 seconds'" if len(fields) == 5 else ""
             guard = f"now() >= TIMESTAMP {spec.starts}{tol}"
             anchor_txt = (
                 "pg_cron's interval scheduler anchors the cadence at "

@@ -163,7 +163,7 @@ def test_nondivisor_cadence_with_literal_starts_is_anchor_exact():
     )
     assert (
         "now() >= TIMESTAMP '2024-01-05 03:30:00' "
-        "- interval '1 minute'" in ddl
+        "- interval '59 seconds'" in ddl
     )
     assert note is not None and "anchored exactly at STARTS" in note
     assert "phase may shift" not in note
@@ -380,7 +380,7 @@ def test_literal_starts_start_gated_deterministically():
     assert "'0 2 * * *'" in ddl
     assert (
         "IF now() >= TIMESTAMP '2024-01-01 02:00:00' "
-        "- interval '1 minute' THEN" in ddl
+        "- interval '59 seconds' THEN" in ddl
     )
     assert note is not None and "start gate" in note
     # a FUTURE literal STARTS produces the IDENTICAL plan shape — only
