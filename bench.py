@@ -124,6 +124,7 @@ EXTRA = [
     "d14_capped_lsh",
     "t25_bm25_saliency",
     "t26_importance_weights",
+    "d16_lsh_tuning",
 ]
 
 

@@ -581,3 +581,93 @@ def source_overlap_matrix(
         )
         .agg(F.count("*").cast("long").alias("shared_grams"))
     )
+
+
+def lsh_band_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    rows_per_band: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """LSH candidate pairs under a (b bands × r rows) banding of the
+    SAME ``num_hashes`` signature columns: band i's key is the
+    concatenation of minhashes ``i·r … i·r+r−1``, so two docs collide
+    on a band only when ALL r member hashes agree. r=1 reproduces
+    :func:`lsh_candidate_pairs`; larger r trades recall for precision
+    (P[collide] = 1 − (1 − s^r)^b for Jaccard s — the standard S-curve
+    knob). Every config's candidate set is a SUBSET of r=1's (sharing
+    a concatenated key implies sharing each member key)."""
+    b = num_hashes // rows_per_band
+    keyed = signatures.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws("|", *[
+                    F.col(f"mh{i * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ]).alias("key"),
+            )
+            for i in range(b)
+        ])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = keyed.select(F.col(id_col).alias("id_a"), "band", "key")
+    bb = keyed.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(bb, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_tuning_profile(
+    signatures: DataFrame,
+    sh_sets: DataFrame,
+    id_col: str,
+    threshold: float,
+    rows_per_band_configs: tuple = (1, 2, 4),
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """The banding TUNING TABLE for MinHash-LSH dedup (round 14): for
+    each (b×r) banding of the same signatures, the candidate count,
+    the exact-Jaccard-verified count, and the precision — measured on
+    the corpus itself, which is how a 100 TB pipeline team picks the
+    banding empirically instead of from the S-curve alone (real
+    corpora have correlated shingles the independence assumption
+    misses). One row per config; candidates of every config are a
+    subset of r=1's, so verified@r=1 is the recall denominator.
+
+    Scale: signatures and shingles are computed once (callers pass the
+    shared cached stages); each config is one banded equi-join +
+    verification over ITS candidates only — never all pairs; the
+    per-config aggregates union into a 3-row result."""
+    profiles = []
+    for r in rows_per_band_configs:
+        cands = lsh_band_candidates(signatures, id_col, r, num_hashes)
+        # threshold -1 keeps EVERY candidate's jaccard row (the
+        # operator's filter is >= threshold): candidates and verified
+        # are counted from the same single verification pass
+        verified = verify_jaccard(cands, sh_sets, id_col, -1.0)
+        profiles.append(
+            verified.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(
+                    F.when(F.col("jaccard") >= threshold, 1).otherwise(0)
+                ).cast("bigint").alias("n_verified"),
+            ).select(
+                F.lit(num_hashes // r).cast("bigint").alias("bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_verified").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                ).alias("precision"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out

@@ -472,3 +472,77 @@ def d13_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_sim") >= EDIT_SIM_T)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# d16 — LSH banding tuning profile (round 14): for each (b×r) banding
+# of the SAME 8 minhashes, the candidate count, the exact-Jaccard-
+# verified count and the precision — the measured S-curve a 100 TB
+# pipeline uses to pick its banding empirically (real corpora have
+# correlated shingles the independence assumption misses). r=1 is the
+# recall ceiling (every config's candidates are a subset of its), so
+# verified@r=1 doubles as the recall denominator. Not in the driver
+# window; pytest-oracle-checked.
+# --------------------------------------------------------------------------
+_TUNING_CONFIGS = (1, 2, 4)
+
+
+def _tuning_cte(r: int) -> str:
+    b = NUM_HASHES // r
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, {key} AS key FROM mh".format(
+            i=i,
+            key=" || '|' || ".join(
+                f"mh{i * r + j}" for j in range(r)
+            ),
+        )
+        for i in range(b)
+    )
+    return f"""
+bands_{r} AS ({bands}),
+cand_{r} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_{r} a JOIN bands_{r} b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+prof_{r} AS (
+  SELECT CAST({b} AS BIGINT) AS bands,
+         CAST({r} AS BIGINT) AS rows_per_band,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(coalesce(sum(CASE WHEN jac >= {JACCARD_T} THEN 1
+                           ELSE 0 END), 0) AS BIGINT) AS n_verified,
+         CASE WHEN count(*) > 0 THEN
+           CAST(coalesce(sum(CASE WHEN jac >= {JACCARD_T} THEN 1
+                             ELSE 0 END), 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE)
+         END AS precision
+  FROM (
+    SELECT (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(sa.shingles || sb.shingles))
+                   AS DOUBLE)) AS jac
+    FROM cand_{r}
+    JOIN sh sa ON sa.doc_id = cand_{r}.id_a
+    JOIN sh sb ON sb.doc_id = cand_{r}.id_b
+  )
+)"""
+
+
+@query(
+    "d16_lsh_tuning",
+    oracle=f"""
+WITH {_MINHASH_CTE},
+{", ".join(_tuning_cte(r) for r in _TUNING_CONFIGS)}
+{" UNION ALL ".join(f"SELECT * FROM prof_{r}" for r in _TUNING_CONFIGS)}
+ORDER BY rows_per_band
+""",
+    driver=False,
+)
+def d16_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_tuning_profile(
+        cached_signatures(spark, sf_dir),
+        cached_shingles(spark, sf_dir),
+        "doc_id",
+        JACCARD_T,
+        rows_per_band_configs=_TUNING_CONFIGS,
+        num_hashes=NUM_HASHES,
+    )

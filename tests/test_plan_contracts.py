@@ -208,3 +208,12 @@ def test_importance_weights_plan_posture(spark):
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_lsh_tuning_no_all_pairs(spark):
+    """d16: every banding config's candidate generation is a banded
+    equi-join over the shared cached signature stage — no cartesian,
+    no Python rows."""
+    plan = _plan(spark, "d16_lsh_tuning")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

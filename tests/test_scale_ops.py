@@ -263,3 +263,39 @@ def test_skew_corpus_shape(spark, tmp_path):
     dims = se.select(F.size("embedding").alias("d")).distinct().collect()
     assert len(dims) == 1
     assert SKEW_TEMPLATES >= 2  # the Zipf inverse-CDF has >1 bucket
+
+
+def test_banded_lsh_subset_and_tuning_semantics(spark):
+    """d16 foundations: every (b×r) config's candidates are a SUBSET of
+    r=1's (sharing a concatenated key implies sharing each member key),
+    and the tuning profile counts candidates vs verified from one
+    verification pass."""
+    from mysql2pg_spark.operators.dedup import (
+        lsh_band_candidates,
+        lsh_tuning_profile,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, tmpl + f" v{i % 2}") for i in range(10)]
+    rows += [(100 + i, f"unrelated text {i} with words {i * 3} {i * 7}")
+             for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text").cache()
+    sh = shingle_sets(df, "doc_id", "text").cache()
+
+    sets = {}
+    for r in (1, 2, 4):
+        sets[r] = {(x["id_a"], x["id_b"])
+                   for x in lsh_band_candidates(sigs, "doc_id", r).collect()}
+    assert sets[4] <= sets[2] <= sets[1]
+    assert sets[1]  # something collided
+
+    prof = {p["rows_per_band"]: p
+            for p in lsh_tuning_profile(sigs, sh, "doc_id", 0.3).collect()}
+    for r in (1, 2, 4):
+        assert prof[r]["n_candidates"] == len(sets[r])
+        assert prof[r]["n_verified"] <= prof[r]["n_candidates"]
+    # precision is monotone in r on this corpus shape
+    assert (prof[4]["precision"] or 0) >= (prof[1]["precision"] or 0)
