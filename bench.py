@@ -991,16 +991,37 @@ def _bench_skew_leg(spark, sf_dir: str, skew_dir: str,
                 spark, skew_dir
             ).count()
             res["skew_lsh_sec"] = round(time.perf_counter() - t, 3)
+        if not over_budget("skew_capped_sec"):
+            # the PRODUCTION candidate stage (capped at
+            # plans/dedup.PROD_MAX_BUCKET=64 since round 15) — counted
+            # before cc01 so the cluster rate below divides by cc01's
+            # ACTUAL workload, and its truncation stats surfaced
+            # ("no silent caps")
+            from mysql2pg_spark.plans.dedup import neardup_candidates
+
+            t = time.perf_counter()
+            pairs, stats = neardup_candidates(spark, skew_dir)
+            res["skew_capped_pairs"] = pairs.count()
+            res["skew_capped_sec"] = round(time.perf_counter() - t, 3)
+            st = stats.collect()[0].asDict()
+            res["skew_capped_buckets"] = int(st["capped_buckets"])
+            res["skew_truncated_pairs"] = int(st["truncated_pairs"])
+            res["skew_capped_formations"] = int(st["kept_formations"])
         if not over_budget("skew_cc01_sec"):
+            # round 15: cc01 consumes the capped production candidate
+            # stage (VERDICT r14 ask #1) — the hot Zipf bucket
+            # star-links instead of melting one task
             t = time.perf_counter()
             QUERIES["cc01_dedup_clusters"](spark, skew_dir).write.format(
                 "noop"
             ).mode("overwrite").save()
             res["skew_cc01_sec"] = round(time.perf_counter() - t, 3)
-            if isinstance(res.get("skew_lsh_pairs"), int):
+            workload = res.get(
+                "skew_capped_pairs", res.get("skew_lsh_pairs")
+            )
+            if isinstance(workload, int):
                 res["skew_cc01_pairs_per_sec"] = round(
-                    res["skew_lsh_pairs"]
-                    / max(res["skew_cc01_sec"], 1e-9), 1,
+                    workload / max(res["skew_cc01_sec"], 1e-9), 1,
                 )
         if not over_budget("skew_d06_sec"):
             t = time.perf_counter()
@@ -1025,22 +1046,6 @@ def _bench_skew_leg(spark, sf_dir: str, skew_dir: str,
             res["skew_d13_pairs_per_sec"] = round(
                 row["n"] / max(sec, 1e-9), 1
             )
-        if not over_budget("skew_capped_sec"):
-            from mysql2pg_spark.operators import dedup as _D
-            from mysql2pg_spark.plans.dedup import (
-                NUM_HASHES as _NH,
-                cached_signatures as _sigs,
-            )
-
-            t = time.perf_counter()
-            pairs, stats = _D.lsh_candidate_pairs_capped(
-                _sigs(spark, skew_dir), "doc_id", _NH, max_bucket=64
-            )
-            res["skew_capped_pairs"] = pairs.count()
-            res["skew_capped_sec"] = round(time.perf_counter() - t, 3)
-            st = stats.collect()[0].asDict()
-            res["skew_capped_buckets"] = int(st["capped_buckets"])
-            res["skew_truncated_pairs"] = int(st["truncated_pairs"])
         for tag, key in (
             ("cc01", "skew_cc01_pairs_per_sec"),
             ("d06", "skew_d06_pairs_per_sec"),
@@ -1064,12 +1069,16 @@ def _bench_skew_leg(spark, sf_dir: str, skew_dir: str,
             # not the mitigation (measured 0.9 s vs 1.7 s warm — the
             # all-pairs join WINS here and loses only when the head
             # grows another order). Gates: the cap removes more
-            # candidate work than it keeps, the truncation is surfaced,
-            # and the capped wall stays within a bounded factor of the
-            # uncapped one (the insurance premium is small and flat).
+            # candidate work than it keeps — compared LIKE-FOR-LIKE in
+            # per-band pair FORMATIONS on both sides (ADVICE r14: the
+            # old truncated-vs-distinct-pairs compare let the margin
+            # absorb the cross-band dedup ratio) — the truncation is
+            # surfaced, and the capped wall stays within a bounded
+            # factor of the uncapped one (the insurance premium is
+            # small and flat).
             skew_ok["cap_removes_work"] = (
                 res.get("skew_truncated_pairs", 0)
-                > res.get("skew_capped_pairs", 0)
+                > res.get("skew_capped_formations", 0)
             )
             skew_ok["truncation_surfaced"] = (
                 res.get("skew_truncated_pairs", 0) > 0
@@ -1203,6 +1212,21 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
             spark, out_dir
         ).count()
         res["lsh_candidates_sec"] = round(time.perf_counter() - t, 3)
+    if not over_budget("capped_candidate_pairs"):
+        # the PRODUCTION candidate stage at 10× (capped since round
+        # 15): at this corpus the cap genuinely fires (126-member
+        # buckets vs PROD_MAX_BUCKET=64), so this count — not the
+        # uncapped one above — is the workload cc01/cc03 consume;
+        # the truncation is surfaced beside it ("no silent caps")
+        from mysql2pg_spark.plans.dedup import neardup_candidates
+
+        t = time.perf_counter()
+        pairs, stats = neardup_candidates(spark, out_dir)
+        res["capped_candidate_pairs"] = pairs.count()
+        res["capped_candidates_sec"] = round(time.perf_counter() - t, 3)
+        st = stats.collect()[0].asDict()
+        res["capped_buckets_10x"] = int(st["capped_buckets"])
+        res["truncated_pairs_10x"] = int(st["truncated_pairs"])
     for name in ("cc01_dedup_clusters", "d06_embedding_neardup"):
         if over_budget(name):
             continue
@@ -1213,19 +1237,22 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
         res[name] = round(time.perf_counter() - t, 3)
     # pairs/sec for cc01 and d06 at 10× (round-7 VERDICT ask #3 — d13
     # already had it): workload ÷ the wall just measured. cc01 consumes
-    # the LSH candidate pairs counted above; d06's mass comes from the
-    # bucket-size counter (no pair forming).
+    # the CAPPED production candidate pairs counted above (falls back
+    # to the uncapped count if that section was budget-skipped); d06's
+    # mass comes from the bucket-size counter (no pair forming).
+    cc_pairs = res.get(
+        "capped_candidate_pairs", res.get("lsh_candidate_pairs")
+    )
     if isinstance(res.get("cc01_dedup_clusters"), (int, float)) and \
-            isinstance(res.get("lsh_candidate_pairs"), int):
+            isinstance(cc_pairs, int):
         res["cc01_pairs_per_sec"] = round(
-            res["lsh_candidate_pairs"] / max(res["cc01_dedup_clusters"], 1e-9),
+            cc_pairs / max(res["cc01_dedup_clusters"], 1e-9),
             1,
         )
     if isinstance(res.get("cc03_pagerank_canonical"), (int, float)) and \
-            isinstance(res.get("lsh_candidate_pairs"), int):
+            isinstance(cc_pairs, int):
         res["cc03_pairs_per_sec"] = round(
-            res["lsh_candidate_pairs"]
-            / max(res["cc03_pagerank_canonical"], 1e-9),
+            cc_pairs / max(res["cc03_pagerank_canonical"], 1e-9),
             1,
         )
     if isinstance(res.get("d06_embedding_neardup"), (int, float)) and \

@@ -120,6 +120,7 @@ def lsh_candidate_pairs_capped(
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     max_bucket: int = 64,
+    rows_per_band: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Skew-hardened LSH candidates (round 14): real corpora have
     power-law duplicate clusters — one template shared by 1% of docs
@@ -134,17 +135,28 @@ def lsh_candidate_pairs_capped(
     O(n²) to O(n) and no task ever receives a quadratic bucket.
 
     Returns ``(pairs, stats)`` where ``stats`` is a 1-row DataFrame
-    ``(capped_buckets, truncated_pairs)`` counting the all-pairs
-    candidate FORMATIONS the cap did not perform — per (band, key),
-    BEFORE cross-band dedup, because that is the join-side work the
-    cap saves (the uncapped join materializes every band's pairs and
-    only then distincts). The repo's "no silent caps" rule: callers
-    must surface both numbers next to the pair count.
+    ``(capped_buckets, truncated_pairs, kept_formations)``:
+    ``truncated_pairs`` counts the all-pairs candidate FORMATIONS the
+    cap did not perform and ``kept_formations`` the ones it DID —
+    both per (band, key), BEFORE cross-band dedup, because that is the
+    join-side work the cap trades (the uncapped join materializes
+    every band's pairs and only then distincts). Same units on both
+    sides (ADVICE r14 — comparing per-band truncations against
+    post-dedup distinct pairs let the gate's margin absorb the
+    cross-band dedup ratio), so ``truncated > kept`` reads directly
+    as "the cap removed more work than it kept". The repo's "no
+    silent caps" rule: callers must surface these numbers next to
+    the pair count.
+
+    ``rows_per_band`` > 1 applies the cap to the banded (b×r) keying
+    of lsh_band_candidates — the shape the profile-driven pipeline
+    (capped_neardup_pipeline) runs after picking r from the d16
+    tuning profile.
 
     The bucket-size window is itself keyed on the skewed (band, key),
     but count+min over a giant partition is one linear pass — O(n),
     not the O(n²) the join would pay."""
-    keys = _band_keys(signatures, id_col, "id", num_hashes)
+    keys = _band_keys(signatures, id_col, "id", num_hashes, rows_per_band)
     w = Window.partitionBy("band", "key")
     sized = keys.select(
         "id", "band", "key",
@@ -167,27 +179,32 @@ def lsh_candidate_pairs_capped(
         .select(F.col("bmin").alias("id_a"), F.col("id").alias("id_b"))
     )
     pairs = all_pairs.unionByName(star_pairs).distinct()
+    # exact at ANY bucket size (review r14b): n*(n-1) in bigint
+    # overflows past n ≈ 3.04e9 — and this session runs ANSI mode, so
+    # the stats aggregation would THROW on exactly the degenerate
+    # buckets the cap exists to report. DECIMAL(38,0) keeps every
+    # product and the sum exact; n(n-1) is even so the halving is
+    # integral, and floor() pins the type back to scale 0.
+    allp_forms = F.floor(
+        F.col("n").cast("decimal(38,0)") * (F.col("n") - 1) / 2
+    )
+    star_forms = (F.col("n") - 1).cast("decimal(38,0)")
+    is_capped = F.col("n") > max_bucket
     stats = (
-        big.groupBy("band", "key")
+        sized.groupBy("band", "key")
         .agg(F.first("bsz").alias("n"))
         .agg(
-            F.count(F.lit(1)).alias("capped_buckets"),
-            # exact at ANY bucket size (review r14b): n*(n-1) in bigint
-            # overflows past n ≈ 3.04e9 — and this session runs ANSI
-            # mode, so the stats aggregation would THROW on exactly the
-            # degenerate buckets the cap exists to report. DECIMAL(38,0)
-            # keeps every product and the sum exact; n(n-1) is even so
-            # the halving is integral, and floor() pins the type back
-            # to scale 0.
+            F.coalesce(F.sum(F.when(is_capped, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("capped_buckets"),
             F.coalesce(
-                F.sum(
-                    F.floor(
-                        F.col("n").cast("decimal(38,0)")
-                        * (F.col("n") - 1) / 2
-                    ) - (F.col("n") - 1)
-                ),
+                F.sum(F.when(is_capped, allp_forms - star_forms)),
                 F.lit(0),
             ).cast("decimal(38,0)").alias("truncated_pairs"),
+            F.coalesce(
+                F.sum(F.when(is_capped, star_forms).otherwise(allp_forms)),
+                F.lit(0),
+            ).cast("decimal(38,0)").alias("kept_formations"),
         )
     )
     return pairs, stats
@@ -239,20 +256,35 @@ def verify_jaccard(
 
 
 def _band_keys(
-    sig: DataFrame, id_col: str, out: str, num_hashes: int
+    sig: DataFrame,
+    id_col: str,
+    out: str,
+    num_hashes: int,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """(id → one row per (band, key)) from a signature frame — the LSH
-    index layout shared by the self-join (lsh_candidate_pairs) and the
-    cross-table delta-vs-history join (incremental_dedup)."""
+    index layout shared by the self-join (lsh_candidate_pairs), the
+    cross-table delta-vs-history join (incremental_dedup) and the capped
+    generator. ``rows_per_band`` > 1 keys band i on the concatenation of
+    minhashes ``i·r … i·r+r−1`` (two docs collide only when ALL r member
+    hashes agree — the precision knob of lsh_band_candidates)."""
+    r = rows_per_band
+    if r == 1:
+        key = [F.col(f"mh{i}").alias("key") for i in range(num_hashes)]
+    else:
+        key = [
+            F.concat_ws(
+                "|", *[F.col(f"mh{i * r + j}") for j in range(r)]
+            ).alias("key")
+            for i in range(num_hashes // r)
+        ]
     return sig.select(
         F.col(id_col).alias(out),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"), F.col(f"mh{i}").alias("key")
-                    )
-                    for i in range(num_hashes)
+                    F.struct(F.lit(i).alias("band"), k)
+                    for i, k in enumerate(key)
                 ]
             )
         ).alias("b"),
@@ -597,24 +629,12 @@ def lsh_band_candidates(
     (P[collide] = 1 − (1 − s^r)^b for Jaccard s — the standard S-curve
     knob). Every config's candidate set is a SUBSET of r=1's (sharing
     a concatenated key implies sharing each member key)."""
-    b = num_hashes // rows_per_band
-    keyed = signatures.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.concat_ws("|", *[
-                    F.col(f"mh{i * rows_per_band + j}")
-                    for j in range(rows_per_band)
-                ]).alias("key"),
-            )
-            for i in range(b)
-        ])).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
-    a = keyed.select(F.col(id_col).alias("id_a"), "band", "key")
-    bb = keyed.select(F.col(id_col).alias("id_b"), "band", "key")
     return (
-        a.join(bb, ["band", "key"])
+        _band_keys(signatures, id_col, "id_a", num_hashes, rows_per_band)
+        .join(
+            _band_keys(signatures, id_col, "id_b", num_hashes, rows_per_band),
+            ["band", "key"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -671,3 +691,99 @@ def lsh_tuning_profile(
     for p in profiles[1:]:
         out = out.unionByName(p)
     return out
+
+
+def choose_rows_per_band(
+    profile_rows,
+    recall_floor: tuple = (9, 10),
+) -> int:
+    """Pick the banding from a collected lsh_tuning_profile: the LARGEST
+    ``rows_per_band`` whose verified count keeps at least
+    ``recall_floor`` (a rational p/q, default 9/10) of the r=1 verified
+    count — r=1 is the recall ceiling (every config's candidates are a
+    subset of its), so this maximizes precision subject to a recall
+    floor. The comparison is exact integer arithmetic
+    (``n_verified·q ≥ p·verified@r=1``) so the choice is reproducible
+    in any engine — the d15 oracle replays it in SQL. Rows may arrive
+    in any order; ties cannot occur (rows_per_band is unique)."""
+    p, q = recall_floor
+    rows = list(profile_rows)
+    base = next(r["n_verified"] for r in rows if r["rows_per_band"] == 1)
+    eligible = [
+        int(r["rows_per_band"])
+        for r in rows
+        if r["n_verified"] * q >= p * base
+    ]
+    return max(eligible)
+
+
+def capped_neardup_pipeline(
+    sh_sets: DataFrame,
+    signatures: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    max_bucket: int = 64,
+    rows_per_band: int | None = None,
+    profile_filter: Column | None = None,
+    configs: tuple = (1, 2, 4),
+    recall_floor: tuple = (9, 10),
+) -> DataFrame:
+    """The PRODUCTION near-dup pipeline, end to end (round 15 — VERDICT
+    r14 ask #1): profile → choose banding → capped LSH candidates →
+    exact-Jaccard verify → connected components, with the cap's
+    truncation SURFACED on every output row.
+
+    Stages:
+
+    1. If ``rows_per_band`` is None, run the d16 tuning profile on the
+       ``profile_filter`` slice (MinHash signatures and shingle sets
+       are doc-local, so the slice is a plain filter over the shared
+       cached stages — no recompute) and pick the banding with
+       :func:`choose_rows_per_band`. The ≤ len(configs)-row profile is
+       collected on the driver: a plan-time statistics decision, the
+       same shape as AQE reading map-output stats — at 100 TB you
+       profile a deterministic sample once and plan the big run with
+       the result, not re-derive it per partition.
+    2. Capped banded candidates at the chosen r: buckets over
+       ``max_bucket`` star-link to the bucket minimum — O(n), never
+       O(n²), no straggler task (the Zipf skew leg in bench.py measures
+       exactly this hot-bucket mitigation).
+    3. Exact n-gram Jaccard ≥ threshold on candidates only.
+    4. Alternating large/small-star connected components — O(log² n)
+       rounds at any cluster diameter.
+
+    Output: one row per clustered doc —
+    ``(node, component, rows_per_band, capped_buckets,
+    truncated_pairs)`` — the stats ride a broadcast 1-row crossJoin so
+    the truncation count is IN the result ("no silent caps"), bigint
+    (exact to 9.2e18 truncated formations; the stats frame itself
+    carries DECIMAL(38,0) for callers beyond that).
+    """
+    if rows_per_band is None:
+        p_sig, p_sh = signatures, sh_sets
+        if profile_filter is not None:
+            p_sig = signatures.filter(profile_filter)
+            p_sh = sh_sets.filter(profile_filter)
+        prof = lsh_tuning_profile(
+            p_sig, p_sh, id_col, threshold, configs, num_hashes
+        )
+        rows_per_band = choose_rows_per_band(prof.collect(), recall_floor)
+    pairs, stats = lsh_candidate_pairs_capped(
+        signatures, id_col, num_hashes, max_bucket, rows_per_band
+    )
+    verified = verify_jaccard(pairs, sh_sets, id_col, threshold)
+    from mysql2pg_spark.operators.components import connected_components_star
+
+    comps = connected_components_star(verified)
+    return comps.crossJoin(
+        F.broadcast(
+            stats.select(
+                F.lit(rows_per_band).cast("bigint").alias("rows_per_band"),
+                F.col("capped_buckets"),
+                F.col("truncated_pairs").cast("bigint").alias(
+                    "truncated_pairs"
+                ),
+            )
+        )
+    )

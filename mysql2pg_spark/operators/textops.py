@@ -622,21 +622,26 @@ def term_frequencies(
     text_col: str,
     extra_cols: tuple = (),
 ) -> DataFrame:
-    """Cached (id[, extras], term) → tf frame — the shared first stage
-    of the corpus-statistics operators (bm25_top_terms,
-    importance_weights): whitespace tokens of the normalized text,
-    empty terms dropped, one count shuffle keyed on (id, term). Cached
-    because every consumer derives several differently-pruned branches
-    from it (see bm25_top_terms' scale note). ``extra_cols`` are
+    """(id[, extras], term) → tf frame — the shared first stage of the
+    corpus-statistics operators (bm25_top_terms, importance_weights):
+    whitespace tokens of the normalized text, empty terms dropped, one
+    count shuffle keyed on (id, term). ``extra_cols`` are
     (alias, Column) pairs carried through the aggregation key —
-    per-document attributes like a target-slice flag."""
+    per-document attributes like a target-slice flag.
+
+    NOT cached here (ADVICE r14): an operator-level ``.cache()`` with no
+    unpersist pins one TF frame per invocation for the session lifetime.
+    Consumers that derive several differently-pruned branches should pin
+    the frame themselves with a keyed per-session registry (the plans
+    layer does — ``plans/textops.cached_tf``) or pass a pre-cached frame
+    via the consumers' ``tf=`` parameter."""
     keys = [F.col(id_col)] + [c.alias(a) for a, c in extra_cols]
     toks = df.select(
         *keys, F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     return toks.groupBy(
         id_col, *[a for a, _c in extra_cols], "term"
-    ).agg(F.count(F.lit(1)).alias("tf")).cache()
+    ).agg(F.count(F.lit(1)).alias("tf"))
 
 
 def bm25_top_terms(
@@ -644,6 +649,7 @@ def bm25_top_terms(
     id_col: str,
     text_col: str,
     top_k: int = 3,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document top-``top_k`` salient terms by a BM25-family score
     (round 14) — the lexical-importance primitive of curation pipelines
@@ -663,19 +669,24 @@ def bm25_top_terms(
 
     Scale design (100 TB): the token explode is map-local; the
     (doc, term) TF aggregation is the one big shuffle (map-side
-    combined) and is CACHED — document length, document frequency and
-    the corpus scalars all derive from that one frame, but Catalyst
-    prunes each branch's aggregate differently, which defeats
-    exchange reuse (measured: 4 parquet scans without the pin, 1
-    with). The corpus scalars (N, Σdl) ride a broadcast 1-row
-    crossJoin; the df table joins on the term key (vocab-sized,
-    AQE-broadcastable); top-k is a per-document window over rows
-    already reduced to (doc, term) granularity with
-    WindowGroupLimit pushdown. No driver collect.
+    combined) and should be PINNED by the caller — document length,
+    document frequency and the corpus scalars all derive from that one
+    frame, but Catalyst prunes each branch's aggregate differently,
+    which defeats exchange reuse (measured: 4 parquet scans without
+    the pin, 1 with). Pass a cached frame via ``tf=`` (the plans layer
+    routes it through a keyed per-session registry, ADVICE r14 — an
+    unconditional operator-level cache leaked one pinned frame per
+    invocation); with ``tf=None`` the frame is built inline,
+    uncached — correct, re-scanned per branch. The corpus scalars
+    (N, Σdl) ride a broadcast 1-row crossJoin; the df table joins on
+    the term key (vocab-sized, AQE-broadcastable); top-k is a
+    per-document window over rows already reduced to (doc, term)
+    granularity with WindowGroupLimit pushdown. No driver collect.
     """
     from pyspark.sql import Window
 
-    tf = term_frequencies(df, id_col, text_col)
+    if tf is None:
+        tf = term_frequencies(df, id_col, text_col)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
@@ -717,6 +728,7 @@ def importance_weights(
     text_col: str,
     target_col: str,
     target_value: str,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style distributional importance score per document (round
     14): how much more a document's unigram distribution looks like the
@@ -740,10 +752,20 @@ def importance_weights(
     double division is deterministic IEEE. Positive ⇒ the document
     leans toward the target distribution.
 
-    Scale design: one (doc, term) TF shuffle (cached — three branches
-    derive from it); term-level target/corpus counts aggregate FROM the
-    tf frame (map-side combined); totals ride a broadcast 1-row
-    crossJoin; the scoring join is a term-keyed equi-join.
+    Scale design: one (doc, term) TF shuffle — three branches derive
+    from it, so callers should pass a cached frame via ``tf=`` (keyed
+    per-session registry in the plans layer; see bm25_top_terms on why
+    the operator no longer caches unconditionally). Term-level
+    target/corpus counts aggregate FROM the tf frame (map-side
+    combined); totals ride a broadcast 1-row crossJoin; the scoring
+    join is a term-keyed equi-join.
+
+    Degenerate target (ADVICE r14): a ``target_value`` matching no rows
+    gives N_t = 0 and the score ratio is undefined — double division by
+    zero yields NaN/±Inf silently even under ANSI, so the final division
+    is guarded and every score is NULL in that case (the same
+    precision-NULL convention as the d16 tuning profile), never a
+    silent NaN.
 
     Exactness bound: the numerator sum lives in DECIMAL(38,0) —
     |Σ| < 10^38. A term's contribution is ≤ tf·c·N ≈ dl·N² per doc:
@@ -756,12 +778,13 @@ def importance_weights(
     default; only a session that explicitly disables ANSI gets silent
     NULL scores and would need an IS NOT NULL assertion.
     """
-    tf = term_frequencies(
-        df, id_col, text_col,
-        extra_cols=(
-            ("_is_t", F.col(target_col) == F.lit(target_value)),
-        ),
-    )
+    if tf is None:
+        tf = term_frequencies(
+            df, id_col, text_col,
+            extra_cols=(
+                ("_is_t", F.col(target_col) == F.lit(target_value)),
+            ),
+        )
     term_counts = tf.groupBy("term").agg(
         F.sum("tf").alias("c_c"),
         F.sum(F.when(F.col("_is_t"), F.col("tf")).otherwise(0)).alias("c_t"),
@@ -793,9 +816,10 @@ def importance_weights(
             F.col(id_col),
             F.col("_is_t").alias("is_target"),
             "n_tokens",
-            (
+            F.when(
+                F.col("_n_t") > 0,
                 F.col("_num").cast("double")
-                / (F.col("_n_t").cast("double") * F.col("_n_c"))
+                / (F.col("_n_t").cast("double") * F.col("_n_c")),
             ).alias("score"),
         )
     )

@@ -38,12 +38,46 @@ def cached_signatures(spark, sf_dir: str):
     return _stage_cache[key]
 
 
+# Production bucket cap for the default near-dup path (round 15 —
+# VERDICT r14 ask #1): the candidate stage consumed by d04 and the
+# cluster plans (cc01/cc02/cc03/d09) runs CAPPED. Below the cap the
+# pair set is bit-identical to the uncapped join (every fixture scale
+# is: max bucket is 6 at sf0.01 and 22 at sf0.1), so the existing
+# uncapped oracles stay exact; past it (the Zipf skew corpus, the sf1
+# scale step with 126-member buckets, one viral template at 100 TB)
+# buckets star-link to the bucket minimum instead of melting one task
+# with O(n²) pairs. Truncation is SURFACED, never silent:
+# neardup_truncation_stats() is read by the bench skew/scale legs and
+# the d15 driver row carries the counts in its result.
+PROD_MAX_BUCKET = 64
+
+
+def neardup_candidates(spark, sf_dir: str) -> tuple:
+    """(capped candidate pairs, 1-row truncation stats) — the shared
+    candidate stage of the production near-dup path, memoized beside
+    the shingle/signature stages."""
+    key = (id(spark), sf_dir, "cand")
+    if key not in _stage_cache:
+        _stage_cache[key] = D.lsh_candidate_pairs_capped(
+            cached_signatures(spark, sf_dir),
+            "doc_id",
+            NUM_HASHES,
+            max_bucket=PROD_MAX_BUCKET,
+        )
+    return _stage_cache[key]
+
+
+def neardup_truncation_stats(spark, sf_dir: str) -> DataFrame:
+    """1-row (capped_buckets, truncated_pairs, kept_formations) for the
+    production candidate stage — the "no silent caps" surface."""
+    return neardup_candidates(spark, sf_dir)[1]
+
+
 def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs from the cached shared stages (used by d04
-    and the cc01 clustering query)."""
-    cands = D.lsh_candidate_pairs(
-        cached_signatures(spark, sf_dir), "doc_id", NUM_HASHES
-    )
+    and the cc01 clustering query) — capped candidate stage, see
+    PROD_MAX_BUCKET."""
+    cands, _stats = neardup_candidates(spark, sf_dir)
     return D.verify_jaccard(
         cands, cached_shingles(spark, sf_dir), "doc_id", JACCARD_T
     )
@@ -545,4 +579,157 @@ def d16_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_T,
         rows_per_band_configs=_TUNING_CONFIGS,
         num_hashes=NUM_HASHES,
+    )
+
+
+# --------------------------------------------------------------------------
+# d15 — the production near-dup pipeline END TO END (round 15, VERDICT
+# r14 ask #1): tuning profile → choose rows-per-band (largest r keeping
+# ≥ 9/10 of r=1's verified recall — exact integer comparison, so the
+# oracle replays the CHOICE itself in SQL) → capped banded LSH
+# candidates at the chosen r → exact-Jaccard verify → connected
+# components, with the cap's truncation carried ON every output row
+# (no silent caps). Cap 2 here so BOTH cap branches execute at the
+# oracle scale — the profile picks r=4 on this corpus and r=4 buckets
+# top out at 3 (the production default is PROD_MAX_BUCKET=64, which
+# never caps below the Zipf/sf1 scales). The oracle recomputes the
+# full pipeline for every config and selects by the replayed choice —
+# the Spark side plans only the chosen config (the ≤3-row profile is
+# a plan-time statistics decision, same shape as AQE reading
+# map-output stats).
+# --------------------------------------------------------------------------
+D15_MAX_BUCKET = 2
+_RECALL_FLOOR = (9, 10)  # keep ≥ 9/10 of r=1's verified pairs
+
+
+def _bands_sql(src: str, r: int, name: str) -> str:
+    """Banded (doc_id, band, key) CTE over a signature CTE ``src`` —
+    the SQL twin of operators/dedup._band_keys at rows_per_band=r."""
+    def key(i: int) -> str:
+        if r == 1:
+            return f"mh{i}"
+        return " || '|' || ".join(f"mh{i * r + j}" for j in range(r))
+
+    return (
+        f"{name} AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band, {key(i)} AS key FROM {src}"
+            for i in range(NUM_HASHES // r)
+        )
+        + ")"
+    )
+
+
+def _d15_profile_cte(r: int) -> str:
+    """Profile row for config r: candidates + verified on the corpus."""
+    return f"""{_bands_sql("mh", r, f"pband_{r}")},
+pcand_{r} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pband_{r} a JOIN pband_{r} b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pprof_{r} AS (
+  SELECT {r} AS r,
+         coalesce(sum(CASE WHEN jac >= {JACCARD_T} THEN 1 ELSE 0 END), 0)
+           AS n_verified
+  FROM (
+    SELECT (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(sa.shingles || sb.shingles))
+                   AS DOUBLE)) AS jac
+    FROM pcand_{r}
+    JOIN sh sa ON sa.doc_id = pcand_{r}.id_a
+    JOIN sh sb ON sb.doc_id = pcand_{r}.id_b
+  )
+)"""
+
+
+def _d15_capped_cte(r: int) -> str:
+    """Capped candidate pairs + truncation stats for config r."""
+    cap = D15_MAX_BUCKET
+    return f"""sized_{r} AS (
+  SELECT doc_id, band, key,
+         COUNT(*) OVER (PARTITION BY band, key) AS bsz,
+         MIN(doc_id) OVER (PARTITION BY band, key) AS bmin
+  FROM pband_{r}
+),
+cpairs_{r} AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sized_{r} a JOIN sized_{r} b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {cap}
+    UNION ALL
+    SELECT bmin, doc_id FROM sized_{r}
+    WHERE bsz > {cap} AND doc_id <> bmin
+  )
+),
+cstats_{r} AS (
+  SELECT CAST(coalesce(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS capped_buckets,
+         CAST(coalesce(sum(CASE WHEN n > {cap}
+                           THEN n * (n - 1) // 2 - (n - 1)
+                           ELSE 0 END), 0) AS BIGINT) AS truncated_pairs
+  FROM (SELECT count(*) AS n FROM pband_{r} GROUP BY band, key)
+)"""
+
+
+_P, _Q = _RECALL_FLOOR
+_D15_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTE.strip()},
+{",".join(_d15_profile_cte(r) for r in _TUNING_CONFIGS)},
+prof AS ({" UNION ALL ".join(f"SELECT * FROM pprof_{r}" for r in _TUNING_CONFIGS)}),
+chosen AS (
+  SELECT max(r) AS r FROM prof
+  WHERE n_verified * {_Q} >= {_P} * (SELECT n_verified FROM prof WHERE r = 1)
+),
+{",".join(_d15_capped_cte(r) for r in _TUNING_CONFIGS)},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    {" UNION ALL ".join(f"SELECT {r} AS r, id_a, id_b FROM cpairs_{r}" for r in _TUNING_CONFIGS)}
+  ) JOIN chosen USING (r)
+),
+ver AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sh sa ON sa.doc_id = pairs.id_a
+  JOIN sh sb ON sb.doc_id = pairs.id_b
+  WHERE (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE))
+        >= {JACCARD_T}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ver
+  UNION
+  SELECT id_b, id_a FROM ver
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+stats AS (
+  SELECT s.capped_buckets, s.truncated_pairs FROM (
+    {" UNION ALL ".join(f"SELECT {r} AS r, * FROM cstats_{r}" for r in _TUNING_CONFIGS)}
+  ) s JOIN chosen USING (r)
+)
+SELECT reach.n AS node, min(reach.m) AS component,
+       CAST(chosen.r AS BIGINT) AS rows_per_band,
+       stats.capped_buckets, stats.truncated_pairs
+FROM reach, chosen, stats
+GROUP BY reach.n, chosen.r, stats.capped_buckets, stats.truncated_pairs
+ORDER BY node
+"""
+
+
+@query("d15_capped_neardup_clusters", oracle=_D15_ORACLE, driver=False)
+def d15_capped_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.capped_neardup_pipeline(
+        cached_shingles(spark, sf_dir),
+        cached_signatures(spark, sf_dir),
+        "doc_id",
+        JACCARD_T,
+        num_hashes=NUM_HASHES,
+        max_bucket=D15_MAX_BUCKET,
+        configs=_TUNING_CONFIGS,
+        recall_floor=_RECALL_FLOOR,
     )

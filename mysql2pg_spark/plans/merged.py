@@ -1193,3 +1193,36 @@ for _name in ROTATED_OUT_R14:
 for _name in ROTATED_IN_R14:
     DRIVER_QUERIES[_name] = QUERIES[_name]
     DRIVER_ORACLES[_name] = ORACLES[_name]
+
+# --------------------------------------------------------------------------
+# Round-15 rotation (battery rule, VERDICT r14 ask #2): the four round-14
+# operators — the only families without a CORRECTNESS row ever — get
+# driver rows (t25 BM25 saliency, t26 DSIR importance weights, d14 capped
+# LSH, d16 banding tuning profile), plus the NEW d15 end-to-end capped
+# pipeline (profile → choose banding → cap → verify → cluster, VERDICT
+# r14 ask #1). Five rows driver-green for many consecutive rounds retire
+# to pytest-oracle coverage (still in QUERIES, still benched).
+# Retirements keep ≥1 driver row per SURVEY §2 family: SQL-core keeps
+# q01/q07, streaming keeps w06, text keeps t10/t20–t24 (+t25/t26 in),
+# dedup keeps d06/d08/d13 (+d14/d15/d16 in), crypto/net keeps f09.
+# --------------------------------------------------------------------------
+ROTATED_IN_R15 = (
+    "t25_bm25_saliency",
+    "t26_importance_weights",
+    "d14_capped_lsh",
+    "d15_capped_neardup_clusters",
+    "d16_lsh_tuning",
+)
+ROTATED_OUT_R15 = (
+    "q11_grouping_sets",
+    "w02_streaming_windowed",
+    "t07_winnowing_fingerprints",
+    "d11_semantic_dedup",
+    "d12_incremental_dedup",
+)
+for _name in ROTATED_OUT_R15:
+    DRIVER_QUERIES.pop(_name, None)
+    DRIVER_ORACLES.pop(_name, None)
+for _name in ROTATED_IN_R15:
+    DRIVER_QUERIES[_name] = QUERIES[_name]
+    DRIVER_ORACLES[_name] = ORACLES[_name]

@@ -17,6 +17,29 @@ from mysql2pg_spark.tables import load_table
 _NORM = "trim(lower(text))"
 _TOKENS = f"string_split_regex({_NORM}, '\\s+')"
 
+# Keyed per-session registry for the (doc, term) TF frame shared by the
+# corpus-statistics queries (t25 BM25, t26 DSIR) — same pattern as
+# plans/dedup.cached_shingles. One pinned frame per (session, dir,
+# target-slice) instead of one per invocation (ADVICE r14: the previous
+# operator-level .cache() accumulated a new pinned frame every run).
+_tf_cache: dict[tuple, DataFrame] = {}
+
+
+def cached_tf(
+    spark: SparkSession, sf_dir: str, target: tuple | None = None
+) -> DataFrame:
+    key = (id(spark), sf_dir, target)
+    if key not in _tf_cache:
+        d = load_table(spark, sf_dir, "documents")
+        extras = ()
+        if target is not None:
+            col, val = target
+            extras = (("_is_t", F.col(col) == F.lit(val)),)
+        _tf_cache[key] = T.term_frequencies(
+            d, "doc_id", "text", extra_cols=extras
+        ).cache()
+    return _tf_cache[key]
+
 
 def _occ_sql(marker: str) -> str:
     return (
@@ -1360,7 +1383,9 @@ ORDER BY doc_id, rnk
 )
 def t25_bm25_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return T.bm25_top_terms(d, "doc_id", "text", top_k=3)
+    return T.bm25_top_terms(
+        d, "doc_id", "text", top_k=3, tf=cached_tf(spark, sf_dir)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1392,11 +1417,15 @@ tc AS (
 tot AS (SELECT sum(c_c) AS n_c, sum(c_t) AS n_t FROM tc)
 SELECT tf.doc_id, tf.is_t AS is_target,
        CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-       CAST(sum(CAST(tf.tf AS HUGEINT)
-                * (CAST(tc.c_t AS HUGEINT) * CAST(tot.n_c AS HUGEINT)
-                   - CAST(tc.c_c AS HUGEINT) * CAST(tot.n_t AS HUGEINT)))
-            AS DOUBLE)
-         / (CAST(tot.n_t AS DOUBLE) * tot.n_c) AS score
+       -- N_t = 0 guard (ADVICE r14): empty target slice → NULL score,
+       -- never a silent NaN/Inf — mirrors the operator's F.when guard
+       CASE WHEN tot.n_t > 0 THEN
+         CAST(sum(CAST(tf.tf AS HUGEINT)
+                  * (CAST(tc.c_t AS HUGEINT) * CAST(tot.n_c AS HUGEINT)
+                     - CAST(tc.c_c AS HUGEINT) * CAST(tot.n_t AS HUGEINT)))
+              AS DOUBLE)
+           / (CAST(tot.n_t AS DOUBLE) * tot.n_c)
+       END AS score
 FROM tf JOIN tc USING (term), tot
 GROUP BY tf.doc_id, tf.is_t, tot.n_t, tot.n_c
 ORDER BY doc_id
@@ -1405,4 +1434,7 @@ ORDER BY doc_id
 )
 def t26_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return T.importance_weights(d, "doc_id", "text", "lang", "en")
+    return T.importance_weights(
+        d, "doc_id", "text", "lang", "en",
+        tf=cached_tf(spark, sf_dir, target=("lang", "en")),
+    )

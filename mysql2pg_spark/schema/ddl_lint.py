@@ -456,10 +456,35 @@ def check_expression(expr: str) -> list[str]:
     return []
 
 
-_CHECK_BODY_RE = re.compile(
-    r"(?is)\bADD\s+CONSTRAINT\s+\S+\s+CHECK\s*\((?P<body>.*)\)\s*"
-    r"(?:NOT\s+VALID\s*)?$"
-)
+_CHECK_HEAD_RE = re.compile(r"(?is)\bADD\s+CONSTRAINT\s+\S+\s+CHECK\s*\(")
+
+
+def _check_bodies(stmt: str) -> list[str]:
+    """Every ADD CONSTRAINT … CHECK (…) body in the statement, each
+    extracted by balanced-paren scan (single-quoted strings skipped).
+    A greedy one-regex capture assumed exactly one constraint per ALTER
+    (ADVICE r14): a multi-action 'ADD CONSTRAINT a CHECK (…), ADD
+    CONSTRAINT b CHECK (…)' statement captured across both bodies and
+    raised a false expression-grammar lint. Unterminated bodies are
+    dropped here — the unbalanced-paren/quote lint reports them."""
+    bodies: list[str] = []
+    for m in _CHECK_HEAD_RE.finditer(stmt):
+        depth, i, n = 1, m.end(), len(stmt)
+        while i < n and depth:
+            c = stmt[i]
+            if c == "'":
+                j = stmt.find("'", i + 1)
+                if j < 0:
+                    break
+                i = j
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if not depth:
+                    bodies.append(stmt[m.end():i])
+            i += 1
+    return bodies
 
 
 def lint_ddl(text: str) -> list[str]:
@@ -490,11 +515,10 @@ def lint_ddl(text: str) -> list[str]:
                 f"bare DO statement without a cron.schedule call: "
                 f"{stmt[:80]!r}"
             )
-        if up.startswith("ALTER TABLE") and (
-            cm := _CHECK_BODY_RE.search(stmt)
-        ):
-            for p in check_expression(cm.group("body")):
-                problems.append(f"CHECK body: {p}")
+        if up.startswith("ALTER TABLE"):
+            for body in _check_bodies(stmt):
+                for p in check_expression(body):
+                    problems.append(f"CHECK body: {p}")
         if up.startswith("CREATE TABLE") and " PARTITION OF " in m.upper():
             problems.extend(check_partition_child(stmt))
         elif up.startswith("CREATE TABLE"):

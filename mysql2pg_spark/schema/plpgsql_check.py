@@ -475,6 +475,35 @@ _CRON_SHAPE = re.compile(
     r"\$(?P<tag>\w*)\$(?P<cmd>.*)\$(?P=tag)\$\s*\)\s*$"
 )
 _DO_BODY = re.compile(r"(?is)^DO\s+\$(\w*)\$(.*)\$\1\$\s*$")
+
+# Tokens that matter while scanning for a guard's statement-level THEN:
+# quoted strings (skipped whole, '' escapes included) and the CASE/END/
+# THEN keywords that track nesting.
+_GUARD_TOK = re.compile(r"(?is)'(?:[^']|'')*'|\b(CASE|END|THEN)\b")
+
+
+def _if_guards(body: str) -> list[str]:
+    """The guard expression of every IF/ELSIF statement in a plpgsql
+    body, each scanned to its MATCHING statement-level THEN: THEN
+    keywords inside a nested CASE expression and ' THEN ' inside string
+    literals are skipped (ADVICE r14 — the previous non-greedy regex
+    stopped at the FIRST 'THEN' and would truncate such guards into
+    false expression-grammar positives)."""
+    guards: list[str] = []
+    for m in re.finditer(r"(?is)\b(?:IF|ELSIF)\b", body):
+        if body[: m.start()].rstrip().upper().endswith("END"):
+            continue  # END IF terminator, not a guard opener
+        depth = 0
+        for t in _GUARD_TOK.finditer(body, m.end()):
+            kw = (t.group(1) or "").upper()
+            if kw == "CASE":
+                depth += 1
+            elif kw == "END":
+                depth = max(0, depth - 1)
+            elif kw == "THEN" and depth == 0:
+                guards.append(body[m.end(): t.start()].strip())
+                break
+    return guards
 #: statement heads an emitted cron command may start with (the event
 #: translator's DML subset plus CALL for synthesized procedures)
 _CRON_CMD_HEAD = re.compile(
@@ -551,10 +580,8 @@ def _cron_call_problems(name: str, sched: str, cmd: str) -> list[str]:
         # grammar, not just the statement-level structural check
         from mysql2pg_spark.schema.ddl_lint import check_expression
 
-        for gmo in re.finditer(
-            r"(?is)\bIF\s+(.*?)\s+THEN\b", dmo.group(2)
-        ):
-            for p in check_expression(gmo.group(1)):
+        for guard in _if_guards(dmo.group(2)):
+            for p in check_expression(guard):
                 problems.append(f"{name} (DO-block guard): {p}")
     elif not _CRON_CMD_HEAD.match(cmd):
         problems.append(

@@ -468,3 +468,52 @@ def test_atomic_disable_do_block_gated():
         "without a cron.schedule" in p
         for p in lint_ddl("DO $x$ BEGIN PERFORM 1; END $x$;")
     )
+
+
+def test_multi_constraint_alter_lints_each_check_body():
+    """ADVICE r14 (ddl_lint): a multi-action ALTER with two ADD
+    CONSTRAINT ... CHECK actions must lint each body independently —
+    the old greedy regex captured across both and raised a false
+    expression-grammar problem on valid DDL."""
+    from mysql2pg_spark.schema.ddl_lint import lint_ddl
+
+    multi = (
+        "ALTER TABLE t ADD CONSTRAINT a CHECK (x > 1), "
+        "ADD CONSTRAINT b CHECK (y < 2);"
+    )
+    assert lint_ddl(multi) == []
+    # a seeded typo in the SECOND body is still caught
+    bad = (
+        "ALTER TABLE t ADD CONSTRAINT a CHECK (x > 1), "
+        "ADD CONSTRAINT b CHECK (y < < 2);"
+    )
+    assert any("CHECK body" in p for p in lint_ddl(bad))
+    # parens inside a string literal don't derail the balanced scan
+    lit = "ALTER TABLE t ADD CONSTRAINT a CHECK (s IN (':-)', 'b'));"
+    assert lint_ddl(lit) == []
+
+
+def test_if_guard_extraction_handles_case_then_and_strings():
+    """ADVICE r14 (plpgsql_check): the DO-block guard extractor must
+    scan to the MATCHING statement-level THEN — a CASE ... THEN inside
+    the guard or a ' THEN ' inside a string literal must not truncate
+    the extracted expression."""
+    from mysql2pg_spark.schema.plpgsql_check import _if_guards
+
+    body = """
+BEGIN
+  IF CASE WHEN a > 1 THEN 1 ELSE 0 END = 1 THEN
+    PERFORM 1;
+  END IF;
+  IF note = 'x THEN y' AND b < 2 THEN
+    PERFORM 2;
+  ELSIF b >= 2 THEN
+    PERFORM 3;
+  END IF;
+END
+"""
+    guards = _if_guards(body)
+    assert guards[0] == "CASE WHEN a > 1 THEN 1 ELSE 0 END = 1"
+    assert guards[1] == "note = 'x THEN y' AND b < 2"
+    assert guards[2] == "b >= 2"
+    assert len(guards) == 3  # the END IFs are not guard openers

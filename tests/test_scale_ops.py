@@ -299,3 +299,92 @@ def test_banded_lsh_subset_and_tuning_semantics(spark):
         assert prof[r]["n_verified"] <= prof[r]["n_candidates"]
     # precision is monotone in r on this corpus shape
     assert (prof[4]["precision"] or 0) >= (prof[1]["precision"] or 0)
+
+
+def test_choose_rows_per_band_recall_floor():
+    """Round 15: the banding chooser picks the LARGEST rows_per_band
+    keeping >= p/q of r=1's verified count, by exact integer compare."""
+    from mysql2pg_spark.operators.dedup import choose_rows_per_band
+
+    prof = [
+        {"rows_per_band": 1, "n_verified": 100},
+        {"rows_per_band": 2, "n_verified": 95},
+        {"rows_per_band": 4, "n_verified": 80},
+    ]
+    assert choose_rows_per_band(prof, (9, 10)) == 2
+    assert choose_rows_per_band(prof, (8, 10)) == 4
+    assert choose_rows_per_band(prof, (99, 100)) == 1
+    # order-independent
+    assert choose_rows_per_band(list(reversed(prof)), (9, 10)) == 2
+    # degenerate: zero verified at r=1 -> everything eligible -> max r
+    zero = [{"rows_per_band": r, "n_verified": 0} for r in (1, 2, 4)]
+    assert choose_rows_per_band(zero, (9, 10)) == 4
+
+
+def test_capped_pipeline_end_to_end_surfaces_stats(spark):
+    """Round 15 (VERDICT r14 ask #1): the production pipeline runs
+    profile -> choose r -> capped candidates -> verify -> cluster and
+    carries (rows_per_band, capped_buckets, truncated_pairs) on every
+    output row; kept+truncated formations reconcile with the uncapped
+    per-band mass."""
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators.dedup import (
+        capped_neardup_pipeline,
+        lsh_candidate_pairs_capped,
+        minhash_signatures,
+        shingle_sets,
+        _signatures_from_shingles,
+    )
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, tmpl + f" nd{i % 3}") for i in range(40)]
+    rows += [(100 + i, f"unique text number {i} " * 4 + f"pair{i // 2}")
+             for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_sets(df, "doc_id", "text").cache()
+    sigs = _signatures_from_shingles(sh, "doc_id", 8).cache()
+
+    out = capped_neardup_pipeline(sh, sigs, "doc_id", 0.3, max_bucket=8)
+    rows_out = out.collect()
+    assert rows_out, "template cluster must survive the capped pipeline"
+    r_chosen = rows_out[0]["rows_per_band"]
+    assert r_chosen in (1, 2, 4)
+    assert all(r["rows_per_band"] == r_chosen for r in rows_out)
+    assert rows_out[0]["capped_buckets"] >= 1  # the 40-doc bucket
+    assert rows_out[0]["truncated_pairs"] > 0  # surfaced, not silent
+    # the 40 template docs stay ONE component through the star links
+    comp_of = {r["node"]: r["component"] for r in rows_out}
+    tmpl_comps = {comp_of[i] for i in range(40) if i in comp_of}
+    assert len(tmpl_comps) == 1
+
+    # kept + truncated per-band formations == uncapped per-band mass
+    # (like-for-like units, ADVICE r14)
+    _pairs, stats = lsh_candidate_pairs_capped(
+        sigs, "doc_id", max_bucket=8, rows_per_band=r_chosen
+    )
+    st = stats.collect()[0].asDict()
+    from mysql2pg_spark.operators.dedup import _band_keys
+
+    mass = (
+        _band_keys(sigs, "doc_id", "id", 8, r_chosen)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert int(st["kept_formations"]) + int(st["truncated_pairs"]) == int(mass)
+
+
+def test_importance_weights_empty_target_is_null(spark):
+    """ADVICE r14: a target slice matching no rows gives N_t = 0; every
+    score must be NULL (never a silent NaN/Inf)."""
+    from mysql2pg_spark.operators.textops import importance_weights
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc", "fr"), (2, "aa bb", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = importance_weights(df, "doc_id", "text", "lang", "en").collect()
+    assert len(out) == 2
+    assert all(r["score"] is None for r in out)
