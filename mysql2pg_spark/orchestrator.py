@@ -456,6 +456,23 @@ class MigrationPipeline:
                     for c in t.columns
                 }
                 for idx in t.indexes:
+                    if not idx.columns:
+                        # MySQL 8 functional index (round 15): PG has
+                        # expression indexes, but the key expression is
+                        # MySQL dialect — surfaced as a documented skip
+                        # with the expression named (same policy as the
+                        # ALTER TABLE functional-index form), never a
+                        # silent drop
+                        actions.append(Action(
+                            "indexes",
+                            "skip",
+                            name,
+                            f"functional index {idx.name} "
+                            f"({getattr(idx, 'expression', None) or '?'})"
+                            ": expression key — translate the "
+                            "expression and create manually",
+                        ))
+                        continue
                     if getattr(idx, "kind", "btree") == "spatial" and any(
                         coltype.get(self._norm(c)) != "point"
                         for c in idx.columns

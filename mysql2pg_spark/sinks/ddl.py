@@ -50,6 +50,12 @@ class IndexSpec:
     columns: list[str]
     unique: bool = False
     kind: str = "btree"
+    # MySQL 8 functional index (round 15): ``columns`` is empty and the
+    # key expression rides here — information_schema.statistics reports
+    # these with column_name NULL and the expression in EXPRESSION. The
+    # planner surfaces them as documented skips (same policy as the
+    # ALTER TABLE form in sources/dumpfile.py), never a silent drop.
+    expression: str | None = None
 
 
 @dataclass

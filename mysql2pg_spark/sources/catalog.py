@@ -108,10 +108,14 @@ def indexes_query(database: str) -> str:
     """A6: index columns ordered by seq_in_index (metadata.go:295-344).
     ``index_type`` (BTREE/FULLTEXT/SPATIAL/HASH) rides along so the
     emitter can map non-btree classes to GIN/GiST (round 11) instead of
-    flattening everything to btree."""
+    flattening everything to btree; ``expression`` (MySQL 8) rides so a
+    functional index — column_name NULL — reconstructs with its key
+    expression and gets a documented skip instead of a crash or a
+    silent drop (round 15)."""
     return (
         "(SELECT table_name, index_name, column_name, seq_in_index, "
-        "non_unique, index_type FROM information_schema.statistics "
+        "non_unique, index_type, expression "
+        "FROM information_schema.statistics "
         f"WHERE table_schema = '{database}' "
         "ORDER BY table_name, index_name, seq_in_index) i"
     )
@@ -484,7 +488,14 @@ def table_privileges_query(database: str) -> str:
 
 def group_indexes(rows: list[dict]) -> dict[str, list[IndexSpec]]:
     """(table, index, column, seq, non_unique) rows → per-table IndexSpec
-    list with columns in seq order; PRIMARY skipped (emitted as PK DDL)."""
+    list with columns in seq order; PRIMARY skipped (emitted as PK DDL).
+
+    MySQL 8 functional-index key parts report column_name NULL with the
+    key expression in EXPRESSION (round 15): those reconstruct as an
+    IndexSpec with empty columns and the expression carried, the same
+    shape the dump parser produces — the planner surfaces the documented
+    skip; a NULL must never be appended as a column (it would render as
+    ``"None"`` in CREATE INDEX)."""
     out: dict[str, list[IndexSpec]] = {}
     current: dict[tuple[str, str], IndexSpec] = {}
     for r in sorted(
@@ -506,7 +517,15 @@ def group_indexes(rows: list[dict]) -> dict[str, list[IndexSpec]]:
             )
             current[key] = spec
             out.setdefault(r["table_name"], []).append(spec)
-        current[key].columns.append(r["column_name"])
+        if r["column_name"] is None:
+            expr = r.get("expression")
+            if expr:
+                cur_expr = current[key].expression
+                current[key].expression = (
+                    f"{cur_expr}, {expr}" if cur_expr else str(expr)
+                )
+        else:
+            current[key].columns.append(r["column_name"])
     return out
 
 

@@ -801,6 +801,31 @@ _KEY_RE = _re.compile(
     r"(?i)^\s*(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?KEY\s+"
     r"`?([A-Za-z0-9_]+)`?\s+\(([^)]*)\)"
 )
+
+
+def _balanced_key_body(s: str, open_idx: int) -> str:
+    """Text inside the paren opening at ``s[open_idx]`` by balanced scan
+    (single-quoted strings skipped) — _KEY_RE's ``([^)]*)`` capture stops
+    at the FIRST close paren, which truncates a functional-index
+    expression like ``((CAST(data->>'$.id' AS UNSIGNED ARRAY)))``
+    (round 15; harmless for plain column lists, where _key_cols strips
+    prefix-length parens anyway)."""
+    depth, i, n = 0, open_idx, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = s.find("'", i + 1)
+            if j < 0:
+                break
+            i = j
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1:i]
+        i += 1
+    return s[open_idx + 1:]
 #: mysqldump emits partitioning as a /*!50100 …*/ conditional comment
 #: AFTER the closing paren; the header names the scheme + expression
 _PARTITION_RE = _re.compile(
@@ -1095,6 +1120,14 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                     _start_partition(line, owner)
             continue
         if line.lstrip().startswith(")"):
+            # table-level COMMENT rides the closing-paren options line
+            # (round 15 — previously dropped; the live catalog path
+            # reads information_schema.tables.table_comment, so the
+            # dump path must carry it too or B11 comment DDL is
+            # live-only). '' doubling unescaped like column comments.
+            tc = _re.search(r"(?i)\bCOMMENT\s*=\s*'((?:[^']|'')*)'", line)
+            if tc:
+                cur.comment = tc.group(1).replace("''", "'")
             tables.append(cur)
             cur = None
             # plain-DDL partitioning rides the closing-paren line:
@@ -1125,15 +1158,34 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             continue
         key = _KEY_RE.match(line)
         if key:
-            kcols = _key_cols(key.group(3))
-            if kcols:  # functional-index expressions degrade to a skip
-                uq, kind = _key_kind(key.group(1))
+            kbody = _balanced_key_body(line, key.start(3) - 1)
+            kcols = _key_cols(kbody)
+            uq, kind = _key_kind(key.group(1))
+            if kcols:
                 cur.indexes.append(
                     IndexSpec(
                         name=key.group(2),
                         columns=kcols,
                         unique=uq,
                         kind=kind,
+                    )
+                )
+            else:
+                # MySQL 8 functional index — `KEY k ((lower(name)))`:
+                # no plain column. Carried with the raw expression so
+                # the planner surfaces a DOCUMENTED skip (round 15 —
+                # previously dropped silently here, while the ALTER
+                # TABLE form already logged a skip; both paths now
+                # agree, and the live-catalog path reconstructs the
+                # identical spec from a NULL-column_name statistics
+                # row).
+                cur.indexes.append(
+                    IndexSpec(
+                        name=key.group(2),
+                        columns=[],
+                        unique=uq,
+                        kind=kind,
+                        expression=kbody.strip(),
                     )
                 )
             continue

@@ -141,6 +141,8 @@ CREATE TABLE IF NOT EXISTS case_19_comments (
   c4 INTEGER
 );
 
+COMMENT ON TABLE case_19_comments IS 'Table comment';
+
 COMMENT ON COLUMN case_19_comments.c1 IS 'Simple comment';
 
 COMMENT ON COLUMN case_19_comments.c3 IS 'Comment with '' quote';
@@ -229,6 +231,8 @@ CREATE TABLE IF NOT EXISTS case_31_sys_utf8mb3 (
   db CHAR(64) NOT NULL DEFAULT '',
   "user" CHAR(32) NOT NULL DEFAULT ''
 );
+
+COMMENT ON TABLE case_31_sys_utf8mb3 IS 'System table imitation';
 
 CREATE TABLE IF NOT EXISTS case_32_complex_generated (
   cost_name VARCHAR(64) NOT NULL,
@@ -1305,6 +1309,10 @@ CREATE INDEX IF NOT EXISTS case_27_mysql8_check_idx_case27_id ON case_27_mysql8_
 CREATE INDEX IF NOT EXISTS case_27_mysql8_check_idx_case27_age ON case_27_mysql8_check (age);
 
 CREATE INDEX IF NOT EXISTS case_27_mysql8_check_idx_case27_composite ON case_27_mysql8_check (id, age);
+
+-- SKIP [case_28_mysql8_func_index]: functional index idx_name_upper ((UPPER(name))): expression key — translate the expression and creat
+
+-- SKIP [case_28_mysql8_func_index]: functional index idx_data_val ((CAST(data->>'$.id' AS UNSIGNED ARRAY))): expression key — translate 
 
 CREATE INDEX IF NOT EXISTS case_28_mysql8_func_index_idx_case28_name ON case_28_mysql8_func_index (name);
 

@@ -259,7 +259,7 @@ def test_catalog_sql_runs_on_a_real_engine(spark, derby):
                    f"ordinal_position INT, generation_expression {V}",
         "statistics": f"table_schema {V}, table_name {V}, index_name {V},"
                       f" column_name {V}, seq_in_index INT, "
-                      f"non_unique INT, index_type {V}",
+                      f"non_unique INT, index_type {V}, expression {V}",
         "key_column_usage": f"table_schema {V}, constraint_schema {V}, "
                             f"constraint_name {V}, table_name {V}, "
                             f"column_name {V}, ordinal_position INT, "

@@ -365,6 +365,7 @@ def snapshot_to_infoschema(
                 "table_name": t.name, "index_name": "PRIMARY",
                 "column_name": col, "seq_in_index": j,
                 "non_unique": 0, "index_type": "BTREE",
+                "expression": None,
             })
         for ix in t.indexes:
             for j, col in enumerate(ix.columns, start=1):
@@ -373,6 +374,18 @@ def snapshot_to_infoschema(
                     "column_name": col, "seq_in_index": j,
                     "non_unique": 0 if ix.unique else 1,
                     "index_type": ix.kind.upper(),
+                    "expression": None,
+                })
+            if not ix.columns and getattr(ix, "expression", None):
+                # MySQL 8 functional index: one key part with
+                # column_name NULL and the expression in EXPRESSION —
+                # the documented statistics layout (round 15)
+                out["statistics"].append({
+                    "table_name": t.name, "index_name": ix.name,
+                    "column_name": None, "seq_in_index": 1,
+                    "non_unique": 0 if ix.unique else 1,
+                    "index_type": ix.kind.upper(),
+                    "expression": ix.expression,
                 })
         for fk in t.foreign_keys:
             for j, (col, rcol) in enumerate(

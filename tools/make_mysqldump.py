@@ -115,6 +115,57 @@ EVENTS: list[str] = [
     "DO DELETE FROM case_41_parent WHERE name = 'window'",
 ]
 
+#: Edge-row corpus (round 15, VERDICT r14 ask #7): the nastiest shapes
+#: the dump-path capstones cover as unit fixtures, folded into the
+#: rendered corpus so the LIVE-catalog replay proves the identical
+#: migration on them — a generated column whose expression carries a
+#: charset introducer, a functional index (information_schema reports
+#: column_name NULL + EXPRESSION), multi-byte table/column comments
+#: with embedded quotes, and a RANGE table with NAMED subpartition
+#: lists in mysqldump's /*!50100 …*/ + per-subpartition ENGINE
+#: spelling. Each is seeded so checksum parity is meaningful.
+EXTRA_TABLES: list[tuple[str, str, list[str]]] = [
+    (
+        "edge_gen_fn_comments",
+        "CREATE TABLE `edge_gen_fn_comments` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `name` varchar(64) NOT NULL "
+        "COMMENT 'Straße — can''t be NULL, 多字节',\n"
+        "  `label` varchar(80) GENERATED ALWAYS AS "
+        "(concat(_utf8mb4'pfx-',`name`)) STORED,\n"
+        "  PRIMARY KEY (`id`),\n"
+        "  KEY `idx_edge_fn` ((lower(`name`)))\n"
+        ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 "
+        "COMMENT='weiß ''Prüfung'' 注释'",
+        [
+            "INSERT INTO `edge_gen_fn_comments` (`id`, `name`) VALUES "
+            "(1,'Straße'),(2,'weiß'),(3,'plain ascii');",
+        ],
+    ),
+    (
+        "edge_named_subparts",
+        "CREATE TABLE `edge_named_subparts` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `region` varchar(16) NOT NULL,\n"
+        "  `amount` decimal(10,2) DEFAULT NULL,\n"
+        "  PRIMARY KEY (`id`)\n"
+        ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4\n"
+        "/*!50100 PARTITION BY RANGE (`id`)\n"
+        "SUBPARTITION BY HASH (`id`)\n"
+        "(PARTITION p_low VALUES LESS THAN (100)\n"
+        " (SUBPARTITION sp_low_a ENGINE = InnoDB,\n"
+        "  SUBPARTITION sp_low_b ENGINE = InnoDB),\n"
+        " PARTITION p_high VALUES LESS THAN MAXVALUE\n"
+        " (SUBPARTITION sp_high_a ENGINE = InnoDB,\n"
+        "  SUBPARTITION sp_high_b ENGINE = InnoDB)) */",
+        [
+            "INSERT INTO `edge_named_subparts` VALUES "
+            "(5,'north',10.50),(42,'south',NULL),(150,'east',99.99),"
+            "(7000,'west',0.01);",
+        ],
+    ),
+]
+
 _TRG_SAVE = """\
 /*!50003 SET @saved_cs_client      = @@character_set_client */ ;
 /*!50003 SET @saved_cs_results     = @@character_set_results */ ;
@@ -283,14 +334,7 @@ def render_corpus_dump(
 
     parts: list[str] = [HEADER]
 
-    for stmt in _statements(tables_sql):
-        mo = _CT_RE.match(stmt)
-        if not mo:
-            continue
-        t = mo.group(1)
-        stmt = _fold_indexes(stmt, idx_by_table.get(t.lower(), []))
-        if not re.search(r"(?i)ENGINE\s*=", stmt):
-            stmt += " ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+    def emit_table(t: str, stmt: str, rows: list[str] | None) -> None:
         parts.append(
             f"""
 --
@@ -304,7 +348,6 @@ DROP TABLE IF EXISTS `{t}`;
 /*!40101 SET character_set_client = @saved_cs_client */;
 """
         )
-        rows = inserts_by_table.get(t.lower())
         body = (
             ";\n".join(r.rstrip().rstrip(";") for r in rows) + ";\n"
             if rows
@@ -325,6 +368,21 @@ UNLOCK TABLES;
         # mysqldump emits the table's triggers right after its data
         for trg in TRIGGERS.get(t.lower(), []):
             parts.append(_render_trigger(trg))
+
+    for stmt in _statements(tables_sql):
+        mo = _CT_RE.match(stmt)
+        if not mo:
+            continue
+        t = mo.group(1)
+        stmt = _fold_indexes(stmt, idx_by_table.get(t.lower(), []))
+        if not re.search(r"(?i)ENGINE\s*=", stmt):
+            stmt += " ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+        emit_table(t, stmt, inserts_by_table.get(t.lower()))
+
+    # edge-row tables (round 15): rendered through the identical
+    # structure/data blocks so both capstones migrate them
+    for t, stmt, seed in EXTRA_TABLES:
+        emit_table(t, stmt, seed)
 
     # view stand-ins (table section order, as mysqldump interleaves)
     for name, body in views:
