@@ -793,6 +793,110 @@ def _bench_streaming(spark, sf_dir: str, reps: int = 1) -> dict:
     return out
 
 
+def _bench_cc_isolated(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Round 15 (VERDICT r14 ask #3): a TRUSTWORTHY clock for the
+    connected-components stage. cc01's suite timing includes the whole
+    LSH candidate pipeline plus whatever cache state the suite left
+    behind — its noise band was 5.1×, too wide to catch a real
+    regression. Here the verified near-dup pair set is materialized
+    ONCE (eager localCheckpoint, counted), then BOTH algorithms —
+    alternating large/small-star (cc01's implementation, O(log² n)
+    rounds at any diameter) and iterative min-label propagation
+    (cc02's, O(diameter) rounds) — cluster the identical warm input
+    reps× each, interleaved so drift hits both sides equally. Emits
+    [min, med, max] spreads and pairs/sec medians; the A/B table and
+    the promotion decision live in PLANS.md."""
+    from mysql2pg_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+    from mysql2pg_spark.plans.dedup import neardup_pairs
+
+    pairs = neardup_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    sides = (
+        ("star", connected_components_star),
+        ("labelprop", connected_components),
+    )
+    # one untimed warmup per side: the first clustering run pays
+    # one-off JVM/codegen warmth that widened the spread past the
+    # ±20% gate this clock exists to meet
+    for _tag, fn in sides:
+        fn(pairs).write.format("noop").mode("overwrite").save()
+    walls: dict[str, list[float]] = {"star": [], "labelprop": []}
+    for _ in range(reps):
+        for tag, fn in sides:
+            t0 = time.perf_counter()
+            fn(pairs).write.format("noop").mode("overwrite").save()
+            walls[tag].append(time.perf_counter() - t0)
+    out: dict = {"cc_isolated_pairs": n_pairs}
+    for tag, w in walls.items():
+        med = sorted(w)[len(w) // 2]
+        out[f"cc_{tag}_sec"] = round(med, 3)
+        out[f"cc_{tag}_spread"] = _spread(w)
+        out[f"cc_{tag}_pairs_per_sec"] = round(n_pairs / max(med, 1e-9), 1)
+    if out.get("cc_star_sec") and out.get("cc_labelprop_sec"):
+        out["cc_star_vs_labelprop"] = round(
+            out["cc_star_sec"] / out["cc_labelprop_sec"], 3
+        )
+    pairs.unpersist()
+    return out
+
+
+def _bench_streaming_scaling(spark, sf_dir: str) -> dict:
+    """Round 15 (VERDICT r14 ask #6): stateful-streaming throughput as
+    a function of micro-batch size — the SAME 8-file backlog consumed
+    at maxFilesPerTrigger 1/2/4/8 (8/4/2/1 triggers). If the cost is
+    per-trigger fixed overhead (state-store commit, checkpoint,
+    planning), rows/s roughly doubles with batch size; if it is
+    per-row, the curve is flat. One rep per point: the cross-config
+    TREND is the signal, and per-point dispersion is already
+    characterized by streaming_stateful_spread."""
+    from mysql2pg_spark.streaming import ingest
+
+    out: dict = {}
+    series: dict[str, dict] = {}
+    for mfpt in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        ingest.run_stateful_user_counts(
+            spark, sf_dir, sink_table=f"bench_scal_mfpt{mfpt}",
+            max_files_per_trigger=mfpt,
+        ).count()
+        wall = time.perf_counter() - t0
+        rows, trig_ms = 0, []
+        for p in ingest.LAST_PROGRESS:
+            try:
+                d = p if isinstance(p, dict) else json.loads(p.json)
+                rows += int(d.get("numInputRows", 0))
+                ms = (d.get("durationMs") or {}).get("triggerExecution")
+                if ms is not None and int(d.get("numInputRows", 0)) > 0:
+                    trig_ms.append(float(ms))
+            except Exception:
+                continue
+        point = {
+            "sec": round(wall, 3),
+            "rows": rows,
+            "triggers": len(trig_ms),
+            "rows_per_sec": round(rows / max(wall, 1e-9), 1),
+        }
+        if trig_ms:
+            point["avg_trigger_sec"] = round(
+                sum(trig_ms) / len(trig_ms) / 1000.0, 3
+            )
+            point["proc_rows_per_sec"] = round(
+                rows / max(sum(trig_ms) / 1000.0, 1e-9), 1
+            )
+        series[str(mfpt)] = point
+    out["streaming_scaling"] = series
+    p1 = series.get("1", {}).get("proc_rows_per_sec")
+    p8 = series.get("8", {}).get("proc_rows_per_sec")
+    if p1 and p8:
+        # >1 means larger batches are cheaper per row — the cost is
+        # per-trigger overhead, not per-row work
+        out["streaming_scaling_gain_8x"] = round(p8 / p1, 2)
+    return out
+
+
 #: Scale-critical subset benched at ~10× data (round-6 scale-step
 #: evidence), cheapest-first so a budget cut loses the least. The
 #: candidate-driven dedup trio (cc01/d06/d13) runs LAST with workload
@@ -1282,6 +1386,15 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
         res["d13_lev_sampled_sec"] = round(sec, 3)
         res["d13_lev_sampled_pairs"] = n_pairs
         res["d13_lev_pairs_per_sec"] = round(n_pairs / max(sec, 1e-9), 1)
+    if not over_budget("cc_isolated"):
+        # isolated star-vs-labelprop A/B on the materialized sf1 pair
+        # set (round 15, VERDICT r14 ask #3) — the trustworthy
+        # clustering clock, decoupled from the LSH pipeline's cache
+        # state
+        try:
+            res["cc_isolated"] = _bench_cc_isolated(spark, out_dir)
+        except Exception as e:
+            res["cc_isolated_error"] = str(e)[:160]
     # ---- SKEW leg (round 14, VERDICT r13 ask #4): see _bench_skew_leg
     _bench_skew_leg(
         spark, sf_dir, os.path.join(repo, ".scale", f"{base}skew"),
@@ -1624,6 +1737,20 @@ def main() -> None:
             extras.update(_bench_streaming(spark, sf_dir, ereps))
         except Exception as e:
             extras["streaming_error"] = str(e)[:120]
+        try:
+            # micro-batch-size curve (round 15): one rep per point; skip
+            # under wall pressure like the corpus section
+            _left = wall_budget - (time.perf_counter() - wall_start)
+            if _left < 450 and os.environ.get(
+                "SPARK_GRAFT_SCALE", "1"
+            ) != "0":
+                extras["streaming_scaling_skipped"] = (
+                    f"wall pressure ({_left:.0f}s left)"
+                )
+            else:
+                extras.update(_bench_streaming_scaling(spark, sf_dir))
+        except Exception as e:
+            extras["streaming_scaling_error"] = str(e)[:120]
         # machine-normalized throughput: rate × same-moment canary
         # seconds — the cross-round comparable series for the extras
         for metric, section in (

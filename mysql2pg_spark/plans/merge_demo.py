@@ -58,10 +58,18 @@ def u01_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # cc01 — dedup clusters: connected components over the verified near-dup
-# pairs. The driver-checked path is the large-star/small-star contraction
-# (O(log^2 n) rounds at ANY graph diameter — the 100 TB-safe algorithm);
-# the oracle reconstructs components with a recursive CTE (min reachable
-# id). Label propagation stays as the pytest-checked cc02 variant.
+# pairs. The production algorithm is iterative MIN-LABEL PROPAGATION
+# (promoted round 15 after the isolated A/B on the materialized sf1
+# pair set: 1.57 s vs the star contraction's 6.96 s median, 4.4×, with
+# a tighter rep spread — see PLANS.md "cc01 isolated clock"). Near-dup
+# graphs are SHALLOW (a dup cluster's diameter is bounded by its
+# template fan-out, not corpus size), so label propagation's
+# O(diameter) rounds beat the star's fixed two-groupBy-join rounds on
+# constant factors; the alternating large/small-star contraction
+# (O(log² n) rounds at ANY diameter — the unbounded-diameter fallback
+# for linkage chains / social graphs) stays oracle-checked as cc04.
+# The oracle reconstructs components with a recursive CTE (min
+# reachable id).
 # --------------------------------------------------------------------------
 @query(
     "cc01_dedup_clusters",
@@ -90,16 +98,16 @@ FROM reach GROUP BY n ORDER BY node
 """,
 )
 def cc01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mysql2pg_spark.operators.components import connected_components_star
     from mysql2pg_spark.plans.dedup import neardup_pairs
 
-    return connected_components_star(neardup_pairs(spark, sf_dir))
+    return connected_components(neardup_pairs(spark, sf_dir))
 
 
-# cc02 — the same clusters via iterative label propagation (rounds scale
-# with graph diameter; fine for shallow near-dup graphs, used as the
-# cross-implementation check). Same recursive-CTE oracle; not in the
-# driver window (cc01 covers the family there), pytest-oracle-checked.
+# cc02 — the same clusters via the same label-propagation operator,
+# kept as a registered name for continuity (it held the family's
+# driver row in r14); cc04 below is the star-contraction variant, the
+# cross-implementation check since round 15's promotion swap. Same
+# recursive-CTE oracle for all three.
 _CC_ORACLE = ORACLES["cc01_dedup_clusters"]
 
 
@@ -108,6 +116,18 @@ def cc02_labelprop_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql2pg_spark.plans.dedup import neardup_pairs
 
     return connected_components(neardup_pairs(spark, sf_dir))
+
+
+@query("cc04_star_clusters", oracle=_CC_ORACLE, driver=False)
+def cc04_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating large/small-star contraction over the same verified
+    pairs — the unbounded-diameter fallback (Kiveris et al., SoCC'14),
+    demoted from the cc01 slot by the round-15 isolated A/B (PLANS.md);
+    cross-checks min-label on every pytest run via the shared oracle."""
+    from mysql2pg_spark.operators.components import connected_components_star
+    from mysql2pg_spark.plans.dedup import neardup_pairs
+
+    return connected_components_star(neardup_pairs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

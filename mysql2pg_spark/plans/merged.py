@@ -1212,6 +1212,10 @@ ROTATED_IN_R15 = (
     "d14_capped_lsh",
     "d15_capped_neardup_clusters",
     "d16_lsh_tuning",
+    # the star contraction keeps driver coverage after the round-15
+    # promotion swap (cc01 is min-label now, making cc02's row a
+    # duplicate implementation — see merge_demo.py / PLANS.md)
+    "cc04_star_clusters",
 )
 ROTATED_OUT_R15 = (
     "q11_grouping_sets",
@@ -1219,6 +1223,7 @@ ROTATED_OUT_R15 = (
     "t07_winnowing_fingerprints",
     "d11_semantic_dedup",
     "d12_incremental_dedup",
+    "cc02_labelprop_clusters",
 )
 for _name in ROTATED_OUT_R15:
     DRIVER_QUERIES.pop(_name, None)

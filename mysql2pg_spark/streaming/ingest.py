@@ -152,6 +152,7 @@ def run_stateful_user_counts(
     spark: SparkSession,
     sf_dir: str,
     sink_table: str = "stream_user_counts",
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-user running event counter kept in GroupState across
@@ -162,6 +163,11 @@ def run_stateful_user_counts(
     At scale this is the shape of any custom streaming accumulator
     (per-entity counters, sessionizers, dedup caches): state lives in
     the state store, partitioned by key, checkpointed per batch.
+
+    ``max_files_per_trigger`` sets the micro-batch size over the same
+    8-file staged backlog (round 15: the bench sweeps 1/2/4/8 to
+    separate per-trigger fixed overhead — state-store commit,
+    checkpoint, planning — from per-row cost).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -172,7 +178,7 @@ def run_stateful_user_counts(
     stage = stage_stream_files(spark, path, "ts")
     raw = (
         spark.readStream.schema(batch_schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(stage)
     )
     events = normalize_events_ts(raw)
