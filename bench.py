@@ -125,6 +125,9 @@ EXTRA = [
     "t25_bm25_saliency",
     "t26_importance_weights",
     "d16_lsh_tuning",
+    # round 15
+    "d15_capped_neardup_clusters",
+    "cc04_star_clusters",
 ]
 
 

@@ -458,20 +458,33 @@ class MigrationPipeline:
                 for idx in t.indexes:
                     if not idx.columns:
                         # MySQL 8 functional index (round 15): PG has
-                        # expression indexes, but the key expression is
-                        # MySQL dialect — surfaced as a documented skip
-                        # with the expression named (same policy as the
-                        # ALTER TABLE functional-index form), never a
-                        # silent drop
-                        actions.append(Action(
-                            "indexes",
-                            "skip",
-                            name,
-                            f"functional index {idx.name} "
-                            f"({getattr(idx, 'expression', None) or '?'})"
-                            ": expression key — translate the "
-                            "expression and create manually",
-                        ))
+                        # native expression indexes, so the key
+                        # expression TRANSLATES when the rewritten
+                        # form passes the emitted-DDL expression
+                        # grammar (beyond-reference — the reference
+                        # has no functional-index pass); otherwise a
+                        # documented skip naming the expression, never
+                        # a silent drop
+                        from mysql2pg_spark.sinks.ddl import (
+                            functional_index_ddl,
+                        )
+
+                        fddl = functional_index_ddl(name, idx)
+                        if fddl is not None:
+                            actions.append(
+                                Action("indexes", "ddl", name, fddl)
+                            )
+                        else:
+                            actions.append(Action(
+                                "indexes",
+                                "skip",
+                                name,
+                                f"functional index {idx.name} "
+                                f"({getattr(idx, 'expression', None) or '?'})"
+                                ": expression key outside the rewrite "
+                                "grammar — translate and create "
+                                "manually",
+                            ))
                         continue
                     if getattr(idx, "kind", "btree") == "spatial" and any(
                         coltype.get(self._norm(c)) != "point"

@@ -301,6 +301,82 @@ def create_table_ddl(
     return ddl
 
 
+def _split_index_parts(spec: str) -> list[str]:
+    """Top-level comma split of a functional key-part list, quote- and
+    paren-aware (a part like ``(concat(a, ', ', b))`` must stay whole)."""
+    parts, depth, buf, i, n = [], 0, [], 0, len(spec)
+    while i < n:
+        c = spec[i]
+        if c == "'":
+            j = spec.find("'", i + 1)
+            j = n - 1 if j < 0 else j
+            buf.append(spec[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if "".join(buf).strip():
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _fully_parenthesized(s: str) -> bool:
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth = 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(s) - 1
+    return False
+
+
+def functional_index_ddl(table: str, index: IndexSpec) -> str | None:
+    """CREATE INDEX for a MySQL 8 functional index — PostgreSQL has
+    native expression indexes, so the key expression TRANSLATES instead
+    of the index being dropped (round 15, beyond-reference: the
+    reference has no functional-index pass at all; this engine
+    previously surfaced a documented skip). Each top-level key part's
+    expression is rewritten MySQL→PG and must pass the emitted-DDL
+    expression grammar (``ddl_lint.check_expression``); any part that
+    does not — e.g. a multi-valued ``CAST(… AS UNSIGNED ARRAY)`` index,
+    whose PG analog is a GIN/jsonb design decision, not a rewrite —
+    returns None and the planner keeps the documented skip. FULLTEXT/
+    SPATIAL functional keys also decline (their access-method mapping
+    assumes plain columns)."""
+    if index.columns or not index.expression or index.kind != "btree":
+        return None
+    from mysql2pg_spark.schema.ddl_lint import check_expression
+    from mysql2pg_spark.sinks.plpgsql_builder import rewrite_mysql_expr_to_pg
+
+    pg_parts = []
+    for part in _split_index_parts(index.expression):
+        pg = rewrite_mysql_expr_to_pg(part)
+        if check_expression(pg):
+            return None
+        # PG's grammar wants each expression key part parenthesized
+        pg_parts.append(pg if _fully_parenthesized(pg) else f"({pg})")
+    if not pg_parts:
+        return None
+    name = pg_index_name(table, index.name)
+    unique = "UNIQUE " if index.unique else ""
+    return (
+        f"CREATE {unique}INDEX IF NOT EXISTS {quote_pg(name)} "
+        f"ON {quote_pg(table)} ({', '.join(pg_parts)})"
+    )
+
+
 def create_index_ddl(table: str, index: IndexSpec) -> str:
     """CREATE [UNIQUE] INDEX with table-name prefix + 63-byte truncation
     (sync_indexes.go:11-87). Functional/prefix indexes degrade to plain

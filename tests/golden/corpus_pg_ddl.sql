@@ -1310,9 +1310,9 @@ CREATE INDEX IF NOT EXISTS case_27_mysql8_check_idx_case27_age ON case_27_mysql8
 
 CREATE INDEX IF NOT EXISTS case_27_mysql8_check_idx_case27_composite ON case_27_mysql8_check (id, age);
 
--- SKIP [case_28_mysql8_func_index]: functional index idx_name_upper ((UPPER(name))): expression key — translate the expression and creat
+CREATE INDEX IF NOT EXISTS case_28_mysql8_func_index_idx_name_upper ON case_28_mysql8_func_index ((UPPER(name)));
 
--- SKIP [case_28_mysql8_func_index]: functional index idx_data_val ((CAST(data->>'$.id' AS UNSIGNED ARRAY))): expression key — translate 
+-- SKIP [case_28_mysql8_func_index]: functional index idx_data_val ((CAST(data->>'$.id' AS UNSIGNED ARRAY))): expression key outside the 
 
 CREATE INDEX IF NOT EXISTS case_28_mysql8_func_index_idx_case28_name ON case_28_mysql8_func_index (name);
 
