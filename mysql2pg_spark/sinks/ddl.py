@@ -365,7 +365,10 @@ def functional_index_ddl(table: str, index: IndexSpec) -> str | None:
         pg = rewrite_mysql_expr_to_pg(part)
         if check_expression(pg):
             return None
-        # PG's grammar wants each expression key part parenthesized
+        # PG's grammar wants each expression key part parenthesized —
+        # exactly once (collapse the rewrite's redundant outer parens)
+        while _fully_parenthesized(pg) and _fully_parenthesized(pg[1:-1]):
+            pg = pg[1:-1]
         pg_parts.append(pg if _fully_parenthesized(pg) else f"({pg})")
     if not pg_parts:
         return None

@@ -1723,8 +1723,11 @@ def convert_temp_table_stmt(stmt: str) -> list[str]:
 _ALTER_RE = _re.compile(r"(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(.+)$")
 _ALTER_ADD_PK = _re.compile(r"(?is)^ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)$")
 _ALTER_ADD_KEY = _re.compile(
+    # greedy (.*) + $ anchor (round 15): the old ([^)]*) could not
+    # match a functional key's NESTED parens at all, so the whole ADD
+    # KEY clause fell through to the unsupported-clause warning
     r"(?is)^ADD\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(?:KEY|INDEX)\s+"
-    r"`?(\w+)`?\s*\(([^)]*)\)$"
+    r"`?(\w+)`?\s*\((.*)\)$"
 )
 _ALTER_MODIFY = _re.compile(r"(?is)^MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(.+)$")
 _ALTER_TBLOPT = _re.compile(r"(?is)^AUTO_INCREMENT\s*=\s*\d+$")
@@ -1778,11 +1781,12 @@ def apply_alter_statements(snap, schema_text: str) -> None:
                 continue
             key = _ALTER_ADD_KEY.match(clause)
             if key:
-                kcols = _key_cols(key.group(3))
-                if kcols:
-                    from mysql2pg_spark.sinks.ddl import IndexSpec
+                from mysql2pg_spark.sinks.ddl import IndexSpec
 
-                    uq, kind = _key_kind(key.group(1))
+                kbody = _balanced_key_body(clause, key.start(3) - 1)
+                kcols = _key_cols(kbody)
+                uq, kind = _key_kind(key.group(1))
+                if kcols:
                     t.indexes.append(IndexSpec(
                         name=key.group(2),
                         columns=kcols,
@@ -1790,10 +1794,24 @@ def apply_alter_statements(snap, schema_text: str) -> None:
                         kind=kind,
                     ))
                 else:
-                    _log.warning(
-                        "ALTER TABLE %s: functional index %s skipped",
-                        t.name, key.group(2),
+                    # functional form (round 15): carried like the
+                    # inline KEY shape so the planner translates it to
+                    # a PG expression index (or surfaces the named
+                    # skip). The clause text is literal-MASKED here —
+                    # unmask so the expression keeps its strings.
+                    from mysql2pg_spark.dialect.transpile import (
+                        unmask_literals,
                     )
+
+                    t.indexes.append(IndexSpec(
+                        name=key.group(2),
+                        columns=[],
+                        unique=uq,
+                        kind=kind,
+                        expression=unmask_literals(
+                            kbody, _lits
+                        ).strip(),
+                    ))
                 continue
             if _FK_START_RE.match(clause.replace("ADD ", "", 1)) or \
                     _re.match(r"(?is)^ADD\s+(?:CONSTRAINT\b|FOREIGN\s+KEY\b)",

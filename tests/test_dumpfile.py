@@ -1273,3 +1273,35 @@ def test_partition_clause_semicolon_inside_literal(spark, tmp_path):
     (t,) = snapshot_from_dump(spark, str(p)).tables
     pd = parse_partition_def(t.partition_def)
     assert [pp.values for pp in pd.parts] == ["'us;east'", "'eu*/west'"]
+
+
+def test_alter_add_functional_key_carries_expression(spark, tmp_path):
+    """Round 15: the phpMyAdmin ALTER-form functional index is carried
+    with its (unmasked) expression — same shape as the inline KEY form
+    — so the planner can translate it to a PG expression index instead
+    of the old log-only drop. String literals inside the expression
+    survive the ALTER loop's literal masking."""
+    from mysql2pg_spark.sources.dumpfile import full_snapshot_from_dump
+
+    p = tmp_path / "pma_fn.sql"
+    p.write_text(
+        "CREATE TABLE `docs` (\n"
+        "  `id` int NOT NULL,\n"
+        "  `title` varchar(200) NOT NULL\n"
+        ") ENGINE=InnoDB;\n\n"
+        "ALTER TABLE `docs`\n"
+        "  ADD KEY `idx_t` ((concat(upper(`title`), '-x')));\n"
+    )
+    snap = full_snapshot_from_dump(spark, str(p))
+    (t,) = snap.tables
+    (ix,) = t.indexes
+    assert ix.name == "idx_t" and ix.columns == []
+    assert ix.expression == "(concat(upper(`title`), '-x'))"
+
+    from mysql2pg_spark.sinks.ddl import functional_index_ddl
+
+    ddl = functional_index_ddl("docs", ix)
+    assert ddl == (
+        "CREATE INDEX IF NOT EXISTS docs_idx_t ON docs "
+        "((upper(\"title\") || '-x'))"
+    )
