@@ -217,3 +217,15 @@ def test_lsh_tuning_no_all_pairs(spark):
     plan = _plan(spark, "d16_lsh_tuning")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_capped_pipeline_plan_posture(spark):
+    """d15: the end-to-end capped pipeline stays equi-join + window all
+    the way through — capped banded candidates (no cartesian), Jaccard
+    verify on candidates only, clustering joins, and the 1-row stats
+    frame riding a BROADCAST cross join (the only nested-loop allowed).
+    All-JVM: no Python rows anywhere."""
+    plan = _plan(spark, "d15_capped_neardup_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats crossJoin
