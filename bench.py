@@ -1245,6 +1245,7 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
             row["n"] / max(time.perf_counter() - t, 1e-9), 1
         )
         base_pairs = QUERIES["d03_lsh_candidates"](spark, sf_dir).count()
+        res["base_pairs_for_cc"] = base_pairs
         if base_sec and isinstance(
             base_sec.get("cc01_dedup_clusters"), (int, float)
         ):
@@ -1283,6 +1284,30 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
     # session at the same sf1 data). The pinned stages re-cache on
     # next use, so correctness is unaffected.
     spark.catalog.clearCache()
+    # COLD-comparable base for the cc01 flatness gate (round 15): the
+    # headline cc01 wall is warm-cache fast since the min-label
+    # promotion (1.3 s vs r14's 8.8 s — the shared shingle/signature/
+    # verify stages were already hot from d04), while the 10× leg
+    # always runs end-to-end cold. The r15 official run compared warm
+    # base vs cold sf1 and tripped the gate at 0.295 vs the 0.30 floor
+    # — a unit mismatch, not a regression (sf1 cc01 was 219 s vs
+    # r14's 247 s on MORE work). Re-measure the base pipeline on the
+    # evicted caches so both gate sides are the same kind of number.
+    try:
+        if isinstance(base_rates.get("cc01"), (int, float)):
+            t = time.perf_counter()
+            QUERIES["cc01_dedup_clusters"](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            cold = time.perf_counter() - t
+            res["cc01_base_cold_sec"] = round(cold, 3)
+            res["cc01_base_warm_rate"] = base_rates["cc01"]
+            pairs_base = res.get("base_pairs_for_cc")
+            if isinstance(pairs_base, int):
+                base_rates["cc01"] = round(pairs_base / max(cold, 1e-9), 1)
+            spark.catalog.clearCache()  # re-evict what the run warmed
+    except Exception as e:
+        res["cc01_base_cold_error"] = str(e)[:120]
     t0 = time.perf_counter()
     generate_scale_dir(spark, sf_dir, out_dir, factor=10)
     # res aliases the CALLER's dict when given: the wall-budget

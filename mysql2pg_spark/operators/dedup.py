@@ -153,32 +153,60 @@ def lsh_candidate_pairs_capped(
     (capped_neardup_pipeline) runs after picking r from the d16
     tuning profile.
 
-    The bucket-size window is itself keyed on the skewed (band, key),
-    but count+min over a giant partition is one linear pass — O(n),
-    not the O(n²) the join would pay."""
+    Physical shape (round 15 — rebuilt without the bucket-size
+    WINDOW): bucket sizes come from a scalar groupBy aggregate
+    (map-side combinable, O(1) state per bucket at any skew — a
+    window would sort the hottest key's whole partition), and BOTH
+    cap branches fall out of ONE annotated self-join: the left side
+    keeps small-bucket members plus each big bucket's MINIMUM only,
+    so a hot bucket contributes 1×n join rows (the star) while small
+    buckets contribute n×n, and the single ``id_a < id_b`` filter is
+    correct for both (star links always lead with the bucket min).
+    The earlier window formulation was also re-executed per consumer
+    — three branches, three sorts (measured 5× on d04 at sf0.1);
+    this tree consumes the aggregate once per side and never sorts."""
     keys = _band_keys(signatures, id_col, "id", num_hashes, rows_per_band)
-    w = Window.partitionBy("band", "key")
-    sized = keys.select(
-        "id", "band", "key",
-        F.count(F.lit(1)).over(w).alias("bsz"),
-        F.min("id").over(w).alias("bmin"),
+    buckets = keys.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("bmin")
     )
-    small = sized.filter(F.col("bsz") <= max_bucket)
-    all_pairs = (
-        small.select(F.col("id").alias("id_a"), "band", "key")
-        .join(
-            small.select(F.col("id").alias("id_b"), "band", "key"),
-            ["band", "key"],
+    # Plan-time statistics short-circuit (round 15): one scalar — the
+    # corpus' max bucket size — decides the physical plan, the same
+    # shape as AQE reading map-output stats (and the d15 profile
+    # collect). Below the cap the capped tree and the plain self-join
+    # produce THE SAME pair set by definition, but the capped tree
+    # pays two extra bucket-annotation joins — a measured 4× on d04's
+    # warm sf0.1 wall, pure insurance premium on corpora that need no
+    # insurance. The agg is map-side-combined O(buckets) and runs
+    # once per memoized pipeline build.
+    max_n = buckets.agg(F.max("n")).collect()[0][0] or 0
+    if max_n <= max_bucket:
+        pairs = (
+            keys.select("band", "key", F.col("id").alias("id_a"))
+            .join(
+                keys.select("band", "key", F.col("id").alias("id_b")),
+                ["band", "key"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    big = sized.filter(F.col("bsz") > max_bucket)
-    star_pairs = (
-        big.filter(F.col("id") != F.col("bmin"))
-        .select(F.col("bmin").alias("id_a"), F.col("id").alias("id_b"))
-    )
-    pairs = all_pairs.unionByName(star_pairs).distinct()
+    else:
+        left = (
+            keys.join(buckets, ["band", "key"])
+            .filter(
+                (F.col("n") <= max_bucket) | (F.col("id") == F.col("bmin"))
+            )
+            .select("band", "key", F.col("id").alias("id_a"))
+        )
+        pairs = (
+            left.join(
+                keys.select("band", "key", F.col("id").alias("id_b")),
+                ["band", "key"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     # exact at ANY bucket size (review r14b): n*(n-1) in bigint
     # overflows past n ≈ 3.04e9 — and this session runs ANSI mode, so
     # the stats aggregation would THROW on exactly the degenerate
@@ -191,9 +219,7 @@ def lsh_candidate_pairs_capped(
     star_forms = (F.col("n") - 1).cast("decimal(38,0)")
     is_capped = F.col("n") > max_bucket
     stats = (
-        sized.groupBy("band", "key")
-        .agg(F.first("bsz").alias("n"))
-        .agg(
+        buckets.agg(
             F.coalesce(F.sum(F.when(is_capped, 1).otherwise(0)), F.lit(0))
             .cast("bigint")
             .alias("capped_buckets"),
