@@ -128,6 +128,7 @@ EXTRA = [
     # round 15
     "d15_capped_neardup_clusters",
     "cc04_star_clusters",
+    "d17_incremental_capped",
 ]
 
 

@@ -325,7 +325,9 @@ def incremental_dedup(
     threshold: float,
     ngram: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
-) -> DataFrame:
+    max_bucket: int | None = None,
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Continuous-ingest dedup: classify each DELTA document against the
     HISTORY corpus — the shape of a daily crawl landing on an existing
     100 TB corpus, where re-deduping history against itself every batch
@@ -343,6 +345,20 @@ def incremental_dedup(
     O(delta × bands) lookups, independent of history size. Delta
     shingles are cached (used by both the signature agg and the verify
     join); history never joins history.
+
+    ``max_bucket`` (round 15) BANS hot history band keys — the
+    stop-shingle mitigation for the continuous-ingest shape: a band
+    key shared by millions of history docs (one viral template) would
+    fan every matching delta doc out by the bucket size on every
+    batch; the star-link cap of the self-join case does not apply
+    here (the index is bipartite), so oversized buckets leave the
+    index entirely. Banning can lose near-dup links reachable ONLY
+    through a banned band (the documented trade), so it must be loud:
+    with ``return_stats=True`` the call returns
+    ``(result, stats)`` where stats is a 1-row
+    ``(banned_bands, banned_band_rows)`` frame — the "no silent caps"
+    surface (all-zero when no cap is set or none fired). The exact
+    fingerprint path is never affected.
     """
     h_fp = history.select(
         F.col(id_col).alias("h_id"), fingerprint(text_col).alias("fp")
@@ -356,6 +372,36 @@ def incremental_dedup(
 
     h_sh = shingle_sets(history, id_col, text_col, ngram).cache()
     d_sh = shingle_sets(delta, id_col, text_col, ngram).cache()
+    h_band = _band_keys(
+        _signatures_from_shingles(h_sh, id_col, num_hashes),
+        id_col,
+        "h_id",
+        num_hashes,
+    )
+    if max_bucket is not None:
+        sizes = h_band.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        stats = sizes.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)),
+                F.lit(0),
+            ).cast("bigint").alias("banned_bands"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("banned_band_rows"),
+        )
+        h_band = h_band.join(
+            sizes.filter(F.col("n") <= max_bucket).select("band", "key"),
+            ["band", "key"],
+        )
+    else:
+        stats = history.sparkSession.createDataFrame(
+            [(0, 0)], "banned_bands bigint, banned_band_rows bigint"
+        )
     cand = (
         _band_keys(
             _signatures_from_shingles(d_sh, id_col, num_hashes),
@@ -363,15 +409,7 @@ def incremental_dedup(
             "d_id",
             num_hashes,
         )
-        .join(
-            _band_keys(
-                _signatures_from_shingles(h_sh, id_col, num_hashes),
-                id_col,
-                "h_id",
-                num_hashes,
-            ),
-            ["band", "key"],
-        )
+        .join(h_band, ["band", "key"])
         .select("d_id", "h_id")
         .distinct()
     )
@@ -392,7 +430,7 @@ def incremental_dedup(
         .groupBy(F.col("d_id").alias(id_col))
         .agg(F.min("h_id").alias("neardup_of"))
     )
-    return (
+    result = (
         delta.select(id_col)
         .join(exact, id_col, "left")
         .join(near, id_col, "left")
@@ -405,6 +443,9 @@ def incremental_dedup(
             ).alias("is_new"),
         )
     )
+    if return_stats:
+        return result, stats
+    return result
 
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

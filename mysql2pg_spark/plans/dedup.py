@@ -721,6 +721,82 @@ ORDER BY node
 """
 
 
+# --------------------------------------------------------------------------
+# d17 — capped incremental dedup (round 15): the continuous-ingest
+# classifier with HOT HISTORY BANDS BANNED (stop-shingle mitigation) —
+# the star-link cap of the self-join case cannot apply to the
+# bipartite delta-vs-history index, so band keys whose history bucket
+# exceeds the cap leave the index, and the banned-band counts ride ON
+# every output row (no silent caps; banning can lose links reachable
+# only through a banned band — the documented trade). Cap 3 so the
+# ban genuinely fires at the oracle scale. Not in the driver window;
+# pytest-oracle-checked.
+# --------------------------------------------------------------------------
+D17_MAX_BUCKET = 3
+
+
+@query(
+    "d17_incremental_capped",
+    oracle=f"""
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % {DELTA_MOD} <> 0),
+delt AS (SELECT doc_id, text FROM documents WHERE doc_id % {DELTA_MOD} = 0),
+hfp AS (SELECT doc_id AS h_id, {_FP} AS fp FROM hist),
+dfp AS (SELECT doc_id, {_FP} AS fp FROM delt),
+exact AS (
+  SELECT doc_id, MIN(h_id) AS exact_dup_of FROM dfp JOIN hfp USING (fp)
+  GROUP BY doc_id
+),{_side_minhash("hist")},{_side_minhash("delt")},
+hsize AS (
+  SELECT band, key, count(*) AS n FROM hist_band GROUP BY band, key
+),
+hkept AS (
+  SELECT hb.doc_id, hb.band, hb.key
+  FROM hist_band hb JOIN hsize USING (band, key)
+  WHERE hsize.n <= {D17_MAX_BUCKET}
+),
+stats AS (
+  SELECT CAST(coalesce(sum(CASE WHEN n > {D17_MAX_BUCKET} THEN 1
+                           ELSE 0 END), 0) AS BIGINT) AS banned_bands,
+         CAST(coalesce(sum(CASE WHEN n > {D17_MAX_BUCKET} THEN n
+                           ELSE 0 END), 0) AS BIGINT) AS banned_band_rows
+  FROM hsize
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS d_id, h.doc_id AS h_id
+  FROM delt_band d JOIN hkept h ON d.band = h.band AND d.key = h.key
+),
+near AS (
+  SELECT d_id AS doc_id, MIN(h_id) AS neardup_of
+  FROM cand
+  JOIN delt_sh sd ON sd.doc_id = cand.d_id
+  JOIN hist_sh sh ON sh.doc_id = cand.h_id
+  WHERE (CAST(len(list_intersect(sd.shingles, sh.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sd.shingles || sh.shingles)) AS DOUBLE))
+        >= {JACCARD_T}
+  GROUP BY d_id
+)
+SELECT d.doc_id, e.exact_dup_of, n.neardup_of,
+       (e.exact_dup_of IS NULL AND n.neardup_of IS NULL) AS is_new,
+       stats.banned_bands, stats.banned_band_rows
+FROM delt d
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near n USING (doc_id)
+CROSS JOIN stats
+ORDER BY d.doc_id
+""",
+    driver=False,
+)
+def d17_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % DELTA_MOD != 0)
+    delta = d.filter(F.col("doc_id") % DELTA_MOD == 0)
+    result, stats = D.incremental_dedup(
+        history, delta, "doc_id", "text", JACCARD_T, NGRAM, NUM_HASHES,
+        max_bucket=D17_MAX_BUCKET, return_stats=True,
+    )
+    return result.crossJoin(F.broadcast(stats))
+
+
 @query("d15_capped_neardup_clusters", oracle=_D15_ORACLE, driver=False)
 def d15_capped_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.capped_neardup_pipeline(
