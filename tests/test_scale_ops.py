@@ -388,3 +388,74 @@ def test_importance_weights_empty_target_is_null(spark):
     out = importance_weights(df, "doc_id", "text", "lang", "en").collect()
     assert len(out) == 2
     assert all(r["score"] is None for r in out)
+
+
+def test_capped_equals_uncapped_below_cap_randomized(spark):
+    """Round 15 safety net for the capped PRODUCTION default: on
+    seeded random corpora, (a) when no bucket exceeds the cap the
+    capped generator's pair set is BIT-EQUAL to the uncapped join —
+    the invariant that keeps every uncapped oracle exact under
+    PROD_MAX_BUCKET; (b) when buckets do exceed it, connectivity is
+    still identical and kept+truncated formations reconcile with the
+    total per-band mass."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mysql2pg_spark.operators.components import connected_components
+    from mysql2pg_spark.operators.dedup import (
+        _band_keys,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_capped,
+        minhash_signatures,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(80):
+            base = rng.randrange(4)
+            words = [vocab[(base + j) % len(vocab)]
+                     for j in range(5 + rng.randrange(4))]
+            if rng.random() < 0.4:
+                words.append(f"salt{i}")
+            rows.append((i, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(df, "doc_id", "text").cache()
+        unc = {tuple(r) for r in lsh_candidate_pairs(
+            sigs, "doc_id").collect()}
+        max_n = (
+            _band_keys(sigs, "doc_id", "id", 8)
+            .groupBy("band", "key").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        for cap in (2, max_n, max_n + 5):
+            pairs, stats = lsh_candidate_pairs_capped(
+                sigs, "doc_id", max_bucket=cap
+            )
+            got = {tuple(r) for r in pairs.collect()}
+            if cap >= max_n:
+                assert got == unc, (seed, cap)
+            else:
+                assert got <= unc, (seed, cap)
+                comp = lambda p: {
+                    tuple(r) for r in connected_components(
+                        spark.createDataFrame(
+                            sorted(p), "id_a long, id_b long"
+                        )
+                    ).collect()
+                }
+                assert comp(got) == comp(unc), (seed, cap)
+            st = stats.collect()[0].asDict()
+            mass = (
+                _band_keys(sigs, "doc_id", "id", 8)
+                .groupBy("band", "key").count()
+                .agg(F.sum(F.expr("count * (count - 1) / 2")))
+                .collect()[0][0]
+            )
+            assert (
+                int(st["kept_formations"]) + int(st["truncated_pairs"])
+                == int(mass)
+            ), (seed, cap)
+        sigs.unpersist()
