@@ -177,7 +177,10 @@ def lsh_candidate_pairs_capped(
     # pays two extra bucket-annotation joins — a measured 4× on d04's
     # warm sf0.1 wall, pure insurance premium on corpora that need no
     # insurance. The agg is map-side-combined O(buckets) and runs
-    # once per memoized pipeline build.
+    # once per memoized pipeline build. The decision is FROZEN into
+    # the returned plan: if the underlying data changes under the same
+    # path, rebuild the DataFrame (tools/gen_scale invalidates the
+    # plans-layer memos when it rewrites a dir).
     max_n = buckets.agg(F.max("n")).collect()[0][0] or 0
     if max_n <= max_bucket:
         pairs = (
@@ -775,12 +778,29 @@ def choose_rows_per_band(
     in any order; ties cannot occur (rows_per_band is unique)."""
     p, q = recall_floor
     rows = list(profile_rows)
-    base = next(r["n_verified"] for r in rows if r["rows_per_band"] == 1)
+    base = next(
+        (r["n_verified"] for r in rows if r["rows_per_band"] == 1), None
+    )
+    if base is None:
+        # r=1 is the recall DENOMINATOR — a profile without it cannot
+        # anchor the floor (review r15: the bare next() raised an
+        # unexplained StopIteration)
+        raise ValueError(
+            "banding profile must include rows_per_band=1 (the recall "
+            f"ceiling); got configs {[r['rows_per_band'] for r in rows]}"
+        )
     eligible = [
         int(r["rows_per_band"])
         for r in rows
         if r["n_verified"] * q >= p * base
     ]
+    if not eligible:
+        # possible only with recall_floor > 1 (p > q); r=1 always
+        # meets any floor ≤ 1 of its own count
+        raise ValueError(
+            f"no banding meets recall floor {p}/{q} — the floor must "
+            "be ≤ 1 (r=1 defines the ceiling)"
+        )
     return max(eligible)
 
 
@@ -795,6 +815,7 @@ def capped_neardup_pipeline(
     profile_filter: Column | None = None,
     configs: tuple = (1, 2, 4),
     recall_floor: tuple = (9, 10),
+    cluster_fn=None,
 ) -> DataFrame:
     """The PRODUCTION near-dup pipeline, end to end (round 15 — VERDICT
     r14 ask #1): profile → choose banding → capped LSH candidates →
@@ -817,8 +838,12 @@ def capped_neardup_pipeline(
        O(n²), no straggler task (the Zipf skew leg in bench.py measures
        exactly this hot-bucket mitigation).
     3. Exact n-gram Jaccard ≥ threshold on candidates only.
-    4. Alternating large/small-star connected components — O(log² n)
-       rounds at any cluster diameter.
+    4. Iterative min-label connected components — the algorithm the
+       round-15 isolated A/B promoted for shallow near-dup graphs
+       (4× faster than the star contraction on the identical pair
+       set; PLANS.md "cc01 isolated clock"). Pass
+       ``cluster_fn=connected_components_star`` for graphs whose
+       cluster diameter is unbounded (linkage chains).
 
     Output: one row per clustered doc —
     ``(node, component, rows_per_band, capped_buckets,
@@ -840,9 +865,11 @@ def capped_neardup_pipeline(
         signatures, id_col, num_hashes, max_bucket, rows_per_band
     )
     verified = verify_jaccard(pairs, sh_sets, id_col, threshold)
-    from mysql2pg_spark.operators.components import connected_components_star
+    if cluster_fn is None:
+        from mysql2pg_spark.operators.components import connected_components
 
-    comps = connected_components_star(verified)
+        cluster_fn = connected_components
+    comps = cluster_fn(verified)
     return comps.crossJoin(
         F.broadcast(
             stats.select(

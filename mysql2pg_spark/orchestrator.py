@@ -456,7 +456,12 @@ class MigrationPipeline:
                     for c in t.columns
                 }
                 for idx in t.indexes:
-                    if not idx.columns:
+                    if not idx.columns or getattr(idx, "expression", None):
+                        # expression set WITH columns is a malformed
+                        # spec (the parsers emit one or the other) —
+                        # it falls through to the named skip below
+                        # rather than silently dropping the
+                        # expression part (review r15)
                         # MySQL 8 functional index (round 15): PG has
                         # native expression indexes, so the key
                         # expression TRANSLATES when the rewritten

@@ -467,23 +467,15 @@ def _check_bodies(stmt: str) -> list[str]:
     CONSTRAINT b CHECK (…)' statement captured across both bodies and
     raised a false expression-grammar lint. Unterminated bodies are
     dropped here — the unbalanced-paren/quote lint reports them."""
+    from mysql2pg_spark.schema.sqltext import balanced_span
+
     bodies: list[str] = []
     for m in _CHECK_HEAD_RE.finditer(stmt):
-        depth, i, n = 1, m.end(), len(stmt)
-        while i < n and depth:
-            c = stmt[i]
-            if c == "'":
-                j = stmt.find("'", i + 1)
-                if j < 0:
-                    break
-                i = j
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-                if not depth:
-                    bodies.append(stmt[m.end():i])
-            i += 1
+        body = balanced_span(stmt, m.end() - 1)
+        # an unterminated body comes back as the raw remainder — the
+        # unbalanced-paren lint owns reporting that; skip it here
+        if m.end() + len(body) < len(stmt):
+            bodies.append(body)
     return bodies
 
 

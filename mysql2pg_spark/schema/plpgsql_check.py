@@ -482,16 +482,41 @@ _DO_BODY = re.compile(r"(?is)^DO\s+\$(\w*)\$(.*)\$\1\$\s*$")
 _GUARD_TOK = re.compile(r"(?is)'(?:[^']|'')*'|\b(CASE|END|THEN)\b")
 
 
+def _strip_line_comments(s: str) -> str:
+    """Drop ``--`` line comments, quote-aware (a ``--`` inside a string
+    literal is data, not a comment)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = s.find("'", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if s.startswith("--", i):
+            j = s.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _if_guards(body: str) -> list[str]:
     """The guard expression of every IF/ELSIF statement in a plpgsql
     body, each scanned to its MATCHING statement-level THEN: THEN
     keywords inside a nested CASE expression and ' THEN ' inside string
     literals are skipped (ADVICE r14 — the previous non-greedy regex
     stopped at the FIRST 'THEN' and would truncate such guards into
-    false expression-grammar positives)."""
+    false expression-grammar positives). Line comments are stripped
+    first and the END-IF terminator check is word-bounded (review r15:
+    ``-- … period END\\nIF x THEN`` suppressed a genuine guard)."""
+    body = _strip_line_comments(body)
     guards: list[str] = []
     for m in re.finditer(r"(?is)\b(?:IF|ELSIF)\b", body):
-        if body[: m.start()].rstrip().upper().endswith("END"):
+        if re.search(r"(?is)\bEND\s*$", body[: m.start()]):
             continue  # END IF terminator, not a guard opener
         depth = 0
         for t in _GUARD_TOK.finditer(body, m.end()):

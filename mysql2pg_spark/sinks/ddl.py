@@ -301,33 +301,6 @@ def create_table_ddl(
     return ddl
 
 
-def _split_index_parts(spec: str) -> list[str]:
-    """Top-level comma split of a functional key-part list, quote- and
-    paren-aware (a part like ``(concat(a, ', ', b))`` must stay whole)."""
-    parts, depth, buf, i, n = [], 0, [], 0, len(spec)
-    while i < n:
-        c = spec[i]
-        if c == "'":
-            j = spec.find("'", i + 1)
-            j = n - 1 if j < 0 else j
-            buf.append(spec[i:j + 1])
-            i = j + 1
-            continue
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        if c == "," and depth == 0:
-            parts.append("".join(buf).strip())
-            buf = []
-        else:
-            buf.append(c)
-        i += 1
-    if "".join(buf).strip():
-        parts.append("".join(buf).strip())
-    return parts
-
-
 def _fully_parenthesized(s: str) -> bool:
     if not (s.startswith("(") and s.endswith(")")):
         return False
@@ -343,25 +316,39 @@ def _fully_parenthesized(s: str) -> bool:
 
 
 def functional_index_ddl(table: str, index: IndexSpec) -> str | None:
-    """CREATE INDEX for a MySQL 8 functional index — PostgreSQL has
-    native expression indexes, so the key expression TRANSLATES instead
-    of the index being dropped (round 15, beyond-reference: the
-    reference has no functional-index pass at all; this engine
-    previously surfaced a documented skip). Each top-level key part's
-    expression is rewritten MySQL→PG and must pass the emitted-DDL
-    expression grammar (``ddl_lint.check_expression``); any part that
-    does not — e.g. a multi-valued ``CAST(… AS UNSIGNED ARRAY)`` index,
-    whose PG analog is a GIN/jsonb design decision, not a rewrite —
-    returns None and the planner keeps the documented skip. FULLTEXT/
-    SPATIAL functional keys also decline (their access-method mapping
-    assumes plain columns)."""
+    """CREATE INDEX for a MySQL 8 functional (or MIXED column +
+    expression) index — PostgreSQL has native expression indexes, so
+    the key expression TRANSLATES instead of the index being dropped
+    (round 15, beyond-reference: the reference has no functional-index
+    pass at all; this engine previously surfaced a documented skip).
+    The ordered key parts come from ``index.expression``: plain column
+    parts (optionally backticked, prefix lengths dropped — C93 policy)
+    quote directly; each expression part is rewritten MySQL→PG and
+    must pass the emitted-DDL expression grammar
+    (``ddl_lint.check_expression``); any part that does not — e.g. a
+    multi-valued ``CAST(… AS UNSIGNED ARRAY)`` index, whose PG analog
+    is a GIN/jsonb design decision, not a rewrite — returns None and
+    the planner keeps the documented skip. FULLTEXT/SPATIAL functional
+    keys also decline (their access-method mapping assumes plain
+    columns)."""
     if index.columns or not index.expression or index.kind != "btree":
         return None
     from mysql2pg_spark.schema.ddl_lint import check_expression
+    from mysql2pg_spark.schema.sqltext import (
+        plain_index_columns,
+        split_top_level,
+    )
     from mysql2pg_spark.sinks.plpgsql_builder import rewrite_mysql_expr_to_pg
 
     pg_parts = []
-    for part in _split_index_parts(index.expression):
+    for part in split_top_level(index.expression):
+        plain = plain_index_columns(part)
+        if plain is not None:
+            # a plain column part of a mixed key — no parens, no
+            # rewrite (review r15: mixed keys previously migrated as
+            # a stricter plain-column index)
+            pg_parts.append(quote_pg(plain[0]))
+            continue
         pg = rewrite_mysql_expr_to_pg(part)
         if check_expression(pg):
             return None

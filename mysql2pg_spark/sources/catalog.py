@@ -121,6 +121,18 @@ def indexes_query(database: str) -> str:
     )
 
 
+def indexes_query_legacy(database: str) -> str:
+    """A6 without the EXPRESSION column — MySQL < 8.0.13 (which cannot
+    have functional indexes); build_snapshot falls back here when the
+    primary query errors on the unknown column."""
+    return (
+        "(SELECT table_name, index_name, column_name, seq_in_index, "
+        "non_unique, index_type FROM information_schema.statistics "
+        f"WHERE table_schema = '{database}' "
+        "ORDER BY table_name, index_name, seq_in_index) i"
+    )
+
+
 def primary_keys_query(database: str) -> str:
     """A7: ordered PK columns (SHOW KEYS WHERE Key_name='PRIMARY')."""
     return (
@@ -491,41 +503,59 @@ def group_indexes(rows: list[dict]) -> dict[str, list[IndexSpec]]:
     list with columns in seq order; PRIMARY skipped (emitted as PK DDL).
 
     MySQL 8 functional-index key parts report column_name NULL with the
-    key expression in EXPRESSION (round 15): those reconstruct as an
-    IndexSpec with empty columns and the expression carried, the same
-    shape the dump parser produces — the planner surfaces the documented
-    skip; a NULL must never be appended as a column (it would render as
-    ``"None"`` in CREATE INDEX)."""
-    out: dict[str, list[IndexSpec]] = {}
-    current: dict[tuple[str, str], IndexSpec] = {}
+    key expression in EXPRESSION (round 15): an index containing ANY
+    such part reconstructs as an IndexSpec with empty columns and the
+    FULL ordered part list in ``expression`` — plain column parts
+    rendered backticked, expression parts as-is — the same
+    dump-canonical shape the dump parser produces, so the shared
+    planner translates a pure or MIXED key part-by-part (or surfaces
+    the documented skip). Cherry-picking only the plain parts would
+    silently reorder/over-constrain the index (review r15), and a NULL
+    must never be appended as a column (it would render as ``"None"``
+    in CREATE INDEX)."""
+    grouped: dict[tuple[str, str], list[dict]] = {}
+    order: list[tuple[str, str]] = []
     for r in sorted(
         rows, key=lambda r: (r["table_name"], r["index_name"], r["seq_in_index"])
     ):
         if r["index_name"] == "PRIMARY":
             continue
         key = (r["table_name"], r["index_name"])
-        if key not in current:
-            itype = str(r.get("index_type") or "BTREE").lower()
+        if key not in grouped:
+            grouped[key] = []
+            order.append(key)
+        grouped[key].append(r)
+    out: dict[str, list[IndexSpec]] = {}
+    for table, iname in order:
+        parts = grouped[(table, iname)]
+        head = parts[0]
+        itype = str(head.get("index_type") or "BTREE").lower()
+        has_expr = any(p["column_name"] is None for p in parts)
+        if has_expr:
+            rendered = ", ".join(
+                f"`{p['column_name']}`"
+                if p["column_name"] is not None
+                else str(p.get("expression") or "")
+                for p in parts
+            )
             spec = IndexSpec(
-                r["index_name"],
+                iname,
                 [],
-                not r["non_unique"],
+                not head["non_unique"],
+                kind=itype if itype in ("fulltext", "spatial") else "btree",
+                expression=rendered,
+            )
+        else:
+            spec = IndexSpec(
+                iname,
+                [p["column_name"] for p in parts],
+                not head["non_unique"],
                 # HASH (MEMORY engine) has no PG hash-worthy semantics
                 # worth preserving — btree covers it; FULLTEXT/SPATIAL
                 # map to GIN/GiST in create_index_ddl (round 11)
                 kind=itype if itype in ("fulltext", "spatial") else "btree",
             )
-            current[key] = spec
-            out.setdefault(r["table_name"], []).append(spec)
-        if r["column_name"] is None:
-            expr = r.get("expression")
-            if expr:
-                cur_expr = current[key].expression
-                current[key].expression = (
-                    f"{cur_expr}, {expr}" if cur_expr else str(expr)
-                )
-        else:
-            current[key].columns.append(r["column_name"])
+        out.setdefault(table, []).append(spec)
     return out
 
 
@@ -606,7 +636,16 @@ def build_snapshot(
 
     tables_rows = run_query(tables_query(database, include, exclude))
     cols = group_columns(run_query(columns_query(database)))
-    idx = group_indexes(run_query(indexes_query(database)))
+    try:
+        idx_rows = run_query(indexes_query(database))
+    except Exception:
+        # statistics.EXPRESSION exists only on MySQL >= 8.0.13 (review
+        # r15: the unconditional column reference broke the whole A6
+        # index scan on 5.7/early-8.0 servers). Older servers cannot
+        # have functional indexes, so the legacy query loses nothing —
+        # group_indexes reads the key via .get().
+        idx_rows = run_query(indexes_query_legacy(database))
+    idx = group_indexes(idx_rows)
     pks = group_primary_keys(run_query(primary_keys_query(database)))
     fks = group_foreign_keys(run_query(foreign_keys_query(database)))
     parts = group_partition_defs(run_query(partitions_query(database)))

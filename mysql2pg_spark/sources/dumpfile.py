@@ -804,28 +804,14 @@ _KEY_RE = _re.compile(
 
 
 def _balanced_key_body(s: str, open_idx: int) -> str:
-    """Text inside the paren opening at ``s[open_idx]`` by balanced scan
-    (single-quoted strings skipped) — _KEY_RE's ``([^)]*)`` capture stops
-    at the FIRST close paren, which truncates a functional-index
+    """Full paren body by balanced scan — _KEY_RE's ``([^)]*)`` capture
+    stops at the FIRST close paren, which truncates a functional-index
     expression like ``((CAST(data->>'$.id' AS UNSIGNED ARRAY)))``
     (round 15; harmless for plain column lists, where _key_cols strips
-    prefix-length parens anyway)."""
-    depth, i, n = 0, open_idx, len(s)
-    while i < n:
-        c = s[i]
-        if c == "'":
-            j = s.find("'", i + 1)
-            if j < 0:
-                break
-            i = j
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                return s[open_idx + 1:i]
-        i += 1
-    return s[open_idx + 1:]
+    prefix-length parens anyway). Shared scanner: schema.sqltext."""
+    from mysql2pg_spark.schema.sqltext import balanced_span
+
+    return balanced_span(s, open_idx)
 #: mysqldump emits partitioning as a /*!50100 …*/ conditional comment
 #: AFTER the closing paren; the header names the scheme + expression
 _PARTITION_RE = _re.compile(
@@ -1077,9 +1063,12 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             _finish_fk()
         idx = _STANDALONE_IDX_RE.match(line)
         if idx:
-            kcols = _key_cols(idx.group(4))
-            if kcols:
-                uq, kind = _key_kind(idx.group(1))
+            from mysql2pg_spark.schema.sqltext import plain_index_columns
+
+            ibody = _balanced_key_body(line, idx.start(4) - 1)
+            kcols = plain_index_columns(ibody)
+            uq, kind = _key_kind(idx.group(1))
+            if kcols is not None:
                 standalone.append(
                     (
                         idx.group(3),
@@ -1088,6 +1077,23 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                             columns=kcols,
                             unique=uq,
                             kind=kind,
+                        ),
+                    )
+                )
+            else:
+                # functional/mixed standalone CREATE INDEX (review
+                # r15): carried like the inline-KEY form so the
+                # planner translates or surfaces the documented skip
+                # — this path previously dropped it with no trace
+                standalone.append(
+                    (
+                        idx.group(3),
+                        IndexSpec(
+                            name=idx.group(2),
+                            columns=[],
+                            unique=uq,
+                            kind=kind,
+                            expression=ibody.strip(),
                         ),
                     )
                 )
@@ -1158,10 +1164,12 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
             continue
         key = _KEY_RE.match(line)
         if key:
+            from mysql2pg_spark.schema.sqltext import plain_index_columns
+
             kbody = _balanced_key_body(line, key.start(3) - 1)
-            kcols = _key_cols(kbody)
+            kcols = plain_index_columns(kbody)
             uq, kind = _key_kind(key.group(1))
-            if kcols:
+            if kcols is not None:
                 cur.indexes.append(
                     IndexSpec(
                         name=key.group(2),
@@ -1171,14 +1179,15 @@ def snapshot_from_dump(spark: SparkSession, path: str | list[str]):
                     )
                 )
             else:
-                # MySQL 8 functional index — `KEY k ((lower(name)))`:
-                # no plain column. Carried with the raw expression so
-                # the planner surfaces a DOCUMENTED skip (round 15 —
-                # previously dropped silently here, while the ALTER
-                # TABLE form already logged a skip; both paths now
-                # agree, and the live-catalog path reconstructs the
-                # identical spec from a NULL-column_name statistics
-                # row).
+                # MySQL 8 functional key part — `KEY k ((lower(name)))`
+                # or MIXED `KEY k (a, (lower(b)))`: any expression part
+                # keeps the WHOLE ordered body as the expression
+                # (review r15: cherry-picking the plain parts migrated
+                # a mixed UNIQUE key as a stricter plain index with no
+                # skip surfaced). The planner translates part-by-part
+                # to a PG expression index or surfaces a DOCUMENTED
+                # skip; the live-catalog path reconstructs the same
+                # spec from NULL-column_name statistics rows.
                 cur.indexes.append(
                     IndexSpec(
                         name=key.group(2),
@@ -1656,12 +1665,22 @@ def convert_temp_table_stmt(stmt: str) -> list[str]:
             continue
         km = _KEY_RE.match(clause)
         if km:
-            kcols = _key_cols(km.group(3))
-            if kcols:
+            from mysql2pg_spark.schema.sqltext import plain_index_columns
+
+            kbody = _balanced_key_body(clause, km.start(3) - 1)
+            kcols = plain_index_columns(kbody)
+            if kcols is not None:
                 indexes.append(IndexSpec(
                     name=km.group(2), columns=kcols,
                     unique=bool(km.group(1)),
                 ))
+            else:
+                # same refusal convention as temp-table FKs (review
+                # r15: this path dropped functional keys silently)
+                raise ValueError(
+                    f"temporary table {name}: functional/mixed KEY "
+                    f"{km.group(2)} is outside the temp-table subset"
+                )
             continue
         if _FK_START_RE.match(clause):
             raise ValueError(
@@ -1781,12 +1800,15 @@ def apply_alter_statements(snap, schema_text: str) -> None:
                 continue
             key = _ALTER_ADD_KEY.match(clause)
             if key:
+                from mysql2pg_spark.schema.sqltext import (
+                    plain_index_columns,
+                )
                 from mysql2pg_spark.sinks.ddl import IndexSpec
 
                 kbody = _balanced_key_body(clause, key.start(3) - 1)
-                kcols = _key_cols(kbody)
+                kcols = plain_index_columns(kbody)
                 uq, kind = _key_kind(key.group(1))
-                if kcols:
+                if kcols is not None:
                     t.indexes.append(IndexSpec(
                         name=key.group(2),
                         columns=kcols,

@@ -517,3 +517,20 @@ END
     assert guards[1] == "note = 'x THEN y' AND b < 2"
     assert guards[2] == "b >= 2"
     assert len(guards) == 3  # the END IFs are not guard openers
+
+
+def test_if_guard_not_suppressed_by_comment_ending_in_end():
+    """Review r15: a line comment (or identifier) ending in 'END'
+    before IF must not be mistaken for an END IF terminator; and
+    '--' inside a string literal is data, not a comment."""
+    from mysql2pg_spark.schema.plpgsql_check import _if_guards
+
+    body = """
+BEGIN
+  -- reset at period END
+  IF a > 1 THEN PERFORM 1; END IF;
+  IF note = 'a--b' AND c < 2 THEN PERFORM 2; END IF;
+END
+"""
+    guards = _if_guards(body)
+    assert guards == ["a > 1", "note = 'a--b' AND c < 2"]

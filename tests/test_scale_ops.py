@@ -459,3 +459,20 @@ def test_capped_equals_uncapped_below_cap_randomized(spark):
                 == int(mass)
             ), (seed, cap)
         sigs.unpersist()
+
+
+def test_choose_rows_per_band_contract_errors():
+    """Review r15: missing r=1 anchor and impossible floors raise
+    NAMED errors, not bare StopIteration/ValueError."""
+    import pytest
+
+    from mysql2pg_spark.operators.dedup import choose_rows_per_band
+
+    with pytest.raises(ValueError, match="rows_per_band=1"):
+        choose_rows_per_band(
+            [{"rows_per_band": 2, "n_verified": 5}], (9, 10)
+        )
+    with pytest.raises(ValueError, match="recall floor"):
+        choose_rows_per_band(
+            [{"rows_per_band": 1, "n_verified": 5}], (11, 10)
+        )

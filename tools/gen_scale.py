@@ -45,6 +45,21 @@ def _replicate(spark: SparkSession, df, factor: int):
     return df.crossJoin(F.broadcast(reps))
 
 
+def _invalidate_stage_memos(out_dir: str) -> None:
+    """Purge plans-layer per-(session, dir) memoized stages for a dir
+    whose data is being (re)written (review r15): the capped candidate
+    stage freezes a plan-time max-bucket decision at build time — a
+    memoized plan surviving a regeneration of the same path could run
+    the uncapped join on data whose buckets now exceed the cap, while
+    its lazy stats frame reports truncation that never happened."""
+    from mysql2pg_spark.plans import dedup as _pd
+    from mysql2pg_spark.plans import textops as _pt
+
+    for cache in (_pd._stage_cache, _pt._tf_cache):
+        for key in [k for k in cache if len(k) > 1 and k[1] == out_dir]:
+            cache.pop(key, None)
+
+
 def generate_scale_dir(
     spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10
 ) -> str:
@@ -52,6 +67,7 @@ def generate_scale_dir(
     marker = os.path.join(out_dir, f"_SCALE_OK_{factor}")
     if os.path.exists(marker):
         return out_dir
+    _invalidate_stage_memos(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     for t in DIMS:
@@ -206,6 +222,7 @@ def generate_skew_dir(
     marker = os.path.join(out_dir, "_SKEW_OK")
     if os.path.exists(marker):
         return out_dir
+    _invalidate_stage_memos(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     for t in DIMS + ("orders", "lineitem", "events"):
