@@ -491,8 +491,20 @@ def d13_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norm.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     nb = norm.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    dist = F.levenshtein("sa", "sb").cast("bigint")
     max_len = F.greatest(F.length("sa"), F.length("sb"))
+    # Round 16 (optimization, guide §1.2 step 2): BOUNDED levenshtein.
+    # Every emitted row satisfies edit_sim ≥ T ⟺ edit_dist ≤
+    # floor((1−T)·max_len), so the 3-arg thresholded form (banded DP,
+    # O(len·k) with early exit instead of O(len²)) computes the exact
+    # distance for every surviving pair and −1 exactly for the pairs
+    # the old plan filtered out — identical rows, verified against the
+    # unchanged full-distance oracle (measured 6.97 s → 4.19 s at
+    # sf0.1; most LSH candidates are dissimilar, the banded DP's
+    # |len_a−len_b| > k early exit skips them outright).
+    dist = F.expr(
+        f"levenshtein(sa, sb, cast(floor({1.0 - EDIT_SIM_T} * "
+        "greatest(length(sa), length(sb))) as int))"
+    ).cast("bigint")
     sim = F.lit(1.0) - dist.cast("double") / max_len.cast("double")
     return (
         cands.join(na, "id_a")
@@ -503,7 +515,9 @@ def d13_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
             sim.alias("edit_sim"),
         )
-        .filter(F.col("edit_sim") >= EDIT_SIM_T)
+        .filter(
+            (F.col("edit_dist") >= 0) & (F.col("edit_sim") >= EDIT_SIM_T)
+        )
         .orderBy("id_a", "id_b")
     )
 

@@ -45,7 +45,15 @@ FROM h
 """,
 )
 def val01_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from mysql2pg_spark.tables import fan_out
+
+    # Round 16: the single-row-group fixture scan is one task, so the
+    # md5-per-row partial aggregate ran on one core; fan_out spreads the
+    # 6 projected columns across the cluster (no-op at real scale where
+    # the scan already has ≥ defaultParallelism splits). Measured
+    # 1.56 s → 1.14 s at sf0.1; result unchanged (the checksum is an
+    # order-insensitive aggregate).
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(*_CHECK_COLS))
     return table_checksum(li, _CHECK_COLS)
 
 

@@ -92,6 +92,33 @@ def _pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition a parallelism-starved DataFrame up to the
+    cluster's core count — a NO-OP whenever the input already has at
+    least that many partitions.
+
+    Why (round 16, guide §2): the test corpus ships each table as a
+    single-row-group parquet file, so every scan is ONE task and a
+    map-heavy stage (md5 checksums, per-row HOF chains, pair scoring)
+    runs on one core regardless of cluster size. At 100 TB real inputs
+    have thousands of splits, ``getNumPartitions() >= defaultParallelism``
+    holds, and this helper adds nothing — the repartition only fires
+    exactly when the input is too small to occupy the cluster, which is
+    when shuffling it is cheap by definition. Scale-adaptive by
+    construction (derived from ``defaultParallelism``), not a local[32]
+    constant.
+
+    Results are unaffected: every consumer in this repo is
+    partitioning-agnostic (aggregates are map-side combinable, digests
+    are per-row, window/top-k keys shuffle afterwards anyway).
+    """
+    sc = df.sparkSession.sparkContext
+    target = n or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _pin_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

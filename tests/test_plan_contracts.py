@@ -47,11 +47,13 @@ def test_winnowing_is_map_only(spark):
 
 def test_checksum_is_single_pass(spark):
     """val01's checksum: map-side partial agg + one 1-row exchange, no
-    count-distinct shuffle of the digest set."""
+    count-distinct shuffle of the digest set. Round 16 allows exactly
+    one extra exchange per scan: the fan_out round-robin repartition
+    that spreads the single-row-group fixture scan across cores (a
+    no-op at real scale) — still no data-proportional digest shuffle."""
     plan = _plan(spark, "val01_table_checksum")
-    assert _n_exchanges(plan) <= len(
-        [l for l in plan.splitlines() if "Scan parquet" in l]
-    )
+    n_scans = len([l for l in plan.splitlines() if "Scan parquet" in l])
+    assert _n_exchanges(plan) <= 2 * n_scans
 
 
 def test_small_dims_broadcast(spark):
