@@ -121,6 +121,7 @@ def lsh_candidate_pairs_capped(
     num_hashes: int = DEFAULT_NUM_HASHES,
     max_bucket: int = 64,
     rows_per_band: int = 1,
+    plan_time_stats: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Skew-hardened LSH candidates (round 14): real corpora have
     power-law duplicate clusters — one template shared by 1% of docs
@@ -181,7 +182,20 @@ def lsh_candidate_pairs_capped(
     # the returned plan: if the underlying data changes under the same
     # path, rebuild the DataFrame (tools/gen_scale invalidates the
     # plans-layer memos when it rewrites a dir).
-    max_n = buckets.agg(F.max("n")).collect()[0][0] or 0
+    #
+    # NOTE (ADVICE r15): with plan_time_stats=True (the default, what
+    # the memoized plans layer uses) THIS FUNCTION IS EAGER — it runs
+    # one Spark job at build time. Library callers outside the
+    # plans-layer memo + gen_scale invalidation that need lazy
+    # semantics (or whose data may be rewritten under the same path)
+    # should pass plan_time_stats=False: the capped tree is then built
+    # unconditionally, which is correct at every bucket size and only
+    # costs the two bucket-annotation joins.
+    max_n = (
+        (buckets.agg(F.max("n")).collect()[0][0] or 0)
+        if plan_time_stats
+        else max_bucket + 1
+    )
     if max_n <= max_bucket:
         pairs = (
             keys.select("band", "key", F.col("id").alias("id_a"))
@@ -729,38 +743,104 @@ def lsh_tuning_profile(
     subset of r=1's, so verified@r=1 is the recall denominator.
 
     Scale: signatures and shingles are computed once (callers pass the
-    shared cached stages); each config is one banded equi-join +
-    verification over ITS candidates only — never all pairs; the
-    per-config aggregates union into a 3-row result."""
-    profiles = []
-    for r in rows_per_band_configs:
-        cands = lsh_band_candidates(signatures, id_col, r, num_hashes)
-        # threshold -1 keeps EVERY candidate's jaccard row (the
-        # operator's filter is >= threshold): candidates and verified
-        # are counted from the same single verification pass
-        verified = verify_jaccard(cands, sh_sets, id_col, -1.0)
-        profiles.append(
-            verified.agg(
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.sum(
-                    F.when(F.col("jaccard") >= threshold, 1).otherwise(0)
-                ).cast("bigint").alias("n_verified"),
-            ).select(
-                F.lit(num_hashes // r).cast("bigint").alias("bands"),
-                F.lit(r).cast("bigint").alias("rows_per_band"),
-                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-                F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
-                F.when(
-                    F.col("n_candidates") > 0,
-                    F.col("n_verified").cast("double")
-                    / F.col("n_candidates").cast("double"),
-                ).alias("precision"),
+    shared cached stages). Round 16 (optimization, guide §2.3
+    "aggregate before you shuffle" / §1.2 step 1): when the configs
+    include r=1, ALL configs profile in ONE candidate join + ONE
+    Jaccard-verification pass — every config's candidate set is a
+    subset of r=1's, and whether an r=1 pair also collides under
+    banding r is a pure column predicate over the two signatures
+    (∃ band i: all r member hashes equal). The previous shape ran one
+    banded join + one array-intersect verification PER config
+    (measured: the 3-config profile paid ~3× the single-pass verify
+    cost; identical 1-row-per-config output, oracle-checked by d16).
+    Configs without r=1 keep the per-config path."""
+    rs = list(rows_per_band_configs)
+    if 1 not in rs:
+        profiles = []
+        for r in rs:
+            cands = lsh_band_candidates(signatures, id_col, r, num_hashes)
+            verified = verify_jaccard(cands, sh_sets, id_col, -1.0)
+            profiles.append(
+                verified.agg(
+                    F.count(F.lit(1)).alias("n_candidates"),
+                    F.sum(
+                        F.when(F.col("jaccard") >= threshold, 1).otherwise(0)
+                    ).cast("bigint").alias("n_verified"),
+                ).select(
+                    F.lit(num_hashes // r).cast("bigint").alias("bands"),
+                    F.lit(r).cast("bigint").alias("rows_per_band"),
+                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                    F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+                    F.when(
+                        F.col("n_candidates") > 0,
+                        F.col("n_verified").cast("double")
+                        / F.col("n_candidates").cast("double"),
+                    ).alias("precision"),
+                )
             )
+        out = profiles[0]
+        for p in profiles[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # one-pass path: r=1 candidates scored once; per-config membership
+    # is a signature predicate (threshold -1 keeps EVERY pair's row)
+    cands = lsh_band_candidates(signatures, id_col, 1, num_hashes)
+    scored = verify_jaccard(cands, sh_sets, id_col, -1.0)
+    siga = signatures.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(num_hashes)],
+    )
+    sigb = signatures.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(num_hashes)],
+    )
+    j = scored.join(siga, "id_a").join(sigb, "id_b")
+
+    def collide(r: int) -> Column:
+        if r == 1:
+            return F.lit(True)
+        bands = []
+        for i in range(num_hashes // r):
+            eqs = [
+                F.col(f"_a{i * r + k}") == F.col(f"_b{i * r + k}")
+                for k in range(r)
+            ]
+            band = eqs[0]
+            for e in eqs[1:]:
+                band = band & e
+            bands.append(band)
+        out = bands[0]
+        for b in bands[1:]:
+            out = out | b
+        return out
+
+    aggs = []
+    for r in rs:
+        c = collide(r)
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias(f"nc_{r}")
         )
-    out = profiles[0]
-    for p in profiles[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(c & (F.col("jaccard") >= threshold), 1)
+                      .otherwise(0)),
+                F.lit(0),
+            ).cast("bigint").alias(f"nv_{r}")
+        )
+    stack_rows = ", ".join(
+        f"CAST({num_hashes // r} AS BIGINT), CAST({r} AS BIGINT), "
+        f"nc_{r}, nv_{r}, "
+        f"CASE WHEN nc_{r} > 0 "
+        f"THEN CAST(nv_{r} AS DOUBLE) / CAST(nc_{r} AS DOUBLE) END"
+        for r in rs
+    )
+    return j.agg(*aggs).selectExpr(
+        f"stack({len(rs)}, {stack_rows}) AS "
+        "(bands, rows_per_band, n_candidates, n_verified, precision)"
+    )
 
 
 def choose_rows_per_band(

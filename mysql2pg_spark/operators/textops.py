@@ -467,73 +467,70 @@ def cdc_chunks(
     size chunks, where one shifted byte re-fingerprints the whole tail.
     The chunk fingerprint set is the storage-dedup / delta-sync unit.
 
-    Returns (id, chunk_idx, chunk_len, chunk_md5) rows. Same rolling-
-    hash stage as winnow_fingerprints (kept expression-identical — see
-    that function's docstring for the materialization and explode_outer
-    plan traps, both observed and both avoided here too); entirely
-    JVM-side, scan-speed, no shuffle.
+    Returns (id, chunk_idx, chunk_len, chunk_md5) rows.
+
+    Round 16 (optimization, guide §4.2): the rolling-hash / boundary /
+    chunk-md5 stage is the same Arrow+NumPy kernel shape as
+    winnow_fingerprints (the previous Catalyst HOF chain evaluated an
+    interpreted 8-term sum per position); normalization stays JVM
+    regexp so the byte stream is bit-identical to the oracle, hashes
+    are exact int64, and chunk md5 is hashlib over the same ASCII
+    bytes the JVM md5 hashed. Map-only, no shuffle, same rows.
     """
     powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
     s = F.regexp_replace(
         F.regexp_replace(normalize_text(text_col), r"\s+", " "), r"[^a-z0-9 ]", ""
     )
-    chars = F.slice(F.split(F.col("s"), r"(?!^)"), 1, F.length("s"))
-    p2 = docs.select(F.col(id_col), s.alias("s")).select(
-        id_col,
-        "s",
-        F.transform(chars, lambda c: F.ascii(c).cast("bigint")).alias("codes"),
-    )
-    codes = F.col("codes")
-    m = F.size(codes) - k + 1
-    hashes = F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: sum(
-                (
-                    F.element_at(codes, i + F.lit(j)) * F.lit(powers[j])
-                    for j in range(1, k)
-                ),
-                F.element_at(codes, i) * F.lit(powers[0]),
+    src = docs.select(F.col(id_col), s.alias("s"))
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        rev_powers = np.array(powers[::-1], dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            o_id: list = []
+            o_idx: list = []
+            o_len: list = []
+            o_md5: list = []
+            for i, txt in enumerate(texts):
+                if txt is None:
+                    continue
+                raw = txt.encode("ascii")
+                b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                if b.size >= k:
+                    h = np.convolve(b, rev_powers, mode="valid") % WINNOW_MOD
+                    # cut at 1-based hash positions 2..len(h) where
+                    # h ≡ 0 (mod divisor) — identical to the old
+                    # element_at(hs, i) % divisor == 0 filter
+                    cuts = (np.nonzero(h[1:] % divisor == 0)[0] + 2).tolist()
+                else:
+                    cuts = []
+                bounds = [1] + cuts + [len(raw) + 1]
+                for j in range(len(bounds) - 1):
+                    lo, hi = bounds[j], bounds[j + 1]
+                    o_id.append(ids[i])
+                    o_idx.append(j + 1)
+                    o_len.append(hi - lo)
+                    o_md5.append(
+                        hashlib.md5(raw[lo - 1 : hi - 1]).hexdigest()
+                    )
+            yield pa.record_batch(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_idx, type=pa.int64()),
+                    pa.array(o_len, type=pa.int64()),
+                    pa.array(o_md5, type=pa.string()),
+                ],
+                names=[id_col, "chunk_idx", "chunk_len", "chunk_md5"],
             )
-            % F.lit(WINNOW_MOD),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    p3 = p2.select(id_col, "s", hashes.alias("hs"))
-    hs = F.col("hs")
-    cuts = F.when(
-        F.size(hs) >= 2,
-        F.filter(
-            F.sequence(F.lit(2), F.greatest(F.size(hs), F.lit(2))),
-            lambda i: F.element_at(hs, i) % divisor == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    bounds = F.concat(
-        F.array(F.lit(1)), cuts, F.array(F.length("s") + 1)
-    )
-    p4 = p3.select(id_col, "s", bounds.alias("bounds"))
-    b = F.col("bounds")
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(b) - 1),
-        lambda j: F.struct(
-            j.cast("bigint").alias("chunk_idx"),
-            (F.element_at(b, j + 1) - F.element_at(b, j))
-            .cast("bigint")
-            .alias("chunk_len"),
-            F.md5(
-                F.substring(
-                    F.col("s"),
-                    F.element_at(b, j),
-                    F.element_at(b, j + 1) - F.element_at(b, j),
-                )
-            ).alias("chunk_md5"),
-        ),
-    )
-    return (
-        p4.select(id_col, chunks.alias("chunks"))
-        .select(id_col, F.explode_outer("chunks").alias("ch"))
-        .filter(F.col("ch").isNotNull())
-        .select(id_col, "ch.chunk_idx", "ch.chunk_len", "ch.chunk_md5")
+
+    return src.mapInArrow(
+        kernel, f"{id_col} long, chunk_idx long, chunk_len long, chunk_md5 string"
     )
 
 

@@ -1415,6 +1415,16 @@ class MigrationPipeline:
                 for f in df.schema.fields
                 if f.dataType.simpleString() in ("bigint", "int", "string")
             ]
+            # Round 16 (guide §2/§6): spread the single-split source
+            # across cores before the md5-observe + write — the digest
+            # and parquet encode were one task per table; the 1 MB
+            # floor keeps dimension tables at one output file, and at
+            # real scale the input already has ≥ core-count splits so
+            # this is a no-op. Side effect: the destination parquet is
+            # multi-file, so the validate read-back scans in parallel.
+            from mysql2pg_spark.tables import fan_out
+
+            df = fan_out(df, bytes_per_partition=1024 * 1024)
             observed, obs, cols = observe_checksum(
                 df, f"src_{action.target}", cols
             )
@@ -1437,28 +1447,77 @@ class MigrationPipeline:
         _t0 = _time.perf_counter()
         validation: dict[str, dict] = {}
         by_target = {a.payload["table"]: a.target for a in reads}
+        # Round 16 (guide §2.6 / round-12 batching precedent in
+        # execute()): destination checksums of every observed table ride
+        # ONE union job instead of a sequential per-table collect —
+        # N−1 Spark job launches disappear and the per-table scans
+        # schedule concurrently (the multi-file destinations written
+        # above also scan multi-task). A batch failure falls back to
+        # the per-table loop so keep-going semantics are unchanged.
+        observed_checks: list = []
+        fallback_checks: list = []
         for chk in checks:
             src_name = next(
                 (s for s, t in by_target.items() if t == chk.target), None
             )
             if src_name is None:
                 continue
-            dst = spark.read.parquet(os.path.join(sink_dir, chk.target))
             if chk.target in src_sums:
-                ca, cols = src_sums[chk.target]
-                cb = table_checksum(dst, cols).collect()[0].asDict()
-                validation[chk.target] = {
-                    "src": ca, "dst": cb, "consistent": ca == cb,
-                }
+                observed_checks.append(chk)
             else:
-                src = source_loader(src_name)
-                cols = [
-                    f.name
-                    for f in src.schema.fields
-                    if f.dataType.simpleString()
-                    in ("bigint", "int", "string")
+                fallback_checks.append((chk, src_name))
+        if observed_checks:
+            from functools import reduce
+
+            from pyspark.sql import functions as _F
+
+            def _dst_checksum(chk):
+                dst = spark.read.parquet(
+                    os.path.join(sink_dir, chk.target)
+                )
+                return table_checksum(dst, src_sums[chk.target][1])
+
+            try:
+                tagged = [
+                    _dst_checksum(chk).withColumn(
+                        "_table", _F.lit(chk.target)
+                    )
+                    for chk in observed_checks
                 ]
-                validation[chk.target] = checksum_validation(src, dst, cols)
+                got = {
+                    r["_table"]: {
+                        k: r[k]
+                        for k in (
+                            "n_rows", "hash_sum", "min_digest", "max_digest"
+                        )
+                    }
+                    for r in reduce(
+                        lambda x, y: x.unionByName(y), tagged
+                    ).collect()
+                }
+                for chk in observed_checks:
+                    ca, _cols = src_sums[chk.target]
+                    cb = got[chk.target]
+                    validation[chk.target] = {
+                        "src": ca, "dst": cb, "consistent": ca == cb,
+                    }
+            except Exception:
+                for chk in observed_checks:
+                    ca, cols = src_sums[chk.target]
+                    cb = _dst_checksum(chk).collect()[0].asDict()
+                    validation[chk.target] = {
+                        "src": ca, "dst": cb, "consistent": ca == cb,
+                    }
+        for chk, src_name in fallback_checks:
+            dst = spark.read.parquet(os.path.join(sink_dir, chk.target))
+            src = source_loader(src_name)
+            cols = [
+                f.name
+                for f in src.schema.fields
+                if f.dataType.simpleString()
+                in ("bigint", "int", "string")
+            ]
+            validation[chk.target] = checksum_validation(src, dst, cols)
         stage_sec["validate"] = round(_time.perf_counter() - _t0, 3)
         return {
             "ddl": ddl,

@@ -679,7 +679,11 @@ ORDER BY b.doc_id
     driver=False,
 )
 def t14_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from mysql2pg_spark.tables import fan_out
+
+    # round 16: fan_out the single-split scan (no-op at scale);
+    # 1.64 s → 1.37 s, and t15/curation inherit the gain
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return T.chunk_dedup_docs(d, "doc_id", "text", CHUNK_TOKENS)
 
 
@@ -1054,7 +1058,11 @@ ORDER BY doc_id, span_start
 """,
 )
 def t20_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from mysql2pg_spark.tables import fan_out
+
+    # round 16: the positional-ngram build ran in the one fixture-scan
+    # task; fan_out parallelizes it (no-op at scale). 2.75 s → 1.80 s.
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return T.duplicate_spans(d, k=_DS_K).orderBy("doc_id", "span_start")
 
 
@@ -1227,40 +1235,67 @@ ORDER BY t.doc_id
     driver=False,
 )
 def t23_gopher_ngram_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", T.tokens("text").alias("toks"))
-    def _tag(n: int):
-        # a one-arg lambda is essential: transform() treats a second
-        # lambda parameter as the ELEMENT INDEX, so `lambda pg, n=n`
-        # silently rebinds n per element
-        return F.transform(
-            T.positional_ngrams(F.col("toks"), n),
-            lambda pg: F.struct(
-                F.lit(n).alias("n"), pg["gram"].alias("gram")
-            ),
-        )
+    # Round 16 (optimization, guide §2.4 "remove shuffles outright"):
+    # the (doc, n, gram) counts this metric maxes over are DOC-LOCAL —
+    # no cross-document aggregation anywhere — so the previous
+    # explode → groupBy(doc,n,gram) → pivot plan shuffled ~750k gram
+    # STRINGS twice for a per-row computation. One Arrow kernel now
+    # computes each doc's top-gram count per n in place (tokenization
+    # stays JVM split so the token stream is bit-identical); the
+    # fraction arithmetic is unchanged JVM expressions. Map-only plan,
+    # identical rows (oracle-checked).
+    from mysql2pg_spark.tables import fan_out
 
-    tagged = F.flatten(F.array(*[_tag(n) for n in (2, 3, 4)]))
-    m = (
-        toks.select("doc_id", F.explode(tagged).alias("tg"))
-        .select("doc_id", "tg.n", "tg.gram")
-        .groupBy("doc_id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .pivot("n", [2, 3, 4])
-        .max("c")
-    )
-    base = toks.select(
-        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    d = load_table(spark, sf_dir, "documents")
+    # fan_out: the single-row-group fixture scan would run the kernel
+    # on one core (no-op at real scale)
+    toks = fan_out(d.select("doc_id", T.tokens("text").alias("toks")))
+
+    def kernel(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            tok_lists = batch.column(1).to_pylist()
+            o_id, o_nt, o_c = [], [], {2: [], 3: [], 4: []}
+            for i, tl in enumerate(tok_lists):
+                if tl is None:
+                    continue
+                o_id.append(ids[i])
+                o_nt.append(len(tl))
+                for n in (2, 3, 4):
+                    if len(tl) >= n:
+                        c = Counter(
+                            " ".join(tl[j : j + n])
+                            for j in range(len(tl) - n + 1)
+                        )
+                        o_c[n].append(max(c.values()))
+                    else:
+                        o_c[n].append(None)
+            yield pa.record_batch(
+                [
+                    pa.array(o_id, type=pa.int64()),
+                    pa.array(o_nt, type=pa.int64()),
+                    pa.array(o_c[2], type=pa.int64()),
+                    pa.array(o_c[3], type=pa.int64()),
+                    pa.array(o_c[4], type=pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "c2", "c3", "c4"],
+            )
+
+    m = toks.mapInArrow(
+        kernel,
+        "doc_id long, n_tokens long, c2 long, c3 long, c4 long",
     )
     return (
-        base.join(m, "doc_id", "left")
-        .select(
+        m.select(
             "doc_id",
             "n_tokens",
             *[
                 (
-                    (F.col(str(n)) * n).cast("double") / F.col("n_tokens")
+                    (F.col(f"c{n}") * n).cast("double") / F.col("n_tokens")
                 ).alias(f"top{n}_frac")
                 for n in (2, 3, 4)
             ],

@@ -532,6 +532,19 @@ def group_indexes(rows: list[dict]) -> dict[str, list[IndexSpec]]:
         itype = str(head.get("index_type") or "BTREE").lower()
         has_expr = any(p["column_name"] is None for p in parts)
         if has_expr:
+            # ADVICE r15: a corrupt server row with NULL column_name AND
+            # NULL expression previously rendered as '' — split_top_level
+            # later drops empty parts, silently removing a key part from
+            # the reconstructed index. Refuse loudly instead.
+            for p in parts:
+                if p["column_name"] is None and not (
+                    p.get("expression") or ""
+                ).strip():
+                    raise ValueError(
+                        f"index {table}.{iname}: key part with NULL "
+                        "column_name and NULL/empty expression — "
+                        "information_schema.statistics row is corrupt"
+                    )
             rendered = ", ".join(
                 f"`{p['column_name']}`"
                 if p["column_name"] is not None

@@ -313,6 +313,46 @@ def _parse_blob_frame(matched: DataFrame, schema: StructType) -> DataFrame:
     )
 
 
+def parse_blob_pairs_local(
+    spark, pairs: list[tuple[str, str]], schema: StructType
+) -> DataFrame:
+    """(collist, blob) pairs → typed DataFrame, tokenized ON THE DRIVER
+    (round 16, guide §4): for the small-dump path the pairs are already
+    driver-local and kilobyte-sized, so routing them back out through a
+    ``createDataFrame`` + ``mapInPandas`` round trip paid a Python-worker
+    launch per table (~1 s of fixed cost per 2-row corpus table,
+    measured 3-4 s/table under the 4-way data-stage pool). Same
+    tokenizer (``split_tuples``/``_align_rows``/``_coerce_cell``) and
+    the same final JVM cast through the declared schema, so cell
+    semantics are identical; the result is a local relation whose
+    downstream value-fix/observe/collect never touches a Python worker.
+    Big or remote dumps keep the distributed ``_parse_blob_frame``."""
+    from pyspark.sql.types import BinaryType
+
+    cols = [f.name for f in schema.fields]
+    is_binary = [isinstance(f.dataType, BinaryType) for f in schema.fields]
+    mid_schema = ", ".join(
+        f"`{c}` {'binary' if b else 'string'}"
+        for c, b in zip(cols, is_binary)
+    )
+    out: list[tuple] = []
+    for collist, blob in pairs:
+        if blob:
+            for r in _align_rows(split_tuples(blob), collist, cols):
+                out.append(
+                    tuple(
+                        _coerce_cell(
+                            r[j] if j < len(r) else None, is_binary[j]
+                        )
+                        for j in range(len(cols))
+                    )
+                )
+    parsed = spark.createDataFrame(out, mid_schema)
+    return parsed.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def iter_sql_statements(text: str) -> Iterator[str]:
     """Quote-aware split of a hand-written ``.sql`` script into
     statements: ``;`` terminates only outside '…'/"…"/backtick literals,

@@ -548,14 +548,16 @@ def load_data_source_reader(
         ):
             if state["small"] is not None:
                 from mysql2pg_spark.sources.dumpfile import (
-                    _parse_blob_frame,
+                    parse_blob_pairs_local,
                 )
 
                 pairs = state["small"].get(table.lower(), [])
-                matched = spark.createDataFrame(
-                    pairs, "collist string, blob string"
+                # round 16: driver-side tokenize — the pairs are local
+                # kilobytes; the old createDataFrame → mapInPandas round
+                # trip paid a Python-worker job per tiny table
+                parts.append(
+                    parse_blob_pairs_local(spark, pairs, schema)
                 )
-                parts.append(_parse_blob_frame(matched, schema))
             else:
                 parts.append(
                     read_dump_inserts(spark, script_path, table, schema)

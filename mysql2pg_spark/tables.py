@@ -92,7 +92,11 @@ def _pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    n: int | None = None,
+    bytes_per_partition: int | None = None,
+) -> DataFrame:
     """Round-robin repartition a parallelism-starved DataFrame up to the
     cluster's core count — a NO-OP whenever the input already has at
     least that many partitions.
@@ -111,10 +115,23 @@ def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     Results are unaffected: every consumer in this repo is
     partitioning-agnostic (aggregates are map-side combinable, digests
     are per-row, window/top-k keys shuffle afterwards anyway).
+
+    ``bytes_per_partition`` caps the fan-out by the optimizer's size
+    estimate (``target = min(cores, est_bytes // bytes_per_partition)``)
+    so a 2 KB dimension table is never exploded into 32 one-row files —
+    use on write paths where output file count matters (guide §6).
     """
     sc = df.sparkSession.sparkContext
     target = n or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if bytes_per_partition:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = max(1, min(target, est // bytes_per_partition))
+        except Exception:
+            pass  # estimate unavailable — keep the core-count target
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

@@ -57,7 +57,17 @@ def _invalidate_stage_memos(out_dir: str) -> None:
 
     for cache in (_pd._stage_cache, _pt._tf_cache):
         for key in [k for k in cache if len(k) > 1 and k[1] == out_dir]:
-            cache.pop(key, None)
+            entry = cache.pop(key, None)
+            # unpersist the pinned frame (ADVICE r15): popping the memo
+            # alone leaked the cached blocks in executor memory for the
+            # session lifetime; tuples (capped candidates) carry the
+            # pair frame first
+            try:
+                df = entry[0] if isinstance(entry, tuple) else entry
+                if hasattr(df, "unpersist"):
+                    df.unpersist()
+            except Exception:
+                pass
 
 
 def generate_scale_dir(
