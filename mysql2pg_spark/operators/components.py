@@ -30,12 +30,30 @@ def connected_components(
     That both initializes labels for free (round 1 degenerates to
     min(a) GROUP BY b — no separate distinct-nodes pass) and removes the
     per-round left-join/least repair step a loop without self-loops needs.
+
+    Round 16 (guide §2.4 / §5): the edge set is built by a single-scan
+    explode instead of a 4-branch union, and ``pairs`` is materialized
+    once (lazy localCheckpoint) before it. ``pairs`` is typically the
+    entire LSH candidate + Jaccard-verify pipeline, and the union form
+    re-executed that pipeline once per branch (measured at sf1:
+    cc01 fell from 41–107 s to ~10 s; the 4-variant A/B at both scales
+    picked explode+checkpoint). The verified pair set is tiny relative
+    to the corpus at any scale — this is the write-the-graph boundary
+    of a real pipeline.
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .union(e.select("a", "a"))
-        .union(e.select(F.col("b").alias("a"), F.col("b").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+                    F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
+                    F.struct(F.col(id_a).alias("a"), F.col(id_a).alias("b")),
+                    F.struct(F.col(id_b).alias("a"), F.col(id_b).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .cache()
     )
@@ -111,7 +129,14 @@ def connected_components_star(
     this over label propagation when cluster diameter is unbounded
     (linkage chains, social graphs); near-dup clusters are shallow, so
     cc01 keeps propagation — this is the 100 TB fallback.
+
+    Round 16 (guide §2.4 / §5): ``pairs`` is materialized once up
+    front — it feeds three subtree references below (``edges`` once,
+    ``nodes`` twice), and when ``pairs`` is a full LSH+verify pipeline
+    each reference re-executed that pipeline. Same fix as
+    ``connected_components``/``pagerank_fixed_point``.
     """
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -119,9 +144,11 @@ def connected_components_star(
         .cache()
     )
     # Every input node, for singleton/self-pair handling at the end.
+    # Single-scan explode instead of a 2-branch union (round 16).
     nodes = (
-        pairs.select(F.col(id_a).alias("node"))
-        .union(pairs.select(F.col(id_b).alias("node")))
+        pairs.select(
+            F.explode(F.array(F.col(id_a), F.col(id_b))).alias("node")
+        )
         .distinct()
         .cache()
     )
@@ -187,10 +214,25 @@ def pagerank_fixed_point(
     # near-dup pipeline — without the checkpoint each of the ~2·rounds
     # consumers re-executes that pipeline (observed 37 s -> ~4 s at
     # sf0.1). This is the write-the-graph-to-parquet boundary of a real
-    # pipeline.
+    # pipeline. Round 16: pairs itself is ALSO materialized first, and
+    # the symmetrization is a single-scan explode instead of a 2-branch
+    # union (each union branch re-ran the pair pipeline; see
+    # connected_components for the measured A/B).
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -153,36 +153,58 @@ def knn_lsh(
     candidate list stays bucket-local (no all-pairs join at any scale).
     Tables overlap, so candidate (query, neighbor) pairs are distinct-ed
     (id pairs only — one narrow shuffle) before the exact re-rank."""
-    def bucket(df: DataFrame, idn: str, vn: str, norm: str, t: int) -> DataFrame:
-        return with_norm(df, vec_col, norm).select(
-            F.col(id_col).alias(idn),
-            F.col(vec_col).alias(vn),
-            norm,
+    # Round 16 (guide §2.4 shared-subtree): bucket the CORPUS for all
+    # L tables in ONE scan — explode (t, bucket_t) structs instead of
+    # the per-table loop, which re-ran the corpus scan +
+    # num_planes·dims hyperplane folds once per table (L× the dominant
+    # map cost). The join key gains the table tag, so candidates stay
+    # bucket-local per table exactly as before; nothing is
+    # materialized (the exploded side feeds a broadcast join directly,
+    # so the corpus is still streamed, never stored — the property
+    # that survives 100 TB). Identical output verified by direct
+    # collect-compare and the unchanged s02 oracle.
+    c_all = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_bucket(
+                            F.col(vec_col), num_planes, dims, t
+                        ).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("e"),
+    ).select("neighbor_id", "e.t", "e.bucket")
+    q_parts = []
+    for t in range(num_tables):
+        q_t = with_norm(queries, vec_col, "qnorm").select(
+            F.col(id_col).alias("query_id"),
             hyperplane_bucket(F.col(vec_col), num_planes, dims, t).alias(
-                "bucket"
+                "b0"
             ),
         )
-
-    pair_sets = []
-    for t in range(num_tables):
-        q_t = bucket(queries, "query_id", "qvec", "qnorm", t).select(
-            "query_id",
-            F.explode(
-                probe_buckets(F.col("bucket"), num_planes, probe_radius)
-            ).alias("bucket"),
+        q_parts.append(
+            q_t.select(
+                "query_id",
+                F.lit(t).alias("t"),
+                F.explode(
+                    probe_buckets(F.col("b0"), num_planes, probe_radius)
+                ).alias("bucket"),
+            )
         )
-        c_t = bucket(corpus, "neighbor_id", "nvec", "nnorm", t).select(
-            "neighbor_id", "bucket"
-        )
-        pair_sets.append(
-            c_t.join(F.broadcast(q_t), "bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-    cand = pair_sets[0]
-    for p in pair_sets[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.distinct()
+    q_all = q_parts[0]
+    for p in q_parts[1:]:
+        q_all = q_all.unionByName(p)
+    cand = (
+        c_all.join(F.broadcast(q_all), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
     q = with_norm(queries, vec_col, "qnorm").select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "qnorm"

@@ -131,13 +131,18 @@ def test_star_components_rounds_are_hash_joins(spark):
 
 def test_checksum_single_aggregate_no_expand(spark):
     """val01 after the hash-sum redesign: ONE partial+final aggregate
-    pair, no count-distinct Expand node, no join."""
+    pair, no count-distinct Expand node, no join. Round 16 adds one
+    round-robin fan_out exchange ahead of the digest projection (the
+    single-row-group fixture scan otherwise computes every md5 on one
+    core; no-op at real scale) — so: the 1-row agg exchange plus at
+    most one fan_out exchange, still nothing data-proportional keyed
+    on the digest."""
     plan = plan_of(spark, "val01_table_checksum")
     assert "Expand" not in plan          # distinct-agg artifact
     assert "Join" not in plan
-    # exactly one exchange in the tree: the 1-row partial→final agg
     # ("Exchange (n)" is the tree form; "(n) Exchange" is the detail)
-    assert plan.count("Exchange (") == 1
+    assert 1 <= plan.count("Exchange (") <= 2
+    assert "hashpartitioning(h" not in plan  # digest never shuffled by key
 
 
 def test_multitable_neardup_no_cartesian(spark):

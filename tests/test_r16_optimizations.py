@@ -101,3 +101,91 @@ def test_bounded_levenshtein_matches_unbounded(spark):
     for r in got:
         assert r.edit_dist >= 0
         assert r.edit_sim >= EDIT_SIM_T
+
+
+def test_knn_lsh_buckets_corpus_once(spark):
+    """knn_lsh's candidate stage must bucket the corpus for ALL hash
+    tables in ONE scan (exploded (t, bucket) structs), not once per
+    table: the only other corpus reference in the plan is the exact
+    re-rank. With the per-table loop this plan held num_tables + 1
+    corpus scans."""
+    from mysql2pg_spark.operators.similarity import knn_lsh
+
+    def vecs(df):
+        return df.select(
+            F.col("id"),
+            F.array(
+                *[
+                    (F.col("id") * (i + 1) % 7).cast("double")
+                    for i in range(8)
+                ]
+            ).alias("vec"),
+        )
+
+    # Distinct range bounds so corpus scans are countable apart from the
+    # (small-by-construction, per-table) query-side scans.
+    corpus = vecs(spark.range(0, 200))
+    queries = vecs(spark.range(0, 5))
+    df = knn_lsh(
+        corpus, queries, "id", "vec", k=3, num_planes=4, dims=8, num_tables=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus source = Range: query-side scans are pruned to id<5 Ranges,
+    # so count full-corpus Range nodes.
+    n_corpus_scans = plan.count("Range (0, 200")
+    assert n_corpus_scans <= 2, (
+        f"corpus scanned {n_corpus_scans}x — the single-pass exploded "
+        "bucketing regressed to per-table corpus scans"
+    )
+
+
+def test_components_explode_symmetrization_edge_cases(spark):
+    """The single-scan explode symmetrization must keep exact
+    component semantics: reversed duplicate pairs, self-pairs
+    (singletons), and a multi-hop chain."""
+    from mysql2pg_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (7, 7), (10, 11), (12, 11)],
+        "id_a long, id_b long",
+    )
+    expected = {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10, 12: 10}
+    for fn in (connected_components, connected_components_star):
+        got = {r.node: r.component for r in fn(pairs).collect()}
+        assert got == expected, f"{fn.__name__}: {got}"
+
+
+def test_pagerank_explode_matches_reference(spark):
+    """The exploded edge build must leave pagerank_fixed_point
+    bit-identical to a direct integer-arithmetic reference."""
+    from mysql2pg_spark.operators.components import (
+        PR_SCALE,
+        PR_ROUNDS,
+        pagerank_fixed_point,
+    )
+
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1)]
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+
+    edges = set()
+    for a, b in raw:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = sorted({x for e in edges for x in e})
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    ranks = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ROUNDS):
+        sums = {n: 0 for n in nodes}
+        for s, d in edges:
+            sums[d] += ranks[s] // deg[s]
+        ranks = {
+            n: 15 * PR_SCALE // 100
+            + 85 * (sums[n] // 100)
+            + (85 * (sums[n] % 100)) // 100
+            for n in nodes
+        }
+    got = {r.node: r.r for r in pagerank_fixed_point(pairs).collect()}
+    assert got == ranks
