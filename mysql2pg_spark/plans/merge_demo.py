@@ -251,17 +251,16 @@ ORDER BY c.component, r.node
 """
 
 
-@query("cc03_pagerank_canonical", oracle=_pagerank_oracle(), driver=False)
-def cc03_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pagerank_canonical(pairs: DataFrame) -> DataFrame:
+    """cc03's post-pairs body over an ALREADY-MATERIALIZED pair set:
+    fixed-point PageRank + component labels, canonical pick per
+    cluster. Factored out (round 16) so cc01_cluster_battery can feed
+    pagerank AND both component labelings from ONE pair-pipeline
+    execution."""
     from pyspark.sql.window import Window
 
     from mysql2pg_spark.operators.components import pagerank_fixed_point
-    from mysql2pg_spark.plans.dedup import neardup_pairs
 
-    # one LSH pipeline execution feeds BOTH consumers (pagerank and the
-    # component labeling are each iterative — without this the pair
-    # pipeline re-executes once per internal round)
-    pairs = neardup_pairs(spark, sf_dir).localCheckpoint(eager=False)
     ranks = pagerank_fixed_point(pairs)
     comp = connected_components(pairs)
     w = Window.partitionBy("component").orderBy(
@@ -274,3 +273,14 @@ def cc03_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component", "node", "rank_fp", "is_canonical")
         .orderBy("component", "node")
     )
+
+
+@query("cc03_pagerank_canonical", oracle=_pagerank_oracle(), driver=False)
+def cc03_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql2pg_spark.plans.dedup import neardup_pairs
+
+    # one LSH pipeline execution feeds BOTH consumers (pagerank and the
+    # component labeling are each iterative — without this the pair
+    # pipeline re-executes once per internal round)
+    pairs = neardup_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    return _pagerank_canonical(pairs)

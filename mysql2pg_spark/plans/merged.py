@@ -946,8 +946,17 @@ ORDER BY c.node
 """,
 )
 def cc01_cluster_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comps = QUERIES["cc01_dedup_clusters"](spark, sf_dir)
-    ranks = QUERIES["cc03_pagerank_canonical"](spark, sf_dir)
+    # Round 16: ONE pair-pipeline execution feeds both halves — calling
+    # the registered cc01/cc03 queries built two independent
+    # neardup_pairs subtrees (each checkpointed separately), running
+    # the LSH+verify pipeline twice per battery evaluation.
+    from mysql2pg_spark.operators.components import connected_components
+    from mysql2pg_spark.plans.dedup import neardup_pairs
+    from mysql2pg_spark.plans.merge_demo import _pagerank_canonical
+
+    pairs = neardup_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    comps = connected_components(pairs)
+    ranks = _pagerank_canonical(pairs)
     return comps.join(ranks, ["component", "node"], "left").select(
         "node", "component", "rank_fp", "is_canonical"
     )
