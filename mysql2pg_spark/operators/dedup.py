@@ -49,18 +49,50 @@ def shingle_sets(
     """(id, distinct word-ngram array) — the shared input of signature
     computation and Jaccard verification.
 
-    Tokenization is materialized as its own column BEFORE the n-gram
-    transform: inlining `split()` inside the slice lambda makes Spark
-    re-tokenize per n-gram element — O(tokens²) per doc (measured 8 s →
-    0.5 s at sf0.1 for the explode)."""
-    from mysql2pg_spark.operators.textops import ngrams_from_tokens, tokens
+    Round 16 (guide §4.2, the winnow/CDC precedent): the n-gram build is
+    an Arrow ``mapInArrow`` kernel instead of the previous Catalyst
+    ``transform(sequence, slice+array_join)`` chain — higher-order
+    functions are interpreted per element, and profiling the sf1 leg
+    showed the shingle explode alone cost ~34 s with md5+aggregation
+    adding nothing on top. Tokenization (lower/trim/regex split) STAYS
+    a JVM expression so its semantics are bit-identical to before and
+    to the DuckDB oracles; the kernel only joins already-tokenized
+    slices with single spaces and dedups keeping first occurrence
+    (``dict.fromkeys`` == ``array_distinct`` order), which is
+    locale/regex-free — equivalence is structural, and verified by a
+    direct sorted-collect compare plus every shingle-family oracle."""
+    from mysql2pg_spark.operators.textops import tokens
 
-    return (
-        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .select(
-            F.col(id_col),
-            ngrams_from_tokens(F.col("_toks"), ngram).alias("shingles"),
-        )
+    src = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    id_ddl = src.schema[0].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            toks_col = batch.column(1).to_pylist()
+            out: list = []
+            for toks in toks_col:
+                # JVM twin: null text and < ngram tokens both yield an
+                # EMPTY array (when(count >= 1, ...).otherwise(array()))
+                if toks is None or len(toks) < ngram:
+                    out.append([])
+                    continue
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + ngram])
+                            for i in range(len(toks) - ngram + 1)
+                        )
+                    )
+                )
+            yield pa.record_batch(
+                [batch.column(0), pa.array(out, type=pa.list_(pa.string()))],
+                names=[id_col, "shingles"],
+            )
+
+    return src.mapInArrow(
+        kernel, f"{id_col} {id_ddl}, shingles array<string>"
     )
 
 

@@ -24,7 +24,13 @@ _stage_cache: dict[tuple, object] = {}
 def cached_shingles(spark, sf_dir: str):
     key = (id(spark), sf_dir, "sh")
     if key not in _stage_cache:
-        d = load_table(spark, sf_dir, "documents")
+        from mysql2pg_spark.tables import fan_out
+
+        # round 16: fan_out the docs scan ahead of the shingle kernel —
+        # the sf1 leg reads documents as 2 splits, so tokenize+shingle
+        # ran on 2 of 32 cores (no-op at real scale; with the Arrow
+        # kernel this took the sf1 signature stage 35 s → 1.5 s).
+        d = fan_out(load_table(spark, sf_dir, "documents"))
         _stage_cache[key] = D.shingle_sets(d, "doc_id", "text", NGRAM).cache()
     return _stage_cache[key]
 
