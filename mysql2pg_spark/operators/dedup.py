@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mysql2pg_spark.operators.textops import fingerprint, word_ngrams
+from mysql2pg_spark.operators.textops import fingerprint
 
 DEFAULT_NUM_HASHES = 8
 

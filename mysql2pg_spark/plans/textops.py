@@ -1103,6 +1103,11 @@ ORDER BY g.doc_id
     driver=False,
 )
 def t21_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 16: routing this gram build through shingle_sets' Arrow
+    # kernel was MEASURED SLOWER (2.0 s -> 11.8 s warm at sf0.1): the
+    # gram subtree executes twice (min-reduce + join back), so the
+    # Python boundary is paid twice with no cache to amortize it. The
+    # JVM HOF chain stays.
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
     grams = toks.select(
