@@ -231,6 +231,18 @@ def knn_lsh(
     )
 
 
+def _seq_norm(vec: list) -> float:
+    """||v|| with dot_fold's exact FP sequence (products first, then a
+    left-to-right sum starting at 0.0 — Python floats ARE IEEE doubles,
+    so this matches the JVM fold bit for bit)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def ivf_assignments(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -238,13 +250,59 @@ def ivf_assignments(
     vec_col: str,
     n_probe: int = 1,
     id_out: str = "vid",
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its n_probe nearest
     centroids by cosine (deterministic tie-break on centroid id).
     Centroids are broadcast — assignment is a map-side scan of the
     corpus, the property that makes IVF the 100 TB path (the corpus is
     read once, bucketed by centroid; queries probe a handful of lists).
-    """
+
+    Round 16 (optimization, guide §4.2): the default path evaluates the
+    n×k cosine matrix in a NumPy ``mapInArrow`` kernel instead of a
+    broadcast-join feeding the interpreted ``zip_with``/``aggregate``
+    fold per (vector, centroid) pair — at sf1 (20k vectors × 141
+    centroids × 64 dims) one assignment pass measured 25.3 s
+    interpreted; the kernel's per-dim accumulation loop replays the
+    EXACT left-fold FP sequence (products then ordered adds — no
+    matmul, no FMA, no reassociation), so every c_sim double and hence
+    every rank is bit-identical to the JVM fold and the DuckDB oracles.
+
+    NOTE: with ``vectorized=True`` THIS FUNCTION IS EAGER — it collects
+    the centroid frame (k rows, the same payload the JVM broadcast
+    would ship) at build time, running whatever job produces it.
+    Library callers that need lazy semantics, or centroid frames too
+    large to hold on the driver, should pass ``vectorized=False`` for
+    the original broadcast-join plan (identical results)."""
+    if vectorized:
+        cent_rows = centroids.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        ).collect()
+        if (
+            cent_rows
+            and all(r["_cv"] is not None for r in cent_rows)
+            and len({len(r["_cv"]) for r in cent_rows}) == 1
+        ):
+            ansi = (
+                str(
+                    vectors.sparkSession.conf.get(
+                        "spark.sql.ansi.enabled", "true"
+                    )
+                ).lower()
+                == "true"
+            )
+            return _ivf_assign_arrow(
+                vectors,
+                cent_rows,
+                id_col,
+                vec_col,
+                n_probe,
+                id_out,
+                centroids.select(F.col(id_col)).schema[0].dataType,
+                ansi,
+            )
+        # degenerate centroid set (empty/NULL/ragged) — keep the
+        # reference plan's semantics
     v = with_norm(vectors, vec_col, "vnorm").select(
         F.col(id_col).alias(id_out), F.col(vec_col).alias("v"), "vnorm"
     )
@@ -267,6 +325,144 @@ def ivf_assignments(
         .filter(F.col("c_rank") <= n_probe)
         .select(id_out, "v", "centroid_id", "c_rank")
     )
+
+
+def _ivf_assign_arrow(
+    vectors: DataFrame,
+    cent_rows: list,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    id_out: str,
+    cent_id_type=None,
+    ansi: bool = True,
+) -> DataFrame:
+    """NumPy kernel behind :func:`ivf_assignments` (see its docstring
+    for the bit-exactness contract). Ordering replication: the JVM
+    window sorts ``c_sim DESC NULLS LAST`` with NaN greater than any
+    real double, ties on centroid_id ASC — the kernel sorts on
+    ``-c_sim`` with NaN→−inf (first) and NULL/ragged rows→+inf (last),
+    tie-broken by centroid id via a stable lexsort.
+
+    Division semantics follow the SESSION's ANSI mode, frozen at build
+    time: a zero-norm vector or centroid makes the JVM plan's cosine a
+    0/0 division, which under ``spark.sql.ansi.enabled`` raises
+    DIVIDE_BY_ZERO — the kernel raises the same way (``ansi=True``);
+    with ANSI off both paths yield NaN (the dividend is provably 0
+    whenever the divisor is: a zero norm means a zero vector, whose dot
+    with anything is 0), which sorts first under DESC."""
+    from pyspark.sql import types as T
+
+    in_schema = vectors.select(F.col(id_col), F.col(vec_col)).schema
+    out_schema = T.StructType(
+        [
+            T.StructField(id_out, in_schema[0].dataType),
+            T.StructField("v", in_schema[1].dataType),
+            T.StructField(
+                "centroid_id", cent_id_type or in_schema[0].dataType
+            ),
+            T.StructField("c_rank", T.IntegerType()),
+        ]
+    )
+    cents = sorted((r["_cid"], list(r["_cv"])) for r in cent_rows)
+    cids = [c[0] for c in cents]
+    cvecs = [c[1] for c in cents]
+    dims = len(cvecs[0])
+    src = vectors.select(F.col(id_col), F.col(vec_col))
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(cvecs, dtype=np.float64)  # (k, dims)
+        cn = np.array([_seq_norm(cv) for cv in cvecs])
+        k = C.shape[0]
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        take = min(n_probe, k)
+        for batch in batches:
+            n_b = batch.num_rows
+            if n_b == 0:
+                continue
+            vcol = batch.column(1)
+            lens = np.diff(vcol.offsets.to_numpy(zero_copy_only=False))
+            null_row = np.zeros(n_b, dtype=bool)
+            if vcol.null_count:
+                null_row = vcol.is_null().to_numpy(zero_copy_only=False)
+            uniform = (
+                not null_row.any() and lens.size == n_b and (lens == dims).all()
+            )
+            if uniform:
+                V = (
+                    vcol.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .reshape(n_b, dims)
+                )
+                # dot_fold replay: per-dim product then ordered add —
+                # NumPy ufuncs are plain IEEE (no FMA), so each row's
+                # accumulation is the identical operation sequence
+                acc = np.zeros((n_b, k))
+                vn_acc = np.zeros(n_b)
+                for d in range(dims):
+                    acc += V[:, d : d + 1] * C[None, :, d]
+                    vn_acc += V[:, d] * V[:, d]
+                denom = np.sqrt(vn_acc)[:, None] * cn[None, :]
+                if ansi and (denom == 0.0).any():
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] Division by zero: zero-norm "
+                        "vector or centroid in IVF cosine under ANSI "
+                        "mode (matches the JVM plan's error)"
+                    )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = acc / denom
+                key = np.where(np.isnan(sim), -np.inf, -sim)
+            else:
+                # ragged/NULL rows: replay zip_with's NULL padding →
+                # NULL c_sim, ordered after every real value
+                pyvecs = vcol.to_pylist()
+                key = np.full((n_b, k), np.inf)
+                for i, pv in enumerate(pyvecs):
+                    if pv is None:
+                        continue
+                    vn = _seq_norm(pv)
+                    for j in range(k):
+                        if len(pv) != dims:
+                            continue  # zip_with pads → NULL sim
+                        accv = 0.0
+                        for d in range(dims):
+                            accv = accv + float(pv[d]) * float(C[j, d])
+                        den = vn * cn[j]
+                        if den == 0.0:
+                            if ansi:
+                                raise ArithmeticError(
+                                    "[DIVIDE_BY_ZERO] Division by "
+                                    "zero: zero-norm vector or "
+                                    "centroid in IVF cosine under "
+                                    "ANSI mode (matches the JVM "
+                                    "plan's error)"
+                                )
+                            # IEEE 0/0 (dividend is provably 0 here)
+                            key[i, j] = -np.inf
+                            continue
+                        s = accv / den
+                        key[i, j] = -np.inf if np.isnan(s) else -s
+            sel = np.empty((n_b, take), dtype=np.int64)
+            for i in range(n_b):
+                sel[i] = np.lexsort((cid_arr, key[i]))[:take]
+            row_idx = np.repeat(np.arange(n_b), take)
+            yield pa.record_batch(
+                [
+                    batch.column(0).take(pa.array(row_idx)),
+                    vcol.take(pa.array(row_idx)),
+                    pa.array(cid_arr[sel.ravel()]),
+                    pa.array(
+                        np.tile(np.arange(1, take + 1, dtype=np.int32), n_b)
+                    ),
+                ],
+                names=[id_out, "v", "centroid_id", "c_rank"],
+            )
+
+    return src.mapInArrow(kernel, out_schema)
 
 
 def refine_centroids(
@@ -428,19 +624,31 @@ def knn_ivf(
         corpus, centroids, id_col, vec_col, corpus_assign, "neighbor_id"
     )
     probes = ivf_assignments(queries, centroids, id_col, vec_col, n_probe, "query_id")
-    cand = probes.select("query_id", F.col("v").alias("qv"), "centroid_id").join(
-        lists.select("neighbor_id", F.col("v").alias("nv"), "centroid_id"),
-        "centroid_id",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    # Round 16 (guide §1.2 step 2): norms fold ONCE per assignment row
+    # (same sqrt∘dot_fold expression on the same vector → bit-identical
+    # doubles) instead of re-folding both norms inside every pair's
+    # projection — the previous shape evaluated three 64-dim interpreted
+    # aggregates per pair instance, this one. The distinct stays AFTER
+    # scoring so the exchange carries (id, id, double) rows, not the
+    # vector payloads (guide §2.3 shuffle-fewer-bytes; a dedup-first
+    # variant measured at parity locally and shuffles ~40× the bytes).
+    cand = (
+        with_norm(probes, "v", "qnorm")
+        .select("query_id", F.col("v").alias("qv"), "qnorm", "centroid_id")
+        .join(
+            with_norm(lists, "v", "nnorm").select(
+                "neighbor_id", F.col("v").alias("nv"), "nnorm", "centroid_id"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     scored = cand.select(
         "query_id",
         "neighbor_id",
         (
             dot_fold(F.col("qv"), F.col("nv"))
-            / (
-                F.sqrt(dot_fold(F.col("qv"), F.col("qv")))
-                * F.sqrt(dot_fold(F.col("nv"), F.col("nv")))
-            )
+            / (F.col("qnorm") * F.col("nnorm"))
         ).alias("cos_sim"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(

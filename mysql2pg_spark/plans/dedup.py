@@ -44,6 +44,26 @@ def cached_signatures(spark, sf_dir: str):
     return _stage_cache[key]
 
 
+def cached_verify_sets(spark, sf_dir: str):
+    """The shingle stage every Jaccard VERIFY consumes (round 16, guide
+    §2.3): int64-hashed shingle arrays when xxhash64 is injective on
+    this corpus' vocabulary (checked once per memoized build — a
+    plan-time statistic like the max-bucket scalar; at sf1 the hashed
+    payload cut the 3.96M-pair verify wall ~3×), else the string
+    arrays unchanged. Verify results are bit-identical either way —
+    injectivity makes every per-pair intersection count equal the
+    string count. Signature/minhash stages keep consuming
+    cached_shingles (they md5 the STRINGS)."""
+    key = (id(spark), sf_dir, "shh")
+    if key not in _stage_cache:
+        sh = cached_shingles(spark, sf_dir)
+        if D.shingle_hash_is_injective(sh):
+            _stage_cache[key] = D.hashed_shingle_sets(sh, "doc_id").cache()
+        else:  # collision on this corpus — exactness over speed
+            _stage_cache[key] = sh
+    return _stage_cache[key]
+
+
 # Production bucket cap for the default near-dup path (round 15 —
 # VERDICT r14 ask #1): the candidate stage consumed by d04 and the
 # cluster plans (cc01/cc02/cc03/d09) runs CAPPED. Below the cap the
@@ -85,7 +105,7 @@ def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     PROD_MAX_BUCKET."""
     cands, _stats = neardup_candidates(spark, sf_dir)
     return D.verify_jaccard(
-        cands, cached_shingles(spark, sf_dir), "doc_id", JACCARD_T
+        cands, cached_verify_sets(spark, sf_dir), "doc_id", JACCARD_T
     )
 
 NGRAM = 3
@@ -592,9 +612,11 @@ ORDER BY rows_per_band
     driver=False,
 )
 def d16_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the profile consumes shingles only through verify_jaccard →
+    # the hashed verify stage is bit-identical here (round 16)
     return D.lsh_tuning_profile(
         cached_signatures(spark, sf_dir),
-        cached_shingles(spark, sf_dir),
+        cached_verify_sets(spark, sf_dir),
         "doc_id",
         JACCARD_T,
         rows_per_band_configs=_TUNING_CONFIGS,
@@ -819,8 +841,10 @@ def d17_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("d15_capped_neardup_clusters", oracle=_D15_ORACLE, driver=False)
 def d15_capped_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sh_sets flows only into the profile + final verify_jaccard →
+    # the hashed verify stage is bit-identical here (round 16)
     return D.capped_neardup_pipeline(
-        cached_shingles(spark, sf_dir),
+        cached_verify_sets(spark, sf_dir),
         cached_signatures(spark, sf_dir),
         "doc_id",
         JACCARD_T,

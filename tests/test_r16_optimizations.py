@@ -189,3 +189,156 @@ def test_pagerank_explode_matches_reference(spark):
         }
     got = {r.node: r.r for r in pagerank_fixed_point(pairs).collect()}
     assert got == ranks
+
+
+def _fpbits(rows):
+    """Sort rows on a key that distinguishes float bit patterns (NaN,
+    signed zero) — the round's 'identical results' bar is bit-level."""
+    import struct
+
+    return sorted(
+        tuple(
+            struct.pack(">d", x).hex() if isinstance(x, float) else x
+            for x in r
+        )
+        for r in rows
+    )
+
+
+def test_hashed_verify_matches_string_verify(spark):
+    """Round-16 hashed verify stage (guide §2.3 — shuffle keys instead
+    of payloads): verify_jaccard over int64-hashed shingle arrays must
+    emit bit-identical (pair, jaccard) rows to the string arrays
+    whenever xxhash64 is injective on the corpus vocabulary, because
+    injectivity makes every per-pair intersection count equal."""
+    from mysql2pg_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"alpha beta gamma w{i % 7} delta epsilon w{i % 5} "
+                f"zeta eta theta t{i % 3}",
+            )
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    sh = D.shingle_sets(docs, "doc_id", "text", ngram=3)
+    assert D.shingle_hash_is_injective(sh)
+    cands = (
+        sh.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(sh.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    s = D.verify_jaccard(cands, sh, "doc_id", 0.2)
+    h = D.verify_jaccard(
+        cands, D.hashed_shingle_sets(sh, "doc_id"), "doc_id", 0.2
+    )
+    srows, hrows = _fpbits(s.collect()), _fpbits(h.collect())
+    assert srows, "test corpus produced no verified pairs"
+    assert srows == hrows
+
+
+def test_cached_verify_sets_falls_back_to_strings_on_collision(
+    spark, monkeypatch
+):
+    """The plans-layer verify stage must keep the STRING shingle arrays
+    when the injectivity check fails (exactness over speed), and serve
+    the int64-hashed stage when it passes."""
+    from mysql2pg_spark.plans import dedup as PD
+
+    key_h = (id(spark), SF_CORRECT, "shh")
+    saved = PD._stage_cache.pop(key_h, None)
+    try:
+        monkeypatch.setattr(
+            PD.D, "shingle_hash_is_injective", lambda sh: False
+        )
+        out = PD.cached_verify_sets(spark, SF_CORRECT)
+        assert dict(out.dtypes)["shingles"] == "array<string>"
+        PD._stage_cache.pop(key_h, None)
+        monkeypatch.setattr(
+            PD.D, "shingle_hash_is_injective", lambda sh: True
+        )
+        out = PD.cached_verify_sets(spark, SF_CORRECT)
+        assert dict(out.dtypes)["shingles"] == "array<bigint>"
+    finally:
+        df = PD._stage_cache.pop(key_h, None)
+        try:
+            if df is not None and hasattr(df, "unpersist"):
+                df.unpersist()
+        except Exception:
+            pass
+        if saved is not None:
+            PD._stage_cache[key_h] = saved
+
+
+def test_ivf_kernel_matches_jvm_on_edge_cases(spark):
+    """The vectorized IVF assignment kernel must replicate the JVM
+    broadcast-join plan bit for bit on the awkward inputs: NULL
+    vectors, ragged dims (zip_with NULL padding), a zero vector (NaN
+    cosine), and an exact cosine tie (centroid-id tie-break)."""
+    from mysql2pg_spark.operators import similarity as S
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, None),
+            (4, [1.0, 1.0]),
+            (6, [0.5, 0.5, 0.0]),
+            (7, [0.3, -0.2, 0.9]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = S.ivf_assignments(
+        vecs, cents, "vec_id", "embedding", 2, "vid", vectorized=True
+    )
+    b = S.ivf_assignments(
+        vecs, cents, "vec_id", "embedding", 2, "vid", vectorized=False
+    )
+    ka = _fpbits(a.select("vid", "centroid_id", "c_rank").collect())
+    kb = _fpbits(b.select("vid", "centroid_id", "c_rank").collect())
+    assert ka, "JVM reference emitted no assignments"
+    assert ka == kb
+
+
+def test_ivf_kernel_replicates_ansi_zero_norm_error(spark):
+    """A zero-norm vector makes the JVM plan's cosine a 0/0 division,
+    which raises DIVIDE_BY_ZERO under ANSI mode (the Spark 4 default
+    this session runs with) — the kernel must fail the same way, not
+    silently emit NaN ranks the JVM plan would never produce."""
+    import pytest
+
+    from mysql2pg_spark.operators import similarity as S
+
+    ansi = (
+        str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower()
+        == "true"
+    )
+    zero = spark.createDataFrame(
+        [(5, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    results = []
+    for vec in (True, False):
+        df = S.ivf_assignments(
+            zero, cents, "vec_id", "embedding", 2, "vid", vectorized=vec
+        )
+        if ansi:
+            with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+                df.collect()
+        else:
+            results.append(
+                _fpbits(df.select("vid", "centroid_id", "c_rank").collect())
+            )
+    if results:
+        assert results[0] == results[1]
