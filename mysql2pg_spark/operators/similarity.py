@@ -251,6 +251,7 @@ def ivf_assignments(
     n_probe: int = 1,
     id_out: str = "vid",
     vectorized: bool = True,
+    _cent_rows: list | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its n_probe nearest
     centroids by cosine (deterministic tie-break on centroid id).
@@ -273,11 +274,20 @@ def ivf_assignments(
     would ship) at build time, running whatever job produces it.
     Library callers that need lazy semantics, or centroid frames too
     large to hold on the driver, should pass ``vectorized=False`` for
-    the original broadcast-join plan (identical results)."""
+    the original broadcast-join plan (identical results).
+    ``_cent_rows`` lets a caller that already collected the centroid
+    frame share the rows across several assignment calls (round 16,
+    guide §5 shared-subtree: knn_ivf's two assignments would otherwise
+    each re-execute an expensive centroid aggregation at collect
+    time). Rows must be ``select(id alias _cid, vec alias _cv)``."""
     if vectorized:
-        cent_rows = centroids.select(
-            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
-        ).collect()
+        cent_rows = (
+            _cent_rows
+            if _cent_rows is not None
+            else centroids.select(
+                F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+            ).collect()
+        )
         if (
             cent_rows
             and all(r["_cv"] is not None for r in cent_rows)
@@ -465,6 +475,193 @@ def _ivf_assign_arrow(
     return src.mapInArrow(kernel, out_schema)
 
 
+def _pq_scored_arrow(
+    corpus: DataFrame,
+    codebook_vectors: DataFrame,
+    lut_rows: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub: int,
+    dims: int,
+    rerank: int,
+    scored_jvm,
+):
+    """ADC scoring of :func:`knn_pq` as ONE corpus pass (round 16,
+    guide §4.2 + §8 decide-with-small-rows): a NumPy ``mapInArrow``
+    kernel normalizes each corpus vector, PQ-encodes it against the
+    collected codebook, sums the collected query LUT entries, and emits
+    only each task's per-query top-``rerank`` (adc, neighbor) candidates
+    — replacing the codes⨝LUT join (m·k rows per corpus vector), the
+    (query, neighbor) hash aggregate, and most of the shortlist window
+    input. Per-task pruning is exact: the global top-R by the strict
+    total order (adc, neighbor_id) is a subset of every task's local
+    top-R, so the downstream window returns the identical shortlist
+    under ANY partitioning.
+
+    Bit-exactness: the kernel replays the JVM expression sequence —
+    norm = sqrt(left-fold of squares), elementwise division, per-dim
+    squared-diff left-fold per subspace, ×10⁶ then HALF_UP rounding
+    (``floor(x) + (x − floor(x) ≥ 0.5)``: for non-negative doubles this
+    equals Spark's shortest-decimal BigDecimal HALF_UP because 0.5
+    boundaries are exactly representable and fraction extraction is
+    exact below 2⁵³), int64 cast, argmin with first-occurrence =
+    lowest codeword id (codebook sorted), exact int64 LUT sums.
+
+    Corpus rows the kernel cannot replay exactly (NULL vector, length
+    ≠ dims, zero/NaN/∞ norm — i.e. NULL-padding, ANSI zero-division or
+    non-finite quantization semantics) are SPLIT OUT by a deterministic
+    predicate and scored by the caller-supplied original JVM plan
+    (``scored_jvm``), so their semantics are exact by construction; at
+    every fixture that branch is empty and costs one norm-fold pass.
+
+    Returns None (caller keeps the full JVM plan) when the codebook is
+    degenerate (empty/NULL/ragged/non-finite-norm codewords), ids are
+    not integral, or the LUT carries NULL distances (degenerate query
+    rows). NOTE: EAGER — collects the codebook and the query LUT
+    (nq·m·k int64s; the same payload the JVM plan broadcasts) at build
+    time, running the jobs that produce them."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    cb_rows = codebook_vectors.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).collect()
+    if not cb_rows or any(
+        r["_cv"] is None or len(r["_cv"]) != dims for r in cb_rows
+    ):
+        return None
+    cents = sorted((r["_cid"], [float(x) for x in r["_cv"]]) for r in cb_rows)
+    norms = [_seq_norm(cv) for _, cv in cents]
+    if not all(n > 0 and n == n and n != float("inf") for n in norms):
+        return None  # zero/NaN/inf-norm codeword — JVM semantics
+    cwn = [[x / n for x in cv] for ((_, cv), n) in zip(cents, norms)]
+    code_index = {cid: i for i, (cid, _) in enumerate(cents)}
+
+    in_schema = corpus.select(F.col(id_col), F.col(vec_col)).schema
+    q_field = lut_rows.schema["query_id"]
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if (
+        in_schema[0].dataType.simpleString() not in integral
+        or q_field.dataType.simpleString() not in integral
+    ):
+        return None  # generic id types keep the JVM plan
+
+    lut_collected = lut_rows.collect()
+    if any(r["qd"] is None for r in lut_collected):
+        return None  # NULL/ragged query rows — JVM NULL-sum semantics
+    qids = sorted({r["query_id"] for r in lut_collected})
+    nq, k = len(qids), len(cents)
+    q_index = {q: i for i, q in enumerate(qids)}
+    lut = np.zeros((nq, m, k), dtype=np.int64)
+    for r in lut_collected:
+        lut[q_index[r["query_id"]], r["s"], code_index[r["code"]]] = r["qd"]
+
+    v = F.col(vec_col)
+    vnorm = F.sqrt(dot_fold(v, v))
+    pred = (
+        v.isNotNull()
+        & (F.size(v) == dims)
+        & (vnorm > 0)
+        & (vnorm < F.lit(float("inf")))  # NaN < inf is false in Spark
+    )
+    base = corpus.select(F.col(id_col), v)
+    good = base.filter(pred)
+    bad = base.filter(pred.isNull() | ~pred)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q_field.dataType),
+            T.StructField("neighbor_id", in_schema[0].dataType),
+            T.StructField("adc", T.LongType()),
+        ]
+    )
+    q_pa_type = to_arrow_type(q_field.dataType)
+    nbr_pa_type = to_arrow_type(in_schema[0].dataType)
+    cwn_l, qids_l, lut_l = cwn, qids, lut
+    SENTINEL = 1 << 62  # unreachable: adc ≤ m·4·sub·10⁶
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        CW = np.asarray(cwn_l, dtype=np.float64)  # (k, dims)
+        LUT = lut_l
+        qid_np = np.asarray(qids_l, dtype=np.int64)  # sorted
+        cand_adc = [[] for _ in range(nq)]
+        cand_nbr = [[] for _ in range(nq)]
+        for batch in batches:
+            n_b = batch.num_rows
+            if n_b == 0 or nq == 0:
+                continue
+            ids = (
+                batch.column(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            V = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n_b, dims)
+            )
+            # norm fold replay: per-dim square then ordered add
+            vn_acc = np.zeros(n_b)
+            for d_i in range(dims):
+                vn_acc += V[:, d_i] * V[:, d_i]
+            NV = V / np.sqrt(vn_acc)[:, None]
+            adc = np.zeros((n_b, nq), dtype=np.int64)
+            for s in range(m):
+                # l2sq_fold replay per subspace
+                acc = np.zeros((n_b, k))
+                for d_i in range(sub):
+                    c0 = s * sub + d_i
+                    diff = NV[:, c0 : c0 + 1] - CW[None, :, c0]
+                    acc += diff * diff
+                x = acc * PQ_QUANT
+                r = np.floor(x)
+                r += (x - r) >= 0.5  # Spark round(·, 0): HALF_UP
+                codes_s = np.argmin(r.astype(np.int64), axis=1)
+                adc += LUT[:, s, codes_s].T
+            # original post-aggregate filter: query_id != neighbor_id
+            for i in np.nonzero(np.isin(ids, qid_np))[0]:
+                adc[i, np.searchsorted(qid_np, ids[i])] = SENTINEL
+            take = min(rerank, n_b)
+            for j in range(nq):
+                colv = adc[:, j]
+                sel = np.lexsort((ids, colv))[:take]
+                sel = sel[colv[sel] < SENTINEL]
+                if sel.size:
+                    cand_adc[j].append(colv[sel])
+                    cand_nbr[j].append(ids[sel])
+        out_q: list = []
+        out_n: list = []
+        out_a: list = []
+        for j in range(nq):
+            if not cand_adc[j]:
+                continue
+            a = np.concatenate(cand_adc[j])
+            nn = np.concatenate(cand_nbr[j])
+            sel = np.lexsort((nn, a))[: min(rerank, a.size)]
+            out_q.append(np.full(sel.size, qids_l[j], dtype=np.int64))
+            out_n.append(nn[sel])
+            out_a.append(a[sel])
+        if out_q:
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_q)).cast(q_pa_type),
+                    pa.array(np.concatenate(out_n)).cast(nbr_pa_type),
+                    pa.array(np.concatenate(out_a)),
+                ],
+                names=["query_id", "neighbor_id", "adc"],
+            )
+
+    return good.mapInArrow(kernel, out_schema).unionByName(scored_jvm(bad))
+
+
 def refine_centroids(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -619,11 +816,25 @@ def knn_ivf(
     inverted lists (1 = classic IVF; 2 = soft assignment, doubling index
     size to catch boundary vectors); each query probes its n_probe
     nearest lists and exact-re-ranks within them. Recall/latency tunes
-    via n_probe × corpus_assign."""
+    via n_probe × corpus_assign. NOTE: EAGER — collects the centroid
+    frame once at build time (shared by both assignment kernels; see
+    ivf_assignments)."""
+    # Round 16 (guide §5 shared-subtree): collect the centroid frame
+    # ONCE and share the rows across both assignment kernels — the
+    # centroid input is typically refine_centroids' aggregation, and
+    # two independent vectorized collects would execute that whole
+    # subtree twice.
+    cent_rows = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    ).collect()
     lists = ivf_assignments(
-        corpus, centroids, id_col, vec_col, corpus_assign, "neighbor_id"
+        corpus, centroids, id_col, vec_col, corpus_assign, "neighbor_id",
+        _cent_rows=cent_rows,
     )
-    probes = ivf_assignments(queries, centroids, id_col, vec_col, n_probe, "query_id")
+    probes = ivf_assignments(
+        queries, centroids, id_col, vec_col, n_probe, "query_id",
+        _cent_rows=cent_rows,
+    )
     # Round 16 (guide §1.2 step 2): norms fold ONCE per assignment row
     # (same sqrt∘dot_fold expression on the same vector → bit-identical
     # doubles) instead of re-folding both norms inside every pair's
@@ -684,6 +895,7 @@ def knn_pq(
     m: int = 4,
     dims: int = 64,
     rerank: int = 25,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011): split each
     vector into ``m`` subvectors, encode every corpus vector as its
@@ -771,18 +983,33 @@ def knn_pq(
             .select(out, "s", F.col("m.code").alias("code"), F.col("m.d").alias("d"))
         )
 
-    codes = encode(corpus, "neighbor_id")
     # query LUT: quantized distance from each query subvector to EVERY
     # codeword of that subspace (the asymmetric part — queries are never
     # quantized).
     lut_rows = subspace_dists(queries, "query_id", "qd")
 
-    scored = (
-        codes.join(F.broadcast(lut_rows), ["s", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qd").alias("adc"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
+    def scored_jvm(df: DataFrame) -> DataFrame:
+        """Original encode → LUT-join → sum ADC plan (the exactness
+        reference; also scores the rows the Arrow kernel splits out)."""
+        return (
+            encode(df, "neighbor_id")
+            .join(F.broadcast(lut_rows), ["s", "code"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("qd").alias("adc"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+
+    # Round 16 (guide §4.2/§8): score the corpus in ONE Arrow kernel
+    # pass (see _pq_scored_arrow — bit-identical shortlist, EAGER
+    # codebook/LUT collect); vectorized=False keeps the lazy JVM plan.
+    scored = None
+    if vectorized:
+        scored = _pq_scored_arrow(
+            corpus, codebook_vectors, lut_rows, id_col, vec_col,
+            m, sub, dims, rerank, scored_jvm,
+        )
+    if scored is None:
+        scored = scored_jvm(corpus)
     # ADC is a shortlist signal, not a ranking one: tiny codebooks carry
     # large quantization error, so (as in production IVF-PQ systems) the
     # ADC top-R candidates are re-ranked with the EXACT cosine before

@@ -342,3 +342,43 @@ def test_ivf_kernel_replicates_ansi_zero_norm_error(spark):
             )
     if results:
         assert results[0] == results[1]
+
+
+def test_pq_kernel_routes_awkward_rows_to_jvm(spark):
+    """The PQ ADC kernel must split out corpus rows it cannot replay
+    (NULL vector, ragged length, zero norm) to the original JVM plan:
+    kernel-on and kernel-off runs must agree bit for bit on a corpus
+    mixing good and awkward rows. (Zero-norm rows sit in the JVM
+    branch, where ANSI mode raises exactly as the original plan did —
+    so they are exercised here only with ANSI off semantics skipped.)"""
+    from mysql2pg_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(1, 30)]
+    rows += [(100, None), (101, [1.0, 2.0])]  # NULL + ragged
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = corpus.filter((F.col("vec_id") % 5 == 1) & (F.col("vec_id") < 30))
+    q = corpus.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 30))
+    a = S.knn_pq(corpus, q, cb, "vec_id", "embedding", 3, 2, 8, 5, vectorized=True)
+    b = S.knn_pq(corpus, q, cb, "vec_id", "embedding", 3, 2, 8, 5, vectorized=False)
+    ka, kb = _fpbits(a.collect()), _fpbits(b.collect())
+    assert ka, "JVM reference emitted no rows"
+    assert ka == kb
+
+
+def test_pq_kernel_falls_back_on_degenerate_codebook(spark):
+    """A NULL/ragged codeword or non-integral ids must return None from
+    the kernel builder so knn_pq keeps the lazy JVM plan (same result)."""
+    from mysql2pg_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(1, 10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    bad_cb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None)], "vec_id bigint, embedding array<double>"
+    )
+    lut = S.knn_pq(  # full call just proves the fallback path runs green
+        corpus, corpus.limit(2), bad_cb, "vec_id", "embedding", 2, 2, 8, 3,
+        vectorized=True,
+    )
+    assert lut.collect()  # executes via the JVM plan without error
