@@ -288,9 +288,17 @@ def ivf_assignments(
                 F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
             ).collect()
         )
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        cent_id_type = centroids.select(F.col(id_col)).schema[0].dataType
         if (
             cent_rows
-            and all(r["_cv"] is not None for r in cent_rows)
+            and cent_id_type.simpleString() in integral
+            and all(
+                r["_cid"] is not None
+                and r["_cv"] is not None
+                and not any(x is None for x in r["_cv"])
+                for r in cent_rows
+            )
             and len({len(r["_cv"]) for r in cent_rows}) == 1
         ):
             ansi = (
@@ -308,11 +316,12 @@ def ivf_assignments(
                 vec_col,
                 n_probe,
                 id_out,
-                centroids.select(F.col(id_col)).schema[0].dataType,
+                cent_id_type,
                 ansi,
             )
-        # degenerate centroid set (empty/NULL/ragged) — keep the
-        # reference plan's semantics
+        # degenerate centroid set (empty / NULL ids or vectors / NULL
+        # elements / ragged / non-integral ids) — keep the reference
+        # plan's semantics
     v = with_norm(vectors, vec_col, "vnorm").select(
         F.col(id_col).alias(id_out), F.col(vec_col).alias("v"), "vnorm"
     )
@@ -356,11 +365,16 @@ def _ivf_assign_arrow(
 
     Division semantics follow the SESSION's ANSI mode, frozen at build
     time: a zero-norm vector or centroid makes the JVM plan's cosine a
-    0/0 division, which under ``spark.sql.ansi.enabled`` raises
-    DIVIDE_BY_ZERO — the kernel raises the same way (``ansi=True``);
-    with ANSI off both paths yield NaN (the dividend is provably 0
-    whenever the divisor is: a zero norm means a zero vector, whose dot
-    with anything is 0), which sorts first under DESC."""
+    division by zero, which under ``spark.sql.ansi.enabled`` raises
+    DIVIDE_BY_ZERO — the kernel raises the same way (``ansi=True``).
+    With ANSI off, Spark's double division by a zero divisor yields
+    NULL (not IEEE NaN — a Spark quirk), so those sims sort LAST like
+    every NULL; a NaN sim can still arise from a NaN/∞ divisor or
+    dividend and sorts FIRST (Spark orders NaN above every double).
+    The kernel keys: zero divisor → +inf (NULL-like, last), NaN sim →
+    −inf (first). Rows with NULL vector elements fold to NULL sims in
+    the JVM plan, so any batch carrying element NULLs is routed to the
+    replicating Python path."""
     from pyspark.sql import types as T
 
     in_schema = vectors.select(F.col(id_col), F.col(vec_col)).schema
@@ -374,10 +388,13 @@ def _ivf_assign_arrow(
             T.StructField("c_rank", T.IntegerType()),
         ]
     )
+    from pyspark.sql.pandas.types import to_arrow_type
+
     cents = sorted((r["_cid"], list(r["_cv"])) for r in cent_rows)
     cids = [c[0] for c in cents]
     cvecs = [c[1] for c in cents]
     dims = len(cvecs[0])
+    cid_pa_type = to_arrow_type(out_schema["centroid_id"].dataType)
     src = vectors.select(F.col(id_col), F.col(vec_col))
 
     def kernel(batches):
@@ -399,7 +416,10 @@ def _ivf_assign_arrow(
             if vcol.null_count:
                 null_row = vcol.is_null().to_numpy(zero_copy_only=False)
             uniform = (
-                not null_row.any() and lens.size == n_b and (lens == dims).all()
+                not null_row.any()
+                and lens.size == n_b
+                and (lens == dims).all()
+                and vcol.flatten().null_count == 0
             )
             if uniform:
                 V = (
@@ -417,7 +437,8 @@ def _ivf_assign_arrow(
                     acc += V[:, d : d + 1] * C[None, :, d]
                     vn_acc += V[:, d] * V[:, d]
                 denom = np.sqrt(vn_acc)[:, None] * cn[None, :]
-                if ansi and (denom == 0.0).any():
+                zero_div = denom == 0.0
+                if ansi and zero_div.any():
                     raise ArithmeticError(
                         "[DIVIDE_BY_ZERO] Division by zero: zero-norm "
                         "vector or centroid in IVF cosine under ANSI "
@@ -425,19 +446,24 @@ def _ivf_assign_arrow(
                     )
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sim = acc / denom
-                key = np.where(np.isnan(sim), -np.inf, -sim)
+                # zero divisor → NULL in Spark (last); NaN sim → first
+                key = np.where(
+                    zero_div,
+                    np.inf,
+                    np.where(np.isnan(sim), -np.inf, -sim),
+                )
             else:
                 # ragged/NULL rows: replay zip_with's NULL padding →
                 # NULL c_sim, ordered after every real value
                 pyvecs = vcol.to_pylist()
                 key = np.full((n_b, k), np.inf)
                 for i, pv in enumerate(pyvecs):
-                    if pv is None:
-                        continue
+                    if pv is None or any(x is None for x in pv):
+                        continue  # NULL vector/element → NULL sims
+                    if len(pv) != dims:
+                        continue  # zip_with pads → NULL sims
                     vn = _seq_norm(pv)
                     for j in range(k):
-                        if len(pv) != dims:
-                            continue  # zip_with pads → NULL sim
                         accv = 0.0
                         for d in range(dims):
                             accv = accv + float(pv[d]) * float(C[j, d])
@@ -451,8 +477,7 @@ def _ivf_assign_arrow(
                                     "ANSI mode (matches the JVM "
                                     "plan's error)"
                                 )
-                            # IEEE 0/0 (dividend is provably 0 here)
-                            key[i, j] = -np.inf
+                            # zero divisor → NULL in Spark → last
                             continue
                         s = accv / den
                         key[i, j] = -np.inf if np.isnan(s) else -s
@@ -464,7 +489,7 @@ def _ivf_assign_arrow(
                 [
                     batch.column(0).take(pa.array(row_idx)),
                     vcol.take(pa.array(row_idx)),
-                    pa.array(cid_arr[sel.ravel()]),
+                    pa.array(cid_arr[sel.ravel()]).cast(cid_pa_type),
                     pa.array(
                         np.tile(np.arange(1, take + 1, dtype=np.int32), n_b)
                     ),
@@ -530,7 +555,11 @@ def _pq_scored_arrow(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
     ).collect()
     if not cb_rows or any(
-        r["_cv"] is None or len(r["_cv"]) != dims for r in cb_rows
+        r["_cid"] is None
+        or r["_cv"] is None
+        or len(r["_cv"]) != dims
+        or any(x is None for x in r["_cv"])
+        for r in cb_rows
     ):
         return None
     cents = sorted((r["_cid"], [float(x) for x in r["_cv"]]) for r in cb_rows)
@@ -549,9 +578,13 @@ def _pq_scored_arrow(
     ):
         return None  # generic id types keep the JVM plan
 
-    lut_collected = lut_rows.collect()
+    lut_all = lut_rows.collect()
+    # NULL-query rows never survive the JVM plan's query_id !=
+    # neighbor_id filter — exact to drop them from the LUT; NULL qd
+    # (NULL/ragged query vectors) falls back to JVM NULL-sum semantics
+    lut_collected = [r for r in lut_all if r["query_id"] is not None]
     if any(r["qd"] is None for r in lut_collected):
-        return None  # NULL/ragged query rows — JVM NULL-sum semantics
+        return None
     qids = sorted({r["query_id"] for r in lut_collected})
     nq, k = len(qids), len(cents)
     q_index = {q: i for i, q in enumerate(qids)}
@@ -561,8 +594,13 @@ def _pq_scored_arrow(
 
     v = F.col(vec_col)
     vnorm = F.sqrt(dot_fold(v, v))
+    # NULL-id rows never survive the JVM plan's != filter, but their
+    # ids would turn to garbage in the int64 kernel path — route them
+    # to the JVM branch, which drops them exactly as before. The norm
+    # window also catches NULL ELEMENTS (they fold the norm to NULL).
     pred = (
-        v.isNotNull()
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
         & (F.size(v) == dims)
         & (vnorm > 0)
         & (vnorm < F.lit(float("inf")))  # NaN < inf is false in Spark
@@ -659,7 +697,15 @@ def _pq_scored_arrow(
                 names=["query_id", "neighbor_id", "adc"],
             )
 
-    return good.mapInArrow(kernel, out_schema).unionByName(scored_jvm(bad))
+    # the fallback branch reuses the ALREADY-COLLECTED LUT as a local
+    # relation (identical rows) so the empty-by-predicate branch does
+    # not re-execute the queries×codebook LUT subtree per action
+    lut_local = corpus.sparkSession.createDataFrame(
+        lut_all, lut_rows.schema
+    )
+    return good.mapInArrow(kernel, out_schema).unionByName(
+        scored_jvm(bad, lut_local)
+    )
 
 
 def refine_centroids(
@@ -668,6 +714,7 @@ def refine_centroids(
     id_col: str,
     vec_col: str,
     iters: int = 1,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Lloyd (k-means) refinement of an IVF coarse quantizer: assign each
     vector to its nearest centroid, recompute centroids as per-dimension
@@ -683,7 +730,10 @@ def refine_centroids(
     ·10⁶ midpoint unless they have ≤7 fractional bits, and both engines
     round halves away from zero anyway. Each round is posexplode →
     (centroid, dim) partial-agg → array reassembly: all map-side
-    combinable, no collect.
+    combinable. NOTE: with the round-16 ``vectorized`` default the
+    per-round assignment collects the current centroid frame at build
+    time (k rows — the broadcast payload); pass ``vectorized=False``
+    for the fully lazy no-collect plan (identical results).
     """
     cents = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c")
@@ -698,6 +748,7 @@ def refine_centroids(
             vec_col,
             1,
             "vid",
+            vectorized=vectorized,
         )
         dims_ex = assigned.select(
             "centroid_id", F.posexplode(F.col("v")).alias("pos", "x")
@@ -811,29 +862,35 @@ def knn_ivf(
     k: int,
     n_probe: int = 3,
     corpus_assign: int = 1,
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF ANN: each corpus vector lives in its ``corpus_assign`` nearest
     inverted lists (1 = classic IVF; 2 = soft assignment, doubling index
     size to catch boundary vectors); each query probes its n_probe
     nearest lists and exact-re-ranks within them. Recall/latency tunes
-    via n_probe × corpus_assign. NOTE: EAGER — collects the centroid
-    frame once at build time (shared by both assignment kernels; see
-    ivf_assignments)."""
+    via n_probe × corpus_assign. NOTE: EAGER by default — collects the
+    centroid frame once at build time (shared by both assignment
+    kernels; see ivf_assignments); ``vectorized=False`` keeps the
+    fully lazy broadcast-join plan (identical results)."""
     # Round 16 (guide §5 shared-subtree): collect the centroid frame
     # ONCE and share the rows across both assignment kernels — the
     # centroid input is typically refine_centroids' aggregation, and
     # two independent vectorized collects would execute that whole
     # subtree twice.
-    cent_rows = centroids.select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
-    ).collect()
+    cent_rows = (
+        centroids.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        ).collect()
+        if vectorized
+        else None
+    )
     lists = ivf_assignments(
         corpus, centroids, id_col, vec_col, corpus_assign, "neighbor_id",
-        _cent_rows=cent_rows,
+        vectorized=vectorized, _cent_rows=cent_rows,
     )
     probes = ivf_assignments(
         queries, centroids, id_col, vec_col, n_probe, "query_id",
-        _cent_rows=cent_rows,
+        vectorized=vectorized, _cent_rows=cent_rows,
     )
     # Round 16 (guide §1.2 step 2): norms fold ONCE per assignment row
     # (same sqrt∘dot_fold expression on the same vector → bit-identical
@@ -988,12 +1045,15 @@ def knn_pq(
     # quantized).
     lut_rows = subspace_dists(queries, "query_id", "qd")
 
-    def scored_jvm(df: DataFrame) -> DataFrame:
+    def scored_jvm(df: DataFrame, lut: DataFrame = None) -> DataFrame:
         """Original encode → LUT-join → sum ADC plan (the exactness
-        reference; also scores the rows the Arrow kernel splits out)."""
+        reference; also scores the rows the Arrow kernel splits out —
+        the kernel passes its collected LUT back as a local relation so
+        the empty fallback branch does not recompute the LUT subtree)."""
         return (
             encode(df, "neighbor_id")
-            .join(F.broadcast(lut_rows), ["s", "code"])
+            .join(F.broadcast(lut if lut is not None else lut_rows),
+                  ["s", "code"])
             .groupBy("query_id", "neighbor_id")
             .agg(F.sum("qd").alias("adc"))
             .filter(F.col("query_id") != F.col("neighbor_id"))

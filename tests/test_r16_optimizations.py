@@ -193,16 +193,20 @@ def test_pagerank_explode_matches_reference(spark):
 
 def _fpbits(rows):
     """Sort rows on a key that distinguishes float bit patterns (NaN,
-    signed zero) — the round's 'identical results' bar is bit-level."""
+    signed zero) and totally orders NULLs — the round's 'identical
+    results' bar is bit-level. Every element becomes a string so mixed
+    None/int/float tuples stay sortable; sorted-list equality is
+    multiset equality regardless of the order chosen."""
     import struct
 
-    return sorted(
-        tuple(
-            struct.pack(">d", x).hex() if isinstance(x, float) else x
-            for x in r
-        )
-        for r in rows
-    )
+    def elem(x):
+        if x is None:
+            return "\x00NULL"
+        if isinstance(x, float):
+            return "f:" + struct.pack(">d", x).hex()
+        return f"{type(x).__name__}:{x!r}"
+
+    return sorted(tuple(elem(x) for x in r) for r in rows)
 
 
 def test_hashed_verify_matches_string_verify(spark):
@@ -382,3 +386,151 @@ def test_pq_kernel_falls_back_on_degenerate_codebook(spark):
         vectorized=True,
     )
     assert lut.collect()  # executes via the JVM plan without error
+
+
+def test_ivf_kernel_edge_semantics_match_jvm_exactly(spark):
+    """Review closures (round 16): the kernel must replicate the JVM
+    plan on (a) NULL vector ELEMENTS (fold → NULL sim, sorts last),
+    (b) int32 ids (output schema type preserved), and (c) fall back
+    identically for string ids and NULL centroid ids."""
+    from mysql2pg_spark.operators import similarity as S
+
+    # (a) NULL elements, mixed with a ragged row so both kernel paths
+    # (uniform-batch and Python fallback) see element NULLs
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, None, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [1.0, 1.0]),
+            (4, [0.25, 0.5, 1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = S.ivf_assignments(
+        vecs, cents, "vec_id", "embedding", 2, "vid", vectorized=True
+    ).select("vid", "centroid_id", "c_rank")
+    b = S.ivf_assignments(
+        vecs, cents, "vec_id", "embedding", 2, "vid", vectorized=False
+    ).select("vid", "centroid_id", "c_rank")
+    assert _fpbits(a.collect()) == _fpbits(b.collect())
+    # uniform batch (no ragged row) carrying an element NULL
+    vecs_u = vecs.filter(F.col("vec_id") != 3)
+    au = S.ivf_assignments(
+        vecs_u, cents, "vec_id", "embedding", 2, "vid", vectorized=True
+    ).select("vid", "centroid_id", "c_rank")
+    bu = S.ivf_assignments(
+        vecs_u, cents, "vec_id", "embedding", 2, "vid", vectorized=False
+    ).select("vid", "centroid_id", "c_rank")
+    assert _fpbits(au.collect()) == _fpbits(bu.collect())
+
+    # (b) int ids: kernel output schema must keep the declared type
+    vecs32 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    cents32 = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    a32 = S.ivf_assignments(
+        vecs32, cents32, "vec_id", "embedding", 1, "vid", vectorized=True
+    )
+    assert dict(a32.dtypes)["centroid_id"] == "int"
+    assert _fpbits(
+        a32.select("vid", "centroid_id", "c_rank").collect()
+    ) == _fpbits(
+        S.ivf_assignments(
+            vecs32, cents32, "vec_id", "embedding", 1, "vid",
+            vectorized=False,
+        ).select("vid", "centroid_id", "c_rank").collect()
+    )
+
+    # (c) string ids and NULL centroid ids fall back to the JVM plan
+    vecs_s = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    cents_s = spark.createDataFrame(
+        [("x", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    rows = S.ivf_assignments(
+        vecs_s, cents_s, "vec_id", "embedding", 1, "vid", vectorized=True
+    ).collect()
+    assert {r["vid"] for r in rows} == {"a", "b"}
+    cents_null = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (7, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    an = S.ivf_assignments(
+        vecs32.withColumn("vec_id", F.col("vec_id").cast("bigint")),
+        cents_null, "vec_id", "embedding", 2, "vid", vectorized=True,
+    ).select("vid", "centroid_id", "c_rank")
+    bn = S.ivf_assignments(
+        vecs32.withColumn("vec_id", F.col("vec_id").cast("bigint")),
+        cents_null, "vec_id", "embedding", 2, "vid", vectorized=False,
+    ).select("vid", "centroid_id", "c_rank")
+    assert _fpbits(an.collect()) == _fpbits(bn.collect())
+
+
+def test_ivf_kernel_zero_norm_centroid_matches_jvm(spark):
+    """A zero-norm CENTROID divides every vector's cosine by zero:
+    under ANSI both paths must raise; this is the case where the old
+    NaN→first keying silently diverged from Spark's NULL-on-zero-
+    divisor double division."""
+    import pytest
+
+    from mysql2pg_spark.operators import similarity as S
+
+    ansi = (
+        str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower()
+        == "true"
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    results = []
+    for vec in (True, False):
+        df = S.ivf_assignments(
+            vecs, cents, "vec_id", "embedding", 1, "vid", vectorized=vec
+        )
+        if ansi:
+            with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+                df.collect()
+        else:
+            results.append(
+                _fpbits(df.select("vid", "centroid_id", "c_rank").collect())
+            )
+    if results:
+        assert results[0] == results[1]
+
+
+def test_pq_kernel_null_ids_match_jvm(spark):
+    """Corpus rows with NULL ids must not reach the int64 kernel (the
+    JVM plan drops them via the != filter); NULL query ids likewise
+    contribute nothing."""
+    from mysql2pg_spark.operators import similarity as S
+
+    rows = [
+        (i, [float((i * 5 + j) % 9 - 4) for j in range(8)])
+        for i in range(1, 25)
+    ]
+    rows.append((None, [1.0] * 8))  # NULL id, valid vector
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    cb = corpus.filter((F.col("vec_id") % 5 == 1))
+    q = corpus.filter(F.col("vec_id") % 7 == 0)
+    a = S.knn_pq(corpus, q, cb, "vec_id", "embedding", 3, 2, 8, 5,
+                 vectorized=True)
+    b = S.knn_pq(corpus, q, cb, "vec_id", "embedding", 3, 2, 8, 5,
+                 vectorized=False)
+    ka, kb = _fpbits(a.collect()), _fpbits(b.collect())
+    assert ka and ka == kb
