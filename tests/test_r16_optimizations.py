@@ -534,3 +534,49 @@ def test_pq_kernel_null_ids_match_jvm(spark):
                  vectorized=False)
     ka, kb = _fpbits(a.collect()), _fpbits(b.collect())
     assert ka and ka == kb
+
+
+def test_scale_dir_facts_are_splittable(spark, tmp_path):
+    """generate_scale_dir must write each replicated fact as one file
+    per core (round 16, guide §2.5 input skew): the pre-fix layout was
+    ONE fat single-row-group snappy file, so every scan of the scaled
+    dir decoded all rows in a single task while the rest of the
+    cluster idled (measured at sf1: a 13.9 s straggler map task behind
+    11 sub-second siblings; val01's wall fell 12->2 s with the spread
+    layout). Content must be unchanged: same rows, shifted keys."""
+    import glob
+    import os
+
+    from tools.gen_scale import FACTS, generate_scale_dir
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "scaled")
+    factor = 2
+    generate_scale_dir(spark, src, out, factor=factor)
+
+    cores = spark.sparkContext.defaultParallelism
+    for t in FACTS:
+        files = glob.glob(os.path.join(out, f"{t}.parquet", "part-*"))
+        assert len(files) == cores, (
+            f"{t}: {len(files)} part files != defaultParallelism "
+            f"{cores} — the scaled fact must be splittable so scans "
+            "parallelize (guide §2.5 input skew)"
+        )
+        base = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        scaled = spark.read.parquet(os.path.join(out, f"{t}.parquet"))
+        assert scaled.count() == base.count() * factor, t
+        # the scan itself must expose >= core-count parallelism
+        assert scaled.rdd.getNumPartitions() >= min(cores, factor), t
+
+    # spot-check content: replica 0 of lineitem is the base table
+    # verbatim (keys shifted by rep * KEY_STRIDE, rep 0 unshifted)
+    from tools.gen_scale import KEY_STRIDE
+
+    li_base = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    li_scaled = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    rep0 = li_scaled.filter(F.col("l_orderkey") < KEY_STRIDE)
+    assert rep0.count() == li_base.count()
+    assert (
+        rep0.exceptAll(li_base).count() == 0
+        and li_base.exceptAll(rep0).count() == 0
+    )

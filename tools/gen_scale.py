@@ -45,6 +45,25 @@ def _replicate(spark: SparkSession, df, factor: int):
     return df.crossJoin(F.broadcast(reps))
 
 
+def _spread(df):
+    """Round-robin the replicated fact across the cluster before the
+    write (round 16, guide §2.5 input skew / §6 file layout): the
+    crossJoin above inherits the source fixture's 1-2 scan partitions,
+    so each 10× fact previously landed as ONE fat snappy file with a
+    single row group — unsplittable, meaning every downstream scan of
+    the scaled dir decoded all ~6M rows in a single task while 31
+    cores idled (measured: the lineitem scan's map stage ran 1 task of
+    13.9 s + 11 of <1 s; val01's sf1 wall was that one straggler).
+    One file per core restores real scan parallelism, which is the
+    honest 100 TB shape — a production 10× corpus arrives as thousands
+    of row groups, never as one. defaultParallelism-derived (cluster-
+    adaptive), content-identical (round-robin permutes row placement
+    only, and sort-before-repartition keeps the placement
+    deterministic under retries)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _invalidate_stage_memos(out_dir: str) -> None:
     """Purge plans-layer per-(session, dir) memoized stages for a dir
     whose data is being (re)written (review r15): the capped candidate
@@ -93,6 +112,7 @@ def generate_scale_dir(
         _replicate(spark, orders, factor)
         .withColumn("o_orderkey", F.col("o_orderkey") + shift)
         .drop("_rep")
+        .transform(_spread)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "orders.parquet"))
     )
@@ -102,6 +122,7 @@ def generate_scale_dir(
         _replicate(spark, lineitem, factor)
         .withColumn("l_orderkey", F.col("l_orderkey") + shift)
         .drop("_rep")
+        .transform(_spread)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "lineitem.parquet"))
     )
@@ -112,6 +133,7 @@ def generate_scale_dir(
         .withColumn("event_id", F.col("event_id") + shift)
         .withColumn("user_id", F.col("user_id") + F.col("_rep") * USER_STRIDE)
         .drop("_rep")
+        .transform(_spread)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "events.parquet"))
     )
@@ -151,6 +173,7 @@ def generate_scale_dir(
         )
         .withColumn("doc_id", F.col("doc_id") + shift)
         .drop("_rep")
+        .transform(_spread)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
     )
@@ -174,6 +197,7 @@ def generate_scale_dir(
             ),
         )
         .drop("_rep")
+        .transform(_spread)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "embeddings.parquet"))
     )
