@@ -100,13 +100,27 @@ def neardup_truncation_stats(spark, sf_dir: str) -> DataFrame:
 
 
 def neardup_pairs(spark, sf_dir: str) -> DataFrame:
-    """Verified near-dup pairs from the cached shared stages (used by d04
-    and the cc01 clustering query) — capped candidate stage, see
-    PROD_MAX_BUCKET."""
-    cands, _stats = neardup_candidates(spark, sf_dir)
-    return D.verify_jaccard(
-        cands, cached_verify_sets(spark, sf_dir), "doc_id", JACCARD_T
-    )
+    """Verified near-dup pairs from the cached shared stages — capped
+    candidate stage, see PROD_MAX_BUCKET.
+
+    Memoized + cached like the shingle/signature stages (round 16,
+    continuation sitting, guide §2.4 shared-subtree / §5): this frame
+    fans out to EIGHT+ consumers (d04, the cc01 battery, cc02, cc03,
+    cc04, d09, the bench scale/skew legs), and each previously re-ran
+    the whole 3.96M-pair candidate self-join + Jaccard verify at sf1 —
+    the cc01 event log showed one 21.5 s / 359 CPU-s stage per
+    consumer re-deriving it from the signature cache. The verified
+    frame itself is tiny (filtered pairs), so pinning it converts
+    every later consumer to a cache read. Same lifecycle as the other
+    stages: keyed per (session, dir), dropped by
+    tools/gen_scale._invalidate_stage_memos on data rewrite."""
+    key = (id(spark), sf_dir, "vpairs")
+    if key not in _stage_cache:
+        cands, _stats = neardup_candidates(spark, sf_dir)
+        _stage_cache[key] = D.verify_jaccard(
+            cands, cached_verify_sets(spark, sf_dir), "doc_id", JACCARD_T
+        ).cache()
+    return _stage_cache[key]
 
 NGRAM = 3
 NUM_HASHES = 8
