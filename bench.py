@@ -156,6 +156,31 @@ def _canary_once(spark) -> float:
     return time.perf_counter() - t
 
 
+def _reset_stage_memos(spark, extra_caches: list | None = None) -> None:
+    """Make the next timed rep memo-cold (round 17 measurement honesty,
+    VERDICT r16 ask #1): drop the plans-layer per-(session, dir) stage
+    memos on BOTH sides of the A/B (``extra_caches`` carries the prev
+    worktree's memo dicts) and clear the Spark cache, so every
+    per-query bench number measures the named query's full pipeline
+    from the parquet inputs. Without this, d02/d04/cc01 medians were
+    cache reads of a memo built on the first rep (r16's d04 vs_prev of
+    0.09 was the memo, not an optimization), and the skew cc01 gate
+    compared a memo-warm base rate against a cold skew rate."""
+    from mysql2pg_spark.plans import clear_stage_memos
+
+    clear_stage_memos()
+    for cache in extra_caches or ():
+        for key in list(cache):
+            entry = cache.pop(key, None)
+            try:
+                df = entry[0] if isinstance(entry, tuple) else entry
+                if hasattr(df, "unpersist"):
+                    df.unpersist()
+            except Exception:
+                pass
+    spark.catalog.clearCache()
+
+
 def _resolve_prev_ref() -> tuple[str | None, int | None]:
     """(commit, round_number) of the previous round's code snapshot:
     $SPARK_GRAFT_PREV_REF wins (round unknown → None); otherwise the
@@ -203,12 +228,18 @@ def _resolve_prev_ref() -> tuple[str | None, int | None]:
     return None, None
 
 
-def _load_queries_from(path: str) -> dict:
+def _load_queries_from(path: str) -> tuple[dict, list]:
     """Import the QUERIES registry from another checkout of this repo
     (the prev-round worktree) inside the CURRENT process and Spark
     session: purge this repo's modules, import from `path`, snapshot
     the registry dict, restore. The returned callables keep working
     after restore — they hold references to their own module objects.
+
+    Also returns the prev checkout's plans-layer stage-memo dicts
+    (round 17 measurement honesty): the interleaved A/B clears BOTH
+    sides' memos before every timed rep, so each side's number
+    measures its full pipeline — without this, whichever side built a
+    memo first served the other side's reps a cache read.
     """
     saved = {
         k: v for k, v in sys.modules.items()
@@ -220,7 +251,15 @@ def _load_queries_from(path: str) -> dict:
     try:
         import mysql2pg_spark.plans as prev_plans
 
-        return dict(prev_plans.QUERIES)
+        caches = []
+        for modname, attr in (
+            ("mysql2pg_spark.plans.dedup", "_stage_cache"),
+            ("mysql2pg_spark.plans.textops", "_tf_cache"),
+        ):
+            d = getattr(sys.modules.get(modname), attr, None)
+            if isinstance(d, dict):
+                caches.append(d)
+        return dict(prev_plans.QUERIES), caches
     finally:
         sys.path.remove(path)
         for k in [
@@ -233,20 +272,20 @@ def _load_queries_from(path: str) -> dict:
 
 def _setup_prev_queries(
     tmpdir: str,
-) -> tuple[dict | None, str | None, str | None]:
-    """(prev QUERIES registry, worktree path, error) for the interleaved
-    A/B — (None, None, None) when deliberately disabled or no baseline
-    ref exists (first round / not a git checkout); a setup FAILURE
-    (worktree add or import blew up) returns the error string so
-    ``main()`` can emit ``vs_prev_error`` — the module docstring
-    promises the A/B never silently disappears."""
+) -> tuple[dict | None, str | None, str | None, list]:
+    """(prev QUERIES registry, worktree path, error, prev memo dicts)
+    for the interleaved A/B — (None, None, None, []) when deliberately
+    disabled or no baseline ref exists (first round / not a git
+    checkout); a setup FAILURE (worktree add or import blew up) returns
+    the error string so ``main()`` can emit ``vs_prev_error`` — the
+    module docstring promises the A/B never silently disappears."""
     import subprocess
 
     if os.environ.get("SPARK_GRAFT_VS_PREV", "1") == "0":
-        return None, None, None
+        return None, None, None, []
     ref, _round = _resolve_prev_ref()
     if not ref:
-        return None, None, None
+        return None, None, None, []
     path = os.path.join(tmpdir, "prev_head")
     try:
         # drop stale worktree records from watchdog-truncated past runs
@@ -259,10 +298,11 @@ def _setup_prev_queries(
              path, ref],
             check=True, capture_output=True, timeout=60,
         )
-        return _load_queries_from(path), path, None
+        queries, caches = _load_queries_from(path)
+        return queries, path, None, caches
     except Exception as e:
         _teardown_prev_worktree(path)
-        return None, path, f"{type(e).__name__}: {e}"
+        return None, path, f"{type(e).__name__}: {e}", []
 
 
 def _teardown_prev_worktree(path: str | None) -> None:
@@ -1140,7 +1180,12 @@ def _bench_skew_leg(spark, sf_dir: str, skew_dir: str,
         if not over_budget("skew_cc01_sec"):
             # round 15: cc01 consumes the capped production candidate
             # stage (VERDICT r14 ask #1) — the hot Zipf bucket
-            # star-links instead of melting one task
+            # star-links instead of melting one task.
+            # Round 17 (VERDICT r16 ask #1): memo-cold, exactly like
+            # the base-side cc01_base_cold_sec it is gated against —
+            # the r16 gate compared a memo-warm side against a cold
+            # one and flapped.
+            _reset_stage_memos(spark)
             t = time.perf_counter()
             QUERIES["cc01_dedup_clusters"](spark, skew_dir).write.format(
                 "noop"
@@ -1164,6 +1209,11 @@ def _bench_skew_leg(spark, sf_dir: str, skew_dir: str,
                 res["skew_d06_pairs"] / max(res["skew_d06_sec"], 1e-9), 1
             )
         if not over_budget("skew_d13_sec"):
+            # signature-warm like the base-side d13 rate (the cc01
+            # reset above dropped the skew-dir sigs)
+            from mysql2pg_spark.plans.dedup import cached_signatures
+
+            cached_signatures(spark, skew_dir).count()
             t = time.perf_counter()
             row = (
                 _lev_verify_sampled(spark, skew_dir)
@@ -1258,6 +1308,14 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
 
     base_rates: dict[str, float] = {}
     try:
+        # signature-warm on purpose, matching the skew leg's d13 side
+        # (round 17: the extras loop now clears memos per rep, so the
+        # warmth the old comment assumed must be established here)
+        from mysql2pg_spark.plans.dedup import (
+            cached_signatures as _sigs,
+        )
+
+        _sigs(spark, sf_dir).count()
         t = time.perf_counter()
         row = (
             _lev_verify_sampled(spark, sf_dir)
@@ -1330,6 +1388,10 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
     # evicted caches so both gate sides are the same kind of number.
     try:
         if isinstance(base_rates.get("cc01"), (int, float)):
+            # memo-cold AND cache-cold (round 17): the skew/scale cc01
+            # rates this base is gated against are measured the same
+            # way — like-for-like on both sides
+            _reset_stage_memos(spark)
             t = time.perf_counter()
             QUERIES["cc01_dedup_clusters"](spark, sf_dir).write.format(
                 "noop"
@@ -1359,6 +1421,7 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
     for name in SCALE_SUBSET:
         if name not in QUERIES or over_budget(name):
             continue
+        _reset_stage_memos(spark)  # per-query memo-cold, like the base
         t = time.perf_counter()
         QUERIES[name](spark, out_dir).write.format("noop").mode(
             "overwrite"
@@ -1397,6 +1460,9 @@ def _bench_scale_step(spark, sf_dir: str, tmpdir: str,
     for name in ("cc01_dedup_clusters", "d06_embedding_neardup"):
         if over_budget(name):
             continue
+        # memo-cold like the base-side cc01_base_cold_sec (round 17):
+        # the capped-candidate count above warmed the out_dir memos
+        _reset_stage_memos(spark)
         t = time.perf_counter()
         QUERIES[name](spark, out_dir).write.format("noop").mode(
             "overwrite"
@@ -1607,6 +1673,23 @@ def main() -> None:
             ):
                 if k in scale_step:
                     compact[k] = scale_step[k]
+            # per-query sf1 seconds on the line itself (round 17,
+            # VERDICT r16 ask #7): at sf0.1 every headline query is at
+            # the per-job floor, so the driver's 8c/32c scaling block
+            # proves nothing — the sf1 leg is where scan parallelism
+            # shows, and emitting it compactly lets the c8 and c32
+            # artifacts be diffed per query
+            _scale_sec = {
+                k: scale_step[k]
+                for k in (
+                    *SCALE_SUBSET,
+                    "cc01_dedup_clusters",
+                    "d06_embedding_neardup",
+                )
+                if isinstance(scale_step.get(k), (int, float))
+            }
+            if _scale_sec:
+                compact["scale_sec"] = _scale_sec
             fails = [
                 k for k, v in scale_step.get("scale_ok", {}).items() if not v
             ]
@@ -1639,8 +1722,11 @@ def main() -> None:
     _prev_tmp = _tempfile.mkdtemp(prefix="bench_prev_")
     prev_queries: dict | None = None
     prev_wt: str | None = None
+    prev_caches: list = []
     try:
-        prev_queries, prev_wt, _prev_err = _setup_prev_queries(_prev_tmp)
+        prev_queries, prev_wt, _prev_err, prev_caches = (
+            _setup_prev_queries(_prev_tmp)
+        )
         if _prev_err:
             result["vs_prev_error"] = _prev_err[:160]
     except Exception as e:
@@ -1686,12 +1772,18 @@ def main() -> None:
             head_first = rep % 2 == 0
             pair = ["head", "prev"] if head_first else ["prev", "head"]
             for side in pair:
+                # memo-cold every rep on BOTH sides (round 17, VERDICT
+                # r16 ask #1): each timed number measures the named
+                # query's full pipeline from parquet — never a stage
+                # memo built by an earlier rep or the other side
                 if side == "head":
+                    _reset_stage_memos(spark, prev_caches)
                     times.append(_run_noop(QUERIES[name]))
                 elif rep >= 3:
                     pass  # prev side capped at 3 reps
                 elif prev_queries is not None and name in prev_queries:
                     try:
+                        _reset_stage_memos(spark, prev_caches)
                         ptimes.append(_run_noop(prev_queries[name]))
                     except Exception as e:
                         # a prev-side failure disables A/B for this
@@ -1733,6 +1825,9 @@ def main() -> None:
         nreps = ereps if name in EXTRA_REP3 else 1
         times = []
         for _ in range(nreps):
+            # same memo-cold discipline as the headline loop: every
+            # extras number measures its query's full pipeline
+            _reset_stage_memos(spark)
             t = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -236,8 +236,14 @@ def pagerank_fixed_point(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # deg/nodes are consumed every round: materialize them once (lazy)
+    # so each round's plan references a leaf scan instead of replaying
+    # the groupBy/distinct subtree (round 17)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
     ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
     for _ in range(rounds):
         contrib = (
@@ -264,5 +270,15 @@ def pagerank_fixed_point(
                     )
                 ).alias("r"),
             )
+            # cut lineage EVERY round (round 17, VERDICT r16 ask #4):
+            # without this the final plan unrolls all `rounds` joins
+            # and Catalyst/AQE planning grows O(rounds·plan) — at sf1
+            # cc03's wall was 13.0 s against 4.9 s of job time, pure
+            # driver planning. Lazy checkpoint keeps execution a
+            # single action while each round's plan stays
+            # constant-size (2 joins + 1 agg over leaf scans). Same
+            # executor-local durability trade as the edge checkpoint
+            # above — the write-the-graph boundary of a real pipeline.
+            .localCheckpoint(eager=False)
         )
     return ranks

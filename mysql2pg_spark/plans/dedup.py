@@ -21,8 +21,16 @@ from mysql2pg_spark.tables import load_table
 _stage_cache: dict[tuple, object] = {}
 
 
+def _sess(spark) -> str:
+    """Session-lifetime memo key (ADVICE r16): ``id(spark)`` can be
+    recycled by the allocator after a stopped session is GC'd, serving
+    a cached DataFrame bound to a dead session; ``applicationId`` is
+    unique per SparkContext lifetime."""
+    return spark.sparkContext.applicationId
+
+
 def cached_shingles(spark, sf_dir: str):
-    key = (id(spark), sf_dir, "sh")
+    key = (_sess(spark), sf_dir, "sh")
     if key not in _stage_cache:
         from mysql2pg_spark.tables import fan_out
 
@@ -36,7 +44,7 @@ def cached_shingles(spark, sf_dir: str):
 
 
 def cached_signatures(spark, sf_dir: str):
-    key = (id(spark), sf_dir, "sig")
+    key = (_sess(spark), sf_dir, "sig")
     if key not in _stage_cache:
         _stage_cache[key] = D._signatures_from_shingles(
             cached_shingles(spark, sf_dir), "doc_id", NUM_HASHES
@@ -54,7 +62,7 @@ def cached_verify_sets(spark, sf_dir: str):
     injectivity makes every per-pair intersection count equal the
     string count. Signature/minhash stages keep consuming
     cached_shingles (they md5 the STRINGS)."""
-    key = (id(spark), sf_dir, "shh")
+    key = (_sess(spark), sf_dir, "shh")
     if key not in _stage_cache:
         sh = cached_shingles(spark, sf_dir)
         if D.shingle_hash_is_injective(sh):
@@ -82,7 +90,7 @@ def neardup_candidates(spark, sf_dir: str) -> tuple:
     """(capped candidate pairs, 1-row truncation stats) — the shared
     candidate stage of the production near-dup path, memoized beside
     the shingle/signature stages."""
-    key = (id(spark), sf_dir, "cand")
+    key = (_sess(spark), sf_dir, "cand")
     if key not in _stage_cache:
         _stage_cache[key] = D.lsh_candidate_pairs_capped(
             cached_signatures(spark, sf_dir),
@@ -114,7 +122,7 @@ def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     every later consumer to a cache read. Same lifecycle as the other
     stages: keyed per (session, dir), dropped by
     tools/gen_scale._invalidate_stage_memos on data rewrite."""
-    key = (id(spark), sf_dir, "vpairs")
+    key = (_sess(spark), sf_dir, "vpairs")
     if key not in _stage_cache:
         cands, _stats = neardup_candidates(spark, sf_dir)
         _stage_cache[key] = D.verify_jaccard(
@@ -529,6 +537,29 @@ def d13_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.lsh_candidate_pairs(
         cached_signatures(spark, sf_dir), "doc_id", NUM_HASHES
     )
+    # Round 17 (guide §2.3 shuffle keys instead of payloads, VERDICT
+    # r16 ask #5): prune candidate pairs on INTEGER lengths before the
+    # two string joins. edit_dist >= |la−lb| always, and every emitted
+    # row needs edit_dist <= floor((1−T)·max(la,lb)), so pairs failing
+    # |la−lb| <= floor((1−T)·max(la,lb)) can never survive the final
+    # filter — dropping them early is exact (the bounded levenshtein
+    # would emit −1 for them) and moves 8-byte lengths instead of
+    # document payloads through the pruning joins. At sf0.1 the bound
+    # removes ~39% of candidates (measured r16: 50,131 of 82,148 pass).
+    lens = norm.select("doc_id", F.length("s").alias("_ln"))
+    la = lens.select(F.col("doc_id").alias("id_a"), F.col("_ln").alias("_la"))
+    lb = lens.select(F.col("doc_id").alias("id_b"), F.col("_ln").alias("_lb"))
+    cands = (
+        cands.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(
+            F.abs(F.col("_la") - F.col("_lb"))
+            <= F.floor(
+                (1.0 - EDIT_SIM_T) * F.greatest("_la", "_lb")
+            )
+        )
+        .select("id_a", "id_b")
+    )
     na = norm.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     nb = norm.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     max_len = F.greatest(F.length("sa"), F.length("sb"))
@@ -853,6 +884,34 @@ def d17_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.crossJoin(F.broadcast(stats))
 
 
+def _d15_rows_per_band(spark, sf_dir: str) -> int:
+    """The banding CHOICE for d15's pipeline, memoized per (session,
+    dir) beside the other shared stages (round 17, VERDICT r16 ask #8):
+    the ≤3-row tuning profile is a plan-time statistic (same shape as
+    the capped stage's max-bucket scalar), and re-collecting it on
+    every d15 invocation cost one full profile job each time. Same
+    lifecycle as every `_stage_cache` entry: dropped by
+    tools/gen_scale._invalidate_stage_memos on data rewrite and by the
+    bench's per-rep memo reset. The lazy opt-out is unchanged — the
+    public operator `capped_neardup_pipeline` still profiles inline
+    when `rows_per_band=None` and skips profiling entirely when the
+    caller passes a value, which is exactly what this helper does."""
+    key = (_sess(spark), sf_dir, "d15r")
+    if key not in _stage_cache:
+        prof = D.lsh_tuning_profile(
+            cached_signatures(spark, sf_dir),
+            cached_verify_sets(spark, sf_dir),
+            "doc_id",
+            JACCARD_T,
+            rows_per_band_configs=_TUNING_CONFIGS,
+            num_hashes=NUM_HASHES,
+        )
+        _stage_cache[key] = D.choose_rows_per_band(
+            prof.collect(), _RECALL_FLOOR
+        )
+    return _stage_cache[key]
+
+
 @query("d15_capped_neardup_clusters", oracle=_D15_ORACLE, driver=False)
 def d15_capped_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sh_sets flows only into the profile + final verify_jaccard →
@@ -864,6 +923,7 @@ def d15_capped_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_T,
         num_hashes=NUM_HASHES,
         max_bucket=D15_MAX_BUCKET,
+        rows_per_band=_d15_rows_per_band(spark, sf_dir),
         configs=_TUNING_CONFIGS,
         recall_floor=_RECALL_FLOOR,
     )

@@ -382,24 +382,34 @@ ORDER BY segment
 """,
 )
 def q09_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 17 (guide §2.4 remove shuffles / §3.1): the semi+anti pair
+    # scanned customer AND orders twice, built TWO broadcasts of the
+    # same orders keyset (no exchange reuse — the subtrees canonicalize
+    # differently under the two join types), and stitched two 5-row
+    # aggregates with a full-outer sort-merge join (2 more exchanges +
+    # sorts). EXISTS and NOT EXISTS over the same subquery are one
+    # left join against the DISTINCT keys plus a null test: every
+    # customer row appears exactly once (the right side is distinct),
+    # matched ⟺ has_order. One scan of each table, one broadcast
+    # build, one aggregate — and the full-outer's coalesce-to-0 falls
+    # out of the conditional sums (a segment appears iff it has a
+    # customer, exactly as before). Oracle-verified identical rows.
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    with_orders = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.count(F.lit(1)).alias("n_with_orders"))
-    )
-    without_orders = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    okeys = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
     )
     return (
-        with_orders.join(without_orders, "segment", "full_outer")
-        .select(
-            "segment",
-            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
-            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            isum(
+                F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+            ).alias("n_with_orders"),
+            isum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ).alias("n_without_orders"),
         )
     )
 

@@ -28,7 +28,8 @@ _tf_cache: dict[tuple, DataFrame] = {}
 def cached_tf(
     spark: SparkSession, sf_dir: str, target: tuple | None = None
 ) -> DataFrame:
-    key = (id(spark), sf_dir, target)
+    # session-lifetime key, not id(spark) — see plans/dedup._sess
+    key = (spark.sparkContext.applicationId, sf_dir, target)
     if key not in _tf_cache:
         d = load_table(spark, sf_dir, "documents")
         extras = ()

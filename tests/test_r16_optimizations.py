@@ -547,7 +547,7 @@ def test_scale_dir_facts_are_splittable(spark, tmp_path):
     import glob
     import os
 
-    from tools.gen_scale import FACTS, generate_scale_dir
+    from tools.gen_scale import FACTS, _spread_count, generate_scale_dir
 
     src = "/root/testdata/sf0.001"
     out = str(tmp_path / "scaled")
@@ -555,12 +555,24 @@ def test_scale_dir_facts_are_splittable(spark, tmp_path):
     generate_scale_dir(spark, src, out, factor=factor)
 
     cores = spark.sparkContext.defaultParallelism
+    spread = _spread_count(spark)
     for t in FACTS:
         files = glob.glob(os.path.join(out, f"{t}.parquet", "part-*"))
-        assert len(files) == cores, (
-            f"{t}: {len(files)} part files != defaultParallelism "
-            f"{cores} — the scaled fact must be splittable so scans "
-            "parallelize (guide §2.5 input skew)"
+        # Spark's writer emits no file for an empty partition, so the
+        # exact count is min(spread, rows); a >= floor keeps the
+        # splittability intent without exact-count coupling (ADVICE
+        # r16) — every core must get work whenever rows allow it.
+        rows = (
+            spark.read.parquet(os.path.join(src, f"{t}.parquet")).count()
+            * factor
+        )
+        assert len(files) >= min(cores, rows), (
+            f"{t}: {len(files)} part files < min(cores={cores}, "
+            f"rows={rows}) — the scaled fact must be splittable so "
+            "scans parallelize (guide §2.5 input skew)"
+        )
+        assert len(files) <= spread, (
+            f"{t}: {len(files)} part files > spread {spread}"
         )
         base = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         scaled = spark.read.parquet(os.path.join(out, f"{t}.parquet"))

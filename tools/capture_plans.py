@@ -35,7 +35,9 @@ def main() -> None:
             )
         )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r16")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r17")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan-capture")
     spark.sparkContext.setLogLevel("ERROR")

@@ -45,6 +45,19 @@ def _replicate(spark: SparkSession, df, factor: int):
     return df.crossJoin(F.broadcast(reps))
 
 
+#: Floor on the spread file count: comfortably above every core count
+#: this harness runs at (8 and 32), so a dir generated under one
+#: SPARK_GRAFT_CPUS is equally splittable under the other (ADVICE r16)
+#: and the low-core/high-core scale-leg comparison reads the SAME
+#: layout. Hosts with more cores than this spread wider (and the
+#: marker records it, forcing a regenerate on mismatch).
+SPREAD_MIN_FILES = 64
+
+
+def _spread_count(spark: SparkSession) -> int:
+    return max(spark.sparkContext.defaultParallelism, SPREAD_MIN_FILES)
+
+
 def _spread(df):
     """Round-robin the replicated fact across the cluster before the
     write (round 16, guide §2.5 input skew / §6 file layout): the
@@ -54,14 +67,16 @@ def _spread(df):
     the scaled dir decoded all ~6M rows in a single task while 31
     cores idled (measured: the lineitem scan's map stage ran 1 task of
     13.9 s + 11 of <1 s; val01's sf1 wall was that one straggler).
-    One file per core restores real scan parallelism, which is the
-    honest 100 TB shape — a production 10× corpus arrives as thousands
-    of row groups, never as one. defaultParallelism-derived (cluster-
-    adaptive), content-identical (round-robin permutes row placement
-    only, and sort-before-repartition keeps the placement
-    deterministic under retries)."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    Many small-row-group files restore real scan parallelism, which is
+    the honest 100 TB shape — a production 10× corpus arrives as
+    thousands of row groups, never as one. Round 17 (ADVICE r16): the
+    file count is max(defaultParallelism, SPREAD_MIN_FILES) rather
+    than the generating session's core count, so a persisted dir reads
+    identically at any benched core count. Content-identical
+    (round-robin permutes row placement only, and
+    sort-before-repartition keeps the placement deterministic under
+    retries)."""
+    return df.repartition(_spread_count(df.sparkSession))
 
 
 def _invalidate_stage_memos(out_dir: str) -> None:
@@ -70,32 +85,37 @@ def _invalidate_stage_memos(out_dir: str) -> None:
     stage freezes a plan-time max-bucket decision at build time — a
     memoized plan surviving a regeneration of the same path could run
     the uncapped join on data whose buckets now exceed the cap, while
-    its lazy stats frame reports truncation that never happened."""
-    from mysql2pg_spark.plans import dedup as _pd
-    from mysql2pg_spark.plans import textops as _pt
+    its lazy stats frame reports truncation that never happened.
+    Round 17: delegates to the shared plans-layer helper."""
+    from mysql2pg_spark.plans import clear_stage_memos
 
-    for cache in (_pd._stage_cache, _pt._tf_cache):
-        for key in [k for k in cache if len(k) > 1 and k[1] == out_dir]:
-            entry = cache.pop(key, None)
-            # unpersist the pinned frame (ADVICE r15): popping the memo
-            # alone leaked the cached blocks in executor memory for the
-            # session lifetime; tuples (capped candidates) carry the
-            # pair frame first
-            try:
-                df = entry[0] if isinstance(entry, tuple) else entry
-                if hasattr(df, "unpersist"):
-                    df.unpersist()
-            except Exception:
-                pass
+    clear_stage_memos(out_dir)
 
 
 def generate_scale_dir(
     spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10
 ) -> str:
-    """Write the scaled dataset; idempotent via a marker file."""
-    marker = os.path.join(out_dir, f"_SCALE_OK_{factor}")
+    """Write the scaled dataset; idempotent via a marker file.
+
+    The marker is VERSIONED (ADVICE r16): the v1 name (``_SCALE_OK_N``)
+    predates the splittable ``_spread`` layout, so a stale mono-layout
+    dir generated before the fix silently kept its single-row-group
+    files forever. v2 additionally records the spread file count and
+    regenerates when the current session would spread wider (a host
+    with more cores than the recorded layout)."""
+    marker = os.path.join(out_dir, f"_SCALE_OK_{factor}_v2")
+    spread = _spread_count(spark)
     if os.path.exists(marker):
-        return out_dir
+        recorded = None
+        try:
+            with open(marker) as fh:
+                for tok in fh.read().split():
+                    if tok.startswith("spread="):
+                        recorded = int(tok.split("=", 1)[1])
+        except Exception:
+            recorded = None
+        if recorded is not None and recorded >= spread:
+            return out_dir
     _invalidate_stage_memos(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -203,7 +223,7 @@ def generate_scale_dir(
     )
 
     with open(marker, "w") as fh:
-        fh.write(f"factor={factor} src={src_dir}\n")
+        fh.write(f"factor={factor} src={src_dir} spread={spread}\n")
     return out_dir
 
 
