@@ -37,11 +37,15 @@ def test_load_queries_from_prev_worktree_and_restore(tmp_path):
     registries stay independently callable."""
     import bench
 
-    prev_q, wt, err = bench._setup_prev_queries(str(tmp_path))
+    prev_q, wt, err, prev_caches = bench._setup_prev_queries(str(tmp_path))
     try:
         assert err is None
         assert prev_q is not None and wt is not None
         assert "q01_pricing_summary" in prev_q
+        # round 17: the prev checkout's stage-memo dicts ride along so
+        # the A/B can clear BOTH sides before every timed rep
+        assert isinstance(prev_caches, list) and len(prev_caches) >= 1
+        assert all(isinstance(c, dict) for c in prev_caches)
         # HEAD modules restored: the registry importable again and is
         # NOT the prev dict's function objects
         import mysql2pg_spark.plans as head_plans
@@ -65,8 +69,8 @@ def test_vs_prev_disabled_by_env(tmp_path, monkeypatch):
     import bench
 
     monkeypatch.setenv("SPARK_GRAFT_VS_PREV", "0")
-    q, wt, err = bench._setup_prev_queries(str(tmp_path))
-    assert q is None and wt is None and err is None
+    q, wt, err, caches = bench._setup_prev_queries(str(tmp_path))
+    assert q is None and wt is None and err is None and caches == []
 
 
 def test_setup_prev_surfaces_failure_as_error(tmp_path, monkeypatch):
@@ -78,8 +82,9 @@ def test_setup_prev_surfaces_failure_as_error(tmp_path, monkeypatch):
     monkeypatch.setenv(
         "SPARK_GRAFT_PREV_REF", "no-such-ref-anywhere-xyz"
     )
-    q, wt, err = bench._setup_prev_queries(str(tmp_path))
+    q, wt, err, caches = bench._setup_prev_queries(str(tmp_path))
     assert q is None
+    assert caches == []
     assert err is not None and "Error" in err
 
 
