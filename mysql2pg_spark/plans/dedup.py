@@ -52,7 +52,7 @@ def cached_signatures(spark, sf_dir: str):
     return _stage_cache[key]
 
 
-def cached_verify_sets(spark, sf_dir: str):
+def cached_verify_sets(spark, sf_dir: str, plan_time_stats: bool = True):
     """The shingle stage every Jaccard VERIFY consumes (round 16, guide
     §2.3): int64-hashed shingle arrays when xxhash64 is injective on
     this corpus' vocabulary (checked once per memoized build — a
@@ -61,7 +61,15 @@ def cached_verify_sets(spark, sf_dir: str):
     arrays unchanged. Verify results are bit-identical either way —
     injectivity makes every per-pair intersection count equal the
     string count. Signature/minhash stages keep consuming
-    cached_shingles (they md5 the STRINGS)."""
+    cached_shingles (they md5 the STRINGS).
+
+    ``plan_time_stats=False`` (round 17, VERDICT r16 item 5) skips the
+    eager O(vocabulary) injectivity job and returns the STRING arrays
+    — fully lazy, exact at any scale, just without the hashed-payload
+    speedup; the same opt-out contract lsh_candidate_pairs_capped has.
+    """
+    if not plan_time_stats:
+        return cached_shingles(spark, sf_dir)
     key = (_sess(spark), sf_dir, "shh")
     if key not in _stage_cache:
         sh = cached_shingles(spark, sf_dir)

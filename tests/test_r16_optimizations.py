@@ -252,7 +252,8 @@ def test_cached_verify_sets_falls_back_to_strings_on_collision(
     the int64-hashed stage when it passes."""
     from mysql2pg_spark.plans import dedup as PD
 
-    key_h = (id(spark), SF_CORRECT, "shh")
+    # round 17: memo keys are applicationId-based (ADVICE r16)
+    key_h = (spark.sparkContext.applicationId, SF_CORRECT, "shh")
     saved = PD._stage_cache.pop(key_h, None)
     try:
         monkeypatch.setattr(

@@ -140,6 +140,20 @@ def test_d15_choice_memoized_per_session_dir(spark):
     assert pd_plans._d15_rows_per_band(spark, sf) == r1
 
 
+def test_verify_sets_opt_out_is_lazy_strings(spark):
+    """plan_time_stats=False must skip the eager injectivity job and
+    return the string arrays (exact at any scale), without populating
+    the hashed-stage memo (VERDICT r16 item 5 opt-out)."""
+    from mysql2pg_spark.plans import dedup as pd_plans
+
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf, "shh")
+    pd_plans._stage_cache.pop(key, None)
+    out = pd_plans.cached_verify_sets(spark, sf, plan_time_stats=False)
+    assert dict(out.dtypes)["shingles"] == "array<string>"
+    assert key not in pd_plans._stage_cache
+
+
 def test_memo_keys_use_application_id(spark):
     """ADVICE r16: memo keys must be session-lifetime tokens, not
     id(spark) (recyclable after GC)."""
